@@ -1,13 +1,137 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalytics}
+import graft.multimodal.Media
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every oracle query obeys the determinism rules (SURVEY §2.D): total ORDER
+  * BY, integer cents / 1e-4 fixed point for anything float-derived, explicit
+  * NULLS placement, BIGINT-cast integer outputs on both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Reference-parity word count top-20 (coordinator.py:123-129). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TextAnalytics.wordcountTopK(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — reference surface (word count pipeline) —
+    "wordcount_topk" -> ((s, d) => TextAnalytics.wordcountTopK(s, d)),
+    "wordcount_full" -> ((s, d) => TextAnalytics.wordcountFull(s, d)),
+    "distinct_words" -> ((s, d) => TextAnalytics.distinctWords(s, d)),
+    // — core relational —
+    "scan_filter_project" -> ((s, d) => Relational.scanFilterProject(s, d)),
+    "agg_pricing_summary" -> ((s, d) => Relational.aggPricingSummary(s, d)),
+    "topk_orders" -> ((s, d) => Relational.topkOrders(s, d)),
+    "set_ops" -> ((s, d) => Relational.setOps(s, d)),
+    "scalar_string" -> ((s, d) => Relational.scalarString(s, d)),
+    "scalar_datetime" -> ((s, d) => Relational.scalarDatetime(s, d)),
+    "scalar_math" -> ((s, d) => Relational.scalarMath(s, d)),
+    "scalar_array" -> ((s, d) => Relational.scalarArray(s, d)),
+    "scalar_json" -> ((s, d) => Relational.scalarJson(s, d)),
+    // — joins —
+    "join_broadcast" -> ((s, d) => Relational.joinBroadcast(s, d)),
+    "join_multiway" -> ((s, d) => Relational.joinMultiway(s, d)),
+    "join_semi" -> ((s, d) => Relational.joinSemi(s, d)),
+    "join_anti" -> ((s, d) => Relational.joinAnti(s, d)),
+    "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
+    // — windows & events —
+    "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
+    "window_running" -> ((s, d) => Relational.windowRunning(s, d)),
+    "events_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
+    "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    // — LLM-pipeline: text analysis —
+    "text_ngrams" -> ((s, d) => TextAnalytics.ngramTopK(s, d)),
+    "text_df_terms" -> ((s, d) => TextAnalytics.docFrequency(s, d)),
+    "text_langid" -> ((s, d) => TextAnalytics.langId(s, d)),
+    "text_quality" -> ((s, d) => TextAnalytics.quality(s, d)),
+    "text_tokens" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalytics.fingerprint(s, d)),
+    // — LLM-pipeline: dedup —
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashBucketsQuery(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    // — LLM-pipeline: similarity search —
+    "sim_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
+    "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    // — LLM-pipeline: multimodal —
+    "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
+  )
+
+  private val Tok = """\b[a-z]+\b""" // RE2 string for DuckDB (ASCII text only)
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted (→ rows-only check): dedup_minhash,
+    * dedup_simhash, sim_lsh_topk, multimodal_features — sketch/stub ops with
+    * planted-ground-truth ScalaTest checks instead (rule R5). */
+  def oracleSql: Map[String, String] = Map(
+    "wordcount_topk" ->
+      s"""SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""",
+    "wordcount_full" ->
+      s"""SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC""",
+    "distinct_words" ->
+      s"""SELECT lang, count(DISTINCT word) AS n_words FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents) GROUP BY lang ORDER BY lang""",
+    "scan_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS net_cents FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' ORDER BY l_orderkey, l_linenumber""",
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "topk_orders" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_c FROM orders ORDER BY total_c DESC, o_orderkey LIMIT 20""",
+    "set_ops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000), b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') SELECT 'both' AS op, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b) UNION ALL SELECT 'high_bal_only' AS op, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b) UNION ALL SELECT 'either' AS op, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b) ORDER BY op, c_custkey""",
+    "scalar_string" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8, CAST(length(p_type) AS BIGINT) AS type_len, p_brand || ':' || p_type AS brand_type, CAST(CASE WHEN p_name LIKE '%ar%' THEN 1 ELSE 0 END AS BIGINT) AS has_ar FROM part ORDER BY p_partkey""",
+    "scalar_datetime" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m, CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart, CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since FROM orders ORDER BY o_orderkey""",
+    "scalar_math" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, CAST(round(abs(l_discount - 0.05) * 10000) AS BIGINT) AS absdisc_e4, CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil, CAST(floor(l_quantity) AS BIGINT) AS qty_floor, CAST(l_orderkey % 7 AS BIGINT) AS okmod7, CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "scalar_array" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) AS e1_e4, CAST(round(CAST(embedding[33] AS DOUBLE) * 10000) AS BIGINT) AS e33_e4, CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), (a, x) -> a + x) * 10000) AS BIGINT) AS head4_sum_e4 FROM embeddings ORDER BY vec_id""",
+    "scalar_json" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id""",
+    "join_broadcast" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""",
+    "join_multiway" ->
+      """SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue_c DESC, n_name""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey""",
+    "agg_rollup" ->
+      """SELECT CAST(grouping(n_name) AS BIGINT) AS g_n, CAST(grouping(o_orderpriority) AS BIGINT) AS g_p, n_name, o_orderpriority, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY ROLLUP (n_name, o_orderpriority) ORDER BY g_n, g_p, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window_running" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(round(value * 100) AS BIGINT) AS v_c FROM events) SELECT user_id, event_id, ts_us, CAST(sum(v_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c FROM e ORDER BY user_id, ts_us, event_id""",
+    "events_tumbling" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events) SELECT hour_idx, event_type, count(*) AS cnt FROM e GROUP BY hour_idx, event_type ORDER BY hour_idx, event_type""",
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, event_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM l) SELECT user_id, session_id, count(*) AS n_events, CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "text_ngrams" ->
+      s"""WITH toks AS (SELECT regexp_extract_all(lower(text), '$Tok') AS w FROM documents), bi AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks) SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
+    "text_df_terms" ->
+      s"""WITH t AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)) SELECT word, count(*) AS df FROM t GROUP BY word ORDER BY df DESC, word""",
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t) SELECT doc_id, lang, en_s, de_s, es_s, fr_s, CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END AS pred FROM s ORDER BY doc_id""",
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, length(replace(text, ' ', '')) AS alpha_len, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, alpha_len, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits FROM t) SELECT doc_id, n_toks, CAST(round(alpha_len * 10000.0 / n_toks) AS BIGINT) AS avg_len_e4, CAST(round(stop_hits * 10000.0 / n_toks) AS BIGINT) AS stop_e4, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok FROM s ORDER BY doc_id""",
+    "text_tokens" ->
+      s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS re_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[^a-z ]')) AS BIGINT) AS piece_tokens, CAST(length(text) AS BIGINT) AS text_len FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> ((h * 31 + c) & 4294967295)) AS fp FROM documents ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks WHERE len(w) >= 3)), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) SELECT d1, d2, jac_e4 FROM (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM pairs JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id) WHERE jac_e4 >= 100 ORDER BY d1, d2""",
+    "dedup_embedding" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) SELECT v1, v2, sim_e4 FROM (SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_e4 FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
+    "sim_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), s AS (SELECT qid, cid, list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim FROM c, q), r AS (SELECT qid, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY qid ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+  )
 }

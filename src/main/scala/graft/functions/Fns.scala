@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared deterministic-function kit.
+  *
+  * Every helper here is written so the same computation is expressible in
+  * portable SQL for the DuckDB oracle (see SparkEntry.oracleSql):
+  *  - money / ratios are materialized as integers (cents / 1e-4 units), never
+  *    floating-point outputs, so hash comparison is exact;
+  *  - the rolling hash is plain 64-bit integer arithmetic (no engine-specific
+  *    hash function), reproducible in DuckDB via list_reduce;
+  *  - the tokenizer reproduces the reference engine's `\b[a-z]+\b` word regex
+  *    (reference: worker.py:6,13) via the codegen'd built-in regexp engine.
+  */
+object Fns {
+
+  /** Reference tokenizer pattern (reference worker.py:6). JDK regex `\b` is
+    * Unicode-aware like CPython's — verified parity in FIXTURES.md §A4. */
+  val TokenRe = "\\b[a-z]+\\b"
+
+  /** lower + tokenize to array<string> (reference worker.py:13). */
+  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit(TokenRe), lit(0))
+
+  /** Money as integer cents: round-half-away-from-zero matches DuckDB round(). */
+  def cents(c: Column): Column = round(c * lit(100)).cast("long")
+
+  /** Fixed-point 1e-4 units for ratios/similarities (determinism rule R3). */
+  def e4(c: Column): Column = round(c * lit(10000)).cast("long")
+
+  /** 32-bit polynomial rolling hash of a string: h = (h*31 + ascii(ch)) & (2^32-1).
+    * Never overflows int64 (max (2^32-1)*31 + 255 < 2^63). DuckDB twin:
+    * list_reduce(list_prepend(0, list_transform(range(1, length(s)+1),
+    *   i -> ascii(substr(s, i, 1)))), (h, c) -> (h * 31 + c) & 4294967295).
+    */
+  val HashMask = 4294967295L // 2^32 - 1
+  def polyHash(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (h, c) => (h * lit(31L) + c).bitwiseAND(lit(HashMask))))
+
+  /** Sequential left-fold dot product over array<double> — same accumulation
+    * order as DuckDB's list_inner_product, so results are bit-identical. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def toDoubleArr(c: Column): Column = c.cast("array<double>")
+
+  /** Cosine similarity = dot / (sqrt(dot(a,a)) * sqrt(dot(b,b))), all double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDoubleArr(a); val bd = toDoubleArr(b)
+    dotD(ad, bd) / (sqrt(dotD(ad, ad)) * sqrt(dotD(bd, bd)))
+  }
+
+  /** Cosine given precomputed L2 norms (avoids recomputing norms per pair). */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotD(a, b) / (normA * normB)
+
+  def l2Norm(a: Column): Column = sqrt(dotD(a, a))
+
+  /** Word n-grams (as "w1 w2 ... wn" strings) from a token array.
+    * Guarded so docs with < n tokens yield an empty array (Spark's
+    * sequence(1, k) with k < 1 would generate a descending sequence). */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through the
+  * engine as opaque `binary` columns plus a typed metadata struct, exactly
+  * like any other column — joins, filters, dedup and partitioning all work
+  * unchanged. Decode / feature-extraction runs partition-batched via
+  * `mapPartitions` (the Scala analog of Python's `mapInPandas` batch UDF):
+  * one codec init per partition, streaming over rows, never materializing a
+  * partition in memory.
+  *
+  * The codec itself is a clearly-marked STUB (no image/audio libraries exist
+  * in this container): `decodeStub` derives a deterministic fake feature
+  * vector from the bytes. The Spark-side contract — schema, batch shape,
+  * partitioning, null/empty handling — is real and tested.
+  */
+object Media {
+
+  val featureDim = 8
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_bytes", LongType))))))
+
+  /** Build a media table from the documents corpus: the UTF-8 bytes of the
+    * text stand in for an encoded payload; metadata is derived, typed, and
+    * deterministic. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        lit("fake/raw").as("format"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB decoder: a real deployment replaces this body with an actual codec
+    * (JPEG decode, audio resample, ...). Deterministic fake: feature k is a
+    * scaled rolling hash of the bytes seeded by k. Signature — bytes in,
+    * fixed-dim float vector out — is the real contract. */
+  def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var k = 0
+    while (k < dim) {
+      var h = k.toLong + 1L
+      var i = 0
+      while (i < bytes.length) {
+        h = (h * 31L + (bytes(i) & 0xff)) & 0xffffffffL
+        i += 1
+      }
+      out(k) = (h % 20001L - 10000L).toFloat / 10000.0f
+      k += 1
+    }
+    out
+  }
+
+  /** Deterministic frame/sample selection: every `stride`-th byte starting at
+    * `offset` — the shape of video frame-sampling without a real demuxer. */
+  def sampleBytes(bytes: Array[Byte], stride: Int, offset: Int = 0): Array[Byte] =
+    Iterator.range(offset, bytes.length, stride).map(bytes).toArray
+
+  /** Partition-batched feature extraction over the media table. Output:
+    * (doc_id, features array<float>, width, height). */
+  def extractFeatures(media: DataFrame, dim: Int = featureDim): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("features", ArrayType(FloatType)),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("doc_id"), col("media"), col("meta.width"), col("meta.height"))
+      .mapPartitions { rows =>
+        // per-partition codec init would go here (once, not per row)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("media")
+          Row(r.getAs[Long]("doc_id"), decodeStub(bytes, dim).toSeq,
+            r.getAs[Int]("width"), r.getAs[Int]("height"))
+        }
+      }(enc)
+  }
+
+  /** Driver-contract query: deterministic feature summary per doc. */
+  def featuresQuery(s: SparkSession, d: String): DataFrame =
+    extractFeatures(mediaTable(s, d))
+      .select(
+        col("doc_id"),
+        size(col("features")).cast("long").as("dim"),
+        round(element_at(col("features"), 1).cast("double") * 10000).cast("long").as("f1_e4"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy("doc_id")
+}

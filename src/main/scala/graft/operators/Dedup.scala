@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Deduplication operators for LLM-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a single hash shuffle on the text (or a fingerprint of
+  *    it) with min-survivor semantics — no driver state;
+  *  - MinHash banding turns the O(n²) near-dup problem into an equi-join on
+  *    (band, band-signature): only documents sharing a band bucket are ever
+  *    paired, so the shuffle is data-size-linear and the pair blowup is
+  *    bounded by bucket occupancy (band count / row count tune recall vs
+  *    cost);
+  *  - all hashes are explicit `(a·x+b) mod p` families with hard-coded
+  *    constants (no seeded RNG) so every run and every engine agrees.
+  */
+object Dedup {
+
+  // MinHash parameters: K = Bands × RowsPerBand signature values.
+  val P: Long = 1000000007L
+  val Bands = 8
+  val RowsPerBand = 4
+  val K: Int = Bands * RowsPerBand
+
+  private def permA(i: Int): Long = (1103515245L * (i + 1) + 7L) % P
+  private def permB(i: Int): Long = (12345L * (i + 1) + 678910L) % P
+
+  /** Exact dedup with deterministic survivor = min doc_id (rule R3). */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups", "text")
+      .orderBy("keep_id")
+
+  /** Distinct 3-word shingles per document, hashed to 32-bit ints. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(wordNgrams(col("toks"), n)).as("sh"))
+      .distinct()
+
+  /** doc_id → MinHash signature (array of K longs) via column expressions. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = shingles(docs)
+      .groupBy("doc_id")
+      .agg(collect_list(polyHash(col("sh"))).as("hs"))
+    val sig = array((0 until K).map { i =>
+      array_min(transform(col("hs"), h => (lit(permA(i)) * h + lit(permB(i))) % lit(P)))
+    }: _*)
+    hashed.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** LSH banding: one row per (doc, band) with the band's signature slice
+    * serialized as the join key. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val bands = array((0 until Bands).map { b =>
+      struct(
+        lit(b.toLong).as("band_idx"),
+        concat_ws("_", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).cast("array<string>")).as("band_key"))
+    }: _*)
+    minhashSignatures(docs)
+      .select(col("doc_id"), explode(bands).as("bb"))
+      .select(col("doc_id"), col("bb.band_idx").as("band_idx"), col("bb.band_key").as("band_key"))
+  }
+
+  /** Driver-contract query: bucket assignments (deterministic, always ≥ 1 row
+    * per doc; the pair-producing path is covered by planted-dup tests). */
+  def minhashBucketsQuery(s: SparkSession, d: String): DataFrame =
+    minhashBands(Tables.documents(s, d)).orderBy("doc_id", "band_idx")
+
+  /** Candidate near-dup pairs: equi-join on band buckets, then estimate
+    * Jaccard as the fraction of agreeing signature positions; keep pairs with
+    * estimate ≥ threshold. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val bands = minhashBands(docs)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sigs = minhashSignatures(docs)
+    cand
+      .join(sigs.withColumnRenamed("doc_id", "d1").withColumnRenamed("sig", "sig1"), "d1")
+      .join(sigs.withColumnRenamed("doc_id", "d2").withColumnRenamed("sig", "sig2"), "d2")
+      .select(
+        col("d1"), col("d2"),
+        (aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (a, v) => a + v).cast("double") / lit(K.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
+  /** 32-bit SimHash per document over token hashes: bit j of the fingerprint
+    * is the sign of Σ_tokens (bit j set ? +1 : -1). Near-dups have small
+    * Hamming distance. Pure column expressions, bit loop unrolled at plan
+    * time. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val bitsOf: Column => Column = h =>
+      array((0 until 32).map { j =>
+        when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))
+      }: _*)
+    val zeros = array_repeat(lit(0L), 32)
+    val sh = aggregate(
+      transform(tokens(col("text")), t => polyHash(t)),
+      zeros,
+      (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b),
+      acc => (0 until 32).map { j =>
+        when(element_at(acc, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _))
+    Tables.documents(s, d)
+      .select(col("doc_id"), sh.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard near-dup pairs, exact (not sketched): join documents on
+    * shared distinct 3-shingles, count common, Jaccard = common/(na+nb-common)
+    * in 1e-4 fixed point. Equi-join on the shingle — no cross product.
+    * At 100 TB the very-frequent shingles dominate pair blowup; production
+    * path is MinHash banding above (this exact variant doubles as its
+    * verifier). */
+  def ngramJaccardPairs(s: SparkSession, d: String, minJacE4: Long = 100L): DataFrame = {
+    val sh = shingles(Tables.documents(s, d))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+      .select(
+        col("d1"), col("d2"),
+        round(col("common") * lit(10000.0) / (col("na") + col("nb") - col("common"))).cast("long").as("jac_e4"))
+      .filter(col("jac_e4") >= minJacE4)
+      .orderBy("d1", "d2")
+  }
+
+  /** Embedding-cosine near-dup pairs over the embeddings table. Norms are
+    * precomputed once per vector; the pair loop is dot/(na·nb). Test-scale
+    * plan is the exact O(n²) self-join; the 100 TB path pre-buckets with the
+    * LSH in Similarity.lshTopK and verifies only bucket-mates. */
+  def embeddingPairs(s: SparkSession, d: String, minSimE4: Long = 3500L): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = v.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        e4(dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim_e4"))
+      .filter(col("sim_e4") >= minSimE4)
+      .orderBy("v1", "v2")
+  }
+}

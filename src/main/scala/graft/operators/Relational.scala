@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables._
+
+/** Relational operator suite over the TPC-H-ish corpus.
+  *
+  * None of these exist in the reference (SURVEY §2.B — it has no joins,
+  * windows, or scalar-function library); they are the declared query contract
+  * that makes the rebuild a complete engine. All plans are pure DataFrame
+  * declarations: Catalyst handles predicate pushdown into the Parquet scan,
+  * column pruning, join selection (broadcast for the ≤25-row dims), partial
+  * aggregation, and AQE handles runtime coalescing/skew at scale.
+  *
+  * Determinism rules (SURVEY §2.D): every query ends in a total ORDER BY;
+  * money is integer cents; ranks tie-break on a unique key.
+  */
+object Relational {
+
+  /** Filter + arithmetic projection; the predicate reaches the Parquet scan
+    * (PushedFilters) so at 100 TB only the matching row groups are read. */
+  def scanFilterProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp_ntz"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_cents"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q1 shape: group by flag/status with count + integer-cent sums.
+    * Partial agg runs map-side; shuffle carries ≤ (#flags × #statuses) rows
+    * per task regardless of input size. */
+  def aggPricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Global top-20 orders by price — TakeOrderedAndProject, the distributed
+    * twin of the reference's heap-based most_common(20) (coordinator.py:126). */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
+      .orderBy(desc("total_c"), asc("o_orderkey"))
+      .limit(20)
+
+  /** UNION / INTERSECT / EXCEPT (distinct semantics) of two filtered key sets,
+    * tagged and stacked so one result exercises all three set ops. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val a = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val b = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val tagged =
+      a.intersect(b).select(lit("both").as("op"), col("c_custkey"))
+        .unionAll(a.except(b).select(lit("high_bal_only").as("op"), col("c_custkey")))
+        .unionAll(a.union(b).distinct().select(lit("either").as("op"), col("c_custkey")))
+    tagged.orderBy("op", "c_custkey")
+  }
+
+  /** Broadcast dim⋈dim join: region (5 rows) is broadcast, no shuffle. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+
+  /** TPC-H Q5 shape: revenue per nation for one region. Fact⋈fact
+    * (orders⋈lineitem) shuffles on the join key; the dims (customer at test
+    * scale, nation, region) broadcast. At 100 TB AQE picks shuffled-hash /
+    * skew-split for the fact join; the dim broadcasts are size-driven. */
+  def joinMultiway(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      .orderBy(desc("revenue_c"), asc("n_name"))
+
+  /** Customers WITH orders (EXISTS) — left-semi hash join. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Customers WITHOUT orders in 2001 (NOT EXISTS) — left-anti hash join.
+    * (Restricted to a year so the result is non-empty on this corpus: every
+    * customer has at least one order overall.) */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp_ntz")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** ROLLUP(n_name, o_orderpriority) counts with explicit grouping flags to
+    * disambiguate subtotal NULLs, explicit NULLS FIRST ordering (rule R1). */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "o_orderpriority")
+      .rollup("n_name", "o_orderpriority")
+      .agg(
+        grouping(col("n_name")).cast("long").as("g_n"),
+        grouping(col("o_orderpriority")).cast("long").as("g_p"),
+        count(lit(1)).as("cnt"))
+      .select(col("g_n"), col("g_p"), col("n_name"), col("o_orderpriority"), col("cnt"))
+      .orderBy(col("g_n"), col("g_p"), col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Top-3 orders per customer: row_number with deterministic tie-break. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running integer-cent sum per user over event time (frame: unbounded
+    * preceding → current row), ordered on truncated-µs + event_id so both
+    * engines see identical ordering (rule R4). */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      col("user_id"), col("event_id"), col("ts_us"), cents(col("value")).as("v_c"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("user_id"), col("event_id"), col("ts_us"), sum(col("v_c")).over(w).as("run_c"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Scalar string functions over part. */
+  def scalarString(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        col("p_name").substr(1, 8).as("name8"),
+        length(col("p_type")).cast("long").as("type_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        when(col("p_name").like("%ar%"), lit(1L)).otherwise(lit(0L)).as("has_ar"))
+      .orderBy("p_partkey")
+
+  /** Scalar datetime functions over NTZ timestamps. */
+  def scalarDatetime(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("mstart"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** Scalar math functions, integer-materialized outputs. */
+  def scalarMath(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        e4(abs(col("l_discount") - lit(0.05))).as("absdisc_e4"),
+        ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+        floor(col("l_quantity")).cast("long").as("qty_floor"),
+        (col("l_orderkey") % 7).cast("long").as("okmod7"),
+        signum(col("l_discount") - lit(0.05)).cast("long").as("sgn"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Scalar array functions over the embedding vectors (size / element_at /
+    * slice+fold), float widened to double before any arithmetic. */
+  def scalarArray(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    emb.select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        e4(element_at(col("embedding"), 1).cast("double")).as("e1_e4"),
+        e4(element_at(col("embedding"), 33).cast("double")).as("e33_e4"),
+        e4(aggregate(slice(toDoubleArr(col("embedding")), 1, 4), lit(0.0), (a, x) => a + x)).as("head4_sum_e4"))
+      .orderBy("vec_id")
+  }
+
+  /** JSON extraction from the events props column. */
+  def scalarJson(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor / similarity search over the embeddings table.
+  *
+  *  - `bruteTopK` is the exact baseline: broadcast the (small) query set,
+  *    stream the corpus once, per-group top-k. The corpus side never
+  *    shuffles the vectors — only (qid, cid, sim) triples move.
+  *  - `lshTopK` is the scale path: sign-random-projection LSH with
+  *    deterministic hard-coded hyperplanes buckets the corpus; each query
+  *    only scores its own bucket. At 100 TB the bucket count is the
+  *    parallelism knob and recall is tuned by planes/bucket-width —
+  *    recall is asserted against the brute-force baseline in tests.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes (LCG-derived, no RNG object). */
+  val Planes = 16
+  val Dim = 64
+  def plane(j: Int): Array[Double] =
+    Array.tabulate(Dim) { k =>
+      val x = (1103515245L * (j * Dim + k + 1) + 12345L) % 1000003L
+      x.toDouble / 1000003.0 - 0.5
+    }
+
+  /** Sign-projection bucket id (Planes bits) for a double-array column. */
+  def lshBucket(v: Column): Column =
+    (0 until Planes).map { j =>
+      val dot = aggregate(zip_with(v, typedlit(plane(j).toSeq), (x, p) => x * p),
+        lit(0.0), (a, x) => a + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+
+  /** Exact cosine top-k for each query vector (queries = vec_id < nQueries).
+    * Similarity is 1e-4 fixed point and ranked (sim_e4 desc, cid asc) so the
+    * ranking is deterministic and oracle-reproducible (rule R3). */
+  def bruteTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val c = corpus(s, d)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
+  /** LSH-bucketed approximate top-k: score only candidates in the query's
+    * bucket. A query's own vector shares its bucket, so every query returns
+    * ≥ 1 row. Recall vs bruteTopK is asserted in SimilaritySpec. */
+  def lshTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val c = corpus(s, d).withColumn("bucket", lshBucket(col("v")))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("qid"), col("vec_id").as("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+}

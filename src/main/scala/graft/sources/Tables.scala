@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated Parquet corpus (TESTDATA.md).
+  *
+  * All reads are plain columnar Parquet scans: Catalyst pushes filters and
+  * prunes columns into the scan, which is the 100 TB-scale analog of the
+  * reference's 50 MB line-aligned chunked text scan (coordinator.py:47-60 —
+  * there, chunk size bounds memory; here `spark.sql.files.maxPartitionBytes`
+  * bounds split size and the scan never materializes a whole file either).
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is Parquet INT64 TIMESTAMP(NANOS, adjustedToUTC=false), which
+    * Spark 4 refuses to read natively. Recipe (verified, FIXTURES.md): read the
+    * column as raw nanos via `nanosAsLong`, then expose `ts_us` = microseconds
+    * since epoch as BIGINT (integer division = truncation — exactly what
+    * DuckDB's ns→µs read does on the oracle side). All event-time logic is done
+    * on `ts_us` integers so both engines order and bucket identically.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  /** Generic directory-of-text-files source — the reference's ingest surface
+    * (coordinator.py:20-44,47-60). One row per line; line-aligned splitting is
+    * the same invariant the reference's chunker maintains. */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("value")
+}

@@ -42,10 +42,13 @@ object Fns {
         lit(0L),
         (h, c) => (h * lit(31L) + c).bitwiseAND(lit(HashMask))))
 
-  /** Sequential left-fold dot product over array<double> — same accumulation
-    * order as DuckDB's list_inner_product, so results are bit-identical. */
+  /** Sequential dot product over array<double> — same accumulation order as
+    * DuckDB's list_inner_product, so results are bit-identical. Backed by the
+    * codegen'd graft.expressions.DotProductDouble (primitive loop, no per-row
+    * allocation — the HOF zip_with/aggregate form interprets a lambda per
+    * element, which dominates all-pairs similarity cost). */
   def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorExprs.dotDouble(a, b)
 
   def toDoubleArr(c: Column): Column = c.cast("array<double>")
 

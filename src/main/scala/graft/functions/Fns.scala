@@ -44,11 +44,11 @@ object Fns {
 
   /** Sequential dot product over array<double> — same accumulation order as
     * DuckDB's list_inner_product, so results are bit-identical. Backed by the
-    * codegen'd graft.expressions.DotProductDouble (primitive loop, no per-row
-    * allocation — the HOF zip_with/aggregate form interprets a lambda per
-    * element, which dominates all-pairs similarity cost). */
+    * codegen'd org.apache.spark.sql.graft.DotProductDouble (primitive loop, no
+    * per-row allocation — the HOF zip_with/aggregate form interprets a lambda
+    * per element, which dominates all-pairs similarity cost). */
   def dotD(a: Column, b: Column): Column =
-    graft.expressions.VectorExprs.dotDouble(a, b)
+    org.apache.spark.sql.graft.VectorExprs.dotDouble(a, b)
 
   def toDoubleArr(c: Column): Column = c.cast("array<double>")
 

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Batch event-time analytics over the events table. These are the batch
-  * expressions of the streaming windows (tumbling / session); the Structured
-  * Streaming twins live in graft.streaming.EventStreams. All bucketing is
-  * integer arithmetic on `ts_us` so the DuckDB oracle buckets identically.
+  * expressions of the streaming windows; the Structured Streaming twins
+  * (watermark + window / session_window over a stream) live in
+  * [[graft.streaming.EventStreams]]. All bucketing here is integer arithmetic
+  * on `ts_us` so the DuckDB oracle buckets identically.
   */
 object Events {
 

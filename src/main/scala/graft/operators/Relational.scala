@@ -106,19 +106,25 @@ object Relational {
       .orderBy("c_custkey")
 
   /** ROLLUP(n_name, o_orderpriority) counts with explicit grouping flags to
-    * disambiguate subtotal NULLs, explicit NULLS FIRST ordering (rule R1). */
+    * disambiguate subtotal NULLs, explicit NULLS FIRST ordering (rule R1).
+    * Expressed through the SQL front-end: the Dataset-API
+    * rollup().agg(grouping(...)) trips Spark 4's DetectAmbiguousSelfJoin
+    * false-positively (Expand duplicates the grouping attrs); the SQL path
+    * resolves to the identical Aggregate-over-Expand plan without the
+    * dataset-id metadata that confuses the check. The BROADCAST hint pins the
+    * 25-row nation dim. */
   def aggRollup(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
-      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .select("n_name", "o_orderpriority")
-      .rollup("n_name", "o_orderpriority")
-      .agg(
-        grouping(col("n_name")).cast("long").as("g_n"),
-        grouping(col("o_orderpriority")).cast("long").as("g_p"),
-        count(lit(1)).as("cnt"))
-      .select(col("g_n"), col("g_p"), col("n_name"), col("o_orderpriority"), col("cnt"))
-      .orderBy(col("g_n"), col("g_p"), col("n_name").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    s.sql(
+      s"""SELECT /*+ BROADCAST(n) */
+         |  CAST(grouping(n_name) AS BIGINT) AS g_n,
+         |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
+         |  n_name, o_orderpriority, count(*) AS cnt
+         |FROM parquet.`$d/orders.parquet` o
+         |JOIN parquet.`$d/customer.parquet` c ON o_custkey = c_custkey
+         |JOIN parquet.`$d/nation.parquet` n ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP (n_name, o_orderpriority)
+         |ORDER BY g_n, g_p, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+         |""".stripMargin)
 
   /** Top-3 orders per customer: row_number with deterministic tie-break. */
   def windowRank(s: SparkSession, d: String): DataFrame = {

@@ -32,13 +32,15 @@ object Tables {
     * since epoch as BIGINT (integer division = truncation — exactly what
     * DuckDB's ns→µs read does on the oracle side). All event-time logic is done
     * on `ts_us` integers so both engines order and bucket identically.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong=true` must be set on the session —
+    * Bench/Verify/test fixtures all set it at session build (session-wide
+    * read-path config, not mutated per call).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
-  }
 
   /** Generic directory-of-text-files source — the reference's ingest surface
     * (coordinator.py:20-44,47-60). One row per line; line-aligned splitting is

@@ -1,4 +1,7 @@
-package graft.expressions
+/* Declared inside org.apache.spark.sql so the Column <-> Expression bridge
+ * (ExpressionUtils, private[sql] in Spark 4.x) is accessible. Everything used
+ * here is public Apache Spark source; no proprietary APIs. */
+package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -17,9 +20,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * expression participates in whole-stage codegen: the generated Java is a
   * single primitive loop over the two `ArrayData` buffers, no allocation.
   *
-  * Accumulation order is ascending-index sequential — bit-identical to both
-  * the HOF formulation it replaces and DuckDB's `list_inner_product`, so
-  * oracle hash-parity is preserved (SURVEY §2.D rule R2).
+  * Semantics match the HOF formulation it replaces exactly:
+  *  - accumulation is ascending-index sequential (bit-identical to DuckDB's
+  *    sequential list fold, SURVEY §2.D rule R2);
+  *  - length-mismatched arrays → NULL (`zip_with` null-pads, `acc + null` →
+  *    NULL in the HOF form);
+  *  - any NULL element → NULL (same HOF reasoning).
   */
 case class DotProductDouble(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -28,14 +34,22 @@ case class DotProductDouble(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product_double"
+  // NULL is produced for mismatched lengths / null elements even when the
+  // input columns themselves are non-nullable.
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -45,12 +59,17 @@ case class DotProductDouble(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashBucketsQuery(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     // — LLM-pipeline: similarity search —
@@ -128,9 +129,14 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text FROM documents GROUP BY text ORDER BY keep_id""",
     "dedup_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM toks WHERE len(w) >= 3)), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) SELECT d1, d2, jac_e4 FROM (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM pairs JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id) WHERE jac_e4 >= 100 ORDER BY d1, d2""",
+      s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) SELECT d1, d2, jac_e4 FROM (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM pairs JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id) WHERE jac_e4 >= 100 ORDER BY d1, d2""",
     "dedup_embedding" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) SELECT v1, v2, sim_e4 FROM (SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_e4 FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
+    // Banded sign-projection LSH (6 bands × 6 bits, planes from the same LCG
+    // as Similarity.plane): identical float op order on both engines, so even
+    // the approximate operator hash-matches.
+    "dedup_embedding_lsh" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 36) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 6 AS band_idx, sum(bit * (1 << (j % 6))) AS band_key FROM proj GROUP BY vec_id, j // 6), cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2 FROM keys a JOIN keys b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id) SELECT v1, v2, sim_e4 FROM (SELECT v1, v2, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand JOIN n x ON v1 = x.vec_id JOIN n y ON v2 = y.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), s AS (SELECT qid, cid, list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim FROM c, q), r AS (SELECT qid, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY qid ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
   )

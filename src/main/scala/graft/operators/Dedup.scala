@@ -38,21 +38,33 @@ object Dedup {
       .select("keep_id", "n_dups", "text")
       .orderBy("keep_id")
 
-  /** Distinct 3-word shingles per document, hashed to 32-bit ints. */
+  /** Distinct 3-word shingles per document, with a short-document fallback:
+    * a doc with fewer than n tokens contributes one whole-text shingle
+    * ("#" + text — '#' cannot occur in a real shingle, which is lowercase
+    * words joined by spaces), so every document, even an empty one, has ≥ 1
+    * shingle and participates in near-dup detection. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(wordNgrams(col("toks"), n)).as("sh"))
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(
+          when(size(col("toks")) >= n, wordNgrams(col("toks"), n))
+            .otherwise(array(concat(lit("#"), col("text"))))).as("sh"))
       .distinct()
 
-  /** doc_id → MinHash signature (array of K longs) via column expressions. */
+  /** doc_id → MinHash signature (array of K longs) via column expressions.
+    * The K per-permutation minima are computed directly in the aggregate
+    * (K min() columns) — per-doc state is K longs, never a materialized
+    * array of all shingle hashes, so a pathological million-shingle document
+    * costs the same aggregation memory as a 10-shingle one.
+    * (permA(i) < P ≈ 1e9 and h < 2^32, so a·h+b < 2^63 — no overflow.) */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hashed = shingles(docs)
-      .groupBy("doc_id")
-      .agg(collect_list(polyHash(col("sh"))).as("hs"))
-    val sig = array((0 until K).map { i =>
-      array_min(transform(col("hs"), h => (lit(permA(i)) * h + lit(permB(i))) % lit(P)))
-    }: _*)
-    hashed.select(col("doc_id"), sig.as("sig"))
+    val hashed = shingles(docs).select(col("doc_id"), polyHash(col("sh")).as("h"))
+    val mins = (0 until K).map { i =>
+      min((lit(permA(i)) * col("h") + lit(permB(i))) % lit(P)).as(s"m$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH banding: one row per (doc, band) with the band's signature slice
@@ -119,17 +131,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Hot-shingle document-frequency cap for the exact Jaccard join: a shingle
+    * occurring in f documents contributes O(f²) join rows, so boilerplate
+    * shingles ("terms of service apply") make the join quadratic on skew.
+    * Shingles with df > cap are excluded from the PAIRING join (the standard
+    * production-dedup mitigation); per-doc shingle counts — the Jaccard
+    * denominator — still use the full set, so the score is a lower bound.
+    * 50 is a no-op on the test corpus (max df at sf0.1 is 25) and a hard
+    * skew ceiling at 100 TB. */
+  val MaxShingleDf = 50L
+
   /** n-gram Jaccard near-dup pairs, exact (not sketched): join documents on
     * shared distinct 3-shingles, count common, Jaccard = common/(na+nb-common)
-    * in 1e-4 fixed point. Equi-join on the shingle — no cross product.
-    * At 100 TB the very-frequent shingles dominate pair blowup; production
-    * path is MinHash banding above (this exact variant doubles as its
-    * verifier). */
-  def ngramJaccardPairs(s: SparkSession, d: String, minJacE4: Long = 100L): DataFrame = {
+    * in 1e-4 fixed point. Equi-join on the shingle — no cross product — with
+    * the MaxShingleDf cap bounding per-key join fan-out. The MinHash banding
+    * above is the sketched alternative; this exact variant doubles as its
+    * verifier. */
+  def ngramJaccardPairs(s: SparkSession, d: String, minJacE4: Long = 100L,
+      maxDf: Long = MaxShingleDf): DataFrame = {
     val sh = shingles(Tables.documents(s, d))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    val eligible = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxDf).select("sh")
+    val shf = sh.join(eligible, "sh")
+    val common = shf.as("a")
+      .join(shf.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
     common
@@ -142,10 +168,10 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Embedding-cosine near-dup pairs over the embeddings table. Norms are
-    * precomputed once per vector; the pair loop is dot/(na·nb). Test-scale
-    * plan is the exact O(n²) self-join; the 100 TB path pre-buckets with the
-    * LSH in Similarity.lshTopK and verifies only bucket-mates. */
+  /** Embedding-cosine near-dup pairs, exact: the O(n²) self-join with the
+    * codegen'd dot product and norms precomputed once per vector. This is the
+    * test-scale verifier for embeddingPairsLsh below — correct at any n but
+    * quadratic; the LSH variant is the shape that survives 100 TB. */
   def embeddingPairs(s: SparkSession, d: String, minSimE4: Long = 3500L): DataFrame = {
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
@@ -153,6 +179,42 @@ object Dedup {
     val a = v.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        e4(dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim_e4"))
+      .filter(col("sim_e4") >= minSimE4)
+      .orderBy("v1", "v2")
+  }
+
+  // Banded sign-projection parameters for the LSH embedding dedup: 6 bands ×
+  // 6 bits. Recall for a pair at cosine θ is 1-(1-p^6)^6 with p = 1-θ/π —
+  // ≈0.95 at sim 0.9. At 100 TB, rows-per-band is the bucket-count /
+  // fan-out knob (more bits → smaller buckets, lower recall per band → add
+  // bands to compensate).
+  val EmbBands = 6
+  val EmbRowsPerBand = 6
+
+  /** Embedding-cosine near-dup pairs via banded sign-projection LSH — the
+    * scale path: vectors are bucketed per band (equi-join, shuffle linear in
+    * data size), only bucket-mates are exact-verified with the codegen'd dot
+    * product. Deterministic integer-derived hyperplanes (Similarity.plane)
+    * make the bucketing reproducible in the DuckDB oracle, so even this
+    * approximate operator is hash-checked. Candidate recall vs the exact
+    * embeddingPairs is asserted in DedupSpec. */
+  def embeddingPairsLsh(s: SparkSession, d: String, minSimE4: Long = 3500L): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val keys = Similarity.bandedKeys(v.select("vec_id", "v"), EmbBands, EmbRowsPerBand)
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val x = v.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na"))
+    val y = v.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(x, "v1").join(y, "v2")
       .select(col("v1"), col("v2"),
         e4(dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim_e4"))
       .filter(col("sim_e4") >= minSimE4)

@@ -28,13 +28,32 @@ object Similarity {
       x.toDouble / 1000003.0 - 0.5
     }
 
-  /** Sign-projection bucket id (Planes bits) for a double-array column. */
+  /** Sign-projection bucket id (Planes bits) for a double-array column.
+    * Each projection is the codegen'd dot product against a literal plane
+    * (ascending-index accumulation — the sign is engine-portable because the
+    * identical float op sequence is expressible in the DuckDB oracle). */
   def lshBucket(v: Column): Column =
     (0 until Planes).map { j =>
-      val dot = aggregate(zip_with(v, typedlit(plane(j).toSeq), (x, p) => x * p),
-        lit(0.0), (a, x) => a + x)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotD(v, typedlit(plane(j).toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Banded sign-projection keys: `bands` rows per vector, each with an
+    * `rows`-bit band key from planes [band*rows, band*rows+rows). Banding
+    * trades one wide bucket for several narrow ones — a pair is a candidate
+    * if ANY band agrees, which keeps recall high for near-duplicates while
+    * each band's equi-join stays bounded by bucket occupancy. Input must have
+    * (vec_id, v: array<double>). */
+  def bandedKeys(df: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      val key = (0 until rows).map { r =>
+        when(dotD(col("v"), typedlit(plane(b * rows + r).toSeq)) > 0, lit(1L << r))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b.toLong).as("band_idx"), key.as("band_key"))
+    }: _*)
+    df.select(col("vec_id"), explode(bandStructs).as("bb"))
+      .select(col("vec_id"), col("bb.band_idx").as("band_idx"), col("bb.band_key").as("band_key"))
+  }
 
   private def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)

@@ -12,11 +12,12 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-    for (name <- Seq("dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding", "dedup_embedding_lsh", "sim_lsh_topk")) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, d).count()
-      println(f"SCRATCH $name rows=$n%d ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val brute = graft.operators.Similarity.bruteTopK(spark, d)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = graft.operators.Similarity.lshTopK(spark, d)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"SCRATCH $d recall=${brute.count(lsh.contains).toDouble / brute.size} lshRows=${lsh.size}")
     }
     spark.stop()
   }

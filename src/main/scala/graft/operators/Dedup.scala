@@ -113,7 +113,12 @@ object Dedup {
     * is the sign of Σ_tokens (bit j set ? +1 : -1). Near-dups have small
     * Hamming distance. Pure column expressions, bit loop unrolled at plan
     * time. */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashDf(Tables.documents(s, d))
+
+  /** SimHash over any (doc_id, text) DataFrame (planted-dup tests inject
+    * their own corpus here). */
+  def simhashDf(docs: DataFrame): DataFrame = {
     val bitsOf: Column => Column = h =>
       array((0 until 32).map { j =>
         when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))
@@ -126,7 +131,7 @@ object Dedup {
       acc => (0 until 32).map { j =>
         when(element_at(acc, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), sh.as("simhash"))
       .orderBy("doc_id")
   }
@@ -148,8 +153,13 @@ object Dedup {
     * above is the sketched alternative; this exact variant doubles as its
     * verifier. */
   def ngramJaccardPairs(s: SparkSession, d: String, minJacE4: Long = 100L,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    ngramJaccardPairsDf(Tables.documents(s, d), minJacE4, maxDf)
+
+  /** Same, over any (doc_id, text) DataFrame. */
+  def ngramJaccardPairsDf(docs: DataFrame, minJacE4: Long = 100L,
       maxDf: Long = MaxShingleDf): DataFrame = {
-    val sh = shingles(Tables.documents(s, d))
+    val sh = shingles(docs)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val eligible = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
       .filter(col("df_") <= maxDf).select("sh")

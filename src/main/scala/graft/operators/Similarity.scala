@@ -77,15 +77,31 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** LSH-bucketed approximate top-k: score only candidates in the query's
-    * bucket. A query's own vector shares its bucket, so every query returns
-    * ≥ 1 row. Recall vs bruteTopK is asserted in SimilaritySpec. */
-  def lshTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val c = corpus(s, d).withColumn("bucket", lshBucket(col("v")))
-    val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
-    val scored = c.join(broadcast(q), "bucket")
-      .select(col("qid"), col("vec_id").as("cid"),
+  /** LSH-banded approximate top-k: a corpus vector is a candidate for a query
+    * if ANY of the `bands` band keys (each `rows` sign-projection bits) agree
+    * — the OR-of-ANDs construction that keeps recall high while each band's
+    * equi-join stays bounded by bucket occupancy. The query's own vector
+    * shares every band, so each query always returns ≥ 1 row (rank-1 self).
+    *
+    * 100 TB knobs: `rows` sets the bucket count per band (selectivity);
+    * `bands` buys recall back. Only (band, key) pairs and candidate id pairs
+    * shuffle — vectors are read once and joined back by id. Recall vs
+    * bruteTopK is gated in SimilaritySpec. */
+  def lshTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      bands: Int = 8, rows: Int = 4): DataFrame = {
+    val c = corpus(s, d)
+    val keys = bandedKeys(c.select("vec_id", "v"), bands, rows)
+    val qKeys = keys.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("band_idx"), col("band_key"))
+    val cand = keys.join(broadcast(qKeys), Seq("band_idx", "band_key"))
+      .select(col("qid"), col("vec_id").as("cid"))
+      .distinct()
+    val q = c.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("qid") < nQueries)
+    val scored = cand
+      .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
         e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
     val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
     scored

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Planted-ground-truth checks for the sketch-based dedup operators that have
+  * no SQL oracle (SURVEY §2.D rule R5): known near-duplicates must be found,
+  * and the approximate operators must agree with their exact verifiers. */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // Planted corpus: (1,2) near-dup pair, (3) unrelated, (4,5) identical
+  // short docs (< 3 tokens → whole-text fallback shingle), (6) empty.
+  private val base =
+    "the quick brown fox jumps over the lazy dog and then runs far away home"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base.replace("home", "tonight")), // one word differs → high shingle overlap
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    (4L, "hi there"),
+    (5L, "hi there"),
+    (6L, "")
+  ).toDF("doc_id", "text")
+
+  test("minhash: planted near-dup pair is detected, unrelated docs are not") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "planted near-dup (1,2) not found")
+    assert(pairs.contains((4L, 5L)), "identical short docs (4,5) not found via fallback shingle")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc 3 paired")
+  }
+
+  test("minhash signatures: identical docs get identical signatures; every doc has one") {
+    val sigs = Dedup.minhashSignatures(docs)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L), "every doc (even empty) must have a signature")
+    assert(sigs(4L) === sigs(5L))
+    assert(sigs.values.forall(_.length === Dedup.K))
+  }
+
+  test("ngram Jaccard: near-dup score high, identical short docs exact 1.0") {
+    val pairs = Dedup.ngramJaccardPairsDf(docs, minJacE4 = 100L)
+      .select("d1", "d2", "jac_e4").as[(Long, Long, Long)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((4L, 5L)) === 10000L, "identical short docs must score Jaccard 1.0")
+    assert(pairs((1L, 2L)) >= 5000L, "planted near-dup must score > 0.5")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram Jaccard: hot-shingle cap drops pairs whose only overlap is capped") {
+    // 12 docs sharing one boilerplate sentence; with maxDf < 12 the shared
+    // shingles are excluded and no pairs survive.
+    val boiler = (1L to 12L).map(i => (i, s"all rights reserved worldwide item$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairsDf(boiler, minJacE4 = 100L, maxDf = 1000L).count()
+    val capped = Dedup.ngramJaccardPairsDf(boiler, minJacE4 = 100L, maxDf = 10L).count()
+    assert(uncapped > 0L && capped === 0L)
+  }
+
+  test("simhash: identical docs identical, near-dups hamming-close, unrelated far") {
+    val fp = Dedup.simhashDf(docs).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(fp(4L) === fp(5L))
+    assert(hamming(fp(1L), fp(2L)) <= 8, s"near-dup hamming ${hamming(fp(1L), fp(2L))} too large")
+    assert(hamming(fp(1L), fp(3L)) > 8, s"unrelated hamming ${hamming(fp(1L), fp(3L))} too small")
+  }
+
+  test("exact dedup on the corpus: survivor is min doc_id, no text lost") {
+    val docsSf = sources.Tables.documents(spark, TestSpark.sf)
+    val out = Dedup.exact(spark, TestSpark.sf)
+    assert(out.count() === docsSf.select("text").distinct().count())
+    assert(out.agg(sum("n_dups")).as[Long].head() === docsSf.count())
+  }
+
+  test("LSH embedding dedup: subset of exact pairs, full recall on high-sim pairs") {
+    val exact = Dedup.embeddingPairs(spark, TestSpark.sf)
+      .select("v1", "v2", "sim_e4").as[(Long, Long, Long)].collect()
+    val lsh = Dedup.embeddingPairsLsh(spark, TestSpark.sf)
+      .select("v1", "v2", "sim_e4").as[(Long, Long, Long)].collect()
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val lshSet = lsh.map(t => (t._1, t._2)).toSet
+    assert(lshSet.subsetOf(exactSet), "LSH found a pair the exact verifier did not")
+    val high = exact.filter(_._3 >= 8000L).map(t => (t._1, t._2)).toSet
+    if (high.nonEmpty) {
+      val recall = high.count(lshSet.contains).toDouble / high.size
+      assert(recall >= 0.8, s"high-sim recall $recall below 0.8 (${high.size} high-sim pairs)")
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Recall gate for the LSH-bucketed top-k against the exact brute-force
+  * baseline — the check the round-1/2 code only claimed to have. */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val brute = Similarity.bruteTopK(spark, TestSpark.sf)
+    .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+  private lazy val lsh = Similarity.lshTopK(spark, TestSpark.sf)
+    .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+
+  test("brute top-k returns exactly nQueries × k ranked rows") {
+    assert(brute.length === 10 * 5)
+    assert(brute.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == (1L to 5L)
+    })
+  }
+
+  test("every query's rank-1 result is itself (cosine 1.0) in both variants") {
+    val bruteTop = brute.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    val lshTop = lsh.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    for (q <- 0L until 10L) {
+      assert(bruteTop(q) === q, s"brute rank-1 for query $q is not itself")
+      assert(lshTop(q) === q, s"lsh rank-1 for query $q is not itself")
+    }
+  }
+
+  test("lsh recall vs brute-force is gated") {
+    // Measured on the banded (8×4-bit) construction: 0.76 at sf0.001, 0.70
+    // at sf0.01. Deterministic hyperplanes → this is a fixed number per
+    // corpus, so the 0.6 floor is margin against corpus regeneration, not
+    // flakiness. Rank-1 self-recall (test above) is the hard guarantee.
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val lshSet = lsh.map(t => (t._1, t._2)).toSet
+    val recall = bruteSet.count(lshSet.contains).toDouble / bruteSet.size
+    assert(recall >= 0.6, s"lshTopK recall vs brute dropped to $recall")
+    // every query returns a full ranked list here (banding recalls enough
+    // candidates); at minimum the self-pair guarantees non-emptiness
+    assert(lsh.map(_._1).distinct.length === 10)
+  }
+}

@@ -26,8 +26,12 @@ object TextAnalytics {
 
   /** word → count over the whole corpus (reference O5+O6). */
   def wordCounts(docs: DataFrame): DataFrame =
-    docTokens(docs)
-      .select(explode(col("toks")).as("word"))
+    wordCountsText(docs, "text")
+
+  /** word → count over any text column (documents table or raw text lines —
+    * the Report/textLines ingest path shares this exact pipeline). */
+  def wordCountsText(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 

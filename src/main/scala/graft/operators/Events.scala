@@ -19,7 +19,11 @@ object Events {
   /** Tumbling 1-hour event counts per type (batch analog of a streaming
     * tumbling window; keyed shuffle is (hour, type) — fully parallel). */
   def tumblingCounts(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    tumblingCountsDf(Tables.events(s, d))
+
+  /** Same over any events DataFrame with a ts_us column. */
+  def tumblingCountsDf(events: DataFrame): DataFrame =
+    events
       .select(expr(s"ts_us div $HourUs").as("hour_idx"), col("event_type"))
       .groupBy("hour_idx", "event_type")
       .agg(count(lit(1)).as("cnt"))
@@ -30,10 +34,14 @@ object Events {
     * event_id) ordering → one shuffle + one sort, reused across both.
     * At 100 TB this partitions by user_id (high cardinality, no hot key);
     * the streaming twin with state cleanup is EventStreams.sessionize. */
-  def sessionize(s: SparkSession, d: String): DataFrame = {
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    sessionizeDf(Tables.events(s, d))
+
+  /** Same over any events DataFrame with (user_id, event_id, ts_us). */
+  def sessionizeDf(events: DataFrame): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    events
       .select(col("user_id"), col("event_id"), col("ts_us"))
       .withColumn("new_s",
         when(col("ts_us") - lag("ts_us", 1).over(order) > SessionGapUs, lit(1L))

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event analytics in
+  * [[graft.operators.Events]]: the same tumbling-hour and 30-minute-gap
+  * session semantics expressed as readStream → watermark → windowed agg.
+  *
+  * The batch forms are the oracle-checked contract (DuckDB can't replay a
+  * stream); these twins are the continuous-arrival expression of the same
+  * queries — the role the reference's "streaming" dispatch loop
+  * (coordinator.py:85-104) plays for word count, done properly with
+  * event-time + watermark state cleanup instead of arrival order.
+  *
+  * 100 TB/continuous posture: file-source streams shard by file listing;
+  * state is per (window, key) group and bounded by the watermark horizon —
+  * late data beyond 1 hour is dropped, so state never grows with stream
+  * length. The aggregation parallelism is the shuffle partition count, same
+  * as the batch twin.
+  */
+object EventStreams {
+
+  /** Events schema as read with nanosAsLong (ts = raw nanos since epoch). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over an events parquet path. Adds `ts_us` (µs, the
+    * batch twin's integer event-time) and `ts_ts` (timestamp for
+    * watermark/window — truncated µs, matching rule R4). */
+  def eventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(path)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+
+  /** Streaming tumbling 1-hour counts per event type — the twin of
+    * Events.tumblingCounts. hour_idx = epoch-hours of the window start, so
+    * rows are directly comparable with the batch result. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_idx"),
+        col("event_type"), col("cnt"))
+
+  /** Streaming 30-minute-gap sessions per user — the twin of
+    * Events.sessionize, via the native session_window (merge-on-overlap
+    * state, cleaned up past the watermark). */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"),
+        max("ts_us").as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+
+  /** Run a streaming aggregate to completion over the currently-available
+    * input (Trigger.AvailableNow) into an in-memory table; returns the final
+    * result. Used by tests and as the batch-parity harness. */
+  def runToCompletion(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

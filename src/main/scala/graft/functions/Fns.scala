@@ -33,9 +33,15 @@ object Fns {
     * Never overflows int64 (max (2^32-1)*31 + 255 < 2^63). DuckDB twin:
     * list_reduce(list_prepend(0, list_transform(range(1, length(s)+1),
     *   i -> ascii(substr(s, i, 1)))), (h, c) -> (h * 31 + c) & 4294967295).
+    * Backed by the codegen'd PolyHash32 expression (single generated char
+    * loop); polyHashHof is the original higher-order formulation, kept as
+    * the semantic reference for the parity test in FnsParitySpec.
     */
   val HashMask = 4294967295L // 2^32 - 1
   def polyHash(s: Column): Column =
+    org.apache.spark.sql.graft.StringExprs.polyHash32(s)
+
+  def polyHashHof(s: Column): Column =
     when(length(s) === 0, lit(0L)).otherwise(
       aggregate(
         transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
@@ -64,10 +70,14 @@ object Fns {
 
   def l2Norm(a: Column): Column = sqrt(dotD(a, a))
 
-  /** Word n-grams (as "w1 w2 ... wn" strings) from a token array.
-    * Guarded so docs with < n tokens yield an empty array (Spark's
-    * sequence(1, k) with k < 1 would generate a descending sequence). */
-  def wordNgrams(toks: Column, n: Int): Column = {
+  /** Word n-grams (as "w1 w2 ... wn" strings) from a token array; docs with
+    * < n tokens yield an empty array. Backed by the WordNgrams expression
+    * (direct ArrayData loop); wordNgramsHof is the original higher-order
+    * formulation, kept as the semantic reference for FnsParitySpec. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.StringExprs.wordNgrams(toks, n)
+
+  def wordNgramsHof(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - lit(n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))

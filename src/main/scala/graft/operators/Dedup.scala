@@ -163,11 +163,21 @@ object Dedup {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val eligible = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
       .filter(col("df_") <= maxDf).select("sh")
-    val shf = sh.join(eligible, "sh")
-    val common = shf.as("a")
-      .join(shf.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
+    // Pair generation WITHOUT a self-join: collect the (sorted) doc ids per
+    // eligible shingle — bounded to ≤ maxDf by the cap, so the array and the
+    // ≤ maxDf·(maxDf-1)/2 per-group pair fan-out are both bounded — and emit
+    // every (d1 < d2) pair with a nested-transform explode. The join
+    // formulation this replaces made the optimizer broadcast the full
+    // million-row shingle table per side; this shape shuffles each shingle
+    // row once and never materializes the table twice.
+    val grouped = sh.join(eligible, "sh")
+      .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val pairs = grouped.select(explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+            struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    val common = pairs.groupBy("d1", "d2").agg(count(lit(1)).as("common"))
     common
       .join(counts.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
       .join(counts.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")

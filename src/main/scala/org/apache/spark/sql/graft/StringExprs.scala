@@ -1,0 +1,112 @@
+/* Declared inside org.apache.spark.sql so the Column <-> Expression bridge
+ * (ExpressionUtils, private[sql] in Spark 4.x) is accessible. Everything used
+ * here is public Apache Spark source; no proprietary APIs. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 32-bit polynomial rolling hash `h = (h*31 + char) & 0xffffffff` over a
+  * string — the deterministic, engine-portable document fingerprint
+  * (identical integers in the DuckDB oracle's list_reduce twin; ASCII
+  * corpus contract, SURVEY §5).
+  *
+  * Replaces the `aggregate(transform(sequence(...)))` higher-order chain,
+  * which interprets three lambdas and materializes two arrays per row; this
+  * is a single generated loop over the string's chars.
+  */
+case class PolyHash32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash32.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |final String $s = $x.toString();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $h = ($h * 31L + $s.charAt($i)) & 0xffffffffL;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash32 =
+    copy(child = newChild)
+}
+
+object PolyHash32 {
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31L + s.charAt(i)) & 0xffffffffL; i += 1 }
+    h
+  }
+}
+
+/** Word n-grams over a token array: element i of the output is tokens
+  * [i, i+n) joined with a single space (UTF8String.concatWs — null tokens
+  * skipped, exactly like the SQL concat_ws the HOF formulation used); fewer
+  * than n tokens yields an empty array.
+  *
+  * Replaces `transform(sequence(...), i -> concat_ws(...element_at...))`,
+  * which pays an interpreted lambda + n element_at lookups per output gram.
+  * Array construction can't profit from expression codegen, so this uses
+  * CodegenFallback — the win is the direct ArrayData loop, not the codegen.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"word_${n}grams"
+
+  private val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object StringExprs {
+  /** Column wrapper: `(h*31 + char) & 0xffffffff` rolling hash. */
+  def polyHash32(s: Column): Column =
+    ExpressionUtils.column(PolyHash32(ExpressionUtils.expression(s)))
+
+  /** Column wrapper: n-grams of a token array joined with spaces. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(toks), n))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Fns
+
+/** The codegen'd string expressions must be value-identical to the
+  * higher-order-function formulations they replaced (which are in turn
+  * mirrored by the DuckDB oracle SQL). */
+class FnsParitySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("PolyHash32 equals the HOF rolling hash on the document corpus") {
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+    val mismatches = docs.select(
+        Fns.polyHash(col("text")).as("fast"),
+        Fns.polyHashHof(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("PolyHash32 edge cases: empty string, single char, null") {
+    val out = Seq(("", "a"), ("a", "")).toDF("s", "t")
+      .select(Fns.polyHash(col("s"))).as[Long].collect()
+    assert(out.contains(0L))       // empty → 0
+    assert(out.contains(97L))      // "a" → 97
+    val n = Seq((null: String, "x")).toDF("s", "t")
+      .select(Fns.polyHash(col("s"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("WordNgrams equals the HOF n-grams for n in 1..4 incl. short arrays") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("a", "bb", "ccc", "dddd", "x")
+    val rows = Seq.fill(100)(Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.length))))
+    val df = rows.toDF("toks")
+    for (n <- 1 to 4) {
+      val bad = df.select(
+          Fns.wordNgrams(col("toks"), n).as("fast"),
+          Fns.wordNgramsHof(col("toks"), n).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(bad === 0L, s"ngram n=$n parity failed")
+    }
+  }
+
+  test("WordNgrams on the corpus tokens equals the HOF form") {
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+    val bad = docs.select(Fns.tokens(col("text")).as("toks"))
+      .select(
+        Fns.wordNgrams(col("toks"), 3).as("fast"),
+        Fns.wordNgramsHof(col("toks"), 3).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad === 0L)
+  }
+}

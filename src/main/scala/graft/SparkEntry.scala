@@ -39,8 +39,10 @@ object SparkEntry {
     "join_semi" -> ((s, d) => Relational.joinSemi(s, d)),
     "join_anti" -> ((s, d) => Relational.joinAnti(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
+    "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
     // — windows & events —
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
+    "window_suite" -> ((s, d) => Relational.windowSuite(s, d)),
     "window_running" -> ((s, d) => Relational.windowRunning(s, d)),
     "events_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -51,6 +53,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalytics.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalytics.fingerprint(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalytics.tfIdf(s, d)),
     // — LLM-pipeline: dedup —
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -69,8 +72,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted (→ rows-only check): dedup_minhash,
-    * dedup_simhash, sim_lsh_topk, multimodal_features — sketch/stub ops with
-    * planted-ground-truth ScalaTest checks instead (rule R5). */
+    * dedup_simhash, sim_lsh_topk, multimodal_features, text_tfidf —
+    * sketch/stub/float-log ops with planted-ground-truth ScalaTest checks
+    * instead (rule R5; see DedupSpec, SimilaritySpec, MediaSpec,
+    * TextAnalyticsSpec). */
   def oracleSql: Map[String, String] = Map(
     "wordcount_topk" ->
       s"""SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""",
@@ -108,6 +113,10 @@ object SparkEntry {
       """SELECT CAST(grouping(n_name) AS BIGINT) AS g_n, CAST(grouping(o_orderpriority) AS BIGINT) AS g_p, n_name, o_orderpriority, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY ROLLUP (n_name, o_orderpriority) ORDER BY g_n, g_p, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window_suite" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_c FROM orders) SELECT o_custkey, o_orderkey, total_c, CAST(rank() OVER w AS BIGINT) AS rnk, CAST(dense_rank() OVER w AS BIGINT) AS drnk, lag(total_c, 1) OVER w AS prev_c, lead(total_c, 1) OVER w AS next_c FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY total_c DESC, o_orderkey) ORDER BY o_custkey, rnk, o_orderkey""",
+    "agg_cube" ->
+      """SELECT CAST(grouping(o_orderstatus) AS BIGINT) AS g_s, CAST(grouping(o_orderpriority) AS BIGINT) AS g_p, o_orderstatus, o_orderpriority, count(*) AS cnt, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "window_running" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(round(value * 100) AS BIGINT) AS v_c FROM events) SELECT user_id, event_id, ts_us, CAST(sum(v_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c FROM e ORDER BY user_id, ts_us, event_id""",
     "events_tumbling" ->

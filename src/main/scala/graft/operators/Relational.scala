@@ -126,6 +126,42 @@ object Relational {
          |ORDER BY g_n, g_p, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
          |""".stripMargin)
 
+  /** CUBE(o_orderstatus, o_orderpriority) — all four grouping combinations
+    * with grouping flags and integer-cent sums (single table, no join, so
+    * the Dataset API cube works directly; contrast aggRollup). */
+  def aggCube(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(
+      col("o_orderstatus"), col("o_orderpriority"),
+      cents(col("o_totalprice")).as("total_c"))
+    base
+      .cube(base("o_orderstatus"), base("o_orderpriority"))
+      .agg(
+        grouping(base("o_orderstatus")).cast("long").as("g_s"),
+        grouping(base("o_orderpriority")).cast("long").as("g_p"),
+        count(lit(1)).as("cnt"),
+        sum(col("total_c")).as("sum_c"))
+      .select(col("g_s"), col("g_p"), col("o_orderstatus"), col("o_orderpriority"),
+        col("cnt"), col("sum_c"))
+      .orderBy(col("g_s"), col("g_p"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Window-function suite in one pass: rank / dense_rank / lag / lead over
+    * the same (custkey; totalprice desc, orderkey) frame — one shuffle + one
+    * sort feeds all four. */
+  def windowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("total_c"), asc("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("total_c"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        lag("total_c", 1).over(w).as("prev_c"),
+        lead("total_c", 1).over(w).as("next_c"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
   /** Top-3 orders per customer: row_number with deterministic tie-break. */
   def windowRank(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))

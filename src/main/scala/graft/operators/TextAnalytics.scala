@@ -74,6 +74,33 @@ object TextAnalytics {
       .agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("word"))
 
+  /** TF-IDF per (doc, term): tf · ln(N/df), 1e-4 fixed point. Kept OUT of
+    * the DuckDB oracle set deliberately — ln is a libm call whose last ulp
+    * is not pinned across engines, and rule R2 forbids float outputs in
+    * hash-matched queries. TextAnalyticsSpec pins the formula against
+    * in-JVM expected values on a planted corpus instead. Shape: the doc-term
+    * counts and the df table come from the same exploded scan; the join on
+    * term is the only shuffle beyond the aggregations. */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame =
+    tfIdfDf(Tables.documents(spark, dir))
+
+  def tfIdfDf(docs: DataFrame): DataFrame = {
+    val terms = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = terms.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.count() // one scalar; the scan is cheap relative to the explode
+    tf.join(df_, "word")
+      .select(
+        col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")) * lit(10000)).cast("long").as("tfidf_e4"))
+      .orderBy("doc_id", "word")
+  }
+
+  /** docTokens without the lang column (works on any (doc_id, text) frame). */
+  def docTokensText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+
   // Marker stopword sets for the n-gram-free language-ID heuristic. Tiny on
   // purpose: at 100 TB the marker lookup is a codegen'd IN-list per token,
   // no join, no broadcast needed.

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalytics
+
+/** Golden check for TF-IDF, the one text operator kept out of the DuckDB
+  * oracle (float ln — rule R2/R5): expected values are computed in-JVM on a
+  * planted corpus, so the comparison is exact. */
+class TextAnalyticsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("tf-idf matches hand-computed values on a planted corpus") {
+    // 3 docs: "cat" in all (idf=ln(1)=0), "dog" in two, "emu" in one (twice)
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat dog"),
+      (3L, "cat emu emu")).toDF("doc_id", "text")
+    val out = TextAnalytics.tfIdfDf(docs)
+      .select("doc_id", "word", "tf", "df", "tfidf_e4")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    def e4(tf: Long, df: Long): Long = math.round(tf * math.log(3.0 / df) * 10000)
+    assert(out((1L, "cat"))._5 === e4(1, 3) && e4(1, 3) === 0L)
+    assert(out((1L, "dog"))._5 === e4(1, 2))
+    assert(out((3L, "emu"))._5 === e4(2, 1))
+    assert(out.size === 6) // (1,cat)(1,dog)(2,cat)(2,dog)(3,cat)(3,emu)
+  }
+
+  test("corpus tf-idf: zero iff term is in every doc, positive otherwise") {
+    val rows = TextAnalytics.tfIdf(spark, TestSpark.sf)
+      .select("df", "tfidf_e4").as[(Long, Long)].collect()
+    val nDocs = sources.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.nonEmpty)
+    for ((df, v) <- rows) {
+      if (df == nDocs) assert(v === 0L) else assert(v > 0L)
+    }
+  }
+}

@@ -23,6 +23,7 @@ object SparkEntry {
     "wordcount_topk" -> ((s, d) => TextAnalytics.wordcountTopK(s, d)),
     "wordcount_full" -> ((s, d) => TextAnalytics.wordcountFull(s, d)),
     "distinct_words" -> ((s, d) => TextAnalytics.distinctWords(s, d)),
+    "distinct_words_approx" -> ((s, d) => TextAnalytics.distinctWordsApprox(s, d)),
     // — core relational —
     "scan_filter_project" -> ((s, d) => Relational.scanFilterProject(s, d)),
     "agg_pricing_summary" -> ((s, d) => Relational.aggPricingSummary(s, d)),

@@ -183,6 +183,23 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Salted equi-join — the skew mitigation recipe from SCALE.md as code.
+    * The skewed (probe) side gets a deterministic salt from a hash of its
+    * row (uniform spread of a hot key across `salts` sub-keys); the build
+    * side is replicated `salts` ways via explode. Joining on (key, salt)
+    * yields exactly the plain-join result — each probe row meets exactly one
+    * replica — while a hot key's rows fan across `salts` shuffle partitions
+    * instead of one. AQE's skew-join splitting handles moderate skew on its
+    * own; this is the explicit recipe for the pathological single-key case.
+    * RelationalSpec asserts equality with the unsalted join. */
+  def saltedJoin(skewed: DataFrame, build: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    val sl = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col): _*), lit(salts)))
+    val sr = build.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    sl.join(sr, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Scalar string functions over part. */
   def scalarString(s: SparkSession, d: String): DataFrame =
     part(s, d).select(

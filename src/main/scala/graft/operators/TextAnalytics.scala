@@ -55,6 +55,18 @@ object TextAnalytics {
       .agg(countDistinct("word").as("n_words"))
       .orderBy("lang")
 
+  /** Sketch variant of distinctWords: HyperLogLog++ via
+    * approx_count_distinct. At 100 TB the exact distinct (a second shuffle
+    * of every (lang, word) pair) is the expensive path; the sketch merges
+    * fixed-size registers instead. rows-only in the gate (sketch estimates
+    * are engine-specific); TextAnalyticsSpec gates the error vs exact. */
+  def distinctWordsApprox(spark: SparkSession, dir: String): DataFrame =
+    docTokens(Tables.documents(spark, dir))
+      .select(col("lang"), explode(col("toks")).as("word"))
+      .groupBy("lang")
+      .agg(approx_count_distinct("word").as("n_words_approx"))
+      .orderBy("lang")
+
   /** Bigram frequency top-k. */
   def ngramTopK(spark: SparkSession, dir: String, n: Int = 2, k: Int = 20): DataFrame =
     docTokens(Tables.documents(spark, dir))

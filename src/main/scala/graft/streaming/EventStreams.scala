@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -67,17 +67,47 @@ object EventStreams {
         max("ts_us").as("end_us"))
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
 
-  /** Run a streaming aggregate to completion over the currently-available
-    * input (Trigger.AvailableNow) into an in-memory table; returns the final
+  /** Per-user running totals via mapGroupsWithState — the custom-state
+    * escape hatch for semantics the built-in windows can't express (here:
+    * a monotone per-key accumulator that survives across triggers). State is
+    * one (count, last-seen µs) pair per user — O(distinct users), not
+    * O(events); with event-time bounds you'd add a GroupStateTimeout to
+    * retire idle keys. Output mode: update. */
+  def runningUserCounts(events: DataFrame): Dataset[UserRunning] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val pairEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc: Encoder[UserRunning] = Encoders.product[UserRunning]
+    events.select(col("user_id"), col("ts_us")).as[(Long, Long)](pairEnc)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroupsWithState[(Long, Long), UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (n, last) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, ts) =>
+            n += 1
+            if (ts > last) last = ts
+          }
+          state.update((n, last))
+          UserRunning(uid, n, last)
+      }
+  }
+
+  /** Run a streaming query to completion over the currently-available input
+    * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result. Used by tests and as the batch-parity harness. */
-  def runToCompletion(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+  def runToCompletion(spark: SparkSession, df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
   }
 }
+
+/** Output row of [[EventStreams.runningUserCounts]]. */
+case class UserRunning(user_id: Long, n_events: Long, last_us: Long)

@@ -25,6 +25,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === batch)
   }
 
+  test("mapGroupsWithState running user counts equal the batch group-by") {
+    val dir = Paths.get("target", "test-scratch", "events_sf")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "events.parquet"), dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.eventStream(spark, dir.toString)
+    val out = EventStreams.runToCompletion(
+        spark, EventStreams.runningUserCounts(stream).toDF(), "t_running", mode = "update")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = sources.Tables.events(spark, TestSpark.sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.max("ts_us").as("last_us"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === batch)
+  }
+
   test("streaming session windows split planted gaps exactly like the batch sessionizer") {
     // user 1: events at t0, t0+10min, t0+50min → sessions of 2 and 1 events
     // user 2: single event → one session of 1

@@ -11,31 +11,21 @@ import graft.sources.Tables
   *  - `bruteTopK` is the exact baseline: broadcast the (small) query set,
   *    stream the corpus once, per-group top-k. The corpus side never
   *    shuffles the vectors — only (qid, cid, sim) triples move.
-  *  - `lshTopK` is the scale path: sign-random-projection LSH with
-  *    deterministic hard-coded hyperplanes buckets the corpus; each query
-  *    only scores its own bucket. At 100 TB the bucket count is the
-  *    parallelism knob and recall is tuned by planes/bucket-width —
+  *  - `lshTopK` is the scale path: banded sign-projection LSH with
+  *    deterministic hyperplanes buckets the corpus per band; each query
+  *    only scores candidates that share a band bucket. At 100 TB bits-per-
+  *    band sets bucket count (selectivity) and band count buys recall —
   *    recall is asserted against the brute-force baseline in tests.
   */
 object Similarity {
 
   /** Deterministic pseudo-random hyperplanes (LCG-derived, no RNG object). */
-  val Planes = 16
   val Dim = 64
   def plane(j: Int): Array[Double] =
     Array.tabulate(Dim) { k =>
       val x = (1103515245L * (j * Dim + k + 1) + 12345L) % 1000003L
       x.toDouble / 1000003.0 - 0.5
     }
-
-  /** Sign-projection bucket id (Planes bits) for a double-array column.
-    * Each projection is the codegen'd dot product against a literal plane
-    * (ascending-index accumulation — the sign is engine-portable because the
-    * identical float op sequence is expressible in the DuckDB oracle). */
-  def lshBucket(v: Column): Column =
-    (0 until Planes).map { j =>
-      when(dotD(v, typedlit(plane(j).toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
 
   /** Banded sign-projection keys: `bands` rows per vector, each with an
     * `rows`-bit band key from planes [band*rows, band*rows+rows). Banding

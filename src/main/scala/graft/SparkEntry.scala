@@ -47,6 +47,8 @@ object SparkEntry {
     "window_running" -> ((s, d) => Relational.windowRunning(s, d)),
     "events_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
+    "join_range" -> ((s, d) => Events.rangeJoinBands(s, d)),
     // — LLM-pipeline: text analysis —
     "text_ngrams" -> ((s, d) => TextAnalytics.ngramTopK(s, d)),
     "text_df_terms" -> ((s, d) => TextAnalytics.docFrequency(s, d)),
@@ -124,6 +126,10 @@ object SparkEntry {
       """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events) SELECT hour_idx, event_type, count(*) AS cnt FROM e GROUP BY hour_idx, event_type ORDER BY hour_idx, event_type""",
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, event_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM l) SELECT user_id, session_id, count(*) AS n_events, CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "join_asof" ->
+      """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) SELECT e.event_id, e.user_id, e.t AS ts_us, COALESCE(o.o_orderkey, -1) AS asof_orderkey, COALESCE(o.t, -1) AS asof_us FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t >= o.t ORDER BY event_id""",
+    "join_range" ->
+      """WITH bands(band_id, lo, hi) AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0.0, 1.0), (CAST(1 AS BIGINT), 1.0, 4.0), (CAST(2 AS BIGINT), 4.0, 16.0), (CAST(3 AS BIGINT), 16.0, 64.0), (CAST(4 AS BIGINT), 64.0, 128.0), (CAST(5 AS BIGINT), 128.0, 256.0), (CAST(6 AS BIGINT), 256.0, 1024.0))) SELECT band_id, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi GROUP BY band_id ORDER BY band_id""",
     "text_ngrams" ->
       s"""WITH toks AS (SELECT regexp_extract_all(lower(text), '$Tok') AS w FROM documents), bi AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks) SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
     "text_df_terms" ->

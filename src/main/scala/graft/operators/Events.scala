@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Fns.cents
 import graft.sources.Tables
 
 /** Batch event-time analytics over the events table. These are the batch
@@ -36,6 +37,70 @@ object Events {
     * the streaming twin with state cleanup is EventStreams.sessionize. */
   def sessionize(s: SparkSession, d: String): DataFrame =
     sessionizeDf(Tables.events(s, d))
+
+  /** As-of join — an operator Spark has no native form of, composed from a
+    * union + carry-forward window (preference (a) of the custom-operator
+    * ladder: compose before extending Catalyst). For every event, the most
+    * recent order at-or-before the event time for the same key:
+    * tag both inputs, union, sort each key's timeline once
+    * (orders sort before events at equal timestamps, so ties match), and
+    * carry the last seen order forward with last(ignoreNulls) over the
+    * running frame. ONE shuffle + ONE sort per key — the naive
+    * join-filter-argmax alternative is quadratic per key. Orders are
+    * pre-deduped to max(o_orderkey) per (key, timestamp) so the match is
+    * deterministic on both engines (DuckDB oracle uses native ASOF JOIN).
+    * No-match events yield -1 sentinels (keeps the oracle columns integer).
+    */
+  def asofJoinOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val oTagged = o.select(col("user_id"), col("t"),
+      lit(null).cast("long").as("event_id"), col("o_orderkey"), lit(0).as("tag"))
+    val eTagged = Tables.events(s, d).select(col("user_id"), col("ts_us").as("t"),
+      col("event_id"), lit(null).cast("long").as("o_orderkey"), lit(1).as("tag"))
+    val w = Window.partitionBy("user_id").orderBy("t", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oTagged.unionByName(eTagged)
+      .withColumn("asof_orderkey", last("o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("asof_us",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts_us"),
+        coalesce(col("asof_orderkey"), lit(-1L)).as("asof_orderkey"),
+        coalesce(col("asof_us"), lit(-1L)).as("asof_us"))
+      .orderBy("event_id")
+  }
+
+  /** Range join — events matched to value bands on `lo <= value < hi`.
+    * The band dim here is tiny (7 rows) so the right plan IS the broadcast
+    * nested-loop with the range predicate; Catalyst picks it because the
+    * broadcast side is literal-sized. For big⋈big range joins the scale
+    * recipe is banding: add `band = floor(key / width)` to both sides and
+    * equi-join on band before the residual range filter — same trick as the
+    * LSH bucketing, expressed with plain columns. Exercised here via bands
+    * chosen as powers-of-two widths so the oracle is literal-exact. */
+  def rangeJoinBands(s: SparkSession, d: String): DataFrame = {
+    val bands = s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0L, 0.0, 1.0),
+        org.apache.spark.sql.Row(1L, 1.0, 4.0),
+        org.apache.spark.sql.Row(2L, 4.0, 16.0),
+        org.apache.spark.sql.Row(3L, 16.0, 64.0),
+        org.apache.spark.sql.Row(4L, 64.0, 128.0),
+        org.apache.spark.sql.Row(5L, 128.0, 256.0),
+        org.apache.spark.sql.Row(6L, 256.0, 1024.0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.DoubleType))))
+    Tables.events(s, d)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("sum_c"))
+      .orderBy("band_id")
+  }
 
   /** Same over any events DataFrame with (user_id, event_id, ts_us). */
   def sessionizeDf(events: DataFrame): DataFrame = {

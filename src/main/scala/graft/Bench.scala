@@ -1,12 +1,34 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every declared query at SPARK_GRAFT_SF_DIR and prints
   * one JSON line. Failures are recorded per query (negative time + a "failed"
-  * list) — a broken query must not masquerade as a fast one. */
+  * list) — a broken query must not masquerade as a fast one.
+  *
+  * Methodology (every BENCH number quoted in SCALE.md comes from this):
+  *  - Each query executes through a noop-sink WRITE, not `count()` — a count
+  *    lets Catalyst's EliminateSorts drop the mandatory final ORDER BY, so
+  *    sort-heavy queries would be under-timed.
+  *  - Warmup phase runs every query once against a tiny scale factor
+  *    (SPARK_GRAFT_WARM_DIR, default sf0.001) before any timing. A fresh JVM
+  *    otherwise charges the first execution of each query with Janino
+  *    compilation of its generated code plus JIT of the hot loops — measured
+  *    at 3-6× the steady-state time, and plan-independent noise at any data
+  *    scale. The codegen cache is keyed by generated source (identical
+  *    across data dirs), so the warmup compiles exactly the code the timed
+  *    run executes while touching ~1% of the data.
+  *  - The cache is cleared after every query: operators that persist shared
+  *    intermediates (LSH keys, shingle tables) release them, and no query
+  *    can reuse another's cached data. The clear is INSIDE the timed region
+  *    — freeing its own intermediates is part of a query's cost.
+  */
 object Bench {
+  private def execute(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,20 +38,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: touch every table once (parquet footers, codegen, shuffle
-    // machinery) so the first timed query isn't charged for JVM/session
-    // startup. Queries are then timed in name order for run-to-run
-    // comparability.
+    // Parquet footers + shuffle machinery for the TARGET dir.
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings"))
       try graft.sources.Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => () }
+    // Codegen/JIT warmup at the tiny SF (falls back to the target dir if the
+    // warm dir is absent — then the warmup is a full untimed pass).
+    val warm = if (new java.io.File(warmDir).exists()) warmDir else sfDir
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try execute(fn(spark, warm))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { execute(fn(spark, sfDir)); spark.catalog.clearCache(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
+          false
         }
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (ok) sec else -sec, ok)

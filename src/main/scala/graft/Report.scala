@@ -42,8 +42,12 @@ object Report {
     val top = ordered(counts).limit(k)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val longest = if (top.nonEmpty) top.map(_._1.length).max else 5
+    // Locale pinned: %,d under a non-English default locale would use that
+    // locale's grouping separator and break parity with the reference's
+    // Python `:,` comma format.
     val lines = top.zipWithIndex.map { case ((w, c), i) =>
-      f"${i + 1}%2d. ${w.padTo(longest + 1, ' ')}%s: $c%,d"
+      String.format(java.util.Locale.US, "%2d. %s: %,d",
+        Int.box(i + 1), w.padTo(longest + 1, ' '), Long.box(c))
     }
     ("=" * 60) + "\nTOP " + k + " WORDS BY FREQUENCY\n" + ("=" * 60) + "\n\n" +
       lines.mkString("\n")

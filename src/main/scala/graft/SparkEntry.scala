@@ -39,6 +39,7 @@ object SparkEntry {
     "join_multiway" -> ((s, d) => Relational.joinMultiway(s, d)),
     "join_semi" -> ((s, d) => Relational.joinSemi(s, d)),
     "join_anti" -> ((s, d) => Relational.joinAnti(s, d)),
+    "supplier_revenue" -> ((s, d) => Relational.supplierRevenue(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
     // — windows & events —
@@ -64,6 +65,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashBucketsQuery(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // — LLM-pipeline: similarity search —
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -73,9 +75,18 @@ object SparkEntry {
 
   private val Tok = """\b[a-z]+\b""" // RE2 string for DuckDB (ASCII text only)
 
+  // SimHash in portable SQL: per-token 32-bit polynomial hash (the
+  // text_fingerprint list_reduce twin), per-bit sign aggregation, fingerprint
+  // reassembly. All integer arithmetic — order-independent sums — so both the
+  // fingerprint and the Hamming-ball pair search hash-match the oracle.
+  // LEFT JOIN back to documents gives token-less docs fingerprint 0, exactly
+  // like the Spark aggregate over an empty token array.
+  private val SimhashCtes =
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS w FROM documents), th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS hv FROM toks), bitsum AS (SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS sgn FROM th, range(0, 32) t(j) GROUP BY doc_id, j), fp AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash FROM bitsum GROUP BY doc_id), fpall AS (SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted (→ rows-only check): dedup_minhash,
-    * dedup_simhash, sim_lsh_topk, multimodal_features, text_tfidf —
+    * sim_lsh_topk, multimodal_features, text_tfidf —
     * sketch/stub/float-log ops with planted-ground-truth ScalaTest checks
     * instead (rule R5; see DedupSpec, SimilaritySpec, MediaSpec,
     * TextAnalyticsSpec). */
@@ -110,6 +121,12 @@ object SparkEntry {
       """SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue_c DESC, n_name""",
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+    "supplier_revenue" ->
+      """SELECT s_suppkey, s_name, n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY s_suppkey, s_name, n_name ORDER BY revenue_c DESC, s_suppkey LIMIT 20""",
+    "dedup_simhash" ->
+      s"""$SimhashCtes SELECT doc_id, simhash FROM fpall ORDER BY doc_id""",
+    "dedup_simhash_pairs" ->
+      s"""$SimhashCtes, bands AS (SELECT doc_id, b AS band_idx, (simhash >> (b * 8)) & 255 AS band_bits FROM fpall, range(0, 4) t(b)), cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id) SELECT d1, d2, hamming FROM (SELECT d1, d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cand JOIN fpall x ON d1 = x.doc_id JOIN fpall y ON d2 = y.doc_id) WHERE hamming <= 3 ORDER BY d1, d2""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey""",
     "agg_rollup" ->

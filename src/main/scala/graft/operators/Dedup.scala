@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.Fns._
 import graft.sources.Tables
 
@@ -69,13 +70,20 @@ object Dedup {
 
   /** LSH banding: one row per (doc, band) with the band's signature slice
     * serialized as the join key. */
-  def minhashBands(docs: DataFrame): DataFrame = {
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhashBandsFromSigs(minhashSignatures(docs))
+
+  /** Banding over an already-computed signature table — callers that need
+    * both the signatures and the bands (minhashPairs) persist the signatures
+    * once and derive the bands from them instead of recomputing the whole
+    * shingle→hash→aggregate pipeline a second time. */
+  def minhashBandsFromSigs(sigs: DataFrame): DataFrame = {
     val bands = array((0 until Bands).map { b =>
       struct(
         lit(b.toLong).as("band_idx"),
         concat_ws("_", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).cast("array<string>")).as("band_key"))
     }: _*)
-    minhashSignatures(docs)
+    sigs
       .select(col("doc_id"), explode(bands).as("bb"))
       .select(col("doc_id"), col("bb.band_idx").as("band_idx"), col("bb.band_key").as("band_key"))
   }
@@ -89,7 +97,12 @@ object Dedup {
     * Jaccard as the fraction of agreeing signature positions; keep pairs with
     * estimate ≥ threshold. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val bands = minhashBands(docs)
+    // The signature table feeds the band self-join (both sides) AND the two
+    // join-backs below — persist it so the shingle→hash→32-min aggregate runs
+    // once, not four times. The harness (Bench/Verify) clears the cache
+    // between queries; a long-lived caller should unpersist after its action.
+    val sigs = minhashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = minhashBandsFromSigs(sigs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -97,7 +110,6 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sigs = minhashSignatures(docs)
     cand
       .join(sigs.withColumnRenamed("doc_id", "d1").withColumnRenamed("sig", "sig1"), "d1")
       .join(sigs.withColumnRenamed("doc_id", "d2").withColumnRenamed("sig", "sig2"), "d2")
@@ -136,6 +148,55 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // SimHash Hamming-ball search: split the 32-bit fingerprint into SimBands
+  // contiguous 8-bit bands. By pigeonhole, two fingerprints within Hamming
+  // distance t < SimBands must agree EXACTLY on at least one band — so the
+  // band equi-join finds every qualifying pair (recall 1.0, no approximation
+  // in the candidate set), and only bucket-mates are Hamming-verified.
+  val SimBands = 4
+  val SimBandBits = 8
+
+  /** Near-dup pairs within Hamming distance `maxHamming` of each other's
+    * 32-bit SimHash — the search operator the fingerprint exists for. Shape:
+    * band equi-join (linear shuffle, fan-out bounded by band-bucket
+    * occupancy) → exact Hamming verify via bit_count(xor). All integer
+    * arithmetic, so unlike most LSH operators this one is oracle
+    * hash-checked end-to-end (maxHamming must stay < SimBands for the
+    * pigeonhole guarantee). */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsDf(Tables.documents(s, d), maxHamming)
+
+  /** Same, over any (doc_id, text) DataFrame (planted-dup tests). */
+  def simhashPairsDf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimBands, "pigeonhole guarantee needs maxHamming < SimBands")
+    // The fingerprint table feeds the band self-join (both sides) and both
+    // verify join-backs — persist so the tokenize→hash→bit-aggregate runs
+    // once. The harness clears the cache between queries.
+    val fp = simhashDf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = array((0 until SimBands).map { b =>
+      struct(
+        lit(b.toLong).as("band_idx"),
+        shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit((1L << SimBandBits) - 1)).as("band_bits"))
+    }: _*)
+    val bands = fp
+      .select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(fp.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
+      .join(fp.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
   /** Hot-shingle document-frequency cap for the exact Jaccard join: a shingle
     * occurring in f documents contributes O(f²) join rows, so boilerplate
     * shingles ("terms of service apply") make the join quadratic on skew.
@@ -159,7 +220,11 @@ object Dedup {
   /** Same, over any (doc_id, text) DataFrame. */
   def ngramJaccardPairsDf(docs: DataFrame, minJacE4: Long = 100L,
       maxDf: Long = MaxShingleDf): DataFrame = {
-    val sh = shingles(docs)
+    // `sh` feeds three consumers (per-doc counts, the df cap, the pair
+    // groups); persist it so the scan→tokenize→shingle-explode→distinct
+    // pipeline — with its shuffle — runs once instead of three times. The
+    // harness clears the cache between queries.
+    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val eligible = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
       .filter(col("df_") <= maxDf).select("sh")
@@ -221,10 +286,16 @@ object Dedup {
     * approximate operator is hash-checked. Candidate recall vs the exact
     * embeddingPairs is asserted in DedupSpec. */
   def embeddingPairsLsh(s: SparkSession, d: String, minSimE4: Long = 3500L): DataFrame = {
+    // The normed corpus is read by the band-key computation and both exact-
+    // verify join-backs; the banded keys (36 codegen'd 64-dim dot products
+    // per vector) sit on both sides of the candidate self-join. Persist both
+    // so that work runs once — previously it ran 3-4×.
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keys = Similarity.bandedKeys(v.select("vec_id", "v"), EmbBands, EmbRowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = keys.as("a")
       .join(keys.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

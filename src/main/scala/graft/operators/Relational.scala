@@ -88,6 +88,20 @@ object Relational {
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
       .orderBy(desc("revenue_c"), asc("n_name"))
 
+  /** Supplier-side revenue (TPC-H Q5-adjacent through the supplier
+    * dimension): fact⋈dim joins on suppkey/nationkey — supplier and nation
+    * broadcast at test scale, AQE re-plans when a dim outgrows the
+    * threshold — then top-20 suppliers by integer-cent revenue with a
+    * deterministic tie-break. Completes "every corpus table exercised". */
+  def supplierRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_suppkey", "s_name", "n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"))
+      .orderBy(desc("revenue_c"), asc("s_suppkey"))
+      .limit(20)
+
   /** Customers WITH orders (EXISTS) — left-semi hash join. */
   def joinSemi(s: SparkSession, d: String): DataFrame =
     customer(s, d)

@@ -97,8 +97,11 @@ object TextAnalytics {
     tfIdfDf(Tables.documents(spark, dir))
 
   def tfIdfDf(docs: DataFrame): DataFrame = {
+    // `terms` feeds both the tf and the df aggregations — persist so the
+    // scan→tokenize→explode runs once (harness clears cache between queries).
     val terms = docTokensText(docs)
       .select(col("doc_id"), explode(col("toks")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df_ = terms.distinct().groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.count() // one scalar; the scan is cheap relative to the explode

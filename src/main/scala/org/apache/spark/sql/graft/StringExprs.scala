@@ -11,14 +11,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 32-bit polynomial rolling hash `h = (h*31 + char) & 0xffffffff` over a
-  * string — the deterministic, engine-portable document fingerprint
-  * (identical integers in the DuckDB oracle's list_reduce twin; ASCII
-  * corpus contract, SURVEY §5).
+/** 32-bit polynomial rolling hash `h = (h*31 + codepoint) & 0xffffffff` over
+  * a string — the deterministic, engine-portable document fingerprint
+  * (identical integers in the DuckDB oracle's list_reduce twin; SURVEY §5).
+  *
+  * Iterates CODEPOINTS, not UTF-16 units: the HOF reference formulation
+  * (`ascii(substr(s, i, 1))`) and the DuckDB twin both see one value per
+  * character, so supplementary-plane text (outside the ASCII corpus
+  * contract, but reachable through the library API) hashes identically on
+  * all three paths. FnsParitySpec pins a non-BMP fixture.
   *
   * Replaces the `aggregate(transform(sequence(...)))` higher-order chain,
   * which interprets three lambdas and materializes two arrays per row; this
-  * is a single generated loop over the string's chars.
+  * is a single generated loop over the string's codepoints.
   */
 case class PolyHash32(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -38,8 +43,11 @@ case class PolyHash32(child: Expression)
       s"""
          |final String $s = $x.toString();
          |long $h = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $h = ($h * 31L + $s.charAt($i)) & 0xffffffffL;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  final int ${i}cp = $s.codePointAt($i);
+         |  $h = ($h * 31L + ${i}cp) & 0xffffffffL;
+         |  $i += Character.charCount(${i}cp);
          |}
          |${ev.value} = $h;
        """.stripMargin
@@ -53,7 +61,11 @@ object PolyHash32 {
   def hash(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31L + s.charAt(i)) & 0xffffffffL; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) & 0xffffffffL
+      i += Character.charCount(cp)
+    }
     h
   }
 }

@@ -68,6 +68,23 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(1L), fp(3L)) > 8, s"unrelated hamming ${hamming(fp(1L), fp(3L))} too small")
   }
 
+  test("simhash pairs: planted dups found, Hamming exact, pigeonhole recall total") {
+    val pairs = Dedup.simhashPairsDf(docs, maxHamming = 3)
+      .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect()
+    val pairSet = pairs.map(t => (t._1, t._2)).toSet
+    assert(pairSet.contains((4L, 5L)), "identical docs (4,5) must pair at Hamming 0")
+    assert(pairs.collect { case (4L, 5L, h) => h }.head === 0L)
+    // Ground truth by brute force: the band join must find EVERY pair within
+    // the Hamming ball (pigeonhole guarantee — candidate recall is exactly 1).
+    val fp = Dedup.simhashDf(docs).select("doc_id", "simhash")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (d1, h1) <- fp; (d2, h2) <- fp if d1 < d2
+      if java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (d1, d2)).toSet
+    assert(pairSet === brute, "band join must equal the brute-force Hamming ball")
+  }
+
   test("exact dedup on the corpus: survivor is min doc_id, no text lost") {
     val docsSf = sources.Tables.documents(spark, TestSpark.sf)
     val out = Dedup.exact(spark, TestSpark.sf)

@@ -30,6 +30,25 @@ class FnsParitySpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("PolyHash32 iterates codepoints: non-BMP parity with the HOF form") {
+    // "a😀b": U+1F600 is a surrogate pair in UTF-16. The HOF form
+    // (ascii(substr)) and the DuckDB twin both see one value per CHARACTER,
+    // so the fast expression must hash the codepoint (128512), not the two
+    // surrogate units.
+    val df = Seq("a😀b", "😀", "αβγ").toDF("s")
+    val bad = df.select(
+        Fns.polyHash(col("s")).as("fast"),
+        Fns.polyHashHof(col("s")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad === 0L)
+    // And the raw JVM helper agrees with the expression path.
+    val expect = (("a".codePointAt(0) * 31L + 128512L) * 31L + 'b'.toLong) & Fns.HashMask
+    val got = df.filter(col("s") === "a😀b")
+      .select(Fns.polyHash(col("s"))).as[Long].head()
+    assert(got === expect)
+    assert(org.apache.spark.sql.graft.PolyHash32.hash("a😀b") === expect)
+  }
+
   test("WordNgrams equals the HOF n-grams for n in 1..4 incl. short arrays") {
     val rnd = new scala.util.Random(11)
     val words = Seq("a", "bb", "ccc", "dddd", "x")

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests for the 100 TB posture claims in SCALE.md:
+  * predicates and projections must reach the Parquet scan. BucketingSpec
+  * covers the no-shuffle bucketed-join claim; this pins the pushdown ones. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("scan_filter_project: shipdate bounds are pushed to the scan, columns pruned") {
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val df = SparkEntry.queries("scan_filter_project")(spark, TestSpark.sf)
+      df.count() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters"), s"no PushedFilters in plan:\n${plan.take(2000)}")
+      assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+        "lower shipdate bound not pushed to the parquet scan")
+      assert(plan.contains("LessThan(l_shipdate"),
+        "upper shipdate bound not pushed to the parquet scan")
+      // Column pruning: the scan must read only the 5 referenced columns —
+      // the unused lineitem columns must not appear anywhere in the plan.
+      for (dropped <- Seq("l_tax", "l_returnflag", "l_linestatus", "l_quantity", "l_partkey"))
+        assert(!plan.contains(dropped), s"unpruned column $dropped in plan")
+      assert(plan.contains("ReadSchema"), "scan does not report its read schema")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
+
+  test("wordcount_topk: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("wordcount_topk")(spark, TestSpark.sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap + driver merge:\n${plan.take(2000)}")
+  }
+}

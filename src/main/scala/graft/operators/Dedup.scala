@@ -169,9 +169,13 @@ object Dedup {
   /** Same, over any (doc_id, text) DataFrame (planted-dup tests). */
   def simhashPairsDf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimBands, "pigeonhole guarantee needs maxHamming < SimBands")
-    // The fingerprint table feeds the band self-join (both sides) and both
-    // verify join-backs — persist so the tokenize→hash→bit-aggregate runs
-    // once. The harness clears the cache between queries.
+    // The fingerprint table feeds both sides of the band self-join — persist
+    // so the tokenize→hash→bit-aggregate runs once. The harness clears the
+    // cache between queries. The band rows CARRY the 8-byte fingerprint, so
+    // the Hamming verify runs inside the band join itself (no join-backs),
+    // and the duplicate-candidate distinct (a pair can agree on several
+    // bands) runs AFTER the Hamming filter — hamming is a pure function of
+    // the pair, so filtering first is equivalent and shrinks the distinct.
     val fp = simhashDf(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until SimBands).map { b =>
       struct(
@@ -179,21 +183,18 @@ object Dedup {
         shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit((1L << SimBandBits) - 1)).as("band_bits"))
     }: _*)
     val bands = fp
-      .select(col("doc_id"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
-    val cand = bands.as("a")
+      .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_bits") === col("b.band_bits") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    cand
-      .join(fp.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
-      .join(fp.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
-      .select(col("d1"), col("d2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("d1", "d2")
   }
 

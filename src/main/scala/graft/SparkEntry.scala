@@ -64,11 +64,13 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashBucketsQuery(s, d)),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairsQuery(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     // — LLM-pipeline: similarity search —
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
   )
@@ -84,12 +86,23 @@ object SparkEntry {
   private val SimhashCtes =
     s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS w FROM documents), th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS hv FROM toks), bitsum AS (SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS sgn FROM th, range(0, 32) t(j) GROUP BY doc_id, j), fp AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash FROM bitsum GROUP BY doc_id), fpall AS (SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id)"""
 
+  // MinHash in portable SQL: distinct 3-shingles (with the short-doc
+  // whole-text fallback), the 32-bit polynomial shingle hash, K=32
+  // per-permutation minima of (a_i·h + b_i) mod P — a_i < P ≈ 1e9 and
+  // h < 2^32, so a·h + b < 2^63: no BIGINT overflow on either engine —
+  // then 8 bands of 4 minima serialized "_"-joined. All integer
+  // arithmetic, so buckets AND candidate pairs hash-match the oracle.
+  private val MinhashCtes =
+    s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), hv AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h FROM sh), mins AS (SELECT doc_id, i, min((((1103515245 * (i + 1) + 7) % 1000000007) * h + ((12345 * (i + 1) + 678910) % 1000000007)) % 1000000007) AS m FROM hv, range(0, 32) t(i) GROUP BY doc_id, i), bands AS (SELECT doc_id, i // 4 AS band_idx, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS band_key FROM mins GROUP BY doc_id, i // 4)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted (→ rows-only check): dedup_minhash,
-    * sim_lsh_topk, multimodal_features, text_tfidf —
-    * sketch/stub/float-log ops with planted-ground-truth ScalaTest checks
-    * instead (rule R5; see DedupSpec, SimilaritySpec, MediaSpec,
-    * TextAnalyticsSpec). */
+    * same parquet tables. Omitted (→ rows-only check): multimodal_features
+    * (stub codec) and text_tfidf (libm ln, rule R2) — both with
+    * planted-ground-truth ScalaTest checks instead (rule R5; see MediaSpec,
+    * TextAnalyticsSpec). Every other query — including every LSH/sketch
+    * operator — hash-matches: the sketches are deterministic integer
+    * arithmetic (MinHash, SimHash) or fixed-op-order float projections
+    * with e4-rounded outputs (sign-projection LSH). */
   def oracleSql: Map[String, String] = Map(
     "wordcount_topk" ->
       s"""SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""",
@@ -123,6 +136,19 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
     "supplier_revenue" ->
       """SELECT s_suppkey, s_name, n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY s_suppkey, s_name, n_name ORDER BY revenue_c DESC, s_suppkey LIMIT 20""",
+    "dedup_minhash" ->
+      s"""$MinhashCtes SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""",
+    "dedup_minhash_pairs" ->
+      s"""$MinhashCtes, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT d1, d2, est_jac_e4 FROM (SELECT c.d1, c.d2, CAST(round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) * 10000.0 / 32) AS BIGINT) AS est_jac_e4 FROM cand c JOIN mins ma ON ma.doc_id = c.d1 JOIN mins mb ON mb.doc_id = c.d2 AND mb.i = ma.i GROUP BY c.d1, c.d2) WHERE est_jac_e4 >= 5000 ORDER BY d1, d2""",
+    "sim_lsh_topk" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 4 AS band_idx, sum(bit * (1 << (j % 4))) AS band_key FROM proj GROUP BY vec_id, j // 4), qk AS (SELECT vec_id AS qid, band_idx, band_key FROM keys WHERE vec_id < 10), cand AS (SELECT DISTINCT qk.qid, k.vec_id AS cid FROM keys k JOIN qk ON k.band_idx = qk.band_idx AND k.band_key = qk.band_key), s AS (SELECT c.qid, c.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.cid = x.vec_id JOIN n y ON c.qid = y.vec_id), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    // IVF: deterministic coarse quantizer (first-16 vectors as centroids),
+    // e4-rounded cosine for ALL ordering decisions (assignment, probing,
+    // final rank) with id tie-breaks — so even this approximate ANN path
+    // hash-matches. Float ops run in the same order on both engines
+    // (sequential dot, then one divide, then round).
+    "sim_ivf_topk" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), asgn AS (SELECT vec_id, cell_id FROM (SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY CAST(round(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM n, cents c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, cents c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN asgn a ON p.cell_id = a.cell_id), s AS (SELECT cd.qid, cd.cid, CAST(round(list_inner_product(x.v, y.qv) / (x.nrm * y.qn) * 10000) AS BIGINT) AS sim_e4 FROM cand cd JOIN n x ON cd.cid = x.vec_id JOIN q y ON cd.qid = y.qid), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     "dedup_simhash" ->
       s"""$SimhashCtes SELECT doc_id, simhash FROM fpall ORDER BY doc_id""",
     "dedup_simhash_pairs" ->

@@ -94,9 +94,12 @@ object Dedup {
     minhashBands(Tables.documents(s, d)).orderBy("doc_id", "band_idx")
 
   /** Candidate near-dup pairs: equi-join on band buckets, then estimate
-    * Jaccard as the fraction of agreeing signature positions; keep pairs with
-    * estimate ≥ threshold. */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    * Jaccard as the fraction of agreeing signature positions, reported in
+    * 1e-4 fixed point (rule R2: the only float op is matches·10000/K, which
+    * is exact in double for K=32, so the output is engine-portable and the
+    * whole pipeline — bucketing AND estimation — hash-matches the DuckDB
+    * oracle). Keep pairs with estimate ≥ minEstE4. */
+  def minhashPairs(docs: DataFrame, minEstE4: Long = 5000L): DataFrame = {
     // The signature table feeds the band self-join (both sides) AND the two
     // join-backs below — persist it so the shingle→hash→32-min aggregate runs
     // once, not four times. The harness (Bench/Verify) clears the cache
@@ -115,11 +118,16 @@ object Dedup {
       .join(sigs.withColumnRenamed("doc_id", "d2").withColumnRenamed("sig", "sig2"), "d2")
       .select(
         col("d1"), col("d2"),
-        (aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (a, v) => a + v).cast("double") / lit(K.toDouble)).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+        round(aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (a, v) => a + v) * lit(10000.0) / lit(K.toDouble)).cast("long").as("est_jac_e4"))
+      .filter(col("est_jac_e4") >= minEstE4)
       .orderBy("d1", "d2")
   }
+
+  /** Driver-contract query for the full MinHash pipeline (buckets → candidate
+    * pairs → signature-agreement estimate). */
+  def minhashPairsQuery(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d))
 
   /** 32-bit SimHash per document over token hashes: bit j of the fingerprint
     * is the sign of Σ_tokens (bit j set ? +1 : -1). Near-dups have small

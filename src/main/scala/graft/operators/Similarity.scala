@@ -68,6 +68,72 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // IVF parameters: nCells coarse cells, nProbe cells scanned per query.
+  // At 100 TB, nCells grows with corpus size (classically ~sqrt(n)) so cell
+  // occupancy — and therefore per-query scan cost — stays bounded; nProbe
+  // buys recall. Real systems train centroids with k-means; this engine
+  // uses a deterministic coarse quantizer (the first nCells corpus vectors)
+  // so the whole operator — assignment, probing, scoring — is reproducible
+  // in the DuckDB oracle. The IVF *shape* (broadcast centroids → linear
+  // assignment scan → probe-cell equi-join) is exactly the production one;
+  // swapping in trained centroids changes only the `cents` frame.
+  val IvfCells = 16
+  val IvfProbe = 4
+
+  /** IVF (inverted-file) approximate top-k — the cell-partitioned ANN scale
+    * path, complementing the hash-bucketed `lshTopK`:
+    *  1. assign every corpus vector to its nearest centroid by cosine
+    *     (argmax over nCells broadcast centroids; ties break on lower cell
+    *     id; comparisons use e4-rounded similarity so both engines order
+    *     identically);
+    *  2. each query probes its nProbe nearest cells;
+    *  3. only vectors in probed cells are scored exactly and ranked.
+    * The corpus streams ONCE through the assignment (nCells codegen'd dot
+    * products per vector, the direct analog of production IVF indexing);
+    * candidate scanning is an equi-join on cell_id, so shuffle volume is
+    * linear and bounded by cell occupancy × nProbe. A query's own cell is
+    * always its first probe, so rank-1 self-match is guaranteed. Recall vs
+    * bruteTopK is gated in SimilaritySpec. */
+  def ivfTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = IvfCells, nProbe: Int = IvfProbe): DataFrame = {
+    // Corpus feeds assignment, scoring, and the query/centroid subsets.
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = c.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // 1. coarse assignment: one row per corpus vector.
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim_e4"), asc("cell_id"))
+    val assign = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell_id"),
+        e4(dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim_e4"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"))
+    // 2. probe lists: nProbe cells per query.
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("qid").orderBy(desc("csim_e4"), asc("cell_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cell_id"),
+        e4(dotD(col("qv"), col("cv")) / (col("qn") * col("cnrm"))).as("csim_e4"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cell_id"))
+    // 3. scan probed cells only; exact-score and rank.
+    val cand = assign.join(broadcast(probes), "cell_id")
+      .select(col("qid"), col("vec_id").as("cid"))
+      .distinct()
+    val scored = cand
+      .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** LSH-banded approximate top-k: a corpus vector is a candidate for a query
     * if ANY of the `bands` band keys (each `rows` sign-projection bits) agree
     * — the OR-of-ANDs construction that keeps recall high while each band's

@@ -25,7 +25,7 @@ class DedupSpec extends AnyFunSuite {
   ).toDF("doc_id", "text")
 
   test("minhash: planted near-dup pair is detected, unrelated docs are not") {
-    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+    val pairs = Dedup.minhashPairs(docs, minEstE4 = 5000L)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)), "planted near-dup (1,2) not found")
     assert(pairs.contains((4L, 5L)), "identical short docs (4,5) not found via fallback shingle")

@@ -13,6 +13,8 @@ class SimilaritySpec extends AnyFunSuite {
     .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
   private lazy val lsh = Similarity.lshTopK(spark, TestSpark.sf)
     .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+  private lazy val ivf = Similarity.ivfTopK(spark, TestSpark.sf)
+    .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
 
   test("brute top-k returns exactly nQueries × k ranked rows") {
     assert(brute.length === 10 * 5)
@@ -28,6 +30,21 @@ class SimilaritySpec extends AnyFunSuite {
       assert(bruteTop(q) === q, s"brute rank-1 for query $q is not itself")
       assert(lshTop(q) === q, s"lsh rank-1 for query $q is not itself")
     }
+  }
+
+  test("ivf: rank-1 self-match, full query coverage, recall gated") {
+    // The query's own cell is always its first probe (assignment and probe
+    // share the same ranking), so self-match is structural, not statistical.
+    val ivfTop = ivf.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    for (q <- 0L until 10L)
+      assert(ivfTop(q) === q, s"ivf rank-1 for query $q is not itself")
+    assert(ivf.map(_._1).distinct.length === 10)
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val ivfSet = ivf.map(t => (t._1, t._2)).toSet
+    val recall = bruteSet.count(ivfSet.contains).toDouble / bruteSet.size
+    // Deterministic quantizer → fixed recall per corpus; floor is margin
+    // against corpus regeneration, not flakiness.
+    assert(recall >= 0.5, s"ivfTopK recall vs brute dropped to $recall")
   }
 
   test("lsh recall vs brute-force is gated") {

@@ -47,4 +47,26 @@ object Tables {
     * the same invariant the reference's chunker maintains. */
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.textFile(path).toDF("value")
+
+  /** CSV source with an explicit schema — schema-on-read is mandatory at
+    * scale (inference is a full extra pass over the data) and makes the
+    * columnar pruning/pushdown behavior identical to the Parquet path.
+    * Split-aligned like the text source (quoted newlines disabled). */
+  def csv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("multiLine", "false")
+      .csv(path)
+
+  /** JSON-lines source with an explicit schema (same rationale as csv:
+    * never pay the inference pass; one JSON object per line keeps the input
+    * splittable). */
+  def jsonLines(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("multiLine", "false")
+      .json(path)
 }

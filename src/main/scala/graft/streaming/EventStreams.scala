@@ -34,13 +34,23 @@ object EventStreams {
 
   /** Streaming source over an events parquet path. Adds `ts_us` (µs, the
     * batch twin's integer event-time) and `ts_ts` (timestamp for
-    * watermark/window — truncated µs, matching rule R4). */
-  def eventStream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
+    * watermark/window — truncated µs, matching rule R4).
+    * `maxFilesPerTrigger` > 0 caps files per micro-batch — the ingestion
+    * back-pressure knob (the analog of the reference's MAX_INFLIGHT cap,
+    * coordinator.py:12) and what makes watermark semantics observable in
+    * tests (one file per batch ⇒ the watermark advances between files). */
+  def eventStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream.schema(eventsSchema)
+    val withOpt =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else reader
+    withOpt
       .parquet(path)
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+  }
 
   /** Streaming tumbling 1-hour counts per event type — the twin of
     * Events.tumblingCounts. hour_idx = epoch-hours of the window start, so
@@ -95,15 +105,19 @@ object EventStreams {
 
   /** Run a streaming query to completion over the currently-available input
     * (Trigger.AvailableNow) into an in-memory table; returns the final
-    * result. Used by tests and as the batch-parity harness. */
+    * result. Used by tests and as the batch-parity harness. With a
+    * `checkpoint`, successive calls resume the same logical query —
+    * offsets, aggregation state, and the WATERMARK are restored — which is
+    * how the incremental-arrival semantics (late-data drop, window
+    * finalization) are exercised deterministically. */
   def runToCompletion(spark: SparkSession, df: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
-    val q = df.writeStream
+      mode: String = "complete", checkpoint: Option[String] = None): DataFrame = {
+    val base = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = checkpoint.fold(base)(c => base.option("checkpointLocation", c)).start()
     q.awaitTermination()
     spark.table(name)
   }

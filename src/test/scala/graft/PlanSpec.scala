@@ -35,4 +35,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be a per-partition heap + driver merge:\n${plan.take(2000)}")
   }
+
+  test("LSH/shingle operators read their persisted intermediates from cache") {
+    // The round-4 perf fix: shared subplans (shingles, banded keys, normed
+    // corpus, fingerprints) are persisted so they compute once, not 3-4×.
+    // If a persist is dropped the plan loses its InMemoryTableScan and this
+    // fails — the regression guard for the 26.9s→4.7s class of win.
+    for (q <- Seq("dedup_ngram_jaccard", "sim_lsh_topk", "dedup_simhash_pairs",
+        "dedup_minhash_pairs", "sim_ivf_topk")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"$q no longer reads a cached intermediate:\n${plan.take(2000)}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("supplier_revenue: dims broadcast, fact side never builds a hash table") {
+    val df = SparkEntry.queries("supplier_revenue")(spark, TestSpark.sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"supplier/nation dims must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "test-scale supplier join must not sort-merge the fact table")
+  }
 }

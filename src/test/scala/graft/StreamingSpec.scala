@@ -43,6 +43,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === batch)
   }
 
+  test("watermark drops events later than the horizon; open windows stay unemitted in append mode") {
+    val us = 1000000L
+    val hour = 3600L * us
+    val t0 = 1700000000L * us // µs; hour floor = 1699999200s → hour_idx 472222
+    val dir = Paths.get("target", "test-scratch", "events_late")
+    val ckpt = Paths.get("target", "test-scratch", "ckpt_late")
+    val outDir = Paths.get("target", "test-scratch", "out_late")
+    for (d <- Seq(dir, ckpt, outDir) if Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(dir)
+    def writeBatch(name: String,
+        rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = Paths.get("target", "test-scratch", s"tmp_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, dir.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // Append-mode file sink: supports checkpoint recovery (the memory sink
+    // does not), and the output dir accumulates every finalized-window
+    // emission across runs — exactly what the assertion needs.
+    def run(): Unit = {
+      val q = EventStreams
+        .tumblingCounts(EventStreams.eventStream(spark, dir.toString))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // Run 1: one event in hour 0, one in hour 3. After it commits the
+    // checkpointed watermark is max event time - 1h = t0 + 2h10m.
+    writeBatch("a_first", Seq(
+      (1L, (t0 + 10L * 60L * us) * 1000L, 1L, "a", 1.0, "{}"),
+      (2L, (t0 + 3L * hour + 10L * 60L * us) * 1000L, 1L, "a", 1.0, "{}")))
+    run()
+    // Run 2 resumes from the checkpoint (watermark restored): a LATE event
+    // back in hour 0 (t0+20m < watermark → dropped before aggregation) plus
+    // an on-time event in hour 3.
+    writeBatch("b_second", Seq(
+      (3L, (t0 + 20L * 60L * us) * 1000L, 1L, "a", 1.0, "{}"),
+      (4L, (t0 + 3L * hour + 20L * 60L * us) * 1000L, 1L, "a", 1.0, "{}")))
+    run()
+
+    // Exactly ONE hour-0 emission across both runs, counting only the
+    // on-time event — a non-dropped late row would either bump the count to
+    // 2 or re-create evicted state and emit a duplicate hour-0 row. The
+    // hour-3 window's end is past the final watermark, so append mode never
+    // emits it — bounded state, no premature results.
+    val hour0Idx = t0 / hour // floor of µs/3600e6 = epoch hours
+    val all = spark.read.parquet(outDir.toString)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(all === Seq((hour0Idx, "a", 1L)),
+      s"expected one finalized hour-0 window without the late row, got $all")
+  }
+
   test("streaming session windows split planted gaps exactly like the batch sessionizer") {
     // user 1: events at t0, t0+10min, t0+50min → sessions of 2 and 1 events
     // user 2: single event → one session of 1

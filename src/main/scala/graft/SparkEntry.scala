@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalytics}
+import graft.operators.{Dedup, Events, Pipeline, Relational, Similarity, TextAnalytics}
 import graft.multimodal.Media
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -61,6 +61,7 @@ object SparkEntry {
     // — LLM-pipeline: dedup —
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashBucketsQuery(s, d)),
@@ -73,6 +74,9 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
+    // — LLM-pipeline: corpus shipping —
+    "corpus_clean" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
+    "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
   )
 
   private val Tok = """\b[a-z]+\b""" // RE2 string for DuckDB (ASCII text only)
@@ -95,6 +99,12 @@ object SparkEntry {
   private val MinhashCtes =
     s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), hv AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h FROM sh), mins AS (SELECT doc_id, i, min((((1103515245 * (i + 1) + 7) % 1000000007) * h + ((12345 * (i + 1) + 678910) % 1000000007)) % 1000000007) AS m FROM hv, range(0, 32) t(i) GROUP BY doc_id, i), bands AS (SELECT doc_id, i // 4 AS band_idx, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS band_key FROM mins GROUP BY doc_id, i // 4)"""
 
+  // Shared n-gram-Jaccard pipeline CTEs (shingles with the short-doc
+  // fallback, df cap, per-doc counts, pair scores) — the pair query and the
+  // connected-components clustering both build on `jpairs`.
+  private val NgramCtes =
+    s"""toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted (→ rows-only check): multimodal_features
     * (stub codec) and text_tfidf (libm ln, rule R2) — both with
@@ -104,6 +114,10 @@ object SparkEntry {
     * arithmetic (MinHash, SimHash) or fixed-op-order float projections
     * with e4-rounded outputs (sign-projection LSH). */
   def oracleSql: Map[String, String] = Map(
+    "corpus_clean" ->
+      s"""WITH t AS (SELECT doc_id, lang, length(replace(text, ' ', '')) AS alpha_len, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s), surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) SELECT d.doc_id, CAST(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, CAST(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id ORDER BY d.doc_id""",
+    "data_split" ->
+      """SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents)) ORDER BY doc_id""",
     "wordcount_topk" ->
       s"""SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""",
     "wordcount_full" ->
@@ -188,7 +202,12 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text FROM documents GROUP BY text ORDER BY keep_id""",
     "dedup_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) SELECT d1, d2, jac_e4 FROM (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM pairs JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id) WHERE jac_e4 >= 100 ORDER BY d1, d2""",
+      s"""WITH $NgramCtes SELECT d1, d2, jac_e4 FROM jpairs WHERE jac_e4 >= 100 ORDER BY d1, d2""",
+    // Connected components as a recursive transitive closure: cluster id =
+    // min doc_id reachable through the (undirected) near-dup pair graph —
+    // the same fixpoint the Spark min-label propagation loop converges to.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $NgramCtes, fpairs AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= 100), edges AS (SELECT d1 AS a, d2 AS b FROM fpairs UNION ALL SELECT d2 AS a, d1 AS b FROM fpairs), reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a) SELECT d.doc_id, CAST(CASE WHEN m.m IS NOT NULL AND m.m < d.doc_id THEN m.m ELSE d.doc_id END AS BIGINT) AS cluster_id FROM documents d LEFT JOIN mn m ON d.doc_id = m.a ORDER BY doc_id""",
     "dedup_embedding" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) SELECT v1, v2, sim_e4 FROM (SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_e4 FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
     // Banded sign-projection LSH (6 bands × 6 bits, planes from the same LCG

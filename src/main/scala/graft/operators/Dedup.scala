@@ -262,6 +262,55 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Connected components over an undirected near-dup pair graph via
+    * min-label propagation: every node's label converges to the smallest
+    * doc_id reachable from it, which IS the deterministic cluster id (and
+    * the cluster's survivor under the min-id rule). Each iteration is one
+    * distributed join+aggregate; the driver only checks the converged flag —
+    * the iterate-until-fixpoint driver loop is how Spark's own graph
+    * libraries run CC, and iteration count is the pair-graph diameter (near-
+    * dup clusters are dense, so small). `localCheckpoint` truncates lineage
+    * per iteration so plans stay O(1) instead of O(iterations); on a real
+    * cluster swap it for `checkpoint` with a reliable dir to keep fault
+    * tolerance. */
+  def components(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("blabel")), "b")
+        .groupBy("a").agg(min("blabel").as("nmin"))
+      val newLabels = labels
+        .join(neighborMin.withColumnRenamed("a", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = newLabels
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = newLabels
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup cluster assignment for every document: cluster_id = smallest
+    * doc_id transitively reachable through the n-gram-Jaccard pair graph
+    * (singletons are their own cluster). The dedup DECISION operator — keep
+    * rows where doc_id = cluster_id, drop the rest. */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    val comp = components(ngramJaccardPairs(s, d).select("d1", "d2"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs, exact: the O(n²) self-join with the
     * codegen'd dot product and norms precomputed once per vector. This is the
     * test-scale verifier for embeddingPairsLsh below — correct at any n but

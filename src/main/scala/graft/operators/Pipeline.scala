@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns._
+import graft.sources.Tables
+
+/** Training-data pipeline composition: the end-to-end operators a corpus
+  * actually ships through — filtering and splitting — built from the
+  * per-document analytics that already exist.
+  *
+  * Scale notes: both operators are scan → narrow per-row transforms plus the
+  * dedup survivor's single hash shuffle; no new shuffle shapes. The split is
+  * a pure hash of the key, so it is stable under re-runs, repartitioning,
+  * and corpus growth (a document never migrates between splits when new data
+  * arrives — the property random() splits lack).
+  */
+object Pipeline {
+
+  /** The cleaned-corpus decision per document, with each gate exposed:
+    *  - `is_survivor`: min-doc_id survivor of exact dedup (one hash shuffle);
+    *  - `quality_ok`: the quality operator's flag (≥5 tokens + stopword hit);
+    *  - `lang_match`: the language-ID heuristic agrees with the labeled lang;
+    *  - `keep`: all three.
+    * Exposing the flags (not just the kept rows) is deliberate: at 100 TB
+    * you audit WHY documents fall out before you drop them. */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_survivor"))
+    val q = TextAnalytics.quality(s, d).select(col("doc_id"), col("ok").as("quality_ok"))
+    val lid = TextAnalytics.langId(s, d)
+      .select(col("doc_id"),
+        when(col("pred") === col("lang"), 1L).otherwise(0L).as("lang_match"))
+    docs.select(col("doc_id"))
+      .join(survivors, Seq("doc_id"), "left")
+      .join(q, "doc_id")
+      .join(lid, "doc_id")
+      .select(
+        col("doc_id"),
+        coalesce(col("is_survivor"), lit(0L)).as("is_survivor"),
+        col("quality_ok"),
+        col("lang_match"))
+      .withColumn("keep",
+        (col("is_survivor") === 1 && col("quality_ok") === 1 && col("lang_match") === 1)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  // Split fractions in percent: [0, Train) train, [Train, TrainVal) val,
+  // rest test. The bucket is a deterministic hash of "split:<doc_id>" — the
+  // salt prefix decorrelates it from any other use of the id hash.
+  val TrainPct = 80L
+  val ValPct = 10L
+
+  /** Deterministic train/val/test assignment per document: bucket =
+    * polyHash("split:" ++ doc_id) mod 100. Hash-based (not random) so the
+    * assignment is reproducible across engines, runs, and partitionings. */
+  def dataSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        pmod(polyHash(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+          .as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < TrainPct, lit("train"))
+          .when(col("bucket") < TrainPct + ValPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Pipeline}
+
+/** Planted-graph check for connected components plus determinism/shape
+  * checks for the corpus-shipping operators. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("components: chains collapse to min label, disjoint clusters stay apart") {
+    // 1-2-3 chain (transitive, no direct 1-3 edge), {7,8} pair, 9 isolated
+    // (not in the pair graph at all).
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("d1", "d2")
+    val got = Dedup.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("components: long chain needs multiple propagation rounds") {
+    // Diameter 6 — exercises the iterate-until-fixpoint loop, not just one
+    // round of neighbor-min.
+    val pairs = (1L until 7L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(got === (1L to 7L).map(_ -> 1L).toMap)
+  }
+
+  test("clusters on the corpus: labels are component minima, singletons self-labeled") {
+    val pairSet = Dedup.ngramJaccardPairs(spark, TestSpark.sf)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val clusters = Dedup.clusters(spark, TestSpark.sf)
+      .as[(Long, Long)].collect().toMap
+    // Every doc appears; endpoints of a pair share a cluster; the label is
+    // the smallest member of its cluster.
+    assert(clusters.size === sources.Tables.documents(spark, TestSpark.sf).count())
+    for ((a, b) <- pairSet)
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    val members = clusters.groupBy(_._2).view.mapValues(_.keys.min)
+    for ((label, mn) <- members) assert(label === mn)
+  }
+
+  test("cleanCorpus: keep is the conjunction of its exposed gates") {
+    val rows = Pipeline.cleanCorpus(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((_, surv, q, lm, keep) <- rows)
+      assert(keep === (if (surv == 1 && q == 1 && lm == 1) 1L else 0L))
+    assert(rows.exists(_._5 == 1L), "no document survives the clean — corpus or gates broken")
+  }
+
+  test("dataSplit: deterministic, total, and roughly proportioned") {
+    val a = Pipeline.dataSplit(spark, TestSpark.sf)
+      .as[(Long, Long, String)].collect().toSeq
+    val b = Pipeline.dataSplit(spark, TestSpark.sf)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(a === b, "hash split must be identical across runs")
+    val n = a.size.toDouble
+    val frac = a.groupBy(_._3).view.mapValues(_.size / n).toMap
+    assert(frac.keySet === Set("train", "val", "test"))
+    // 80/10/10 nominal; wide tolerance — this corpus is small.
+    assert(frac("train") > 0.6 && frac("train") < 0.95, s"train frac ${frac("train")}")
+    assert(frac("val") > 0.02 && frac("test") > 0.02)
+  }
+}

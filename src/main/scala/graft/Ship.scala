@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+import graft.sources.Tables
+
+/** End-to-end corpus-shipping job — the training-data analog of the
+  * reference's report/TSV surface (coordinator.py:123-134): documents in,
+  * cleaned + split corpus out as split-partitioned Parquet
+  * (`out/split=train/...`), the layout downstream trainers consume and the
+  * partition-pruned way to read one split at 100 TB.
+  */
+object Ship {
+
+  /** Filter to kept documents, attach the split, return the shippable frame
+    * (doc_id, text, lang, split). */
+  def shipFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = Pipeline.cleanCorpus(spark, sfDir)
+      .filter(col("keep") === 1).select("doc_id")
+    val split = Pipeline.dataSplit(spark, sfDir).select("doc_id", "split")
+    docs.select(col("doc_id"), col("text"), col("lang"))
+      .join(kept, "doc_id")
+      .join(split, "doc_id")
+  }
+
+  /** Write the shipped corpus partitioned by split; return per-split counts. */
+  def ship(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
+    val frame = shipFrame(spark, sfDir)
+    frame.write.mode("overwrite").partitionBy("split").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val in = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "target/ship_out"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val counts = ship(spark, in, out)
+    println(s"Shipped to $out: " + counts.toSeq.sortBy(_._1)
+      .map { case (s, n) => s"$s=$n" }.mkString(", "))
+    println(f"Elapsed: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    spark.stop()
+  }
+}

@@ -40,6 +40,32 @@ class PipelineSpec extends AnyFunSuite {
     for ((label, mn) <- members) assert(label === mn)
   }
 
+  test("components: empty pair graph yields no labels, clusters all self-labeled") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.components(empty).count() === 0L)
+  }
+
+  test("ship: split-partitioned parquet output matches the clean+split flags") {
+    val out = "target/test-scratch/ship_out"
+    val counts = Ship.ship(spark, TestSpark.sf, out)
+    // Partition layout on disk: one dir per split value.
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.forall(_.startsWith("split=")))
+    // Counts reconcile with the flag frames they were derived from.
+    val kept = Pipeline.cleanCorpus(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("keep") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    val splitOf = Pipeline.dataSplit(spark, TestSpark.sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = kept.toSeq.groupBy(splitOf).view.mapValues(_.size.toLong).toMap
+    assert(counts === expected)
+    // Reading one split back prunes to that partition and round-trips rows.
+    val train = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+    assert(train.count() === counts.getOrElse("train", 0L))
+  }
+
   test("cleanCorpus: keep is the conjunction of its exposed gates") {
     val rows = Pipeline.cleanCorpus(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long, Long)].collect()

@@ -277,8 +277,11 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Round 0 fused into initialization: label = min(self, neighbors) —
+    // one aggregate instead of a distinct + a full propagation round.
+    var labels = edges
+      .groupBy("a").agg(min("b").as("nmin"))
+      .select(col("a").as("id"), least(col("nmin"), col("a")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {

@@ -69,6 +69,28 @@ object Media {
   def sampleBytes(bytes: Array[Byte], stride: Int, offset: Int = 0): Array[Byte] =
     Iterator.range(offset, bytes.length, stride).map(bytes).toArray
 
+  /** STUB resize: nearest-neighbor downsample of a w×h byte grid to
+    * newW×newH (row-major; the payload is truncated/padded-with-zero to w·h
+    * first, as a raster decoder would guarantee). A real deployment swaps in
+    * a codec-backed scaler; the contract — grid in, smaller grid out, purely
+    * a function of (bytes, dims) — is what the pipeline relies on. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int, newW: Int, newH: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && newW > 0 && newH > 0)
+    val grid = java.util.Arrays.copyOf(bytes, w * h)
+    val out = new Array[Byte](newW * newH)
+    var y = 0
+    while (y < newH) {
+      val sy = y * h / newH
+      var x = 0
+      while (x < newW) {
+        out(y * newW + x) = grid(sy * w + x * w / newW)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Partition-batched feature extraction over the media table. Output:
     * (doc_id, features array<float>, width, height). */
   def extractFeatures(media: DataFrame, dim: Int = featureDim): DataFrame = {

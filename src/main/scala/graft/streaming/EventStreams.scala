@@ -77,6 +77,33 @@ object EventStreams {
         max("ts_us").as("end_us"))
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
 
+  /** Watermarked stream-stream self-join: for every event, the same user's
+    * follow-up events within `gapMin` minutes ("earlier → later", ties
+    * broken by event_id). Both sides carry a watermark and the join
+    * condition bounds b's event time to [a, a + gap], so each row's join
+    * state is dropped once the opposite watermark passes its bound — state
+    * stays proportional to the gap window, not the stream length. The same
+    * code runs in batch (withWatermark is a no-op there), which is how the
+    * spec asserts streaming/batch equality. */
+  def pairedEvents(events: DataFrame, gapMin: Int = 30): DataFrame = {
+    val a = events
+      .select(col("event_id").as("a_id"), col("user_id"),
+        col("ts_ts").as("a_ts"), col("ts_us").as("a_us"))
+      .withWatermark("a_ts", "1 hour")
+    val b = events
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts_ts").as("b_ts"), col("ts_us").as("b_us"))
+      .withWatermark("b_ts", "1 hour")
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $gapMin MINUTES") &&
+        (col("b_us") > col("a_us") ||
+          (col("b_us") === col("a_us") && col("a_id") < col("b_id"))))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (col("b_us") - col("a_us")).as("gap_us"))
+  }
+
   /** Per-user running totals via mapGroupsWithState — the custom-state
     * escape hatch for semantics the built-in windows can't express (here:
     * a monotone per-key accumulator that survives across triggers). State is

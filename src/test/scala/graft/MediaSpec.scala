@@ -29,6 +29,18 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.sampleBytes(b, 4, 1).toSeq === Seq[Byte](1, 5, 9))
   }
 
+  test("resizeStub: nearest-neighbor grid downsample, short payload zero-padded") {
+    // 4×2 grid [0..7] → 2×1: rows sampled at y=0, cols at x∈{0,2} → [0, 2]
+    val b = Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)
+    assert(Media.resizeStub(b, 4, 2, 2, 1).toSeq === Seq[Byte](0, 2))
+    // identity resize returns the grid unchanged
+    assert(Media.resizeStub(b, 4, 2, 4, 2).toSeq === b.toSeq)
+    // payload shorter than w·h is zero-padded like a raster decoder guarantees
+    assert(Media.resizeStub(Array[Byte](9), 2, 2, 2, 2).toSeq === Seq[Byte](9, 0, 0, 0))
+    // deterministic
+    assert(Media.resizeStub(b, 4, 2, 3, 2).toSeq === Media.resizeStub(b, 4, 2, 3, 2).toSeq)
+  }
+
   test("featuresQuery end-to-end: schema, dim, meta passthrough, determinism") {
     val out1 = Media.featuresQuery(spark, TestSpark.sf)
     assert(out1.columns.toSeq === Seq("doc_id", "dim", "f1_e4", "width", "height"))

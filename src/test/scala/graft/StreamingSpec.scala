@@ -106,6 +106,41 @@ class StreamingSpec extends AnyFunSuite {
       s"expected one finalized hour-0 window without the late row, got $all")
   }
 
+  test("stream-stream self-join pairs follow-up events within the gap; batch twin agrees") {
+    val us = 1000L * 1000L
+    val t0 = 1700000000L * 1000000L // µs
+    // user 1: events at t0, +10m, +50m → within 30m only (1→2); (2→3) is 40m
+    // apart and (1→3) 50m. user 2: a single event, no pair. Cross-user never.
+    val rows = Seq(
+      (1L, (t0) * 1000L, 1L, "a", 1.0, "{}"),
+      (2L, (t0 + 10L * 60L * us) * 1000L, 1L, "a", 1.0, "{}"),
+      (3L, (t0 + 50L * 60L * us) * 1000L, 1L, "a", 1.0, "{}"),
+      (9L, (t0) * 1000L, 2L, "b", 1.0, "{}"))
+    val dir = Paths.get("target", "test-scratch", "events_pairs")
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir.toString)
+
+    val expected = Set((1L, 1L, 2L, 10L * 60L * us))
+    val streamed = EventStreams.runToCompletion(
+        spark,
+        EventStreams.pairedEvents(EventStreams.eventStream(spark, dir.toString)),
+        "t_pairs", mode = "append")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === expected)
+    // batch twin: identical code over the batch read
+    val batchEvents = spark.read.parquet(dir.toString)
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+      .withColumn("ts_ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("ts_us")))
+    val batch = EventStreams.pairedEvents(batchEvents)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch === expected)
+  }
+
   test("streaming session windows split planted gaps exactly like the batch sessionizer") {
     // user 1: events at t0, t0+10min, t0+50min → sessions of 2 and 1 events
     // user 2: single event → one session of 1

@@ -26,16 +26,29 @@ object Pipeline {
     * you audit WHY documents fall out before you drop them. */
   def cleanCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // Quality + language gates are per-row expressions over ONE scan (the
+    // helpers are shared with the standalone quality/langId queries so the
+    // gates can't drift); only the dedup survivor needs a shuffle.
+    val flags = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"),
+        TextAnalytics.hits(col("toks"), TextAnalytics.StopWords).as("stop_hits"),
+        TextAnalytics.langPred(
+          TextAnalytics.hits(col("toks"), TextAnalytics.EnMarkers),
+          TextAnalytics.hits(col("toks"), TextAnalytics.DeMarkers),
+          TextAnalytics.hits(col("toks"), TextAnalytics.EsMarkers),
+          TextAnalytics.hits(col("toks"), TextAnalytics.FrMarkers)).as("pred"))
+      .select(
+        col("doc_id"),
+        when(col("n_toks") >= 5 && col("stop_hits") > 0, 1L).otherwise(0L)
+          .as("quality_ok"),
+        when(col("pred") === col("lang"), 1L).otherwise(0L).as("lang_match"))
     val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), lit(1L).as("is_survivor"))
-    val q = TextAnalytics.quality(s, d).select(col("doc_id"), col("ok").as("quality_ok"))
-    val lid = TextAnalytics.langId(s, d)
-      .select(col("doc_id"),
-        when(col("pred") === col("lang"), 1L).otherwise(0L).as("lang_match"))
-    docs.select(col("doc_id"))
+    flags
       .join(survivors, Seq("doc_id"), "left")
-      .join(q, "doc_id")
-      .join(lid, "doc_id")
       .select(
         col("doc_id"),
         coalesce(col("is_survivor"), lit(0L)).as("is_survivor"),

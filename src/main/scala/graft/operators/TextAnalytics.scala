@@ -125,8 +125,20 @@ object TextAnalytics {
   val FrMarkers = Seq("le", "les", "des", "et", "est")
   val StopWords = Seq("the", "a", "and", "of", "is", "to", "in")
 
-  private def hits(toks: org.apache.spark.sql.Column, markers: Seq[String]) =
+  private[operators] def hits(toks: org.apache.spark.sql.Column, markers: Seq[String]) =
     size(filter(toks, t => t.isin(markers: _*))).cast("long")
+
+  /** The language-ID argmax (priority en > de > es > fr, 'und' on zero hits)
+    * as a column over the four score columns — shared by langId and the
+    * corpus_clean gate so the heuristic can't drift between them. */
+  private[operators] def langPred(en: org.apache.spark.sql.Column,
+      de: org.apache.spark.sql.Column, es: org.apache.spark.sql.Column,
+      fr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(en >= de && en >= es && en >= fr && en > 0, lit("en"))
+      .when(de >= es && de >= fr && de > 0, lit("de"))
+      .when(es >= fr && es > 0, lit("es"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("und"))
 
   /** Language-ID heuristic: count marker-word hits per language, argmax with
     * fixed priority en > de > es > fr, 'und' when no marker hits at all. */
@@ -140,13 +152,7 @@ object TextAnalytics {
         hits(col("toks"), FrMarkers).as("fr_s"))
     t.withColumn(
         "pred",
-        when(col("en_s") >= col("de_s") && col("en_s") >= col("es_s") &&
-             col("en_s") >= col("fr_s") && col("en_s") > 0, lit("en"))
-          .when(col("de_s") >= col("es_s") && col("de_s") >= col("fr_s") &&
-                col("de_s") > 0, lit("de"))
-          .when(col("es_s") >= col("fr_s") && col("es_s") > 0, lit("es"))
-          .when(col("fr_s") > 0, lit("fr"))
-          .otherwise(lit("und")))
+        langPred(col("en_s"), col("de_s"), col("es_s"), col("fr_s")))
       .orderBy("doc_id")
   }
 

@@ -5,19 +5,20 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-    for (name <- Seq("scan_filter_project", "join_multiway", "wordcount_topk", "sim_topk")) {
-      println(s"\n===== PLAN $name =====")
-      val df = SparkEntry.queries(name)(spark, d)
-      df.count() // let AQE finalize
-      println(df.queryExecution.executedPlan.toString.take(4000))
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("dedup_clusters")
+    for (name <- names; rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      println(f"[scratch] $name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -20,7 +20,7 @@ import graft.sources.Tables
   *  - all hashes are explicit `(a·x+b) mod p` families with hard-coded
   *    constants (no seeded RNG) so every run and every engine agrees.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   // MinHash parameters: K = Bands × RowsPerBand signature values.
   val P: Long = 1000000007L
@@ -263,16 +263,18 @@ object Dedup {
   }
 
   /** Connected components over an undirected near-dup pair graph via
-    * min-label propagation: every node's label converges to the smallest
-    * doc_id reachable from it, which IS the deterministic cluster id (and
-    * the cluster's survivor under the min-id rule). Each iteration is one
-    * distributed join+aggregate; the driver only checks the converged flag —
-    * the iterate-until-fixpoint driver loop is how Spark's own graph
-    * libraries run CC, and iteration count is the pair-graph diameter (near-
-    * dup clusters are dense, so small). `localCheckpoint` truncates lineage
-    * per iteration so plans stay O(1) instead of O(iterations); on a real
-    * cluster swap it for `checkpoint` with a reliable dir to keep fault
-    * tolerance. */
+    * min-label propagation PLUS pointer jumping: each round every node takes
+    * the min label over its neighbors, then follows its label's label
+    * (path halving). Jumping makes convergence logarithmic in component
+    * diameter instead of linear — the property the large-star/small-star
+    * MapReduce CC algorithms buy, with the same two join shapes. The
+    * fixpoint is the smallest doc_id reachable from each node, which IS the
+    * deterministic cluster id (and the cluster's survivor under the min-id
+    * rule). Each round is two distributed joins; the driver only checks the
+    * converged flag — the iterate-until-fixpoint driver loop is how Spark's
+    * own graph libraries run CC. `localCheckpoint` truncates lineage per
+    * round so plans stay O(1) instead of O(rounds); on a real cluster swap
+    * it for `checkpoint` with a reliable dir to keep fault tolerance. */
   def components(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
@@ -284,20 +286,32 @@ object Dedup {
       .select(col("a").as("id"), least(col("nmin"), col("a")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("blabel")), "b")
         .groupBy("a").agg(min("blabel").as("nmin"))
-      val newLabels = labels
+      val propagated = labels
         .join(neighborMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = newLabels
+      // Pointer jump: label ← label's label. A label is always a node id in
+      // the same component with a ≤ label, so the left join hits unless the
+      // label is already a root; least() keeps monotone descent.
+      val jumped = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = jumped
         .join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old")).count()
-      labels = newLabels
+      labels = jumped
+      rounds += 1
     }
+    logInfo(s"components converged in $rounds rounds")
     edges.unpersist()
     labels
   }

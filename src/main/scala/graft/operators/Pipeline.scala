@@ -60,6 +60,20 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-language corpus report card — docs / tokens / chars per language,
+    * the summary every shipped corpus carries. One scan, one tiny-key
+    * aggregate; all-integer outputs (averages are derivable, not stored —
+    * rule R2 keeps floats out of hash-matched results). */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy("lang")
+
   // Split fractions in percent: [0, Train) train, [Train, TrainVal) val,
   // rest test. The bucket is a deterministic hash of "split:<doc_id>" — the
   // salt prefix decorrelates it from any other use of the id hash.

@@ -107,13 +107,14 @@ object SparkEntry {
     s"""toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Omitted (→ rows-only check): multimodal_features
-    * (stub codec) and text_tfidf (libm ln, rule R2) — both with
-    * planted-ground-truth ScalaTest checks instead (rule R5; see MediaSpec,
-    * TextAnalyticsSpec). Every other query — including every LSH/sketch
-    * operator — hash-matches: the sketches are deterministic integer
-    * arithmetic (MinHash, SimHash) or fixed-op-order float projections
-    * with e4-rounded outputs (sign-projection LSH). */
+    * same parquet tables. Omitted (→ rows-only check): distinct_words_approx
+    * (HLL registers are engine-specific), multimodal_features (stub codec),
+    * and text_tfidf (libm ln, rule R2) — each with ground-truth ScalaTest
+    * checks instead (rule R5; see RelationalSpec, MediaSpec,
+    * TextAnalyticsSpec). Every other query — including every
+    * LSH/sketch/clustering operator — hash-matches: the sketches are
+    * deterministic integer arithmetic (MinHash, SimHash) or fixed-op-order
+    * float projections with e4-rounded outputs (sign-projection LSH, IVF). */
   def oracleSql: Map[String, String] = Map(
     "corpus_clean" ->
       s"""WITH t AS (SELECT doc_id, lang, length(replace(text, ' ', '')) AS alpha_len, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s), surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) SELECT d.doc_id, CAST(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, CAST(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id ORDER BY d.doc_id""",

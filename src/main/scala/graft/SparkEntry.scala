@@ -42,6 +42,7 @@ object SparkEntry {
     "supplier_revenue" -> ((s, d) => Relational.supplierRevenue(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
+    "agg_quantiles" -> ((s, d) => Relational.aggQuantiles(s, d)),
     // — windows & events —
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "window_suite" -> ((s, d) => Relational.windowSuite(s, d)),
@@ -173,6 +174,8 @@ object SparkEntry {
       s"""$SimhashCtes, bands AS (SELECT doc_id, b AS band_idx, (simhash >> (b * 8)) & 255 AS band_bits FROM fpall, range(0, 4) t(b)), cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id) SELECT d1, d2, hamming FROM (SELECT d1, d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cand JOIN fpall x ON d1 = x.doc_id JOIN fpall y ON d2 = y.doc_id) WHERE hamming <= 3 ORDER BY d1, d2""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey""",
+    "agg_quantiles" ->
+      """SELECT o_orderpriority, count(*) AS cnt, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS p50_c, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS p90_c, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS p99_c FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "agg_rollup" ->
       """SELECT CAST(grouping(n_name) AS BIGINT) AS g_n, CAST(grouping(o_orderpriority) AS BIGINT) AS g_p, n_name, o_orderpriority, count(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY ROLLUP (n_name, o_orderpriority) ORDER BY g_n, g_p, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "window_rank" ->

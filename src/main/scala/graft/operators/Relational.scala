@@ -160,6 +160,25 @@ object Relational {
         col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
+  /** Exact discrete quantiles (p50/p90/p99 of integer-cent order totals per
+    * priority) via the SQL-standard `percentile_disc` — a sort-based
+    * aggregate, grouped on a tiny key. percentile_disc RETURNS AN ELEMENT
+    * (smallest value whose cume_dist ≥ p), so on integer cents the result is
+    * an exact integer on every engine — unlike percentile_cont's
+    * interpolated float, which rule R2 would bar from the oracle. At scale
+    * prefer approx_percentile for one-pass sketching; this is the exact
+    * contract it approximates. */
+  def aggQuantiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("total_c"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY total_c)").cast("long").as("p50_c"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY total_c)").cast("long").as("p90_c"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY total_c)").cast("long").as("p99_c"))
+      .orderBy("o_orderpriority")
+
   /** Window-function suite in one pass: rank / dense_rank / lag / lead over
     * the same (custkey; totalprice desc, orderkey) frame — one shuffle + one
     * sort feeds all four. */

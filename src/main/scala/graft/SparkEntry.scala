@@ -83,14 +83,18 @@ object SparkEntry {
 
   private val Tok = """\b[a-z]+\b""" // RE2 string for DuckDB (ASCII text only)
 
-  // SimHash in portable SQL: per-token 32-bit polynomial hash (the
-  // text_fingerprint list_reduce twin), per-bit sign aggregation, fingerprint
-  // reassembly. All integer arithmetic — order-independent sums — so both the
-  // fingerprint and the Hamming-ball pair search hash-match the oracle.
+  // SimHash in portable SQL: the 64-bit fingerprint draws bits 0-31 from the
+  // 32-bit polynomial token hash (the text_fingerprint list_reduce twin) and
+  // bits 32-63 from the independent salted hash of 's2#' || token, then
+  // per-bit sign aggregation and fingerprint reassembly. All integer
+  // arithmetic — order-independent sums — so both the fingerprint and the
+  // Hamming-ball pair search hash-match the oracle. bit_or keeps BIGINT
+  // (sum would widen to HUGEINT and diverge on the sign bit); bit 63 is the
+  // explicit Long.MinValue literal because DuckDB overflow-checks 1 << 63.
   // LEFT JOIN back to documents gives token-less docs fingerprint 0, exactly
   // like the Spark aggregate over an empty token array.
   private val SimhashCtes =
-    s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS w FROM documents), th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS hv FROM toks), bitsum AS (SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS sgn FROM th, range(0, 32) t(j) GROUP BY doc_id, j), fp AS (SELECT doc_id, CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash FROM bitsum GROUP BY doc_id), fpall AS (SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id)"""
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS w FROM documents), tw AS (SELECT doc_id, w, 's2#' || w AS w2 FROM toks), th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS ha, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w2) + 1), i -> CAST(ascii(substr(w2, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS hb FROM tw), bitsum AS (SELECT doc_id, j, sum(((CASE WHEN j < 32 THEN ha >> j ELSE hb >> (j - 32) END) & 1) * 2 - 1) AS sgn FROM th, range(0, 64) t(j) GROUP BY doc_id, j), fp AS (SELECT doc_id, CAST(bit_or(CASE WHEN sgn <= 0 THEN 0 WHEN j = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << j) END) AS BIGINT) AS simhash FROM bitsum GROUP BY doc_id), fpall AS (SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id)"""
 
   // MinHash in portable SQL: distinct 3-shingles (with the short-doc
   // whole-text fallback), the 32-bit polynomial shingle hash, K=32
@@ -171,7 +175,7 @@ object SparkEntry {
     "dedup_simhash" ->
       s"""$SimhashCtes SELECT doc_id, simhash FROM fpall ORDER BY doc_id""",
     "dedup_simhash_pairs" ->
-      s"""$SimhashCtes, bands AS (SELECT doc_id, b AS band_idx, (simhash >> (b * 8)) & 255 AS band_bits FROM fpall, range(0, 4) t(b)), cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id) SELECT d1, d2, hamming FROM (SELECT d1, d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cand JOIN fpall x ON d1 = x.doc_id JOIN fpall y ON d2 = y.doc_id) WHERE hamming <= 3 ORDER BY d1, d2""",
+      s"""$SimhashCtes, bands AS (SELECT doc_id, b AS band_idx, (simhash >> (b * 16)) & 65535 AS band_bits FROM fpall, range(0, 4) t(b)), cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id) SELECT d1, d2, hamming FROM (SELECT d1, d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cand JOIN fpall x ON d1 = x.doc_id JOIN fpall y ON d2 = y.doc_id) WHERE hamming <= 3 ORDER BY d1, d2""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey""",
     "agg_quantiles" ->

@@ -129,43 +129,66 @@ object Dedup extends org.apache.spark.internal.Logging {
   def minhashPairsQuery(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.documents(s, d))
 
-  /** 32-bit SimHash per document over token hashes: bit j of the fingerprint
-    * is the sign of Σ_tokens (bit j set ? +1 : -1). Near-dups have small
-    * Hamming distance. Pure column expressions, bit loop unrolled at plan
-    * time. */
+  // SimHash parameters. The fingerprint is SimBits wide; a 32-bit polynomial
+  // token hash only has 32 usable bits, so the 64-bit fingerprint draws bits
+  // 0-31 from polyHash(token) and bits 32-63 from the independent salted
+  // polyHash("s2#" + token) — both trivially reproducible in the oracle SQL.
+  // The fingerprint is searched via SimBands contiguous (SimBits/SimBands)-bit
+  // bands; wider bands ⇒ more buckets ⇒ more parallelism and smaller buckets
+  // at scale (the 32-bit/8-bit-band version capped at 256 buckets per band,
+  // which goes quadratic-per-bucket past ~10⁶ docs — 16-bit bands give 65,536).
+  val SimBits = 64
+  val SimBands = 4
+  val SimBandBits: Int = SimBits / SimBands
+
+  /** SimHash per document over token hashes: bit j of the fingerprint is the
+    * sign of Σ_tokens (bit j of the token hash set ? +1 : -1). Near-dups have
+    * small Hamming distance. Pure column expressions, bit loop unrolled at
+    * plan time. Query-contract wrapper — adds the terminal sort; internal
+    * consumers (the pair search) use the unordered [[simhashFp]]. */
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashDf(Tables.documents(s, d))
 
-  /** SimHash over any (doc_id, text) DataFrame (planted-dup tests inject
-    * their own corpus here). */
-  def simhashDf(docs: DataFrame): DataFrame = {
+  /** Ordered SimHash over any (doc_id, text) DataFrame (planted-dup tests
+    * inject their own corpus here). */
+  def simhashDf(docs: DataFrame): DataFrame =
+    simhashFp(docs).orderBy("doc_id")
+
+  /** Unordered fingerprint computation — the reusable building block. The
+    * pair search persists THIS frame, not the sorted query wrapper: a global
+    * range-sort feeding a band join that re-shuffles anyway is wasted work
+    * at any scale (PlanSpec pins the no-Sort shape). */
+  def simhashFp(docs: DataFrame, bits: Int = SimBits): DataFrame = {
+    require(bits == 32 || bits == 64, "fingerprint width must be 32 or 64")
+    val hashes = transform(tokens(col("text")), t =>
+      if (bits == 32) struct(polyHash(t).as("ha"), lit(0L).as("hb"))
+      else struct(polyHash(t).as("ha"), polyHash(concat(lit("s2#"), t)).as("hb")))
     val bitsOf: Column => Column = h =>
-      array((0 until 32).map { j =>
-        when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))
+      array((0 until bits).map { j =>
+        val word = if (j < 32) h.getField("ha") else h.getField("hb")
+        when(shiftright(word, j % 32).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))
       }: _*)
-    val zeros = array_repeat(lit(0L), 32)
+    val zeros = array_repeat(lit(0L), bits)
+    // 1L << 63 IS Long.MinValue; summing distinct bit values equals the
+    // bitwise OR, including the sign bit (the oracle mirrors with bit_or).
     val sh = aggregate(
-      transform(tokens(col("text")), t => polyHash(t)),
+      hashes,
       zeros,
       (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b),
-      acc => (0 until 32).map { j =>
+      acc => (0 until bits).map { j =>
         when(element_at(acc, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _))
-    docs
-      .select(col("doc_id"), sh.as("simhash"))
-      .orderBy("doc_id")
+    docs.select(col("doc_id"), sh.as("simhash"))
   }
 
-  // SimHash Hamming-ball search: split the 32-bit fingerprint into SimBands
-  // contiguous 8-bit bands. By pigeonhole, two fingerprints within Hamming
-  // distance t < SimBands must agree EXACTLY on at least one band — so the
-  // band equi-join finds every qualifying pair (recall 1.0, no approximation
-  // in the candidate set), and only bucket-mates are Hamming-verified.
-  val SimBands = 4
-  val SimBandBits = 8
+  // SimHash Hamming-ball search: split the SimBits fingerprint into SimBands
+  // contiguous SimBandBits-bit bands. By pigeonhole, two fingerprints within
+  // Hamming distance t < SimBands must agree EXACTLY on at least one band —
+  // so the band equi-join finds every qualifying pair (recall 1.0, no
+  // approximation in the candidate set), and only bucket-mates are verified.
 
   /** Near-dup pairs within Hamming distance `maxHamming` of each other's
-    * 32-bit SimHash — the search operator the fingerprint exists for. Shape:
+    * SimHash — the search operator the fingerprint exists for. Shape:
     * band equi-join (linear shuffle, fan-out bounded by band-bucket
     * occupancy) → exact Hamming verify via bit_count(xor). All integer
     * arithmetic, so unlike most LSH operators this one is oracle
@@ -178,13 +201,15 @@ object Dedup extends org.apache.spark.internal.Logging {
   def simhashPairsDf(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimBands, "pigeonhole guarantee needs maxHamming < SimBands")
     // The fingerprint table feeds both sides of the band self-join — persist
-    // so the tokenize→hash→bit-aggregate runs once. The harness clears the
-    // cache between queries. The band rows CARRY the 8-byte fingerprint, so
-    // the Hamming verify runs inside the band join itself (no join-backs),
-    // and the duplicate-candidate distinct (a pair can agree on several
-    // bands) runs AFTER the Hamming filter — hamming is a pure function of
-    // the pair, so filtering first is equivalent and shrinks the distinct.
-    val fp = simhashDf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // so the tokenize→hash→bit-aggregate runs once (the UNORDERED frame: the
+    // sorted query wrapper's global sort would be wasted work here). The
+    // harness clears the cache between queries. The band rows CARRY the
+    // 8-byte fingerprint, so the Hamming verify runs inside the band join
+    // itself (no join-backs), and the duplicate-candidate distinct (a pair
+    // can agree on several bands) runs AFTER the Hamming filter — hamming is
+    // a pure function of the pair, so filtering first is equivalent and
+    // shrinks the distinct.
+    val fp = simhashFp(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = array((0 until SimBands).map { b =>
       struct(
         lit(b.toLong).as("band_idx"),
@@ -226,8 +251,17 @@ object Dedup extends org.apache.spark.internal.Logging {
       maxDf: Long = MaxShingleDf): DataFrame =
     ngramJaccardPairsDf(Tables.documents(s, d), minJacE4, maxDf)
 
-  /** Same, over any (doc_id, text) DataFrame. */
+  /** Same, over any (doc_id, text) DataFrame. Query-contract wrapper — adds
+    * the terminal sort; internal consumers ([[components]] via [[clusters]])
+    * use the unordered [[ngramJaccardPairsRaw]]. */
   def ngramJaccardPairsDf(docs: DataFrame, minJacE4: Long = 100L,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    ngramJaccardPairsRaw(docs, minJacE4, maxDf).orderBy("d1", "d2")
+
+  /** Unordered pair computation — the reusable building block (a global
+    * range-sort feeding the CC edge list, which re-shuffles by key anyway,
+    * is wasted work at any scale; PlanSpec pins the no-Sort shape). */
+  def ngramJaccardPairsRaw(docs: DataFrame, minJacE4: Long = 100L,
       maxDf: Long = MaxShingleDf): DataFrame = {
     // `sh` feeds three consumers (per-doc counts, the df cap, the pair
     // groups); persist it so the scan→tokenize→shingle-explode→distinct
@@ -259,7 +293,6 @@ object Dedup extends org.apache.spark.internal.Logging {
         col("d1"), col("d2"),
         round(col("common") * lit(10000.0) / (col("na") + col("nb") - col("common"))).cast("long").as("jac_e4"))
       .filter(col("jac_e4") >= minJacE4)
-      .orderBy("d1", "d2")
   }
 
   /** Connected components over an undirected near-dup pair graph via
@@ -291,9 +324,13 @@ object Dedup extends org.apache.spark.internal.Logging {
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("blabel")), "b")
         .groupBy("a").agg(min("blabel").as("nmin"))
+      // The pre-round label rides along as `old` so convergence is a plain
+      // filter+count over the checkpointed round output — the join-back
+      // against the previous labels it replaces cost one extra distributed
+      // join per round on the single most expensive query.
       val propagated = labels
         .join(neighborMin.withColumnRenamed("a", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
       // Pointer jump: label ← label's label. A label is always a node id in
@@ -302,13 +339,11 @@ object Dedup extends org.apache.spark.internal.Logging {
       val jumped = propagated
         .join(propagated.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
-      changed = jumped
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = jumped
+      changed = jumped.filter(col("label") =!= col("old")).count()
+      labels = jumped.select("id", "label")
       rounds += 1
     }
     logInfo(s"components converged in $rounds rounds")
@@ -320,12 +355,18 @@ object Dedup extends org.apache.spark.internal.Logging {
     * doc_id transitively reachable through the n-gram-Jaccard pair graph
     * (singletons are their own cluster). The dedup DECISION operator — keep
     * rows where doc_id = cluster_id, drop the rest. */
-  def clusters(s: SparkSession, d: String): DataFrame = {
-    val comp = components(ngramJaccardPairs(s, d).select("d1", "d2"))
+  def clusters(s: SparkSession, d: String): DataFrame =
+    clusterAssignments(s, d).orderBy("doc_id")
+
+  /** Unordered cluster assignment — the building block the shipping pipeline
+    * consumes (Pipeline.cleanCorpusNearDup): its survivor gate only needs
+    * doc_id = cluster_id, never a sorted frame. */
+  def clusterAssignments(s: SparkSession, d: String): DataFrame = {
+    val comp = components(
+      ngramJaccardPairsRaw(Tables.documents(s, d)).select("d1", "d2"))
     Tables.documents(s, d).select(col("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** Embedding-cosine near-dup pairs, exact: the O(n²) self-join with the

@@ -64,8 +64,23 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(fp(4L) === fp(5L))
-    assert(hamming(fp(1L), fp(2L)) <= 8, s"near-dup hamming ${hamming(fp(1L), fp(2L))} too large")
-    assert(hamming(fp(1L), fp(3L)) > 8, s"unrelated hamming ${hamming(fp(1L), fp(3L))} too small")
+    // 64-bit fingerprints: near-dup threshold scales with width (expected
+    // unrelated distance is SimBits/2 = 32).
+    assert(hamming(fp(1L), fp(2L)) <= 16, s"near-dup hamming ${hamming(fp(1L), fp(2L))} too large")
+    assert(hamming(fp(1L), fp(3L)) > 16, s"unrelated hamming ${hamming(fp(1L), fp(3L))} too small")
+  }
+
+  test("simhash: 32-bit parameterization still works and uses only the low word") {
+    val fp64 = Dedup.simhashFp(docs).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    val fp32 = Dedup.simhashFp(docs, bits = 32).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    // The low 32 bits come from the same token hash in both widths.
+    for ((id, v) <- fp32) {
+      assert((v & 0xffffffffL) === v, s"32-bit fingerprint for $id exceeds 32 bits")
+      assert(v === (fp64(id) & 0xffffffffL),
+        s"low word of 64-bit fingerprint for $id disagrees with 32-bit run")
+    }
   }
 
   test("simhash pairs: planted dups found, Hamming exact, pigeonhole recall total") {

@@ -52,6 +52,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("internal dedup building blocks carry no Sort — sorts live in query wrappers only") {
+    // The pair search persists the UNORDERED fingerprint/pair frames; a
+    // global range-sort below a band join (which re-shuffles by key anyway)
+    // or below the CC edge list is pure wasted work at scale. The terminal
+    // ORDER BY belongs to the query-contract wrappers alone.
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, TestSpark.sf)
+    for ((name, df) <- Seq(
+        "simhashFp" -> Dedup.simhashFp(docs),
+        "ngramJaccardPairsRaw" -> Dedup.ngramJaccardPairsRaw(docs))) {
+      val sorts = df.queryExecution.optimizedPlan.collect { case s: Sort => s }
+      assert(sorts.isEmpty, s"internal helper $name contains a Sort node")
+    }
+    // ...and the public wrappers DO sort (the query contract's total order).
+    for ((name, df) <- Seq(
+        "simhashDf" -> Dedup.simhashDf(docs),
+        "ngramJaccardPairsDf" -> Dedup.ngramJaccardPairsDf(docs))) {
+      val sorts = df.queryExecution.optimizedPlan.collect { case s: Sort => s }
+      assert(sorts.nonEmpty, s"query wrapper $name lost its terminal sort")
+    }
+  }
+
   test("supplier_revenue: dims broadcast, fact side never builds a hash table") {
     val df = SparkEntry.queries("supplier_revenue")(spark, TestSpark.sf)
     df.count()

@@ -14,11 +14,17 @@ import graft.sources.Tables
 object Ship {
 
   /** Filter to kept documents, attach the split, return the shippable frame
-    * (doc_id, text, lang, split). */
-  def shipFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    * (doc_id, text, lang, split). The default keep decision is the NEAR-dup
+    * aware one (cluster-survivor ∧ quality ∧ lang): a production pipeline
+    * collapses near-duplicate re-crawls before shipping, not just
+    * byte-identical copies. `nearDup = false` falls back to exact-only. */
+  def shipFrame(spark: SparkSession, sfDir: String,
+      nearDup: Boolean = true): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val kept = Pipeline.cleanCorpus(spark, sfDir)
-      .filter(col("keep") === 1).select("doc_id")
+    val clean =
+      if (nearDup) Pipeline.cleanCorpusNearDup(spark, sfDir)
+      else Pipeline.cleanCorpus(spark, sfDir)
+    val kept = clean.filter(col("keep") === 1).select("doc_id")
     val split = Pipeline.dataSplit(spark, sfDir).select("doc_id", "split")
     docs.select(col("doc_id"), col("text"), col("lang"))
       .join(kept, "doc_id")
@@ -26,8 +32,9 @@ object Ship {
   }
 
   /** Write the shipped corpus partitioned by split; return per-split counts. */
-  def ship(spark: SparkSession, sfDir: String, outDir: String): Map[String, Long] = {
-    val frame = shipFrame(spark, sfDir)
+  def ship(spark: SparkSession, sfDir: String, outDir: String,
+      nearDup: Boolean = true): Map[String, Long] = {
+    val frame = shipFrame(spark, sfDir, nearDup)
     frame.write.mode("overwrite").partitionBy("split").parquet(outDir)
     spark.read.parquet(outDir)
       .groupBy("split").count()

@@ -361,10 +361,21 @@ object Dedup extends org.apache.spark.internal.Logging {
   /** Unordered cluster assignment — the building block the shipping pipeline
     * consumes (Pipeline.cleanCorpusNearDup): its survivor gate only needs
     * doc_id = cluster_id, never a sorted frame. */
-  def clusterAssignments(s: SparkSession, d: String): DataFrame = {
-    val comp = components(
-      ngramJaccardPairsRaw(Tables.documents(s, d)).select("d1", "d2"))
-    Tables.documents(s, d).select(col("doc_id"))
+  def clusterAssignments(s: SparkSession, d: String): DataFrame =
+    clusterAssignmentsDf(Tables.documents(s, d))
+
+  /** Decision-grade near-dup threshold (Jaccard ≥ 0.8). The pair QUERY's
+    * default (0.01) is exploratory — low enough to surface weak overlaps for
+    * audit — but as a transitive KEEP decision it chains the whole corpus
+    * into one cluster. Deduplication-for-shipping uses the conventional
+    * high-similarity bar so only true near-duplicates collapse. */
+  val NearDupJacE4 = 8000L
+
+  /** Same, over any (doc_id, text) DataFrame (planted-dup tests), with the
+    * pair threshold exposed — the shipping pipeline passes [[NearDupJacE4]]. */
+  def clusterAssignmentsDf(docs: DataFrame, minJacE4: Long = 100L): DataFrame = {
+    val comp = components(ngramJaccardPairsRaw(docs, minJacE4).select("d1", "d2"))
+    docs.select(col("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }

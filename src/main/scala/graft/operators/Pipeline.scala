@@ -17,19 +17,11 @@ import graft.sources.Tables
   */
 object Pipeline {
 
-  /** The cleaned-corpus decision per document, with each gate exposed:
-    *  - `is_survivor`: min-doc_id survivor of exact dedup (one hash shuffle);
-    *  - `quality_ok`: the quality operator's flag (≥5 tokens + stopword hit);
-    *  - `lang_match`: the language-ID heuristic agrees with the labeled lang;
-    *  - `keep`: all three.
-    * Exposing the flags (not just the kept rows) is deliberate: at 100 TB
-    * you audit WHY documents fall out before you drop them. */
-  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    // Quality + language gates are per-row expressions over ONE scan (the
-    // helpers are shared with the standalone quality/langId queries so the
-    // gates can't drift); only the dedup survivor needs a shuffle.
-    val flags = docs
+  /** Per-document quality + language gates as one narrow projection over a
+    * single scan (the helpers are shared with the standalone quality/langId
+    * queries so the gates can't drift). */
+  private def qualityLangFlags(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"), col("lang"),
@@ -45,8 +37,9 @@ object Pipeline {
         when(col("n_toks") >= 5 && col("stop_hits") > 0, 1L).otherwise(0L)
           .as("quality_ok"),
         when(col("pred") === col("lang"), 1L).otherwise(0L).as("lang_match"))
-    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select(col("doc_id"), lit(1L).as("is_survivor"))
+
+  /** Join the survivor set onto the gates and expose the conjunction. */
+  private def gate(flags: DataFrame, survivors: DataFrame): DataFrame =
     flags
       .join(survivors, Seq("doc_id"), "left")
       .select(
@@ -58,6 +51,38 @@ object Pipeline {
         (col("is_survivor") === 1 && col("quality_ok") === 1 && col("lang_match") === 1)
           .cast("long"))
       .orderBy("doc_id")
+
+  /** The cleaned-corpus decision per document, with each gate exposed:
+    *  - `is_survivor`: min-doc_id survivor of exact dedup (one hash shuffle);
+    *  - `quality_ok`: the quality operator's flag (≥5 tokens + stopword hit);
+    *  - `lang_match`: the language-ID heuristic agrees with the labeled lang;
+    *  - `keep`: all three.
+    * Exposing the flags (not just the kept rows) is deliberate: at 100 TB
+    * you audit WHY documents fall out before you drop them. */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_survivor"))
+    gate(qualityLangFlags(docs), survivors)
+  }
+
+  /** Same decision frame, but the survivor gate is NEAR-dup aware: a document
+    * survives iff it is its cluster's minimum (doc_id = cluster_id under
+    * Dedup.clusterAssignments at the decision-grade Jaccard ≥ 0.8 threshold —
+    * n-gram-Jaccard pairs → connected components). Identical texts share
+    * every shingle (Jaccard 1.0), so exact duplicates land in one cluster
+    * too: this gate strictly subsumes exact dedup. This is the keep decision
+    * a real 100 TB pipeline ships with — boilerplate variants and re-crawls
+    * collapse to one survivor, not just byte-identical copies. */
+  def cleanCorpusNearDup(s: SparkSession, d: String): DataFrame =
+    cleanCorpusNearDupDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text, lang) DataFrame (planted-dup tests). */
+  def cleanCorpusNearDupDf(docs: DataFrame): DataFrame = {
+    val survivors = Dedup.clusterAssignmentsDf(docs, Dedup.NearDupJacE4)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("is_survivor"))
+    gate(qualityLangFlags(docs), survivors)
   }
 
   /** Per-language corpus report card — docs / tokens / chars per language,

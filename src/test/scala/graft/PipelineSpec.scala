@@ -45,15 +45,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.components(empty).count() === 0L)
   }
 
-  test("ship: split-partitioned parquet output matches the clean+split flags") {
+  test("ship: split-partitioned parquet output matches the near-dup clean+split flags") {
     val out = "target/test-scratch/ship_out"
     val counts = Ship.ship(spark, TestSpark.sf, out)
     // Partition layout on disk: one dir per split value.
     val dirs = new java.io.File(out).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.forall(_.startsWith("split=")))
-    // Counts reconcile with the flag frames they were derived from.
-    val kept = Pipeline.cleanCorpus(spark, TestSpark.sf)
+    // Counts reconcile with the flag frames they were derived from — the
+    // DEFAULT keep decision is the near-dup-aware one.
+    val kept = Pipeline.cleanCorpusNearDup(spark, TestSpark.sf)
       .filter(org.apache.spark.sql.functions.col("keep") === 1)
       .select("doc_id").as[Long].collect().toSet
     val splitOf = Pipeline.dataSplit(spark, TestSpark.sf)
@@ -64,6 +65,51 @@ class PipelineSpec extends AnyFunSuite {
     val train = spark.read.parquet(out)
       .filter(org.apache.spark.sql.functions.col("split") === "train")
     assert(train.count() === counts.getOrElse("train", 0L))
+  }
+
+  test("ship: near-dup clusters collapse to exactly one shipped survivor") {
+    val shipped = Ship.shipFrame(spark, TestSpark.sf)
+      .select("doc_id").as[Long].collect().toSet
+    // Clusters at the DECISION threshold the ship gate uses (≥ 0.8), not the
+    // exploratory pair-query default.
+    val clusters = Dedup.clusterAssignmentsDf(
+        sources.Tables.documents(spark, TestSpark.sf), Dedup.NearDupJacE4)
+      .as[(Long, Long)].collect()
+    // No shipped doc is a non-minimum member of its cluster, and from every
+    // multi-member cluster at most one member ships (the minimum, if its
+    // quality/lang gates pass).
+    for ((doc, cl) <- clusters if doc != cl)
+      assert(!shipped.contains(doc), s"non-survivor $doc (cluster $cl) was shipped")
+    val byCluster = clusters.groupBy(_._2)
+    for ((cl, members) <- byCluster if members.length > 1) {
+      val shippedMembers = members.map(_._1).filter(shipped.contains)
+      assert(shippedMembers.length <= 1,
+        s"cluster $cl shipped ${shippedMembers.length} members: ${shippedMembers.mkString(",")}")
+    }
+    // The near-dup gate is strictly at-most-as-permissive as exact-only.
+    val exactShipped = Ship.shipFrame(spark, TestSpark.sf, nearDup = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shipped.subsetOf(exactShipped))
+  }
+
+  test("cleanCorpusNearDup: planted near-dups keep only the min-id survivor") {
+    // Docs 1,2 near-dup (one word of 40 differs — shingle Jaccard ≈ 0.85,
+    // above the 0.8 decision threshold), 3 unrelated — all pass the quality
+    // (≥5 tokens + stopword) and lang (en markers) gates.
+    val base = "the quick brown fox jumps over the lazy dog and is a friend of " +
+      "every creature in the wide green valley where the old river bends " +
+      "slowly past the tall stone mill toward home"
+    val docs = Seq(
+      (1L, base, "en"),
+      (2L, base.replace("home", "town"), "en"),
+      (3L, "the optimizer of a catalyst engine is a tree and a rule set", "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = Pipeline.cleanCorpusNearDupDf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L)._2 === 1L && rows(1L)._5 === 1L, "cluster min must survive and keep")
+    assert(rows(2L)._2 === 0L && rows(2L)._5 === 0L, "near-dup non-min must be dropped")
+    assert(rows(3L)._2 === 1L && rows(3L)._5 === 1L, "singleton must survive")
   }
 
   test("cleanCorpus: keep is the conjunction of its exposed gates") {

@@ -73,6 +73,7 @@ object SparkEntry {
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "sim_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
     // — LLM-pipeline: corpus shipping —
@@ -179,6 +180,17 @@ object SparkEntry {
     // (sequential dot, then one divide, then round).
     "sim_ivf_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), asgn AS (SELECT vec_id, cell_id FROM (SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY CAST(round(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM n, cents c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, cents c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN asgn a ON p.cell_id = a.cell_id), s AS (SELECT cd.qid, cd.cid, CAST(round(list_inner_product(x.v, y.qv) / (x.nrm * y.qn) * 10000) AS BIGINT) AS sim_e4 FROM cand cd JOIN n x ON cd.cid = x.vec_id JOIN q y ON cd.qid = y.qid), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    // Trained IVF: two unrolled deterministic Lloyd iterations. Centroids in
+    // 1e-6 fixed point (exact integer sums → exact double division →
+    // round-half-away), cosine is scale-invariant so the e6 integer vectors
+    // are used directly; every ordering decision is e4-rounded with cell/id
+    // ties — so even the TRAINED ANN path hash-matches. Cells that lose all
+    // members keep their previous centroid (the COALESCE).
+    "sim_ivf_trained" -> {
+      def iter(i: Int, prev: Int) =
+        s"""a$i AS (SELECT vec_id, cell_id FROM (SELECT nn.vec_id, c.cell_id, row_number() OVER (PARTITION BY nn.vec_id ORDER BY CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM nn, c${prev}n c) WHERE rn = 1), m$i AS (SELECT a.cell_id, t.k, CAST(round(CAST(sum(e.ve6[t.k]) AS DOUBLE) / count(*)) AS BIGINT) AS comp FROM a$i a JOIN e6 e ON a.vec_id = e.vec_id, range(1, 65) t(k) GROUP BY a.cell_id, t.k), c$i AS (SELECT cell_id, list_transform(list(comp ORDER BY k), x -> CAST(x AS DOUBLE)) AS cv FROM m$i GROUP BY cell_id), c${i}f AS (SELECT p.cell_id, COALESCE(u.cv, p.cv) AS cv FROM c${prev}f p LEFT JOIN c$i u ON p.cell_id = u.cell_id), c${i}n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c${i}f)"""
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), e6 AS (SELECT vec_id, v, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS ve6 FROM n), nn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM n), c0f AS (SELECT vec_id AS cell_id, list_transform(ve6, x -> CAST(x AS DOUBLE)) AS cv FROM e6 WHERE vec_id < 16), c0n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c0f), ${iter(1, 0)}, ${iter(2, 1)}, af AS (SELECT vec_id, cell_id FROM (SELECT nn.vec_id, c.cell_id, row_number() OVER (PARTITION BY nn.vec_id ORDER BY CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM nn, c2n c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nn WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, c2n c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN af a ON p.cell_id = a.cell_id), sc AS (SELECT cd.qid, cd.cid, CAST(round(list_inner_product(x.v, y.qv) / (x.nrm * y.qn) * 10000) AS BIGINT) AS sim_e4 FROM cand cd JOIN nn x ON cd.cid = x.vec_id JOIN q y ON cd.qid = y.qid), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM sc) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""
+    },
     "dedup_simhash" ->
       s"""$SimhashCtes SELECT doc_id, simhash FROM fpall ORDER BY doc_id""",
     "dedup_simhash_pairs" ->

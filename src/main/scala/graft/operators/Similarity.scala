@@ -100,15 +100,28 @@ object Similarity {
     val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     val cents = c.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // 1. coarse assignment: one row per corpus vector.
+    val assign = assignCells(c, cents)
+    probeAndScore(c, cents, assign, nQueries, k, nProbe)
+  }
+
+  /** Coarse assignment: one row per corpus vector — argmax over the
+    * broadcast centroids by e4-rounded cosine, ties to the lower cell id
+    * (identical ordering on both engines). The one-pass
+    * broadcast-centroids scan is the production IVF indexing shape. */
+  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim_e4"), asc("cell_id"))
-    val assign = c.crossJoin(broadcast(cents))
+    c.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell_id"),
         e4(dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim_e4"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell_id"))
-    // 2. probe lists: nProbe cells per query.
+  }
+
+  /** Probe the nProbe nearest cells per query, exact-score only vectors in
+    * probed cells, rank. Shared by the stub-quantizer and trained IVF. */
+  private def probeAndScore(c: DataFrame, cents: DataFrame, assign: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val wProbe = Window.partitionBy("qid").orderBy(desc("csim_e4"), asc("cell_id"))
@@ -118,7 +131,6 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("cell_id"))
-    // 3. scan probed cells only; exact-score and rank.
     val cand = assign.join(broadcast(probes), "cell_id")
       .select(col("qid"), col("vec_id").as("cid"))
       .distinct()
@@ -132,6 +144,59 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .orderBy("qid", "rn")
+  }
+
+  // Deterministic k-means training: fixed iteration count, fixed init (the
+  // e6-quantized first nCells vectors — the stub quantizer's centroids).
+  val IvfKmeansIters = 2
+
+  /** IVF with a TRAINED coarse quantizer — Lloyd's k-means made fully
+    * deterministic and oracle-reproducible:
+    *  - centroids live in 1e-6 fixed point: per-cell component sums are
+    *    exact integer arithmetic (order-independent, so Spark's partial
+    *    aggregation order cannot perturb them), and the mean is one exact
+    *    double division + round-half-away — identical on both engines;
+    *  - cosine is scale-invariant, so the e6-scaled integer centroid vector
+    *    is used directly (no divide-back, no float drift);
+    *  - assignment/probing order by e4-rounded cosine with cell-id ties.
+    * Each iteration is the classic scale shape: broadcast centroids → one
+    * corpus pass (assignment) → per-cell aggregate; the driver holds only
+    * nCells × Dim integers (k-means‖ would swap in here for huge nCells).
+    * Cells that lose every member keep their previous centroid. Recall vs
+    * bruteTopK is gated in SimilaritySpec alongside the stub variant. */
+  def ivfTrainedTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = IvfCells, nProbe: Int = IvfProbe,
+      iters: Int = IvfKmeansIters): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    // e6 fixed-point corpus for the exact-integer centroid sums.
+    val ce6 = c.select(col("vec_id"),
+        transform(col("v"), x => round(x * lit(1000000.0)).cast("long")).as("ve6"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Long, Seq[Double])] = ce6.filter(col("vec_id") < nCells)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toDouble).toSeq)).toSeq
+    def centsDf(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      cs.toDF("cell_id", "cv").withColumn("cnrm", l2Norm(col("cv")))
+    for (_ <- 1 to iters) {
+      val asgn = assignCells(c, centsDf(cents))
+      val sums = (0 until Dim).map(kk =>
+        sum(element_at(col("ve6"), kk + 1)).as(s"s$kk"))
+      val rows = asgn.join(ce6, "vec_id").groupBy("cell_id")
+        .agg(count(lit(1)).as("cnt"), sums: _*).collect()
+      val updated = rows.map { r =>
+        val cnt = r.getLong(1)
+        val comps = (0 until Dim).map { kk =>
+          val q = r.getLong(2 + kk).toDouble / cnt
+          // round half away from zero — DuckDB round() semantics.
+          Math.copySign(Math.floor(Math.abs(q) + 0.5), q)
+        }
+        r.getLong(0) -> comps.toSeq
+      }.toMap
+      cents = cents.map { case (cell, prev) => (cell, updated.getOrElse(cell, prev)) }
+    }
+    val trained = centsDf(cents)
+    probeAndScore(c, trained, assignCells(c, trained), nQueries, k, nProbe)
   }
 
   /** LSH-banded approximate top-k: a corpus vector is a candidate for a query

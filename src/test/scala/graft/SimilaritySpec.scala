@@ -47,6 +47,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivfTopK recall vs brute dropped to $recall")
   }
 
+  test("ivf trained: rank-1 self-match, full coverage, recall gated vs brute") {
+    val trained = Similarity.ivfTrainedTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    // Self-match stays structural after training: a query's assigned cell is
+    // its first probe under the shared ranking.
+    val top = trained.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    for (q <- 0L until 10L)
+      assert(top(q) === q, s"trained ivf rank-1 for query $q is not itself")
+    assert(trained.map(_._1).distinct.length === 10)
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val trainedSet = trained.map(t => (t._1, t._2)).toSet
+    val recall = bruteSet.count(trainedSet.contains).toDouble / bruteSet.size
+    // Deterministic training → fixed recall per corpus; floor is margin
+    // against corpus regeneration. The stub-quantizer gate is 0.5; training
+    // must not do worse than that same floor.
+    assert(recall >= 0.5, s"ivfTrainedTopK recall vs brute dropped to $recall")
+  }
+
   test("lsh recall vs brute-force is gated") {
     // Measured on the banded (8×4-bit) construction: 0.76 at sf0.001, 0.70
     // at sf0.01. Deterministic hyperplanes → this is a fixed number per

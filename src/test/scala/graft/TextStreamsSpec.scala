@@ -9,6 +9,26 @@ class TextStreamsSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("streaming dedup keeps exactly one survivor per distinct text (batch parity)") {
+    // Stage the documents table as a file-stream directory.
+    val dir = Paths.get("target", "test-scratch", "docstream")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.dedupStream(spark, dir.toString), "t_dedup",
+        mode = "append")
+      .select("text").as[String].collect()
+    // One survivor per distinct text, and the surviving-text SET equals the
+    // batch exact-dedup survivors (survivor IDENTITY may differ: batch keeps
+    // global min doc_id, the stream keeps first arrival).
+    assert(streamed.length === streamed.distinct.length, "a duplicate text survived")
+    val batch = graft.operators.Dedup.exact(spark, TestSpark.sf)
+      .select("text").as[String].collect().toSet
+    assert(streamed.toSet === batch)
+  }
+
   test("streaming word count over a text dir equals the batch word count") {
     val dir = Paths.get("target", "test-scratch", "textstream")
     Files.createDirectories(dir)

@@ -113,6 +113,14 @@ object Dedup extends org.apache.spark.internal.Logging {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    // Signature agreement stays a zip_with/aggregate HOF deliberately: it
+    // runs once per CANDIDATE PAIR, and banding bounds candidates to
+    // bucket-mates — profiled at sf0.1 the whole query is dominated by the
+    // signature aggregation and band join, with the per-pair HOF cost in the
+    // noise. The codegen'd-expression rule (Fns.scala:55) applies to
+    // per-row/per-token hot loops, not to a K=32 lambda over an
+    // already-winnowed pair set; a native expression here would buy
+    // complexity, not time.
     cand
       .join(sigs.withColumnRenamed("doc_id", "d1").withColumnRenamed("sig", "sig1"), "d1")
       .join(sigs.withColumnRenamed("doc_id", "d2").withColumnRenamed("sig", "sig2"), "d2")
@@ -157,8 +165,18 @@ object Dedup extends org.apache.spark.internal.Logging {
   /** Unordered fingerprint computation — the reusable building block. The
     * pair search persists THIS frame, not the sorted query wrapper: a global
     * range-sort feeding a band join that re-shuffles anyway is wasted work
-    * at any scale (PlanSpec pins the no-Sort shape). */
-  def simhashFp(docs: DataFrame, bits: Int = SimBits): DataFrame = {
+    * at any scale (PlanSpec pins the no-Sort shape). Backed by the native
+    * SimHash expression (one tight loop per row); [[simhashFpHof]] is the
+    * original higher-order formulation, kept as the semantic reference for
+    * the parity test in FnsParitySpec. */
+  def simhashFp(docs: DataFrame, bits: Int = SimBits): DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.StringExprs.simhash(tokens(col("text")), bits).as("simhash"))
+
+  /** Higher-order-function formulation of the same fingerprint (interprets
+    * three lambdas and materializes a `bits`-wide array per token — the
+    * parity reference, not the hot path). */
+  def simhashFpHof(docs: DataFrame, bits: Int = SimBits): DataFrame = {
     require(bits == 32 || bits == 64, "fingerprint width must be 32 or 64")
     val hashes = transform(tokens(col("text")), t =>
       if (bits == 32) struct(polyHash(t).as("ha"), lit(0L).as("hb"))

@@ -113,6 +113,65 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** SimHash fingerprint over a token array, computed in one tight loop:
+  * bit j of the result is the sign of Σ_tokens (bit j of the token's hash
+  * set ? +1 : -1), where bits 0-31 come from PolyHash32(token) and bits
+  * 32-63 from the independent salted PolyHash32("s2#" + token) — the same
+  * construction as the reference HOF formulation in Dedup.simhashFpHof and
+  * the DuckDB oracle twin (FnsParitySpec pins all three equal).
+  *
+  * Replaces a transform + aggregate + zip_with chain that interpreted three
+  * lambdas and materialized a 64-element array per TOKEN; this walks the
+  * tokens once with a 64-int accumulator per ROW. Array-typed accumulation
+  * doesn't profit from expression codegen (same rationale as WordNgrams),
+  * so CodegenFallback — the win is the direct loop.
+  */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(bits == 32 || bits == 64, "fingerprint width must be 32 or 64")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"simhash$bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val acc = new Array[Int](bits)
+    var i = 0
+    while (i < m) {
+      if (!toks.isNullAt(i)) {
+        val s = toks.getUTF8String(i).toString
+        val ha = PolyHash32.hash(s)
+        var j = 0
+        while (j < 32 && j < bits) {
+          acc(j) += (if (((ha >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+        if (bits == 64) {
+          val hb = PolyHash32.hash("s2#" + s)
+          j = 0
+          while (j < 32) {
+            acc(32 + j) += (if (((hb >> j) & 1L) == 1L) 1 else -1)
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (acc(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
 object StringExprs {
   /** Column wrapper: `(h*31 + char) & 0xffffffff` rolling hash. */
   def polyHash32(s: Column): Column =
@@ -121,4 +180,8 @@ object StringExprs {
   /** Column wrapper: n-grams of a token array joined with spaces. */
   def wordNgrams(toks: Column, n: Int): Column =
     ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(toks), n))
+
+  /** Column wrapper: SimHash fingerprint of a token array. */
+  def simhash(toks: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHash(ExpressionUtils.expression(toks), bits))
 }

@@ -49,6 +49,25 @@ class FnsParitySpec extends AnyFunSuite {
     assert(org.apache.spark.sql.graft.PolyHash32.hash("a😀b") === expect)
   }
 
+  test("SimHash expression equals the HOF formulation at 32 and 64 bits") {
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+    for (bits <- Seq(32, 64)) {
+      val fast = graft.operators.Dedup.simhashFp(docs, bits)
+        .withColumnRenamed("simhash", "fast")
+      val ref = graft.operators.Dedup.simhashFpHof(docs, bits)
+        .withColumnRenamed("simhash", "ref")
+      val bad = fast.join(ref, "doc_id")
+        .filter(col("fast") =!= col("ref")).count()
+      assert(bad === 0L, s"SimHash($bits) diverges from the HOF reference")
+    }
+    // Edge cases: empty text (no tokens) → fingerprint 0; null text → null.
+    val edge = Seq((1L, ""), (2L, "the the the")).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.simhashFp(edge)
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === 0L)
+    assert(fps(2L) !== 0L)
+  }
+
   test("WordNgrams equals the HOF n-grams for n in 1..4 incl. short arrays") {
     val rnd = new scala.util.Random(11)
     val words = Seq("a", "bb", "ccc", "dddd", "x")

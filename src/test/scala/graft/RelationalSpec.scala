@@ -25,6 +25,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("salted join: a pathological hot key fans out across shuffle partitions") {
+    // Planted skew: 50,000 probe rows, 90% on one key. The claim salting
+    // makes is about SHUFFLE PLACEMENT: a plain equi-join hashes every hot
+    // row to ONE reducer (the straggler task that defines the stage's wall
+    // clock at 100 TB), while (key, salt) spreads them across ~`salts`
+    // reducers. The `hash()` function IS the Murmur3 hash shuffle
+    // HashPartitioning uses, so computing pmod(hash(keys...), parts) below
+    // reproduces the exchange's actual partition assignment — deterministic
+    // evidence, immune to this VM's timing noise.
+    val parts = 32
+    val salts = 8
+    val hot = 42L
+    val skewed = spark.range(50000)
+      .select(when(col("id") % 10 =!= 0, lit(hot)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    // Plain join: every hot row lands in one partition.
+    val plainBuckets = skewed
+      .select(pmod(hash(col("k")), lit(parts)).as("b"))
+      .groupBy("b").count().as[(Int, Long)].collect().toMap
+    assert(plainBuckets.values.max >= 45000L,
+      "planted skew must concentrate in one shuffle bucket unsalted")
+    // Salted: the same hot rows spread over the salt's buckets.
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col): _*), lit(salts)))
+    val saltedBuckets = salted
+      .filter(col("k") === hot)
+      .select(pmod(hash(col("k"), col("__salt")), lit(parts)).as("b"))
+      .groupBy("b").count().as[(Int, Long)].collect().toMap
+    assert(saltedBuckets.size >= salts / 2,
+      s"hot key should span ~$salts buckets, got ${saltedBuckets.size}")
+    assert(saltedBuckets.values.max <= 45000L / 3,
+      s"largest salted bucket ${saltedBuckets.values.max} is still a straggler")
+    // And the salted join still returns exactly the plain-join rows.
+    val build = Seq((hot, "dim_hot"), (1L, "dim_1")).toDF("k", "name")
+    val plainRows = skewed.join(build, "k").count()
+    val saltedRows = Relational.saltedJoin(skewed, build, "k", salts).count()
+    assert(saltedRows === plainRows)
+  }
+
   test("approx distinct words within 10% of exact per language") {
     val exact = TextAnalytics.distinctWords(spark, TestSpark.sf)
       .as[(String, Long)].collect().toMap

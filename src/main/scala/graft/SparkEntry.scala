@@ -39,6 +39,8 @@ object SparkEntry {
     "join_multiway" -> ((s, d) => Relational.joinMultiway(s, d)),
     "join_semi" -> ((s, d) => Relational.joinSemi(s, d)),
     "join_anti" -> ((s, d) => Relational.joinAnti(s, d)),
+    "join_outer" -> ((s, d) => Relational.joinOuter(s, d)),
+    "pivot_status" -> ((s, d) => Relational.pivotStatus(s, d)),
     "supplier_revenue" -> ((s, d) => Relational.supplierRevenue(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
@@ -47,6 +49,7 @@ object SparkEntry {
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "window_suite" -> ((s, d) => Relational.windowSuite(s, d)),
     "window_running" -> ((s, d) => Relational.windowRunning(s, d)),
+    "window_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
     "events_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
@@ -197,6 +200,12 @@ object SparkEntry {
       s"""$SimhashCtes, bands AS (SELECT doc_id, b AS band_idx, (simhash >> (b * 16)) & 65535 AS band_bits FROM fpall, range(0, 4) t(b)), cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id) SELECT d1, d2, hamming FROM (SELECT d1, d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cand JOIN fpall x ON d1 = x.doc_id JOIN fpall y ON d2 = y.doc_id) WHERE hamming <= 3 ORDER BY d1, d2""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey""",
+    "join_outer" ->
+      """WITH oc AS (SELECT o_custkey, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c FROM orders GROUP BY o_custkey) SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders, COALESCE(spend_c, 0) AS spend_c FROM customer LEFT JOIN oc ON c_custkey = o_custkey ORDER BY c_custkey""",
+    "pivot_status" ->
+      """SELECT o_orderpriority, CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F", CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O", CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P" FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "window_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day, CAST(round(o_totalprice * 100) AS BIGINT) AS total_c FROM orders) SELECT o_custkey, o_orderkey, day, CAST(sum(total_c) OVER (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_c FROM o ORDER BY o_custkey, day, o_orderkey""",
     "agg_quantiles" ->
       """SELECT o_orderpriority, count(*) AS cnt, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS p50_c, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS p90_c, CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS p99_c FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "agg_rollup" ->

@@ -216,6 +216,55 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Left outer join with an aggregate right side: every customer, with 0
+    * for the order-less ones (the missing-rows semantics `join_anti` only
+    * witnesses). The aggregate runs BEFORE the join, so the join carries one
+    * row per customer on each side — never the raw fact table. */
+  def joinOuter(s: SparkSession, d: String): DataFrame = {
+    val counts = orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("spend_c"))
+    customer(s, d).select(col("c_custkey"), col("c_name"))
+      .join(counts.withColumnRenamed("o_custkey", "c_custkey"), Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend_c"), lit(0L)).as("spend_c"))
+      .orderBy("c_custkey")
+  }
+
+  // Pivot output columns — fixed and declared so the pivot never needs the
+  // extra distinct-values scan Spark runs for an unspecified value list (at
+  // 100 TB that implicit first pass is a full extra job).
+  val OrderStatuses: Seq[String] = Seq("F", "O", "P")
+
+  /** Pivot: order counts per priority × status, statuses as columns. The
+    * declared value list keeps it one aggregation; absent combinations
+    * surface as 0, matching the oracle's conditional-sum formulation. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame = {
+    val p = orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", OrderStatuses)
+      .agg(count(lit(1)))
+    p.select(col("o_orderpriority") +:
+        OrderStatuses.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  /** RANGE-frame window: per customer, each order's spend plus all spend in
+    * the preceding 30 days (frame bounds by VALUE distance on an integer
+    * day column, not row offsets — peers with the same day aggregate
+    * identically, which keeps ties deterministic without a tiebreak). */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1990-01-01")))
+        .cast("long").as("day"),
+      cents(col("o_totalprice")).as("total_c"))
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    o.select(col("o_custkey"), col("o_orderkey"), col("day"),
+        sum(col("total_c")).over(w).as("window_c"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
   /** Salted equi-join — the skew mitigation recipe from SCALE.md as code.
     * The skewed (probe) side gets a deterministic salt from a hash of its
     * row (uniform spread of a hot key across `salts` sub-keys); the build

@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns._
-import graft.operators.TextAnalytics
+import graft.operators.{Dedup, TextAnalytics}
 
 /** The reference engine brands itself a *streaming* word counter — its
   * dispatch loop (coordinator.py:85-104) feeds chunks as the file is read.
@@ -70,4 +70,74 @@ object TextStreams {
       .withWatermark("event_ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("fp"), col("text"))
+
+  /** Streaming NEAR-dup twin of [[Dedup.simhashPairs]]: arriving documents
+    * are SimHash-fingerprinted, exploded into the same 16-bit prefix bands,
+    * and matched against per-bucket state via `flatMapGroupsWithState` —
+    * each (band, bits) bucket remembers the (doc_id, fingerprint) pairs it
+    * has seen and Hamming-verifies every newcomer against them. The
+    * pigeonhole property carries over: a pair within Hamming ≤ maxHamming
+    * agrees exactly on ≥ 1 band, so bucket-local matching finds every
+    * qualifying pair as it arrives.
+    *
+    * Exactly-once emission WITHOUT cross-bucket state: a pair agreeing on
+    * several bands would be discovered in each of them, so a match is
+    * emitted only from its FIRST agreeing band — a pure function of the two
+    * fingerprints, hence the same single bucket decides regardless of
+    * arrival order or batch boundaries.
+    *
+    * Scale posture: state is per-bucket doc lists — bounded by band-bucket
+    * occupancy (65,536 buckets/band at 64-bit), the same quantity that
+    * bounds the batch band join's fan-out; on an unbounded crawl, evict by
+    * event time (GroupStateTimeout.EventTimeTimeout) to cap state at the
+    * dedup horizon, exactly like the exact-dedup twin's watermark. Rows
+    * inside a micro-batch are processed in doc_id order so within-batch
+    * discovery is deterministic. */
+  def nearDupStream(spark: SparkSession, path: String, maxHamming: Int = 3,
+      maxFilesPerTrigger: Int = 0): Dataset[NearDupPair] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxHamming < Dedup.SimBands, "pigeonhole needs maxHamming < SimBands")
+    val bandStructs = array((0 until Dedup.SimBands).map { b =>
+      struct(
+        lit(b.toLong).as("band_idx"),
+        shiftright(col("fp"), b * Dedup.SimBandBits)
+          .bitwiseAND(lit((1L << Dedup.SimBandBits) - 1)).as("band_bits"))
+    }: _*)
+    val bands = documentStream(spark, path, maxFilesPerTrigger)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.StringExprs
+          .simhash(tokens(col("text")), Dedup.SimBits).as("fp"))
+      .select(col("doc_id"), col("fp"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("fp"),
+        col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
+      .as[(Long, Long, Long, Long)]
+    def firstAgreeingBand(a: Long, b: Long): Long = {
+      val mask = (1L << Dedup.SimBandBits) - 1
+      (0 until Dedup.SimBands).indexWhere { i =>
+        ((a >> (i * Dedup.SimBandBits)) & mask) == ((b >> (i * Dedup.SimBandBits)) & mask)
+      }.toLong
+    }
+    bands
+      .groupByKey { case (_, _, bandIdx, bandBits) => (bandIdx, bandBits) }
+      .flatMapGroupsWithState[Seq[(Long, Long)], NearDupPair](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case ((bandIdx, _), rows, state: GroupState[Seq[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[NearDupPair]
+          for ((docId, fp, _, _) <- rows.toSeq.sortBy(_._1)) {
+            for ((id2, fp2) <- seen) {
+              val h = java.lang.Long.bitCount(fp ^ fp2)
+              if (h <= maxHamming && firstAgreeingBand(fp, fp2) == bandIdx)
+                out += NearDupPair(math.min(docId, id2), math.max(docId, id2), h.toLong)
+            }
+            seen = seen :+ (docId, fp)
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
 }
+
+/** Output row of [[TextStreams.nearDupStream]]. */
+case class NearDupPair(d1: Long, d2: Long, hamming: Long)

@@ -29,6 +29,26 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed.toSet === batch)
   }
 
+  test("streaming near-dup pairs equal the batch simhash Hamming-ball exactly") {
+    val dir = Paths.get("target", "test-scratch", "docstream_neardup")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.nearDupStream(spark, dir.toString).toDF(), "t_neardup",
+        mode = "append")
+      .as[(Long, Long, Long)].collect().toSeq
+    // Exactly-once: no pair reported twice (the first-agreeing-band rule).
+    assert(streamed.map(t => (t._1, t._2)).distinct.size === streamed.size,
+      "a pair was emitted from more than one band bucket")
+    // Full parity with the batch operator — same pairs, same Hamming.
+    val batch = graft.operators.Dedup.simhashPairs(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed.toSet === batch.toSet)
+    assert(batch.nonEmpty, "corpus has no near-dups — test would be vacuous")
+  }
+
   test("streaming word count over a text dir equals the batch word count") {
     val dir = Paths.get("target", "test-scratch", "textstream")
     Files.createDirectories(dir)

@@ -79,6 +79,7 @@ object SparkEntry {
     "sim_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
+    "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     // — LLM-pipeline: corpus shipping —
     "corpus_clean" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "corpus_clean_neardup" -> ((s, d) => Pipeline.cleanCorpusNearDup(s, d)),
@@ -240,6 +241,10 @@ object SparkEntry {
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> ((h * 31 + c) & 4294967295)) AS fp FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text FROM documents GROUP BY text ORDER BY keep_id""",
+    // Binary-payload dedup: grouping by text ≡ grouping by its UTF-8 bytes
+    // (injective encoding), so the oracle needs no blob arithmetic.
+    "media_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, CAST(max(octet_length(encode(text))) AS BIGINT) AS n_bytes FROM documents GROUP BY text ORDER BY keep_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramCtes SELECT d1, d2, jac_e4 FROM jpairs WHERE jac_e4 >= 100 ORDER BY d1, d2""",
     // Connected components as a recursive transitive closure: cluster id =

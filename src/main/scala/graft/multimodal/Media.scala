@@ -111,6 +111,22 @@ object Media {
       }(enc)
   }
 
+  /** Exact dedup keyed on the BINARY payload itself — the header's "dedup
+    * works unchanged on media columns" claim as an oracle-checked query.
+    * Spark groups binary by byte equality; the DuckDB twin groups by the
+    * source text, which is equivalent because UTF-8 encoding is injective
+    * (equal bytes ⇔ equal strings — no ASCII assumption needed). Survivor =
+    * min doc_id, same R3 rule as the text dedup. */
+  def mediaDedup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .groupBy("media")
+      .agg(
+        min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_dups"),
+        max(col("meta.n_bytes")).as("n_bytes"))
+      .select("keep_id", "n_dups", "n_bytes")
+      .orderBy("keep_id")
+
   /** Driver-contract query: deterministic feature summary per doc. */
   def featuresQuery(s: SparkSession, d: String): DataFrame =
     extractFeatures(mediaTable(s, d))

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Pipeline}
+
+/** Zero-row and degenerate inputs through the dedup/pipeline operators: a
+  * library operator must return an empty (or fully-defaulted) frame, never
+  * throw — empty partitions and empty date-slices are routine at 100 TB. */
+class EdgeCaseSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val emptyDocs =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+
+  test("dedup operators return empty frames on an empty corpus") {
+    assert(Dedup.simhashFp(emptyDocs).count() === 0L)
+    assert(Dedup.simhashPairsDf(emptyDocs).count() === 0L)
+    assert(Dedup.minhashSignatures(emptyDocs).count() === 0L)
+    assert(Dedup.minhashPairs(emptyDocs).count() === 0L)
+    assert(Dedup.ngramJaccardPairsDf(emptyDocs).count() === 0L)
+    assert(Dedup.clusterAssignmentsDf(emptyDocs).count() === 0L)
+  }
+
+  test("near-dup clean pipeline handles an empty corpus") {
+    assert(Pipeline.cleanCorpusNearDupDf(emptyDocs).count() === 0L)
+  }
+
+  test("single-document corpus: no pairs, doc survives every gate shape") {
+    val one = Seq((7L, "the quick brown fox is a friend of mine", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Dedup.simhashPairsDf(one).count() === 0L)
+    assert(Dedup.ngramJaccardPairsDf(one).count() === 0L)
+    val clusters = Dedup.clusterAssignmentsDf(one).as[(Long, Long)].collect()
+    assert(clusters.toSeq === Seq((7L, 7L)))
+    val clean = Pipeline.cleanCorpusNearDupDf(one)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(clean.head._2 === 1L, "a singleton must be its own survivor")
+  }
+
+  test("whitespace-only and empty texts flow through fingerprints and shingles") {
+    val degenerate = Seq((1L, "", "en"), (2L, "   ", "en"), (3L, ". , !", "en"))
+      .toDF("doc_id", "text", "lang")
+    // Fingerprint 0 for token-less docs (the declared contract), one
+    // whole-text fallback shingle each, no crash anywhere.
+    val fps = Dedup.simhashFp(degenerate).as[(Long, Long)].collect().toMap
+    assert(fps.values.forall(_ === 0L))
+    assert(Dedup.shingles(degenerate).count() === 3L)
+    assert(Dedup.clusterAssignmentsDf(degenerate).count() === 3L)
+  }
+}

@@ -65,6 +65,12 @@ class PipelineSpec extends AnyFunSuite {
     val train = spark.read.parquet(out)
       .filter(org.apache.spark.sql.functions.col("split") === "train")
     assert(train.count() === counts.getOrElse("train", 0L))
+    // ...and the prune is real: the split predicate lands in the scan's
+    // PartitionFilters (directory-level pruning — the other splits' files
+    // are never opened), not in a post-scan Filter.
+    val plan = train.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      s"split read is not partition-pruned:\n${plan.take(1500)}")
   }
 
   test("ship: near-dup clusters collapse to exactly one shipped survivor") {

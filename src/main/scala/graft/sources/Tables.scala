@@ -69,4 +69,11 @@ object Tables {
       .schema(schema)
       .option("multiLine", "false")
       .json(path)
+
+  /** ORC source — the other columnar format warehouses hand you. Same
+    * pushdown/pruning behavior as Parquet (predicates reach the ORC reader's
+    * stripe/row-group statistics), so the operator library runs on ORC lakes
+    * unchanged. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -46,4 +46,19 @@ class SourcesSpec extends AnyFunSuite {
       .orderBy(desc("cnt"), asc("word")).as[(String, Long)].collect().toSeq
     assert(viaCsv === viaParquet)
   }
+
+  test("ORC round-trip with predicate pushdown into the ORC scan") {
+    val path = "target/test-scratch/docs_orc"
+    docs.write.mode("overwrite").orc(path)
+    val back = Tables.orc(spark, path)
+    assert(back.orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+    // The pushdown story carries over from Parquet: a doc_id predicate must
+    // reach the ORC reader as a PushedFilter, not a post-scan Filter only.
+    val filtered = back.filter(col("doc_id") < 10).select("doc_id", "lang")
+    filtered.count()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id"),
+      s"doc_id bound not pushed to the ORC scan:\n${plan.take(1500)}")
+  }
 }

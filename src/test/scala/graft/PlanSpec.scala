@@ -74,6 +74,13 @@ class PlanSpec extends AnyFunSuite {
       val sorts = df.queryExecution.optimizedPlan.collect { case s: Sort => s }
       assert(sorts.nonEmpty, s"query wrapper $name lost its terminal sort")
     }
+    // Ship consumes the sorted cleanCorpusNearDup wrapper, but Catalyst's
+    // EliminateSorts drops the sort below the join — pin that so a future
+    // barrier (persist/checkpoint between them) doesn't silently reintroduce
+    // a full range-sort into the shipping path.
+    val ship = Ship.shipFrame(spark, TestSpark.sf)
+    val shipSorts = ship.queryExecution.optimizedPlan.collect { case s: Sort => s }
+    assert(shipSorts.isEmpty, "shipFrame re-acquired a sort below its joins")
   }
 
   test("supplier_revenue: dims broadcast, fact side never builds a hash table") {

@@ -131,7 +131,7 @@ object TextStreams {
               if (h <= maxHamming && firstAgreeingBand(fp, fp2) == bandIdx)
                 out += NearDupPair(math.min(docId, id2), math.max(docId, id2), h.toLong)
             }
-            seen = seen :+ (docId, fp)
+            seen = (docId, fp) +: seen // prepend: O(1) on List; order is irrelevant
           }
           state.update(seen)
           out.result().iterator

@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(args.head, n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash fingerprint of a string array (bits 0-31 from poly_hash32(token), 32-63 from the salted hash)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64 expects exactly one array<string> argument")
+        SimHash(args.head, 64)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("dot_product_double"),
       info("dot_product_double", "dot_product_double(a, b) - sequential dot product of two array<double>"),
       (args: Seq[Expression]) => {

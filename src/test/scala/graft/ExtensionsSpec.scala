@@ -37,6 +37,16 @@ class ExtensionsSpec extends AnyFunSuite {
       // NULL semantics survive the SQL path
       assert(s.sql("SELECT dot_product_double(array(1.0d), array(1.0d,2.0d))")
         .head().isNullAt(0))
+      // simhash64: empty array → 0; same value as the Column API path.
+      assert(s.sql("SELECT simhash64(CAST(array() AS ARRAY<STRING>))")
+        .head().getLong(0) === 0L)
+      val viaSql = s.sql("SELECT simhash64(array('the','fox'))").head().getLong(0)
+      import s.implicits._
+      val viaCol = Seq(Seq("the", "fox")).toDF("toks")
+        .select(org.apache.spark.sql.graft.StringExprs.simhash(
+          org.apache.spark.sql.functions.col("toks"), 64))
+        .head().getLong(0)
+      assert(viaSql === viaCol)
     }
   }
 

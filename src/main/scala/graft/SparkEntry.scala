@@ -45,6 +45,7 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
     "agg_quantiles" -> ((s, d) => Relational.aggQuantiles(s, d)),
+    "agg_grouping_sets" -> ((s, d) => Relational.aggGroupingSets(s, d)),
     // — windows & events —
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "window_suite" -> ((s, d) => Relational.windowSuite(s, d)),
@@ -62,6 +63,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalytics.fingerprint(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalytics.tfIdf(s, d)),
+    "text_tfidf_linear" -> ((s, d) => TextAnalytics.tfIdfLinear(s, d)),
     // — LLM-pipeline: dedup —
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -237,6 +239,12 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, length(replace(text, ' ', '')) AS alpha_len, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, alpha_len, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits FROM t) SELECT doc_id, n_toks, CAST(round(alpha_len * 10000.0 / n_toks) AS BIGINT) AS avg_len_e4, CAST(round(stop_hits * 10000.0 / n_toks) AS BIGINT) AS stop_e4, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok FROM s ORDER BY doc_id""",
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS re_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[^a-z ]')) AS BIGINT) AS piece_tokens, CAST(length(text) AS BIGINT) AS text_len FROM documents ORDER BY doc_id""",
+    "agg_grouping_sets" ->
+      """SELECT CAST(grouping(o_orderstatus) AS BIGINT) AS g_s, CAST(grouping(o_orderpriority) AS BIGINT) AS g_p, o_orderstatus, o_orderpriority, count(*) AS cnt, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    // Log-free TF-IDF twin: tf·N/df — rule-R2-clean (no libm ln), so unlike
+    // text_tfidf this weighting is hash-checked end to end.
+    "text_tfidf_linear" ->
+      s"""WITH terms AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents), tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word), df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), n AS (SELECT count(*) AS n FROM documents) SELECT tf.doc_id, tf.word, tf.tf, df.df, CAST(round(tf.tf * 10000.0 * n.n / df.df) AS BIGINT) AS w_e4 FROM tf JOIN df ON tf.word = df.word, n ORDER BY tf.doc_id, tf.word""",
     "text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> ((h * 31 + c) & 4294967295)) AS fp FROM documents ORDER BY doc_id""",
     "dedup_exact" ->

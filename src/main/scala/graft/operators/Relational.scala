@@ -216,6 +216,24 @@ object Relational {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Explicit GROUPING SETS — two independent groupings in one pass over the
+    * fact table (neither ROLLUP's prefix lattice nor CUBE's full lattice):
+    * per-status totals and per-priority totals, distinguished by grouping
+    * flags. One Expand + one aggregate; at 100 TB this halves the scans a
+    * naive two-query report would pay. SQL-expressed like aggRollup
+    * (the Dataset rollup/grouping API trips DetectAmbiguousSelfJoin). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT
+         |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+         |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
+         |  o_orderstatus, o_orderpriority, count(*) AS cnt,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+         |FROM parquet.`$d/orders.parquet`
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         |ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+         |""".stripMargin)
+
   /** Left outer join with an aggregate right side: every customer, with 0
     * for the order-less ones (the missing-rows semantics `join_anti` only
     * witnesses). The aggregate runs BEFORE the join, so the join carries one

@@ -112,6 +112,27 @@ object TextAnalytics {
       .orderBy("doc_id", "word")
   }
 
+  /** Log-free TF-IDF sibling: weight = tf · N / df in 1e-4 fixed point —
+    * the rational inverse-frequency weighting (no `ln`), which preserves the
+    * same per-document ranking of terms by rarity while staying exactly
+    * oracle-expressible (rule R2 keeps libm out of hash-matched outputs;
+    * this is the hash-matched twin of the rows-only `text_tfidf`). One
+    * double multiply-divide in fixed op order, then round. */
+  def tfIdfLinear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = terms.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    tf.join(df_, "word")
+      .select(
+        col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf") * lit(10000.0) * lit(n.toDouble) / col("df")).cast("long").as("w_e4"))
+      .orderBy("doc_id", "word")
+  }
+
   /** docTokens without the lang column (works on any (doc_id, text) frame). */
   def docTokensText(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))

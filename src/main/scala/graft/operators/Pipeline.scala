@@ -105,6 +105,27 @@ object Pipeline {
   val TrainPct = 80L
   val ValPct = 10L
 
+  /** Per-source mixture sampling — the data-mixing step of a training
+    * pipeline (up/down-weight sources before training). Fully deterministic:
+    *  - each source's keep rate (1e-4 units, in [0.2, 1.0]) derives from a
+    *    salted hash of the source name — stable as new sources appear;
+    *  - each document's bucket derives from a salted hash of its id — so a
+    *    document's keep decision never flips when OTHER sources grow or a
+    *    different source's rate changes, and re-runs reproduce the exact
+    *    sample (the property `TABLESAMPLE`/random() mixing lacks).
+    * One narrow scan, no shuffle before the terminal sort; swap the derived
+    * rate for a curated per-source table by joining a broadcast dim. */
+  def dataMix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("source"),
+        (lit(2000L) + pmod(polyHash(concat(lit("rate:"), col("source"))), lit(8001L)))
+          .as("rate_e4"),
+        pmod(polyHash(concat(lit("mix:"), col("doc_id").cast("string"))), lit(10000L))
+          .as("bucket"))
+      .withColumn("keep", (col("bucket") < col("rate_e4")).cast("long"))
+      .orderBy("doc_id")
+
   /** Deterministic train/val/test assignment per document: bucket =
     * polyHash("split:" ++ doc_id) mod 100. Hash-based (not random) so the
     * assignment is reproducible across engines, runs, and partitionings. */

@@ -127,6 +127,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists(_._5 == 1L), "no document survives the clean — corpus or gates broken")
   }
 
+  test("dataMix: deterministic, per-source rates coherent, keep = bucket < rate") {
+    val a = Pipeline.dataMix(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val b = Pipeline.dataMix(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(a === b, "mixture sample must be identical across runs")
+    assert(a.size.toLong === sources.Tables.documents(spark, TestSpark.sf).count())
+    for ((_, rows) <- a.groupBy(_._2))
+      assert(rows.map(_._3).distinct.size === 1, "one rate per source")
+    for ((id, _, rate, bucket, keep) <- a)
+      assert(keep === (if (bucket < rate) 1L else 0L), s"doc $id keep flag wrong")
+    // The mixture actually mixes: some sources keep more than others.
+    val keptBySource = a.groupBy(_._2).view.mapValues(_.count(_._5 == 1L)).toMap
+    assert(keptBySource.values.toSet.size > 1, "all sources sampled identically")
+  }
+
   test("dataSplit: deterministic, total, and roughly proportioned") {
     val a = Pipeline.dataSplit(spark, TestSpark.sf)
       .as[(Long, Long, String)].collect().toSeq

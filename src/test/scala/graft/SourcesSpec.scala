@@ -47,6 +47,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(viaCsv === viaParquet)
   }
 
+  test("malformed JSON lines surface as null rows (PERMISSIVE), droppable on demand") {
+    // At 100 TB some records WILL be broken; the library's contract is
+    // Spark's PERMISSIVE default — a malformed line yields a null-filled
+    // row (auditable, countable) rather than failing the job; DROPMALFORMED
+    // opts into silent exclusion.
+    val dir = java.nio.file.Paths.get("target", "test-scratch", "docs_badjson")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("part.json"),
+      """{"doc_id": 1, "text": "good one", "lang": "en"}
+        |{"doc_id": 2, "text": "also fine", "lang": "en"}
+        |{not json at all
+        |""".stripMargin)
+    val schema = docs.schema
+    val permissive = Tables.jsonLines(spark, dir.toString, schema)
+    assert(permissive.count() === 3L)
+    assert(permissive.filter(col("doc_id").isNull).count() === 1L,
+      "the malformed line must surface as a null row, not vanish")
+    val dropped = spark.read.schema(schema)
+      .option("multiLine", "false").option("mode", "DROPMALFORMED")
+      .json(dir.toString)
+    assert(dropped.count() === 2L)
+  }
+
   test("ORC round-trip with predicate pushdown into the ORC scan") {
     val path = "target/test-scratch/docs_orc"
     docs.write.mode("overwrite").orc(path)

@@ -97,19 +97,25 @@ object TextAnalytics {
     tfIdfDf(Tables.documents(spark, dir))
 
   def tfIdfDf(docs: DataFrame): DataFrame = {
-    // `terms` feeds both the tf and the df aggregations — persist so the
-    // scan→tokenize→explode runs once (harness clears cache between queries).
+    val (tfdf, n) = termFrequencies(docs)
+    tfdf.select(
+        col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")) * lit(10000)).cast("long").as("tfidf_e4"))
+      .orderBy("doc_id", "word")
+  }
+
+  /** Shared tf/df kit for the two weighting variants: per-(doc, word) term
+    * frequency joined with per-word document frequency, plus the corpus
+    * size. `terms` feeds both aggregations — persisted so the
+    * scan→tokenize→explode runs once (harness clears cache per query). */
+  private def termFrequencies(docs: DataFrame): (DataFrame, Long) = {
     val terms = docTokensText(docs)
       .select(col("doc_id"), explode(col("toks")).as("word"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df_ = terms.distinct().groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.count() // one scalar; the scan is cheap relative to the explode
-    tf.join(df_, "word")
-      .select(
-        col("doc_id"), col("word"), col("tf"), col("df"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")) * lit(10000)).cast("long").as("tfidf_e4"))
-      .orderBy("doc_id", "word")
+    (tf.join(df_, "word"), n)
   }
 
   /** Log-free TF-IDF sibling: weight = tf · N / df in 1e-4 fixed point —
@@ -119,15 +125,8 @@ object TextAnalytics {
     * this is the hash-matched twin of the rows-only `text_tfidf`). One
     * double multiply-divide in fixed op order, then round. */
   def tfIdfLinear(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val terms = docTokensText(docs)
-      .select(col("doc_id"), explode(col("toks")).as("word"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df_ = terms.distinct().groupBy("word").agg(count(lit(1)).as("df"))
-    val n = docs.count()
-    tf.join(df_, "word")
-      .select(
+    val (tfdf, n) = termFrequencies(Tables.documents(spark, dir))
+    tfdf.select(
         col("doc_id"), col("word"), col("tf"), col("df"),
         round(col("tf") * lit(10000.0) * lit(n.toDouble) / col("df")).cast("long").as("w_e4"))
       .orderBy("doc_id", "word")

@@ -135,9 +135,12 @@ object SparkEntry {
     // Near-dup-aware clean: the survivor CTEs are the dedup_clusters
     // transitive closure at the decision-grade Jaccard ≥ 0.8 threshold
     // (Dedup.NearDupJacE4 — a doc survives iff no smaller doc_id is
-    // reachable); quality/lang CTEs are corpus_clean's.
+    // reachable) CONJOINED with the exact-text minimum (`xs` — the df cap
+    // drops pair edges among texts duplicated more than MaxShingleDf times,
+    // so the cluster gate alone would ship every copy of hot boilerplate);
+    // quality/lang CTEs are corpus_clean's.
     "corpus_clean_neardup" ->
-      s"""WITH RECURSIVE $NgramCtes, fpairs AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= 8000), edges AS (SELECT d1 AS a, d2 AS b FROM fpairs UNION ALL SELECT d2 AS a, d1 AS b FROM fpairs), reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a), t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s) SELECT d.doc_id, CAST(CASE WHEN m.m IS NULL OR m.m >= d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, CAST(CASE WHEN (m.m IS NULL OR m.m >= d.doc_id) AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN mn m ON d.doc_id = m.a ORDER BY d.doc_id""",
+      s"""WITH RECURSIVE $NgramCtes, fpairs AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= 8000), edges AS (SELECT d1 AS a, d2 AS b FROM fpairs UNION ALL SELECT d2 AS a, d1 AS b FROM fpairs), reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a), xs AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s) SELECT d.doc_id, CAST(CASE WHEN (m.m IS NULL OR m.m >= d.doc_id) AND xs.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, CAST(CASE WHEN (m.m IS NULL OR m.m >= d.doc_id) AND xs.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN mn m ON d.doc_id = m.a LEFT JOIN xs ON d.doc_id = xs.doc_id ORDER BY d.doc_id""",
     "data_split" ->
       """SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents)) ORDER BY doc_id""",
     // Per-source mixture sampling: both hashes are the same salted

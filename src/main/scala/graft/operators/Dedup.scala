@@ -205,6 +205,20 @@ object Dedup extends org.apache.spark.internal.Logging {
   // so the band equi-join finds every qualifying pair (recall 1.0, no
   // approximation in the candidate set), and only bucket-mates are verified.
 
+  /** Band-slice expression shared by the batch pair join and the streaming
+    * near-dup detector ([[graft.streaming.TextStreams.nearDupStream]]): one
+    * struct per band carrying the band index and that band's SimBandBits-bit
+    * slice of the fingerprint. One definition on purpose — batch and stream
+    * MUST band identically or streaming recall silently diverges when the
+    * fingerprint width or band split changes again. */
+  def simhashBandStructs(fp: Column): Column =
+    array((0 until SimBands).map { b =>
+      struct(
+        lit(b.toLong).as("band_idx"),
+        shiftright(fp, b * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1)).as("band_bits"))
+    }: _*)
+
   /** Near-dup pairs within Hamming distance `maxHamming` of each other's
     * SimHash — the search operator the fingerprint exists for. Shape:
     * band equi-join (linear shuffle, fan-out bounded by band-bucket
@@ -228,13 +242,8 @@ object Dedup extends org.apache.spark.internal.Logging {
     // a pure function of the pair, so filtering first is equivalent and
     // shrinks the distinct.
     val fp = simhashFp(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = array((0 until SimBands).map { b =>
-      struct(
-        lit(b.toLong).as("band_idx"),
-        shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit((1L << SimBandBits) - 1)).as("band_bits"))
-    }: _*)
     val bands = fp
-      .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("simhash"), explode(simhashBandStructs(col("simhash"))).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
     bands.as("a")

@@ -69,18 +69,27 @@ object Pipeline {
   /** Same decision frame, but the survivor gate is NEAR-dup aware: a document
     * survives iff it is its cluster's minimum (doc_id = cluster_id under
     * Dedup.clusterAssignments at the decision-grade Jaccard ≥ 0.8 threshold —
-    * n-gram-Jaccard pairs → connected components). Identical texts share
-    * every shingle (Jaccard 1.0), so exact duplicates land in one cluster
-    * too: this gate strictly subsumes exact dedup. This is the keep decision
-    * a real 100 TB pipeline ships with — boilerplate variants and re-crawls
-    * collapse to one survivor, not just byte-identical copies. */
+    * n-gram-Jaccard pairs → connected components) AND its text's exact-dedup
+    * minimum. The conjunction is load-bearing, not belt-and-braces: identical
+    * texts share every shingle (Jaccard 1.0), but the hot-shingle df cap
+    * (Dedup.MaxShingleDf) drops pair edges among texts duplicated more than
+    * `cap` times — exactly the high-duplication boilerplate case dedup exists
+    * for — leaving each copy a singleton cluster that would ship. The exact
+    * gate closes that hole (one hash shuffle); the cluster gate adds near-dup
+    * collapse on top. This is the keep decision a real 100 TB pipeline ships
+    * with — boilerplate variants and re-crawls collapse to one survivor, not
+    * just byte-identical copies. */
   def cleanCorpusNearDup(s: SparkSession, d: String): DataFrame =
     cleanCorpusNearDupDf(Tables.documents(s, d))
 
   /** Same, over any (doc_id, text, lang) DataFrame (planted-dup tests). */
   def cleanCorpusNearDupDf(docs: DataFrame): DataFrame = {
-    val survivors = Dedup.clusterAssignmentsDf(docs, Dedup.NearDupJacE4)
+    val clusterMin = Dedup.clusterAssignmentsDf(docs, Dedup.NearDupJacE4)
       .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id")
+    val exactMin = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val survivors = clusterMin.join(exactMin, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit(1L).as("is_survivor"))
     gate(qualityLangFlags(docs), survivors)
   }

@@ -118,6 +118,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(3L)._2 === 1L && rows(3L)._5 === 1L, "singleton must survive")
   }
 
+  test("cleanCorpusNearDup: df-capped exact duplicates still collapse to one survivor") {
+    // 60 byte-identical copies: every shingle of that text has df = 60 >
+    // MaxShingleDf (50), so the pair join sees NO edges among them and each
+    // copy is a singleton cluster — the cluster-min gate alone would ship
+    // all 60. The exact-text conjunct must keep exactly the min copy.
+    assert(60L > Dedup.MaxShingleDf, "fixture must exceed the df cap")
+    val hot = "the quick brown fox jumps over the lazy dog and is a friend of every creature"
+    val docs = ((1L to 60L).map(i => (i, hot, "en")) :+
+      ((100L, "the optimizer of a catalyst engine is a tree and a rule set", "en")))
+      .toDF("doc_id", "text", "lang")
+    val kept = Pipeline.cleanCorpusNearDupDf(docs)
+      .filter(org.apache.spark.sql.functions.col("keep") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 100L),
+      s"expected one survivor per text, got ${kept.toSeq.sorted.mkString(",")}")
+  }
+
   test("cleanCorpus: keep is the conjunction of its exposed gates") {
     val rows = Pipeline.cleanCorpus(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long, Long)].collect()

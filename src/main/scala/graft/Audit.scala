@@ -47,11 +47,14 @@ object Audit {
       // Warm once so codegen/footer costs don't add stages to the audit run.
       SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
+      // Listener events post asynchronously (the bus drain API is
+      // private[spark]); settle BEFORE zeroing as well as after the measured
+      // run, so straggler warm-up stage events can't land after the reset
+      // and inflate the measured numbers.
+      Thread.sleep(1000)
       shuffle.set(0); shuffleRecs.set(0)
       SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
-      // Listener events post asynchronously (the bus drain API is
-      // private[spark]); a short settle is enough for a dev tool.
       Thread.sleep(1000)
       println(f"[audit] $name%-24s shuffleWrite=${shuffle.get / 1024.0}%10.1f KB  (${shuffleRecs.get}%,d records)")
     }

@@ -46,10 +46,21 @@ object TextStreams {
   }
 
   /** Streaming exact-dedup twin of [[graft.operators.Dedup.exact]]: each
-    * arriving document is fingerprinted with the engine's deterministic
-    * polyHash and only a fingerprint's FIRST occurrence within the watermark
-    * horizon passes — `dropDuplicatesWithinWatermark`, the streaming-state
-    * form of the batch group-by-text survivor.
+    * arriving document is fingerprinted and only a fingerprint's FIRST
+    * occurrence within the watermark horizon passes —
+    * `dropDuplicatesWithinWatermark`, the streaming-state form of the batch
+    * group-by-text survivor.
+    *
+    * The fingerprint is 128 bits: two independent xxhash64 values (the
+    * second salted). At crawl scale a 32-bit hash collides with near
+    * certainty (~77k docs for a 50% birthday collision) and a collision
+    * here silently DROPS a distinct document — so the key is wide enough
+    * that the expected collision count stays ≪ 1 up to ~10¹⁸ docs.
+    * Residual risk: a 128-bit collision still drops a distinct doc; the
+    * batch twin keys on the full text and has no such risk. Keying state
+    * on the text itself would close even that, at the cost of holding
+    * full document bodies in the state store — the hash keeps state rows
+    * fixed-width, the property that makes the horizon bound meaningful.
     *
     * Event time is synthesized from doc_id (documents carry no timestamp;
     * a real ingest pipeline would use arrival time). The watermark bounds
@@ -63,13 +74,14 @@ object TextStreams {
   def dedupStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 0, horizon: String = "1 hour"): DataFrame =
     documentStream(spark, path, maxFilesPerTrigger)
-      .withColumn("fp", polyHash(col("text")))
+      .withColumn("fp1", xxhash64(col("text")))
+      .withColumn("fp2", xxhash64(lit("dedup-salt-2"), col("text")))
       // +1 day: a row whose event time equals the INITIAL watermark (epoch 0)
       // would be discarded as late before the first batch even runs.
       .withColumn("event_ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
       .withWatermark("event_ts", horizon)
-      .dropDuplicatesWithinWatermark("fp")
-      .select(col("doc_id"), col("fp"), col("text"))
+      .dropDuplicatesWithinWatermark("fp1", "fp2")
+      .select(col("doc_id"), col("fp1"), col("fp2"), col("text"))
 
   /** Streaming NEAR-dup twin of [[Dedup.simhashPairs]]: arriving documents
     * are SimHash-fingerprinted, exploded into the same 16-bit prefix bands,
@@ -86,32 +98,38 @@ object TextStreams {
     * fingerprints, hence the same single bucket decides regardless of
     * arrival order or batch boundaries.
     *
-    * Scale posture: state is per-bucket doc lists — bounded by band-bucket
-    * occupancy (65,536 buckets/band at 64-bit), the same quantity that
-    * bounds the batch band join's fan-out; on an unbounded crawl, evict by
-    * event time (GroupStateTimeout.EventTimeTimeout) to cap state at the
-    * dedup horizon, exactly like the exact-dedup twin's watermark. Rows
-    * inside a micro-batch are processed in doc_id order so within-batch
-    * discovery is deterministic. */
+    * Scale posture: state is per-bucket (doc_id, fingerprint, event-ms)
+    * triples — bounded by band-bucket occupancy (65,536 buckets/band at
+    * 64-bit) WITHIN the dedup horizon: entries are evicted by event time
+    * (EventTimeTimeout + a watermark filter on every state update), exactly
+    * like the exact-dedup twin's watermark, so state is O(docs per horizon
+    * window) on an unbounded crawl, not O(stream). Two documents match only
+    * if they arrive within one horizon of each other — the same contract
+    * dedupStream has. Rows inside a micro-batch are processed in doc_id
+    * order so within-batch discovery is deterministic. */
   def nearDupStream(spark: SparkSession, path: String, maxHamming: Int = 3,
-      maxFilesPerTrigger: Int = 0): Dataset[NearDupPair] = {
+      maxFilesPerTrigger: Int = 0, horizonMs: Long = 3600000L): Dataset[NearDupPair] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(maxHamming < Dedup.SimBands, "pigeonhole needs maxHamming < SimBands")
-    val bandStructs = array((0 until Dedup.SimBands).map { b =>
-      struct(
-        lit(b.toLong).as("band_idx"),
-        shiftright(col("fp"), b * Dedup.SimBandBits)
-          .bitwiseAND(lit((1L << Dedup.SimBandBits) - 1)).as("band_bits"))
-    }: _*)
     val bands = documentStream(spark, path, maxFilesPerTrigger)
       .select(col("doc_id"),
         org.apache.spark.sql.graft.StringExprs
           .simhash(tokens(col("text")), Dedup.SimBits).as("fp"))
-      .select(col("doc_id"), col("fp"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("fp"),
+      // Same synthesized event time as dedupStream (+1 day off epoch 0).
+      .withColumn("event_ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
+      .withWatermark("event_ts", s"$horizonMs milliseconds")
+      // The band slices come from Dedup.simhashBandStructs — ONE definition
+      // shared with the batch pair join, so batch and stream cannot band
+      // differently (streaming recall would silently diverge otherwise).
+      // event_ts rides through AS the watermarked timestamp column (event-
+      // time timeout requires the watermark attribute to reach the stateful
+      // operator); the state function derives millis from it.
+      .select(col("doc_id"), col("fp"), col("event_ts"),
+        explode(Dedup.simhashBandStructs(col("fp"))).as("bb"))
+      .select(col("doc_id"), col("fp"), col("event_ts"),
         col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
-      .as[(Long, Long, Long, Long)]
+      .as[(Long, Long, java.sql.Timestamp, Long, Long)]
     def firstAgreeingBand(a: Long, b: Long): Long = {
       val mask = (1L << Dedup.SimBandBits) - 1
       (0 until Dedup.SimBands).indexWhere { i =>
@@ -119,22 +137,38 @@ object TextStreams {
       }.toLong
     }
     bands
-      .groupByKey { case (_, _, bandIdx, bandBits) => (bandIdx, bandBits) }
-      .flatMapGroupsWithState[Seq[(Long, Long)], NearDupPair](
-          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case ((bandIdx, _), rows, state: GroupState[Seq[(Long, Long)]]) =>
-          var seen = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[NearDupPair]
-          for ((docId, fp, _, _) <- rows.toSeq.sortBy(_._1)) {
-            for ((id2, fp2) <- seen) {
-              val h = java.lang.Long.bitCount(fp ^ fp2)
-              if (h <= maxHamming && firstAgreeingBand(fp, fp2) == bandIdx)
-                out += NearDupPair(math.min(docId, id2), math.max(docId, id2), h.toLong)
+      .groupByKey { case (_, _, _, bandIdx, bandBits) => (bandIdx, bandBits) }
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], NearDupPair](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((bandIdx, _), rows, state: GroupState[Seq[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            // No row for this bucket since the watermark passed its horizon —
+            // every remembered doc is beyond matching range; drop the bucket.
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // Evict entries the watermark has passed: nothing arriving later
+            // can be within `horizonMs` of them.
+            var seen = state.getOption.getOrElse(Seq.empty).filter(_._3 >= wm)
+            val out = Seq.newBuilder[NearDupPair]
+            for ((docId, fp, eventTs, _, _) <- rows.toSeq.sortBy(_._1)) {
+              val eventMs = eventTs.getTime
+              for ((id2, fp2, _) <- seen) {
+                val h = java.lang.Long.bitCount(fp ^ fp2)
+                if (h <= maxHamming && firstAgreeingBand(fp, fp2) == bandIdx)
+                  out += NearDupPair(math.min(docId, id2), math.max(docId, id2), h.toLong)
+              }
+              seen = (docId, fp, eventMs) +: seen // prepend: O(1); order irrelevant
             }
-            seen = (docId, fp) +: seen // prepend: O(1) on List; order is irrelevant
+            state.update(seen)
+            // Wake (and clear) this bucket once the watermark passes its
+            // newest entry's horizon; max(wm+1,…) keeps the timestamp legal
+            // even for a bucket fed only watermark-stale rows.
+            val newest = if (seen.isEmpty) wm else seen.map(_._3).max
+            state.setTimeoutTimestamp(math.max(wm + 1, newest + horizonMs))
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
   }
 }

@@ -64,6 +64,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalytics.fingerprint(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalytics.tfIdf(s, d)),
     "text_tfidf_linear" -> ((s, d) => TextAnalytics.tfIdfLinear(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalytics.repetition(s, d)),
+    "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
     // — LLM-pipeline: dedup —
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -88,6 +90,9 @@ object SparkEntry {
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(s, d)),
     "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
+    "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
+    "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
+    "sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
   )
 
   private val Tok = """\b[a-z]+\b""" // RE2 string for DuckDB (ASCII text only)
@@ -277,5 +282,28 @@ object SparkEntry {
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 36) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 6 AS band_idx, sum(bit * (1 << (j % 6))) AS band_key FROM proj GROUP BY vec_id, j // 6), cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2 FROM keys a JOIN keys b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id) SELECT v1, v2, sim_e4 FROM (SELECT v1, v2, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand JOIN n x ON v1 = x.vec_id JOIN n y ON v2 = y.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), s AS (SELECT qid, cid, list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim FROM c, q), r AS (SELECT qid, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY qid ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    // Gopher-style repetition: duplicate-bigram-occurrence fraction and
+    // top-bigram share per doc, 1e-4 fixed point; <2-token docs score 0.
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), bi AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks), pb AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram), pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c FROM pb GROUP BY doc_id) SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, COALESCE(p.n_distinct, 0) AS n_distinct, CAST(CASE WHEN p.n_bigrams IS NULL THEN 0 ELSE round((p.n_bigrams - p.n_distinct) * 10000.0 / p.n_bigrams) END AS BIGINT) AS dup_e4, CAST(CASE WHEN p.n_bigrams IS NULL THEN 0 ELSE round(p.max_c * 10000.0 / p.n_bigrams) END AS BIGINT) AS top_e4 FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id ORDER BY d.doc_id""",
+    // PII redaction: URL → email → digit-run passes, each count measured on
+    // the previous pass's output. Same pattern strings as the Spark side;
+    // RE2 and the JVM engine agree on these greedy character-class forms.
+    "text_clean" ->
+      s"""WITH s1 AS (SELECT doc_id, text, regexp_replace(text, 'https?://[a-zA-Z0-9./_%+-]+', '<URL>', 'g') AS t1 FROM documents), s2 AS (SELECT doc_id, text, t1, regexp_replace(t1, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1) SELECT doc_id, CAST(len(regexp_extract_all(text, 'https?://[a-zA-Z0-9./_%+-]+')) AS BIGINT) AS n_urls, CAST(len(regexp_extract_all(t1, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(t2, '[0-9]+')) AS BIGINT) AS n_nums, regexp_replace(t2, '[0-9]+', '<NUM>', 'g') AS clean_text FROM s2 ORDER BY doc_id""",
+    // Decontamination: train/val docs sharing any distinct 3-shingle with a
+    // test-split doc (shingle CTE = the dedup family's; split = data_split's
+    // salted hash — one definition of each on the Spark side too).
+    "decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), sps AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents))), tsh AS (SELECT DISTINCT s.sh FROM sh s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split = 'test'), shr AS (SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN sps p ON s.doc_id = p.doc_id JOIN tsh t ON s.sh = t.sh WHERE p.split <> 'test' GROUP BY s.doc_id) SELECT p.doc_id, p.split, COALESCE(r.n_shared, 0) AS n_shared, CAST(CASE WHEN COALESCE(r.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM sps p LEFT JOIN shr r ON p.doc_id = r.doc_id WHERE p.split <> 'test' ORDER BY p.doc_id""",
+    // Concat-and-chunk packing per source shard; DuckDB's window sum widens
+    // to HUGEINT, hence the explicit BIGINT casts. "offset" needs quoting
+    // (reserved word).
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), o AS (SELECT doc_id, source, n_toks, CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, source, n_toks, "offset", CAST("offset" // 256 AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
+    // Stratified sampling: salted-hash order within each language, keep the
+    // first StratCap; all rows emitted with rank + kept flag.
+    "sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 1000000007 AS hh FROM (SELECT doc_id, lang, 'strat:' || CAST(doc_id AS VARCHAR) AS s FROM documents)), r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS BIGINT) AS rn FROM h) SELECT doc_id, lang, rn, CAST(CASE WHEN rn <= 50 THEN 1 ELSE 0 END AS BIGINT) AS kept FROM r ORDER BY doc_id""",
   )
 }

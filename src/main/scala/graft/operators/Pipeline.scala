@@ -139,7 +139,13 @@ object Pipeline {
     * polyHash("split:" ++ doc_id) mod 100. Hash-based (not random) so the
     * assignment is reproducible across engines, runs, and partitionings. */
   def dataSplit(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    splitAssign(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Unordered split assignment — the building block shared by the
+    * data_split query and the decontamination gate (one definition, so the
+    * split rule cannot drift between them). */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         pmod(polyHash(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
           .as("bucket"))
@@ -147,5 +153,93 @@ object Pipeline {
         when(col("bucket") < TrainPct, lit("train"))
           .when(col("bucket") < TrainPct + ValPct, lit("val"))
           .otherwise(lit("test")).as("split"))
+
+  /** Benchmark decontamination: flag train/val documents sharing any distinct
+    * 3-shingle with a test-split document (the n-gram-overlap rule used to
+    * keep eval benchmarks out of training corpora — production uses longer
+    * n-grams; the shingle kit is shared with the dedup family).
+    *
+    * Scale shape: the eval side of the join is the distinct shingle set of
+    * the held-out split — at 100 TB the eval suite is MBs, not TBs, so it is
+    * explicitly `broadcast()`: the corpus streams through a map-side hash
+    * join and never shuffles on the shingle. Per-doc overlap counts then
+    * aggregate on doc_id. The corpus-side shingle frame is persisted because
+    * it feeds both the eval-set derivation and the overlap join. */
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminateDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) DataFrame (planted-contamination tests). */
+  def decontaminateDf(docs: DataFrame): DataFrame = {
+    val sp = splitAssign(docs).select("doc_id", "split")
+    val sh = Dedup.shingles(docs).join(sp, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSh = sh.filter(col("split") === "test").select("sh").distinct()
+    val shared = sh.filter(col("split") =!= "test")
+      .join(broadcast(evalSh), "sh")
+      // shingles are distinct per doc, so count(*) IS the distinct overlap
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    sp.filter(col("split") =!= "test")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
       .orderBy("doc_id")
+  }
+
+  /** Tokens per packed training sequence (the concat-and-chunk rule). */
+  val SeqLen = 256L
+
+  /** Sequence packing — the concat-and-chunk step that turns documents into
+    * fixed-length training sequences: within each source shard, documents
+    * are laid out in doc_id order, each starting at the running token
+    * offset, and seq_id = offset / SeqLen. Deterministic, so the packing is
+    * reproducible run to run.
+    *
+    * Scale shape: the running sum is a window per SOURCE shard (real
+    * pipelines pack per shard precisely so this parallelizes — shards
+    * distribute across executors and no global order is needed). A single
+    * GLOBAL packing order would need the two-phase distributed prefix sum
+    * (per-partition totals → broadcast offsets → per-partition scan);
+    * per-shard framing keeps it one window, and a hot shard is bounded by
+    * shard size, not corpus size. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("offset", sum("n_toks").over(w) - col("n_toks"))
+      // offsets are non-negative, so double-divide + long cast = floor
+      .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language sample cap for stratified sampling. */
+  val StratCap = 50L
+
+  /** Stratified sampling: keep at most [[StratCap]] documents per language,
+    * chosen by a salted hash order (deterministic "random" — re-runs and
+    * engine ports pick the identical sample; doc_id breaks hash ties). All
+    * rows are emitted with their rank and a kept flag so the drop decision
+    * is auditable, corpus_clean-style.
+    *
+    * Scale note: rank-within-group is one shuffle on the stratum key. With
+    * heavily skewed strata, replace the full window with a per-partition
+    * top-K heap + merge (the TakeOrderedAndProject shape, applied per key)
+    * or pre-filter by hash threshold ≈ cap/|stratum| before ranking — the
+    * hash order makes that threshold a consistent-sample cut, so the
+    * pre-filter loses no kept rows as long as the threshold over-admits. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        pmod(polyHash(concat(lit("strat:"), col("doc_id").cast("string"))), lit(1000000007L))
+          .as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("rn"),
+        (col("rn") <= StratCap).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
 }

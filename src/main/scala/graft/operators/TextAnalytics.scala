@@ -217,4 +217,76 @@ object TextAnalytics {
     Tables.documents(spark, dir)
       .select(col("doc_id"), polyHash(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** Within-document repetition scoring (the Gopher-style repetition filter):
+    * per document, the fraction of bigram OCCURRENCES that are repeats of an
+    * earlier bigram (dup_e4) and the share of the single most frequent bigram
+    * (top_e4), both 1e-4 fixed point. High values mean boilerplate /
+    * degenerate repetition — a standard pre-training drop rule.
+    *
+    * Shape: one scan → bigram explode → (doc, bigram) count → per-doc
+    * aggregate; shuffle volume is bounded by distinct (doc, bigram) pairs.
+    * Docs with < 2 tokens have no bigrams and score 0 (the left join). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted-repetition tests). */
+  def repetitionDf(docs: DataFrame): DataFrame = {
+    val perBigram = docTokensText(docs)
+      .select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+    val perDoc = perBigram.groupBy("doc_id").agg(
+      sum("c").as("n_bigrams"),
+      count(lit(1)).as("n_distinct"),
+      max("c").as("max_c"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_bigrams").isNull, lit(0L))
+          .otherwise(round((col("n_bigrams") - col("n_distinct")) * lit(10000.0) / col("n_bigrams")).cast("long"))
+          .as("dup_e4"),
+        when(col("n_bigrams").isNull, lit(0L))
+          .otherwise(round(col("max_c") * lit(10000.0) / col("n_bigrams")).cast("long"))
+          .as("top_e4"))
+      .orderBy("doc_id")
+  }
+
+  // PII-redaction patterns. Simple greedy character classes on purpose: the
+  // same pattern strings run under the JVM regex engine (Spark) and RE2
+  // (DuckDB oracle), and for these constructs both engines agree on
+  // leftmost-longest matching. Replacement order is URL → email → number so
+  // an address inside a URL is consumed by the URL rule first; the
+  // placeholder tokens contain no digits, so the number pass cannot touch
+  // earlier redactions.
+  val UrlRe = "https?://[a-zA-Z0-9./_%+-]+"
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val NumRe = "[0-9]+"
+
+  /** PII redaction / text normalization: URLs → `<URL>`, email addresses →
+    * `<EMAIL>`, digit runs → `<NUM>`, with per-document redaction counts
+    * (each count measured on the PREVIOUS stage's output, so the stages
+    * compose deterministically). Pure narrow projection — codegen'd regex
+    * per row, no shuffle before the terminal sort. The synthetic corpus
+    * contains no PII (counts are 0 and clean_text = text — still a real
+    * oracle check of the whole pipeline); planted-PII redaction behavior is
+    * pinned in TextAnalyticsSpec. */
+  def textClean(spark: SparkSession, dir: String): DataFrame =
+    textCleanDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted-PII tests). */
+  def textCleanDf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        regexp_replace(col("text"), lit(UrlRe), lit("<URL>")).as("t1"))
+      .select(col("doc_id"), col("text"), col("t1"),
+        regexp_replace(col("t1"), lit(EmailRe), lit("<EMAIL>")).as("t2"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("t1"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(NumRe), lit(0))).cast("long").as("n_nums"),
+        regexp_replace(col("t2"), lit(NumRe), lit("<NUM>")).as("clean_text"))
+      .orderBy("doc_id")
 }

@@ -173,4 +173,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac("train") > 0.6 && frac("train") < 0.95, s"train frac ${frac("train")}")
     assert(frac("val") > 0.02 && frac("test") > 0.02)
   }
+
+  // The split hash, replicated for test planning: bucket < 90 ⇒ train/val.
+  private def splitBucket(docId: Long): Long = {
+    val s = s"split:$docId"
+    s.foldLeft(0L)((h, c) => (h * 31 + c) & 4294967295L) % 100
+  }
+
+  test("decontaminate: a train doc copying a test doc's text is flagged, others are not") {
+    // Per-doc-unique vocabulary (letter run repeated), so no two base docs
+    // share a shingle — the ONLY overlap is the planted copy.
+    def word(i: Int): String = ('a' + i % 26).toChar.toString * (i / 26 + 2)
+    val base = (0 until 40).map { i =>
+      val w = word(i); (i.toLong, s"$w $w $w $w $w")
+    }
+    val testIds = base.map(_._1).filter(splitBucket(_) >= 90)
+    assert(testIds.nonEmpty, "no base doc landed in the test split — enlarge the corpus")
+    val copiedText = base(testIds.head.toInt)._2
+    // A planted id that lands in train/val and copies a test doc verbatim.
+    val plantedId = (1000L to 1020L).find(splitBucket(_) < 90).get
+    val docs = (base :+ (plantedId, copiedText)).toDF("doc_id", "text")
+    val got = Pipeline.decontaminateDf(docs)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // Output covers exactly the non-test docs.
+    assert(got.keySet === (base.map(_._1).toSet + plantedId -- testIds))
+    assert(got(plantedId)._4 === 1L, "verbatim copy of a test doc must be contaminated")
+    assert(got(plantedId)._3 > 0L)
+    for ((id, row) <- got if id != plantedId)
+      assert(row._4 === 0L, s"doc $id shares no shingle with the test split")
+  }
+
+  test("packSequences: offsets are running token sums per source, seq boundaries at SeqLen") {
+    val rows = Pipeline.packSequences(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(rows.size.toLong === sources.Tables.documents(spark, TestSpark.sf).count())
+    for ((_, group) <- rows.groupBy(_._2)) {
+      var expect = 0L
+      for ((id, _, nToks, offset, seqId) <- group.sortBy(_._1)) {
+        assert(offset === expect, s"doc $id offset")
+        assert(seqId === offset / Pipeline.SeqLen, s"doc $id seq_id")
+        expect += nToks
+      }
+    }
+  }
+
+  test("sampleStratified: deterministic, capped per language, ranks total") {
+    val a = Pipeline.sampleStratified(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val b = Pipeline.sampleStratified(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(a === b, "stratified sample must be identical across runs")
+    for ((lang, group) <- a.groupBy(_._2)) {
+      val kept = group.count(_._4 == 1L).toLong
+      assert(kept === math.min(Pipeline.StratCap, group.size.toLong), s"lang $lang cap")
+      // Ranks are a permutation of 1..n and the kept set is exactly rn <= cap.
+      assert(group.map(_._3).sorted === (1L to group.size.toLong))
+      for ((id, _, rn, k) <- group)
+        assert(k === (if (rn <= Pipeline.StratCap) 1L else 0L), s"doc $id kept flag")
+    }
+  }
 }

@@ -36,4 +36,32 @@ class TextAnalyticsSpec extends AnyFunSuite {
       if (df == nDocs) assert(v === 0L) else assert(v > 0L)
     }
   }
+
+  test("repetition: planted duplicate bigrams score exactly") {
+    val docs = Seq(
+      (1L, "a a a a a"),  // "a a" ×4: dup = 3/4, top = 4/4
+      (2L, "a b c d"),    // 3 distinct bigrams: dup = 0, top = 1/3
+      (3L, "x")           // no bigrams at all
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.repetitionDf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, 1L, 7500L, 10000L),
+      (2L, 3L, 3L, 0L, 3333L),
+      (3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("textClean: planted PII is redacted stage by stage") {
+    val docs = Seq(
+      (1L, "contact bob@example.com or visit https://example.com/x.html room 42"),
+      (2L, "no pii here"),
+      (3L, "write bob@ex.com and carol@ex.org ids 7 and 0042")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.textCleanDf(docs)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, 1L, "contact <EMAIL> or visit <URL> room <NUM>"),
+      (2L, 0L, 0L, 0L, "no pii here"),
+      (3L, 0L, 2L, 2L, "write <EMAIL> and <EMAIL> ids <NUM> and <NUM>")))
+  }
 }

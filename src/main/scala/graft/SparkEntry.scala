@@ -45,6 +45,7 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
     "agg_quantiles" -> ((s, d) => Relational.aggQuantiles(s, d)),
+    "agg_quantiles_approx" -> ((s, d) => Relational.aggQuantilesApprox(s, d)),
     "agg_grouping_sets" -> ((s, d) => Relational.aggGroupingSets(s, d)),
     // — windows & events —
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
@@ -92,6 +93,7 @@ object SparkEntry {
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
+    "pack_sequences_global" -> ((s, d) => Pipeline.packSequencesGlobal(s, d)),
     "sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
   )
 
@@ -128,9 +130,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted (→ rows-only check): distinct_words_approx
     * (HLL registers are engine-specific), multimodal_features (stub codec),
-    * and text_tfidf (libm ln, rule R2) — each with ground-truth ScalaTest
-    * checks instead (rule R5; see RelationalSpec, MediaSpec,
-    * TextAnalyticsSpec). Every other query — including every
+    * text_tfidf (libm ln, rule R2), and agg_quantiles_approx (GK summary
+    * merge is engine-specific) — each with ground-truth ScalaTest checks
+    * instead (rule R5; see RelationalSpec, MediaSpec, TextAnalyticsSpec). Every other query — including every
     * LSH/sketch/clustering operator — hash-matches: the sketches are
     * deterministic integer arithmetic (MinHash, SimHash) or fixed-op-order
     * float projections with e4-rounded outputs (sign-projection LSH, IVF). */
@@ -301,6 +303,12 @@ object SparkEntry {
     // (reserved word).
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), o AS (SELECT doc_id, source, n_toks, CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, source, n_toks, "offset", CAST("offset" // 256 AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
+    // Global packing: the oracle states the flat corpus-wide running sum;
+    // the Spark side computes the identical numbers with the two-phase
+    // distributed prefix sum (partition totals → broadcast bases), which is
+    // exactly why the output is partition-independent.
+    "pack_sequences_global" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), o AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, n_toks, "offset", CAST("offset" // 256 AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
     // Stratified sampling: salted-hash order within each language, keep the
     // first StratCap; all rows emitted with rank + kept flag.
     "sample_stratified" ->

@@ -215,6 +215,44 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** GLOBAL sequence packing — same concat-and-chunk rule as
+    * [[packSequences]] but over ONE corpus-wide doc_id order, implemented
+    * with the two-phase distributed prefix sum (the shape the per-shard
+    * variant's docstring promises):
+    *   1. range-partition by doc_id and sum tokens per partition — the
+    *      per-partition totals are one row per partition, collected to the
+    *      driver (bounded by partition count, never data size);
+    *   2. broadcast each partition's base offset back and window WITHIN
+    *      partitions only.
+    * No global single-partition window anywhere: every stage is
+    * partition-parallel. The persisted frame pins the range partitioning so
+    * both phases see identical partition ids; the OUTPUT is partition-
+    * independent (offset = tokens in all smaller doc_ids), which is why the
+    * oracle can state it as one flat window sum. */
+  def packSequencesGlobal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Phase 1: partition totals → prefix bases (driver-side, ≤ #partitions rows).
+    val totals = parts.groupBy("pid").agg(sum("n_toks").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (pid, tot) => val b = acc; acc += tot; (pid, b) }
+    val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
+    // Phase 2: per-partition running sum + broadcast base join.
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(baseDf), "pid")
+      .withColumn("offset", col("base") + sum("n_toks").over(w) - col("n_toks"))
+      .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
+      .select(col("doc_id"), col("n_toks"), col("offset"), col("seq_id"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language sample cap for stratified sampling. */
   val StratCap = 50L
 

@@ -179,6 +179,24 @@ object Relational {
         expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY total_c)").cast("long").as("p99_c"))
       .orderBy("o_orderpriority")
 
+  /** Sketch twin of [[aggQuantiles]]: Greenwald-Khanna approx_percentile.
+    * At 100 TB the exact per-group percentile materializes and sorts every
+    * group's values; the sketch keeps a fixed-size summary per group and
+    * merges map-side — the same scale argument as the HLL distinct-count
+    * twin. rows-only in the gate (summary merge order is engine-specific);
+    * RelationalSpec gates each estimate against the exact twin's rank
+    * tolerance, mirroring the distinct_words_approx pattern. */
+  def aggQuantilesApprox(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("total_c"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr("approx_percentile(total_c, 0.5, 1000)").cast("long").as("p50_c"),
+        expr("approx_percentile(total_c, 0.9, 1000)").cast("long").as("p90_c"),
+        expr("approx_percentile(total_c, 0.99, 1000)").cast("long").as("p99_c"))
+      .orderBy("o_orderpriority")
+
   /** Window-function suite in one pass: rank / dense_rank / lag / lead over
     * the same (custkey; totalprice desc, orderkey) frame — one shuffle + one
     * sort feeds all four. */

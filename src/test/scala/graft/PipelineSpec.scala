@@ -218,6 +218,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesGlobal: two-phase prefix sum equals the flat corpus-wide running sum") {
+    val rows = Pipeline.packSequencesGlobal(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.size.toLong === sources.Tables.documents(spark, TestSpark.sf).count())
+    var expect = 0L
+    for ((id, nToks, offset, seqId) <- rows) {
+      assert(offset === expect, s"doc $id global offset")
+      assert(seqId === offset / Pipeline.SeqLen, s"doc $id seq_id")
+      expect += nToks
+    }
+  }
+
   test("sampleStratified: deterministic, capped per language, ranks total") {
     val a = Pipeline.sampleStratified(spark, TestSpark.sf)
       .as[(Long, String, Long, Long)].collect().toSeq

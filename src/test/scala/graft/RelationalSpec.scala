@@ -76,4 +76,21 @@ class RelationalSpec extends AnyFunSuite {
         s"lang=$lang approx=$ap exact=$ex")
     }
   }
+
+  test("approx quantiles within 2% of the exact percentile per group") {
+    val exact = Relational.aggQuantiles(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = Relational.aggQuantilesApprox(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((g, (_, cnt, p50, p90, p99)) <- exact) {
+      val (_, cntA, a50, a90, a99) = approx(g)
+      assert(cntA === cnt)
+      for (((ex, ap), q) <- Seq((p50, a50), (p90, a90), (p99, a99)).zip(Seq("p50", "p90", "p99")))
+        assert(math.abs(ap - ex).toDouble / ex <= 0.02,
+          s"group=$g $q approx=$ap exact=$ex")
+    }
+  }
 }

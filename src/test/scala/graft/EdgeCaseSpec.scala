@@ -38,6 +38,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(clean.head._2 === 1L, "a singleton must be its own survivor")
   }
 
+  test("round-6 pipeline operators handle empty and degenerate corpora") {
+    import graft.operators.TextAnalytics
+    // Empty corpus: every operator returns an empty frame, never throws.
+    assert(Pipeline.decontaminateDf(emptyDocs).count() === 0L)
+    assert(TextAnalytics.repetitionDf(emptyDocs).count() === 0L)
+    assert(TextAnalytics.textCleanDf(emptyDocs).count() === 0L)
+    // Corpus with no test-split member: nothing can be contaminated.
+    // doc_id 0 hashes to the train split (splitBucket(0) = 68 < 80).
+    val trainOnly = Seq((0L, "alpha beta gamma delta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val flags = Pipeline.decontaminateDf(trainOnly)
+      .as[(Long, String, Long, Long)].collect()
+    assert(flags.length === 1 && flags.head._4 === 0L)
+    // Token-less text: repetition scores are all zero, clean text unchanged.
+    val degenerate = Seq((1L, ". , !", "en")).toDF("doc_id", "text", "lang")
+    assert(TextAnalytics.repetitionDf(degenerate)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq === Seq((1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("whitespace-only and empty texts flow through fingerprints and shingles") {
     val degenerate = Seq((1L, "", "en"), (2L, "   ", "en"), (3L, ". , !", "en"))
       .toDF("doc_id", "text", "lang")

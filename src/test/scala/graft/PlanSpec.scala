@@ -83,6 +83,28 @@ class PlanSpec extends AnyFunSuite {
     assert(shipSorts.isEmpty, "shipFrame re-acquired a sort below its joins")
   }
 
+  test("decontaminate: the eval-shingle side broadcasts — the corpus never shuffles on the shingle") {
+    val df = SparkEntry.queries("decontaminate")(spark, TestSpark.sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("pack_sequences_global: no single-partition exchange — the prefix sum is two-phase") {
+    // The whole point of the two-phase prefix sum is avoiding the
+    // SinglePartition shuffle a flat `Window.orderBy(doc_id)` (no
+    // partitionBy) would plan. Assert the executed plan never funnels the
+    // corpus through one partition.
+    val df = SparkEntry.queries("pack_sequences_global")(spark, TestSpark.sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global packing must not serialize through one partition:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
   test("supplier_revenue: dims broadcast, fact side never builds a hash table") {
     val df = SparkEntry.queries("supplier_revenue")(spark, TestSpark.sf)
     df.count()

@@ -67,8 +67,10 @@ object SparkEntry {
     "text_tfidf_linear" -> ((s, d) => TextAnalytics.tfIdfLinear(s, d)),
     "text_repetition" -> ((s, d) => TextAnalytics.repetition(s, d)),
     "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
+    "vocab_coverage" -> ((s, d) => TextAnalytics.vocabCoverage(s, d)),
     // — LLM-pipeline: dedup —
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
@@ -264,6 +266,11 @@ object SparkEntry {
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> ((h * 31 + c) & 4294967295)) AS fp FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text FROM documents GROUP BY text ORDER BY keep_id""",
+    // Incremental dedup: batch = source 'src19', corpus = everything else;
+    // batch docs whose text exists in the corpus are dropped, survivors
+    // exact-deduped within the batch (min doc_id).
+    "dedup_incremental" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE source = 'src19'), corpus AS (SELECT DISTINCT text FROM documents WHERE source <> 'src19'), novel AS (SELECT b.doc_id, b.text FROM batch b WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)) SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text FROM novel GROUP BY text ORDER BY keep_id""",
     // Binary-payload dedup: grouping by text ≡ grouping by its UTF-8 bytes
     // (injective encoding), so the oracle needs no blob arithmetic.
     "media_dedup" ->
@@ -284,6 +291,10 @@ object SparkEntry {
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 36) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 6 AS band_idx, sum(bit * (1 << (j % 6))) AS band_key FROM proj GROUP BY vec_id, j // 6), cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2 FROM keys a JOIN keys b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id) SELECT v1, v2, sim_e4 FROM (SELECT v1, v2, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand JOIN n x ON v1 = x.vec_id JOIN n y ON v2 = y.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), s AS (SELECT qid, cid, list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim FROM c, q), r AS (SELECT qid, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY qid ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    // Vocabulary coverage: top-10 corpus vocab (count desc, word asc ties),
+    // per-doc OOV token fraction in e4 fixed point; token-less docs score 0.
+    "vocab_coverage" ->
+      s"""WITH terms AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents), vocab AS (SELECT word FROM (SELECT word, count(*) AS cnt FROM terms GROUP BY word ORDER BY cnt DESC, word LIMIT 10)), pd AS (SELECT t.doc_id, count(*) AS n_toks, sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov FROM terms t LEFT JOIN vocab v ON t.word = v.word GROUP BY t.doc_id) SELECT d.doc_id, CAST(COALESCE(p.n_toks, 0) AS BIGINT) AS n_toks, CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov, CAST(CASE WHEN p.n_toks IS NULL THEN 0 ELSE round(p.n_oov * 10000.0 / p.n_toks) END AS BIGINT) AS oov_e4 FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id ORDER BY d.doc_id""",
     // Gopher-style repetition: duplicate-bigram-occurrence fraction and
     // top-bigram share per doc, 1e-4 fixed point; <2-token docs score 0.
     "text_repetition" ->

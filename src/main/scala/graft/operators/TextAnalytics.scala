@@ -77,11 +77,13 @@ object TextAnalytics {
       .limit(k)
 
   /** Document frequency per term (integer counts only; TF-IDF's float log is
-    * deliberately kept out of the oracle surface — SURVEY §2.D). */
+    * deliberately kept out of the oracle surface — SURVEY §2.D). Per-doc
+    * term dedup is `array_distinct` before the explode (narrow, per-row);
+    * the `explode().distinct()` it replaces shuffled the whole term stream
+    * once just to reach the word aggregate. */
   def docFrequency(spark: SparkSession, dir: String): DataFrame =
     docTokens(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(col("toks")).as("word"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), asc("word"))
@@ -106,14 +108,18 @@ object TextAnalytics {
 
   /** Shared tf/df kit for the two weighting variants: per-(doc, word) term
     * frequency joined with per-word document frequency, plus the corpus
-    * size. `terms` feeds both aggregations — persisted so the
-    * scan→tokenize→explode runs once (harness clears cache per query). */
+    * size. df derives FROM the tf table — tf already has exactly one row
+    * per (doc, word), so df = count per word over tf. The previous
+    * `terms.distinct()` formulation shuffled the raw term stream a second
+    * time to recompute what the tf aggregate had already established; it
+    * also forced persisting `terms` for two consumers, which tf-reuse makes
+    * unnecessary. */
   private def termFrequencies(docs: DataFrame): (DataFrame, Long) = {
-    val terms = docTokensText(docs)
+    val tf = docTokensText(docs)
       .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df_ = terms.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.count() // one scalar; the scan is cheap relative to the explode
     (tf.join(df_, "word"), n)
   }
@@ -250,6 +256,45 @@ object TextAnalytics {
         when(col("n_bigrams").isNull, lit(0L))
           .otherwise(round(col("max_c") * lit(10000.0) / col("n_bigrams")).cast("long"))
           .as("top_e4"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary size for the OOV-coverage operator: deliberately smaller
+    * than this corpus's 31-word vocabulary so the OOV rate is non-trivial. */
+  val VocabSize = 10
+
+  /** Vocabulary coverage: build the top-[[VocabSize]] corpus vocabulary by
+    * frequency (count desc, word asc — deterministic ties) and score every
+    * document's out-of-vocabulary token fraction. The tokenizer-fit signal
+    * a training pipeline uses to decide whether its tokenizer/vocab matches
+    * a new data source.
+    *
+    * Scale shape: the vocab is a derived aggregate of bounded size
+    * (TakeOrderedAndProject, V rows) and is explicitly `broadcast()` into
+    * the per-token membership join — the exploded term stream never
+    * shuffles on the word for scoring; per-doc aggregation shuffles on
+    * doc_id only. `terms` feeds both the vocab build and the scoring pass,
+    * so it is persisted (the harness clears the cache per query). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = terms.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word")).limit(VocabSize)
+      .select(col("word"), lit(1L).as("in_v"))
+    val perDoc = terms.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_toks").isNull, lit(0L))
+          .otherwise(round(col("n_oov") * lit(10000.0) / col("n_toks")).cast("long"))
+          .as("oov_e4"))
       .orderBy("doc_id")
   }
 

@@ -17,26 +17,35 @@ import graft.sources.Tables
   */
 object Pipeline {
 
+  /** Quality + language gate columns appended to any (doc_id, text, lang)
+    * frame — ONE definition shared by the batch clean queries and the
+    * streaming clean twin (graft.streaming.TextStreams.cleanStream), so the
+    * keep heuristics cannot drift between them. Narrow per-row projection;
+    * works on streams. */
+  private[graft] def withGateFlags(docs: DataFrame): DataFrame = {
+    // Tokenize once into a real column — the regex is the expensive part
+    // and must not re-run per derived flag.
+    val toks = col("__toks")
+    val pred = TextAnalytics.langPred(
+      TextAnalytics.hits(toks, TextAnalytics.EnMarkers),
+      TextAnalytics.hits(toks, TextAnalytics.DeMarkers),
+      TextAnalytics.hits(toks, TextAnalytics.EsMarkers),
+      TextAnalytics.hits(toks, TextAnalytics.FrMarkers))
+    docs
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("quality_ok",
+        when(size(toks).cast("long") >= 5 &&
+          TextAnalytics.hits(toks, TextAnalytics.StopWords) > 0, 1L).otherwise(0L))
+      .withColumn("lang_match",
+        when(pred === col("lang"), 1L).otherwise(0L))
+      .drop("__toks")
+  }
+
   /** Per-document quality + language gates as one narrow projection over a
     * single scan (the helpers are shared with the standalone quality/langId
     * queries so the gates can't drift). */
   private def qualityLangFlags(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-      .select(
-        col("doc_id"), col("lang"),
-        size(col("toks")).cast("long").as("n_toks"),
-        TextAnalytics.hits(col("toks"), TextAnalytics.StopWords).as("stop_hits"),
-        TextAnalytics.langPred(
-          TextAnalytics.hits(col("toks"), TextAnalytics.EnMarkers),
-          TextAnalytics.hits(col("toks"), TextAnalytics.DeMarkers),
-          TextAnalytics.hits(col("toks"), TextAnalytics.EsMarkers),
-          TextAnalytics.hits(col("toks"), TextAnalytics.FrMarkers)).as("pred"))
-      .select(
-        col("doc_id"),
-        when(col("n_toks") >= 5 && col("stop_hits") > 0, 1L).otherwise(0L)
-          .as("quality_ok"),
-        when(col("pred") === col("lang"), 1L).otherwise(0L).as("lang_match"))
+    withGateFlags(docs).select("doc_id", "quality_ok", "lang_match")
 
   /** Join the survivor set onto the gates and expose the conjunction. */
   private def gate(flags: DataFrame, survivors: DataFrame): DataFrame =

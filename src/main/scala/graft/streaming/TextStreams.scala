@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns._
-import graft.operators.{Dedup, TextAnalytics}
+import graft.operators.{Dedup, Pipeline, TextAnalytics}
 
 /** The reference engine brands itself a *streaming* word counter — its
   * dispatch loop (coordinator.py:85-104) feeds chunks as the file is read.
@@ -81,7 +81,25 @@ object TextStreams {
       .withColumn("event_ts", timestamp_micros(col("doc_id") + lit(86400000000L)))
       .withWatermark("event_ts", horizon)
       .dropDuplicatesWithinWatermark("fp1", "fp2")
-      .select(col("doc_id"), col("fp1"), col("fp2"), col("text"))
+      .select(col("doc_id"), col("fp1"), col("fp2"), col("text"), col("lang"))
+
+  /** Streaming corpus-clean twin of [[graft.operators.Pipeline.cleanCorpus]]:
+    * the cleaned corpus AS A STREAM — arriving documents are exact-deduped
+    * within the watermark horizon ([[dedupStream]]) and then pass the same
+    * quality ∧ language gates as the batch pipeline
+    * (`Pipeline.withGateFlags` — ONE definition, so the keep heuristics
+    * cannot drift between batch and stream). Emits only kept documents:
+    * batch emits flags for audit, the stream emits the corpus a downstream
+    * trainer would consume. The kept-TEXT set equals the batch keep=1 set
+    * when duplicates arrive within one horizon (TextStreamsSpec asserts
+    * it); survivor identity differs as in dedupStream (first-arrival vs
+    * global min id). Gates are stateless per-row projections, so the only
+    * streaming state is the dedup fingerprint store. */
+  def cleanStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0, horizon: String = "1 hour"): DataFrame =
+    Pipeline.withGateFlags(dedupStream(spark, path, maxFilesPerTrigger, horizon))
+      .filter(col("quality_ok") === 1L && col("lang_match") === 1L)
+      .select(col("doc_id"), col("text"), col("lang"))
 
   /** Streaming NEAR-dup twin of [[Dedup.simhashPairs]]: arriving documents
     * are SimHash-fingerprinted, exploded into the same 16-bit prefix bands,

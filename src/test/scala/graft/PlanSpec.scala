@@ -42,7 +42,8 @@ class PlanSpec extends AnyFunSuite {
     // If a persist is dropped the plan loses its InMemoryTableScan and this
     // fails — the regression guard for the 26.9s→4.7s class of win.
     for (q <- Seq("dedup_ngram_jaccard", "sim_lsh_topk", "dedup_simhash_pairs",
-        "dedup_minhash_pairs", "sim_ivf_topk")) {
+        "dedup_minhash_pairs", "sim_ivf_topk", "decontaminate",
+        "vocab_coverage", "text_tfidf_linear")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
       df.count()
       val plan = df.queryExecution.executedPlan.toString

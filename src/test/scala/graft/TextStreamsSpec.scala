@@ -29,6 +29,28 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed.toSet === batch)
   }
 
+  test("streaming clean corpus keeps exactly the batch keep set (text-level)") {
+    val dir = Paths.get("target", "test-scratch", "docstream_clean")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.cleanStream(spark, dir.toString), "t_clean",
+        mode = "append")
+      .select("text").as[String].collect().toSet
+    // Batch keep=1 docs, resolved to their texts. The corpus has no
+    // same-text-different-lang duplicates (verified), so the kept-text set
+    // is survivor-identity-independent and must match exactly.
+    val keptIds = graft.operators.Pipeline.cleanCorpus(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("keep") === 1)
+      .select("doc_id")
+    val batchTexts = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .join(keptIds, "doc_id").select("text").as[String].collect().toSet
+    assert(streamed === batchTexts)
+    assert(streamed.nonEmpty, "corpus keeps nothing — test would be vacuous")
+  }
+
   test("streaming near-dup pairs equal the batch simhash Hamming-ball exactly") {
     val dir = Paths.get("target", "test-scratch", "docstream_neardup")
     Files.createDirectories(dir)

@@ -386,11 +386,15 @@ object Dedup extends org.apache.spark.internal.Logging {
       // filter+count over the checkpointed round output — the join-back
       // against the previous labels it replaces cost one extra distributed
       // join per round on the single most expensive query.
+      // persist (not an eager checkpoint): the jump self-join reads this
+      // frame twice within ONE job, so a lazy cache computes it once while
+      // skipping the standalone materialization job per round — lineage
+      // stays shallow (labels is checkpointed just below).
       val propagated = labels
         .join(neighborMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // Pointer jump: label ← label's label. A label is always a node id in
       // the same component with a ≤ label, so the left join hits unless the
       // label is already a root; least() keeps monotone descent.
@@ -400,6 +404,7 @@ object Dedup extends org.apache.spark.internal.Logging {
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
+      propagated.unpersist()
       changed = jumped.filter(col("label") =!= col("old")).count()
       labels = jumped.select("id", "label")
       rounds += 1

@@ -96,6 +96,7 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "pack_sequences_global" -> ((s, d) => Pipeline.packSequencesGlobal(s, d)),
+    "chunk_documents" -> ((s, d) => Pipeline.chunkDocuments(s, d)),
     "sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
   )
 
@@ -320,6 +321,11 @@ object SparkEntry {
     // exactly why the output is partition-independent.
     "pack_sequences_global" ->
       s"""WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), o AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, n_toks, "offset", CAST("offset" // 256 AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
+    // Overlapping token-window chunking: starts every 24 tokens, windows of
+    // 32; DuckDB's w[a:b] list slice is 1-based INCLUSIVE (b = a+31) and
+    // clamps at the end exactly like Spark's slice(toks, start, len).
+    "chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w, len(regexp_extract_all(lower(text), '$Tok')) AS n FROM documents), c AS (SELECT doc_id, unnest(CASE WHEN n = 0 THEN [] ELSE range(0, (n - 1) // 24 + 1) END) AS i, w FROM t) SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, CAST(len(w[(i * 24 + 1):(i * 24 + 32)]) AS BIGINT) AS n_chunk_toks, array_to_string(w[(i * 24 + 1):(i * 24 + 32)], ' ') AS chunk_text FROM c ORDER BY doc_id, chunk_id""",
     // Stratified sampling: salted-hash order within each language, keep the
     // first StratCap; all rows emitted with rank + kept flag.
     "sample_stratified" ->

@@ -262,6 +262,47 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Overlapping-chunk parameters: window length and stride in tokens. */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  /** Document chunking: split each document into overlapping token windows
+    * of [[ChunkLen]] tokens every [[ChunkStride]] — the context-window prep
+    * step for training/RAG ingestion (overlap preserves cross-boundary
+    * context). Token-less documents produce no chunks; every other doc
+    * yields ceil-ish coverage: start offsets 0, stride, 2·stride … while
+    * the start is inside the doc, so every token lands in ≥ 1 chunk.
+    *
+    * Shape: one scan → tokenize → per-row explode of ≤ n/stride chunk
+    * indices → narrow slice/join of the already-materialized token array.
+    * No shuffle before the terminal sort; chunk fan-out is bounded per
+    * document, so the operator scales with tokens, not documents². */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    chunkDocumentsDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) DataFrame (planted-chunking tests). */
+  def chunkDocumentsDf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    // Last chunk index = floor((n-1)/stride); exact in double for any real
+    // token count. Empty docs get an empty index array (Spark's integer `/`
+    // is double division and DuckDB's `//` floors negatives — the explicit
+    // empty case keeps both engines identical).
+    val starts = when(col("n_toks") === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0),
+        floor((col("n_toks") - lit(1)) / lit(ChunkStride.toDouble)).cast("int")))
+    t.select(col("doc_id"), col("toks"), explode(starts).as("i"))
+      .select(
+        col("doc_id"),
+        col("i").cast("long").as("chunk_id"),
+        slice(col("toks"), col("i") * ChunkStride + 1, lit(ChunkLen)).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_toks"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Per-language sample cap for stratified sampling. */
   val StratCap = 50L
 

@@ -230,6 +230,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments: overlapping windows cover every token, exact boundaries") {
+    // 80 tokens -> starts 0, 24, 48, 72 -> lengths 32, 32, 32, 8.
+    val words = (0 until 80).map(i => ('a' + i % 26).toChar.toString * (i / 26 + 1))
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, "solo"),
+      (3L, ". , !") // token-less: no chunks
+    ).toDF("doc_id", "text")
+    val got = Pipeline.chunkDocumentsDf(docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3)) === Seq((0L, 32L), (1L, 32L), (2L, 32L), (3L, 8L)))
+    assert(d1(0)._4 === words.slice(0, 32).mkString(" "))
+    assert(d1(3)._4 === words.slice(72, 80).mkString(" "))
+    // Overlap: chunk 1 starts at token 24, inside chunk 0's window.
+    assert(d1(1)._4.startsWith(words(24)))
+    assert(got.filter(_._1 == 2L) === Seq((2L, 0L, 1L, "solo")))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("sampleStratified: deterministic, capped per language, ranks total") {
     val a = Pipeline.sampleStratified(spark, TestSpark.sf)
       .as[(Long, String, Long, Long)].collect().toSeq

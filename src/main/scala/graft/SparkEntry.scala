@@ -302,7 +302,11 @@ object SparkEntry {
       s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), bi AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks), pb AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram), pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c FROM pb GROUP BY doc_id) SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, COALESCE(p.n_distinct, 0) AS n_distinct, CAST(CASE WHEN p.n_bigrams IS NULL THEN 0 ELSE round((p.n_bigrams - p.n_distinct) * 10000.0 / p.n_bigrams) END AS BIGINT) AS dup_e4, CAST(CASE WHEN p.n_bigrams IS NULL THEN 0 ELSE round(p.max_c * 10000.0 / p.n_bigrams) END AS BIGINT) AS top_e4 FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id ORDER BY d.doc_id""",
     // PII redaction: URL → email → digit-run passes, each count measured on
     // the previous pass's output. Same pattern strings as the Spark side;
-    // RE2 and the JVM engine agree on these greedy character-class forms.
+    // RE2 and the JVM engine agree on these greedy character-class forms —
+    // and because the synthetic corpus contains no PII (the hash-match only
+    // proves the no-op path), the engines were ALSO compared on planted
+    // PII rows: DuckDB reproduces TextAnalyticsSpec's planted expectations
+    // byte for byte (URL/email/number counts and the redacted text).
     "text_clean" ->
       s"""WITH s1 AS (SELECT doc_id, text, regexp_replace(text, 'https?://[a-zA-Z0-9./_%+-]+', '<URL>', 'g') AS t1 FROM documents), s2 AS (SELECT doc_id, text, t1, regexp_replace(t1, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1) SELECT doc_id, CAST(len(regexp_extract_all(text, 'https?://[a-zA-Z0-9./_%+-]+')) AS BIGINT) AS n_urls, CAST(len(regexp_extract_all(t1, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(t2, '[0-9]+')) AS BIGINT) AS n_nums, regexp_replace(t2, '[0-9]+', '<NUM>', 'g') AS clean_text FROM s2 ORDER BY doc_id""",
     // Decontamination: train/val docs sharing any distinct 3-shingle with a

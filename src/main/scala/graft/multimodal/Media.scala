@@ -127,6 +127,44 @@ object Media {
       .select("keep_id", "n_dups", "n_bytes")
       .orderBy("keep_id")
 
+  /** Byte window width for media near-dup. 16 bytes: wide enough that
+    * windows are rare (they survive the hot-shingle df cap instead of being
+    * excluded as boilerplate — 4-byte windows of real text are almost all
+    * hotter than any sane cap), narrow enough that a localized edit breaks
+    * only ~width windows and true near-dups stay above the 0.8 bar. */
+  val MediaWindow = 16
+
+  /** Byte-level NEAR-dup pairs on binary payloads: distinct
+    * [[MediaWindow]]-byte windows per payload (the byte analog of word
+    * shingles; short payloads fall back to one whole-payload shingle)
+    * through the SAME df-capped Jaccard pair machinery as the text family
+    * (Dedup.jaccardPairsFromShingles — one definition across modalities).
+    * The decision-grade threshold (Jaccard ≥ 0.8) mirrors the shipping
+    * gate. Windows decode as strings for the join key — valid here because
+    * the payload is UTF-8 text; a real deployment joins on the raw binary
+    * window or its hash, same shape. This closes the media family's
+    * exact-only gap: re-encodes and near-identical payloads pair up, not
+    * just byte-identical copies. */
+  def mediaNearDup(s: SparkSession, d: String,
+      minJacE4: Long = 8000L): DataFrame =
+    mediaNearDupDf(mediaTable(s, d), minJacE4)
+
+  /** Same, over any (doc_id, media: binary) DataFrame (planted tests). */
+  def mediaNearDupDf(media: DataFrame, minJacE4: Long = 8000L): DataFrame = {
+    val w = MediaWindow
+    val m = media.select(col("doc_id"), col("media"),
+      length(col("media")).as("n")) // length(binary) = byte count
+    val windows = transform(
+      sequence(lit(1), (col("n") - (w - 1)).cast("int")),
+      i => col("media").substr(i, lit(w)).cast("string"))
+    val sh = m.select(col("doc_id"),
+      explode(array_distinct(
+        when(col("n") >= w, windows)
+          .otherwise(array(concat(lit("#"), col("media").cast("string")))))).as("sh"))
+    graft.operators.Dedup.jaccardPairsFromShingles(sh, minJacE4)
+      .orderBy("d1", "d2")
+  }
+
   /** Driver-contract query: deterministic feature summary per doc. */
   def featuresQuery(s: SparkSession, d: String): DataFrame =
     extractFeatures(mediaTable(s, d))

@@ -320,12 +320,20 @@ object Dedup extends org.apache.spark.internal.Logging {
     * range-sort feeding the CC edge list, which re-shuffles by key anyway,
     * is wasted work at any scale; PlanSpec pins the no-Sort shape). */
   def ngramJaccardPairsRaw(docs: DataFrame, minJacE4: Long = 100L,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    jaccardPairsFromShingles(shingles(docs), minJacE4, maxDf)
+
+  /** Jaccard pair search over ANY per-document shingle set — the machinery
+    * behind the word-n-gram pairs above, shared with the byte-shingle
+    * near-dup on binary media payloads (Media.mediaNearDup): one
+    * definition, so the df-cap/pair/score pipeline cannot drift between
+    * modalities. Input: a (doc_id, sh) frame, distinct per doc. */
+  def jaccardPairsFromShingles(shinglesDf: DataFrame, minJacE4: Long,
       maxDf: Long = MaxShingleDf): DataFrame = {
     // `sh` feeds three consumers (per-doc counts, the df cap, the pair
-    // groups); persist it so the scan→tokenize→shingle-explode→distinct
-    // pipeline — with its shuffle — runs once instead of three times. The
-    // harness clears the cache between queries.
-    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // groups); persist it so the upstream scan→shingle pipeline runs once
+    // instead of three times. The harness clears the cache between queries.
+    val sh = shinglesDf.persist(StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val eligible = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
       .filter(col("df_") <= maxDf).select("sh")

@@ -69,4 +69,24 @@ class MediaSpec extends AnyFunSuite {
       assert(f1 === expect, s"doc $id stub feature mismatch")
     }
   }
+
+  test("byte-level near-dup pairs planted near-identical payloads, not distinct ones") {
+    import org.apache.spark.sql.functions.{col, encode}
+    // Long aperiodic payload so its 16-byte windows are distinct: a
+    // one-byte edit then breaks only ~1 window and the pair stays >= 0.8.
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango uniform " +
+      "victor whiskey xray yankee zulu"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.dropRight(1) + "x"), // 1-byte edit at the end
+      (3L, "0123456789 " * 18)       // zero 16-byte window overlap
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val pairs = Media.mediaNearDupDf(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)),
+      s"expected exactly the planted near-dup pair, got $pairs")
+    assert(pairs.head._3 >= 8000L)
+  }
 }

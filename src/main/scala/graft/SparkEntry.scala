@@ -92,6 +92,7 @@ object SparkEntry {
     "corpus_clean" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "corpus_clean_neardup" -> ((s, d) => Pipeline.cleanCorpusNearDup(s, d)),
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(s, d)),
+    "source_report" -> ((s, d) => Pipeline.sourceReport(s, d)),
     "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
@@ -143,6 +144,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "corpus_clean" ->
       s"""WITH t AS (SELECT doc_id, lang, length(replace(text, ' ', '')) AS alpha_len, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s), surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) SELECT d.doc_id, CAST(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, CAST(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id ORDER BY d.doc_id""",
+    // Per-source gate report: corpus_clean's flag CTEs grouped by source
+    // (DuckDB sum(BIGINT) widens to HUGEINT, hence the casts).
+    "source_report" ->
+      s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s), surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) SELECT d.source, count(*) AS n_docs, CAST(sum(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivor, CAST(sum(f.quality_ok) AS BIGINT) AS n_quality, CAST(sum(f.lang_match) AS BIGINT) AS n_lang, CAST(sum(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id GROUP BY d.source ORDER BY d.source""",
     // Near-dup-aware clean: the survivor CTEs are the dedup_clusters
     // transitive closure at the decision-grade Jaccard ≥ 0.8 threshold
     // (Dedup.NearDupJacE4 — a doc survives iff no smaller doc_id is

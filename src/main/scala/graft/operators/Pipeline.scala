@@ -75,6 +75,25 @@ object Pipeline {
     gate(qualityLangFlags(docs), survivors)
   }
 
+  /** Per-SOURCE report card over the clean gates — the governance view a
+    * data-quality owner reads to decide which crawl sources to keep,
+    * re-weight, or drop: per source, how many docs pass each gate and the
+    * conjunction. Composes the exact corpus_clean flags (one definition)
+    * with a broadcast-sized group-by on the source key; integer counts
+    * only (rates are derivable — rule R2 keeps floats out of hash-matched
+    * results). */
+  def sourceReport(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(cleanCorpus(s, d), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("is_survivor").as("n_survivor"),
+        sum("quality_ok").as("n_quality"),
+        sum("lang_match").as("n_lang"),
+        sum("keep").as("n_keep"))
+      .orderBy("source")
+
   /** Same decision frame, but the survivor gate is NEAR-dup aware: a document
     * survives iff it is its cluster's minimum (doc_id = cluster_id under
     * Dedup.clusterAssignments at the decision-grade Jaccard ≥ 0.8 threshold —

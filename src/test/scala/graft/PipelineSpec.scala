@@ -230,6 +230,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceReport: per-source counts reconcile with the clean flags") {
+    val report = Pipeline.sourceReport(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val flags = Pipeline.cleanCorpus(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val srcOf = sources.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    assert(report.map(_._2).sum === srcOf.size.toLong, "every doc counted once")
+    for ((src, nDocs, nSurv, nQual, nLang, nKeep) <- report) {
+      val docs = srcOf.collect { case (id, s) if s == src => flags(id) }.toSeq
+      assert(nDocs === docs.size.toLong, s"$src n_docs")
+      assert(nSurv === docs.map(_._2).sum, s"$src n_survivor")
+      assert(nQual === docs.map(_._3).sum, s"$src n_quality")
+      assert(nLang === docs.map(_._4).sum, s"$src n_lang")
+      assert(nKeep === docs.map(_._5).sum, s"$src n_keep")
+    }
+  }
+
   test("chunkDocuments: overlapping windows cover every token, exact boundaries") {
     // 80 tokens -> starts 0, 24, 48, 72 -> lengths 32, 32, 32, 8.
     val words = (0 until 80).map(i => ('a' + i % 26).toChar.toString * (i / 26 + 1))

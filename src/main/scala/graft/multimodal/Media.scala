@@ -149,18 +149,27 @@ object Media {
       minJacE4: Long = 8000L): DataFrame =
     mediaNearDupDf(mediaTable(s, d), minJacE4)
 
-  /** Same, over any (doc_id, media: binary) DataFrame (planted tests). */
+  /** Same, over any (doc_id, media: binary) DataFrame (planted tests).
+    * The join key is the codegen'd 32-bit polynomial hash of each window,
+    * not the window itself: an 8-byte long shuffles and compares at half
+    * the bytes of a 16-char string across the three aggregations and the
+    * pair join. Deterministic and identical in the oracle, so the query
+    * stays hash-matched; the residual risk is 32-bit hash collisions
+    * merging distinct windows — with ~10⁶ distinct windows per shuffle
+    * partition the expected collision count is ~100 in 4·10⁹, noise
+    * against a 0.8 Jaccard bar (and BOTH engines see the same merges). */
   def mediaNearDupDf(media: DataFrame, minJacE4: Long = 8000L): DataFrame = {
     val w = MediaWindow
     val m = media.select(col("doc_id"), col("media"),
       length(col("media")).as("n")) // length(binary) = byte count
     val windows = transform(
       sequence(lit(1), (col("n") - (w - 1)).cast("int")),
-      i => col("media").substr(i, lit(w)).cast("string"))
+      i => graft.functions.Fns.polyHash(col("media").substr(i, lit(w)).cast("string")))
     val sh = m.select(col("doc_id"),
       explode(array_distinct(
         when(col("n") >= w, windows)
-          .otherwise(array(concat(lit("#"), col("media").cast("string")))))).as("sh"))
+          .otherwise(array(graft.functions.Fns.polyHash(
+            concat(lit("#"), col("media").cast("string"))))))).as("sh"))
     graft.operators.Dedup.jaccardPairsFromShingles(sh, minJacE4)
       .orderBy("d1", "d2")
   }

@@ -60,6 +60,7 @@ object SparkEntry {
     "text_ngrams" -> ((s, d) => TextAnalytics.ngramTopK(s, d)),
     "text_df_terms" -> ((s, d) => TextAnalytics.docFrequency(s, d)),
     "text_langid" -> ((s, d) => TextAnalytics.langId(s, d)),
+    "text_langid_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "text_quality" -> ((s, d) => TextAnalytics.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalytics.fingerprint(s, d)),
@@ -259,6 +260,13 @@ object SparkEntry {
       s"""WITH t AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)) SELECT word, count(*) AS df FROM t GROUP BY word ORDER BY df DESC, word""",
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t) SELECT doc_id, lang, en_s, de_s, es_s, fr_s, CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END AS pred FROM s ORDER BY doc_id""",
+    // Trained character-trigram language ID: per-lang top-20 trigram
+    // profiles (count-desc/trigram-asc ties) from the labeled corpus, then
+    // distinct-trigram overlap argmax (score-desc/lang-asc ties, 'und' on
+    // zero overlap). All integer counts + pinned ties ⇒ the trained
+    // classifier hash-matches.
+    "text_langid_ngram" ->
+      """WITH base AS (SELECT doc_id, lang, CASE WHEN length(text) >= 3 THEN list_transform(range(1, length(text) - 1), i -> substr(lower(text), i, 3)) ELSE CAST([] AS VARCHAR[]) END AS tgs FROM documents), tr AS (SELECT lang, unnest(tgs) AS tg FROM base), pc AS (SELECT lang, tg, count(*) AS c FROM tr GROUP BY lang, tg), prof AS (SELECT lang AS plang, tg FROM (SELECT lang, tg, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) AS rn FROM pc) WHERE rn <= 20), dt AS (SELECT DISTINCT doc_id, tg FROM (SELECT doc_id, unnest(tgs) AS tg FROM base)), sc AS (SELECT doc_id, plang, count(*) AS score FROM dt JOIN prof ON dt.tg = prof.tg GROUP BY doc_id, plang), best AS (SELECT doc_id, plang, score FROM (SELECT doc_id, plang, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM sc) WHERE rn = 1) SELECT d.doc_id, d.lang, COALESCE(best.plang, 'und') AS pred_ng, CAST(COALESCE(best.score, 0) AS BIGINT) AS score, CAST(CASE WHEN COALESCE(best.plang, 'und') = d.lang THEN 1 ELSE 0 END AS BIGINT) AS is_match FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id ORDER BY d.doc_id""",
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, length(replace(text, ' ', '')) AS alpha_len, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, alpha_len, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits FROM t) SELECT doc_id, n_toks, CAST(round(alpha_len * 10000.0 / n_toks) AS BIGINT) AS avg_len_e4, CAST(round(stop_hits * 10000.0 / n_toks) AS BIGINT) AS stop_e4, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok FROM s ORDER BY doc_id""",
     "text_tokens" ->

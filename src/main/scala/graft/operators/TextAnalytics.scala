@@ -182,6 +182,59 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** Profile size for the character-n-gram language ID. */
+  val LangProfileK = 20
+
+  /** Character-trigram language ID — the n-gram-profile classifier (the
+    * production shape of language ID, vs the fixed marker-word heuristic of
+    * [[langId]]): TRAIN per-language profiles from the labeled corpus (top
+    * [[LangProfileK]] trigrams by frequency, count-desc/trigram-asc ties),
+    * then CLASSIFY every document by profile overlap (distinct doc trigrams
+    * ∩ profile), argmax with score-desc/lang-asc ties, 'und' on zero
+    * overlap. Both phases are deterministic integer arithmetic, so the
+    * trained classifier hash-matches the oracle end to end.
+    *
+    * Scale shape: training is one explode → (lang, trigram) count →
+    * per-lang top-K (rank over tiny per-lang key sets); the profile table
+    * is langs × K rows and BROADCASTS into the scoring join — the corpus
+    * trigram stream never shuffles for classification, only the per-doc
+    * score aggregate does. Train once, classify any corpus: the two phases
+    * split naturally into a saved table + a map-side join in production. */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame =
+    langIdNgramDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text, lang) DataFrame (planted tests). */
+  def langIdNgramDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = lower(col("text"))
+    val tgs = transform(
+      sequence(lit(1), (length(t) - lit(2)).cast("int")),
+      i => t.substr(i, lit(3)))
+    val base = docs.select(col("doc_id"), col("lang"),
+        when(length(t) >= 3, tgs).otherwise(array().cast("array<string>")).as("tgs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val profiles = base.select(col("lang"), explode(col("tgs")).as("tg"))
+      .groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("c"), asc("tg"))))
+      .filter(col("rn") <= LangProfileK)
+      .select(col("lang").as("plang"), col("tg"))
+    val scores = base.select(col("doc_id"), explode(array_distinct(col("tgs"))).as("tg"))
+      .join(broadcast(profiles), "tg")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang"), col("score"))
+    base.select("doc_id", "lang")
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("plang"), lit("und")).as("pred_ng"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("is_match", (col("pred_ng") === col("lang")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: token count, mean token length, stopword ratio (both as
     * 1e-4 fixed-point), and a boolean-ish quality flag. All-integer outputs. */
   def quality(spark: SparkSession, dir: String): DataFrame = {

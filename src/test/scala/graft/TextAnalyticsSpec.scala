@@ -37,6 +37,26 @@ class TextAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("langIdNgram: trained trigram profiles classify planted languages") {
+    // Two languages with disjoint character vocabularies; profiles are
+    // trained from the labeled rows, then every row must classify as its
+    // own language. A token-less doc scores zero overlap -> 'und'.
+    val docs = Seq(
+      (1L, "xyx zyx xyz zyzyx xyxzy", "xx"),
+      (2L, "zyx xyzzy xyxyx zyxzy", "xx"),
+      (3L, "qrq srq qrs sqsrq qrqsq", "qq"),
+      (4L, "srq qrssq qrqrq srqsq", "qq"),
+      (5L, "", "qq")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalytics.langIdNgramDf(docs)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    for ((id, lang, pred, score, m) <- got if id != 5L) {
+      assert(pred === lang, s"doc $id predicted $pred, labeled $lang")
+      assert(score > 0L && m === 1L)
+    }
+    assert(got.find(_._1 == 5L).get._3 === "und")
+  }
+
   test("repetition: planted duplicate bigrams score exactly") {
     val docs = Seq(
       (1L, "a a a a a"),  // "a a" ×4: dup = 3/4, top = 4/4

@@ -83,6 +83,23 @@ object TextStreams {
       .dropDuplicatesWithinWatermark("fp1", "fp2")
       .select(col("doc_id"), col("fp1"), col("fp2"), col("text"), col("lang"))
 
+  /** Streaming twin of [[graft.operators.Pipeline.corpusStats]]: the
+    * per-language report card maintained incrementally as documents arrive
+    * — state is one row per language (report-sized, bounded by the lang
+    * key space, not stream length), the same property as the word-count
+    * stream's vocabulary-bounded state. Complete-mode output; at 100 TB
+    * emit update mode into a keyed sink. */
+  def corpusStatsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    documentStream(spark, path, maxFilesPerTrigger)
+      .select(col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+
   /** Streaming corpus-clean twin of [[graft.operators.Pipeline.cleanCorpus]]:
     * the cleaned corpus AS A STREAM — arriving documents are exact-deduped
     * within the watermark horizon ([[dedupStream]]) and then pass the same

@@ -71,6 +71,21 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "corpus has no near-dups — test would be vacuous")
   }
 
+  test("streaming corpus stats equal the batch per-language report") {
+    val dir = Paths.get("target", "test-scratch", "docstream_stats")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.corpusStatsStream(spark, dir.toString), "t_stats")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Pipeline.corpusStats(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming word count over a text dir equals the batch word count") {
     val dir = Paths.get("target", "test-scratch", "textstream")
     Files.createDirectories(dir)

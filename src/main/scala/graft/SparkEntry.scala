@@ -54,6 +54,7 @@ object SparkEntry {
     "window_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
     "events_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_range" -> ((s, d) => Events.rangeJoinBands(s, d)),
     // — LLM-pipeline: text analysis —
@@ -250,6 +251,11 @@ object SparkEntry {
       """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events) SELECT hour_idx, event_type, count(*) AS cnt FROM e GROUP BY hour_idx, event_type ORDER BY hour_idx, event_type""",
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, event_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM l) SELECT user_id, session_id, count(*) AS n_events, CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // Ordered first-touch funnel: each stage's min is constrained to land
+    // strictly after the previous stage's min — same CTE chain shape as
+    // the Spark side's keyed aggregates.
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), t2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'click' AND e.ts_us > t1.t1 GROUP BY e.user_id), t3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2 GROUP BY e.user_id), u AS (SELECT DISTINCT user_id FROM e) SELECT u.user_id, CAST(COALESCE(t1.t1, -1) AS BIGINT) AS view_us, CAST(COALESCE(t2.t2, -1) AS BIGINT) AS click_us, CAST(COALESCE(t3.t3, -1) AS BIGINT) AS purchase_us, CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2 WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage FROM u LEFT JOIN t1 ON u.user_id = t1.user_id LEFT JOIN t2 ON u.user_id = t2.user_id LEFT JOIN t3 ON u.user_id = t3.user_id ORDER BY u.user_id""",
     "join_asof" ->
       """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) SELECT e.event_id, e.user_id, e.t AS ts_us, COALESCE(o.o_orderkey, -1) AS asof_orderkey, COALESCE(o.t, -1) AS asof_us FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t >= o.t ORDER BY event_id""",
     "join_range" ->

@@ -30,6 +30,47 @@ object Events {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("hour_idx", "event_type")
 
+  /** First-touch conversion funnel view → click → purchase: per user, the
+    * earliest 'view', the earliest 'click' STRICTLY AFTER it, and the
+    * earliest 'purchase' strictly after that — the standard ordered-funnel
+    * semantics (an out-of-order purchase does not convert). Emits one row
+    * per user with each stage's timestamp (-1 where the funnel stopped)
+    * and the reached-stage count.
+    *
+    * Scale shape: each stage is a filtered min-aggregate keyed on user_id,
+    * joined to the previous stage's result — all S stages hash-partition
+    * on the SAME key, so the exchanges reuse one partitioning and per-user
+    * state is one long per stage; no windows over full event histories.
+    * The event frame is persisted across the three stage passes. */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelDf(Tables.events(s, d))
+
+  /** Same, over any (user_id, event_type, ts_us) DataFrame (planted tests). */
+  def funnelDf(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    e.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        coalesce(col("t1"), lit(-1L)).as("view_us"),
+        coalesce(col("t2"), lit(-1L)).as("click_us"),
+        coalesce(col("t3"), lit(-1L)).as("purchase_us"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"))
+      .orderBy("user_id")
+  }
+
   /** 30-minute-gap sessionization: lag + conditional cumulative sum — the
     * classic batch sessionize. Two windows over the same (user_id; ts,
     * event_id) ordering → one shuffle + one sort, reused across both.

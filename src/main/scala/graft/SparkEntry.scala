@@ -56,6 +56,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
+    "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
     "join_range" -> ((s, d) => Events.rangeJoinBands(s, d)),
     // — LLM-pipeline: text analysis —
     "text_ngrams" -> ((s, d) => TextAnalytics.ngramTopK(s, d)),
@@ -64,6 +65,7 @@ object SparkEntry {
     "text_langid_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "text_quality" -> ((s, d) => TextAnalytics.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
+    "text_length_filter" -> ((s, d) => TextAnalytics.lengthFilter(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalytics.fingerprint(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalytics.tfIdf(s, d)),
     "text_tfidf_linear" -> ((s, d) => TextAnalytics.tfIdfLinear(s, d)),
@@ -258,6 +260,10 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), t2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'click' AND e.ts_us > t1.t1 GROUP BY e.user_id), t3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2 GROUP BY e.user_id), u AS (SELECT DISTINCT user_id FROM e) SELECT u.user_id, CAST(COALESCE(t1.t1, -1) AS BIGINT) AS view_us, CAST(COALESCE(t2.t2, -1) AS BIGINT) AS click_us, CAST(COALESCE(t3.t3, -1) AS BIGINT) AS purchase_us, CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2 WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage FROM u LEFT JOIN t1 ON u.user_id = t1.user_id LEFT JOIN t2 ON u.user_id = t2.user_id LEFT JOIN t3 ON u.user_id = t3.user_id ORDER BY u.user_id""",
     "join_asof" ->
       """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) SELECT e.event_id, e.user_id, e.t AS ts_us, COALESCE(o.o_orderkey, -1) AS asof_orderkey, COALESCE(o.t, -1) AS asof_us FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t >= o.t ORDER BY event_id""",
+    // Forward as-of: DuckDB's native ASOF with the <= comparator picks the
+    // smallest order time at-or-after each event.
+    "join_asof_fwd" ->
+      """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) SELECT e.event_id, e.user_id, e.t AS ts_us, COALESCE(o.o_orderkey, -1) AS next_orderkey, COALESCE(o.t, -1) AS next_us FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t <= o.t ORDER BY event_id""",
     "join_range" ->
       """WITH bands(band_id, lo, hi) AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0.0, 1.0), (CAST(1 AS BIGINT), 1.0, 4.0), (CAST(2 AS BIGINT), 4.0, 16.0), (CAST(3 AS BIGINT), 16.0, 64.0), (CAST(4 AS BIGINT), 64.0, 128.0), (CAST(5 AS BIGINT), 128.0, 256.0), (CAST(6 AS BIGINT), 256.0, 1024.0))) SELECT band_id, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi GROUP BY band_id ORDER BY band_id""",
     "text_ngrams" ->
@@ -277,6 +283,10 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, length(replace(text, ' ', '')) AS alpha_len, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, alpha_len, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits FROM t) SELECT doc_id, n_toks, CAST(round(alpha_len * 10000.0 / n_toks) AS BIGINT) AS avg_len_e4, CAST(round(stop_hits * 10000.0 / n_toks) AS BIGINT) AS stop_e4, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok FROM s ORDER BY doc_id""",
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS re_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[^a-z ]')) AS BIGINT) AS piece_tokens, CAST(length(text) AS BIGINT) AS text_len FROM documents ORDER BY doc_id""",
+    // Corpus-relative length trim: exact discrete percentiles over BIGINT
+    // token counts, one 2-value aggregate cross-joined back.
+    "text_length_filter" ->
+      s"""WITH c AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), cuts AS (SELECT CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_toks) AS BIGINT) AS lo, CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_toks) AS BIGINT) AS hi FROM c) SELECT doc_id, n_toks, lo, hi, CAST(CASE WHEN n_toks >= lo AND n_toks <= hi THEN 1 ELSE 0 END AS BIGINT) AS keep FROM c, cuts ORDER BY doc_id""",
     "agg_grouping_sets" ->
       """SELECT CAST(grouping(o_orderstatus) AS BIGINT) AS g_s, CAST(grouping(o_orderpriority) AS BIGINT) AS g_p, o_orderstatus, o_orderpriority, count(*) AS cnt, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     // Log-free TF-IDF twin: tf·N/df — rule-R2-clean (no libm ln), so unlike

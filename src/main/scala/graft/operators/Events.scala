@@ -114,6 +114,37 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join — the mirror of [[asofJoinOrders]]: for every
+    * event, the EARLIEST order at-or-after the event time for the same
+    * key (the "next action after exposure" direction attribution needs).
+    * Same composed shape — union + carry window — with the timeline
+    * walked in descending time, so `last(ignoreNulls)` carries the
+    * nearest LATER order; orders still sort before events at equal
+    * timestamps (tag asc), so ties match in both directions. ONE shuffle
+    * + ONE sort per key, like the backward form. DuckDB oracle: native
+    * ASOF with the `<=` comparator. */
+  def asofJoinOrdersFwd(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val oTagged = o.select(col("user_id"), col("t"),
+      lit(null).cast("long").as("event_id"), col("o_orderkey"), lit(0).as("tag"))
+    val eTagged = Tables.events(s, d).select(col("user_id"), col("ts_us").as("t"),
+      col("event_id"), lit(null).cast("long").as("o_orderkey"), lit(1).as("tag"))
+    val w = Window.partitionBy("user_id").orderBy(desc("t"), asc("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oTagged.unionByName(eTagged)
+      .withColumn("next_orderkey", last("o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("next_us",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts_us"),
+        coalesce(col("next_orderkey"), lit(-1L)).as("next_orderkey"),
+        coalesce(col("next_us"), lit(-1L)).as("next_us"))
+      .orderBy("event_id")
+  }
+
   /** Range join — events matched to value bands on `lo <= value < hi`.
     * The band dim here is tiny (7 rows) so the right plan IS the broadcast
     * nested-loop with the range predicate; Catalyst picks it because the

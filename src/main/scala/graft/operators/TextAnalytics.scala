@@ -235,6 +235,34 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** Percentile band for the corpus-relative length filter. */
+  val LenPctLo = 0.05
+  val LenPctHi = 0.95
+
+  /** Corpus-relative length filter — trim the token-count distribution's
+    * tails (very short docs are boilerplate/fragments, very long ones are
+    * concatenation artifacts): keep documents whose token count lies in
+    * the [p05, p95] band of the CORPUS distribution. Percentile-relative
+    * (not absolute) thresholds adapt as the corpus mix shifts — the
+    * standard pretraining trim alongside the absolute quality gate.
+    *
+    * Scale shape: one scan → token counts; the two cut points are a
+    * 2-value global aggregate (exact discrete percentiles over longs)
+    * broadcast back as a literal-free cross join of ONE row — the corpus
+    * never reshuffles. At extreme scale swap the exact percentile for the
+    * approx_percentile sketch (agg_quantiles_approx shows the shape). */
+  def lengthFilter(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+    val cuts = counts.agg(
+      expr(s"percentile_disc($LenPctLo) WITHIN GROUP (ORDER BY n_toks)").cast("long").as("lo"),
+      expr(s"percentile_disc($LenPctHi) WITHIN GROUP (ORDER BY n_toks)").cast("long").as("hi"))
+    counts.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_toks"), col("lo"), col("hi"),
+        (col("n_toks") >= col("lo") && col("n_toks") <= col("hi")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: token count, mean token length, stopword ratio (both as
     * 1e-4 fixed-point), and a boolean-ish quality flag. All-integer outputs. */
   def quality(spark: SparkSession, dir: String): DataFrame = {

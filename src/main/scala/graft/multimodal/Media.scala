@@ -160,16 +160,19 @@ object Media {
     * against a 0.8 Jaccard bar (and BOTH engines see the same merges). */
   def mediaNearDupDf(media: DataFrame, minJacE4: Long = 8000L): DataFrame = {
     val w = MediaWindow
-    val m = media.select(col("doc_id"), col("media"),
+    val m = media.select(col("doc_id"),
+      col("media").cast("string").as("t"),
       length(col("media")).as("n")) // length(binary) = byte count
-    val windows = transform(
-      sequence(lit(1), (col("n") - (w - 1)).cast("int")),
-      i => graft.functions.Fns.polyHash(col("media").substr(i, lit(w)).cast("string")))
+    // All distinct window hashes in ONE rolling pass per payload
+    // (WindowPolyHashes) instead of a substr+polyHash per window — the
+    // values are bit-identical to the per-window PolyHash32, so the oracle
+    // and the planted MediaSpec goldens are unchanged.
     val sh = m.select(col("doc_id"),
-      explode(array_distinct(
-        when(col("n") >= w, windows)
+      explode(
+        when(col("n") >= w,
+          org.apache.spark.sql.graft.StringExprs.windowPolyHashes(col("t"), w))
           .otherwise(array(graft.functions.Fns.polyHash(
-            concat(lit("#"), col("media").cast("string"))))))).as("sh"))
+            concat(lit("#"), col("t")))))).as("sh"))
     graft.operators.Dedup.jaccardPairsFromShingles(sh, minJacE4)
       .orderBy("d1", "d2")
   }

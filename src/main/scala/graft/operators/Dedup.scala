@@ -330,26 +330,28 @@ object Dedup extends org.apache.spark.internal.Logging {
     * modalities. Input: a (doc_id, sh) frame, distinct per doc. */
   def jaccardPairsFromShingles(shinglesDf: DataFrame, minJacE4: Long,
       maxDf: Long = MaxShingleDf): DataFrame = {
-    // `sh` feeds three consumers (per-doc counts, the df cap, the pair
-    // groups); persist it so the upstream scan→shingle pipeline runs once
-    // instead of three times. The harness clears the cache between queries.
+    // `sh` feeds two consumers (per-doc counts, the pair groups); persist it
+    // so the upstream scan→shingle pipeline runs once instead of twice. The
+    // harness clears the cache between queries.
     val sh = shinglesDf.persist(StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val eligible = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
-      .filter(col("df_") <= maxDf).select("sh")
-    // Pair generation WITHOUT a self-join: collect the (sorted) doc ids per
-    // eligible shingle — bounded to ≤ maxDf by the cap, so the array and the
-    // ≤ maxDf·(maxDf-1)/2 per-group pair fan-out are both bounded — and emit
-    // every (d1 < d2) pair with a nested-transform explode. The join
-    // formulation this replaces made the optimizer broadcast the full
-    // million-row shingle table per side; this shape shuffles each shingle
-    // row once and never materializes the table twice.
-    val grouped = sh.join(eligible, "sh")
-      .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-    val pairs = grouped.select(explode(flatten(
-        transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-            struct(x.as("d1"), y.as("d2")))))).as("p"))
+    // Pair generation WITHOUT a self-join AND without a separate df-count
+    // pass: ONE groupBy collects each shingle's doc ids through the
+    // bounded-state aggregate (state caps at maxDf+1 longs per key even for
+    // crawl-scale boilerplate windows — the OOM-safety the old shape bought
+    // with a df-count aggregation plus an eligibility join, i.e. one extra
+    // shuffle of the full shingle table). Cap-length arrays mean df > maxDf:
+    // dropped, exactly the old `df_ <= maxDf` rule. Sub-cap arrays are
+    // complete and sorted, so LongPairs emits every (d1 < d2) pair in a
+    // single tight loop — ≤ maxDf·(maxDf-1)/2 per group, same bound as the
+    // nested-transform explode it replaces at a fraction of the lambda
+    // overhead.
+    val capped = org.apache.spark.sql.graft.AggExprs
+      .boundedCollectLong(col("doc_id"), (maxDf + 1).toInt)
+    val grouped = sh.groupBy("sh").agg(capped.as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+    val pairs = grouped.select(explode(
+        org.apache.spark.sql.graft.AggExprs.longPairs(col("ids"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
     val common = pairs.groupBy("d1", "d2").agg(count(lit(1)).as("common"))
     common

@@ -206,12 +206,13 @@ object TextAnalytics {
   /** Same, over any (doc_id, text, lang) DataFrame (planted tests). */
   def langIdNgramDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = lower(col("text"))
-    val tgs = transform(
-      sequence(lit(1), (length(t) - lit(2)).cast("int")),
-      i => t.substr(i, lit(3)))
-    val base = docs.select(col("doc_id"), col("lang"),
-        when(length(t) >= 3, tgs).otherwise(array().cast("array<string>")).as("tgs"))
+    // One-pass trigram expression: the HOF transform(sequence, i ->
+    // lower(text).substr(i, 3)) re-evaluates lower() per position and each
+    // substr re-scans to codepoint i — O(len²) per doc. CharNgrams emits the
+    // identical array in O(len) (FnsParitySpec pins the parity).
+    val tgs = org.apache.spark.sql.graft.StringExprs
+      .charNgrams(lower(col("text")), 3)
+    val base = docs.select(col("doc_id"), col("lang"), tgs.as("tgs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val profiles = base.select(col("lang"), explode(col("tgs")).as("tg"))
       .groupBy("lang", "tg").agg(count(lit(1)).as("c"))

@@ -172,6 +172,122 @@ case class SimHash(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Distinct 32-bit polynomial hashes of every `w`-codepoint sliding window
+  * of a string, in ONE pass: the hash of window i+1 derives from window i by
+  * the standard rolling update `h' = (h*31 - cp_i*31^w + cp_{i+w}) mod 2^32`
+  * (all ops congruent mod 2^32, so each window's value is bit-identical to
+  * PolyHash32 of the window substring — and to the DuckDB oracle's
+  * list_reduce over substr windows). Fewer than w codepoints yields an
+  * empty array; the caller supplies the short-payload fallback.
+  *
+  * Replaces `transform(sequence(1, n-w+1), i -> polyHash(substr(t,i,w)))` +
+  * `array_distinct`, which allocates a substring copy per window and redoes
+  * w multiply-adds per window — O(n·w) time and O(n) allocations. This is
+  * O(n) time, zero per-window allocation, with dedup via sort+unique on a
+  * primitive long[] (order is irrelevant: callers explode then aggregate).
+  * Array-typed output doesn't profit from expression codegen (same
+  * rationale as WordNgrams), so CodegenFallback — the win is the loop.
+  */
+case class WindowPolyHashes(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(w >= 1, "window width must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"window_poly_hashes_$w"
+
+  // 31^w mod 2^32 — the coefficient of the outgoing codepoint.
+  private val powW: Long = {
+    var p = 1L
+    var i = 0
+    while (i < w) { p = (p * 31L) & 0xffffffffL; i += 1 }
+    p
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // One pass to codepoints (ASCII corpus ⇒ cps.length == s.length, but
+    // codepoint iteration keeps parity with PolyHash32 on non-BMP text).
+    val cps = new Array[Int](s.length)
+    var m = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(m) = cp; m += 1
+      i += Character.charCount(cp)
+    }
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Long](m - w + 1)
+    var h = 0L
+    i = 0
+    while (i < w) { h = (h * 31L + cps(i)) & 0xffffffffL; i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= m - w) {
+      h = (h * 31L - cps(i - 1) * powW + cps(i + w - 1)) & 0xffffffffL
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var n = 0
+    i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(n) = out(i); n += 1 }
+      i += 1
+    }
+    val distinct = new Array[Any](n)
+    i = 0
+    while (i < n) { distinct(i) = out(i); i += 1 }
+    new GenericArrayData(distinct)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowPolyHashes =
+    copy(child = newChild)
+}
+
+/** All `n`-codepoint sliding windows of a string as an array<string>, in ONE
+  * pass. Value-identical to `transform(sequence(1, len-n+1), i ->
+  * substr(s, i, n))` (and the DuckDB list_transform twin), but that HOF form
+  * is O(len²): every interpreted lambda call re-evaluates its input
+  * subexpression (e.g. a lower(text)) and substr(i, n) re-scans from the
+  * string start to find codepoint i. This walks the codepoint offsets once
+  * and slices each window directly. Fewer than n codepoints yields an empty
+  * array. CodegenFallback for the same reason as WordNgrams: the win is the
+  * single-pass loop, not expression codegen.
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"char_${n}grams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // Offsets (in UTF-16 units) of each codepoint start, plus the end.
+    val offs = new Array[Int](s.length + 1)
+    var m = 0
+    var i = 0
+    while (i < s.length) {
+      offs(m) = i; m += 1
+      i += Character.charCount(s.codePointAt(i))
+    }
+    offs(m) = s.length
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      out(i) = UTF8String.fromString(s.substring(offs(i), offs(i + n)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 object StringExprs {
   /** Column wrapper: `(h*31 + char) & 0xffffffff` rolling hash. */
   def polyHash32(s: Column): Column =
@@ -184,4 +300,12 @@ object StringExprs {
   /** Column wrapper: SimHash fingerprint of a token array. */
   def simhash(toks: Column, bits: Int): Column =
     ExpressionUtils.column(SimHash(ExpressionUtils.expression(toks), bits))
+
+  /** Column wrapper: distinct rolling hashes of all w-codepoint windows. */
+  def windowPolyHashes(s: Column, w: Int): Column =
+    ExpressionUtils.column(WindowPolyHashes(ExpressionUtils.expression(s), w))
+
+  /** Column wrapper: all n-codepoint character windows of a string. */
+  def charNgrams(s: Column, n: Int): Column =
+    ExpressionUtils.column(CharNgrams(ExpressionUtils.expression(s), n))
 }

@@ -49,6 +49,37 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("bounded collect + pair expansion equal the unbounded collect_list form") {
+    // The single-shuffle jaccard shape must agree with the two-shuffle
+    // formulation it replaced: df-filter-then-collect_list + nested
+    // transform. Random-ish multi-doc shingle sets, several above the cap.
+    val cap = 5L
+    val sh = (1 to 400).map { i =>
+      (i.toLong % 97, (i * 7919 % 13).toLong) // (doc_id, sh): sh df ≈ 30 each
+    }.toDF("doc_id", "sh")
+      .union((1 to 40).map(i => (i.toLong, 1000L + i % 10)).toDF("doc_id", "sh"))
+      .distinct()
+    val fast = sh.groupBy("sh")
+      .agg(org.apache.spark.sql.graft.AggExprs
+        .boundedCollectLong(col("doc_id"), (cap + 1).toInt).as("ids"))
+      .filter(size(col("ids")) <= cap)
+      .select(col("sh"), explode(
+        org.apache.spark.sql.graft.AggExprs.longPairs(col("ids"))).as("p"))
+      .select(col("sh"), col("p.d1"), col("p.d2"))
+    val eligible = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= cap).select("sh")
+    val ref = sh.join(eligible, "sh")
+      .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("sh"), explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+            struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("sh"), col("p.d1"), col("p.d2"))
+    assert(fast.exceptAll(ref).count() === 0L)
+    assert(ref.exceptAll(fast).count() === 0L)
+    assert(fast.count() > 0L)
+  }
+
   test("ngram Jaccard: hot-shingle cap drops pairs whose only overlap is capped") {
     // 12 docs sharing one boilerplate sentence; with maxDf < 12 the shared
     // shingles are excluded and no pairs survive.

@@ -49,6 +49,40 @@ class FnsParitySpec extends AnyFunSuite {
     assert(org.apache.spark.sql.graft.PolyHash32.hash("a😀b") === expect)
   }
 
+  test("WindowPolyHashes equals per-window PolyHash32 (rolling-update parity)") {
+    // The rolling update h' = (h*31 - cp*31^w + cp') mod 2^32 must be
+    // bit-identical to hashing each w-window from scratch — on corpus text,
+    // on sub-window strings (empty array), and on non-BMP codepoints.
+    val w = multimodal.Media.MediaWindow
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("text").as("t"), length(col("text")).as("n"))
+      .union(Seq(("short", 5), ("a😀b😀c😀d😀e😀f😀g😀h😀i😀j😀k😀l", 23))
+        .toDF("t", "n"))
+    val perWindow = array_sort(array_distinct(
+      when(col("n") >= w,
+        transform(sequence(lit(1), (col("n") - (w - 1)).cast("int")),
+          i => Fns.polyHash(col("t").substr(i, lit(w)))))
+        .otherwise(array().cast("array<long>"))))
+    val rolling = org.apache.spark.sql.graft.StringExprs.windowPolyHashes(col("t"), w)
+    val bad = docs.select(rolling.as("fast"), perWindow.as("ref"))
+      .filter(not(col("fast") <=> col("ref"))).count()
+    assert(bad === 0L)
+  }
+
+  test("CharNgrams equals the HOF substr-window formulation") {
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+      .select(lower(col("text")).as("t"))
+      .union(Seq("ab", "", "a😀b😀c").toDF("t"))
+    val hof = when(length(col("t")) >= 3,
+      transform(sequence(lit(1), (length(col("t")) - lit(2)).cast("int")),
+        i => col("t").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val fast = org.apache.spark.sql.graft.StringExprs.charNgrams(col("t"), 3)
+    val bad = docs.select(fast.as("fast"), hof.as("ref"))
+      .filter(not(col("fast") <=> col("ref"))).count()
+    assert(bad === 0L)
+  }
+
   test("SimHash expression equals the HOF formulation at 32 and 64 bits") {
     val docs = sources.Tables.documents(spark, TestSpark.sf)
     for (bits <- Seq(32, 64)) {

@@ -70,6 +70,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalytics.tfIdf(s, d)),
     "text_tfidf_linear" -> ((s, d) => TextAnalytics.tfIdfLinear(s, d)),
     "text_repetition" -> ((s, d) => TextAnalytics.repetition(s, d)),
+    "text_lm_score" -> ((s, d) => TextAnalytics.lmScore(s, d)),
     "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
     "vocab_coverage" -> ((s, d) => TextAnalytics.vocabCoverage(s, d)),
     // — LLM-pipeline: dedup —
@@ -88,6 +89,7 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
+    "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
@@ -212,6 +214,13 @@ object SparkEntry {
     // final rank) with id tie-breaks — so even this approximate ANN path
     // hash-matches. Float ops run in the same order on both engines
     // (sequential dot, then one divide, then round).
+    // Product quantization: normalized sub-vector codebook (stub = first-16
+    // slices, same swap-in contract as IVF), argmin-L2 codes with e4-rounded
+    // distances and centroid-id ties, ADC scoring = integer sum of the
+    // query's e4 lookup table over the codes — every step pinned to the
+    // identical op order on both engines.
+    "sim_pq_topk" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), nn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM n), mm AS (SELECT unnest(range(8)) AS m), subs AS (SELECT vec_id, m, vn[m*8+1 : m*8+8] AS xm FROM nn CROSS JOIN mm), cb AS (SELECT vec_id AS j, m, xm AS cm FROM subs WHERE vec_id < 16), dist AS (SELECT s.vec_id, s.m, c.j, CAST(round((list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm)) * 10000) AS BIGINT) AS d2_e4 FROM subs s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id, m, j FROM (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e4, j) AS rn FROM dist) WHERE rn = 1), qtab AS (SELECT s.vec_id AS qid, s.m, c.j, CAST(round(list_inner_product(s.xm, c.cm) * 10000) AS BIGINT) AS t_e4 FROM subs s JOIN cb c ON s.m = c.m WHERE s.vec_id < 10), scored AS (SELECT q.qid, co.vec_id AS cid, CAST(sum(q.t_e4) AS BIGINT) AS approx_e4 FROM codes co JOIN qtab q ON co.m = q.m AND co.j = q.j GROUP BY q.qid, co.vec_id) SELECT qid, cid, approx_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, approx_e4, row_number() OVER (PARTITION BY qid ORDER BY approx_e4 DESC, cid) AS rn FROM scored) WHERE rn <= 5 ORDER BY qid, rn""",
     "sim_ivf_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), asgn AS (SELECT vec_id, cell_id FROM (SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY CAST(round(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM n, cents c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, cents c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN asgn a ON p.cell_id = a.cell_id), s AS (SELECT cd.qid, cd.cid, CAST(round(list_inner_product(x.v, y.qv) / (x.nrm * y.qn) * 10000) AS BIGINT) AS sim_e4 FROM cand cd JOIN n x ON cd.cid = x.vec_id JOIN q y ON cd.qid = y.qid), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     // Trained IVF: two unrolled deterministic Lloyd iterations. Centroids in
@@ -268,6 +277,12 @@ object SparkEntry {
       """WITH bands(band_id, lo, hi) AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0.0, 1.0), (CAST(1 AS BIGINT), 1.0, 4.0), (CAST(2 AS BIGINT), 4.0, 16.0), (CAST(3 AS BIGINT), 16.0, 64.0), (CAST(4 AS BIGINT), 64.0, 128.0), (CAST(5 AS BIGINT), 128.0, 256.0), (CAST(6 AS BIGINT), 256.0, 1024.0))) SELECT band_id, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi GROUP BY band_id ORDER BY band_id""",
     "text_ngrams" ->
       s"""WITH toks AS (SELECT regexp_extract_all(lower(text), '$Tok') AS w FROM documents), bi AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks) SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""",
+    // Bigram LM quality score: add-one-smoothed bigram probabilities from
+    // the corpus itself, e4-rounded per bigram TYPE before the per-doc sum
+    // — all-long arithmetic, so the trained scorer hash-matches (rule R2
+    // keeps log-probs out; this is the rational-probability analog).
+    "text_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), tf AS (SELECT doc_id, bigram, count(*) AS tf FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks) GROUP BY doc_id, bigram), bc AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c_bi FROM tf GROUP BY bigram), hc AS (SELECT split_part(bigram, ' ', 1) AS hist, CAST(sum(c_bi) AS BIGINT) AS c_hist FROM bc GROUP BY 1), v AS (SELECT count(DISTINCT word) AS v FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)), model AS (SELECT bigram, CAST(round(10000.0 * (c_bi + 1) / (c_hist + v.v)) AS BIGINT) AS p_e4 FROM bc JOIN hc ON split_part(bc.bigram, ' ', 1) = hc.hist CROSS JOIN v), scored AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, CAST(sum(tf * p_e4) AS BIGINT) AS lm_score_e4 FROM tf JOIN model USING (bigram) GROUP BY doc_id) SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, COALESCE(s.lm_score_e4, 0) AS lm_score_e4, CAST(CASE WHEN s.n_bigrams IS NULL THEN 0 ELSE round(s.lm_score_e4 * 1.0 / s.n_bigrams) END AS BIGINT) AS lm_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id ORDER BY d.doc_id""",
     "text_df_terms" ->
       s"""WITH t AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)) SELECT word, count(*) AS df FROM t GROUP BY word ORDER BY df DESC, word""",
     "text_langid" ->

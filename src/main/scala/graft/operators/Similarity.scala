@@ -199,6 +199,80 @@ object Similarity {
     probeAndScore(c, trained, assignCells(c, trained), nQueries, k, nProbe)
   }
 
+  // PQ parameters: M subspaces of SubDim dims each, K centroids per
+  // subspace. 8×16 → codes are 8 small ints per vector: a 16× memory
+  // compression of the 64-double corpus, the property that lets
+  // billion-vector indexes live in RAM.
+  val PqM = 8
+  val PqK = 16
+  val PqSubDim: Int = Dim / PqM
+
+  /** Product-quantization approximate top-k — the memory-compressed ANN
+    * path, complementing cell-partitioned IVF and hash-bucketed LSH:
+    *  1. codebook: per subspace m, K centroids (deterministic stub: the
+    *     sub-slices of the first K NORMALIZED corpus vectors — same
+    *     swap-in-trained-centroids contract as ivfTopK, and the k-means of
+    *     ivfTrainedTopK shows exactly how a trained codebook would slot in);
+    *  2. encode: every corpus vector → M argmin-L2 centroid codes
+    *     (e4-rounded distances, ties to the lower centroid id — identical
+    *     ordering on both engines). The codes table IS the index: M bytes
+    *     per vector instead of Dim doubles;
+    *  3. ADC scoring: per query, an M×K inner-product lookup table; the
+    *     approximate similarity of a candidate is the SUM of its codes'
+    *     table entries (asymmetric distance computation) — integer sums of
+    *     e4 values, so distributed order cannot perturb ranks.
+    * Scale shape: the corpus streams ONCE through encoding against the
+    * broadcast codebook (M·K small dot products per vector, no shuffle);
+    * scoring shuffles only (qid, cid, partial) triples — the full vectors
+    * never move after encoding, which is the entire point of PQ at 100 TB.
+    * Cosine equivalence: vectors are pre-normalized, so inner-product ADC
+    * ranks by approximate cosine. Recall vs bruteTopK is gated in
+    * SimilaritySpec. */
+  def pqTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      m: Int = PqM, kCents: Int = PqK): DataFrame = {
+    val sub = PqSubDim
+    val c = corpus(s, d)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (vec_id, m, xm): the M sub-vectors of each normalized vector.
+    def subVectors(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id"), posexplode(
+          array((0 until m).map(i => slice(col("vn"), i * sub + 1, sub)): _*)))
+        .toDF(idCol, "m", "xm")
+    val subs = subVectors(c, "vec_id")
+    // Codebook: 128 rows (M × K), broadcast everywhere.
+    val cb = subVectors(c.filter(col("vec_id") < kCents), "j")
+      .select(col("j"), col("m"), col("xm").as("cm"))
+    // Encode: d²(x_m, c_mj) = ⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩ in e4, argmin per
+    // (vec_id, m) with centroid-id ties — one linear corpus pass.
+    val wCode = Window.partitionBy("vec_id", "m").orderBy(asc("d2_e4"), asc("j"))
+    val codes = subs.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("j"),
+        e4(dotD(col("xm"), col("xm")) - lit(2.0) * dotD(col("xm"), col("cm"))
+          + dotD(col("cm"), col("cm"))).as("d2_e4"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("j"))
+    // ADC lookup table: e4 inner products of each query sub-vector with
+    // every centroid — nQueries × M × K rows, broadcast.
+    val qtab = subVectors(c.filter(col("vec_id") < nQueries), "qid")
+      .select(col("qid"), col("m"), col("xm").as("qm"))
+      .join(broadcast(cb), "m")
+      .select(col("qid"), col("m"), col("j"),
+        e4(dotD(col("qm"), col("cm"))).as("t_e4"))
+    // Score = Σ_m table[m][code_m]: an equi-join on (m, code) + one sum —
+    // the compressed index is all that moves.
+    val scored = codes.join(broadcast(qtab), Seq("m", "j"))
+      .select(col("qid"), col("vec_id").as("cid"), col("t_e4"))
+      .groupBy("qid", "cid")
+      .agg(sum("t_e4").as("approx_e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("approx_e4"), asc("cid"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   /** LSH-banded approximate top-k: a corpus vector is a candidate for a query
     * if ANY of the `bands` band keys (each `rows` sign-projection bits) agree
     * — the OR-of-ANDs construction that keeps recall high while each band's

@@ -402,6 +402,59 @@ object TextAnalytics {
   def textClean(spark: SparkSession, dir: String): DataFrame =
     textCleanDf(Tables.documents(spark, dir))
 
+  /** Bigram language-model quality score — the integer-exact form of the
+    * standard "perplexity filter" for pretraining corpora: train a bigram
+    * model on the corpus (add-one smoothing), score each document by its
+    * bigram probabilities under that model. Rule R2 (no libm in the
+    * hash-matched surface) rules out log-probs, so the score is the sum of
+    * e4-rounded smoothed probabilities Σ round(1e4·(c(w1,w2)+1)/(c_hist(w1)+V))
+    * — LONG arithmetic end to end, so distributed summation order cannot
+    * perturb the result — plus its per-bigram mean. Same doc ranking intent
+    * as mean log-prob for quality gating: fluent, in-distribution text
+    * scores high; gibberish and OOV-dense text scores low.
+    *
+    * Scale shape: per-doc bigram tf (ONE shuffle of the bigram stream with
+    * map-side combine) feeds everything — corpus bigram counts, history
+    * counts, and the scoring join — so the raw token stream is never
+    * shuffled twice. The model table is vocab²-bounded (far smaller in
+    * practice); the scoring join is a linear equi-join on bigram. V (vocab
+    * size) is one count-distinct scalar: swap in approx_count_distinct at
+    * crawl scale (distinct_words_approx shows the error-gated shape).
+    * In production the model tables persist once and score any number of
+    * corpora — train/score split at no extra cost. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted fluency tests). */
+  def lmScoreDf(docs: DataFrame): DataFrame = {
+    val tf = docTokensText(docs)
+      .select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biCounts = tf.groupBy("bigram").agg(sum("tf").as("c_bi"))
+      .withColumn("hist", substring_index(col("bigram"), " ", 1))
+    val histCounts = biCounts.groupBy("hist").agg(sum("c_bi").as("c_hist"))
+    val v = docTokensText(docs)
+      .select(explode(col("toks")).as("w"))
+      .select(countDistinct("w")).head().getLong(0)
+    val model = biCounts.join(histCounts, "hist")
+      .select(col("bigram"),
+        round(lit(10000.0) * (col("c_bi") + lit(1L)) / (col("c_hist") + lit(v)))
+          .cast("long").as("p_e4"))
+    val scored = tf.join(model, "bigram")
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("p_e4")).as("lm_score_e4"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score_e4"), lit(0L)).as("lm_score_e4"),
+        when(col("n_bigrams").isNull, lit(0L))
+          .otherwise(round(col("lm_score_e4") / col("n_bigrams")).cast("long"))
+          .as("lm_mean_e4"))
+      .orderBy("doc_id")
+  }
+
   /** Same, over any (doc_id, text) DataFrame (planted-PII tests). */
   def textCleanDf(docs: DataFrame): DataFrame =
     docs

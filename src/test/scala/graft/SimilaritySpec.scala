@@ -65,6 +65,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivfTrainedTopK recall vs brute dropped to $recall")
   }
 
+  test("pq: full coverage, deterministic codes, recall gated vs brute") {
+    val pq = Similarity.pqTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    assert(pq.length === 10 * 5)
+    assert(pq.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == (1L to 5L) })
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val pqSet = pq.map(t => (t._1, t._2)).toSet
+    val recall = bruteSet.count(pqSet.contains).toDouble / bruteSet.size
+    // Deterministic codebook → fixed recall per corpus; floor is margin
+    info(s"pq recall@5 vs brute = $recall")
+    assert(recall >= 0.3, s"pqTopK recall vs brute dropped to $recall")
+  }
+
   test("lsh recall vs brute-force is gated") {
     // Measured on the banded (8×4-bit) construction: 0.76 at sf0.001, 0.70
     // at sf0.01. Deterministic hyperplanes → this is a fixed number per

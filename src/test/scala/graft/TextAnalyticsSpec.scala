@@ -10,6 +10,32 @@ class TextAnalyticsSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("lm score: fluent in-distribution text outranks rare-bigram text") {
+    // 8 copies of one sentence dominate the bigram model; a doc made of
+    // bigrams seen once scores a far lower mean probability. Also pins the
+    // hand-computed value for the dominant doc's first bigram.
+    val fluent = "the cat sat on the mat"
+    val docs = (1L to 8L).map(i => (i, fluent)).toDF("doc_id", "text")
+      .union(Seq((9L, "purple quantum zebra ate mauve gravel")).toDF("doc_id", "text"))
+    val out = TextAnalytics.lmScoreDf(docs)
+      .select("doc_id", "n_bigrams", "lm_mean_e4")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(out(1L)._2 === 5L)
+    assert(out(9L)._2 === 5L)
+    assert(out(1L)._3 > out(9L)._3 * 2,
+      s"fluent mean ${out(1L)._3} should dwarf gibberish mean ${out(9L)._3}")
+    val score = TextAnalytics.lmScoreDf(docs)
+      .filter($"doc_id" === 1L).select("lm_score_e4").as[Long].head()
+    // V = 11 distinct words (5 fluent + 6 gibberish). Doc 1 bigrams all have
+    // c_bi = 8; hist "the" is history of both "the cat" and "the mat"
+    // (c_hist = 16, twice), hists cat/sat/on have c_hist = 8 (three times):
+    // p_the = round(1e4·9/27) = 3333, p_other = round(1e4·9/19) = 4737.
+    val pThe = math.round(10000.0 * 9 / 27)
+    val pOther = math.round(10000.0 * 9 / 19)
+    assert(score === 2 * pThe + 3 * pOther)
+    assert(out(1L)._3 === math.round(score / 5.0))
+  }
+
   test("tf-idf matches hand-computed values on a planted corpus") {
     // 3 docs: "cat" in all (idf=ln(1)=0), "dog" in two, "emu" in one (twice)
     val docs = Seq(

@@ -134,6 +134,26 @@ object Media {
     * only ~width windows and true near-dups stay above the 0.8 bar. */
   val MediaWindow = 16
 
+  /** Content-defined window sampling modulus: of the one-window-per-byte
+    * stream, only windows whose scrambled hash ≡ 0 (mod this) enter the
+    * Jaccard pipeline — the mod-p fingerprint selection of Broder/CDC
+    * dedup. Hash-based (not positional) selection is shift-invariant: an
+    * insertion re-aligns every downstream window, but each window's KEEP
+    * decision depends only on its own bytes, so two near-identical payloads
+    * still sample the same windows. Jaccard over a uniform 1/p sample of
+    * the window universe estimates the true Jaccard (both engines sample
+    * identically, so the query stays hash-matched); the pair-partial
+    * stream — the dominant cost, one window per BYTE without sampling —
+    * shrinks by p. At 100 TB this knob is what makes byte-level near-dup
+    * shippable at all (p=1 would be 10^14 windows); the scramble
+    * (h XOR h>>16) folds the high bits in before the mod so low-bit
+    * regularity of ASCII text can't bias the sample. */
+  val SampleMod = 4
+
+  /** KEEP predicate for [[SampleMod]] sampling over a 32-bit window hash. */
+  private def sampled(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (h.bitwiseXOR(shiftright(h, 16)) % SampleMod) === 0
+
   /** Byte-level NEAR-dup pairs on binary payloads: distinct
     * [[MediaWindow]]-byte windows per payload (the byte analog of word
     * shingles; short payloads fall back to one whole-payload shingle)
@@ -166,11 +186,16 @@ object Media {
     // All distinct window hashes in ONE rolling pass per payload
     // (WindowPolyHashes) instead of a substr+polyHash per window — the
     // values are bit-identical to the per-window PolyHash32, so the oracle
-    // and the planted MediaSpec goldens are unchanged.
+    // and the planted MediaSpec goldens are unchanged. Content-defined
+    // sampling ([[SampleMod]]) thins the windowed branch only; the
+    // short-payload fallback shingle is always kept, so short payloads
+    // never vanish from the pair search.
     val sh = m.select(col("doc_id"),
       explode(
         when(col("n") >= w,
-          org.apache.spark.sql.graft.StringExprs.windowPolyHashes(col("t"), w))
+          filter(
+            org.apache.spark.sql.graft.StringExprs.windowPolyHashes(col("t"), w),
+            h => sampled(h)))
           .otherwise(array(graft.functions.Fns.polyHash(
             concat(lit("#"), col("t")))))).as("sh"))
     graft.operators.Dedup.jaccardPairsFromShingles(sh, minJacE4)

@@ -72,11 +72,17 @@ class MediaSpec extends AnyFunSuite {
 
   test("byte-level near-dup pairs planted near-identical payloads, not distinct ones") {
     import org.apache.spark.sql.functions.{col, encode}
-    // Long aperiodic payload so its 16-byte windows are distinct: a
-    // one-byte edit then breaks only ~1 window and the pair stays >= 0.8.
-    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
-      "kilo lima mike november oscar papa quebec romeo sierra tango uniform " +
-      "victor whiskey xray yankee zulu"
+    // Long aperiodic payload so its 16-byte windows are (mostly) distinct:
+    // a one-byte edit then breaks only ~16 windows, and the pair stays
+    // well above 0.8 even over the operator's 1-in-SampleMod
+    // content-defined window sample (~900 chars ⇒ ~220 sampled windows,
+    // ~4 of them edit-broken).
+    val words = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu").split(" ")
+    val base = (words ++ words.reverse ++ words.sortBy(_.length) ++
+      words.sortBy(_.reverse) ++
+      words.zip(words.reverse).map { case (a, b) => a + b }).mkString(" ")
     val docs = Seq(
       (1L, base),
       (2L, base.dropRight(1) + "x"), // 1-byte edit at the end

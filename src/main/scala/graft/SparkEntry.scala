@@ -55,6 +55,8 @@ object SparkEntry {
     "events_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "events_retention" -> ((s, d) => Events.retention(s, d)),
+    "events_anomaly" -> ((s, d) => Events.anomaly(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
     "join_range" -> ((s, d) => Events.rangeJoinBands(s, d)),
@@ -70,6 +72,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalytics.tfIdf(s, d)),
     "text_tfidf_linear" -> ((s, d) => TextAnalytics.tfIdfLinear(s, d)),
     "text_repetition" -> ((s, d) => TextAnalytics.repetition(s, d)),
+    "text_diversity" -> ((s, d) => TextAnalytics.diversity(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalytics.lmScore(s, d)),
     "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
     "vocab_coverage" -> ((s, d) => TextAnalytics.vocabCoverage(s, d)),
@@ -102,6 +105,7 @@ object SparkEntry {
     "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
+    "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "pack_sequences_global" -> ((s, d) => Pipeline.packSequencesGlobal(s, d)),
     "chunk_documents" -> ((s, d) => Pipeline.chunkDocuments(s, d)),
@@ -267,6 +271,16 @@ object SparkEntry {
     // the Spark side's keyed aggregates.
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), t2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'click' AND e.ts_us > t1.t1 GROUP BY e.user_id), t3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2 GROUP BY e.user_id), u AS (SELECT DISTINCT user_id FROM e) SELECT u.user_id, CAST(COALESCE(t1.t1, -1) AS BIGINT) AS view_us, CAST(COALESCE(t2.t2, -1) AS BIGINT) AS click_us, CAST(COALESCE(t3.t3, -1) AS BIGINT) AS purchase_us, CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2 WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage FROM u LEFT JOIN t1 ON u.user_id = t1.user_id LEFT JOIN t2 ON u.user_id = t2.user_id LEFT JOIN t3 ON u.user_id = t3.user_id ORDER BY u.user_id""",
+    // Cohort retention triangle: cohort = first active day; a user is at
+    // most one row per day after the DISTINCT, so cells are plain counts.
+    "events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id), act AS (SELECT c.cohort_day, d.day - c.cohort_day AS offset_days, count(*) AS n_users FROM days d JOIN cohort c ON d.user_id = c.user_id GROUP BY 1, 2), sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY 1) SELECT a.cohort_day, a.offset_days, a.n_users, s.cohort_size, CAST(round(a.n_users * 10000.0 / s.cohort_size) AS BIGINT) AS ret_e4 FROM act a JOIN sizes s ON a.cohort_day = s.cohort_day ORDER BY a.cohort_day, a.offset_days""",
+    // Hourly volume z-scores per event type: moments are exact integer sums
+    // (n, Σc, Σc²), the float tail (one divide, IEEE sqrt, one divide,
+    // e4-round) runs in the same op order on both engines; zero-variance
+    // series pin z to 0 via the CASE guard.
+    "events_anomaly" ->
+      """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS cnt FROM events GROUP BY 1, 2), stats AS (SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS q FROM hourly GROUP BY 1), z AS (SELECT h.event_type, h.hour_idx, h.cnt, CAST(CASE WHEN st.n * st.q = st.s * st.s THEN 0 ELSE round((h.cnt - CAST(st.s AS DOUBLE) / st.n) / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE) / (st.n * st.n)) * 10000) END AS BIGINT) AS z_e4 FROM hourly h JOIN stats st USING (event_type)) SELECT event_type, hour_idx, cnt, z_e4, CAST(CASE WHEN abs(z_e4) >= 30000 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly FROM z ORDER BY event_type, hour_idx""",
     "join_asof" ->
       """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) SELECT e.event_id, e.user_id, e.t AS ts_us, COALESCE(o.o_orderkey, -1) AS asof_orderkey, COALESCE(o.t, -1) AS asof_us FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t >= o.t ORDER BY event_id""",
     // Forward as-of: DuckDB's native ASOF with the <= comparator picks the
@@ -356,6 +370,11 @@ object SparkEntry {
     // top-bigram share per doc, 1e-4 fixed point; <2-token docs score 0.
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), bi AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks), pb AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram), pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c FROM pb GROUP BY doc_id) SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, COALESCE(p.n_distinct, 0) AS n_distinct, CAST(CASE WHEN p.n_bigrams IS NULL THEN 0 ELSE round((p.n_bigrams - p.n_distinct) * 10000.0 / p.n_bigrams) END AS BIGINT) AS dup_e4, CAST(CASE WHEN p.n_bigrams IS NULL THEN 0 ELSE round(p.max_c * 10000.0 / p.n_bigrams) END AS BIGINT) AS top_e4 FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id ORDER BY d.doc_id""",
+    // Lexical diversity: type-token ratio + Simpson concentration of the
+    // unigram distribution — integer Σc/Σc²/distinct until one double
+    // divide + e4 round.
+    "text_diversity" ->
+      s"""WITH terms AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents), pw AS (SELECT doc_id, word, count(*) AS c FROM terms GROUP BY doc_id, word), pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks, count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM pw GROUP BY doc_id) SELECT d.doc_id, COALESCE(p.n_toks, 0) AS n_toks, COALESCE(p.n_types, 0) AS n_types, CAST(CASE WHEN p.n_toks IS NULL THEN 0 ELSE round(p.n_types * 10000.0 / p.n_toks) END AS BIGINT) AS ttr_e4, CAST(CASE WHEN p.n_toks IS NULL THEN 0 ELSE round(p.sum_c2 * 10000.0 / (p.n_toks * p.n_toks)) END AS BIGINT) AS simpson_e4 FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id ORDER BY d.doc_id""",
     // PII redaction: URL → email → digit-run passes, each count measured on
     // the previous pass's output. Same pattern strings as the Spark side;
     // RE2 and the JVM engine agree on these greedy character-class forms —
@@ -370,6 +389,14 @@ object SparkEntry {
     // salted hash — one definition of each on the Spark side too).
     "decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), sps AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents))), tsh AS (SELECT DISTINCT s.sh FROM sh s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split = 'test'), shr AS (SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN sps p ON s.doc_id = p.doc_id JOIN tsh t ON s.sh = t.sh WHERE p.split <> 'test' GROUP BY s.doc_id) SELECT p.doc_id, p.split, COALESCE(r.n_shared, 0) AS n_shared, CAST(CASE WHEN COALESCE(r.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM sps p LEFT JOIN shr r ON p.doc_id = r.doc_id WHERE p.split <> 'test' ORDER BY p.doc_id""",
+    // Bloom-filter decontamination: the eval split's shingles fold into a
+    // 2^21-bit / k=2 Bloom bitset (bit_or per 64-bit word; bit 63 is the
+    // explicit Long.MinValue literal — DuckDB overflow-checks 1 << 63);
+    // corpus shingles probe both salted hash positions, and only Bloom
+    // candidates reach the exact verify join. Deterministic hashes ⇒ both
+    // engines build bit-identical filters ⇒ hash-matched, fp included.
+    "decontaminate_bloom" ->
+      s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), sps AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents))), tsh AS (SELECT DISTINCT s.sh FROM sh s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split = 'test'), bp AS (SELECT h % 2097152 AS p FROM (SELECT unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b1#' || sh) + 1), i -> CAST(ascii(substr('b1#' || sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b2#' || sh) + 1), i -> CAST(ascii(substr('b2#' || sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295)]) AS h FROM tsh)), bits AS (SELECT p // 64 AS w, bit_or(CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << CAST(p % 64 AS INTEGER)) END) AS bits FROM bp GROUP BY 1), corp AS (SELECT s.doc_id, s.sh, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b1#' || s.sh) + 1), i -> CAST(ascii(substr('b1#' || s.sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 2097152 AS p1, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b2#' || s.sh) + 1), i -> CAST(ascii(substr('b2#' || s.sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 2097152 AS p2 FROM sh s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split <> 'test'), hit AS (SELECT c.doc_id, c.sh, CASE WHEN b1.bits IS NOT NULL AND ((b1.bits >> CAST(c.p1 % 64 AS INTEGER)) & 1) = 1 AND b2.bits IS NOT NULL AND ((b2.bits >> CAST(c.p2 % 64 AS INTEGER)) & 1) = 1 THEN 1 ELSE 0 END AS is_cand FROM corp c LEFT JOIN bits b1 ON c.p1 // 64 = b1.w LEFT JOIN bits b2 ON c.p2 // 64 = b2.w), agg AS (SELECT h.doc_id, CAST(sum(h.is_cand) AS BIGINT) AS n_candidates, CAST(sum(CASE WHEN h.is_cand = 1 AND t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared FROM hit h LEFT JOIN tsh t ON h.is_cand = 1 AND h.sh = t.sh GROUP BY h.doc_id) SELECT p.doc_id, p.split, COALESCE(a.n_candidates, 0) AS n_candidates, COALESCE(a.n_shared, 0) AS n_shared, CAST(CASE WHEN COALESCE(a.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM sps p LEFT JOIN agg a ON p.doc_id = a.doc_id WHERE p.split <> 'test' ORDER BY p.doc_id""",
     // Concat-and-chunk packing per source shard; DuckDB's window sum widens
     // to HUGEINT, hence the explicit BIGINT casts. "offset" needs quoting
     // (reserved word).

@@ -15,6 +15,7 @@ import graft.sources.Tables
 object Events {
 
   val HourUs: Long = 3600L * 1000000L
+  val DayUs: Long = 86400L * 1000000L
   val SessionGapUs: Long = 30L * 60L * 1000000L // 30 min
 
   /** Tumbling 1-hour event counts per type (batch analog of a streaming
@@ -69,6 +70,78 @@ object Events {
         when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
           .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"))
       .orderBy("user_id")
+  }
+
+  /** Cohort retention matrix: cohort = a user's first active day (integer
+    * day index — `ts_us div DayUs`, so both engines bucket identically);
+    * for every (cohort_day, day offset) the count of cohort users active
+    * that day, plus the cohort size and the retention rate in 1e-4 fixed
+    * point. The classic product-analytics triangle.
+    *
+    * Scale shape: the (user, day) activity set is ONE distinct shuffle,
+    * persisted because it feeds both the per-user min (cohort assignment)
+    * and the activity join; cohort assignment and the activity join key on
+    * the SAME user_id partitioning, and a user is active on a given day at
+    * most once after the distinct, so the matrix cell is a plain count —
+    * no count-distinct re-shuffle. Days with no active users are absent
+    * (sparse output), the standard contract for retention tables. */
+  def retention(s: SparkSession, d: String): DataFrame =
+    retentionDf(Tables.events(s, d))
+
+  /** Same, over any (user_id, ts_us) DataFrame (planted tests). */
+  def retentionDf(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val act = days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    act.join(sizes, "cohort_day")
+      .select(
+        col("cohort_day"), col("offset_days"), col("n_users"), col("cohort_size"),
+        round(col("n_users") * lit(10000.0) / col("cohort_size")).cast("long").as("ret_e4"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  /** Hourly volume anomalies per event type: z-score of each (type, hour)
+    * count against that type's own hourly distribution. The moments are
+    * exact integer sums (n buckets, Σc, Σc²) so distributed summation
+    * order can't perturb them; the only float ops — one variance division,
+    * one IEEE sqrt (correctly rounded by definition), one z division —
+    * run in the same order on both engines, then e4-round. Zero-variance
+    * types flag nothing (z ≡ 0, the CASE guard). Flag at |z| ≥ 3σ.
+    * Hours with zero events are absent from the input, and therefore from
+    * the baseline too — the sparse-series caveat every log-volume monitor
+    * has; dense-filling via a calendar range join is the alternative when
+    * silence itself is the anomaly. Scale shape: one (hour, type) count
+    * shuffle, one tiny per-type moment aggregate broadcast back. */
+  def anomaly(s: SparkSession, d: String): DataFrame =
+    anomalyDf(Tables.events(s, d))
+
+  /** Same, over any (event_type, ts_us) DataFrame (planted tests). */
+  def anomalyDf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+      .groupBy("event_type", "hour_idx")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("cnt").as("s"),
+      sum(col("cnt") * col("cnt")).as("q"))
+    val z = (col("cnt") - col("s").cast("double") / col("n")) /
+      sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
+        (col("n") * col("n")))
+    hourly.join(broadcast(stats), "event_type")
+      .select(
+        col("event_type"), col("hour_idx"), col("cnt"),
+        when(col("n") * col("q") === col("s") * col("s"), lit(0L))
+          .otherwise(round(z * 10000).cast("long")).as("z_e4"))
+      .withColumn("is_anomaly",
+        (abs(col("z_e4")) >= 30000L).cast("long"))
+      .orderBy("event_type", "hour_idx")
   }
 
   /** 30-minute-gap sessionization: lag + conditional cumulative sum — the

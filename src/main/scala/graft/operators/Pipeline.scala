@@ -214,6 +214,73 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Bloom filter size in bits (2^21 = 32 K longs = 256 KB broadcast). */
+  val BloomBits = 1 << 21
+
+  /** Bloom-filter decontamination — the broadcast-compact form of
+    * [[decontaminate]]. The eval split's shingles fold into an m-bit Bloom
+    * bitset (m = [[BloomBits]], k = 2 salted 32-bit polynomial hashes;
+    * ~0.13 fill at this corpus's eval-set size ⇒ <2 % false-positive per
+    * probe, tune m ∝ eval shingles · k / ln 2 at other sizes). The bitset
+    * broadcasts as 32 K longs no matter how many STRINGS the eval set
+    * holds; corpus shingles probe it map-side — hash arithmetic only, no
+    * eval strings move — and only Bloom CANDIDATES enter the exact
+    * string-verify join. Bloom filters have no false negatives, so the
+    * final `contaminated` flag is EXACTLY the exact operator's
+    * (PipelineSpec asserts the equality); `n_candidates - n_shared` is the
+    * measured false-positive overhead. At 100 TB this is the shape that
+    * keeps decontamination a broadcast problem regardless of corpus size:
+    * the verify join sees true matches + fp·shingles, not the corpus.
+    * Both engines build bit-identical filters from the same deterministic
+    * hashes, so the query hash-matches — false positives included. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame =
+    decontaminateBloomDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def decontaminateBloomDf(docs: DataFrame): DataFrame = {
+    val m = BloomBits
+    def probe(salt: String) =
+      graft.functions.Fns.polyHash(concat(lit(salt), col("sh"))) % m
+    val sp = splitAssign(docs).select("doc_id", "split")
+    val sh = Dedup.shingles(docs).join(sp, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Distinct eval shingles feed BOTH the bit build and the verify join.
+    val evalSh = sh.filter(col("split") === "test").select("sh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bits = evalSh
+      .select(explode(array(probe("b1#"), probe("b2#"))).as("p"))
+      .select(expr("p div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+    val corpus = sh.filter(col("split") =!= "test")
+      .withColumn("p1", probe("b1#"))
+      .withColumn("p2", probe("b2#"))
+    val hit = corpus
+      .join(broadcast(bits.select(col("w").as("w1"), col("bits").as("bits1"))),
+        expr("p1 div 64") === col("w1"), "left")
+      .join(broadcast(bits.select(col("w").as("w2"), col("bits").as("bits2"))),
+        expr("p2 div 64") === col("w2"), "left")
+      .withColumn("is_cand",
+        (col("bits1").isNotNull && col("bits2").isNotNull &&
+          expr("(shiftright(bits1, CAST(p1 % 64 AS INT)) & 1) = 1") &&
+          expr("(shiftright(bits2, CAST(p2 % 64 AS INT)) & 1) = 1")).cast("long"))
+    // Exact verify on candidates only: ≤1 eval match per (doc, shingle)
+    // because evalSh is distinct, so the left join never duplicates rows.
+    val agg = hit
+      .join(broadcast(evalSh.select(col("sh").as("esh"))),
+        col("is_cand") === 1L && col("sh") === col("esh"), "left")
+      .groupBy("doc_id").agg(
+        sum("is_cand").as("n_candidates"),
+        sum(when(col("esh").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+    sp.filter(col("split") =!= "test")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Tokens per packed training sequence (the concat-and-chunk rule). */
   val SeqLen = 256L
 

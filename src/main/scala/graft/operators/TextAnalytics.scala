@@ -341,6 +341,45 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** Lexical diversity per document: type-token ratio and the
+    * Simpson/Gini concentration of the unigram distribution —
+    * simpson_e4 = round(Σc²·10⁴ / n²), the probability two tokens drawn
+    * with replacement coincide (1 = one word repeated, → 1/V = uniform).
+    * The junk filter that catches "the same word 5 000 times", which
+    * length and stopword gates pass. Exact integer sums (Σc, Σc²,
+    * distinct count) until one final double divide + e4 round, so the
+    * trained-free quality signal hash-matches the oracle.
+    *
+    * Scale shape: one (doc, word) count shuffle + one per-doc rollup on
+    * doc_id — the same two-aggregate profile as [[repetitionDf]], no
+    * corpus-global state at all. */
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    diversityDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def diversityDf(docs: DataFrame): DataFrame = {
+    val perWord = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    val perDoc = perWord.groupBy("doc_id").agg(
+      sum("c").as("n_toks"),
+      count(lit(1)).as("n_types"),
+      sum(col("c") * col("c")).as("sum_c2"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        when(col("n_toks").isNull, lit(0L))
+          .otherwise(round(col("n_types") * lit(10000.0) / col("n_toks")).cast("long"))
+          .as("ttr_e4"),
+        when(col("n_toks").isNull, lit(0L))
+          .otherwise(round(col("sum_c2") * lit(10000.0) /
+            (col("n_toks") * col("n_toks"))).cast("long"))
+          .as("simpson_e4"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary size for the OOV-coverage operator: deliberately smaller
     * than this corpus's 31-word vocabulary so the OOV rate is non-trivial. */
   val VocabSize = 10

@@ -32,4 +32,40 @@ class EventsSpec extends AnyFunSuite {
       (4L, -1L, -1L, -1L, 0L),
       (5L, 100L, -1L, -1L, 1L)))
   }
+
+  test("retention: cohort = first active day, cells count active cohort users") {
+    val day = Events.DayUs
+    val events = Seq(
+      // u1 cohort day0, active days 0,1,3 (two events on day 1 count once)
+      (1L, 0L), (1L, day + 5L), (1L, day + 6L), (1L, 3 * day + 1L),
+      // u2 cohort day0, active days 0,1
+      (2L, 10L), (2L, day + 99L),
+      // u3 cohort day1 only
+      (3L, day + 42L)
+    ).toDF("user_id", "ts_us")
+    val got = Events.retentionDf(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0L, 2L, 2L, 10000L),
+      (0L, 1L, 2L, 2L, 10000L),
+      (0L, 3L, 1L, 2L, 5000L),
+      (1L, 0L, 1L, 1L, 10000L)))
+  }
+
+  test("anomaly: zero-variance series flags nothing; a 3-sigma spike flags") {
+    val hour = Events.HourUs
+    val flat = (0 to 3).flatMap(h => Seq(("a", h * hour + 1L), ("a", h * hour + 2L)))
+    // type b: nine hours of 1 event + one hour of 11 events
+    // n=10, S=20, Q=130 -> mean 2, sd 3, spike z = (11-2)/3 = exactly 3.0
+    val spiky = (0 to 8).map(h => ("b", h * hour + 1L)) ++
+      (1 to 11).map(i => ("b", 9 * hour + i.toLong))
+    val got = Events.anomalyDf((flat ++ spiky).toDF("event_type", "ts_us"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val aRows = got.filter(_._1 == "a")
+    assert(aRows.forall(r => r._4 == 0L && r._5 == 0L), s"flat series must not flag: $aRows")
+    val spike = got.find(r => r._1 == "b" && r._2 == 9L).get
+    assert(spike._3 === 11L && spike._4 === 30000L && spike._5 === 1L)
+    val normal = got.find(r => r._1 == "b" && r._2 == 0L).get
+    assert(normal._4 === -3333L && normal._5 === 0L)
+  }
 }

@@ -204,6 +204,26 @@ class PipelineSpec extends AnyFunSuite {
       assert(row._4 === 0L, s"doc $id shares no shingle with the test split")
   }
 
+  test("decontaminateBloom: bloom-gated verify equals the exact operator; candidates superset matches") {
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text")
+    val exact = Pipeline.decontaminateDf(docs)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val bloom = Pipeline.decontaminateBloomDf(docs)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(bloom.map(_._1).toSet === exact.keySet)
+    for ((id, split, nCand, nShared, cont) <- bloom) {
+      val (eSplit, eShared, eCont) = exact(id)
+      assert(split === eSplit)
+      // No false negatives: the bloom-gated exact count IS the exact count.
+      assert(nShared === eShared, s"doc $id bloom verify diverged from exact")
+      assert(cont === eCont)
+      // Bloom candidates can only over-admit, never under-admit.
+      assert(nCand >= nShared, s"doc $id candidates < verified matches")
+    }
+  }
+
   test("packSequences: offsets are running token sums per source, seq boundaries at SeqLen") {
     val rows = Pipeline.packSequences(spark, TestSpark.sf)
       .as[(Long, String, Long, Long, Long)].collect().toSeq

@@ -97,6 +97,22 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("diversity: planted concentration extremes score exactly") {
+    val docs = Seq(
+      (1L, "aa aa aa aa"),  // one type: simpson = 1.0, ttr = 1/4
+      (2L, "a b c d"),      // uniform: simpson = 4/16, ttr = 1
+      (3L, "!!! 123"),      // token-less: all zeros
+      (4L, "x x y")         // sum_c2 = 5, n = 3
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.diversityDf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, 1L, 2500L, 10000L),
+      (2L, 4L, 4L, 10000L, 2500L),
+      (3L, 0L, 0L, 0L, 0L),
+      (4L, 3L, 2L, 6667L, 5556L)))
+  }
+
   test("textClean: planted PII is redacted stage by stage") {
     val docs = Seq(
       (1L, "contact bob@example.com or visit https://example.com/x.html room 42"),

@@ -57,6 +57,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq === Seq((1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("retention/anomaly/diversity/bloom handle empty and degenerate inputs") {
+    import graft.operators.{Events, TextAnalytics}
+    val emptyEvents = Seq.empty[(Long, String, Long)]
+      .toDF("user_id", "event_type", "ts_us")
+    assert(Events.retentionDf(emptyEvents).count() === 0L)
+    assert(Events.anomalyDf(emptyEvents).count() === 0L)
+    assert(TextAnalytics.diversityDf(emptyDocs).count() === 0L)
+    assert(Pipeline.decontaminateBloomDf(emptyDocs).count() === 0L)
+    // One user, one event: a 1x1 retention triangle at 100 % retention.
+    val one = Seq((5L, "view", 42L)).toDF("user_id", "event_type", "ts_us")
+    assert(Events.retentionDf(one).as[(Long, Long, Long, Long, Long)]
+      .collect().toSeq === Seq((0L, 0L, 1L, 1L, 10000L)))
+    // A single (type, hour) bucket has zero variance: z pinned to 0.
+    assert(Events.anomalyDf(one).as[(String, Long, Long, Long, Long)]
+      .collect().toSeq === Seq(("view", 0L, 1L, 0L, 0L)))
+  }
+
   test("whitespace-only and empty texts flow through fingerprints and shingles") {
     val degenerate = Seq((1L, "", "en"), (2L, "   ", "en"), (3L, ". , !", "en"))
       .toDF("doc_id", "text", "lang")

@@ -93,6 +93,38 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("decontaminate_bloom: bitset and verify sides broadcast; shingles persist") {
+    // The operator's entire point is that the corpus probes a BROADCAST
+    // bitset and only candidates reach the broadcast verify join — if
+    // either side ever plans as a shuffled join the scale story is gone.
+    val df = SparkEntry.queries("decontaminate_bloom")(spark, TestSpark.sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bloom bitset/verify joins must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"shared shingle frame no longer persisted:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("events_anomaly: the per-type moments broadcast back to the hourly counts") {
+    val df = SparkEntry.queries("events_anomaly")(spark, TestSpark.sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"type-dimension moments must broadcast:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("events_retention: the distinct (user, day) frame is computed once and cached") {
+    val df = SparkEntry.queries("events_retention")(spark, TestSpark.sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"activity frame no longer persisted (recomputes the distinct):\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
   test("pack_sequences_global: no single-partition exchange — the prefix sum is two-phase") {
     // The whole point of the two-phase prefix sum is avoiding the
     // SinglePartition shuffle a flat `Window.orderBy(doc_id)` (no

@@ -24,6 +24,7 @@ object SparkEntry {
     "wordcount_full" -> ((s, d) => TextAnalytics.wordcountFull(s, d)),
     "distinct_words" -> ((s, d) => TextAnalytics.distinctWords(s, d)),
     "distinct_words_approx" -> ((s, d) => TextAnalytics.distinctWordsApprox(s, d)),
+    "wordcount_cms" -> ((s, d) => TextAnalytics.wordcountCms(s, d)),
     // — core relational —
     "scan_filter_project" -> ((s, d) => Relational.scanFilterProject(s, d)),
     "agg_pricing_summary" -> ((s, d) => Relational.aggPricingSummary(s, d)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
@@ -177,6 +179,12 @@ object SparkEntry {
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(len(regexp_extract_all(lower(text), '$Tok'))) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY lang ORDER BY lang""",
     "wordcount_topk" ->
       s"""SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""",
+    // Count-min sketch word counts: every token occurrence increments 4
+    // salted-hash cells of an 8192-wide row; a word's estimate is the min
+    // over its cells (over-counts only). Integer counts + deterministic
+    // hashes ⇒ the sketch — collisions included — hash-matches.
+    "wordcount_cms" ->
+      s"""WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents), ex AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word ORDER BY cnt DESC, word LIMIT 20), cells AS (SELECT j, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('c' || CAST(j AS VARCHAR) || '#' || word) + 1), i -> CAST(ascii(substr('c' || CAST(j AS VARCHAR) || '#' || word, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 8192 AS ccol, count(*) AS cell FROM toks, range(0, 4) t(j) GROUP BY 1, 2), ep AS (SELECT e.word, e.cnt, t.j, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('c' || CAST(t.j AS VARCHAR) || '#' || e.word) + 1), i -> CAST(ascii(substr('c' || CAST(t.j AS VARCHAR) || '#' || e.word, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 8192 AS ccol FROM ex e, range(0, 4) t(j)) SELECT ep.word, ep.cnt, CAST(min(c.cell) AS BIGINT) AS cms_cnt FROM ep JOIN cells c ON ep.j = c.j AND ep.ccol = c.ccol GROUP BY ep.word, ep.cnt ORDER BY ep.cnt DESC, ep.word""",
     "wordcount_full" ->
       s"""SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC""",
     "distinct_words" ->
@@ -355,6 +363,11 @@ object SparkEntry {
       s"""WITH RECURSIVE $NgramCtes, fpairs AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= 100), edges AS (SELECT d1 AS a, d2 AS b FROM fpairs UNION ALL SELECT d2 AS a, d1 AS b FROM fpairs), reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a) SELECT d.doc_id, CAST(CASE WHEN m.m IS NOT NULL AND m.m < d.doc_id THEN m.m ELSE d.doc_id END AS BIGINT) AS cluster_id FROM documents d LEFT JOIN mn m ON d.doc_id = m.a ORDER BY doc_id""",
     "dedup_embedding" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) SELECT v1, v2, sim_e4 FROM (SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_e4 FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
+    // Per-label centroids: components quantize to e6 integers BEFORE the
+    // sums (exact, order-independent); the mean is one pinned double
+    // division (sum / n / 100) at the end.
+    "embedding_centroids" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label, CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e1, CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS e2, CAST(round(CAST(embedding[3] AS DOUBLE) * 1000000) AS BIGINT) AS e3, CAST(round(CAST(embedding[4] AS DOUBLE) * 1000000) AS BIGINT) AS e4 FROM embeddings), a AS (SELECT label, count(*) AS n, CAST(sum(e1) AS BIGINT) AS s1, CAST(sum(e2) AS BIGINT) AS s2, CAST(sum(e3) AS BIGINT) AS s3, CAST(sum(e4) AS BIGINT) AS s4 FROM q GROUP BY label) SELECT label, n, CAST(round(CAST(s1 AS DOUBLE) / n / 100) AS BIGINT) AS c1_e4, CAST(round(CAST(s2 AS DOUBLE) / n / 100) AS BIGINT) AS c2_e4, CAST(round(CAST(s3 AS DOUBLE) / n / 100) AS BIGINT) AS c3_e4, CAST(round(CAST(s4 AS DOUBLE) / n / 100) AS BIGINT) AS c4_e4 FROM a ORDER BY label""",
     // Banded sign-projection LSH (6 bands × 6 bits, planes from the same LCG
     // as Similarity.plane): identical float op order on both engines, so even
     // the approximate operator hash-matches.

@@ -51,6 +51,40 @@ object Similarity {
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
 
+  /** Per-label centroid statistics — grouped VECTOR aggregation, the
+    * building block of k-means updates, cluster quality reports, and
+    * dataset-cartography dashboards (and the one query that exercises the
+    * embeddings table's ground-truth `label` column). Components quantize
+    * to 1e-6 fixed point BEFORE aggregation, so the distributed sums are
+    * exact integers (order-independent) and the centroid mean is one
+    * pinned double division at the end — the same determinism recipe as
+    * the trained-IVF Lloyd step. Reports the first four centroid
+    * components in e4 (the full vector aggregates identically; scalar
+    * columns keep the oracle comparison type-exact).
+    *
+    * Scale shape: ONE partial-aggregated shuffle of (label, Σe6 per dim,
+    * count) — per-task state is labels × dim longs, the map-side-combine
+    * profile every mean/variance aggregate shares. */
+  def embeddingCentroids(s: SparkSession, d: String): DataFrame =
+    embeddingCentroidsDf(Tables.embeddings(s, d))
+
+  /** Same, over any (label, embedding: array<float>) DataFrame. */
+  def embeddingCentroidsDf(embeddings: DataFrame): DataFrame = {
+    def e6(k: Int) =
+      round(element_at(col("embedding"), k).cast("double") * 1000000).cast("long")
+    def mean(k: Int) =
+      round(col(s"s$k").cast("double") / col("n") / 100).cast("long").as(s"c${k}_e4")
+    embeddings
+      .select(col("label").cast("long").as("label"),
+        e6(1).as("e1"), e6(2).as("e2"), e6(3).as("e3"), e6(4).as("e4"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum("e1").as("s1"), sum("e2").as("s2"),
+        sum("e3").as("s3"), sum("e4").as("s4"))
+      .select(col("label"), col("n"), mean(1), mean(2), mean(3), mean(4))
+      .orderBy("label")
+  }
+
   /** Exact cosine top-k for each query vector (queries = vec_id < nQueries).
     * Similarity is 1e-4 fixed point and ranked (sim_e4 desc, cid asc) so the
     * ranking is deterministic and oracle-reproducible (rule R3). */

@@ -67,6 +67,55 @@ object TextAnalytics {
       .agg(approx_count_distinct("word").as("n_words_approx"))
       .orderBy("lang")
 
+  /** Count-min sketch dimensions: depth = independent salted hash rows,
+    * width = counter columns per row. d·w cells bound the sketch at 32 K
+    * counters regardless of vocabulary size; estimate error is
+    * ≤ ε·N (ε = e/w) with probability 1 − e^−d. */
+  val CmsDepth = 4
+  val CmsWidth = 8192
+
+  /** Heavy-hitter word counts through a count-min sketch — the frequency
+    * member of the sketch family (HLL = distinct, GK = quantiles, CMS =
+    * counts). Each token occurrence increments [[CmsDepth]] salted-hash
+    * cells; a word's estimate is the MIN over its cells, which can only
+    * OVER-count (collisions add, never subtract) — est ≥ true always,
+    * the one-sided bound that makes CMS safe for threshold filters.
+    * Output: the exact top-k words with exact and sketched counts side
+    * by side (the estimate column is what a 100 TB pipeline would use
+    * when the full word→count table can't materialize).
+    *
+    * Scale shape: cell increments partial-aggregate map-side into ≤ d·w
+    * counters per task — THE point of a sketch: the shuffle carries
+    * bounded state however large the vocabulary, where the exact count's
+    * shuffle grows with distinct words. The probe joins the k result
+    * words' cells against the broadcast 32 K-row sketch. Integer counts +
+    * deterministic salted hashes ⇒ hash-matches the oracle, collisions
+    * included. */
+  def wordcountCms(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    wordcountCmsDf(Tables.documents(spark, dir), k)
+
+  /** Same, over any (doc_id, text) DataFrame with explicit sketch dims
+    * (tiny widths force collisions in tests). */
+  def wordcountCmsDf(docs: DataFrame, k: Int = 20,
+      depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    def cellOf(j: Int) = struct(lit(j).as("j"),
+      (graft.functions.Fns.polyHash(concat(lit(s"c$j#"), col("word"))) % width)
+        .as("ccol"))
+    val cellsOf = explode(array((0 until depth).map(cellOf): _*)).as("p")
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word")).limit(k)
+    val cells = words.select(col("word"), cellsOf)
+      .groupBy(col("p.j").as("j"), col("p.ccol").as("ccol"))
+      .agg(count(lit(1)).as("cell"))
+    exact.select(col("word"), col("cnt"), cellsOf)
+      .select(col("word"), col("cnt"), col("p.j").as("j"), col("p.ccol").as("ccol"))
+      .join(broadcast(cells), Seq("j", "ccol"))
+      .groupBy("word", "cnt").agg(min("cell").as("cms_cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+  }
+
   /** Bigram frequency top-k. */
   def ngramTopK(spark: SparkSession, dir: String, n: Int = 2, k: Int = 20): DataFrame =
     docTokens(Tables.documents(spark, dir))

@@ -79,6 +79,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"pqTopK recall vs brute dropped to $recall")
   }
 
+  test("embedding centroids: exact fixed-point means per label") {
+    import spark.implicits._
+    val rows = Seq(
+      (0, Array(1.0f, 0.0f, 0.5f, -0.5f)),
+      (0, Array(0.0f, 1.0f, 0.5f, -0.5f)),
+      (1, Array(0.1f, 0.2f, 0.3f, 0.4f))
+    ).toDF("label", "embedding")
+    val got = graft.operators.Similarity.embeddingCentroidsDf(rows)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 5000L, 5000L, 5000L, -5000L),
+      (1L, 1L, 1000L, 2000L, 3000L, 4000L)))
+  }
+
   test("lsh recall vs brute-force is gated") {
     // Measured on the banded (8×4-bit) construction: 0.76 at sf0.001, 0.70
     // at sf0.01. Deterministic hyperplanes → this is a fixed number per

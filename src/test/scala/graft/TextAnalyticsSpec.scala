@@ -97,6 +97,20 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("wordcount cms: estimates never undercount; width-1 sketch collapses to total") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val wide = TextAnalytics.wordcountCmsDf(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(wide.map(r => r._1 -> r._2).toMap ===
+      Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+    assert(wide.forall(r => r._3 >= r._2), s"CMS undercounted: $wide")
+    // Width 1 is the collision worst case: every cell counts ALL tokens,
+    // so every estimate is the corpus token total while exact counts stay.
+    val collapsed = TextAnalytics.wordcountCmsDf(docs, k = 20, depth = 2, width = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(collapsed.forall(_._3 === 10L), s"width-1 estimate must be N: $collapsed")
+  }
+
   test("diversity: planted concentration extremes score exactly") {
     val docs = Seq(
       (1L, "aa aa aa aa"),  // one type: simpson = 1.0, ttr = 1/4

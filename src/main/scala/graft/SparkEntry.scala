@@ -74,6 +74,7 @@ object SparkEntry {
     "text_tfidf_linear" -> ((s, d) => TextAnalytics.tfIdfLinear(s, d)),
     "text_repetition" -> ((s, d) => TextAnalytics.repetition(s, d)),
     "text_diversity" -> ((s, d) => TextAnalytics.diversity(s, d)),
+    "tokenize_wordpiece" -> ((s, d) => TextAnalytics.tokenizeWordpiece(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalytics.lmScore(s, d)),
     "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
     "vocab_coverage" -> ((s, d) => TextAnalytics.vocabCoverage(s, d)),
@@ -383,6 +384,16 @@ object SparkEntry {
     // top-bigram share per doc, 1e-4 fixed point; <2-token docs score 0.
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), bi AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks), pb AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram), pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c FROM pb GROUP BY doc_id) SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, COALESCE(p.n_distinct, 0) AS n_distinct, CAST(CASE WHEN p.n_bigrams IS NULL THEN 0 ELSE round((p.n_bigrams - p.n_distinct) * 10000.0 / p.n_bigrams) END AS BIGINT) AS dup_e4, CAST(CASE WHEN p.n_bigrams IS NULL THEN 0 ELSE round(p.max_c * 10000.0 / p.n_bigrams) END AS BIGINT) AS top_e4 FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id ORDER BY d.doc_id""",
+    // Subword tokenization fertility: the greedy longest-match segmenter as
+    // a recursive CTE — per-position longest-step table, then the walk
+    // follows steps from position 1 (cut positions == the native
+    // expression's loop; no-match steps are 1). The VALUES vocabulary is
+    // generated from TextAnalytics.WordPieceVocab so the two inventories
+    // cannot drift.
+    "tokenize_wordpiece" -> {
+      val values = TextAnalytics.WordPieceVocab.map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE vocab(piece) AS (SELECT * FROM (VALUES $values) v(piece)), toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), occ AS (SELECT doc_id, unnest(w) AS word FROM toks), dw AS (SELECT DISTINCT word FROM occ), pos AS (SELECT word, unnest(range(1, length(word) + 1)) AS p FROM dw), mt AS (SELECT s.word, s.p, max(length(v.piece)) AS mstep FROM pos s JOIN vocab v ON substr(s.word, CAST(s.p AS INTEGER), length(v.piece)) = v.piece GROUP BY s.word, s.p), steps AS (SELECT pos.word, pos.p, COALESCE(mt.mstep, 1) AS step FROM pos LEFT JOIN mt ON pos.word = mt.word AND pos.p = mt.p), walk AS (SELECT word, CAST(1 AS BIGINT) AS p FROM dw UNION ALL SELECT w.word, w.p + s.step FROM walk w JOIN steps s ON s.word = w.word AND s.p = w.p WHERE w.p <= length(w.word)), np AS (SELECT word, count(*) AS n_pieces FROM walk WHERE p <= length(word) GROUP BY word), pd AS (SELECT o.doc_id, count(*) AS n_words, CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces FROM occ o JOIN np ON o.word = np.word GROUP BY o.doc_id) SELECT d.doc_id, COALESCE(pd.n_words, 0) AS n_words, COALESCE(pd.n_pieces, 0) AS n_pieces, CAST(CASE WHEN pd.n_words IS NULL THEN 0 ELSE round(pd.n_pieces * 10000.0 / pd.n_words) END AS BIGINT) AS fertility_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id"""
+    },
     // Lexical diversity: type-token ratio + Simpson concentration of the
     // unigram distribution — integer Σc/Σc²/distinct until one double
     // divide + e4 round.

@@ -67,6 +67,58 @@ object TextAnalytics {
       .agg(approx_count_distinct("word").as("n_words_approx"))
       .orderBy("lang")
 
+  /** Fixed subword piece inventory for [[tokenizeWordpiece]] — whole hot
+    * words plus common fragments, so segmentation fertility is non-trivial
+    * on this corpus. A trained deployment swaps in its learned merges; the
+    * segmenter is vocabulary-agnostic. MUST stay byte-identical to the
+    * VALUES list in SparkEntry's oracle (generated from this constant). */
+  val WordPieceVocab: Seq[String] = Seq(
+    "the", "er", "an", "or", "in", "ow", "ch", "sh", "st", "ta",
+    "row", "key", "big", "data", "spark", "join", "hash", "scan", "sort",
+    "part", "query", "stream", "window", "filter", "order", "value",
+    "batch", "small", "group")
+
+  /** Subword tokenization fertility — the BPE/WordPiece inference step as
+    * a corpus statistic: every token greedy-longest-match segments against
+    * [[WordPieceVocab]] (no match → single character), and each document
+    * reports words, pieces, and pieces-per-word in e4 — the number a
+    * tokenizer team watches when deciding whether a vocab fits a data
+    * source (fertility ≈ 1 = vocab native, high = wasteful encoding).
+    *
+    * Scale shape: the segmenter (a native expression, one tight loop)
+    * runs per DISTINCT word — segmenting the VOCABULARY, not the corpus —
+    * and the word → n_pieces table joins back to the occurrence stream.
+    * Broadcast here (this corpus's vocabulary is tiny); at a real corpus's
+    * vocabulary size the same join shuffles on the word, still never
+    * re-segmenting an occurrence. Oracle: the identical greedy walk as a
+    * recursive CTE over per-position longest-match steps — the cut
+    * positions hash-match engine to engine. */
+  def tokenizeWordpiece(spark: SparkSession, dir: String): DataFrame =
+    tokenizeWordpieceDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def tokenizeWordpieceDf(docs: DataFrame): DataFrame = {
+    val occ = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val np = occ.select("word").distinct()
+      .withColumn("n_pieces",
+        size(org.apache.spark.sql.graft.StringExprs
+          .wordPieces(col("word"), WordPieceVocab)).cast("long"))
+    val pd = occ.join(broadcast(np), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
+    docs.select("doc_id").join(pd, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        when(col("n_words").isNull, lit(0L))
+          .otherwise(round(col("n_pieces") * lit(10000.0) / col("n_words")).cast("long"))
+          .as("fertility_e4"))
+      .orderBy("doc_id")
+  }
+
   /** Count-min sketch dimensions: depth = independent salted hash rows,
     * width = counter columns per row. d·w cells bound the sketch at 32 K
     * counters regardless of vocabulary size; estimate error is

@@ -288,6 +288,45 @@ case class CharNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Greedy longest-match subword segmentation of one token against a FIXED
+  * piece vocabulary — the BPE/WordPiece INFERENCE step. At each position
+  * the longest vocabulary piece starting there is taken; no match → the
+  * single character (full coverage, always terminates, no ties — "longest"
+  * is unique). Production WordPiece adds "##" continuation marks and an
+  * [UNK] collapse; both are literal swaps on this loop — the CUT POSITIONS,
+  * which fertility metrics measure, are identical. Iterates UTF-16 chars:
+  * inputs are the tokenizer's `[a-z]+` tokens by contract. Evaluated per
+  * DISTINCT word (segment the vocabulary, not the corpus — see
+  * TextAnalytics.tokenizeWordpieceDf), so CodegenFallback is off the hot
+  * path like CharNgrams. */
+case class WordPieces(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(vocab.nonEmpty, "piece vocabulary must be non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_pieces"
+
+  @transient private lazy val vset: Set[String] = vocab.toSet
+  @transient private lazy val maxLen: Int = vocab.map(_.length).max
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    while (pos < s.length) {
+      var len = math.min(maxLen, s.length - pos)
+      while (len > 1 && !vset.contains(s.substring(pos, pos + len))) len -= 1
+      out += UTF8String.fromString(s.substring(pos, pos + len))
+      pos += len
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieces =
+    copy(child = newChild)
+}
+
 object StringExprs {
   /** Column wrapper: `(h*31 + char) & 0xffffffff` rolling hash. */
   def polyHash32(s: Column): Column =
@@ -308,4 +347,8 @@ object StringExprs {
   /** Column wrapper: all n-codepoint character windows of a string. */
   def charNgrams(s: Column, n: Int): Column =
     ExpressionUtils.column(CharNgrams(ExpressionUtils.expression(s), n))
+
+  /** Column wrapper: greedy longest-match subword pieces of a token. */
+  def wordPieces(word: Column, vocab: Seq[String]): Column =
+    ExpressionUtils.column(WordPieces(ExpressionUtils.expression(word), vocab))
 }

@@ -97,6 +97,25 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("wordpiece: greedy longest-match segments planted words exactly") {
+    import org.apache.spark.sql.functions.col
+    val vocab = TextAnalytics.WordPieceVocab
+    val pieces = Seq("customer", "spark", "thequick").toDF("word")
+      .select(col("word"), org.apache.spark.sql.graft.StringExprs
+        .wordPieces(col("word"), vocab).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    // 'st' and 'er' are vocab pieces; c/u/o/m fall back to single chars.
+    assert(pieces("customer") === Seq("c", "u", "st", "o", "m", "er"))
+    // whole-word piece wins over any prefix fragment
+    assert(pieces("spark") === Seq("spark"))
+    // 'the' (longest at pos 0) then no 'qu'/'ck' in vocab -> char fallbacks
+    assert(pieces("thequick") === Seq("the", "q", "u", "i", "c", "k"))
+    val stats = TextAnalytics.tokenizeWordpieceDf(
+      Seq((1L, "spark spark customer"), (2L, "!!!")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats === Seq((1L, 3L, 8L, 26667L), (2L, 0L, 0L, 0L)))
+  }
+
   test("wordcount cms: estimates never undercount; width-1 sketch collapses to total") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
     val wide = TextAnalytics.wordcountCmsDf(docs)

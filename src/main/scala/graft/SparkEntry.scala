@@ -109,6 +109,7 @@ object SparkEntry {
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(s, d)),
+    "decontaminate_semantic" -> ((s, d) => Pipeline.decontaminateSemantic(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "pack_sequences_global" -> ((s, d) => Pipeline.packSequencesGlobal(s, d)),
     "chunk_documents" -> ((s, d) => Pipeline.chunkDocuments(s, d)),
@@ -138,6 +139,12 @@ object SparkEntry {
   // arithmetic, so buckets AND candidate pairs hash-match the oracle.
   private val MinhashCtes =
     s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), hv AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h FROM sh), mins AS (SELECT doc_id, i, min((((1103515245 * (i + 1) + 7) % 1000000007) * h + ((12345 * (i + 1) + 678910) % 1000000007)) % 1000000007) AS m FROM hv, range(0, 32) t(i) GROUP BY doc_id, i), bands AS (SELECT doc_id, i // 4 AS band_idx, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS band_key FROM mins GROUP BY doc_id, i // 4)"""
+
+  // Shared banded sign-projection CTEs (6 bands × 6 bits, planes from the
+  // same LCG as Similarity.plane) — dedup_embedding_lsh and
+  // decontaminate_semantic band identically by construction.
+  private val EmbLshCtes =
+    """n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 36) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 6 AS band_idx, sum(bit * (1 << (j % 6))) AS band_key FROM proj GROUP BY vec_id, j // 6)"""
 
   // Shared n-gram-Jaccard pipeline CTEs (shingles with the short-doc
   // fallback, df cap, per-doc counts, pair scores) — the pair query and the
@@ -373,7 +380,12 @@ object SparkEntry {
     // as Similarity.plane): identical float op order on both engines, so even
     // the approximate operator hash-matches.
     "dedup_embedding_lsh" ->
-      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 36) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 6 AS band_idx, sum(bit * (1 << (j % 6))) AS band_key FROM proj GROUP BY vec_id, j // 6), cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2 FROM keys a JOIN keys b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id) SELECT v1, v2, sim_e4 FROM (SELECT v1, v2, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand JOIN n x ON v1 = x.vec_id JOIN n y ON v2 = y.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
+      s"""WITH $EmbLshCtes, cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2 FROM keys a JOIN keys b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id) SELECT v1, v2, sim_e4 FROM (SELECT v1, v2, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand JOIN n x ON v1 = x.vec_id JOIN n y ON v2 = y.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
+    // Semantic decontamination: the LSH banding CTEs above + the data_split
+    // hash rule applied to vec_id; train/val vectors whose verified cosine
+    // to any test vector reaches the near-dup bar are flagged.
+    "decontaminate_semantic" ->
+      s"""WITH $EmbLshCtes, sp AS (SELECT vec_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('split:' || CAST(vec_id AS VARCHAR)) + 1), i -> CAST(ascii(substr('split:' || CAST(vec_id AS VARCHAR), i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM embeddings)), tk AS (SELECT k.vec_id AS tid, k.band_idx, k.band_key FROM keys k JOIN sp ON k.vec_id = sp.vec_id WHERE sp.split = 'test'), cand AS (SELECT DISTINCT k.vec_id AS cid, tk.tid FROM keys k JOIN sp ON k.vec_id = sp.vec_id JOIN tk ON k.band_idx = tk.band_idx AND k.band_key = tk.band_key WHERE sp.split <> 'test'), m AS (SELECT c.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.cid = x.vec_id JOIN n y ON c.tid = y.vec_id), agg AS (SELECT cid, count(*) AS n_matches, CAST(max(sim_e4) AS BIGINT) AS max_sim_e4 FROM m WHERE sim_e4 >= 3500 GROUP BY cid) SELECT sp.vec_id, sp.split, COALESCE(a.n_matches, 0) AS n_matches, COALESCE(a.max_sim_e4, 0) AS max_sim_e4, CAST(CASE WHEN COALESCE(a.n_matches, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM sp LEFT JOIN agg a ON sp.vec_id = a.cid WHERE sp.split <> 'test' ORDER BY sp.vec_id""",
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), s AS (SELECT qid, cid, list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim FROM c, q), r AS (SELECT qid, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY qid ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     // Vocabulary coverage: top-10 corpus vocab (count desc, word asc ties),

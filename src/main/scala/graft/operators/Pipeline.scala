@@ -214,6 +214,62 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Semantic decontamination — the SemDeDup/embedding analog of
+    * [[decontaminate]]: flag TRAIN/VAL vectors whose cosine similarity to
+    * any TEST-split vector reaches the near-dup bar. n-gram
+    * decontamination catches verbatim leakage; this catches the
+    * paraphrase-level leakage no shingle can see. The split reuses the ONE
+    * split rule ([[splitAssign]], applied to vec_id); candidates come from
+    * the same banded sign-projection LSH as Dedup.embeddingPairsLsh (only
+    * band-bucket mates are exact-verified), and the deterministic
+    * hyperplanes keep even this approximate operator hash-matched.
+    *
+    * Scale shape: band keys are one linear pass; the TEST side of the
+    * candidate join is the held-out split — eval suites are MBs at any
+    * corpus size, so it broadcasts and the corpus never shuffles on the
+    * band key; flags aggregate on vec_id. Flagged = verified ≥ bar, so
+    * there are no false positives; recall is the LSH band recall
+    * (DedupSpec gates the same construction against the exact verifier). */
+  def decontaminateSemantic(s: SparkSession, d: String,
+      minSimE4: Long = 3500L): DataFrame =
+    decontaminateSemanticDf(Tables.embeddings(s, d), minSimE4)
+
+  /** Same, over any (vec_id, embedding: array<float>) DataFrame. */
+  def decontaminateSemanticDf(embeddings: DataFrame,
+      minSimE4: Long = 3500L): DataFrame = {
+    val v = embeddings
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sp = splitAssign(v.select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("split"))
+    val keys = Similarity
+      .bandedKeys(v.select("vec_id", "v"), Dedup.EmbBands, Dedup.EmbRowsPerBand)
+      .join(sp, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val testKeys = keys.filter(col("split") === "test")
+      .select(col("vec_id").as("tid"), col("band_idx"), col("band_key"))
+    val cand = keys.filter(col("split") =!= "test")
+      .select(col("vec_id").as("cid"), col("band_idx"), col("band_key"))
+      .join(broadcast(testKeys), Seq("band_idx", "band_key"))
+      .select("cid", "tid").distinct()
+    val x = v.select(col("vec_id").as("cid"), col("v").as("va"), col("nrm").as("na"))
+    val y = v.select(col("vec_id").as("tid"), col("v").as("vb"), col("nrm").as("nb"))
+    val matches = cand.join(x, "cid").join(y, "tid")
+      .select(col("cid"),
+        e4(dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim_e4"))
+      .filter(col("sim_e4") >= minSimE4)
+      .groupBy("cid").agg(
+        count(lit(1)).as("n_matches"), max("sim_e4").as("max_sim_e4"))
+    sp.filter(col("split") =!= "test")
+      .join(matches.withColumnRenamed("cid", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("split"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("max_sim_e4"), lit(0L)).as("max_sim_e4"))
+      .withColumn("contaminated", (col("n_matches") > 0).cast("long"))
+      .orderBy("vec_id")
+  }
+
   /** Bloom filter size in bits (2^21 = 32 K longs = 256 KB broadcast). */
   val BloomBits = 1 << 21
 

@@ -204,6 +204,26 @@ class PipelineSpec extends AnyFunSuite {
       assert(row._4 === 0L, s"doc $id shares no shingle with the test split")
   }
 
+  test("decontaminateSemantic: a train vector near a test vector is flagged, distant ones are not") {
+    val testId = (0L to 200L).find(splitBucket(_) >= 90).get
+    val trainIds = (0L to 200L).filter(splitBucket(_) < 80).take(2)
+    val base = Array.tabulate(64)(k => math.sin(k + 1).toFloat)
+    val scaled = base.map(_ * 2.0f) // cosine exactly 1, same projection signs
+    val distant = Array.tabulate(64)(k => if (k == 0) 1.0f else 0.0f)
+    val rows = Seq(
+      (testId, base), (trainIds(0), scaled), (trainIds(1), distant)
+    ).toDF("vec_id", "embedding")
+    val got = Pipeline.decontaminateSemanticDf(rows)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // Only non-test vectors appear in the report.
+    assert(got.keySet === trainIds.toSet)
+    val flagged = got(trainIds(0))
+    assert(flagged._5 === 1L, s"scaled copy of a test vector must flag: $flagged")
+    assert(flagged._4 === 10000L, "cosine of a scaled copy is exactly 1")
+    assert(got(trainIds(1))._5 === 0L, "a distant vector must not flag")
+  }
+
   test("decontaminateBloom: bloom-gated verify equals the exact operator; candidates superset matches") {
     val docs = sources.Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text")

@@ -116,6 +116,35 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(stats === Seq((1L, 3L, 8L, 26667L), (2L, 0L, 0L, 0L)))
   }
 
+  test("wordpiece: coverage and greediness invariants hold on seeded random words") {
+    import org.apache.spark.sql.functions.col
+    // Dense 3-letter alphabet so vocab hits are frequent; fixed seed keeps
+    // the corpus reproducible run to run.
+    val rnd = new scala.util.Random(42)
+    def randWord(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val vocab = (1 to 40).map(_ => randWord(2 + rnd.nextInt(3))).distinct
+    val vset = vocab.toSet
+    val maxLen = vocab.map(_.length).max
+    val words = (1 to 200).map(_ => randWord(1 + rnd.nextInt(12))).distinct
+    val got = words.toDF("word")
+      .select(col("word"), org.apache.spark.sql.graft.StringExprs
+        .wordPieces(col("word"), vocab).as("p"))
+      .as[(String, Seq[String])].collect()
+    assert(got.length === words.length)
+    for ((w, pieces) <- got) {
+      assert(pieces.mkString === w, s"pieces must concatenate to '$w': $pieces")
+      var pos = 0
+      for (p <- pieces) {
+        assert(p.length == 1 || vset.contains(p), s"'$p' of '$w' not in vocab")
+        // Greediness: no STRICTLY longer vocab piece started at this cut.
+        for (l <- p.length + 1 to math.min(maxLen, w.length - pos))
+          assert(!vset.contains(w.substring(pos, pos + l)),
+            s"'$w' at $pos took '$p' but a longer vocab piece matched")
+        pos += p.length
+      }
+    }
+  }
+
   test("wordcount cms: estimates never undercount; width-1 sketch collapses to total") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
     val wide = TextAnalytics.wordcountCmsDf(docs)

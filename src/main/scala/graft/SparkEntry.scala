@@ -57,6 +57,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_retention" -> ((s, d) => Events.retention(s, d)),
+    "events_paths" -> ((s, d) => Events.paths(s, d)),
     "events_anomaly" -> ((s, d) => Events.anomaly(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
@@ -291,6 +292,10 @@ object SparkEntry {
     // most one row per day after the DISTINCT, so cells are plain counts.
     "events_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id), act AS (SELECT c.cohort_day, d.day - c.cohort_day AS offset_days, count(*) AS n_users FROM days d JOIN cohort c ON d.user_id = c.user_id GROUP BY 1, 2), sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY 1) SELECT a.cohort_day, a.offset_days, a.n_users, s.cohort_size, CAST(round(a.n_users * 10000.0 / s.cohort_size) AS BIGINT) AS ret_e4 FROM act a JOIN sizes s ON a.cohort_day = s.cohort_day ORDER BY a.cohort_day, a.offset_days""",
+    // Event-path transitions: one lead() window over the sessionize
+    // ordering, counts per (from, to) type pair, rank-total-ordered.
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events), l AS (SELECT event_type AS from_type, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type FROM e) SELECT from_type, to_type, count(*) AS cnt FROM l WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY cnt DESC, from_type, to_type""",
     // Hourly volume z-scores per event type: moments are exact integer sums
     // (n, Σc, Σc²), the float tail (one divide, IEEE sqrt, one divide,
     // e4-round) runs in the same op order on both engines; zero-variance

@@ -144,6 +144,29 @@ object Events {
       .orderBy("event_type", "hour_idx")
   }
 
+  /** Event-path transition counts: for every consecutive event pair within
+    * a user's timeline (ts, event_id order — the sessionize ordering), the
+    * (from_type → to_type) transition frequency, ranked. The flow-analysis
+    * view behind funnels: where the funnel asserts one ordered path, this
+    * reports ALL observed transitions and their volumes.
+    *
+    * Scale shape: ONE user-keyed window (shuffle + sort per user timeline,
+    * identical profile to [[sessionizeDf]]) and an aggregate whose
+    * cardinality is event-type² — tiny however large the log. */
+  def paths(s: SparkSession, d: String): DataFrame =
+    pathsDf(Tables.events(s, d))
+
+  /** Same, over any (user_id, event_id, ts_us, event_type) DataFrame. */
+  def pathsDf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events.select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("from_type"), asc("to_type"))
+  }
+
   /** 30-minute-gap sessionization: lag + conditional cumulative sum — the
     * classic batch sessionize. Two windows over the same (user_id; ts,
     * event_id) ordering → one shuffle + one sort, reused across both.

@@ -33,6 +33,20 @@ class EventsSpec extends AnyFunSuite {
       (5L, 100L, -1L, -1L, 1L)))
   }
 
+  test("paths: transitions follow per-user time order, cross-user pairs never count") {
+    val events = Seq(
+      // u1: view -> click -> view  (out-of-order insert checks the sort)
+      (1L, 10L, 100L, "view"), (1L, 12L, 300L, "view"), (1L, 11L, 200L, "click"),
+      // u2: view -> click
+      (2L, 20L, 100L, "view"), (2L, 21L, 150L, "click"),
+      // u3: single event — no transition
+      (3L, 30L, 100L, "purchase")
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val got = Events.pathsDf(events)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("view", "click", 2L), ("click", "view", 1L)))
+  }
+
   test("retention: cohort = first active day, cells count active cohort users") {
     val day = Events.DayUs
     val events = Seq(

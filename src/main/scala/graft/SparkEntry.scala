@@ -366,9 +366,11 @@ object SparkEntry {
     // pair / Jaccard CTEs mirror the word-n-gram pipeline's. Only windows
     // whose scrambled hash ≡ 0 mod 4 enter the pipeline (content-defined
     // mod-p sampling, Media.SampleMod — shift-invariant, identical on both
-    // engines); the short-payload fallback shingle is always kept.
+    // engines); a payload with NO sampled windows — short, or unlucky at
+    // barely over the window width — keeps the whole-payload fallback
+    // shingle, so no payload vanishes from the pair search.
     "media_neardup" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN length(text) >= 16 THEN list_filter(list_transform(list_transform(range(1, length(text) - 14), i -> substr(text, i, 16)), w -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), j -> CAST(ascii(substr(w, j, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295)), h -> xor(h, h >> 16) % 4 = 0) ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('#' || text) + 1), j -> CAST(ascii(substr('#' || text, j, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295)] END) AS sh FROM documents)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id) SELECT d1, d2, jac_e4 FROM jpairs WHERE jac_e4 >= 8000 ORDER BY d1, d2""",
+      """WITH wf AS (SELECT doc_id, CASE WHEN length(text) >= 16 THEN list_filter(list_transform(list_transform(range(1, length(text) - 14), i -> substr(text, i, 16)), w -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), j -> CAST(ascii(substr(w, j, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295)), h -> xor(h, h >> 16) % 4 = 0) ELSE CAST([] AS BIGINT[]) END AS wins, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('#' || text) + 1), j -> CAST(ascii(substr('#' || text, j, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS fb FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(wins) > 0 THEN wins ELSE [fb] END) AS sh FROM wf)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id) SELECT d1, d2, jac_e4 FROM jpairs WHERE jac_e4 >= 8000 ORDER BY d1, d2""",
     // Connected components as a recursive transitive closure: cluster id =
     // min doc_id reachable through the (undirected) near-dup pair graph —
     // the same fixpoint the Spark min-label propagation loop converges to.

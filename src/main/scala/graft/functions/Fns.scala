@@ -41,6 +41,14 @@ object Fns {
   def polyHash(s: Column): Column =
     org.apache.spark.sql.graft.StringExprs.polyHash32(s)
 
+  /** Salted hash bucket: [[polyHash]] of the salt-prefixed input, mod m —
+    * ONE definition behind the Bloom-filter probe positions and the
+    * count-min-sketch cell columns (each mirrored by a byte-identical
+    * list_reduce twin in its oracle SQL); polyHash is masked non-negative,
+    * so the mod agrees across engines. */
+  def saltedBucket(salt: String, s: Column, m: Int): Column =
+    polyHash(concat(lit(salt), s)) % m
+
   def polyHashHof(s: Column): Column =
     when(length(s) === 0, lit(0L)).otherwise(
       aggregate(

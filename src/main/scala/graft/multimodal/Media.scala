@@ -187,17 +187,20 @@ object Media {
     // (WindowPolyHashes) instead of a substr+polyHash per window — the
     // values are bit-identical to the per-window PolyHash32, so the oracle
     // and the planted MediaSpec goldens are unchanged. Content-defined
-    // sampling ([[SampleMod]]) thins the windowed branch only; the
-    // short-payload fallback shingle is always kept, so short payloads
-    // never vanish from the pair search.
+    // sampling ([[SampleMod]]) thins the windowed branch only, and a
+    // payload whose windows ALL miss the sample (P ≈ (1−1/p)^windows —
+    // real for payloads barely over the window width) falls back to the
+    // whole-payload shingle exactly like a short payload, so no payload
+    // ever vanishes from the pair search.
+    val fallback = array(graft.functions.Fns.polyHash(
+      concat(lit("#"), col("t"))))
+    val sampledWindows = filter(
+      org.apache.spark.sql.graft.StringExprs.windowPolyHashes(col("t"), w),
+      h => sampled(h))
     val sh = m.select(col("doc_id"),
       explode(
-        when(col("n") >= w,
-          filter(
-            org.apache.spark.sql.graft.StringExprs.windowPolyHashes(col("t"), w),
-            h => sampled(h)))
-          .otherwise(array(graft.functions.Fns.polyHash(
-            concat(lit("#"), col("t")))))).as("sh"))
+        when(col("n") >= w && size(sampledWindows) > 0, sampledWindows)
+          .otherwise(fallback)).as("sh"))
     graft.operators.Dedup.jaccardPairsFromShingles(sh, minJacE4)
       .orderBy("d1", "d2")
   }

@@ -117,7 +117,14 @@ object Events {
     * the baseline too — the sparse-series caveat every log-volume monitor
     * has; dense-filling via a calendar range join is the alternative when
     * silence itself is the anomaly. Scale shape: one (hour, type) count
-    * shuffle, one tiny per-type moment aggregate broadcast back. */
+    * shuffle, one tiny per-type moment aggregate broadcast back.
+    *
+    * Capacity bound (64-bit moments): cnt² overflows Long past ~3.04e9
+    * events in ONE (type, hour) bucket, and n·q / s² past ~9.2e18 — Spark
+    * would wrap silently where DuckDB aborts, so stay under ~3e9 events
+    * per bucket (at 100 TB that means bucketing finer than hourly or
+    * pre-splitting the type key). The exact-arithmetic upgrade path is
+    * 128-bit sums (DecimalType(38,0) here, HUGEINT in the oracle). */
   def anomaly(s: SparkSession, d: String): DataFrame =
     anomalyDf(Tables.events(s, d))
 

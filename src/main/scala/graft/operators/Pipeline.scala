@@ -281,7 +281,9 @@ object Pipeline {
     * broadcasts as 32 K longs no matter how many STRINGS the eval set
     * holds; corpus shingles probe it map-side — hash arithmetic only, no
     * eval strings move — and only Bloom CANDIDATES enter the exact
-    * string-verify join. Bloom filters have no false negatives, so the
+    * string-verify join (unhinted: the planner broadcasts the eval
+    * strings while they fit and shuffles the candidate stream against
+    * them when they don't). Bloom filters have no false negatives, so the
     * final `contaminated` flag is EXACTLY the exact operator's
     * (PipelineSpec asserts the equality); `n_candidates - n_shared` is the
     * measured false-positive overhead. At 100 TB this is the shape that
@@ -295,8 +297,7 @@ object Pipeline {
   /** Same, over any (doc_id, text) DataFrame (planted tests). */
   def decontaminateBloomDf(docs: DataFrame): DataFrame = {
     val m = BloomBits
-    def probe(salt: String) =
-      graft.functions.Fns.polyHash(concat(lit(salt), col("sh"))) % m
+    def probe(salt: String) = saltedBucket(salt, col("sh"), m)
     val sp = splitAssign(docs).select("doc_id", "split")
     val sh = Dedup.shingles(docs).join(sp, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -320,16 +321,22 @@ object Pipeline {
         (col("bits1").isNotNull && col("bits2").isNotNull &&
           expr("(shiftright(bits1, CAST(p1 % 64 AS INT)) & 1) = 1") &&
           expr("(shiftright(bits2, CAST(p2 % 64 AS INT)) & 1) = 1")).cast("long"))
-    // Exact verify on candidates only: ≤1 eval match per (doc, shingle)
-    // because evalSh is distinct, so the left join never duplicates rows.
-    val agg = hit
-      .join(broadcast(evalSh.select(col("sh").as("esh"))),
-        col("is_cand") === 1L && col("sh") === col("esh"), "left")
-      .groupBy("doc_id").agg(
-        sum("is_cand").as("n_candidates"),
-        sum(when(col("esh").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .select("doc_id", "sh", "is_cand")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exact verify runs on the FILTERED candidate stream only, through an
+    // UNHINTED join: the planner broadcasts the eval strings while they
+    // fit and shuffles the (small) candidate stream against them when
+    // they don't — at no point must the full eval STRING set broadcast,
+    // which is the scale property the bitset bought. The corpus-scale
+    // `hit` frame itself never joins on strings; ≤1 match per
+    // (doc, shingle) because evalSh is distinct.
+    val candAgg = hit.groupBy("doc_id").agg(sum("is_cand").as("n_candidates"))
+    val shared = hit.filter(col("is_cand") === 1L)
+      .join(evalSh, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     sp.filter(col("split") =!= "test")
-      .join(agg, Seq("doc_id"), "left")
+      .join(candAgg, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"), col("split"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))

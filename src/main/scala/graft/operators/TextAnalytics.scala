@@ -151,8 +151,7 @@ object TextAnalytics {
   def wordcountCmsDf(docs: DataFrame, k: Int = 20,
       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
     def cellOf(j: Int) = struct(lit(j).as("j"),
-      (graft.functions.Fns.polyHash(concat(lit(s"c$j#"), col("word"))) % width)
-        .as("ccol"))
+      graft.functions.Fns.saltedBucket(s"c$j#", col("word"), width).as("ccol"))
     val cellsOf = explode(array((0 until depth).map(cellOf): _*)).as("p")
     val words = docs.select(explode(tokens(col("text"))).as("word"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -70,6 +70,29 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("payloads whose windows ALL miss the sample still pair via the fallback shingle") {
+    import org.apache.spark.sql.functions.{col, encode}
+    // Replicate the operator's window hashing + mod-4 sampling in-JVM and
+    // search for a >=16-byte payload with zero sampled windows — the case
+    // that silently vanished from the pair search before the fallback.
+    def winHashes(s: String): Seq[Long] =
+      (0 to s.length - 16).map { i =>
+        s.substring(i, i + 16).foldLeft(0L)((h, c) => (h * 31 + c) & 4294967295L)
+      }
+    def isSampled(h: Long): Boolean = ((h ^ (h >> 16)) % 4) == 0
+    val unlucky = (1 to 200000).iterator
+      .map(i => f"payload$i%06d-tail") // 19 bytes => 4 windows
+      .find(s => !winHashes(s).exists(isSampled))
+      .get
+    val docs = Seq((1L, unlucky), (2L, unlucky), (3L, "something else entirely"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val pairs = Media.mediaNearDupDf(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 10000L)),
+      s"identical unlucky payloads must pair through the fallback: $pairs")
+  }
+
   test("byte-level near-dup pairs planted near-identical payloads, not distinct ones") {
     import org.apache.spark.sql.functions.{col, encode}
     // Long aperiodic payload so its 16-byte windows are (mostly) distinct:

@@ -180,9 +180,7 @@ object Media {
     * against a 0.8 Jaccard bar (and BOTH engines see the same merges). */
   def mediaNearDupDf(media: DataFrame, minJacE4: Long = 8000L): DataFrame = {
     val w = MediaWindow
-    val m = media.select(col("doc_id"),
-      col("media").cast("string").as("t"),
-      length(col("media")).as("n")) // length(binary) = byte count
+    val m = media.select(col("doc_id"), col("media").cast("string").as("t"))
     // All distinct window hashes in ONE rolling pass per payload
     // (WindowPolyHashes) instead of a substr+polyHash per window — the
     // values are bit-identical to the per-window PolyHash32, so the oracle
@@ -192,15 +190,21 @@ object Media {
     // real for payloads barely over the window width) falls back to the
     // whole-payload shingle exactly like a short payload, so no payload
     // ever vanishes from the pair search.
-    val fallback = array(graft.functions.Fns.polyHash(
-      concat(lit("#"), col("t"))))
-    val sampledWindows = filter(
-      org.apache.spark.sql.graft.StringExprs.windowPolyHashes(col("t"), w),
-      h => sampled(h))
-    val sh = m.select(col("doc_id"),
-      explode(
-        when(col("n") >= w && size(sampledWindows) > 0, sampledWindows)
-          .otherwise(fallback)).as("sh"))
+    // Two-step projection so the rolling-hash pass runs ONCE per payload
+    // (the `when` below references `wins` twice; materializing it first
+    // keeps the CodegenFallback expression out of a repeated position).
+    // WindowPolyHashes yields an empty array below the window width, so
+    // the single size(wins) > 0 test covers both short and unlucky
+    // payloads.
+    val sh = m.select(
+      col("doc_id"),
+      filter(
+        org.apache.spark.sql.graft.StringExprs.windowPolyHashes(col("t"), w),
+        h => sampled(h)).as("wins"),
+      array(graft.functions.Fns.polyHash(concat(lit("#"), col("t")))).as("fb"))
+      .select(col("doc_id"),
+        explode(when(size(col("wins")) > 0, col("wins"))
+          .otherwise(col("fb"))).as("sh"))
     graft.operators.Dedup.jaccardPairsFromShingles(sh, minJacE4)
       .orderBy("d1", "d2")
   }

@@ -100,6 +100,32 @@ object TextStreams {
         sum(col("toks")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
 
+  /** Streaming count-min-sketch twin of
+    * [[graft.operators.TextAnalytics.wordcountCms]]'s sketch build: every
+    * arriving token increments its d salted cells, so the d·w counter
+    * matrix is maintained incrementally. Cell counts are pure sums over
+    * the same deterministic [[graft.functions.Fns.saltedBucket]] columns
+    * the batch sketch uses (one definition), so after consuming the whole
+    * corpus the streaming cells equal the batch cells exactly
+    * (TextStreamsSpec asserts it) — and state is the sketch itself,
+    * d·w rows REGARDLESS of stream length or vocabulary growth, which is
+    * precisely why a frequency sketch is the streaming answer where an
+    * exact word count's state grows with the vocabulary. Complete-mode
+    * here (report-sized); update mode into a keyed sink at scale. */
+  def cmsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import graft.operators.TextAnalytics.{CmsDepth, CmsWidth}
+    val cells = (0 until CmsDepth).map { j =>
+      struct(lit(j).as("j"),
+        graft.functions.Fns.saltedBucket(s"c$j#", col("word"), CmsWidth).as("ccol"))
+    }
+    documentStream(spark, path, maxFilesPerTrigger)
+      .select(explode(tokens(col("text"))).as("word"))
+      .select(explode(array(cells: _*)).as("p"))
+      .groupBy(col("p.j").as("j"), col("p.ccol").as("ccol"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   /** Streaming corpus-clean twin of [[graft.operators.Pipeline.cleanCorpus]]:
     * the cleaned corpus AS A STREAM — arriving documents are exact-deduped
     * within the watermark horizon ([[dedupStream]]) and then pass the same

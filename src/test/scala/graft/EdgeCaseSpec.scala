@@ -74,6 +74,19 @@ class EdgeCaseSpec extends AnyFunSuite {
       .collect().toSeq === Seq(("view", 0L, 1L, 0L, 0L)))
   }
 
+  test("cms/wordpiece/paths/centroids/semantic handle empty inputs") {
+    import graft.operators.{Events, Similarity, TextAnalytics}
+    assert(TextAnalytics.wordcountCmsDf(emptyDocs).count() === 0L)
+    assert(TextAnalytics.tokenizeWordpieceDf(emptyDocs).count() === 0L)
+    val emptyEvents = Seq.empty[(Long, Long, Long, String)]
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    assert(Events.pathsDf(emptyEvents).count() === 0L)
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.embeddingCentroidsDf(emptyEmb).count() === 0L)
+    assert(Pipeline.decontaminateSemanticDf(emptyEmb).count() === 0L)
+  }
+
   test("whitespace-only and empty texts flow through fingerprints and shingles") {
     val degenerate = Seq((1L, "", "en"), (2L, "   ", "en"), (3L, ". , !", "en"))
       .toDF("doc_id", "text", "lang")

@@ -86,6 +86,30 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming count-min cells equal the batch sketch after the full corpus") {
+    val dir = Paths.get("target", "test-scratch", "docstream_cms")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.cmsStream(spark, dir.toString), "t_cms")
+      .as[(Long, Long, Long)].collect().toSet
+    // Batch twin of the cell build: same tokens, same salted buckets.
+    import org.apache.spark.sql.functions.{array, col, count, explode, lit, struct}
+    val cells = (0 until graft.operators.TextAnalytics.CmsDepth).map { j =>
+      struct(lit(j).as("j"), graft.functions.Fns.saltedBucket(
+        s"c$j#", col("word"), graft.operators.TextAnalytics.CmsWidth).as("ccol"))
+    }
+    val batch = sources.Tables.documents(spark, TestSpark.sf)
+      .select(explode(graft.functions.Fns.tokens(col("text"))).as("word"))
+      .select(explode(array(cells: _*)).as("p"))
+      .groupBy(col("p.j").cast("long"), col("p.ccol")).agg(count(lit(1)).as("cell"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming word count over a text dir equals the batch word count") {
     val dir = Paths.get("target", "test-scratch", "textstream")
     Files.createDirectories(dir)

@@ -41,6 +41,38 @@ object Ship {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /** Write the shipped corpus with TARGET-SIZED files per split — the
+    * small-files compaction every long-running pipeline needs: downstream
+    * trainers read a few right-sized Parquet files per split instead of
+    * one sliver per task per micro-batch. Each split's file count is
+    * ceil(its raw byte mass / targetBytes), realized exactly by
+    * `repartition(files)` before the write (files = tasks = output
+    * parts). The driver loop is over the SPLIT VALUES — O(splits) driver
+    * work, never O(rows) — and the shipped frame is persisted across the
+    * sizing aggregate and the per-split writes so the clean/split
+    * pipeline runs once. Returns split → file count. targetBytes is the
+    * raw-text mass per file (Parquet compresses below it — size the
+    * target for the post-encoding files your readers want, e.g. 128 MB
+    * row groups at real scale). */
+  def shipCompacted(spark: SparkSession, sfDir: String, outDir: String,
+      targetBytes: Long = 64L << 20, nearDup: Boolean = true): Map[String, Long] = {
+    val frame = shipFrame(spark, sfDir, nearDup)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = frame.groupBy("split")
+      .agg(sum(octet_length(col("text"))).as("bytes"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val fileCounts =
+      for ((split, bytes) <- sizes) yield {
+        val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+        frame.filter(col("split") === split).drop("split")
+          .repartition(files.toInt)
+          .write.mode("overwrite").parquet(s"$outDir/split=$split")
+        split -> files
+      }
+    frame.unpersist()
+    fileCounts.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val in = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "target/ship_out"

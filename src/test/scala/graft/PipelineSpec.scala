@@ -45,6 +45,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.components(empty).count() === 0L)
   }
 
+  test("shipCompacted: per-split parquet file counts hit ceil(bytes/target) exactly") {
+    val out = "target/test-scratch/ship_compacted"
+    // Tiny target so each split needs several files even on the test corpus.
+    val target = 4096L
+    val planned = Ship.shipCompacted(spark, TestSpark.sf, out, targetBytes = target)
+    assert(planned.nonEmpty)
+    for ((split, files) <- planned) {
+      val parts = new java.io.File(s"$out/split=$split").listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.toLong === files, s"split $split planned $files files, wrote $parts")
+      assert(files >= 1L)
+    }
+    // Compaction must not change the data: read-back equals the ship frame.
+    val back = spark.read.parquet(out)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    val expect = Ship.shipFrame(spark, TestSpark.sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(back === expect)
+  }
+
   test("ship: split-partitioned parquet output matches the near-dup clean+split flags") {
     val out = "target/test-scratch/ship_out"
     val counts = Ship.ship(spark, TestSpark.sf, out)

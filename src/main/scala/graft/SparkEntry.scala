@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_clusters_best" -> ((s, d) => Dedup.clustersBest(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashBucketsQuery(s, d)),
@@ -376,6 +377,11 @@ object SparkEntry {
     // the same fixpoint the Spark min-label propagation loop converges to.
     "dedup_clusters" ->
       s"""WITH RECURSIVE $NgramCtes, fpairs AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= 100), edges AS (SELECT d1 AS a, d2 AS b FROM fpairs UNION ALL SELECT d2 AS a, d1 AS b FROM fpairs), reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a) SELECT d.doc_id, CAST(CASE WHEN m.m IS NOT NULL AND m.m < d.doc_id THEN m.m ELSE d.doc_id END AS BIGINT) AS cluster_id FROM documents d LEFT JOIN mn m ON d.doc_id = m.a ORDER BY doc_id""",
+    // Keep-best cluster survivor: the decision-grade (≥ 0.8) transitive
+    // closure of corpus_clean_neardup, with the survivor chosen by token
+    // count (desc, doc_id ties) instead of min id — the policy knob.
+    "dedup_clusters_best" ->
+      s"""WITH RECURSIVE $NgramCtes, fpairs AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= 8000), edges AS (SELECT d1 AS a, d2 AS b FROM fpairs UNION ALL SELECT d2 AS a, d1 AS b FROM fpairs), reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a), cl AS (SELECT d.doc_id, CAST(CASE WHEN m.m IS NOT NULL AND m.m < d.doc_id THEN m.m ELSE d.doc_id END AS BIGINT) AS cluster_id FROM documents d LEFT JOIN mn m ON d.doc_id = m.a), tk AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents) SELECT c.doc_id, c.cluster_id, t.n_toks, CAST(CASE WHEN row_number() OVER (PARTITION BY c.cluster_id ORDER BY t.n_toks DESC, c.doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best FROM cl c JOIN tk t ON c.doc_id = t.doc_id ORDER BY c.doc_id""",
     "dedup_embedding" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings) SELECT v1, v2, sim_e4 FROM (SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 10000) AS BIGINT) AS sim_e4 FROM n a JOIN n b ON a.vec_id < b.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
     // Per-label centroids: components quantize to e6 integers BEFORE the

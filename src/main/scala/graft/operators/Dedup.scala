@@ -453,6 +453,36 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Cluster survivor by QUALITY policy instead of min-id: within each
+    * decision-grade near-dup cluster ([[NearDupJacE4]]), the kept copy is
+    * the LONGEST one (token count desc, doc_id asc ties) — the keep-best
+    * rule real pipelines prefer when re-crawls truncate pages, where the
+    * min-id rule keeps whichever copy happened to arrive first. The
+    * cluster id stays the deterministic min-reachable-id fixpoint; only
+    * the SURVIVOR CHOICE within the cluster changes, which is exactly the
+    * knob this operator exposes (swap the window's ORDER BY for any other
+    * quality ranking).
+    *
+    * Scale shape: the CC machinery of [[clusters]] plus one token-count
+    * projection and one window partitioned by cluster_id — cluster sizes
+    * are bounded by near-dup group sizes, so the window never sees a
+    * corpus-scale partition. */
+  def clustersBest(s: SparkSession, d: String): DataFrame =
+    clustersBestDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def clustersBestDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = clusterAssignmentsDf(docs, NearDupJacE4)
+    val toks = docs.select(col("doc_id"),
+      size(graft.functions.Fns.tokens(col("text"))).cast("long").as("n_toks"))
+    val w = Window.partitionBy("cluster_id").orderBy(desc("n_toks"), asc("doc_id"))
+    assign.join(toks, "doc_id")
+      .withColumn("is_best", (row_number().over(w) === 1).cast("long"))
+      .select("doc_id", "cluster_id", "n_toks", "is_best")
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs, exact: the O(n²) self-join with the
     * codegen'd dot product and norms precomputed once per vector. This is the
     * test-scale verifier for embeddingPairsLsh below — correct at any n but

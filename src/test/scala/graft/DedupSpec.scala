@@ -24,6 +24,23 @@ class DedupSpec extends AnyFunSuite {
     (6L, "")
   ).toDF("doc_id", "text")
 
+  test("clustersBest: the LONGEST cluster member survives, not the smallest id") {
+    // Letter-only words — the \b[a-z]+\b tokenizer drops digit-bearing ones.
+    val base = (0 until 30)
+      .map(i => s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    val docs = Seq(
+      (1L, base),             // 30 tokens, smaller id
+      (2L, base + " extra"),  // 31 tokens — the keep-best survivor
+      (3L, "completely unrelated text about nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.clustersBestDf(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 30L, 0L), // min-id member but NOT best
+      (2L, 1L, 31L, 1L), // longest copy wins
+      (3L, 3L, 8L, 1L))) // singleton is its own best
+  }
+
   test("minhash: planted near-dup pair is detected, unrelated docs are not") {
     val pairs = Dedup.minhashPairs(docs, minEstE4 = 5000L)
       .select("d1", "d2").as[(Long, Long)].collect().toSet

@@ -50,20 +50,28 @@ object Ship {
     * parts). The driver loop is over the SPLIT VALUES — O(splits) driver
     * work, never O(rows) — and the shipped frame is persisted across the
     * sizing aggregate and the per-split writes so the clean/split
-    * pipeline runs once. Returns split → file count. targetBytes is the
-    * raw-text mass per file (Parquet compresses below it — size the
-    * target for the post-encoding files your readers want, e.g. 128 MB
-    * row groups at real scale). */
+    * pipeline runs once. The whole outDir is deleted first so splits
+    * from an earlier ship() (or an earlier corpus) cannot survive as
+    * stale `split=<v>` dirs that a later read would include. Returns
+    * split → file count, capped at the split's row count (repartition
+    * past the row count yields empty partitions that write no part
+    * files). targetBytes is the raw-text mass per file (Parquet
+    * compresses below it — size the target for the post-encoding files
+    * your readers want, e.g. 128 MB row groups at real scale). */
   def shipCompacted(spark: SparkSession, sfDir: String, outDir: String,
       targetBytes: Long = 64L << 20, nearDup: Boolean = true): Map[String, Long] = {
     val frame = shipFrame(spark, sfDir, nearDup)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = frame.groupBy("split")
-      .agg(sum(octet_length(col("text"))).as("bytes"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .agg(sum(octet_length(col("text"))).as("bytes"), count(lit(1)).as("rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(outPath, true)
     val fileCounts =
-      for ((split, bytes) <- sizes) yield {
-        val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      for ((split, bytes, rows) <- sizes) yield {
+        val files = math.min(rows,
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes))
         frame.filter(col("split") === split).drop("split")
           .repartition(files.toInt)
           .write.mode("overwrite").parquet(s"$outDir/split=$split")

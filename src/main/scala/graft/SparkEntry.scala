@@ -76,12 +76,15 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalytics.repetition(s, d)),
     "text_diversity" -> ((s, d) => TextAnalytics.diversity(s, d)),
     "tokenize_wordpiece" -> ((s, d) => TextAnalytics.tokenizeWordpiece(s, d)),
+    "tokenize_wordpiece_learned" -> ((s, d) => TextAnalytics.tokenizeWordpieceLearned(s, d)),
+    "vocab_train" -> ((s, d) => TextAnalytics.vocabTrain(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalytics.lmScore(s, d)),
     "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
     "vocab_coverage" -> ((s, d) => TextAnalytics.vocabCoverage(s, d)),
     // — LLM-pipeline: dedup —
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
+    "dedup_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_clusters_best" -> ((s, d) => Dedup.clustersBest(s, d)),
@@ -97,6 +100,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "sim_pq_trained" -> ((s, d) => Similarity.pqTrainedTopK(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
@@ -116,9 +120,58 @@ object SparkEntry {
     "pack_sequences_global" -> ((s, d) => Pipeline.packSequencesGlobal(s, d)),
     "chunk_documents" -> ((s, d) => Pipeline.chunkDocuments(s, d)),
     "sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
+    "sample_stratified_capped" -> ((s, d) => Pipeline.sampleStratifiedCapped(s, d)),
   )
 
   private val Tok = """\b[a-z]+\b""" // RE2 string for DuckDB (ASCII text only)
+
+  /** Unrolled-BPE CTE chain — the oracle twin of TextAnalytics.vocabTrain's
+    * driver loop, one CTE stage per merge (SQL has no iterate-until-argmax,
+    * so the n iterations unroll; the chain is program-generated, which is
+    * why it can afford to be explicit). Stage k: positions → weighted
+    * adjacent-pair counts → 1-row argmax m{k+1} → greedy NON-OVERLAPPING
+    * left-to-right merge application. Greediness in set-based SQL: a
+    * candidate position survives iff its offset from the start of its run
+    * of CONSECUTIVE candidates is even (runs only arise when lhs = rhs,
+    * e.g. merging (a,a) in "aaaa" → aa|aa not a|aa|a); consumed positions
+    * (the right half of a selected pair) are dropped by the lag() guard.
+    * Ends with bpe_merges(merge_rank, lhs, rhs, merged, pair_cnt). */
+  private def bpeCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"bpe_words AS (SELECT w AS word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS w FROM documents) GROUP BY 1), "
+    sb ++= "seg0 AS (SELECT word, cnt, regexp_extract_all(word, '[a-z]') AS pieces FROM bpe_words)"
+    // AS MATERIALIZED is load-bearing: each stage references pos$k twice
+    // (pair counts + merge application) — inlined, the 12-stage chain
+    // re-expands its whole prefix per reference (2^n plan blowup).
+    for (k <- 0 until n) {
+      sb ++= s", pos$k AS MATERIALIZED (SELECT word, cnt, pieces, unnest(range(1, len(pieces) + 1)) AS i FROM seg$k)"
+      sb ++= s", pr$k AS (SELECT pieces[i] AS lhs, pieces[i+1] AS rhs, sum(cnt) AS c FROM pos$k WHERE i < len(pieces) GROUP BY 1, 2)"
+      sb ++= s", m${k + 1} AS MATERIALIZED (SELECT lhs, rhs, c FROM pr$k ORDER BY c DESC, lhs, rhs LIMIT 1)"
+      if (k < n - 1) {
+        sb ++= s", cand$k AS (SELECT word, cnt, pieces, i, coalesce(i < len(pieces) AND pieces[i] = m.lhs AND pieces[i+1] = m.rhs, false) AS cand FROM pos$k LEFT JOIN m${k + 1} m ON true)"
+        sb ++= s", run$k AS (SELECT word, cnt, pieces, i, cand, i - row_number() OVER (PARTITION BY word, cand ORDER BY i) AS grp FROM cand$k)"
+        sb ++= s", sel$k AS (SELECT word, cnt, pieces, i, cand AND ((i - min(i) OVER (PARTITION BY word, cand, grp)) % 2 = 0) AS sel FROM run$k)"
+        sb ++= s", emit$k AS (SELECT word, cnt, i, CASE WHEN sel THEN pieces[i] || pieces[i+1] ELSE pieces[i] END AS piece, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY i), false) AS consumed FROM sel$k)"
+        sb ++= s", seg${k + 1} AS MATERIALIZED (SELECT word, cnt, list(piece ORDER BY i) AS pieces FROM emit$k WHERE NOT consumed GROUP BY word, cnt)"
+      }
+    }
+    sb ++= ", bpe_merges AS (" + (1 to n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_cnt FROM m$k").mkString(" UNION ALL ") + ")"
+    sb.toString
+  }
+
+  // Shared stratified-sample order hash: polyHash of 'strat:'||doc_id,
+  // then the mix32 avalanche (xor-shift-multiply ×2 — Fns.mix32's twin) so
+  // the VALUE is uniform on [0, P) for the threshold pre-filter. Ends with
+  // h(doc_id, lang, hh).
+  private val StratHashCtes =
+    """p0 AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h0 FROM (SELECT doc_id, lang, 'strat:' || CAST(doc_id AS VARCHAR) AS s FROM documents)), p1 AS (SELECT doc_id, lang, (xor(h0 >> 16, h0) * 73244475) & 4294967295 AS x1 FROM p0), p2 AS (SELECT doc_id, lang, (xor(x1 >> 16, x1) * 73244475) & 4294967295 AS x2 FROM p1), h AS (SELECT doc_id, lang, xor(x2 >> 16, x2) % 1000000007 AS hh FROM p2)"""
+
+  /** Shared tail of the two wordpiece-fertility oracles: greedy
+    * longest-match segmentation of every distinct word against `vocab`
+    * (recursive walk; no match → 1-char step), then the per-doc rollup. */
+  private val WordpieceTail =
+    s"""toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), occ AS (SELECT doc_id, unnest(w) AS word FROM toks), dw AS (SELECT DISTINCT word FROM occ), pos AS (SELECT word, unnest(range(1, length(word) + 1)) AS p FROM dw), mt AS (SELECT s.word, s.p, max(length(v.piece)) AS mstep FROM pos s JOIN vocab v ON substr(s.word, CAST(s.p AS INTEGER), length(v.piece)) = v.piece GROUP BY s.word, s.p), steps AS (SELECT pos.word, pos.p, COALESCE(mt.mstep, 1) AS step FROM pos LEFT JOIN mt ON pos.word = mt.word AND pos.p = mt.p), walk AS (SELECT word, CAST(1 AS BIGINT) AS p FROM dw UNION ALL SELECT w.word, w.p + s.step FROM walk w JOIN steps s ON s.word = w.word AND s.p = w.p WHERE w.p <= length(w.word)), np AS (SELECT word, count(*) AS n_pieces FROM walk WHERE p <= length(word) GROUP BY word), pd AS (SELECT o.doc_id, count(*) AS n_words, CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces FROM occ o JOIN np ON o.word = np.word GROUP BY o.doc_id) SELECT d.doc_id, COALESCE(pd.n_words, 0) AS n_words, COALESCE(pd.n_pieces, 0) AS n_pieces, CAST(CASE WHEN pd.n_words IS NULL THEN 0 ELSE round(pd.n_pieces * 10000.0 / pd.n_words) END AS BIGINT) AS fertility_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id"""
 
   // SimHash in portable SQL: the 64-bit fingerprint draws bits 0-31 from the
   // 32-bit polynomial token hash (the text_fingerprint list_reduce twin) and
@@ -243,6 +296,30 @@ object SparkEntry {
     // identical op order on both engines.
     "sim_pq_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), nn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM n), mm AS (SELECT unnest(range(8)) AS m), subs AS (SELECT vec_id, m, vn[m*8+1 : m*8+8] AS xm FROM nn CROSS JOIN mm), cb AS (SELECT vec_id AS j, m, xm AS cm FROM subs WHERE vec_id < 16), dist AS (SELECT s.vec_id, s.m, c.j, CAST(round((list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm)) * 10000) AS BIGINT) AS d2_e4 FROM subs s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id, m, j FROM (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e4, j) AS rn FROM dist) WHERE rn = 1), qtab AS (SELECT s.vec_id AS qid, s.m, c.j, CAST(round(list_inner_product(s.xm, c.cm) * 10000) AS BIGINT) AS t_e4 FROM subs s JOIN cb c ON s.m = c.m WHERE s.vec_id < 10), scored AS (SELECT q.qid, co.vec_id AS cid, CAST(sum(q.t_e4) AS BIGINT) AS approx_e4 FROM codes co JOIN qtab q ON co.m = q.m AND co.j = q.j GROUP BY q.qid, co.vec_id) SELECT qid, cid, approx_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, approx_e4, row_number() OVER (PARTITION BY qid ORDER BY approx_e4 DESC, cid) AS rn FROM scored) WHERE rn <= 5 ORDER BY qid, rn""",
+    // Trained PQ: two unrolled per-subspace Lloyd iterations in the e6
+    // integer domain — sub-vectors quantize once, then every distance,
+    // centroid sum and ADC score is exact integer arithmetic carried in
+    // DOUBLE (≤ 8e12 ≪ 2^53), so no rounding exists to diverge between
+    // engines. Same carry-forward COALESCE for emptied codes as trained IVF.
+    "sim_pq_trained" -> {
+      def iter(i: Int, prev: String) =
+        s"a$i AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm), c.j) AS rn FROM subs s JOIN $prev c ON s.m = c.m) WHERE rn = 1), " +
+        s"u$i AS (SELECT a.m, a.j, t.k, CAST(round(sum(s.xm[CAST(t.k AS INTEGER)]) / count(*)) AS DOUBLE) AS comp FROM a$i a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 9) t(k) GROUP BY a.m, a.j, t.k), " +
+        s"cb$i AS MATERIALIZED (SELECT p.m, p.j, COALESCE(u.cm, p.cm) AS cm FROM $prev p LEFT JOIN (SELECT m, j, list(comp ORDER BY k) AS cm FROM u$i GROUP BY m, j) u ON p.m = u.m AND p.j = u.j)"
+      "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "nn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM n), " +
+      "mm AS (SELECT unnest(range(8)) AS m), " +
+      "subs AS MATERIALIZED (SELECT vec_id, m, list_transform(vn[m*8+1 : m*8+8], x -> CAST(round(x * 1000000) AS DOUBLE)) AS xm FROM nn CROSS JOIN mm), " +
+      "cb0 AS MATERIALIZED (SELECT vec_id AS j, m, xm AS cm FROM subs WHERE vec_id < 16), " +
+      iter(1, "cb0") + ", " + iter(2, "cb1") + ", " +
+      "codes AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm), c.j) AS rn FROM subs s JOIN cb2 c ON s.m = c.m) WHERE rn = 1), " +
+      "qtab AS (SELECT s.vec_id AS qid, s.m, c.j, list_inner_product(s.xm, c.cm) AS t FROM subs s JOIN cb2 c ON s.m = c.m WHERE s.vec_id < 10), " +
+      "scored AS (SELECT q.qid, co.vec_id AS cid, sum(q.t) AS approx FROM codes co JOIN qtab q ON co.m = q.m AND co.j = q.j GROUP BY q.qid, co.vec_id), " +
+      "short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS srn FROM scored) WHERE srn <= 25), " +
+      "nrm AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nr FROM n), " +
+      "ex AS (SELECT sh.qid, sh.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nr * y.nr) * 10000) AS BIGINT) AS sim_e4 FROM short sh JOIN nrm x ON sh.cid = x.vec_id JOIN nrm y ON sh.qid = y.vec_id) " +
+      "SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ex) WHERE rn <= 5 ORDER BY qid, rn"
+    },
     "sim_ivf_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), asgn AS (SELECT vec_id, cell_id FROM (SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY CAST(round(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM n, cents c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, cents c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN asgn a ON p.cell_id = a.cell_id), s AS (SELECT cd.qid, cd.cid, CAST(round(list_inner_product(x.v, y.qv) / (x.nrm * y.qn) * 10000) AS BIGINT) AS sim_e4 FROM cand cd JOIN n x ON cd.cid = x.vec_id JOIN q y ON cd.qid = y.qid), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
     // Trained IVF: two unrolled deterministic Lloyd iterations. Centroids in
@@ -260,6 +337,12 @@ object SparkEntry {
       s"""$SimhashCtes SELECT doc_id, simhash FROM fpall ORDER BY doc_id""",
     "dedup_simhash_pairs" ->
       s"""$SimhashCtes, bands AS (SELECT doc_id, b AS band_idx, (simhash >> (b * 16)) & 65535 AS band_bits FROM fpall, range(0, 4) t(b)), cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id) SELECT d1, d2, hamming FROM (SELECT d1, d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cand JOIN fpall x ON d1 = x.doc_id JOIN fpall y ON d2 = y.doc_id) WHERE hamming <= 3 ORDER BY d1, d2""",
+    // Incremental near-dup: the oracle checks the Hamming balls DIRECTLY
+    // (batch × corpus quadratic is fine at oracle scale); the Spark side's
+    // band join has exact pigeonhole recall for maxHamming < bands, so the
+    // two formulations agree row for row.
+    "dedup_incremental_neardup" ->
+      s"""$SimhashCtes, src AS (SELECT f.doc_id, f.simhash, d.source FROM fpall f JOIN documents d ON f.doc_id = d.doc_id), bfp AS (SELECT doc_id, simhash FROM src WHERE source = 'src19'), cfp AS (SELECT doc_id, simhash FROM src WHERE source <> 'src19'), ch AS (SELECT DISTINCT b.doc_id FROM bfp b JOIN cfp c ON bit_count(xor(b.simhash, c.simhash)) <= 3), bh AS (SELECT DISTINCT b.doc_id FROM bfp b JOIN bfp a ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3) SELECT b.doc_id, CAST(CASE WHEN ch.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS corpus_dup, CAST(CASE WHEN bh.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS batch_dup, CAST(CASE WHEN ch.doc_id IS NULL AND bh.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep FROM bfp b LEFT JOIN ch ON b.doc_id = ch.doc_id LEFT JOIN bh ON b.doc_id = bh.doc_id ORDER BY b.doc_id""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey""",
     "join_outer" ->
@@ -302,7 +385,7 @@ object SparkEntry {
     // e4-round) runs in the same op order on both engines; zero-variance
     // series pin z to 0 via the CASE guard.
     "events_anomaly" ->
-      """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS cnt FROM events GROUP BY 1, 2), stats AS (SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS q FROM hourly GROUP BY 1), z AS (SELECT h.event_type, h.hour_idx, h.cnt, CAST(CASE WHEN st.n * st.q = st.s * st.s THEN 0 ELSE round((h.cnt - CAST(st.s AS DOUBLE) / st.n) / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE) / (st.n * st.n)) * 10000) END AS BIGINT) AS z_e4 FROM hourly h JOIN stats st USING (event_type)) SELECT event_type, hour_idx, cnt, z_e4, CAST(CASE WHEN abs(z_e4) >= 30000 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly FROM z ORDER BY event_type, hour_idx""",
+      """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS cnt FROM events GROUP BY 1, 2), stats AS (SELECT event_type, count(*) AS n, sum(CAST(cnt AS HUGEINT)) AS s, sum(CAST(cnt AS HUGEINT) * cnt) AS q FROM hourly GROUP BY 1), z AS (SELECT h.event_type, h.hour_idx, h.cnt, CAST(CASE WHEN st.n * st.q = st.s * st.s THEN 0 ELSE round((h.cnt - CAST(st.s AS DOUBLE) / st.n) / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE) / (st.n * st.n)) * 10000) END AS BIGINT) AS z_e4 FROM hourly h JOIN stats st USING (event_type)) SELECT event_type, hour_idx, cnt, z_e4, CAST(CASE WHEN abs(z_e4) >= 30000 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly FROM z ORDER BY event_type, hour_idx""",
     "join_asof" ->
       """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) SELECT e.event_id, e.user_id, e.t AS ts_us, COALESCE(o.o_orderkey, -1) AS asof_orderkey, COALESCE(o.t, -1) AS asof_us FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t >= o.t ORDER BY event_id""",
     // Forward as-of: DuckDB's native ASOF with the <= comparator picks the
@@ -417,8 +500,15 @@ object SparkEntry {
     // cannot drift.
     "tokenize_wordpiece" -> {
       val values = TextAnalytics.WordPieceVocab.map(p => s"('$p')").mkString(", ")
-      s"""WITH RECURSIVE vocab(piece) AS (SELECT * FROM (VALUES $values) v(piece)), toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), occ AS (SELECT doc_id, unnest(w) AS word FROM toks), dw AS (SELECT DISTINCT word FROM occ), pos AS (SELECT word, unnest(range(1, length(word) + 1)) AS p FROM dw), mt AS (SELECT s.word, s.p, max(length(v.piece)) AS mstep FROM pos s JOIN vocab v ON substr(s.word, CAST(s.p AS INTEGER), length(v.piece)) = v.piece GROUP BY s.word, s.p), steps AS (SELECT pos.word, pos.p, COALESCE(mt.mstep, 1) AS step FROM pos LEFT JOIN mt ON pos.word = mt.word AND pos.p = mt.p), walk AS (SELECT word, CAST(1 AS BIGINT) AS p FROM dw UNION ALL SELECT w.word, w.p + s.step FROM walk w JOIN steps s ON s.word = w.word AND s.p = w.p WHERE w.p <= length(w.word)), np AS (SELECT word, count(*) AS n_pieces FROM walk WHERE p <= length(word) GROUP BY word), pd AS (SELECT o.doc_id, count(*) AS n_words, CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces FROM occ o JOIN np ON o.word = np.word GROUP BY o.doc_id) SELECT d.doc_id, COALESCE(pd.n_words, 0) AS n_words, COALESCE(pd.n_pieces, 0) AS n_pieces, CAST(CASE WHEN pd.n_words IS NULL THEN 0 ELSE round(pd.n_pieces * 10000.0 / pd.n_words) END AS BIGINT) AS fertility_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id"""
+      s"WITH RECURSIVE vocab(piece) AS (SELECT * FROM (VALUES $values) v(piece)), $WordpieceTail"
     },
+    // Trained twin: the vocab CTE is the unrolled BPE merge chain's merged
+    // pieces (DISTINCT — two different pairs can concatenate to one string);
+    // single chars need no vocab entry, both segmenters 1-char-step on miss.
+    "tokenize_wordpiece_learned" ->
+      s"WITH RECURSIVE ${bpeCtes(TextAnalytics.BpeMerges)}, vocab(piece) AS (SELECT DISTINCT merged FROM bpe_merges), $WordpieceTail",
+    "vocab_train" ->
+      s"WITH ${bpeCtes(TextAnalytics.BpeMerges)} SELECT merge_rank, lhs, rhs, merged, pair_cnt FROM bpe_merges ORDER BY merge_rank",
     // Lexical diversity: type-token ratio + Simpson concentration of the
     // unigram distribution — integer Σc/Σc²/distinct until one double
     // divide + e4 round.
@@ -465,6 +555,12 @@ object SparkEntry {
     // Stratified sampling: salted-hash order within each language, keep the
     // first StratCap; all rows emitted with rank + kept flag.
     "sample_stratified" ->
-      """WITH h AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 1000000007 AS hh FROM (SELECT doc_id, lang, 'strat:' || CAST(doc_id AS VARCHAR) AS s FROM documents)), r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS BIGINT) AS rn FROM h) SELECT doc_id, lang, rn, CAST(CASE WHEN rn <= 50 THEN 1 ELSE 0 END AS BIGINT) AS kept FROM r ORDER BY doc_id""",
+      s"""WITH $StratHashCtes, r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS BIGINT) AS rn FROM h) SELECT doc_id, lang, rn, CAST(CASE WHEN rn <= 50 THEN 1 ELSE 0 END AS BIGINT) AS kept FROM r ORDER BY doc_id""",
+    // Scale-path twin: the same sample via the hash-threshold pre-filter —
+    // the oracle mirrors the THRESHOLD algorithm (not the full window), so
+    // the hash-match holds by construction, and PipelineSpec separately
+    // asserts equality with the audit view's kept rows.
+    "sample_stratified_capped" ->
+      s"""WITH $StratHashCtes, counts AS (SELECT lang, count(*) AS n FROM h GROUP BY 1), adm AS (SELECT b.doc_id, b.lang, b.hh FROM h b JOIN counts c ON b.lang = c.lang WHERE b.hh <= least(1000000007, CAST(ceil(2.0 * 50 * 1000000007 / c.n) AS BIGINT))), r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS BIGINT) AS rn FROM adm) SELECT doc_id, lang, rn FROM r WHERE rn <= 50 ORDER BY doc_id""",
   )
 }

@@ -49,6 +49,24 @@ object Fns {
   def saltedBucket(salt: String, s: Column, m: Int): Column =
     polyHash(concat(lit(salt), s)) % m
 
+  /** 32-bit avalanche finisher (degski's double xor-shift-multiply) over a
+    * [[polyHash]] value. polyHash of SHORT, shared-prefix strings (e.g.
+    * "strat:" + doc_id) is rank-correlated with the suffix and lands in a
+    * narrow band of the 32-bit space — harmless when only the ORDER is
+    * consumed, fatal for anything that cuts by VALUE (a hash-threshold
+    * pre-filter admits by h ≤ t, so h must be uniform). Two rounds give
+    * full avalanche; every step is exact 64-bit integer arithmetic with no
+    * overflow (x < 2^32, multiplier < 2^27 ⇒ product < 2^59), so the
+    * DuckDB twin — xor(x >> 16, x) and the same multiply/mask — matches
+    * bit for bit. */
+  def mix32(c: Column): Column = {
+    val m = lit(73244475L) // 0x45d9f3b
+    val mask = lit(HashMask)
+    val x1 = (shiftright(c, 16).bitwiseXOR(c) * m).bitwiseAND(mask)
+    val x2 = (shiftright(x1, 16).bitwiseXOR(x1) * m).bitwiseAND(mask)
+    shiftright(x2, 16).bitwiseXOR(x2)
+  }
+
   def polyHashHof(s: Column): Column =
     when(length(s) === 0, lit(0L)).otherwise(
       aggregate(

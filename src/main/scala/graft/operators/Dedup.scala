@@ -289,6 +289,68 @@ object Dedup extends org.apache.spark.internal.Logging {
       .orderBy("d1", "d2")
   }
 
+  /** Incremental NEAR-dup dedup — [[incremental]]'s daily-crawl broadcast
+    * shape composed with the SimHash Hamming-ball kit: an arriving batch is
+    * checked against the shipped corpus for near-duplicates (re-crawls with
+    * boilerplate drift — the case exact incremental dedup misses), then
+    * within itself. Per batch doc: corpus_dup (∃ corpus fingerprint within
+    * maxHamming), batch_dup (∃ earlier batch doc within maxHamming), and
+    * the keep verdict (neither).
+    *
+    * Scale shape — the part that matters at 100 TB: the BATCH side's band
+    * keys (4 rows per batch doc, fingerprint carried) BROADCAST; the corpus
+    * streams through its fingerprint scan once, never shuffles, never
+    * re-keys, and the Hamming verify runs inside the map-side band join.
+    * Only matched batch ids come back (bounded by batch size) for the
+    * distinct. In production the corpus side reads the saved fingerprint
+    * table — the same narrow scan. The within-batch pass is the standard
+    * band self-join on the batch only. Pigeonhole recall is exact for
+    * maxHamming < SimBands, so the oracle's direct quadratic check agrees. */
+  def incrementalNearDup(s: SparkSession, d: String,
+      batchSource: String = "src19", maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalNearDupDf(
+      docs.filter(col("source") === batchSource),
+      docs.filter(col("source") =!= batchSource), maxHamming)
+  }
+
+  /** Same, over explicit batch/corpus (doc_id, text) frames (planted tests). */
+  def incrementalNearDupDf(batch: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimBands, "pigeonhole guarantee needs maxHamming < SimBands")
+    def bandsOf(fp: DataFrame): DataFrame = fp
+      .select(col("doc_id"), col("simhash"),
+        explode(simhashBandStructs(col("simhash"))).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
+    val bfp = simhashFp(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    val bBands = bandsOf(bfp).select(col("doc_id").as("bid"),
+      col("simhash").as("bfp"), col("band_idx"), col("band_bits"))
+    val corpusHits = bandsOf(simhashFp(corpus))
+      .join(broadcast(bBands), Seq("band_idx", "band_bits"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("bfp"))) <= maxHamming)
+      .select(col("bid").as("doc_id")).distinct()
+      .withColumn("c_hit", lit(1L))
+    val bb = bandsOf(bfp)
+    val batchHits = bb.as("a")
+      .join(bb.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("b.doc_id").as("doc_id")).distinct()
+      .withColumn("b_hit", lit(1L))
+    bfp.select("doc_id")
+      .join(corpusHits, Seq("doc_id"), "left")
+      .join(batchHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c_hit"), lit(0L)).as("corpus_dup"),
+        coalesce(col("b_hit"), lit(0L)).as("batch_dup"),
+        when(col("c_hit").isNull && col("b_hit").isNull, lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Hot-shingle document-frequency cap for the exact Jaccard join: a shingle
     * occurring in f documents contributes O(f²) join rows, so boilerplate
     * shingles ("terms of service apply") make the join quadratic on skew.

@@ -119,25 +119,36 @@ object Events {
     * silence itself is the anomaly. Scale shape: one (hour, type) count
     * shuffle, one tiny per-type moment aggregate broadcast back.
     *
-    * Capacity bound (64-bit moments): cnt² overflows Long past ~3.04e9
-    * events in ONE (type, hour) bucket, and n·q / s² past ~9.2e18 — Spark
-    * would wrap silently where DuckDB aborts, so stay under ~3e9 events
-    * per bucket (at 100 TB that means bucketing finer than hourly or
-    * pre-splitting the type key). The exact-arithmetic upgrade path is
-    * 128-bit sums (DecimalType(38,0) here, HUGEINT in the oracle). */
+    * Capacity bound: the moments are 128-bit exact — DecimalType(38,0)
+    * sums here, HUGEINT in the oracle — so cnt² stays exact up to the
+    * full Long range (max cnt ≈ 9.2e18 per bucket, cnt² ≈ 8.5e37 < 1e38);
+    * the binding constraint moves to n·q < 1e38, i.e. roughly
+    * n_buckets · max(cnt)² under 38 digits — ~1e19 TOTAL events at hourly
+    * bucketing, far past 100 TB. Past that Spark's decimal overflow
+    * yields null z_e4 (visible) rather than a silent 64-bit wrap. */
   def anomaly(s: SparkSession, d: String): DataFrame =
     anomalyDf(Tables.events(s, d))
 
   /** Same, over any (event_type, ts_us) DataFrame (planted tests). */
-  def anomalyDf(events: DataFrame): DataFrame = {
-    val hourly = events
+  def anomalyDf(events: DataFrame): DataFrame =
+    anomalyHourlyDf(events
       .select(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
       .groupBy("event_type", "hour_idx")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** Core of [[anomalyDf]] over an already-counted (event_type, hour_idx,
+    * cnt) frame — lets tests plant bucket counts past the 64-bit moment
+    * bound without materializing billions of events. The hourly frame is
+    * persisted because it feeds both the per-type moment aggregate and
+    * the final join (mirrors retentionDf's shared-frame persist). */
+  def anomalyHourlyDf(hourlyIn: DataFrame): DataFrame = {
+    val hourly = hourlyIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val stats = hourly.groupBy("event_type").agg(
       count(lit(1)).as("n"),
-      sum("cnt").as("s"),
-      sum(col("cnt") * col("cnt")).as("q"))
+      sum(col("cnt").cast(dec)).as("s"),
+      sum(col("cnt").cast(dec) * col("cnt")).as("q"))
     val z = (col("cnt") - col("s").cast("double") / col("n")) /
       sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
         (col("n") * col("n")))

@@ -178,9 +178,19 @@ object Pipeline {
         pmod(polyHash(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
           .as("bucket"))
       .select(col("doc_id"), col("bucket"),
-        when(col("bucket") < TrainPct, lit("train"))
-          .when(col("bucket") < TrainPct + ValPct, lit("val"))
-          .otherwise(lit("test")).as("split"))
+        splitFromBucket(col("bucket")).as("split"))
+
+  private def splitFromBucket(bucket: org.apache.spark.sql.Column) =
+    when(bucket < TrainPct, lit("train"))
+      .when(bucket < TrainPct + ValPct, lit("val"))
+      .otherwise(lit("test"))
+
+  /** The split rule as a pure COLUMN of doc_id — the stateless form a
+    * streaming consumer applies per arriving row (same definition as
+    * [[splitAssign]], so batch and stream cannot drift). */
+  def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    splitFromBucket(
+      pmod(polyHash(concat(lit("split:"), docId.cast("string"))), lit(100L)))
 
   /** Benchmark decontamination: flag train/val documents sharing any distinct
     * 3-shingle with a test-split document (the n-gram-overlap rule used to
@@ -294,6 +304,26 @@ object Pipeline {
   def decontaminateBloom(s: SparkSession, d: String): DataFrame =
     decontaminateBloomDf(Tables.documents(s, d))
 
+  /** The 2-hash Bloom bitset (64-bit word index → word) over a distinct
+    * shingle set — extracted so the STREAMING decontamination twin probes
+    * the exact same artifact the batch operator builds
+    * ([[graft.streaming.TextStreams.decontaminateStream]]). */
+  def bloomBitsFrom(evalSh: DataFrame): DataFrame =
+    evalSh
+      .select(explode(array(
+        saltedBucket("b1#", col("sh"), BloomBits),
+        saltedBucket("b2#", col("sh"), BloomBits))).as("p"))
+      .select(expr("p div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+
+  /** Distinct eval (test-split) shingles — the decontamination reference
+    * set a production pipeline persists once per eval-suite release. */
+  def evalShingles(docs: DataFrame): DataFrame =
+    Dedup.shingles(docs)
+      .join(splitAssign(docs).select("doc_id", "split"), "doc_id")
+      .filter(col("split") === "test").select("sh").distinct()
+
   /** Same, over any (doc_id, text) DataFrame (planted tests). */
   def decontaminateBloomDf(docs: DataFrame): DataFrame = {
     val m = BloomBits
@@ -304,11 +334,7 @@ object Pipeline {
     // Distinct eval shingles feed BOTH the bit build and the verify join.
     val evalSh = sh.filter(col("split") === "test").select("sh").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bits = evalSh
-      .select(explode(array(probe("b1#"), probe("b2#"))).as("p"))
-      .select(expr("p div 64").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
-      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+    val bits = bloomBitsFrom(evalSh)
     val corpus = sh.filter(col("split") =!= "test")
       .withColumn("p1", probe("b1#"))
       .withColumn("p2", probe("b2#"))
@@ -471,12 +497,60 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        pmod(polyHash(concat(lit("strat:"), col("doc_id").cast("string"))), lit(1000000007L))
-          .as("h"))
+      .select(col("doc_id"), col("lang"), stratHash.as("h"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("lang"), col("rn"),
         (col("rn") <= StratCap).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Hash modulus for the stratified-sampling order (polyHash range). */
+  val StratP = 1000000007L
+
+  /** The stratified-sample order hash: polyHash of the salted doc_id,
+    * avalanche-mixed ([[graft.functions.Fns.mix32]]) so the VALUE is
+    * uniform on [0, P) — the threshold pre-filter cuts by value, and raw
+    * polyHash of "strat:<id>" strings clusters in half the 32-bit space
+    * (measured: [0.41P, 0.88P], rank-correlated with doc_id). One
+    * definition feeds the audit view, the capped scale path, and both
+    * oracles, so the sample can never drift between them. */
+  private def stratHash =
+    pmod(graft.functions.Fns.mix32(
+      polyHash(concat(lit("strat:"), col("doc_id").cast("string")))), lit(StratP))
+
+  /** Stratified sampling, SCALE PATH — the hash-threshold pre-filter the
+    * [[sampleStratified]] docstring promises: emit ONLY the kept sample
+    * (what production ships), with the rank window running over a
+    * hash-threshold-admitted subset instead of whole strata. Because the
+    * sample is the [[StratCap]] SMALLEST salted hashes per stratum and h is
+    * uniform on [0, P), rows with h ≤ 2·cap·P/|stratum| are a consistent
+    * prefix of the sample order with ≈ 2·cap expected members — the window
+    * sorts O(cap) rows per stratum however hot the stratum (the planted
+    * hot-stratum spec measures exactly this shrink). Strata with
+    * n ≤ 2·cap admit everything (threshold ≥ P), so small strata are
+    * EXACT by construction; for hot strata the over-admit factor makes
+    * under-admission vanishingly rare (probability ≈ exp(−cap/3) by a
+    * Chernoff bound — and the per-stratum admitted counts are one tiny
+    * aggregate away if a pipeline wants the re-run guard). The full-window
+    * sibling stays as the all-rows AUDIT view; this is the one you run on
+    * the 100 TB corpus. PipelineSpec asserts the kept set equals the audit
+    * view's on the test corpus. */
+  def sampleStratifiedCapped(s: SparkSession, d: String): DataFrame =
+    sampleStratifiedCappedDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, lang) DataFrame (planted hot-stratum tests). */
+  def sampleStratifiedCappedDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("lang"), stratHash.as("h"))
+    val counts = base.groupBy("lang").agg(count(lit(1)).as("n"))
+    val thr = least(lit(StratP),
+      ceil(lit(2.0 * StratCap) * lit(StratP.toDouble) / col("n")).cast("long"))
+    val admitted = base.join(broadcast(counts), "lang").filter(col("h") <= thr)
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    admitted
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= StratCap)
+      .select(col("doc_id"), col("lang"), col("rn"))
       .orderBy("doc_id")
   }
 }

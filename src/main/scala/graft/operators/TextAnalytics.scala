@@ -78,6 +78,86 @@ object TextAnalytics {
     "part", "query", "stream", "window", "filter", "order", "value",
     "batch", "small", "group")
 
+  /** Merge count for [[vocabTrain]] — deliberately small so the unrolled
+    * oracle CTE chain stays reviewable; production vocabularies run this
+    * exact loop tens of thousands of iterations (see the scale note). */
+  val BpeMerges = 12
+
+  /** TRAIN the subword vocabulary — deterministic BPE pair-merge training
+    * (Sennrich et al. 2016, arXiv:1508.07909), the learned sibling of the
+    * hand-picked [[WordPieceVocab]] exactly as `text_langid_ngram` is the
+    * trained sibling of `text_langid`. Each iteration: count adjacent
+    * piece pairs over the DISTINCT-word table weighted by corpus word
+    * frequency, take the most frequent pair (count-desc / pair-asc ties —
+    * all-integer, so the trained merge table hash-matches the oracle's
+    * unrolled CTE chain), merge it greedily left-to-right inside every
+    * word, repeat. Output: the ranked merge table (merge_rank, lhs, rhs,
+    * merged, pair_cnt) — the artifact a tokenizer ships.
+    *
+    * Scale shape: training runs over the word → count table (vocabulary-
+    * sized, NOT the corpus — the one corpus-sized shuffle already happened
+    * in wordCounts), so each iteration is one pair-count shuffle over
+    * |vocab| rows plus a 1-row argmax collect; driver state is the merge
+    * list (nMerges rows). The greedy merge application is a codegen'd
+    * `aggregate` HOF fold per word — a fold's "merge, then compare the
+    * NEW last piece" recurrence is exactly BPE's non-overlapping
+    * left-to-right scan. Each iteration's segmentation is persisted and
+    * the previous one released, so lineage stays shallow. At production
+    * merge counts (30-50 K) the same loop batches compatible merges per
+    * pass; the per-iteration shape is unchanged. */
+  def vocabTrain(spark: SparkSession, dir: String,
+      nMerges: Int = BpeMerges): DataFrame =
+    vocabTrainDf(Tables.documents(spark, dir), nMerges)
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). Each
+    * iteration's segmentation is an EAGER localCheckpoint: the merge fold
+    * is a nested lambda expression, so chaining iterations lineage-deep
+    * makes Catalyst re-analyze an ever-growing plan (quadratic driver
+    * time by ~iteration 20); truncating per round keeps every round O(1)
+    * plan work — the same fix dedup_clusters uses for its CC rounds (swap
+    * for reliable `checkpoint` on a real cluster). */
+  def vocabTrainDf(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    var seg = wordCountsText(docs, "text")
+      .select(col("word"), col("cnt"),
+        regexp_extract_all(col("word"), lit("[a-z]"), lit(0)).as("pieces"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val best = seg
+        .select(col("cnt"), explode(zip_with(
+          slice(col("pieces"), lit(1), greatest(size(col("pieces")) - 1, lit(0))),
+          slice(col("pieces"), lit(2), greatest(size(col("pieces")) - 1, lit(0))),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val l: String = best(0).getString(0)
+        val r: String = best(0).getString(1)
+        val c: Long = best(0).getLong(2)
+        merges += ((merges.size + 1L, l, r, l + r, c))
+        val prev = seg
+        seg = seg.withColumn("pieces",
+          aggregate(col("pieces"), lit(Array.empty[String]), (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+    }
+    seg.unpersist()
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_cnt")
+      .orderBy("merge_rank")
+  }
+
   /** Subword tokenization fertility — the BPE/WordPiece inference step as
     * a corpus statistic: every token greedy-longest-match segments against
     * [[WordPieceVocab]] (no match → single character), and each document
@@ -96,15 +176,30 @@ object TextAnalytics {
   def tokenizeWordpiece(spark: SparkSession, dir: String): DataFrame =
     tokenizeWordpieceDf(Tables.documents(spark, dir))
 
-  /** Same, over any (doc_id, text) DataFrame (planted tests). */
-  def tokenizeWordpieceDf(docs: DataFrame): DataFrame = {
+  /** [[tokenizeWordpiece]] with the vocabulary LEARNED from the corpus by
+    * [[vocabTrain]] instead of the hand-picked stub — train, then segment,
+    * the full "fit the tokenizer to the data source" loop. The merge table
+    * is bounded driver state (nMerges rows); everything else is the shared
+    * fertility pipeline. Oracle: the unrolled BPE CTE chain feeds the same
+    * recursive greedy-walk CTE, so the trained segmentation hash-matches
+    * end to end (single characters never need to be in the vocab — both
+    * segmenters fall back to a 1-char step on no match). */
+  def tokenizeWordpieceLearned(spark: SparkSession, dir: String): DataFrame = {
+    val learned = vocabTrain(spark, dir)
+      .select("merged").collect().map(_.getString(0)).toSeq.distinct
+    tokenizeWordpieceDf(Tables.documents(spark, dir), learned)
+  }
+
+  /** Same, over any (doc_id, text) DataFrame and any vocab (planted tests). */
+  def tokenizeWordpieceDf(docs: DataFrame,
+      vocab: Seq[String] = WordPieceVocab): DataFrame = {
     val occ = docTokensText(docs)
       .select(col("doc_id"), explode(col("toks")).as("word"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val np = occ.select("word").distinct()
       .withColumn("n_pieces",
         size(org.apache.spark.sql.graft.StringExprs
-          .wordPieces(col("word"), WordPieceVocab)).cast("long"))
+          .wordPieces(col("word"), vocab)).cast("long"))
     val pd = occ.join(broadcast(np), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))

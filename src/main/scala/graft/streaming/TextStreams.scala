@@ -144,6 +144,44 @@ object TextStreams {
       .filter(col("quality_ok") === 1L && col("lang_match") === 1L)
       .select(col("doc_id"), col("text"), col("lang"))
 
+  /** Streaming decontamination twin of
+    * [[graft.operators.Pipeline.decontaminateBloom]]: the eval split's
+    * Bloom bitset and distinct shingle set are built BATCH-side from
+    * `staticDocs` (the artifacts a pipeline persists once per eval-suite
+    * release) and joined as STATIC frames; arriving documents shingle,
+    * probe the broadcast bitset map-side, and only Bloom candidates enter
+    * the exact stream-static verify join. Emits the contamination
+    * EVIDENCE stream — one (doc_id, sh) row per matched shingle
+    * occurrence — in append mode: every stage is a stateless projection
+    * or stream-static join, so the query holds NO streaming state at all
+    * (the right posture for a probe against a static reference set; the
+    * per-doc rollup belongs downstream of the sink, where the batch twin's
+    * n_shared aggregate runs). Arriving docs that themselves hash into
+    * the test split are excluded, mirroring the batch operator's corpus
+    * filter. Bloom has no false negatives and the verify is exact, so the
+    * streamed evidence's doc set equals the batch `contaminated = 1` set
+    * (TextStreamsSpec asserts it). */
+  def decontaminateStream(spark: SparkSession, path: String,
+      staticDocs: DataFrame, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val evalSh = Pipeline.evalShingles(staticDocs)
+    val bits = Pipeline.bloomBitsFrom(evalSh)
+    val m = Pipeline.BloomBits
+    val stream = documentStream(spark, path, maxFilesPerTrigger)
+      .filter(Pipeline.splitCol(col("doc_id")) =!= "test")
+    Dedup.shingles(stream)
+      .withColumn("p1", saltedBucket("b1#", col("sh"), m))
+      .withColumn("p2", saltedBucket("b2#", col("sh"), m))
+      .join(broadcast(bits.select(col("w").as("w1"), col("bits").as("bits1"))),
+        expr("p1 div 64") === col("w1"), "left")
+      .join(broadcast(bits.select(col("w").as("w2"), col("bits").as("bits2"))),
+        expr("p2 div 64") === col("w2"), "left")
+      .filter(col("bits1").isNotNull && col("bits2").isNotNull &&
+        expr("(shiftright(bits1, CAST(p1 % 64 AS INT)) & 1) = 1") &&
+        expr("(shiftright(bits2, CAST(p2 % 64 AS INT)) & 1) = 1"))
+      .join(evalSh, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("sh"))
+  }
+
   /** Streaming NEAR-dup twin of [[Dedup.simhashPairs]]: arriving documents
     * are SimHash-fingerprinted, exploded into the same 16-bit prefix bands,
     * and matched against per-bucket state via `flatMapGroupsWithState` —

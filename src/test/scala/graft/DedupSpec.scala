@@ -148,6 +148,37 @@ class DedupSpec extends AnyFunSuite {
     assert(pairSet === brute, "band join must equal the brute-force Hamming ball")
   }
 
+  test("incremental near-dup: batch re-crawl of a corpus doc is dropped") {
+    // Corpus: one long doc + one unrelated. Batch: a re-crawl of the corpus
+    // doc with one word drifted (the case exact incremental dedup misses),
+    // a fresh doc, an exact within-batch dup of the fresh doc, and another
+    // fresh doc. Sanity-pin the planted Hamming distances first so the
+    // verdict assertions test the operator, not the plant.
+    val corpus = Seq(
+      (1L, base + " " + base), // long doc: one-word drift flips few bits
+      (2L, "completely different content about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (base + " " + base).replace("home", "tonight")), // re-crawl drift
+      (11L, "fresh unseen writing about distributed query planning tricks"),
+      (12L, "fresh unseen writing about distributed query planning tricks"),
+      (13L, "entirely novel musings on parquet encodings and column pruning")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.simhashDf(corpus.union(batch)).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(10L)) <= 3, s"planted re-crawl drifted too far: ${hamming(fp(1L), fp(10L))}")
+    assert(hamming(fp(11L), fp(13L)) > 3, "planted fresh docs must not collide")
+    assert(hamming(fp(1L), fp(11L)) > 3 && hamming(fp(2L), fp(10L)) > 3)
+    val got = Dedup.incrementalNearDupDf(batch, corpus)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (10L, 1L, 0L, 0L), // corpus near-dup → dropped
+      (11L, 0L, 0L, 1L), // fresh → kept
+      (12L, 0L, 1L, 0L), // within-batch dup of 11 → dropped
+      (13L, 0L, 0L, 1L))) // fresh → kept
+  }
+
   test("exact dedup on the corpus: survivor is min doc_id, no text lost") {
     val docsSf = sources.Tables.documents(spark, TestSpark.sf)
     val out = Dedup.exact(spark, TestSpark.sf)

@@ -82,4 +82,27 @@ class EventsSpec extends AnyFunSuite {
     val normal = got.find(r => r._1 == "b" && r._2 == 0L).get
     assert(normal._4 === -3333L && normal._5 === 0L)
   }
+
+  test("anomaly: moments stay exact past the 64-bit bound (Decimal(38,0) sums)") {
+    // cnt = 4e9 squares to 1.6e19 > Long.MaxValue — the old 64-bit moment
+    // sum wrapped silently here; the Decimal(38,0) upgrade must match the
+    // exact 128-bit arithmetic. Expected values mirror the operator: BigInt
+    // moments, then the same double ops in the same order, HALF_UP e4 round.
+    val counts = Seq(4000000000L, 4000000000L, 4000000000L, 7000000000L)
+    val hourly = counts.zipWithIndex
+      .map { case (c, h) => ("x", h.toLong, c) }
+      .toDF("event_type", "hour_idx", "cnt")
+    val n = counts.size
+    val s = counts.map(BigInt(_)).sum
+    val q = counts.map(c => BigInt(c) * BigInt(c)).sum
+    def zE4(c: Long): Long = {
+      val z = (c - s.toDouble / n) /
+        math.sqrt((BigInt(n) * q - s * s).toDouble / (n.toLong * n))
+      BigDecimal(z * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val got = Events.anomalyHourlyDf(hourly)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._4) === counts.map(zE4))
+    assert(got.forall(_._4 != 0L), "planted series has real variance; a zero z_e4 means the moments overflowed")
+  }
 }

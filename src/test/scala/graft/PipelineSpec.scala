@@ -343,4 +343,34 @@ class PipelineSpec extends AnyFunSuite {
         assert(k === (if (rn <= Pipeline.StratCap) 1L else 0L), s"doc $id kept flag")
     }
   }
+
+  test("stratified capped: same sample as the audit view; hot-stratum window input shrinks") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Fns.{mix32, polyHash}
+    // 1. The scale path returns exactly the audit view's kept rows.
+    val audit = Pipeline.sampleStratified(spark, TestSpark.sf)
+      .filter(col("kept") === 1L).select("doc_id", "lang", "rn")
+      .as[(Long, String, Long)].collect().toSet
+    val capped = Pipeline.sampleStratifiedCapped(spark, TestSpark.sf)
+      .as[(Long, String, Long)].collect().toSet
+    assert(capped === audit, "capped sample must equal the audit view's kept set")
+    // 2. Planted hot stratum: 20 000 docs in one language. The admitted set
+    // (= the rank window's input) must be ~2·cap, not the stratum size, and
+    // the sample must still be the exact top-cap by hash order.
+    val n = 20000L
+    val hot = spark.range(n).select(col("id").as("doc_id"), lit("xx").as("lang"))
+    val got = Pipeline.sampleStratifiedCappedDf(hot)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._3)
+    val h = pmod(mix32(polyHash(concat(lit("strat:"), col("doc_id").cast("string")))),
+      lit(Pipeline.StratP))
+    val thr = math.ceil(2.0 * Pipeline.StratCap * Pipeline.StratP / n).toLong
+    val admitted = hot.select(h.as("h")).filter(col("h") <= thr).count()
+    assert(admitted >= Pipeline.StratCap, "threshold under-admitted the planted stratum")
+    assert(admitted < n / 10,
+      s"window input must shrink on the hot stratum (admitted $admitted of $n)")
+    val expected = hot.select(col("doc_id"), h.as("h"))
+      .orderBy("h", "doc_id").limit(Pipeline.StratCap.toInt)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got.map(_._1) === expected, "capped sample must be the exact hash-order top-cap")
+  }
 }

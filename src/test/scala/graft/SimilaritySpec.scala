@@ -79,6 +79,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"pqTopK recall vs brute dropped to $recall")
   }
 
+  test("pq trained+rerank: full coverage, beats the plain-ADC stub's recall") {
+    val pq = Similarity.pqTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    val trained = Similarity.pqTrainedTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    assert(trained.length === 10 * 5)
+    assert(trained.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == (1L to 5L) })
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val stubRecall = bruteSet.count(pq.map(t => (t._1, t._2)).toSet.contains).toDouble / bruteSet.size
+    val trainedRecall = bruteSet.count(trained.map(t => (t._1, t._2)).toSet.contains).toDouble / bruteSet.size
+    info(s"pq recall@5: stub plain-ADC = $stubRecall, trained+rerank = $trainedRecall")
+    // The two-stage trained retriever (ADC shortlist → exact re-rank) must
+    // beat plain ADC — measured 0.66 vs 0.42 on this corpus; floor + margin.
+    assert(trainedRecall >= stubRecall,
+      s"trained+rerank PQ recall $trainedRecall fell below stub's $stubRecall")
+    assert(trainedRecall >= 0.5, s"trained+rerank PQ recall dropped to $trainedRecall")
+  }
+
   test("embedding centroids: exact fixed-point means per label") {
     import spark.implicits._
     val rows = Seq(

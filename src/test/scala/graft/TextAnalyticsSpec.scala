@@ -10,6 +10,55 @@ class TextAnalyticsSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("bpe training: merge order, weights, and greedy application on a planted corpus") {
+    // words: aaab ×2, ab ×1. Pair counts: (a,a) = 4, (a,b) = 3.
+    // merge1 (a,a)→aa; aaab segments GREEDILY to [aa,a,b] (not [a,aa,b]).
+    // merge2 (a,b)→ab (cnt 3: two from aaab's tail + one from ab).
+    // merge3 (aa,ab)→aaab (cnt 2).
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val got = TextAnalytics.vocabTrainDf(docs, nMerges = 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("bpe training: non-overlapping left-to-right merge and pair-asc tie-break") {
+    // "aaaaa": (a,a) counts 4 overlapping positions; greedy application
+    // must yield aa|aa|a. Round 2 pairs (aa,aa) and (aa,a) tie at 1 —
+    // (aa,a) wins the (lhs,rhs)-asc tie ("a" < "aa").
+    val docs = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val got = TextAnalytics.vocabTrainDf(docs, nMerges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "aa", "a", "aaa", 1L)))
+  }
+
+  test("bpe training: learned vocab improves fertility over characters, monotone in merges") {
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+    def meanFertility(vocab: Seq[String]): Double = {
+      val d = TextAnalytics.tokenizeWordpieceDf(docs, vocab)
+        .select("n_words", "n_pieces").as[(Long, Long)].collect()
+      d.map(_._2).sum.toDouble / d.map(_._1).sum
+    }
+    def learned(n: Int): Seq[String] = TextAnalytics.vocabTrainDf(docs, n)
+      .select("merged").as[String].collect().toSeq.distinct
+    // Character baseline = mean token length (vocab-less segmentation
+    // emits one piece per char; WordPieces itself requires a vocab).
+    val charBase = {
+      import org.apache.spark.sql.functions.{col, explode, length}
+      val lens = docs.select(explode(graft.functions.Fns.tokens(col("text"))).as("w"))
+        .select(length(col("w")).cast("long").as("l")).as[Long].collect()
+      lens.sum.toDouble / lens.length
+    }
+    val f12 = meanFertility(learned(12))
+    val f24 = meanFertility(learned(24))
+    assert(f12 < charBase, s"12 learned merges ($f12) must beat chars ($charBase)")
+    assert(f24 <= f12, s"more merges must not hurt fertility ($f24 vs $f12)")
+  }
+
   test("lm score: fluent in-distribution text outranks rare-bigram text") {
     // 8 copies of one sentence dominate the bigram model; a doc made of
     // bigrams seen once scores a far lower mean probability. Also pins the

@@ -51,6 +51,25 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "corpus keeps nothing — test would be vacuous")
   }
 
+  test("streaming decontamination evidence equals the batch contaminated set") {
+    val dir = Paths.get("target", "test-scratch", "docstream_decon")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val staticDocs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.decontaminateStream(spark, dir.toString, staticDocs),
+        "t_decon", mode = "append")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.Pipeline.decontaminate(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("contaminated") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch.nonEmpty, "no contaminated docs — test would be vacuous")
+    assert(streamed === batch,
+      "streamed evidence doc set must equal the batch contaminated set")
+  }
+
   test("streaming near-dup pairs equal the batch simhash Hamming-ball exactly") {
     val dir = Paths.get("target", "test-scratch", "docstream_neardup")
     Files.createDirectories(dir)

@@ -59,6 +59,7 @@ object SparkEntry {
     "events_retention" -> ((s, d) => Events.retention(s, d)),
     "events_paths" -> ((s, d) => Events.paths(s, d)),
     "events_anomaly" -> ((s, d) => Events.anomaly(s, d)),
+    "events_anomaly_dense" -> ((s, d) => Events.anomalyDense(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
     "join_range" -> ((s, d) => Events.rangeJoinBands(s, d)),
@@ -386,6 +387,10 @@ object SparkEntry {
     // series pin z to 0 via the CASE guard.
     "events_anomaly" ->
       """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS cnt FROM events GROUP BY 1, 2), stats AS (SELECT event_type, count(*) AS n, sum(CAST(cnt AS HUGEINT)) AS s, sum(CAST(cnt AS HUGEINT) * cnt) AS q FROM hourly GROUP BY 1), z AS (SELECT h.event_type, h.hour_idx, h.cnt, CAST(CASE WHEN st.n * st.q = st.s * st.s THEN 0 ELSE round((h.cnt - CAST(st.s AS DOUBLE) / st.n) / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE) / (st.n * st.n)) * 10000) END AS BIGINT) AS z_e4 FROM hourly h JOIN stats st USING (event_type)) SELECT event_type, hour_idx, cnt, z_e4, CAST(CASE WHEN abs(z_e4) >= 30000 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly FROM z ORDER BY event_type, hour_idx""",
+    // Dense twin: the same moments/z/flag tail over the zero-filled
+    // (global hour range × observed types) calendar, so silent hours flag.
+    "events_anomaly_dense" ->
+      """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS cnt FROM events GROUP BY 1, 2), b AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM hourly), hrs AS (SELECT unnest(range(lo, hi + 1)) AS hour_idx FROM b), dense AS (SELECT t.event_type, h.hour_idx, COALESCE(x.cnt, 0) AS cnt FROM (SELECT DISTINCT event_type FROM hourly) t CROSS JOIN hrs h LEFT JOIN hourly x ON t.event_type = x.event_type AND h.hour_idx = x.hour_idx), stats AS (SELECT event_type, count(*) AS n, sum(CAST(cnt AS HUGEINT)) AS s, sum(CAST(cnt AS HUGEINT) * cnt) AS q FROM dense GROUP BY 1), z AS (SELECT h.event_type, h.hour_idx, h.cnt, CAST(CASE WHEN st.n * st.q = st.s * st.s THEN 0 ELSE round((h.cnt - CAST(st.s AS DOUBLE) / st.n) / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE) / (st.n * st.n)) * 10000) END AS BIGINT) AS z_e4 FROM dense h JOIN stats st USING (event_type)) SELECT event_type, hour_idx, cnt, z_e4, CAST(CASE WHEN abs(z_e4) >= 30000 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly FROM z ORDER BY event_type, hour_idx""",
     "join_asof" ->
       """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) SELECT e.event_id, e.user_id, e.t AS ts_us, COALESCE(o.o_orderkey, -1) AS asof_orderkey, COALESCE(o.t, -1) AS asof_us FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t >= o.t ORDER BY event_id""",
     // Forward as-of: DuckDB's native ASOF with the <= comparator picks the

@@ -162,6 +162,42 @@ object Events {
       .orderBy("event_type", "hour_idx")
   }
 
+  /** Calendar-densified anomaly twin of [[anomaly]] — closes the sparse-
+    * series caveat its docstring leaves open: hours with ZERO events are
+    * materialized (cnt = 0) over the corpus's global [min, max] hour
+    * range × the observed event types, so silence itself can flag (an
+    * outage hour in an otherwise-steady series z-scores far negative,
+    * which the sparse view cannot see because the row is absent from its
+    * baseline too). Same moments/z/flag tail as [[anomalyHourlyDf]] —
+    * one definition, the dense frame is the only difference.
+    *
+    * Scale shape: the calendar is a broadcast-sized dimension (global
+    * hour span × event types — a decade of hours × 1000 types is 87 M
+    * rows of two longs, and per-TYPE spans would shrink it further); the
+    * real per-(type, hour) counts left-join into it on the same key the
+    * count shuffle already used. The sparse sibling stays the cheap
+    * default when absence-of-data is not a signal. */
+  def anomalyDense(s: SparkSession, d: String): DataFrame =
+    anomalyDenseDf(Tables.events(s, d))
+
+  /** Same, over any (event_type, ts_us) DataFrame (planted tests). */
+  def anomalyDenseDf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+      .groupBy("event_type", "hour_idx")
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = hourly.agg(min("hour_idx").as("lo"), max("hour_idx").as("hi"))
+    val hours = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
+    val dense = hourly.select("event_type").distinct()
+      .crossJoin(broadcast(hours))
+      .join(hourly, Seq("event_type", "hour_idx"), "left")
+      .select(col("event_type"), col("hour_idx"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    anomalyHourlyDf(dense)
+  }
+
   /** Event-path transition counts: for every consecutive event pair within
     * a user's timeline (ts, event_id order — the sessionize ordering), the
     * (from_type → to_type) transition frequency, ranked. The flow-analysis

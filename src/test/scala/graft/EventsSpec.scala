@@ -83,6 +83,35 @@ class EventsSpec extends AnyFunSuite {
     assert(normal._4 === -3333L && normal._5 === 0L)
   }
 
+  test("anomaly dense: a silent hour in a steady series flags; the sparse view cannot see it") {
+    val hour = Events.HourUs
+    // Type "a": 9 events in each of hours 0..10 EXCEPT hour 5 (an outage).
+    // Dense stats: n=11, S=90, Q=810 -> mean 8.1818, sd 2.5873,
+    // z(0) = -3.1623 -> flags at the 3-sigma bar.
+    val events = (0 to 10).filter(_ != 5)
+      .flatMap(h => (1 to 9).map(i => ("a", h * hour + i.toLong)))
+      .toDF("event_type", "ts_us")
+    val dense = Events.anomalyDenseDf(events)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(dense.length === 11, "dense view must materialize every hour in range")
+    val silent = dense.find(_._2 == 5L).get
+    def zE4(c: Long, n: Int, s: BigInt, q: BigInt): Long = {
+      val z = (c - s.toDouble / n) /
+        math.sqrt((BigInt(n) * q - s * s).toDouble / (n.toLong * n))
+      BigDecimal(z * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    assert(silent._3 === 0L)
+    assert(silent._4 === zE4(0, 11, 90, 810))
+    assert(silent._5 === 1L, "the outage hour must flag")
+    // The sparse sibling has no row for hour 5 at all — and with the
+    // zero-hour absent from its own baseline, nothing flags.
+    val sparse = Events.anomalyDf(events)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(sparse.length === 10)
+    assert(!sparse.exists(_._2 == 5L))
+    assert(sparse.forall(_._5 === 0L))
+  }
+
   test("anomaly: moments stay exact past the 64-bit bound (Decimal(38,0) sums)") {
     // cnt = 4e9 squares to 1.6e19 > Long.MaxValue — the old 64-bit moment
     // sum wrapped silently here; the Decimal(38,0) upgrade must match the

@@ -113,6 +113,28 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"type-dimension moments must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"hourly counts no longer persisted (events scan + count runs twice):\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("dedup_incremental_neardup: the batch band keys broadcast — the corpus never shuffles") {
+    val df = SparkEntry.queries("dedup_incremental_neardup")(spark, TestSpark.sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch band keys must broadcast into the corpus fingerprint scan:\n${plan.take(2000)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"batch fingerprints no longer persisted:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("sample_stratified_capped: the per-stratum counts broadcast into the threshold filter") {
+    val df = SparkEntry.queries("sample_stratified_capped")(spark, TestSpark.sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stratum counts must broadcast (shuffling the corpus on lang twice defeats the pre-filter):\n${plan.take(2000)}")
     spark.catalog.clearCache()
   }
 

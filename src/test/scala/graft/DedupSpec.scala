@@ -179,6 +179,34 @@ class DedupSpec extends AnyFunSuite {
       (13L, 0L, 0L, 1L))) // fresh → kept
   }
 
+  test("substring dup: shared exact spans flag window-precisely, unique text scores zero") {
+    // Docs 1 and 2 share an exact 6-token run ("alpha beta gamma delta
+    // epsilon zeta") inside otherwise-different text -> with window 5 that
+    // run contributes exactly 2 duplicated windows per doc. Doc 3 is
+    // unique (0 dups); doc 4 is shorter than the window (0 windows); doc 5
+    // repeats a 5-token run WITHIN itself (same-doc dup counts).
+    val docs = Seq(
+      (1L, "one two alpha beta gamma delta epsilon zeta three four"),
+      (2L, "five six alpha beta gamma delta epsilon zeta seven eight"),
+      (3L, "nothing here repeats anywhere in this little corpus at all"),
+      (4L, "too short"),
+      (5L, "ho hi ho hi ho ho hi ho hi ho")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupDf(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byId = got.map(t => t._1 -> t).toMap
+    // 10 tokens -> 6 windows; the shared run spans token positions 3-8 ->
+    // windows starting at 3 and 4 (both fully inside the run) duplicate.
+    assert(byId(1L) === ((1L, 6L, 2L, math.round(2 * 10000.0 / 6))))
+    assert(byId(2L) === ((2L, 6L, 2L, math.round(2 * 10000.0 / 6))))
+    assert(byId(3L) === ((3L, 6L, 0L, 0L)))
+    assert(byId(4L) === ((4L, 0L, 0L, 0L)))
+    // "ho hi ho hi ho" occurs at starts 1 AND 6 (the period-2 repeat):
+    // those two windows are same-doc dups; the other four are unique.
+    assert(byId(5L)._2 === 6L)
+    assert(byId(5L)._3 === 2L)
+  }
+
   test("exact dedup on the corpus: survivor is min doc_id, no text lost") {
     val docsSf = sources.Tables.documents(spark, TestSpark.sf)
     val out = Dedup.exact(spark, TestSpark.sf)

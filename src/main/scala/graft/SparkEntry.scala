@@ -69,6 +69,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalytics.langId(s, d)),
     "text_langid_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "text_quality" -> ((s, d) => TextAnalytics.quality(s, d)),
+    "text_quality_trained" -> ((s, d) => TextAnalytics.qualityTrained(s, d)),
     "text_tokens" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "text_length_filter" -> ((s, d) => TextAnalytics.lengthFilter(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalytics.fingerprint(s, d)),
@@ -421,6 +422,11 @@ object SparkEntry {
       """WITH base AS (SELECT doc_id, lang, CASE WHEN length(text) >= 3 THEN list_transform(range(1, length(text) - 1), i -> substr(lower(text), i, 3)) ELSE CAST([] AS VARCHAR[]) END AS tgs FROM documents), tr AS (SELECT lang, unnest(tgs) AS tg FROM base), pc AS (SELECT lang, tg, count(*) AS c FROM tr GROUP BY lang, tg), prof AS (SELECT lang AS plang, tg FROM (SELECT lang, tg, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) AS rn FROM pc) WHERE rn <= 20), dt AS (SELECT DISTINCT doc_id, tg FROM (SELECT doc_id, unnest(tgs) AS tg FROM base)), sc AS (SELECT doc_id, plang, count(*) AS score FROM dt JOIN prof ON dt.tg = prof.tg GROUP BY doc_id, plang), best AS (SELECT doc_id, plang, score FROM (SELECT doc_id, plang, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM sc) WHERE rn = 1) SELECT d.doc_id, d.lang, COALESCE(best.plang, 'und') AS pred_ng, CAST(COALESCE(best.score, 0) AS BIGINT) AS score, CAST(CASE WHEN COALESCE(best.plang, 'und') = d.lang THEN 1 ELSE 0 END AS BIGINT) AS is_match FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id ORDER BY d.doc_id""",
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, length(replace(text, ' ', '')) AS alpha_len, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, alpha_len, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits FROM t) SELECT doc_id, n_toks, CAST(round(alpha_len * 10000.0 / n_toks) AS BIGINT) AS avg_len_e4, CAST(round(stop_hits * 10000.0 / n_toks) AS BIGINT) AS stop_e4, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok FROM s ORDER BY doc_id""",
+    // Trained quality twin: weak labels from the heuristic ok flag,
+    // add-one-smoothed per-token likelihood ratios in pinned-order double
+    // arithmetic, integer sums for the document scores.
+    "text_quality_trained" ->
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), lab AS (SELECT doc_id, CAST(CASE WHEN len(w) >= 5 AND len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok FROM t), occ AS (SELECT doc_id, unnest(w) AS word FROM t), tf AS (SELECT doc_id, word, count(*) AS tf FROM occ GROUP BY 1, 2), tfl AS (SELECT tf.doc_id, tf.word, tf.tf, lab.ok FROM tf JOIN lab ON tf.doc_id = lab.doc_id), tot AS (SELECT sum(CASE WHEN ok = 1 THEN tf ELSE 0 END) AS n_ok, sum(CASE WHEN ok = 0 THEN tf ELSE 0 END) AS n_bad, count(DISTINCT word) AS v FROM tfl), model AS (SELECT word, CAST(round(10000.0 * (sum(CASE WHEN ok = 1 THEN tf ELSE 0 END) + 1) * CAST(t2.n_bad + t2.v AS DOUBLE) / ((sum(CASE WHEN ok = 0 THEN tf ELSE 0 END) + 1) * CAST(t2.n_ok + t2.v AS DOUBLE))) AS BIGINT) AS w_e4 FROM tfl, tot t2 GROUP BY word, t2.n_ok, t2.n_bad, t2.v), sc AS (SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_toks, CAST(sum(f.tf * m.w_e4) AS BIGINT) AS score_e4 FROM tfl f JOIN model m ON f.word = m.word GROUP BY f.doc_id) SELECT d.doc_id, lab.ok, COALESCE(sc.n_toks, 0) AS n_toks, COALESCE(sc.score_e4, 0) AS score_e4, CAST(CASE WHEN sc.n_toks IS NULL THEN 0 ELSE round(sc.score_e4 / sc.n_toks) END AS BIGINT) AS mean_e4, CAST(CASE WHEN sc.n_toks IS NOT NULL AND round(sc.score_e4 / sc.n_toks) > 10000 THEN 1 ELSE 0 END AS BIGINT) AS pred_ok FROM documents d JOIN lab ON d.doc_id = lab.doc_id LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS re_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[^a-z ]')) AS BIGINT) AS piece_tokens, CAST(length(text) AS BIGINT) AS text_len FROM documents ORDER BY doc_id""",
     // Corpus-relative length trim: exact discrete percentiles over BIGINT

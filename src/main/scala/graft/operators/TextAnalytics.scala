@@ -461,8 +461,12 @@ object TextAnalytics {
 
   /** Quality scoring: token count, mean token length, stopword ratio (both as
     * 1e-4 fixed-point), and a boolean-ish quality flag. All-integer outputs. */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame — also the weak-label source
+    * for [[qualityTrainedDf]]. */
+  def qualityDf(docs: DataFrame): DataFrame = {
     val t = docs.select(
       col("doc_id"),
       // text is [a-z ]-only, so total token chars = length with spaces removed;
@@ -480,6 +484,74 @@ object TextAnalytics {
         round(col("alpha_len") * lit(10000.0) / col("n_toks")).cast("long").as("avg_len_e4"),
         round(col("stop_hits") * lit(10000.0) / col("n_toks")).cast("long").as("stop_e4"),
         when(col("n_toks") >= 5 && col("stop_hits") > 0, lit(1L)).otherwise(lit(0L)).as("ok"))
+      .orderBy("doc_id")
+  }
+
+  /** TRAINED quality scoring — the learned sibling of the [[quality]]
+    * heuristic, completing the pipeline's trained-artifact set (langid →
+    * trained trigram profiles, LM score → trained bigram model, wordpiece
+    * → trained BPE vocab, IVF/PQ → trained quantizers; the quality gate
+    * was the last fixed heuristic). Weak supervision, as production
+    * quality classifiers bootstrap: the heuristic's ok flag labels the
+    * corpus, per-token add-one-smoothed class frequencies train a
+    * likelihood-ratio model, and every document scores by its tokens'
+    * mean ratio — a model that GENERALIZES past the gate (a doc with no
+    * stopword hits still scores well when its vocabulary is the good
+    * class's vocabulary, and that is the point of training one).
+    *
+    * Rule R2 keeps libm out of the hash-matched surface, so the weight is
+    * the e4-rounded RATIO w(t) = 1e4·p(t|ok)/p(t|bad) (same log-free
+    * treatment as [[lmScoreDf]]) and the document score is the exact
+    * integer Σ w over token occurrences plus its per-token mean; predict
+    * ok when the mean ratio exceeds 1e4 (p(t|ok) > p(t|bad) on average).
+    * Integer end to end after one pinned double divide per DISTINCT
+    * token, so the trained classifier hash-matches the oracle.
+    *
+    * Scale shape: ONE (doc, word) tf shuffle (map-side combined) feeds
+    * labeling joins, class counts, and scoring — the token stream never
+    * shuffles twice; the model table is vocabulary-sized and the scoring
+    * join is a linear equi-join on the word. Train once, score any
+    * corpus: the model table persists in production and new corpora only
+    * pay the scoring join. */
+  def qualityTrained(spark: SparkSession, dir: String): DataFrame =
+    qualityTrainedDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def qualityTrainedDf(docs: DataFrame): DataFrame = {
+    val labels = qualityDf(docs).select(col("doc_id"), col("ok"))
+    val tf = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .join(labels, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classTotals = tf.agg(
+      sum(when(col("ok") === 1L, col("tf")).otherwise(0L)).as("n_ok"),
+      sum(when(col("ok") === 0L, col("tf")).otherwise(0L)).as("n_bad"),
+      countDistinct("word").as("v")).head()
+    val (nOk, nBad, v) =
+      (classTotals.getLong(0), classTotals.getLong(1), classTotals.getLong(2))
+    val model = tf.groupBy("word").agg(
+        sum(when(col("ok") === 1L, col("tf")).otherwise(0L)).as("c_ok"),
+        sum(when(col("ok") === 0L, col("tf")).otherwise(0L)).as("c_bad"))
+      // w = 1e4 · [(c_ok+1)/(n_ok+V)] / [(c_bad+1)/(n_bad+V)], one double
+      // divide in pinned op order, half-up e4 round — all inputs integer.
+      .select(col("word"),
+        round(lit(10000.0) * (col("c_ok") + lit(1L)) * lit((nBad + v).toDouble) /
+          ((col("c_bad") + lit(1L)) * lit((nOk + v).toDouble)))
+          .cast("long").as("w_e4"))
+    val scored = tf.join(model, "word")
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_toks"),
+        sum(col("tf") * col("w_e4")).as("score_e4"))
+    docs.select("doc_id").join(labels, "doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ok"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("score_e4"), lit(0L)).as("score_e4"),
+        when(col("n_toks").isNull, lit(0L))
+          .otherwise(round(col("score_e4") / col("n_toks")).cast("long"))
+          .as("mean_e4"))
+      .withColumn("pred_ok", (col("mean_e4") > 10000L).cast("long"))
       .orderBy("doc_id")
   }
 

@@ -59,6 +59,28 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(f24 <= f12, s"more merges must not hurt fertility ($f24 vs $f12)")
   }
 
+  test("trained quality: separates classes and generalizes past the heuristic gate") {
+    // Six heuristic-ok docs (stopwords + a shared "good" vocabulary), two
+    // gibberish docs (fail the gate, disjoint vocabulary), and one probe:
+    // "cat sat mat" is too short for the gate (ok = 0) but is made of the
+    // good class's vocabulary — the trained model must score it ok anyway.
+    // That generalization is the entire reason to train a classifier on
+    // the gate's weak labels.
+    val good = (1L to 6L).map(i => (i, "the cat sat on the mat and a dog ran"))
+    val bad = Seq((7L, "zxqv wqrt plik zxqv"), (8L, "mnbv pliq wert mnbv"))
+    val probe = Seq((9L, "cat sat mat"))
+    val docs = (good ++ bad ++ probe).toDF("doc_id", "text")
+    val got = TextAnalytics.qualityTrainedDf(docs)
+      .select("doc_id", "ok", "pred_ok")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    for (i <- 1L to 6L)
+      assert(got(i) === ((1L, 1L)), s"good doc $i must be ok and predicted ok")
+    for (i <- 7L to 8L)
+      assert(got(i) === ((0L, 0L)), s"gibberish doc $i must stay bad")
+    assert(got(9L) === ((0L, 1L)),
+      "the short good-vocab probe must be gate-rejected but model-accepted")
+  }
+
   test("lm score: fluent in-distribution text outranks rare-bigram text") {
     // 8 copies of one sentence dominate the bigram model; a doc made of
     // bigrams seen once scores a far lower mean probability. Also pins the

@@ -129,6 +129,21 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("contract-wide sweep: no query plans a CartesianProduct") {
+    // Every cross join in the library carries a broadcast-sized side (one-row
+    // cut points, centroid tables, query sets) and must plan as
+    // BroadcastNestedLoopJoin. A CartesianProduct means a broadcast hint was
+    // lost and both sides would shuffle-replicate — the classic silent
+    // scale killer. Construction alone runs the trained operators' driver
+    // loops, so this also smoke-tests every query builder at sf0.001.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"queries planning CartesianProduct: $offenders")
+  }
+
   test("sample_stratified_capped: the per-stratum counts broadcast into the threshold filter") {
     val df = SparkEntry.queries("sample_stratified_capped")(spark, TestSpark.sf)
     df.count()

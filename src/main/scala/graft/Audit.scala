@@ -21,7 +21,8 @@ object Audit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val names =
-      if (args.length > 1) args.drop(1).toSeq
+      if (args.length > 1 && args(1) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
       else Seq("wordcount_full", "agg_pricing_summary", "join_multiway",
         "supplier_revenue", "dedup_minhash", "dedup_simhash_pairs", "sim_lsh_topk")
     // On-disk table sizes give the input-scale denominator (the stage-level

@@ -20,6 +20,29 @@ class FnsParitySpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("mix32: matches the JVM reference, stays bijective, spreads narrow bands") {
+    def ref(x0: Long): Long = {
+      var x = x0
+      x = (((x >> 16) ^ x) * 0x45d9f3bL) & 0xFFFFFFFFL
+      x = (((x >> 16) ^ x) * 0x45d9f3bL) & 0xFFFFFFFFL
+      (x >> 16) ^ x
+    }
+    // The adversarial shape that motivated the mix: polyHash("strat:<id>")
+    // values cluster in a narrow arithmetic band of the 32-bit space.
+    val inputs = (0L until 4096L).map(i => 412974158L + i * 7L) ++ (0L until 256L)
+    val got = inputs.toDF("x")
+      .select(Fns.mix32(col("x"))).as[Long].collect().toSeq
+    assert(got === inputs.map(ref))
+    // Both xor-shift folds and odd-multiplies are 32-bit bijections, so the
+    // composed mix must keep distinct inputs distinct.
+    assert(got.distinct.length === got.length, "mix32 collided on distinct inputs")
+    // The property the threshold pre-filter needs: a value cut at 1/8 of
+    // the 32-bit space admits ~1/8 of even a narrow input band.
+    val admitted = got.count(_ <= (1L << 29))
+    assert(admitted > inputs.size / 16 && admitted < inputs.size / 4,
+      s"narrow band not spread: $admitted of ${inputs.size} under the 1/8 cut")
+  }
+
   test("PolyHash32 edge cases: empty string, single char, null") {
     val out = Seq(("", "a"), ("a", "")).toDF("s", "t")
       .select(Fns.polyHash(col("s"))).as[Long].collect()

@@ -117,6 +117,7 @@ object SparkEntry {
     "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
+    "source_contamination" -> ((s, d) => Pipeline.sourceContamination(s, d)),
     "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(s, d)),
     "decontaminate_semantic" -> ((s, d) => Pipeline.decontaminateSemantic(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
@@ -549,6 +550,9 @@ object SparkEntry {
     // salted hash — one definition of each on the Spark side too).
     "decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), sps AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents))), tsh AS (SELECT DISTINCT s.sh FROM sh s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split = 'test'), shr AS (SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN sps p ON s.doc_id = p.doc_id JOIN tsh t ON s.sh = t.sh WHERE p.split <> 'test' GROUP BY s.doc_id) SELECT p.doc_id, p.split, COALESCE(r.n_shared, 0) AS n_shared, CAST(CASE WHEN COALESCE(r.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM sps p LEFT JOIN shr r ON p.doc_id = r.doc_id WHERE p.split <> 'test' ORDER BY p.doc_id""",
+    // Per-source rollup of the decontamination flags (the governance view).
+    "source_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), sps AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents))), tsh AS (SELECT DISTINCT s.sh FROM sh s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split = 'test'), shr AS (SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN sps p ON s.doc_id = p.doc_id JOIN tsh t ON s.sh = t.sh WHERE p.split <> 'test' GROUP BY s.doc_id), fl AS (SELECT p.doc_id, COALESCE(r.n_shared, 0) AS n_shared, CASE WHEN COALESCE(r.n_shared, 0) > 0 THEN 1 ELSE 0 END AS cont FROM sps p LEFT JOIN shr r ON p.doc_id = r.doc_id WHERE p.split <> 'test') SELECT d.source, count(*) AS n_docs, CAST(sum(fl.cont) AS BIGINT) AS n_contaminated, CAST(sum(fl.n_shared) AS BIGINT) AS n_shared, CAST(round(sum(fl.cont) * 10000.0 / count(*)) AS BIGINT) AS rate_e4 FROM fl JOIN documents d ON fl.doc_id = d.doc_id GROUP BY d.source ORDER BY d.source""",
     // Bloom-filter decontamination: the eval split's shingles fold into a
     // 2^21-bit / k=2 Bloom bitset (bit_or per 64-bit word; bit 63 is the
     // explicit Long.MinValue literal — DuckDB overflow-checks 1 << 63);

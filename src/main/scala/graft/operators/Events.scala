@@ -131,10 +131,7 @@ object Events {
 
   /** Same, over any (event_type, ts_us) DataFrame (planted tests). */
   def anomalyDf(events: DataFrame): DataFrame =
-    anomalyHourlyDf(events
-      .select(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
-      .groupBy("event_type", "hour_idx")
-      .agg(count(lit(1)).as("cnt")))
+    anomalyHourlyDf(hourlyCounts(events))
 
   /** Core of [[anomalyDf]] over an already-counted (event_type, hour_idx,
     * cnt) frame — lets tests plant bucket counts past the 64-bit moment
@@ -144,22 +141,46 @@ object Events {
   def anomalyHourlyDf(hourlyIn: DataFrame): DataFrame = {
     val hourly = hourlyIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    zFlagged(hourly.join(broadcast(momentsOf(hourly)), "event_type"))
+      .orderBy("event_type", "hour_idx")
+  }
+
+  /** Per-type 128-bit-exact moments (n, Σc, Σc² as Decimal(38,0)) of an
+    * hourly (event_type, hour_idx, cnt) frame — the anomaly BASELINE
+    * model. Shared by the batch operators and the streaming monitor
+    * ([[graft.streaming.EventStreams.anomalyStream]]), which trains it
+    * batch-side and broadcasts it against live windows. */
+  def momentsOf(hourly: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val stats = hourly.groupBy("event_type").agg(
+    hourly.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(col("cnt").cast(dec)).as("s"),
       sum(col("cnt").cast(dec) * col("cnt")).as("q"))
+  }
+
+  /** Hourly (event_type, hour_idx, cnt) counts — the anomaly operators'
+    * shared input frame. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
+      .groupBy("event_type", "hour_idx")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The moments → z-score/flag projection over a frame carrying
+    * (event_type, hour_idx, cnt, n, s, q) — ONE definition for batch and
+    * stream, so the detection rule cannot drift between them. Unordered
+    * (the batch wrappers add the terminal sort; streams cannot sort). */
+  def zFlagged(withStats: DataFrame): DataFrame = {
     val z = (col("cnt") - col("s").cast("double") / col("n")) /
       sqrt((col("n") * col("q") - col("s") * col("s")).cast("double") /
         (col("n") * col("n")))
-    hourly.join(broadcast(stats), "event_type")
+    withStats
       .select(
         col("event_type"), col("hour_idx"), col("cnt"),
         when(col("n") * col("q") === col("s") * col("s"), lit(0L))
           .otherwise(round(z * 10000).cast("long")).as("z_e4"))
       .withColumn("is_anomaly",
         (abs(col("z_e4")) >= 30000L).cast("long"))
-      .orderBy("event_type", "hour_idx")
   }
 
   /** Calendar-densified anomaly twin of [[anomaly]] — closes the sparse-
@@ -182,10 +203,7 @@ object Events {
 
   /** Same, over any (event_type, ts_us) DataFrame (planted tests). */
   def anomalyDenseDf(events: DataFrame): DataFrame = {
-    val hourly = events
-      .select(col("event_type"), expr(s"ts_us div $HourUs").as("hour_idx"))
-      .groupBy("event_type", "hour_idx")
-      .agg(count(lit(1)).as("cnt"))
+    val hourly = hourlyCounts(events)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = hourly.agg(min("hour_idx").as("lo"), max("hour_idx").as("hi"))
     val hours = bounds

@@ -280,6 +280,31 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** Per-source contamination report — [[decontaminate]]'s flags rolled
+    * up on the crawl source key: which sources leak eval data, at what
+    * rate, and how heavily (shared-shingle mass). The governance view
+    * that decides "drop this source" the way [[sourceReport]] decides it
+    * for quality gates — benchmark leakage is a SOURCE property (a site
+    * that mirrors eval suites keeps leaking on every crawl), so the
+    * per-document flags only become actionable at this rollup.
+    *
+    * Scale shape: the flags pipeline is decontaminate's (corpus never
+    * shuffles on the shingle); this adds one tiny-key aggregate — the
+    * report is sources × 4 longs however large the corpus. */
+  def sourceContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(decontaminateDf(docs), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("contaminated").as("n_contaminated"),
+        sum("n_shared").as("n_shared"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"), col("n_shared"),
+        round(col("n_contaminated") * lit(10000.0) / col("n_docs")).cast("long")
+          .as("rate_e4"))
+      .orderBy("source")
+  }
+
   /** Bloom filter size in bits (2^21 = 32 K longs = 256 KB broadcast). */
   val BloomBits = 1 << 21
 

@@ -64,6 +64,38 @@ object EventStreams {
         (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_idx"),
         col("event_type"), col("cnt"))
 
+  /** Streaming anomaly monitor — the twin of
+    * [[graft.operators.Events.anomaly]] run the way monitoring actually
+    * deploys: the per-type baseline moments TRAIN batch-side from
+    * `staticEvents` ([[graft.operators.Events.momentsOf]] — the model a
+    * pipeline refreshes daily) and broadcast as a static frame; arriving
+    * events join the baseline BEFORE windowing (stream-static joins must
+    * precede streaming aggregation), the tumbling count carries the
+    * constant per-type moments through `first()`, and the z/flag tail is
+    * [[graft.operators.Events.zFlagged]] — the SAME definition as batch,
+    * so the detection rule cannot drift. State is the windowed count
+    * (bounded by the watermark horizon), the model adds three numbers per
+    * event type. When the baseline is trained on the same events the
+    * stream replays, completed windows score exactly the batch
+    * `events_anomaly` rows (StreamingSpec asserts it). */
+  def anomalyStream(spark: SparkSession, path: String, staticEvents: DataFrame,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import graft.operators.Events
+    val baseline = Events.momentsOf(
+      Events.hourlyCounts(staticEvents.select(col("event_type"), col("ts_us"))))
+    val enriched = eventStream(spark, path, maxFilesPerTrigger)
+      .join(broadcast(baseline), "event_type")
+    val counts = enriched
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        first("n").as("n"), first("s").as("s"), first("q").as("q"))
+      .select(col("event_type"),
+        (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_idx"),
+        col("cnt"), col("n"), col("s"), col("q"))
+    Events.zFlagged(counts)
+  }
+
   /** Streaming 30-minute-gap sessions per user — the twin of
     * Events.sessionize, via the native session_window (merge-on-overlap
     * state, cleaned up past the watermark). */

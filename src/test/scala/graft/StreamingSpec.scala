@@ -25,6 +25,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === batch)
   }
 
+  test("streaming anomaly monitor equals the batch anomaly on a replayed corpus") {
+    val dir = Paths.get("target", "test-scratch", "events_sf")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "events.parquet"), dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Baseline trained batch-side on the same events the stream replays —
+    // every completed window must then score exactly the batch rows.
+    val staticEvents = sources.Tables.events(spark, TestSpark.sf)
+    val out = EventStreams.runToCompletion(spark,
+        EventStreams.anomalyStream(spark, dir.toString, staticEvents), "t_anomaly")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batch = operators.Events.anomaly(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out === batch)
+    assert(out.exists(_._5 == 1L) || out.forall(_._5 == 0L)) // flags well-formed
+  }
+
   test("mapGroupsWithState running user counts equal the batch group-by") {
     val dir = Paths.get("target", "test-scratch", "events_sf")
     Files.createDirectories(dir)

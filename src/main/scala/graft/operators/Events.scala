@@ -115,8 +115,8 @@ object Events {
     * types flag nothing (z ≡ 0, the CASE guard). Flag at |z| ≥ 3σ.
     * Hours with zero events are absent from the input, and therefore from
     * the baseline too — the sparse-series caveat every log-volume monitor
-    * has; dense-filling via a calendar range join is the alternative when
-    * silence itself is the anomaly. Scale shape: one (hour, type) count
+    * has; [[anomalyDense]] IS the dense-filled sibling for when silence
+    * itself is the anomaly. Scale shape: one (hour, type) count
     * shuffle, one tiny per-type moment aggregate broadcast back.
     *
     * Capacity bound: the moments are 128-bit exact — DecimalType(38,0)

@@ -525,8 +525,10 @@ object TextAnalytics {
       .join(labels, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val classTotals = tf.agg(
-      sum(when(col("ok") === 1L, col("tf")).otherwise(0L)).as("n_ok"),
-      sum(when(col("ok") === 0L, col("tf")).otherwise(0L)).as("n_bad"),
+      // coalesce: sum over an EMPTY corpus is null, and the model must
+      // stay defined (smoothing handles the rest of the degenerate cases).
+      coalesce(sum(when(col("ok") === 1L, col("tf")).otherwise(0L)), lit(0L)).as("n_ok"),
+      coalesce(sum(when(col("ok") === 0L, col("tf")).otherwise(0L)), lit(0L)).as("n_bad"),
       countDistinct("word").as("v")).head()
     val (nOk, nBad, v) =
       (classTotals.getLong(0), classTotals.getLong(1), classTotals.getLong(2))

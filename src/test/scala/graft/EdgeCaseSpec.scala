@@ -87,6 +87,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Pipeline.decontaminateSemanticDf(emptyEmb).count() === 0L)
   }
 
+  test("round-7 operators handle empty and degenerate corpora") {
+    import graft.operators.{Events, TextAnalytics}
+    // Empty corpus: trainers converge to zero merges / empty frames.
+    assert(TextAnalytics.vocabTrainDf(emptyDocs).count() === 0L)
+    assert(TextAnalytics.qualityTrainedDf(emptyDocs).count() === 0L)
+    assert(Dedup.substringDupDf(emptyDocs).count() === 0L)
+    assert(Pipeline.sampleStratifiedCappedDf(emptyDocs).count() === 0L)
+    assert(Dedup.incrementalNearDupDf(emptyDocs, emptyDocs).count() === 0L)
+    val emptyEvents = Seq.empty[(Long, String, Long)]
+      .toDF("user_id", "event_type", "ts_us")
+    assert(Events.anomalyDenseDf(emptyEvents).count() === 0L)
+    // Single-char vocabulary: no adjacent pairs exist, training stops
+    // early instead of spinning to the merge budget.
+    val single = Seq((1L, "a b a b a", "en")).toDF("doc_id", "text", "lang")
+    assert(TextAnalytics.vocabTrainDf(single).count() === 0L)
+    // One-class corpora: every doc ok (or every doc bad) must not divide
+    // by zero — smoothing keeps the weights defined.
+    val allOk = Seq((1L, "the cat sat on the mat and ran"),
+      (2L, "the dog sat on the mat and hid")).toDF("doc_id", "text")
+    val okOut = TextAnalytics.qualityTrainedDf(allOk)
+      .select("doc_id", "pred_ok").as[(Long, Long)].collect().toMap
+    assert(okOut.values.forall(_ == 1L), "uniform ok class must predict ok")
+    val allBad = Seq((1L, "zx qv"), (2L, "mn bv")).toDF("doc_id", "text")
+    val badOut = TextAnalytics.qualityTrainedDf(allBad)
+      .select("doc_id", "pred_ok").as[(Long, Long)].collect().toMap
+    assert(badOut.values.forall(_ == 0L), "uniform bad class must predict bad")
+  }
+
   test("whitespace-only and empty texts flow through fingerprints and shingles") {
     val degenerate = Seq((1L, "", "en"), (2L, "   ", "en"), (3L, ". , !", "en"))
       .toDF("doc_id", "text", "lang")

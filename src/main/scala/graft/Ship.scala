@@ -50,9 +50,12 @@ object Ship {
     * parts). The driver loop is over the SPLIT VALUES — O(splits) driver
     * work, never O(rows) — and the shipped frame is persisted across the
     * sizing aggregate and the per-split writes so the clean/split
-    * pipeline runs once. The whole outDir is deleted first so splits
-    * from an earlier ship() (or an earlier corpus) cannot survive as
-    * stale `split=<v>` dirs that a later read would include. Returns
+    * pipeline runs once. Stale-split protection is SCOPED: only existing
+    * `split=<v>` children (and the `_SUCCESS` marker an earlier ship()
+    * may have left) are deleted first, so splits from an earlier ship()
+    * or an earlier corpus cannot survive into a later read — while a
+    * caller who passes a directory that also holds unrelated data loses
+    * nothing but the split dirs this writer owns. Returns
     * split → file count, capped at the split's row count (repartition
     * past the row count yields empty partitions that write no part
     * files). targetBytes is the raw-text mass per file (Parquet
@@ -66,8 +69,12 @@ object Ship {
       .agg(sum(octet_length(col("text"))).as("bytes"), count(lit(1)).as("rows"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val outPath = new org.apache.hadoop.fs.Path(outDir)
-    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(outPath, true)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath))
+      fs.listStatus(outPath)
+        .filter(st => st.getPath.getName.startsWith("split=") ||
+          st.getPath.getName == "_SUCCESS")
+        .foreach(st => fs.delete(st.getPath, true))
     val fileCounts =
       for ((split, bytes, rows) <- sizes) yield {
         val files = math.min(rows,

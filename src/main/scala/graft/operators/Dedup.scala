@@ -340,15 +340,17 @@ object Dedup extends org.apache.spark.internal.Logging {
       .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
       .select(col("b.doc_id").as("doc_id")).distinct()
       .withColumn("b_hit", lit(1L))
-    bfp.select("doc_id")
-      .join(corpusHits, Seq("doc_id"), "left")
-      .join(batchHits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("c_hit"), lit(0L)).as("corpus_dup"),
-        coalesce(col("b_hit"), lit(0L)).as("batch_dup"),
-        when(col("c_hit").isNull && col("b_hit").isNull, lit(1L))
-          .otherwise(lit(0L)).as("keep"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      bfp.select("doc_id")
+        .join(corpusHits, Seq("doc_id"), "left")
+        .join(batchHits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("c_hit"), lit(0L)).as("corpus_dup"),
+          coalesce(col("b_hit"), lit(0L)).as("batch_dup"),
+          when(col("c_hit").isNull && col("b_hit").isNull, lit(1L))
+            .otherwise(lit(0L)).as("keep"))
+        .orderBy("doc_id"),
+      bfp)
   }
 
   /** Token-window width for exact-substring dedup. Lee et al. 2022
@@ -395,14 +397,16 @@ object Dedup extends org.apache.spark.internal.Logging {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("occ") > 1L, 1L).otherwise(0L)).as("n_dup_windows"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        when(col("n_windows").isNull, lit(0L))
-          .otherwise(round(col("n_dup_windows") * lit(10000.0) / col("n_windows")).cast("long"))
-          .as("dup_e4"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          when(col("n_windows").isNull, lit(0L))
+            .otherwise(round(col("n_dup_windows") * lit(10000.0) / col("n_windows")).cast("long"))
+            .as("dup_e4"))
+        .orderBy("doc_id"),
+      wins)
   }
 
   /** Hot-shingle document-frequency cap for the exact Jaccard join: a shingle

@@ -141,8 +141,10 @@ object Events {
   def anomalyHourlyDf(hourlyIn: DataFrame): DataFrame = {
     val hourly = hourlyIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    zFlagged(hourly.join(broadcast(momentsOf(hourly)), "event_type"))
-      .orderBy("event_type", "hour_idx")
+    graft.functions.Caching.releaseAfterAction(
+      zFlagged(hourly.join(broadcast(momentsOf(hourly)), "event_type"))
+        .orderBy("event_type", "hour_idx"),
+      hourly)
   }
 
   /** Per-type 128-bit-exact moments (n, Σc, Σc² as Decimal(38,0)) of an
@@ -213,7 +215,7 @@ object Events {
       .join(hourly, Seq("event_type", "hour_idx"), "left")
       .select(col("event_type"), col("hour_idx"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
-    anomalyHourlyDf(dense)
+    graft.functions.Caching.releaseAfterAction(anomalyHourlyDf(dense), hourly)
   }
 
   /** Event-path transition counts: for every consecutive event pair within

@@ -419,10 +419,12 @@ object Similarity {
       .select(col("qid"), col("cid"),
         e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
     val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
-    exact
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .orderBy("qid", "rn")
+    graft.functions.Caching.releaseAfterAction(
+      exact
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn"),
+      subs)
   }
 
   /** LSH-banded approximate top-k: a corpus vector is a candidate for a query

@@ -545,16 +545,18 @@ object TextAnalytics {
       .groupBy("doc_id").agg(
         sum("tf").as("n_toks"),
         sum(col("tf") * col("w_e4")).as("score_e4"))
-    docs.select("doc_id").join(labels, "doc_id")
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("ok"),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-        coalesce(col("score_e4"), lit(0L)).as("score_e4"),
-        when(col("n_toks").isNull, lit(0L))
-          .otherwise(round(col("score_e4") / col("n_toks")).cast("long"))
-          .as("mean_e4"))
-      .withColumn("pred_ok", (col("mean_e4") > 10000L).cast("long"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      docs.select("doc_id").join(labels, "doc_id")
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ok"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(col("score_e4"), lit(0L)).as("score_e4"),
+          when(col("n_toks").isNull, lit(0L))
+            .otherwise(round(col("score_e4") / col("n_toks")).cast("long"))
+            .as("mean_e4"))
+        .withColumn("pred_ok", (col("mean_e4") > 10000L).cast("long"))
+        .orderBy("doc_id"),
+      tf)
   }
 
   /** Token counting: whitespace split vs reference-regex tokens vs a BPE-ish

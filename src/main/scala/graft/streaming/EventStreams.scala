@@ -77,14 +77,21 @@ object EventStreams {
     * (bounded by the watermark horizon), the model adds three numbers per
     * event type. When the baseline is trained on the same events the
     * stream replays, completed windows score exactly the batch
-    * `events_anomaly` rows (StreamingSpec asserts it). */
+    * `events_anomaly` rows (StreamingSpec asserts it).
+    *
+    * Event types ABSENT from the baseline — often the strongest anomaly
+    * signal a monitor sees — are NOT dropped: the stream-static join is
+    * a LEFT join, and a window whose type has no trained moments emits
+    * z_e4 = null (no model ⇒ no score) with is_anomaly = 1, so a
+    * genuinely novel type always surfaces in the monitor output rather
+    * than vanishing where nobody is looking (StreamingSpec plants one). */
   def anomalyStream(spark: SparkSession, path: String, staticEvents: DataFrame,
       maxFilesPerTrigger: Int = 0): DataFrame = {
     import graft.operators.Events
     val baseline = Events.momentsOf(
       Events.hourlyCounts(staticEvents.select(col("event_type"), col("ts_us"))))
     val enriched = eventStream(spark, path, maxFilesPerTrigger)
-      .join(broadcast(baseline), "event_type")
+      .join(broadcast(baseline), Seq("event_type"), "left")
     val counts = enriched
       .withWatermark("ts_ts", "1 hour")
       .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
@@ -93,7 +100,11 @@ object EventStreams {
       .select(col("event_type"),
         (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_idx"),
         col("cnt"), col("n"), col("s"), col("q"))
+    // Untrained types carry null moments through zFlagged (null z_e4 /
+    // null flag); pin the flag to 1 — "no model" must read as an alert.
     Events.zFlagged(counts)
+      .withColumn("is_anomaly",
+        when(col("z_e4").isNull, lit(1L)).otherwise(col("is_anomaly")))
   }
 
   /** Streaming 30-minute-gap sessions per user — the twin of

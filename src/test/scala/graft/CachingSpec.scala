@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.storage.StorageLevel
+import graft.functions.Caching
+
+/** Release discipline: operators that persist shared intermediates hand
+  * them to [[Caching.releaseAfterAction]], which unpersists them after the
+  * caller's terminal action — so a long-lived session does not accumulate
+  * every query's cached blocks (the round-7 advisory). The listener fires
+  * on the async listener bus, so assertions poll for the level change. */
+class CachingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def awaitReleased(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (df.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    df.storageLevel == StorageLevel.NONE
+  }
+
+  test("releaseAfterAction: cached frame is unpersisted after the result's action") {
+    val cached = Seq(1L, 2L, 3L).toDF("x").persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize
+    assert(cached.storageLevel != StorageLevel.NONE)
+    val result = Caching.releaseAfterAction(
+      cached.groupBy().sum("x").withColumnRenamed("sum(x)", "s"), cached)
+    assert(result.collect().map(_.getLong(0)).toSeq === Seq(6L))
+    assert(awaitReleased(cached), "intermediate stayed cached after the action")
+  }
+
+  test("operator-level: substringDup's window cache self-releases after its action") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val out = operators.Dedup.substringDupDf(docs)
+    out.collect()
+    // The operator's internal persist is anonymous; observe the session-wide
+    // effect instead: no cached RDD blocks survive the action + listener.
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def live = spark.sparkContext.getPersistentRDDs.size
+    while (live > 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(live === 0, s"$live persistent RDDs survived the terminal action")
+  }
+}

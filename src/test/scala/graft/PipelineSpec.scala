@@ -65,6 +65,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(back === expect)
   }
 
+  test("shipCompacted: deletes only stale split dirs, bystander files survive") {
+    val out = "target/test-scratch/ship_compacted_scoped"
+    val dir = new java.io.File(out)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    // A stale split dir from "an earlier corpus" and an unrelated bystander.
+    new java.io.File(dir, "split=stale").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "split=stale", "leftover.parquet"), "x")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "unrelated.txt"), "precious")
+    Ship.shipCompacted(spark, TestSpark.sf, out, targetBytes = 1L << 20)
+    val names = dir.listFiles().map(_.getName).toSet
+    assert(!names.contains("split=stale"), "stale split dir survived")
+    assert(names.contains("unrelated.txt"), "bystander file was destroyed")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "unrelated.txt")) === "precious")
+  }
+
   test("ship: split-partitioned parquet output matches the near-dup clean+split flags") {
     val out = "target/test-scratch/ship_out"
     val counts = Ship.ship(spark, TestSpark.sf, out)

@@ -42,6 +42,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.exists(_._5 == 1L) || out.forall(_._5 == 0L)) // flags well-formed
   }
 
+  test("anomaly monitor surfaces event types absent from the trained baseline") {
+    val us = 1000000L
+    val t0 = 1700000000L * us
+    val dir = Paths.get("target", "test-scratch", "events_novel")
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    // Stream carries a trained type and a NOVEL one the baseline never saw.
+    Seq(
+      (1L, t0 * 1000L, 1L, "known", 1.0, "{}"),
+      (2L, (t0 + us) * 1000L, 1L, "novel", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir.toString)
+    // Baseline trained on "known" only.
+    val staticEvents = Seq(("known", t0), ("known", t0 + 3600L * us))
+      .toDF("event_type", "ts_us")
+    val rows = EventStreams.runToCompletion(spark,
+        EventStreams.anomalyStream(spark, dir.toString, staticEvents), "t_novel")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    // The novel type is EMITTED (not silently dropped), with no z (no
+    // model) and the flag pinned on.
+    assert(rows.contains("novel"), "novel event type vanished from the monitor")
+    assert(rows("novel") === ((None, Some(1L))))
+    // The trained type still scores through the shared zFlagged tail.
+    assert(rows.contains("known") && rows("known")._1.isDefined)
+  }
+
   test("mapGroupsWithState running user counts equal the batch group-by") {
     val dir = Paths.get("target", "test-scratch", "events_sf")
     Files.createDirectories(dir)

@@ -456,13 +456,20 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramCtes SELECT d1, d2, jac_e4 FROM jpairs WHERE jac_e4 >= 100 ORDER BY d1, d2""",
     // Exact-substring (token-window) duplication: windows reduce to the
-    // 32-bit polyHash twin immediately, occurrence counts flag windows
-    // seen more than once corpus-wide — no pair enumeration anywhere.
+    // 114-bit fingerprint pair immediately — two 57-bit checked-BIGINT
+    // polynomial folds with coprime bases (31, 37), the same recurrences
+    // the Spark PolyHash57 expression generates — and occurrence counts
+    // flag windows seen more than once corpus-wide. No pair enumeration
+    // anywhere; mask 2^57-1 keeps h*base + c inside DuckDB's
+    // overflow-checked int64.
     "dedup_substring" -> {
       val w = graft.operators.Dedup.SubstrWindow
       val cat = (0 until w).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
         .mkString(" || ' ' || ")
-      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), wins AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${w - 2}), i -> $cat)) AS win FROM toks), wh AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(win) + 1), i -> CAST(ascii(substr(win, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h FROM wins), occ AS (SELECT h, count(*) AS occ FROM wh GROUP BY h), pd AS (SELECT x.doc_id, count(*) AS n_windows, CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows FROM wh x JOIN occ o ON x.h = o.h GROUP BY x.doc_id) SELECT d.doc_id, COALESCE(pd.n_windows, 0) AS n_windows, COALESCE(pd.n_dup_windows, 0) AS n_dup_windows, CAST(CASE WHEN pd.n_windows IS NULL THEN 0 ELSE round(pd.n_dup_windows * 10000.0 / pd.n_windows) END AS BIGINT) AS dup_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id"""
+      val m = org.apache.spark.sql.graft.PolyHash57.Mask
+      def fold(base: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(win) + 1), i -> CAST(ascii(substr(win, i, 1)) AS BIGINT))), (h, c) -> (h * $base + c) & $m)"
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), wins AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${w - 2}), i -> $cat)) AS win FROM toks), wh AS (SELECT doc_id, ${fold(31)} AS h1, ${fold(37)} AS h2 FROM wins), occ AS (SELECT h1, h2, count(*) AS occ FROM wh GROUP BY h1, h2), pd AS (SELECT x.doc_id, count(*) AS n_windows, CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows FROM wh x JOIN occ o ON x.h1 = o.h1 AND x.h2 = o.h2 GROUP BY x.doc_id) SELECT d.doc_id, COALESCE(pd.n_windows, 0) AS n_windows, COALESCE(pd.n_dup_windows, 0) AS n_dup_windows, CAST(CASE WHEN pd.n_windows IS NULL THEN 0 ELSE round(pd.n_dup_windows * 10000.0 / pd.n_windows) END AS BIGINT) AS dup_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id"""
     },
     // Byte-shingle near-dup on binary payloads: the payload is the UTF-8
     // encoding of text, so 16-byte windows ARE 16-char substrings

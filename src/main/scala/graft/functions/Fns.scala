@@ -41,6 +41,17 @@ object Fns {
   def polyHash(s: Column): Column =
     org.apache.spark.sql.graft.StringExprs.polyHash32(s)
 
+  /** 57-bit wide rolling hash, base-parameterized — the collision-resistant
+    * sibling of [[polyHash]] for fingerprint KEYS (where a collision
+    * manufactures a false duplicate rather than merely perturbing an
+    * order). Two coprime bases (31, 37) give an independent 114-bit pair;
+    * prefix/suffix SALTS cannot substitute, because a fixed-base polynomial
+    * hash is affine for equal-length inputs, so salted variants collide
+    * exactly when the unsalted one does. Mask 2^57-1 keeps the pre-mask
+    * product overflow-free in DuckDB's checked BIGINT fold (base ≤ 63). */
+  def polyHash57(s: Column, base: Int): Column =
+    org.apache.spark.sql.graft.StringExprs.polyHash57(s, base)
+
   /** Salted hash bucket: [[polyHash]] of the salt-prefixed input, mod m —
     * ONE definition behind the Bloom-filter probe positions and the
     * count-min-sketch cell columns (each mirrored by a byte-identical

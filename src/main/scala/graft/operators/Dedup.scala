@@ -373,15 +373,22 @@ object Dedup extends org.apache.spark.internal.Logging {
     *
     * Scale shape — the point vs the pairwise operators: NO pair is ever
     * enumerated, so there is no O(df²) blowup to cap. Windows reduce to
-    * 8-byte hashes immediately (the strings never shuffle): one
-    * map-side-combined count on the window hash, one linear join back,
-    * one per-doc rollup — token-linear end to end, boilerplate-hot
-    * windows cost one hot COUNTER, not a join fan-out. The 32-bit
-    * polyHash is the engine-portable choice here (both engines compute
-    * the identical hash, so a collision flags the same window pair on
-    * both sides and the query still hash-matches); production at 100 TB
-    * swaps in a 128-bit fingerprint the same way the streaming dedup
-    * twin does. */
+    * fixed-width fingerprints immediately (the strings never shuffle):
+    * one map-side-combined count on the fingerprint, one linear join
+    * back, one per-doc rollup — token-linear end to end, boilerplate-hot
+    * windows cost one hot COUNTER, not a join fan-out.
+    *
+    * The fingerprint is a PAIR of 57-bit polynomial hashes with coprime
+    * bases (31, 37) — 114 bits, engine-portable (the oracle folds the
+    * identical checked-BIGINT recurrences). A single 32-bit hash is not
+    * enough here: at 100 TB (~10^13 windows) birthday collisions are
+    * certain, and a fingerprint collision COUNTS as a duplicate window —
+    * silent dup_e4 inflation. Distinct bases, not salts, provide the
+    * independence: a fixed-base polynomial hash is affine for
+    * equal-length strings, so any salted variant of one base collides
+    * exactly when the unsalted does (DedupSpec plants a real 32-bit
+    * collision pair and asserts the pair key separates it). At 114 bits
+    * the expected collision count at 10^13 windows is ~10^-8. */
   def substringDup(s: SparkSession, d: String,
       window: Int = SubstrWindow): DataFrame =
     substringDupDf(Tables.documents(s, d), window)
@@ -390,10 +397,12 @@ object Dedup extends org.apache.spark.internal.Logging {
   def substringDupDf(docs: DataFrame, window: Int = SubstrWindow): DataFrame = {
     val wins = docs
       .select(col("doc_id"), explode(wordNgrams(tokens(col("text")), window)).as("win"))
-      .select(col("doc_id"), polyHash(col("win")).as("h"))
+      .select(col("doc_id"),
+        polyHash57(col("win"), 31).as("h1"),
+        polyHash57(col("win"), 37).as("h2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = wins.groupBy("h").agg(count(lit(1)).as("occ"))
-    val perDoc = wins.join(counts, "h")
+    val counts = wins.groupBy("h1", "h2").agg(count(lit(1)).as("occ"))
+    val perDoc = wins.join(counts, Seq("h1", "h2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("occ") > 1L, 1L).otherwise(0L)).as("n_dup_windows"))

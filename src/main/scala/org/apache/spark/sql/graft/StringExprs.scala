@@ -70,6 +70,69 @@ object PolyHash32 {
   }
 }
 
+/** 57-bit polynomial rolling hash `h = (h*base + codepoint) & (2^57-1)` —
+  * the WIDE fingerprint for collision-sensitive keys (exact-substring dedup
+  * counts windows by fingerprint, so a collision manufactures a false
+  * duplicate; at 10^13 windows the 32-bit space guarantees them).
+  *
+  * Why 57 and not 64: the DuckDB oracle reproduces the hash with
+  * overflow-CHECKED BIGINT arithmetic, so the pre-mask product must stay
+  * under 2^63 — (2^57-1)*base + cp < 2^63 holds for every base ≤ 63. Two
+  * instances with coprime bases (31, 37) give a 114-bit combined key;
+  * bases must differ because for equal-length inputs any single-base
+  * polynomial hash is affine in the input, so salting the STRING cannot
+  * break a collision — changing the base does (DedupSpec pins a planted
+  * 32-bit collision that the pair separates).
+  */
+case class PolyHash57(child: Expression, base: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(base >= 2 && base <= 63, "base must be in [2, 63] to keep the " +
+    "pre-mask product inside checked int64 range")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = s"poly_hash57_$base"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash57.hash(input.asInstanceOf[UTF8String].toString, base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |final String $s = $x.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  final int ${i}cp = $s.codePointAt($i);
+         |  $h = ($h * ${base}L + ${i}cp) & ${PolyHash57.Mask}L;
+         |  $i += Character.charCount(${i}cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash57 =
+    copy(child = newChild)
+}
+
+object PolyHash57 {
+  val Mask: Long = (1L << 57) - 1
+
+  def hash(s: String, base: Int): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) & Mask
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
 /** Word n-grams over a token array: element i of the output is tokens
   * [i, i+n) joined with a single space (UTF8String.concatWs — null tokens
   * skipped, exactly like the SQL concat_ws the HOF formulation used); fewer
@@ -331,6 +394,10 @@ object StringExprs {
   /** Column wrapper: `(h*31 + char) & 0xffffffff` rolling hash. */
   def polyHash32(s: Column): Column =
     ExpressionUtils.column(PolyHash32(ExpressionUtils.expression(s)))
+
+  /** Column wrapper: 57-bit `(h*base + char) & (2^57-1)` rolling hash. */
+  def polyHash57(s: Column, base: Int): Column =
+    ExpressionUtils.column(PolyHash57(ExpressionUtils.expression(s), base))
 
   /** Column wrapper: n-grams of a token array joined with spaces. */
   def wordNgrams(toks: Column, n: Int): Column =

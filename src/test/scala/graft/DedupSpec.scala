@@ -207,6 +207,33 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(5L)._3 === 2L)
   }
 
+  test("substring dup: a planted 32-bit hash collision is NOT a duplicate window") {
+    import org.apache.spark.sql.graft.{PolyHash32, PolyHash57}
+    // "qgjyptlw" and "wjbstcwx" collide under the 32-bit base-31 rolling
+    // hash (found by birthday search over 8-char lowercase words). Both
+    // windows below share the same length and suffix, so the 32-bit hashes
+    // of the FULL window strings collide too — under a single 32-bit
+    // fingerprint these two distinct windows would count as a duplicate
+    // pair and both docs would score dup_e4 = 10000. Salting cannot fix
+    // this (equal-length ⇒ any salted base-31 hash collides identically);
+    // the second BASE does.
+    val winA = "qgjyptlw alpha beta gamma delta"
+    val winB = "wjbstcwx alpha beta gamma delta"
+    assert(PolyHash32.hash(winA) === PolyHash32.hash(winB)) // the plant is real
+    assert(PolyHash32.hash("s2#" + winA) === PolyHash32.hash("s2#" + winB))
+    assert(PolyHash57.hash(winA, 31) !== PolyHash57.hash(winB, 31))
+    assert(PolyHash57.hash(winA, 37) !== PolyHash57.hash(winB, 37))
+    val docs = Seq((1L, winA), (2L, winB)).toDF("doc_id", "text")
+    val got = Dedup.substringDupDf(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L)))
+    // positive control: byte-identical windows still flag through the pair
+    val same = Seq((1L, winA), (2L, winA)).toDF("doc_id", "text")
+    val got2 = Dedup.substringDupDf(same)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got2 === Seq((1L, 1L, 1L, 10000L), (2L, 1L, 1L, 10000L)))
+  }
+
   test("exact dedup on the corpus: survivor is min doc_id, no text lost") {
     val docsSf = sources.Tables.documents(spark, TestSpark.sf)
     val out = Dedup.exact(spark, TestSpark.sf)

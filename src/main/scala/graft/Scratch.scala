@@ -13,6 +13,16 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    if (args.length > 1 && args(1) == "bpe-passes") {
+      val docs = graft.sources.Tables.documents(spark, d)
+      for (b <- Seq(1, 8)) {
+        val t0 = System.nanoTime()
+        val (tab, passes) = graft.operators.TextAnalytics.vocabTrainRaw(docs, 12, b)
+        println(f"[scratch] bpe batch=$b merges=${tab.size} passes=$passes " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("dedup_clusters")
     for (name <- names; rep <- 1 to 3) {
       val t0 = System.nanoTime()

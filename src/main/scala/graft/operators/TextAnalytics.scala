@@ -83,51 +83,83 @@ object TextAnalytics {
     * exact loop tens of thousands of iterations (see the scale note). */
   val BpeMerges = 12
 
+  /** Max merges applied per training pass (sound batching — see
+    * [[selectMergeBatch]]) and the candidate-list width collected per pass
+    * (the width also caps how far the safety guard can SEE; pairs outside
+    * the collected list are bounded by the last collected count). */
+  val BpeBatch = 8
+  val BpeTopM = 256
+
   /** TRAIN the subword vocabulary — deterministic BPE pair-merge training
     * (Sennrich et al. 2016, arXiv:1508.07909), the learned sibling of the
     * hand-picked [[WordPieceVocab]] exactly as `text_langid_ngram` is the
-    * trained sibling of `text_langid`. Each iteration: count adjacent
-    * piece pairs over the DISTINCT-word table weighted by corpus word
-    * frequency, take the most frequent pair (count-desc / pair-asc ties —
-    * all-integer, so the trained merge table hash-matches the oracle's
-    * unrolled CTE chain), merge it greedily left-to-right inside every
-    * word, repeat. Output: the ranked merge table (merge_rank, lhs, rhs,
-    * merged, pair_cnt) — the artifact a tokenizer ships.
+    * trained sibling of `text_langid`. Semantics are the classic SEQUENTIAL
+    * loop: count adjacent piece pairs over the DISTINCT-word table weighted
+    * by corpus word frequency, take the most frequent pair (count-desc /
+    * pair-asc ties — all-integer, so the trained merge table hash-matches
+    * the oracle's unrolled CTE chain), merge it greedily left-to-right
+    * inside every word, repeat. Output: the ranked merge table
+    * (merge_rank, lhs, rhs, merged, pair_cnt) — the artifact a tokenizer
+    * ships.
+    *
+    * EXECUTION is batched: each pass collects the top-[[BpeTopM]] pairs in
+    * one job, selects up to [[BpeBatch]] merges whose sequential outcome is
+    * PROVABLY unaffected by the earlier merges in the batch
+    * ([[selectMergeBatch]] — prefix-of-the-sorted-list, symbol-disjoint,
+    * guarded against pairs whose counts can rise mid-batch), and applies
+    * them in ONE fold pass + ONE localCheckpoint. The merge table is
+    * bit-identical to the sequential loop's by construction, so the oracle
+    * stays the plain sequential CTE unroll; jobs-per-vocab drops by the
+    * realized batch factor (TextAnalyticsSpec measures it).
     *
     * Scale shape: training runs over the word → count table (vocabulary-
     * sized, NOT the corpus — the one corpus-sized shuffle already happened
-    * in wordCounts), so each iteration is one pair-count shuffle over
-    * |vocab| rows plus a 1-row argmax collect; driver state is the merge
-    * list (nMerges rows). The greedy merge application is a codegen'd
-    * `aggregate` HOF fold per word — a fold's "merge, then compare the
-    * NEW last piece" recurrence is exactly BPE's non-overlapping
-    * left-to-right scan. Each iteration's segmentation is persisted and
-    * the previous one released, so lineage stays shallow. At production
-    * merge counts (30-50 K) the same loop batches compatible merges per
-    * pass; the per-iteration shape is unchanged. */
+    * in wordCounts), so each PASS is one pair-count shuffle over |vocab|
+    * rows plus a topM-row collect; driver state is the merge list (nMerges
+    * rows) + the topM candidates. The greedy merge application is a
+    * codegen'd `aggregate` HOF fold per word — a fold's "merge, then
+    * compare the NEW last piece" recurrence is exactly BPE's
+    * non-overlapping left-to-right scan, and a batch's rules are
+    * symbol-disjoint so one scan applies them all without interaction.
+    * At production merge counts (30-50 K) this is the difference between
+    * 30-50 K Spark jobs and ~nMerges/B passes — the driver-paced
+    * coordinator loop (the reference's coordinator.py:74-83 disease)
+    * amortized away. */
   def vocabTrain(spark: SparkSession, dir: String,
       nMerges: Int = BpeMerges): DataFrame =
     vocabTrainDf(Tables.documents(spark, dir), nMerges)
 
   /** Same, over any (doc_id, text) DataFrame (planted tests). Each
-    * iteration's segmentation is an EAGER localCheckpoint: the merge fold
-    * is a nested lambda expression, so chaining iterations lineage-deep
+    * pass's segmentation is an EAGER localCheckpoint: the merge fold
+    * is a nested lambda expression, so chaining passes lineage-deep
     * makes Catalyst re-analyze an ever-growing plan (quadratic driver
     * time by ~iteration 20); truncating per round keeps every round O(1)
     * plan work — the same fix dedup_clusters uses for its CC rounds (swap
     * for reliable `checkpoint` on a real cluster). */
-  def vocabTrainDf(docs: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+  def vocabTrainDf(docs: DataFrame, nMerges: Int = BpeMerges,
+      batch: Int = BpeBatch): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._
+    vocabTrainRaw(docs, nMerges, batch)._1
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** Training core: returns (merge table rows, number of passes run).
+    * `batch = 1` degenerates to the exact sequential loop — the spec runs
+    * both and asserts identical tables with fewer passes. */
+  private[graft] def vocabTrainRaw(docs: DataFrame, nMerges: Int,
+      batch: Int): (Seq[(Long, String, String, String, Long)], Int) = {
     var seg = wordCountsText(docs, "text")
       .select(col("word"), col("cnt"),
         regexp_extract_all(col("word"), lit("[a-z]"), lit(0)).as("pieces"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
+    var passes = 0
     var done = false
     while (merges.size < nMerges && !done) {
-      val best = seg
+      val cand = seg
         .select(col("cnt"), explode(zip_with(
           slice(col("pieces"), lit(1), greatest(size(col("pieces")) - 1, lit(0))),
           slice(col("pieces"), lit(2), greatest(size(col("pieces")) - 1, lit(0))),
@@ -135,27 +167,112 @@ object TextAnalytics {
         .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
         .agg(sum("cnt").as("c"))
         .orderBy(desc("c"), asc("lhs"), asc("rhs"))
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+        .limit(BpeTopM).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
+      passes += 1
+      if (cand.isEmpty) done = true
       else {
-        val l: String = best(0).getString(0)
-        val r: String = best(0).getString(1)
-        val c: Long = best(0).getLong(2)
-        merges += ((merges.size + 1L, l, r, l + r, c))
+        val outsideBound = if (cand.length == BpeTopM) cand.last._3 else 0L
+        val accepted = selectMergeBatch(cand, outsideBound,
+          math.min(batch, nMerges - merges.size))
+        accepted.foreach { case (l, r, c) =>
+          merges += ((merges.size + 1L, l, r, l + r, c))
+        }
         val prev = seg
+        // One fold applies the whole batch: rules are symbol-disjoint and
+        // never reference an earlier rule's merged symbol, so at most one
+        // rule matches any (last piece, next piece) step and the chained
+        // `when` is order-independent.
         seg = seg.withColumn("pieces",
           aggregate(col("pieces"), lit(Array.empty[String]), (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(x)))))
+            accepted.foldRight(concat(acc, array(x)): org.apache.spark.sql.Column) {
+              case ((l, r, _), els) =>
+                when(size(acc) > 0 &&
+                    element_at(acc, -1) === lit(l) && x === lit(r),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                  .otherwise(els)
+            }))
           .localCheckpoint(true)
         prev.unpersist()
       }
     }
     seg.unpersist()
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_cnt")
-      .orderBy("merge_rank")
+    (merges.toSeq, passes)
+  }
+
+  /** Select a batch of merges whose sequential outcome is provably fixed by
+    * the pre-pass pair counts — the SOUNDNESS rule that lets one pass apply
+    * several merges while staying bit-identical (ranks, pairs, AND recorded
+    * pair_cnt) to the one-merge-at-a-time loop.
+    *
+    * `cand` is the pair list sorted (count desc, lhs asc, rhs asc);
+    * `outsideBound` bounds the count of any pair NOT in `cand` (the last
+    * collected count when the list was truncated, else 0). Walk the PREFIX
+    * of the list — stopping, never skipping, because a skipped pair could
+    * itself be the true next merge — and accept candidate p_j after
+    * accepted merges p_1..p_{j-1} iff:
+    *
+    *  1. p_j's lhs, rhs, AND merged symbol are all absent from every
+    *     accepted merge's {lhs, rhs, merged}. Sharing lhs/rhs means p_j's
+    *     own count would have DECREASED before its sequential turn;
+    *     equalling a merged symbol means it could have INCREASED — either
+    *     way its pre-pass count is stale. And if p_j's MERGED symbol is an
+    *     accepted rule's input (accept (ab,c) then (a,b): "a b c" folds to
+    *     "abc" in one scan, but sequentially (ab,c) ran before any "ab"
+    *     existed and the answer is "ab c"), the single-scan fold would
+    *     cascade where sequential order forbids it → stop.
+    *  2. count(p_j) strictly exceeds every accepted merge's RISER BOUND.
+    *     A pair's count grows only by gaining an endpoint equal to some
+    *     merged symbol m_i = a_i+b_i, and each gained occurrence of
+    *     (x, m_i) maps to a pre-pass occurrence of some pair ENDING IN a_i
+    *     ((x, a_i) for original x; (b_k, a_i) when x is itself a batch
+    *     output m_k — either way rhs = a_i), so
+    *     post(·, m_i) ≤ max{cnt : rhs = m_i} + max{cnt : rhs = a_i}, and
+    *     symmetrically post(m_i, ·) ≤ max{cnt : lhs = m_i} +
+    *     max{cnt : lhs = b_i}. Maxima are floored at `outsideBound` for
+    *     pairs beyond the collected list. Strict > also settles ties
+    *     without comparing names. (Self-pairs a_i = b_i make their own
+    *     count a gain source, so the bound reaches c_i and the batch
+    *     stops behind them — correct: "aaa…" leftovers really do feed
+    *     (m_i, a_i) next.)
+    *
+    * With 1–2 holding, induction gives: at sequential step j, every pair
+    * above p_j pre-pass was either already consumed (accepted — greedy
+    * left-to-right leaves no lhs·rhs adjacency, and symbol-disjointness
+    * means no other batch rule recreates one) or stopped the batch, every
+    * riser stays strictly below count(p_j), and p_j's own count is
+    * untouched — so p_j is the strict argmax with its pre-pass count,
+    * which is exactly what the sequential loop records. Worst case the
+    * guard truncates to batch size 1 = the sequential loop. */
+  private[graft] def selectMergeBatch(
+      cand: IndexedSeq[(String, String, Long)], outsideBound: Long,
+      maxB: Int): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer(cand.head)
+    var syms = Set(cand.head._1, cand.head._2, cand.head._1 + cand.head._2)
+    var j = 1
+    var stop = false
+    while (!stop && j < cand.length && accepted.size < maxB) {
+      val (l, r, c) = cand(j)
+      if (syms(l) || syms(r) || syms(l + r)) stop = true
+      else {
+        def maxRhs(s: String) = (outsideBound +: cand.collect {
+          case (_, qr, qc) if qr == s => qc
+        }).max
+        def maxLhs(s: String) = (outsideBound +: cand.collect {
+          case (ql, _, qc) if ql == s => qc
+        }).max
+        val riser = accepted.map { case (a, b, _) =>
+          val m = a + b
+          math.max(maxRhs(a) + maxRhs(m), maxLhs(b) + maxLhs(m))
+        }.max
+        if (c > riser) {
+          accepted += cand(j)
+          syms ++= Set(l, r, l + r)
+          j += 1
+        } else stop = true
+      }
+    }
+    accepted.toSeq
   }
 
   /** Subword tokenization fertility — the BPE/WordPiece inference step as

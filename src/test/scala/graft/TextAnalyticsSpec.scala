@@ -36,6 +36,79 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (2L, "aa", "a", "aaa", 1L)))
   }
 
+  test("bpe training: batched passes = sequential merge table, fewer jobs") {
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+    val (seqTable, seqPasses) = TextAnalytics.vocabTrainRaw(docs, 12, batch = 1)
+    val (batTable, batPasses) = TextAnalytics.vocabTrainRaw(docs, 12, batch = 8)
+    assert(batTable === seqTable) // bit-identical ranks, pairs, AND counts
+    assert(seqPasses === 12)
+    assert(batPasses < seqPasses,
+      s"batching must reduce passes ($batPasses vs $seqPasses)")
+  }
+
+  test("bpe training: batching respects sequential dynamics on a riser corpus") {
+    // "the" ×30, "xy" ×25: pass-1 pairs (h,e)=30, (t,h)=30, (x,y)=25 —
+    // (h,e) wins the count tie by lhs-asc. Sequential: (h,e) → then the
+    // RISER (t,he)=30 (created by merge 1, outranking (x,y)=25) → (x,y).
+    // A naive disjoint-top-B batch would grab (x,y) alongside (h,e) in
+    // pass 1 and misorder it; the prefix rule stops at (t,h) (shared h),
+    // and pass 2 batches (t,he) with (x,y) only because the riser bound
+    // proves (x,y)=25 safe. Word-frequency weighting exercised via the
+    // multi-doc spread.
+    val docs = ((1 to 30).map(i => (i.toLong, "the")) ++
+      (31 to 55).map(i => (i.toLong, "xy"))).toDF("doc_id", "text")
+    val (seqTable, seqPasses) = TextAnalytics.vocabTrainRaw(docs, 3, batch = 1)
+    val (batTable, batPasses) = TextAnalytics.vocabTrainRaw(docs, 3, batch = 8)
+    assert(seqTable.map(t => (t._2, t._3, t._5)) ===
+      Seq(("h", "e", 30L), ("t", "he", 30L), ("x", "y", 25L)))
+    assert(batTable === seqTable)
+    assert(seqPasses === 3 && batPasses === 2)
+  }
+
+  test("bpe batch selection: prefix-stop, symbol guards, riser arithmetic") {
+    import TextAnalytics.selectMergeBatch
+    // Disjoint steep-dropoff list: all four accepted (risers are floored
+    // at outsideBound=0 and no pair touches another's symbols).
+    assert(selectMergeBatch(IndexedSeq(
+      ("a", "b", 100L), ("c", "d", 40L), ("e", "f", 10L), ("g", "h", 3L)),
+      0L, 8) === Seq(("a", "b", 100L), ("c", "d", 40L), ("e", "f", 10L), ("g", "h", 3L)))
+    // Symbol overlap STOPS (does not skip): (a,c) shares a; (e,f) behind
+    // it must NOT be taken even though it is disjoint.
+    assert(selectMergeBatch(IndexedSeq(
+      ("a", "b", 100L), ("a", "c", 40L), ("e", "f", 10L)),
+      0L, 8) === Seq(("a", "b", 100L)))
+    // Cascade guard: (a,b) after (ab,c) would let one fold scan do
+    // sequential-impossible work — merged symbol "ab" is (ab,c)'s input.
+    assert(selectMergeBatch(IndexedSeq(
+      ("ab", "c", 100L), ("a", "b", 40L)),
+      0L, 8) === Seq(("ab", "c", 100L)))
+    // Riser guard fires: (h,e)=25 sorts below (x,y)=30, but with
+    // outsideBound=10 the bound for merging (t,h) is
+    // max(maxRhs(t)+maxRhs(th), maxLhs(h)+maxLhs(th)) =
+    // max(10+10, 25+10) = 35 > 30 — the unseen riser (th,e) could reach
+    // 35, so (x,y) must wait for the recount.
+    assert(selectMergeBatch(IndexedSeq(
+      ("t", "h", 60L), ("x", "y", 30L), ("h", "e", 25L)),
+      10L, 8) === Seq(("t", "h", 60L)))
+    // Same shape, complete list (outsideBound=0): riser bound is
+    // maxLhs(h)=25 < 30 → (x,y) is provably safe and rides along.
+    assert(selectMergeBatch(IndexedSeq(
+      ("t", "h", 60L), ("x", "y", 30L), ("h", "e", 25L)),
+      0L, 8) === Seq(("t", "h", 60L), ("x", "y", 30L)))
+    // outsideBound floors every max: with a truncated list the second
+    // candidate must beat 2×outsideBound.
+    assert(selectMergeBatch(IndexedSeq(
+      ("a", "b", 100L), ("c", "d", 9L)),
+      5L, 8) === Seq(("a", "b", 100L)))
+    assert(selectMergeBatch(IndexedSeq(
+      ("a", "b", 100L), ("c", "d", 11L)),
+      5L, 8) === Seq(("a", "b", 100L), ("c", "d", 11L)))
+    // maxB caps the batch.
+    assert(selectMergeBatch(IndexedSeq(
+      ("a", "b", 100L), ("c", "d", 40L), ("e", "f", 10L)),
+      0L, 2) === Seq(("a", "b", 100L), ("c", "d", 40L)))
+  }
+
   test("bpe training: learned vocab improves fertility over characters, monotone in merges") {
     val docs = sources.Tables.documents(spark, TestSpark.sf)
     def meanFertility(vocab: Seq[String]): Double = {

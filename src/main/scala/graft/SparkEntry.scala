@@ -112,6 +112,7 @@ object SparkEntry {
     // — LLM-pipeline: corpus shipping —
     "corpus_clean" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "corpus_clean_neardup" -> ((s, d) => Pipeline.cleanCorpusNearDup(s, d)),
+    "corpus_clean_spans" -> ((s, d) => Pipeline.cleanCorpusSpans(s, d)),
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(s, d)),
     "source_report" -> ((s, d) => Pipeline.sourceReport(s, d)),
     "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
@@ -211,6 +212,26 @@ object SparkEntry {
   private val NgramCtes =
     s"""toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id)"""
 
+  // Shared exact-substring duplication CTEs: token windows reduce to the
+  // 114-bit fingerprint pair (two 57-bit checked-BIGINT polynomial folds
+  // with coprime bases 31/37 — the recurrences the Spark PolyHash57
+  // expression generates; mask 2^57-1 keeps h*base + c inside DuckDB's
+  // overflow-checked int64), occurrence counts flag windows seen more than
+  // once corpus-wide, `pd` holds the per-doc totals. No pair enumeration
+  // anywhere. The dedup_substring score query and the corpus_clean_spans
+  // gate both end on `pd`.
+  private val SubstrCtes = {
+    val w = graft.operators.Dedup.SubstrWindow
+    val cat = (0 until w).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+      .mkString(" || ' ' || ")
+    val m = org.apache.spark.sql.graft.PolyHash57.Mask
+    def fold(base: Int) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(win) + 1), i -> CAST(ascii(substr(win, i, 1)) AS BIGINT))), (h, c) -> (h * $base + c) & $m)"
+    s"""stoks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), wins AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${w - 2}), i -> $cat)) AS win FROM stoks), wh AS (SELECT doc_id, ${fold(31)} AS h1, ${fold(37)} AS h2 FROM wins), occ AS (SELECT h1, h2, count(*) AS occ FROM wh GROUP BY h1, h2), pd AS (SELECT x.doc_id, count(*) AS n_windows, CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows FROM wh x JOIN occ o ON x.h1 = o.h1 AND x.h2 = o.h2 GROUP BY x.doc_id)"""
+  }
+  private val SubstrDupE4 =
+    "CAST(CASE WHEN pd.n_windows IS NULL THEN 0 ELSE round(pd.n_dup_windows * 10000.0 / pd.n_windows) END AS BIGINT)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted (→ rows-only check): distinct_words_approx
     * (HLL registers are engine-specific), multimodal_features (stub codec),
@@ -236,6 +257,10 @@ object SparkEntry {
     // quality/lang CTEs are corpus_clean's.
     "corpus_clean_neardup" ->
       s"""WITH RECURSIVE $NgramCtes, fpairs AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= 8000), edges AS (SELECT d1 AS a, d2 AS b FROM fpairs UNION ALL SELECT d2 AS a, d1 AS b FROM fpairs), reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a), xs AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s) SELECT d.doc_id, CAST(CASE WHEN (m.m IS NULL OR m.m >= d.doc_id) AND xs.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, CAST(CASE WHEN (m.m IS NULL OR m.m >= d.doc_id) AND xs.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN mn m ON d.doc_id = m.a LEFT JOIN xs ON d.doc_id = xs.doc_id ORDER BY d.doc_id""",
+    // corpus_clean's flag/survivor CTEs + the exact-substring CTEs; the
+    // span gate is dup_e4 < threshold on pd's per-doc window totals.
+    "corpus_clean_spans" ->
+      s"""WITH $SubstrCtes, t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s), surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), sp AS (SELECT d.doc_id, CAST(CASE WHEN $SubstrDupE4 < ${graft.operators.Pipeline.SpanDupE4Max} THEN 1 ELSE 0 END AS BIGINT) AS span_ok FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id) SELECT d.doc_id, CAST(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, sp.span_ok, CAST(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 AND sp.span_ok = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id JOIN sp ON d.doc_id = sp.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id ORDER BY d.doc_id""",
     "data_split" ->
       """SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents)) ORDER BY doc_id""",
     // Per-source mixture sampling: both hashes are the same salted
@@ -462,15 +487,8 @@ object SparkEntry {
     // flag windows seen more than once corpus-wide. No pair enumeration
     // anywhere; mask 2^57-1 keeps h*base + c inside DuckDB's
     // overflow-checked int64.
-    "dedup_substring" -> {
-      val w = graft.operators.Dedup.SubstrWindow
-      val cat = (0 until w).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
-        .mkString(" || ' ' || ")
-      val m = org.apache.spark.sql.graft.PolyHash57.Mask
-      def fold(base: Int) =
-        s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(win) + 1), i -> CAST(ascii(substr(win, i, 1)) AS BIGINT))), (h, c) -> (h * $base + c) & $m)"
-      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), wins AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${w - 2}), i -> $cat)) AS win FROM toks), wh AS (SELECT doc_id, ${fold(31)} AS h1, ${fold(37)} AS h2 FROM wins), occ AS (SELECT h1, h2, count(*) AS occ FROM wh GROUP BY h1, h2), pd AS (SELECT x.doc_id, count(*) AS n_windows, CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows FROM wh x JOIN occ o ON x.h1 = o.h1 AND x.h2 = o.h2 GROUP BY x.doc_id) SELECT d.doc_id, COALESCE(pd.n_windows, 0) AS n_windows, COALESCE(pd.n_dup_windows, 0) AS n_dup_windows, CAST(CASE WHEN pd.n_windows IS NULL THEN 0 ELSE round(pd.n_dup_windows * 10000.0 / pd.n_windows) END AS BIGINT) AS dup_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id"""
-    },
+    "dedup_substring" ->
+      s"""WITH $SubstrCtes SELECT d.doc_id, COALESCE(pd.n_windows, 0) AS n_windows, COALESCE(pd.n_dup_windows, 0) AS n_dup_windows, $SubstrDupE4 AS dup_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id""",
     // Byte-shingle near-dup on binary payloads: the payload is the UTF-8
     // encoding of text, so 16-byte windows ARE 16-char substrings
     // (injective, ASCII corpus) — the oracle states them on the text

@@ -122,6 +122,50 @@ object Pipeline {
     gate(qualityLangFlags(docs), survivors)
   }
 
+  /** Drop threshold for the exact-substring gate: a document whose windows
+    * are ≥ half duplicated corpus-wide is boilerplate-dominated and leaves
+    * the corpus whole (Lee et al. 2022 §4 remove the SPANS; at the document
+    * grain the same signal is a drop decision, and the doc-level flag keeps
+    * the decision auditable next to the other gates). */
+  val SpanDupE4Max = 5000L
+
+  /** [[cleanCorpus]] with the exact-substring duplication signal as a
+    * FOURTH gate — the consumer of `dedup_substring`'s per-document span
+    * scores. `span_ok` = 1 iff the document's dup_e4 (fraction of its
+    * token windows whose 114-bit fingerprint occurs more than once
+    * corpus-wide, in e4) stays below [[SpanDupE4Max]]; `keep` is the
+    * conjunction of all four gates. This closes the Lee et al. pipeline:
+    * scoring spans is only useful if something downstream acts on them.
+    *
+    * Scale shape: the span gate adds `substringDupDf`'s token-linear
+    * fingerprint count (no pair enumeration) + one doc_id equi-join to the
+    * exact-dedup survivor shuffle and the narrow gate projections — no new
+    * shuffle shapes over corpus_clean. */
+  def cleanCorpusSpans(s: SparkSession, d: String): DataFrame =
+    cleanCorpusSpansDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text, lang) DataFrame (planted-span tests). */
+  def cleanCorpusSpansDf(docs: DataFrame): DataFrame = {
+    val spans = Dedup.substringDupDf(docs)
+      .select(col("doc_id"),
+        when(col("dup_e4") < SpanDupE4Max, 1L).otherwise(0L).as("span_ok"))
+    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_survivor"))
+    qualityLangFlags(docs)
+      .join(survivors, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        coalesce(col("is_survivor"), lit(0L)).as("is_survivor"),
+        col("quality_ok"),
+        col("lang_match"),
+        col("span_ok"))
+      .withColumn("keep",
+        (col("is_survivor") === 1 && col("quality_ok") === 1 &&
+          col("lang_match") === 1 && col("span_ok") === 1).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language corpus report card — docs / tokens / chars per language,
     * the summary every shipped corpus carries. One scan, one tiny-key
     * aggregate; all-integer outputs (averages are derivable, not stored —

@@ -173,6 +173,34 @@ class PipelineSpec extends AnyFunSuite {
       s"expected one survivor per text, got ${kept.toSeq.sorted.mkString(",")}")
   }
 
+  test("cleanCorpusSpans: boilerplate-span doc dropped, diluted sibling survives") {
+    // 20-token boilerplate block shared by docs 1 and 2. Doc 1 adds only a
+    // 2-token tail: 16 of its 18 windows are the shared spans → dup_e4 =
+    // round(16·10000/18) = 8889 ≥ 5000 → span gate drops it. Doc 2 carries
+    // the same spans but dilutes them with a 20-token unique continuation:
+    // 16 of 36 → 4444 < 5000 → survives. Both pass every other gate
+    // (distinct texts, ≥5 tokens, en stopwords), so span_ok alone decides.
+    val boiler = "the quick brown fox jumps over a lazy dog and walks out " +
+      "of the old mill is near the river"
+    val docs = Seq(
+      (1L, boiler + " alpha beta", "en"),
+      (2L, boiler + " gamma delta epsilon zeta eta theta iota kappa lambda " +
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi", "en"),
+      (3L, "the optimizer of a catalyst engine is a tree and a rule set", "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = Pipeline.cleanCorpusSpansDf(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L)._5 === 0L && rows(1L)._6 === 0L,
+      s"boilerplate doc must fail the span gate: ${rows(1L)}")
+    assert(rows(1L)._2 === 1L && rows(1L)._3 === 1L && rows(1L)._4 === 1L,
+      "doc 1 passes every OTHER gate — the span gate alone drops it")
+    assert(rows(2L)._5 === 1L && rows(2L)._6 === 1L,
+      s"diluted sibling must keep: ${rows(2L)}")
+    assert(rows(3L)._5 === 1L && rows(3L)._6 === 1L,
+      s"unique doc must keep: ${rows(3L)}")
+  }
+
   test("cleanCorpus: keep is the conjunction of its exposed gates") {
     val rows = Pipeline.cleanCorpus(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long, Long)].collect()

@@ -13,6 +13,18 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    if (args.length > 1 && args(1) == "pq-eta") {
+      import org.apache.spark.sql.Row
+      val brute = graft.operators.Similarity.bruteTopK(spark, d)
+        .select("qid", "cid").collect().map { case Row(q: Long, c: Long) => (q, c) }.toSet
+      for (eta <- Seq(1, 2, 3); it <- Seq(1, 2, 3, 4)) {
+        val adc = graft.operators.Similarity.pqTrainedAdcTopK(spark, d, eta = eta, iters = it)
+          .select("qid", "cid").collect().map { case Row(q: Long, c: Long) => (q, c) }.toSet
+        spark.catalog.clearCache()
+        println(f"[scratch] pq eta=$eta iters=$it raw-ADC recall@5=${brute.count(adc.contains).toDouble / brute.size}%.3f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "bpe-passes") {
       val docs = graft.sources.Tables.documents(spark, d)
       for (b <- Seq(1, 8)) {

@@ -331,8 +331,14 @@ object SparkEntry {
     // DOUBLE (≤ 8e12 ≪ 2^53), so no rounding exists to diverge between
     // engines. Same carry-forward COALESCE for emptied codes as trained IVF.
     "sim_pq_trained" -> {
+      // Anisotropic assignment loss (η = PqEta), exact in HUGEINT:
+      // (η−1)·⟨e,x⟩² + ⟨x,x⟩·⟨e,e⟩ with ⟨e,x⟩ = ⟨x,x⟩−⟨x,c⟩ — the same
+      // 128-bit integers the Spark side carries in Decimal(38,0).
+      val etaM1 = graft.operators.Similarity.PqEta - 1
+      val aloss =
+        s"$etaM1 * CAST(list_inner_product(s.xm, s.xm) - list_inner_product(s.xm, c.cm) AS HUGEINT) * CAST(list_inner_product(s.xm, s.xm) - list_inner_product(s.xm, c.cm) AS HUGEINT) + CAST(list_inner_product(s.xm, s.xm) AS HUGEINT) * CAST(list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm) AS HUGEINT)"
       def iter(i: Int, prev: String) =
-        s"a$i AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm), c.j) AS rn FROM subs s JOIN $prev c ON s.m = c.m) WHERE rn = 1), " +
+        s"a$i AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM subs s JOIN $prev c ON s.m = c.m) WHERE rn = 1), " +
         s"u$i AS (SELECT a.m, a.j, t.k, CAST(round(sum(s.xm[CAST(t.k AS INTEGER)]) / count(*)) AS DOUBLE) AS comp FROM a$i a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 9) t(k) GROUP BY a.m, a.j, t.k), " +
         s"cb$i AS MATERIALIZED (SELECT p.m, p.j, COALESCE(u.cm, p.cm) AS cm FROM $prev p LEFT JOIN (SELECT m, j, list(comp ORDER BY k) AS cm FROM u$i GROUP BY m, j) u ON p.m = u.m AND p.j = u.j)"
       "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
@@ -341,7 +347,7 @@ object SparkEntry {
       "subs AS MATERIALIZED (SELECT vec_id, m, list_transform(vn[m*8+1 : m*8+8], x -> CAST(round(x * 1000000) AS DOUBLE)) AS xm FROM nn CROSS JOIN mm), " +
       "cb0 AS MATERIALIZED (SELECT vec_id AS j, m, xm AS cm FROM subs WHERE vec_id < 16), " +
       iter(1, "cb0") + ", " + iter(2, "cb1") + ", " +
-      "codes AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm), c.j) AS rn FROM subs s JOIN cb2 c ON s.m = c.m) WHERE rn = 1), " +
+      s"codes AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM subs s JOIN cb2 c ON s.m = c.m) WHERE rn = 1), " +
       "qtab AS (SELECT s.vec_id AS qid, s.m, c.j, list_inner_product(s.xm, c.cm) AS t FROM subs s JOIN cb2 c ON s.m = c.m WHERE s.vec_id < 10), " +
       "scored AS (SELECT q.qid, co.vec_id AS cid, sum(q.t) AS approx FROM codes co JOIN qtab q ON co.m = q.m AND co.j = q.j GROUP BY q.qid, co.vec_id), " +
       "short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS srn FROM scored) WHERE srn <= 25), " +

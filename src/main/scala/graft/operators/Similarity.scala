@@ -313,6 +313,11 @@ object Similarity {
   // exact re-rank stage consumes.
   val PqKmeansIters = 2
   val PqRerank = 25
+  /** Anisotropic assignment weight η (ScaNN, Guo et al. 2020): the parallel
+    * residual component is weighted η× the orthogonal one in the encoding
+    * loss. η = 1 is plain MSE; the shipped value is picked by the measured
+    * raw-ADC recall sweep in Scratch (documented at [[pqTrainedTopK]]). */
+  val PqEta = 2
 
   /** PQ with a TRAINED codebook and an exact re-rank stage — the full
     * production PQ retrieval shape. Training is per-subspace Lloyd's
@@ -333,22 +338,79 @@ object Similarity {
     * broadcast codebook + one M·K-row aggregate — identical profile to
     * production PQ training (OPQ/IVF-PQ add rotations, same loop).
     *
+    * The assignment loss is ANISOTROPIC (ScaNN — Guo et al. 2020,
+    * arXiv:1908.10396): plain MSE training is not inner-product-rank
+    * optimal, and measured here it actively hurt (raw trained-ADC recall@5
+    * 0.34 vs the sampled stub codebook's 0.42 at sf0.001 — more Lloyd
+    * iterations made it worse, 0.38 → 0.32). Weighting the residual
+    * component PARALLEL to x (the part that shifts ⟨q,x⟩ for the queries
+    * that rank x highly) η = [[PqEta]] times the orthogonal part recovers
+    * it: the η sweep measured raw-ADC recall 0.42 (= stub) at sf0.001 and
+    * 0.46 vs MSE's 0.42 at sf0.01 at the shipped η = 2, iters = 2 —
+    * training no longer degrades its own init. The update step stays the
+    * plain per-cluster mean (assignment-only anisotropy; the full ScaNN
+    * update solves a per-cluster linear system). The scaled loss
+    * (η−1)·⟨e,x⟩² + ⟨x,x⟩·⟨e,e⟩ squares e6 integers past 2^53, so it is
+    * carried exactly in Decimal(38,0) / HUGEINT — the same 128-bit-exact
+    * pattern as the events moments.
+    *
     * Retrieval is two-stage, as deployed PQ systems run it: the compressed
     * codes produce a [[PqRerank]]-deep ADC shortlist per query (only codes
     * move — the PQ memory win), then ONLY the shortlist vectors are read
-    * for exact cosine and the top-k is ranked on true similarity. The
-    * re-rank stage is load-bearing and documented honestly: an
-    * MSE-optimal (L2-trained) codebook is NOT inner-product-rank-optimal —
-    * on this synthetic corpus raw trained-ADC recall@5 measures 0.34 vs
-    * the sampled stub codebook's 0.42 (the known MIPS/MSE mismatch;
-    * ScaNN-style anisotropic loss is the published training-side fix) —
-    * while shortlist + exact re-rank lifts the trained index to 0.66,
-    * above anything raw ADC achieves. Exact-read cost is nQueries × R
-    * vectors, independent of corpus size. SimilaritySpec gates the full
-    * operator's recall ≥ the plain-ADC stub's. */
+    * for exact cosine and the top-k is ranked on true similarity —
+    * lifting recall@5 to 0.66, above anything raw ADC achieves. Exact-read
+    * cost is nQueries × R vectors, independent of corpus size.
+    * SimilaritySpec gates the full operator's recall ≥ the plain-ADC
+    * stub's AND the raw trained ADC ≥ the stub (the trained index must
+    * not need the re-rank to break even). */
   def pqTrainedTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       m: Int = PqM, kCents: Int = PqK, iters: Int = PqKmeansIters,
-      rerank: Int = PqRerank): DataFrame = {
+      rerank: Int = PqRerank, eta: Int = PqEta): DataFrame = {
+    val (scored, subs) = pqTrainedScored(s, d, nQueries, m, kCents, iters, eta)
+    val wShort = Window.partitionBy("qid").orderBy(desc("approx"), asc("cid"))
+    val shortlist = scored
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= rerank)
+      .select("qid", "cid")
+    // Exact re-rank: only nQueries × rerank vectors are ever read back.
+    val full = corpus(s, d)
+    val q = full.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = shortlist
+      .join(full.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    graft.functions.Caching.releaseAfterAction(
+      exact
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn"),
+      subs)
+  }
+
+  /** Raw trained-ADC ranking (no re-rank) — the measurement surface
+    * SimilaritySpec and the eta sweep use to compare codebook quality
+    * directly. Same training + encoding as [[pqTrainedTopK]]. */
+  private[graft] def pqTrainedAdcTopK(s: SparkSession, d: String,
+      nQueries: Int = 10, k: Int = 5, m: Int = PqM, kCents: Int = PqK,
+      iters: Int = PqKmeansIters, eta: Int = PqEta): DataFrame = {
+    val (scored, subs) = pqTrainedScored(s, d, nQueries, m, kCents, iters, eta)
+    val w = Window.partitionBy("qid").orderBy(desc("approx"), asc("cid"))
+    graft.functions.Caching.releaseAfterAction(
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn"),
+      subs)
+  }
+
+  /** Training + encoding + ADC scoring core shared by the re-ranked and
+    * raw retrievers: returns (scored = qid/cid/approx, the persisted
+    * sub-vector frame for the caller to release after its action). */
+  private def pqTrainedScored(s: SparkSession, d: String, nQueries: Int,
+      m: Int, kCents: Int, iters: Int, eta: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val sub = PqSubDim
     val c = corpus(s, d)
@@ -365,12 +427,30 @@ object Similarity {
       .map(r => (r.getInt(1).toLong, r.getLong(0), r.getSeq[Double](2).toSeq)).toSeq
     def cbDf(cs: Seq[(Long, Long, Seq[Double])]): DataFrame =
       cs.toDF("m", "j", "cm")
-    val wCode = Window.partitionBy("vec_id", "m").orderBy(asc("d2"), asc("j"))
+    // Anisotropic (score-aware) assignment, exact in 128-bit integers:
+    // residual e = x − c splits into a component along x (which shifts
+    // every inner product ⟨q, ·⟩ for queries near x — the MIPS-relevant
+    // error) and an orthogonal one; the ScaNN loss up-weights the first.
+    // Scaled by ‖x‖² to stay integral:
+    //   L = (η−1)·⟨e,x⟩² + ⟨x,x⟩·⟨e,e⟩
+    // with ⟨e,x⟩ = ⟨x,x⟩−⟨x,c⟩. e6 terms are ≤ 3.2e13 (exact doubles);
+    // the products exceed 2^53, so they're carried in Decimal(38,0)
+    // (operands cast at 18 digits ⇒ 37-digit products, no precision cap)
+    // — the DuckDB oracle mirrors with HUGEINT. η = 1 degenerates to
+    // MSE·‖x‖², whose argmin matches plain MSE (‖x‖² is constant within
+    // a (vec_id, m) group).
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val wCode = Window.partitionBy("vec_id", "m").orderBy(asc("loss"), asc("j"))
     def encode(codebook: DataFrame): DataFrame =
       subs.join(broadcast(codebook), "m")
         .select(col("vec_id"), col("m"), col("j"),
           (dotD(col("xm"), col("xm")) - lit(2.0) * dotD(col("xm"), col("cm"))
-            + dotD(col("cm"), col("cm"))).as("d2"))
+            + dotD(col("cm"), col("cm"))).as("d2"),
+          (dotD(col("xm"), col("xm")) - dotD(col("xm"), col("cm"))).as("ex"),
+          dotD(col("xm"), col("xm")).as("xx"))
+        .withColumn("loss",
+          lit(eta - 1).cast(d18) * col("ex").cast(d18) * col("ex").cast(d18) +
+            col("xx").cast(d18) * col("d2").cast(d18))
         .withColumn("rn", row_number().over(wCode))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("m"), col("j"))
@@ -404,27 +484,7 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"), col("t"))
       .groupBy("qid", "cid")
       .agg(sum("t").as("approx"))
-    val wShort = Window.partitionBy("qid").orderBy(desc("approx"), asc("cid"))
-    val shortlist = scored
-      .withColumn("srn", row_number().over(wShort))
-      .filter(col("srn") <= rerank)
-      .select("qid", "cid")
-    // Exact re-rank: only nQueries × rerank vectors are ever read back.
-    val full = corpus(s, d)
-    val q = full.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val exact = shortlist
-      .join(full.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
-      .join(broadcast(q), "qid")
-      .select(col("qid"), col("cid"),
-        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
-    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
-    graft.functions.Caching.releaseAfterAction(
-      exact
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= k)
-        .orderBy("qid", "rn"),
-      subs)
+    (scored, subs)
   }
 
   /** LSH-banded approximate top-k: a corpus vector is a candidate for a query

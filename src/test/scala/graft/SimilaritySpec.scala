@@ -96,6 +96,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trainedRecall >= stubRecall,
       s"trained+rerank PQ recall $trainedRecall fell below stub's $stubRecall")
     assert(trainedRecall >= 0.5, s"trained+rerank PQ recall dropped to $trainedRecall")
+    // The anisotropic (η=2) codebook must stand on its own: raw trained
+    // ADC — no re-rank — may not fall below the stub codebook's plain ADC
+    // (MSE training measured 0.34 < 0.42 here; the score-aware loss is
+    // what closes that gap, not the re-rank stage).
+    val adcTrained = Similarity.pqTrainedAdcTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    val adcRecall = bruteSet.count(adcTrained.map(t => (t._1, t._2)).toSet.contains).toDouble / bruteSet.size
+    info(s"pq recall@5: raw trained ADC = $adcRecall")
+    assert(adcRecall >= stubRecall,
+      s"raw trained-ADC recall $adcRecall fell below stub's $stubRecall — " +
+        "anisotropic training regressed")
   }
 
   test("embedding centroids: exact fixed-point means per label") {

@@ -173,6 +173,69 @@ object EventStreams {
       }
   }
 
+  /** Streaming funnel monitor — the continuous twin of
+    * [[graft.operators.Events.funnelDf]]'s view → click → purchase
+    * progression. The batch funnel's stage times are cross-dependent
+    * (earliest click AFTER the earliest view, earliest purchase AFTER
+    * that click) and the earliest view can still DECREASE as earlier
+    * events arrive, so no windowed aggregate expresses it; this is the
+    * custom-state case, via mapGroupsWithState in update mode.
+    *
+    * Per-user state and why it is exact: the funnel thresholds only ever
+    * move EARLIER (min view is monotone non-increasing, hence so are the
+    * derived click/purchase answers). A click can therefore only become
+    * the answer if it is ≤ the CURRENT answer t2 (answers walk the sorted
+    * click list downward as t1 decreases), so clicks > t2 are pruned
+    * for good — and symmetrically purchases > t3. Each trigger recomputes
+    * the stage row from the pruned sets (order-independent within a
+    * micro-batch), emitting the user's current funnel row with a
+    * monotone `n_seen` so a consumer (and the parity spec) can take the
+    * latest row per user. State per user is the retained prefix of
+    * clicks/purchases — in production the same operator adds an
+    * event-time timeout to finalize and evict users once the watermark
+    * passes (the lists are then bounded by the lateness horizon); the
+    * replay-parity spec asserts the final rows equal the batch funnel on
+    * the corpus exactly. */
+  def funnelStream(events: DataFrame): Dataset[UserFunnel] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val rowEnc: Encoder[(Long, String, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    implicit val stEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+    implicit val outEnc: Encoder[UserFunnel] = Encoders.product[UserFunnel]
+    events.select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[(Long, String, Long)](rowEnc)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, Nil, Nil, 0L))
+          rows.foreach { case (_, tpe, ts) =>
+            st = tpe match {
+              case "view" =>
+                st.copy(nSeen = st.nSeen + 1,
+                  minView = if (st.minView < 0 || ts < st.minView) ts else st.minView)
+              case "click" =>
+                st.copy(nSeen = st.nSeen + 1, clicks = ts :: st.clicks)
+              case "purchase" =>
+                st.copy(nSeen = st.nSeen + 1, purchases = ts :: st.purchases)
+              case _ => st.copy(nSeen = st.nSeen + 1)
+            }
+          }
+          val t1 = st.minView
+          val clicksSorted = st.clicks.sorted
+          val t2 = if (t1 < 0) -1L else clicksSorted.find(_ > t1).getOrElse(-1L)
+          val purchSorted = st.purchases.sorted
+          val t3 = if (t2 < 0) -1L else purchSorted.find(_ > t2).getOrElse(-1L)
+          state.update(st.copy(
+            clicks = if (t2 > 0) clicksSorted.filter(_ <= t2) else clicksSorted,
+            purchases = if (t3 > 0) purchSorted.filter(_ <= t3) else purchSorted))
+          val stage = if (t3 > 0) 3L else if (t2 > 0) 2L
+            else if (t1 > 0) 1L else 0L
+          UserFunnel(uid, st.nSeen, t1, t2, t3, stage)
+      }
+  }
+
   /** Run a streaming query to completion over the currently-available input
     * (Trigger.AvailableNow) into an in-memory table; returns the final
     * result. Used by tests and as the batch-parity harness. With a
@@ -195,3 +258,14 @@ object EventStreams {
 
 /** Output row of [[EventStreams.runningUserCounts]]. */
 case class UserRunning(user_id: Long, n_events: Long, last_us: Long)
+
+/** Per-user state of [[EventStreams.funnelStream]]: earliest view (-1 until
+  * one arrives), retained candidate clicks/purchases (see the pruning
+  * argument there), and a monotone count of events seen. */
+case class FunnelState(minView: Long, clicks: List[Long],
+    purchases: List[Long], nSeen: Long)
+
+/** Output row of [[EventStreams.funnelStream]] — the batch funnel columns
+  * plus the monotone `n_seen` update cursor. */
+case class UserFunnel(user_id: Long, n_seen: Long, view_us: Long,
+    click_us: Long, purchase_us: Long, stage: Long)

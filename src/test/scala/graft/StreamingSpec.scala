@@ -187,6 +187,102 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === expected)
   }
 
+  test("streaming sessionize replay equals the batch lag+cumsum sessionizer on the corpus") {
+    val dir = Paths.get("target", "test-scratch", "events_sf")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "events.parquet"), dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.eventStream(spark, dir.toString)
+    val sessions = EventStreams.runToCompletion(
+        spark, EventStreams.sessionize(stream), "t_sessions_corpus")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = operators.Events.sessionize(spark, TestSpark.sf)
+      .select("user_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sessions === batch)
+  }
+
+  test("streaming funnel replay equals the batch funnel on the corpus") {
+    val dir = Paths.get("target", "test-scratch", "events_sf")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "events.parquet"), dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.eventStream(spark, dir.toString)
+    val updates = EventStreams.runToCompletion(spark,
+        EventStreams.funnelStream(stream).toDF(), "t_funnel", mode = "update")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // update mode emits one row per user per touching micro-batch; the
+    // latest (max n_seen) row per user is the final funnel state.
+    val fin = updates.groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }
+      .map(r => (r._1, r._3, r._4, r._5, r._6)).toSet
+    val batch = operators.Events.funnel(spark, TestSpark.sf)
+      .select("user_id", "view_us", "click_us", "purchase_us", "stage")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(fin === batch)
+  }
+
+  test("streaming funnel: cross-batch arrival with an earlier late view re-resolves stages") {
+    // Batch 1: click@t0+20m, purchase@t0+30m, view@t0+40m → after batch 1
+    // the click/purchase precede the earliest view: stage 1. Batch 2 (a
+    // second file): view@t0 arrives LATE → t1 drops to t0, the pruned
+    // click@+20m becomes valid, then the purchase → stage 3. Exercises the
+    // monotone-threshold pruning argument end to end across micro-batches.
+    val us = 1000L * 1000L
+    val t0 = 1700000000L * 1000000L
+    val dir = Paths.get("target", "test-scratch", "events_funnel_late")
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(dir)
+    val ck = Paths.get("target", "test-scratch", "events_funnel_late_ck")
+    if (Files.exists(ck)) {
+      Files.walk(ck).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    // Stage each micro-batch as one flat parquet FILE in the watched dir
+    // (the file source lists files, not nested write directories).
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = Paths.get("target", "test-scratch", s"events_funnel_late_tmp_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, dir.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    write("b1", Seq(
+      (1L, (t0 + 20L * 60L * us) * 1000L, 7L, "click", 1.0, "{}"),
+      (2L, (t0 + 30L * 60L * us) * 1000L, 7L, "purchase", 1.0, "{}"),
+      (3L, (t0 + 40L * 60L * us) * 1000L, 7L, "view", 1.0, "{}")))
+    // foreachBatch: the one sink that supports BOTH update mode (required
+    // by mapGroupsWithState) and checkpoint recovery (required to resume
+    // the funnel state across runs). Executes on the driver in local mode,
+    // so the buffer capture is safe.
+    def latest(): (Long, Long, Long, Long, Long, Long) = {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      val q = EventStreams.funnelStream(
+          EventStreams.eventStream(spark, dir.toString)).toDF()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf ++= df.as[(Long, Long, Long, Long, Long, Long)].collect()
+          ()
+        }
+        .option("checkpointLocation", ck.toString)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.maxBy(_._2)
+    }
+    val r1 = latest()
+    assert(r1 === (7L, 3L, t0 + 40L * 60L * us, -1L, -1L, 1L), s"got $r1")
+    write("b2", Seq((4L, t0 * 1000L, 7L, "view", 1.0, "{}")))
+    val r2 = latest()
+    assert(r2 === (7L, 4L, t0, t0 + 20L * 60L * us, t0 + 30L * 60L * us, 3L), s"got $r2")
+  }
+
   test("streaming session windows split planted gaps exactly like the batch sessionizer") {
     // user 1: events at t0, t0+10min, t0+50min → sessions of 2 and 1 events
     // user 2: single event → one session of 1

@@ -599,8 +599,10 @@ object Pipeline {
     * n ≤ 2·cap admit everything (threshold ≥ P), so small strata are
     * EXACT by construction; for hot strata the over-admit factor makes
     * under-admission vanishingly rare (probability ≈ exp(−cap/3) by a
-    * Chernoff bound — and the per-stratum admitted counts are one tiny
-    * aggregate away if a pipeline wants the re-run guard). The full-window
+    * Chernoff bound), and the operator RUNS the per-stratum admitted-count
+    * guard before returning — a pathological under-admit throws with the
+    * offending strata named instead of silently truncating the sample
+    * (PipelineSpec plants one via the overAdmit knob). The full-window
     * sibling stays as the all-rows AUDIT view; this is the one you run on
     * the 100 TB corpus. PipelineSpec asserts the kept set equals the audit
     * view's on the test corpus. */
@@ -608,18 +610,42 @@ object Pipeline {
     sampleStratifiedCappedDf(Tables.documents(s, d))
 
   /** Same, over any (doc_id, lang) DataFrame (planted hot-stratum tests). */
-  def sampleStratifiedCappedDf(docs: DataFrame): DataFrame = {
+  def sampleStratifiedCappedDf(docs: DataFrame,
+      overAdmit: Double = 2.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), col("lang"), stratHash.as("h"))
     val counts = base.groupBy("lang").agg(count(lit(1)).as("n"))
     val thr = least(lit(StratP),
-      ceil(lit(2.0 * StratCap) * lit(StratP.toDouble) / col("n")).cast("long"))
+      ceil(lit(overAdmit * StratCap) * lit(StratP.toDouble) / col("n")).cast("long"))
     val admitted = base.join(broadcast(counts), "lang").filter(col("h") <= thr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Under-admit guard — the "one tiny aggregate" re-run check: a stratum
+    // is WRONG (not just small) if it admitted fewer than min(cap, n)
+    // rows, because some non-admitted row then belongs in the true
+    // cap-smallest-hash sample. Probability ≈ exp(−cap/3) per hot stratum
+    // at the 2× over-admit factor — but a silent truncation at 100 TB is
+    // a corrupted training mix, so the pathological case must THROW, not
+    // ship. The aggregate runs over the admitted frame (O(overAdmit·cap)
+    // rows per stratum, persisted so the guard and the returned sample
+    // share the one corpus scan); zero-admitted strata surface via the
+    // left join against the stratum counts.
+    val adm = admitted.groupBy("lang").agg(count(lit(1)).as("adm"))
+    val short = counts.join(adm, Seq("lang"), "left")
+      .filter(coalesce(col("adm"), lit(0L)) < least(lit(StratCap), col("n")))
+      .select(col("lang"), col("n"), coalesce(col("adm"), lit(0L)).as("adm"))
+      .collect()
+    require(short.isEmpty,
+      "stratified sampling under-admitted strata " +
+        short.map(r => s"${r.get(0)}(n=${r.get(1)}, admitted=${r.get(2)})")
+          .mkString(", ") +
+        " — re-run with a higher over-admit factor")
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-    admitted
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= StratCap)
-      .select(col("doc_id"), col("lang"), col("rn"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      admitted
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= StratCap)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy("doc_id"),
+      admitted)
   }
 }

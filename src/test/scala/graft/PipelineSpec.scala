@@ -418,5 +418,13 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy("h", "doc_id").limit(Pipeline.StratCap.toInt)
       .select("doc_id").as[Long].collect().toSeq
     assert(got.map(_._1) === expected, "capped sample must be the exact hash-order top-cap")
+    // 3. Under-admit guard: an absurdly small over-admit factor starves the
+    // hot stratum below the cap — the operator must THROW with the stratum
+    // named, never silently ship a truncated sample.
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.sampleStratifiedCappedDf(hot, overAdmit = 0.0001)
+    }
+    assert(ex.getMessage.contains("under-admitted") && ex.getMessage.contains("xx"),
+      s"guard message must name the starved stratum: ${ex.getMessage}")
   }
 }

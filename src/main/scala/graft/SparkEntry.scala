@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDup(s, d)),
+    "dedup_substring_rewrite" -> ((s, d) => Dedup.substringRewrite(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_clusters_best" -> ((s, d) => Dedup.clustersBest(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
@@ -231,6 +232,24 @@ object SparkEntry {
   }
   private val SubstrDupE4 =
     "CAST(CASE WHEN pd.n_windows IS NULL THEN 0 ELSE round(pd.n_dup_windows * 10000.0 / pd.n_windows) END AS BIGINT)"
+
+  // Positioned variant for the span-removal REWRITE: windows carry their
+  // 1-based start position (DuckDB zips parallel unnests of equal-length
+  // lists), the first occurrence of each fingerprint is row_number()=1
+  // over (doc_id, pos), redundant occurrences expand to their covered
+  // token positions, and the cleaned text is the ordered string_agg of
+  // the surviving tokens. Position bases differ across engines (Spark
+  // posexplode is 0-based) but the first-occurrence rule and coverage
+  // arithmetic are shift-invariant within a document, so results agree.
+  private val SubstrRewriteCtes = {
+    val w = graft.operators.Dedup.SubstrWindow
+    val cat = (0 until w).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+      .mkString(" || ' ' || ")
+    val m = org.apache.spark.sql.graft.PolyHash57.Mask
+    def fold(base: Int) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(win) + 1), i -> CAST(ascii(substr(win, i, 1)) AS BIGINT))), (h, c) -> (h * $base + c) & $m)"
+    s"""stoks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), toks AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS tok FROM stoks), wins AS (SELECT doc_id, unnest(range(1, len(w) - ${w - 2})) AS pos, unnest(list_transform(range(1, len(w) - ${w - 2}), i -> $cat)) AS win FROM stoks), wh AS (SELECT doc_id, pos, ${fold(31)} AS h1, ${fold(37)} AS h2 FROM wins), wr AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY h1, h2 ORDER BY doc_id, pos) AS rn FROM wh), drops AS (SELECT DISTINCT doc_id, p AS pos FROM (SELECT doc_id, unnest(range(pos, pos + $w)) AS p FROM wr WHERE rn > 1)), reb AS (SELECT t.doc_id, count(*) AS n_kept, string_agg(t.tok, ' ' ORDER BY t.pos) AS text_clean FROM toks t LEFT JOIN drops dr ON t.doc_id = dr.doc_id AND t.pos = dr.pos WHERE dr.doc_id IS NULL GROUP BY t.doc_id)"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted (→ rows-only check): distinct_words_approx
@@ -495,6 +514,8 @@ object SparkEntry {
     // overflow-checked int64.
     "dedup_substring" ->
       s"""WITH $SubstrCtes SELECT d.doc_id, COALESCE(pd.n_windows, 0) AS n_windows, COALESCE(pd.n_dup_windows, 0) AS n_dup_windows, $SubstrDupE4 AS dup_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id""",
+    "dedup_substring_rewrite" ->
+      s"""WITH $SubstrRewriteCtes SELECT s.doc_id, CAST(len(s.w) AS BIGINT) AS n_tokens, CAST(len(s.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped, COALESCE(r.text_clean, '') AS text_clean FROM stoks s LEFT JOIN reb r ON s.doc_id = r.doc_id ORDER BY s.doc_id""",
     // Byte-shingle near-dup on binary payloads: the payload is the UTF-8
     // encoding of text, so 16-byte windows ARE 16-char substrings
     // (injective, ASCII corpus) — the oracle states them on the text

@@ -418,6 +418,73 @@ object Dedup extends org.apache.spark.internal.Logging {
       wins)
   }
 
+  /** Exact-substring SPAN REMOVAL — the rewrite that ends Lee et al.'s
+    * pipeline (arXiv:2107.06499 §3.1, "ExactSubstr"): where
+    * [[substringDupDf]] SCORES duplicated windows and corpus_clean_spans
+    * gates whole documents on that score, this operator produces the
+    * CLEANED TEXT itself. One occurrence of every duplicated token run
+    * survives — the globally FIRST by (doc_id, window position), so the
+    * rule is deterministic and engine-portable — and every token covered
+    * only by later occurrences is dropped; per-doc output is the
+    * reassembled token stream (the pipeline's normalized lowercase-token
+    * form, the same normalization every downstream operator tokenizes to)
+    * plus kept/dropped counts. Docs shorter than the window pass through
+    * untouched; overlapping redundant windows union their coverage, so a
+    * long boilerplate run is removed once, not once per window.
+    *
+    * Scale shape — same token-linear discipline as the scorer, still no
+    * pair enumeration anywhere: windows reduce to the 114-bit coprime
+    * fingerprint pair immediately (strings never shuffle); ONE map-side-
+    * combinable aggregate per fingerprint (count is not even needed — a
+    * window is redundant iff its (doc_id, pos) differs from the
+    * fingerprint's min, and a singleton IS its own min); one linear join
+    * back; covered positions explode to ≤ window × redundant-windows rows
+    * and dedup on (doc_id, pos); the rebuild's collect_list is bounded by
+    * the document's own token count — the same bound as holding the
+    * document text in one row. Boilerplate-hot fingerprints cost a hot
+    * MIN/COUNT cell, not a join fan-out. */
+  def substringRewrite(s: SparkSession, d: String,
+      window: Int = SubstrWindow): DataFrame =
+    substringRewriteDf(Tables.documents(s, d), window)
+
+  /** Same, over any (doc_id, text) DataFrame (planted-span tests). */
+  def substringRewriteDf(docs: DataFrame, window: Int = SubstrWindow): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnRenamed("col", "tok")
+    val wins = docs
+      .select(col("doc_id"), posexplode(wordNgrams(tokens(col("text")), window)))
+      .select(col("doc_id"), col("pos"),
+        polyHash57(col("col"), 31).as("h1"),
+        polyHash57(col("col"), 37).as("h2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val firsts = wins.groupBy("h1", "h2")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    // Redundant occurrence = not the fingerprint's lexicographic-first.
+    // Its covered token positions [pos, pos+window) join the drop set.
+    val drops = wins.join(firsts, Seq("h1", "h2"))
+      .filter(col("doc_id") =!= col("first.doc_id") ||
+        col("pos") =!= col("first.pos"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(window - 1))).as("pos"))
+      .distinct()
+    val rebuilt = toks.join(drops, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_clean"))
+    graft.functions.Caching.releaseAfterAction(
+      docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"))
+        .orderBy("doc_id"),
+      wins)
+  }
+
   /** Hot-shingle document-frequency cap for the exact Jaccard join: a shingle
     * occurring in f documents contributes O(f²) join rows, so boilerplate
     * shingles ("terms of service apply") make the join quadratic on skew.

@@ -207,6 +207,41 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(5L)._3 === 2L)
   }
 
+  test("substring rewrite: later span occurrences are removed, the first survives intact") {
+    val docs = Seq(
+      (1L, "one two alpha beta gamma delta epsilon zeta three four"),
+      (2L, "five six alpha beta gamma delta epsilon zeta seven eight"),
+      (3L, "nothing here repeats anywhere in this little corpus at all"),
+      (4L, "too short"),
+      (5L, "ho hi ho hi ho ho hi ho hi ho"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringRewriteDf(docs)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val byId = got.map(t => t._1 -> t).toMap
+    // Doc 1 holds the globally-first occurrence of the shared 6-token run:
+    // nothing is removed from it.
+    assert(byId(1L) === ((1L, 10L, 0L,
+      "one two alpha beta gamma delta epsilon zeta three four")))
+    // Doc 2's two redundant windows (starts 2 and 3) union-cover token
+    // positions 2..7 — the run is excised ONCE, the unique frame survives.
+    assert(byId(2L) === ((2L, 10L, 6L, "five six seven eight")))
+    // Unique text and sub-window docs pass through untouched.
+    assert(byId(3L) === ((3L, 10L, 0L,
+      "nothing here repeats anywhere in this little corpus at all")))
+    assert(byId(4L) === ((4L, 2L, 0L, "too short")))
+    // Self-repeat: window at start 5 equals the window at start 0 (the
+    // period-2 run), so tokens 5..9 drop and the first period survives.
+    assert(byId(5L) === ((5L, 10L, 5L, "ho hi ho hi ho")))
+    assert(byId(6L) === ((6L, 0L, 0L, "")))
+    // Conservation: the cleaned text always holds exactly n_tokens−n_dropped
+    // tokens (coverage union never double-drops).
+    got.foreach { case (_, n, d, t) =>
+      val kept = if (t.isEmpty) 0 else t.split(" ").length
+      assert(kept === (n - d).toInt)
+    }
+  }
+
   test("substring dup: a planted 32-bit hash collision is NOT a duplicate window") {
     import org.apache.spark.sql.graft.{PolyHash32, PolyHash57}
     // "qgjyptlw" and "wjbstcwx" collide under the 32-bit base-31 rolling

@@ -69,6 +69,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalytics.langId(s, d)),
     "text_langid_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
     "text_quality" -> ((s, d) => TextAnalytics.quality(s, d)),
+    "text_gopher" -> ((s, d) => TextAnalytics.gopherQuality(s, d)),
     "text_quality_trained" -> ((s, d) => TextAnalytics.qualityTrained(s, d)),
     "text_tokens" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
     "text_length_filter" -> ((s, d) => TextAnalytics.lengthFilter(s, d)),
@@ -473,6 +474,11 @@ object SparkEntry {
       """WITH base AS (SELECT doc_id, lang, CASE WHEN length(text) >= 3 THEN list_transform(range(1, length(text) - 1), i -> substr(lower(text), i, 3)) ELSE CAST([] AS VARCHAR[]) END AS tgs FROM documents), tr AS (SELECT lang, unnest(tgs) AS tg FROM base), pc AS (SELECT lang, tg, count(*) AS c FROM tr GROUP BY lang, tg), prof AS (SELECT lang AS plang, tg FROM (SELECT lang, tg, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) AS rn FROM pc) WHERE rn <= 20), dt AS (SELECT DISTINCT doc_id, tg FROM (SELECT doc_id, unnest(tgs) AS tg FROM base)), sc AS (SELECT doc_id, plang, count(*) AS score FROM dt JOIN prof ON dt.tg = prof.tg GROUP BY doc_id, plang), best AS (SELECT doc_id, plang, score FROM (SELECT doc_id, plang, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM sc) WHERE rn = 1) SELECT d.doc_id, d.lang, COALESCE(best.plang, 'und') AS pred_ng, CAST(COALESCE(best.score, 0) AS BIGINT) AS score, CAST(CASE WHEN COALESCE(best.plang, 'und') = d.lang THEN 1 ELSE 0 END AS BIGINT) AS is_match FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id ORDER BY d.doc_id""",
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, length(replace(text, ' ', '')) AS alpha_len, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, alpha_len, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits FROM t) SELECT doc_id, n_toks, CAST(round(alpha_len * 10000.0 / n_toks) AS BIGINT) AS avg_len_e4, CAST(round(stop_hits * 10000.0 / n_toks) AS BIGINT) AS stop_e4, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok FROM s ORDER BY doc_id""",
+    // Gopher rule battery (Rae et al. 2021 App. A): raw-text word/line
+    // metrics in e4 fixed point, stop-word presence over the tokenizer
+    // stream, keep = the full conjunction at the paper's thresholds.
+    "text_gopher" ->
+      s"""WITH g AS (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws, string_split(text, chr(10)) AS lines, regexp_extract_all(lower(text), '$Tok') AS toks FROM documents), m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_n, CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS ell_n, CAST(len(list_filter(lines, l -> list_contains(['•','-','*'], substr(ltrim(l), 1, 1)))) AS BIGINT) AS bullet_lines, CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS BIGINT) AS ell_lines, CAST(len(lines) AS BIGINT) AS n_lines, CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words, CAST(len(list_filter(['the','a','and','of','is','to','in'], x -> list_contains(toks, x))) AS BIGINT) AS stop_present FROM g), sc AS (SELECT doc_id, n_words, CAST(CASE WHEN n_words = 0 THEN 0 ELSE round(wchars * 10000.0 / n_words) END AS BIGINT) AS mean_len_e4, CAST(CASE WHEN n_words = 0 THEN 0 ELSE round((hash_n + ell_n) * 10000.0 / n_words) END AS BIGINT) AS symbol_e4, CAST(CASE WHEN n_lines = 0 THEN 0 ELSE round(bullet_lines * 10000.0 / n_lines) END AS BIGINT) AS bullet_e4, CAST(CASE WHEN n_lines = 0 THEN 0 ELSE round(ell_lines * 10000.0 / n_lines) END AS BIGINT) AS ellipsis_e4, CAST(CASE WHEN n_words = 0 THEN 0 ELSE round(alpha_words * 10000.0 / n_words) END AS BIGINT) AS alpha_e4, stop_present FROM m) SELECT doc_id, n_words, mean_len_e4, symbol_e4, bullet_e4, ellipsis_e4, alpha_e4, stop_present, CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_len_e4 BETWEEN 30000 AND 100000 AND symbol_e4 <= 1000 AND bullet_e4 <= 1000 AND ellipsis_e4 <= 3000 AND alpha_e4 >= 8000 AND stop_present >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM sc ORDER BY doc_id""",
     // Trained quality twin: weak labels from the heuristic ok flag,
     // add-one-smoothed per-token likelihood ratios in pinned-order double
     // arithmetic, integer sums for the document scores.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns._
 import graft.sources.Tables
@@ -601,6 +601,94 @@ object TextAnalytics {
         round(col("alpha_len") * lit(10000.0) / col("n_toks")).cast("long").as("avg_len_e4"),
         round(col("stop_hits") * lit(10000.0) / col("n_toks")).cast("long").as("stop_e4"),
         when(col("n_toks") >= 5 && col("stop_hits") > 0, lit(1L)).otherwise(lit(0L)).as("ok"))
+      .orderBy("doc_id")
+  }
+
+  /** The Gopher rule-suite thresholds (Rae et al. 2021, arXiv:2112.11446
+    * Appendix A) — the paper's published constants, unscaled: word count
+    * in [50, 100000], mean word length in [3, 10] chars, symbol-to-word
+    * ratio ("#" chars plus "..." runs) ≤ 0.1, ≤ 10 % of lines starting
+    * with a bullet, ≤ 30 % ending in an ellipsis, ≥ 80 % of words
+    * containing an alphabetic character, and at least 2 of the paper's
+    * eight stop words present. Ratios live in the repo-wide 1e-4 fixed
+    * point so the flags compare integers. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanLenE4 = 30000L
+  val GopherMaxMeanLenE4 = 100000L
+  val GopherMaxSymbolE4 = 1000L
+  val GopherMaxBulletE4 = 1000L
+  val GopherMaxEllipsisE4 = 3000L
+  val GopherMinAlphaE4 = 8000L
+  val GopherMinStops = 2L
+
+  /** The stop-word RULE is the paper's (≥ 2 distinct function words
+    * present); the LIST is the repo-wide function-word set [[StopWords]]
+    * rather than the paper's eight English prose words ("be", "that",
+    * "have", "with" — absent from this corpus's vocabulary, which would
+    * pin the rule false on every document and make the gate vacuous).
+    * Production use swaps in the target language's function words, as the
+    * paper itself does implicitly by being English-only. */
+  val GopherStops = StopWords
+
+  /** Gopher quality rule suite — the industry-standard document filter
+    * battery, complementing [[quality]] (this repo's compact heuristic)
+    * and [[qualityTrained]] (the learned gate): each rule is computed as
+    * its published metric over the RAW text (words = space-delimited
+    * runs, lines = newline-delimited; the tokenizer's lowercase [a-z]+
+    * stream is used only for the stop-word rule, which is case-robust by
+    * construction), every metric ships in the output so a failing
+    * document explains itself, and `keep` is the full conjunction.
+    *
+    * Scale shape: a pure per-row map — no shuffle at all before the
+    * contract's terminal presentation sort; every metric is a
+    * codegen'd string/array expression over the document's own bytes, so
+    * the operator runs at scan speed and composes into any gate
+    * conjunction (Ship's keep logic) for free. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherQualityDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted rule-trip tests). */
+  def gopherQualityDf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"),
+      filter(split(col("text"), " "), w => w =!= lit("")).as("ws"),
+      split(col("text"), "\n").as("lines"),
+      tokens(col("text")).as("toks"))
+    val m = t.select(col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      // words are space-split, so summed word length = non-space length
+      length(replace(col("text"), lit(" "), lit(""))).cast("long").as("wchars"),
+      (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
+        .cast("long").as("hash_n"),
+      ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / lit(3))
+        .cast("long").as("ell_n"),
+      size(filter(col("lines"),
+        l => substring(ltrim(l), 1, 1).isin("•", "-", "*"))).cast("long").as("bullet_lines"),
+      size(filter(col("lines"),
+        l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+        .cast("long").as("ell_lines"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
+      GopherStops.map(sw => when(array_contains(col("toks"), sw), lit(1L))
+        .otherwise(lit(0L))).reduce(_ + _).as("stop_present"))
+    def rat(num: Column, den: Column): Column =
+      when(den === 0L, lit(0L))
+        .otherwise(round(num * lit(10000.0) / den).cast("long"))
+    m.select(col("doc_id"), col("n_words"),
+        rat(col("wchars"), col("n_words")).as("mean_len_e4"),
+        rat(col("hash_n") + col("ell_n"), col("n_words")).as("symbol_e4"),
+        rat(col("bullet_lines"), col("n_lines")).as("bullet_e4"),
+        rat(col("ell_lines"), col("n_lines")).as("ellipsis_e4"),
+        rat(col("alpha_words"), col("n_words")).as("alpha_e4"),
+        col("stop_present"))
+      .withColumn("keep", when(
+          col("n_words").between(GopherMinWords, GopherMaxWords) &&
+          col("mean_len_e4").between(GopherMinMeanLenE4, GopherMaxMeanLenE4) &&
+          col("symbol_e4") <= GopherMaxSymbolE4 &&
+          col("bullet_e4") <= GopherMaxBulletE4 &&
+          col("ellipsis_e4") <= GopherMaxEllipsisE4 &&
+          col("alpha_e4") >= GopherMinAlphaE4 &&
+          col("stop_present") >= GopherMinStops, lit(1L)).otherwise(lit(0L)))
       .orderBy("doc_id")
   }
 

@@ -241,6 +241,42 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (3L, 0L, 0L, 0L, 0L)))
   }
 
+  test("gopher rules: each planted violation trips exactly its own rule") {
+    val good = (Seq("the", "of") ++ Seq.fill(48)("word")).mkString(" ")
+    val bullets = ("- the of " + Seq.fill(22)("word").mkString(" ")) + "\n" +
+      ("- " + Seq.fill(24)("word").mkString(" "))
+    val ellipsis = (Seq("the", "of") ++ Seq.fill(47)("word")).mkString(" ") + " word..."
+    val symbols = (Seq("the", "of") ++ Seq.fill(10)("#") ++ Seq.fill(38)("word")).mkString(" ")
+    val noStops = Seq.fill(50)("word").mkString(" ")
+    val shortWords = (Seq("the", "of") ++ Seq.fill(48)("ab")).mkString(" ")
+    val docs = Seq(
+      (1L, good), (2L, "the of word"), (3L, bullets), (4L, ellipsis),
+      (5L, symbols), (6L, noStops), (7L, shortWords), (8L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalytics.gopherQualityDf(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    // good: 50 words, all rules green
+    assert(got(1L)._9 === 1L)
+    assert(got(1L)._2 === 50L && got(1L)._8 === 2L)
+    // word-count floor: 3 words
+    assert(got(2L)._9 === 0L && got(2L)._2 === 3L)
+    // both lines bulleted -> bullet_e4 = 10000; everything else passes
+    assert(got(3L)._9 === 0L && got(3L)._5 === 10000L && got(3L)._6 === 0L)
+    // the single line ends in "..." -> ellipsis_e4 = 10000, symbol ratio
+    // from that one run stays under the cap (200 <= 1000)
+    assert(got(4L)._9 === 0L && got(4L)._6 === 10000L && got(4L)._4 === 200L)
+    // ten '#' words in fifty -> symbol_e4 = 2000 > 1000; alpha ratio sits
+    // exactly on the 0.8 floor and still passes
+    assert(got(5L)._9 === 0L && got(5L)._4 === 2000L && got(5L)._7 === 8000L)
+    // no stop words at all
+    assert(got(6L)._9 === 0L && got(6L)._8 === 0L)
+    // mean word length 101/50 = 2.02 < 3
+    assert(got(7L)._9 === 0L && got(7L)._3 === 20200L)
+    // empty text: zero metrics, fails on word count
+    assert(got(8L) === ((8L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("wordpiece: greedy longest-match segments planted words exactly") {
     import org.apache.spark.sql.functions.col
     val vocab = TextAnalytics.WordPieceVocab

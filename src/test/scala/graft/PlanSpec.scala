@@ -45,8 +45,12 @@ class PlanSpec extends AnyFunSuite {
         "dedup_minhash_pairs", "sim_ivf_topk", "decontaminate",
         "vocab_coverage", "text_tfidf_linear")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
-      df.count()
+      // Capture the plan BEFORE the terminal action: operators wired
+      // through Caching.releaseAfterAction unpersist their intermediates
+      // as soon as the action completes (the advisor's release
+      // discipline), so the cache is visible in the plan, not after it.
       val plan = df.queryExecution.executedPlan.toString
+      df.count()
       assert(plan.contains("InMemoryTableScan"),
         s"$q no longer reads a cached intermediate:\n${plan.take(2000)}")
       spark.catalog.clearCache()
@@ -98,8 +102,8 @@ class PlanSpec extends AnyFunSuite {
     // bitset and only candidates reach the broadcast verify join — if
     // either side ever plans as a shuffled join the scale story is gone.
     val df = SparkEntry.queries("decontaminate_bloom")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString // pre-action: see above
     df.count()
-    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"bloom bitset/verify joins must broadcast:\n${plan.take(2000)}")
     assert(plan.contains("InMemoryTableScan"),
@@ -109,8 +113,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("events_anomaly: the per-type moments broadcast back to the hourly counts") {
     val df = SparkEntry.queries("events_anomaly")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString // pre-action: see above
     df.count()
-    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"type-dimension moments must broadcast:\n${plan.take(2000)}")
     assert(plan.contains("InMemoryTableScan"),
@@ -120,8 +124,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup_incremental_neardup: the batch band keys broadcast — the corpus never shuffles") {
     val df = SparkEntry.queries("dedup_incremental_neardup")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString // pre-action: see above
     df.count()
-    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"batch band keys must broadcast into the corpus fingerprint scan:\n${plan.take(2000)}")
     assert(plan.contains("InMemoryTableScan"),
@@ -155,8 +159,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("events_retention: the distinct (user, day) frame is computed once and cached") {
     val df = SparkEntry.queries("events_retention")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString // pre-action: see above
     df.count()
-    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("InMemoryTableScan"),
       s"activity frame no longer persisted (recomputes the distinct):\n${plan.take(2000)}")
     spark.catalog.clearCache()

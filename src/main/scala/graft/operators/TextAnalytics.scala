@@ -692,6 +692,109 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** Gopher repetition-battery thresholds (Rae et al. 2021 App. A, table
+    * A1): duplicate line / paragraph fractions ≤ 0.30, duplicate line /
+    * paragraph CHARACTER fractions ≤ 0.20, top {2,3,4}-gram character
+    * fractions ≤ {0.20, 0.18, 0.16}, duplicate {5..10}-gram character
+    * fractions ≤ {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}. */
+  val GopherMaxDupLineE4 = 3000L
+  val GopherMaxDupParaE4 = 3000L
+  val GopherMaxDupLineCharE4 = 2000L
+  val GopherMaxDupParaCharE4 = 2000L
+  val GopherMaxTopGramE4 = Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
+  val GopherMaxDupGramE4 =
+    Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
+
+  /** Gopher repetition battery — the second half of the Rae et al. 2021
+    * App. A filter (the first half is [[gopherQuality]]): per document,
+    * the duplicate-line and duplicate-paragraph fractions (occurrence- and
+    * character-weighted), the character share of the single most frequent
+    * {2,3,4}-gram, and the character share of all duplicated {5..10}-grams.
+    * Lines/paragraphs are non-empty `\n` / `\n\n` splits of the raw text;
+    * grams run over the tokenizer stream with single-space joins. Character
+    * masses are count×length of the joined item over the raw text length —
+    * the paper's non-overlap accounting is approximated by this
+    * count-weighted mass (documented divergence; deterministic, mirrored
+    * exactly in the oracle). The most frequent gram breaks ties by item
+    * ascending. `keep` is the full conjunction at the paper's thresholds;
+    * item-less documents (empty text) score 0 everywhere and pass — the
+    * word-count rule in [[gopherQuality]] owns rejecting those.
+    *
+    * Scale shape: one explode over 11 unit kinds (lines, paragraphs, nine
+    * gram widths ≈ 9× token count — the battery's honest cost), then ONE
+    * shuffle on (doc_id, unit, item) where map-side combine collapses
+    * within-doc repeats — every key carries doc_id, so a pathological
+    * boilerplate gram skews no partition. The per-unit rollup and per-doc
+    * pivot re-shuffle only (doc_id, unit) rows (≤ 11 per doc). The
+    * most-frequent-gram pick is a `min(struct(-c, item))` aggregate, not a
+    * window, so no per-group sort materializes. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
+    gopherRepetitionDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted-repetition tests). */
+  def gopherRepetitionDf(docs: DataFrame): DataFrame = {
+    val gramUnits = (2 to 10).map { n =>
+      transform(wordNgrams(tokens(col("text")), n),
+        g => struct(lit(s"G$n").as("unit"), g.as("item")))
+    }
+    val items = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("dlen"),
+        explode(concat(
+          transform(filter(split(col("text"), "\n"), l => l =!= lit("")),
+            l => struct(lit("L").as("unit"), l.as("item"))) +:
+          transform(filter(split(col("text"), "\n\n"), p => p =!= lit("")),
+            p => struct(lit("P").as("unit"), p.as("item"))) +:
+          gramUnits: _*)).as("it"))
+      .select(col("doc_id"), col("dlen"),
+        col("it.unit").as("unit"), col("it.item").as("item"))
+    val counted = items.groupBy("doc_id", "dlen", "unit", "item")
+      .agg(count(lit(1)).as("c"))
+    def rat(num: Column, den: Column): Column =
+      when(den === 0L, lit(0L))
+        .otherwise(round(num * lit(10000.0) / den).cast("long"))
+    val perUnit = counted.groupBy("doc_id", "dlen", "unit")
+      .agg(sum("c").as("n"), count(lit(1)).as("nd"),
+        sum(col("c") * length(col("item"))).as("tot"),
+        sum(when(col("c") > 1L, col("c") * length(col("item")))
+          .otherwise(lit(0L))).as("dupchars"),
+        min(struct((-col("c")).as("nc"), col("item").as("item"))).as("top"))
+      .select(col("doc_id"), col("unit"),
+        rat(col("n") - col("nd"), col("n")).as("dup_frac_e4"),
+        rat(col("dupchars"), col("tot")).as("dup_char_e4"),
+        rat((-col("top.nc")) * length(col("top.item")), col("dlen")).as("top_doc_e4"),
+        rat(col("dupchars"), col("dlen")).as("dup_doc_e4"))
+    def pick(unit: String, metric: String): Column =
+      coalesce(max(when(col("unit") === unit, col(metric))), lit(0L))
+    val piv = perUnit.groupBy("doc_id").agg(
+      pick("L", "dup_frac_e4").as("dup_line_e4"),
+      pick("L", "dup_char_e4").as("dup_line_char_e4"),
+      pick("P", "dup_frac_e4").as("dup_para_e4"),
+      pick("P", "dup_char_e4").as("dup_para_char_e4"),
+      pick("G2", "top_doc_e4").as("top2_e4"),
+      pick("G3", "top_doc_e4").as("top3_e4"),
+      pick("G4", "top_doc_e4").as("top4_e4"),
+      pick("G5", "dup_doc_e4").as("dup5_e4"),
+      pick("G6", "dup_doc_e4").as("dup6_e4"),
+      pick("G7", "dup_doc_e4").as("dup7_e4"),
+      pick("G8", "dup_doc_e4").as("dup8_e4"),
+      pick("G9", "dup_doc_e4").as("dup9_e4"),
+      pick("G10", "dup_doc_e4").as("dup10_e4"))
+    val cols = Seq("dup_line_e4", "dup_line_char_e4", "dup_para_e4",
+      "dup_para_char_e4", "top2_e4", "top3_e4", "top4_e4",
+      "dup5_e4", "dup6_e4", "dup7_e4", "dup8_e4", "dup9_e4", "dup10_e4")
+    docs.select("doc_id").join(piv, Seq("doc_id"), "left")
+      .select(col("doc_id") +: cols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .withColumn("keep", when(
+          col("dup_line_e4") <= GopherMaxDupLineE4 &&
+          col("dup_para_e4") <= GopherMaxDupParaE4 &&
+          col("dup_line_char_e4") <= GopherMaxDupLineCharE4 &&
+          col("dup_para_char_e4") <= GopherMaxDupParaCharE4 &&
+          (2 to 4).map(n => col(s"top${n}_e4") <= GopherMaxTopGramE4(n)).reduce(_ && _) &&
+          (5 to 10).map(n => col(s"dup${n}_e4") <= GopherMaxDupGramE4(n)).reduce(_ && _),
+          lit(1L)).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
   /** TRAINED quality scoring — the learned sibling of the [[quality]]
     * heuristic, completing the pipeline's trained-artifact set (langid →
     * trained trigram profiles, LM score → trained bigram model, wordpiece

@@ -277,6 +277,47 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(got(8L) === ((8L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("gopher repetition: planted dup lines/paras/grams score their published metrics") {
+    // clean: 30 distinct 2-char tokens, one line, dlen = 60 + 29 = 89
+    val clean = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj",
+      "kk", "ll", "mm", "nn", "oo", "pp", "qq", "rr", "ss", "tt",
+      "uu", "vv", "ww", "xx", "yy", "zz", "ab", "ac", "ad", "ae").mkString(" ")
+    val dupLines = "aa bb\naa bb\ncc dd ee ff gg hh ii jj"
+    val dupParas = "xx yy\n\nxx yy\n\nzz ww vv uu tt ss rr qq"
+    val dupGram5 = "p q r s t u v w x y z a b c d p q r s t"
+    val docs = Seq((1L, clean), (2L, dupLines), (3L, dupParas), (4L, dupGram5),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalytics.gopherRepetitionDf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // clean: zero dup mass anywhere; top-gram masses are the smallest
+    // count-1 gram's chars over dlen=89: 5/8/11 chars -> 562/899/1236
+    assert(got(1L).getAs[Long]("keep") === 1L)
+    assert(got(1L).getAs[Long]("dup_line_e4") === 0L)
+    assert(got(1L).getAs[Long]("dup5_e4") === 0L)
+    assert(got(1L).getAs[Long]("top2_e4") === 562L)
+    assert(got(1L).getAs[Long]("top3_e4") === 899L)
+    assert(got(1L).getAs[Long]("top4_e4") === 1236L)
+    // dup lines: 3 lines, 2 distinct -> 3333; chars 2*5/(2*5+23) -> 3030
+    assert(got(2L).getAs[Long]("keep") === 0L)
+    assert(got(2L).getAs[Long]("dup_line_e4") === 3333L)
+    assert(got(2L).getAs[Long]("dup_line_char_e4") === 3030L)
+    // dup paragraphs trip the paragraph twin the same way
+    assert(got(3L).getAs[Long]("keep") === 0L)
+    assert(got(3L).getAs[Long]("dup_para_e4") === 3333L)
+    assert(got(3L).getAs[Long]("dup_para_char_e4") === 3030L)
+    // "p q r s t" twice in 20 tokens (dlen 39): dup5 = 2*9/39 -> 4615,
+    // no 6-gram repeats, top3 = "p q r" mass 2*5/39 -> 2564
+    assert(got(4L).getAs[Long]("keep") === 0L)
+    assert(got(4L).getAs[Long]("dup5_e4") === 4615L)
+    assert(got(4L).getAs[Long]("dup6_e4") === 0L)
+    assert(got(4L).getAs[Long]("top3_e4") === 2564L)
+    // empty text: no items at all, all-zero metrics pass the battery
+    // (gopherQuality's word-count floor owns rejecting empties)
+    assert(got(5L).getAs[Long]("keep") === 1L)
+    assert(got(5L).getAs[Long]("dup_line_e4") === 0L)
+    assert(got(5L).getAs[Long]("top2_e4") === 0L)
+  }
+
   test("wordpiece: greedy longest-match segments planted words exactly") {
     import org.apache.spark.sql.functions.col
     val vocab = TextAnalytics.WordPieceVocab

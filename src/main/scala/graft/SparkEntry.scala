@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDup(s, d)),
     "dedup_substring_rewrite" -> ((s, d) => Dedup.substringRewrite(s, d)),
+    "dedup_lines" -> ((s, d) => Dedup.lineDedup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_clusters_best" -> ((s, d) => Dedup.clustersBest(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
@@ -554,6 +555,18 @@ object SparkEntry {
       s"""WITH $SubstrCtes SELECT d.doc_id, COALESCE(pd.n_windows, 0) AS n_windows, COALESCE(pd.n_dup_windows, 0) AS n_dup_windows, $SubstrDupE4 AS dup_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id""",
     "dedup_substring_rewrite" ->
       s"""WITH $SubstrRewriteCtes SELECT s.doc_id, CAST(len(s.w) AS BIGINT) AS n_tokens, CAST(len(s.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped, COALESCE(r.text_clean, '') AS text_clean FROM stoks s LEFT JOIN reb r ON s.doc_id = r.doc_id ORDER BY s.doc_id""",
+    // Corpus-wide exact line dedup (C4-style, line granularity): non-empty
+    // lines reduce to the same 114-bit fingerprint pair, row_number()=1
+    // over (doc_id, pos) is the corpus-first winner (the mirror of the
+    // Spark min(struct) aggregate; 1-based vs 0-based positions are
+    // shift-invariant within a document), later occurrences drop, and the
+    // text reassembles from surviving lines — empty lines always survive.
+    "dedup_lines" -> {
+      val m = org.apache.spark.sql.graft.PolyHash57.Mask
+      def fold(base: Int) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(line) + 1), i -> CAST(ascii(substr(line, i, 1)) AS BIGINT))), (h, c) -> (h * $base + c) & $m)"
+      s"""WITH dl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents), lines AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line FROM dl), fp AS (SELECT doc_id, pos, ${fold(31)} AS h1, ${fold(37)} AS h2 FROM lines WHERE line <> ''), wr AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY h1, h2 ORDER BY doc_id, pos) AS rn FROM fp), drops AS (SELECT doc_id, pos FROM wr WHERE rn > 1), reb AS (SELECT l.doc_id, count(*) AS n_kept, COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos), '') AS text_clean FROM lines l LEFT JOIN drops dr ON l.doc_id = dr.doc_id AND l.pos = dr.pos WHERE dr.doc_id IS NULL GROUP BY l.doc_id) SELECT d.doc_id, CAST(len(dl.ls) AS BIGINT) AS n_lines, CAST(len(dl.ls) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed, COALESCE(r.text_clean, '') AS text_clean FROM documents d JOIN dl ON d.doc_id = dl.doc_id LEFT JOIN reb r ON d.doc_id = r.doc_id ORDER BY d.doc_id"""
+    },
     // Byte-shingle near-dup on binary payloads: the payload is the UTF-8
     // encoding of text, so 16-byte windows ARE 16-char substrings
     // (injective, ASCII corpus) — the oracle states them on the text

@@ -485,6 +485,62 @@ object Dedup extends org.apache.spark.internal.Logging {
       wins)
   }
 
+  /** Corpus-wide exact LINE deduplication with text rewrite — the
+    * line-granular form of C4's span dedup (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2 discards all but one occurrence of any
+    * three-sentence span; production web pipelines most often apply the
+    * rule at line granularity, where boilerplate lives). Every non-empty
+    * line keeps only its corpus-FIRST occurrence — the lexicographic
+    * (doc_id, line index) winner, so the rule is deterministic and
+    * engine-portable — and later occurrences are removed; each document
+    * is reassembled from its surviving lines. Empty lines are document
+    * structure, not content: never dedup targets, always kept.
+    *
+    * Scale shape: lines reduce to the 114-bit coprime fingerprint pair
+    * before any shuffle (16 bytes per key, never the line text); the
+    * winner per fingerprint is ONE map-side-combinable min aggregate, so
+    * a boilerplate line occurring 1e9 times costs a hot min cell, not
+    * driver state; the occurrence→winner join is equi on the fingerprint
+    * and 1:N (winners are distinct per key) — a hot key is a skewed
+    * partition for AQE's skew split to cut, not a fan-out; the rebuild's
+    * collect_list is bounded by the document's own line count, the same
+    * bound as holding the document in one row. */
+  def lineDedup(s: SparkSession, d: String): DataFrame =
+    lineDedupDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) DataFrame (planted-boilerplate tests). */
+  def lineDedupDf(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .withColumnRenamed("col", "line")
+    val fp = lines.filter(col("line") =!= "")
+      .select(col("doc_id"), col("pos"),
+        polyHash57(col("line"), 31).as("h1"),
+        polyHash57(col("line"), 37).as("h2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val firsts = fp.groupBy("h1", "h2")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val drops = fp.join(firsts, Seq("h1", "h2"))
+      .filter(col("doc_id") =!= col("first.doc_id") ||
+        col("pos") =!= col("first.pos"))
+      .select("doc_id", "pos")
+    val rebuilt = lines.join(drops, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_clean"))
+    graft.functions.Caching.releaseAfterAction(
+      docs.select(col("doc_id"),
+          size(split(col("text"), "\n")).cast("long").as("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"))
+        .orderBy("doc_id"),
+      fp)
+  }
+
   /** Hot-shingle document-frequency cap for the exact Jaccard join: a shingle
     * occurring in f documents contributes O(f²) join rows, so boilerplate
     * shingles ("terms of service apply") make the join quadratic on skew.

@@ -242,6 +242,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup: each boilerplate line survives only at its corpus-first site") {
+    val docs = Seq(
+      (1L, "header\nunique one\ncommon line"),
+      (2L, "common line\nother text\n\nheader"),
+      (3L, ""),
+      (4L, "common line"),
+      (5L, "rep\nrep\nrep")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedupDf(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    // doc 1 holds the first occurrence of both shared lines — untouched
+    assert(got(1L) === ((1L, 3L, 0L, "header\nunique one\ncommon line")))
+    // doc 2 loses both shared lines but keeps its empty structural line
+    assert(got(2L) === ((2L, 4L, 2L, "other text\n")))
+    // empty text is a single empty line, never a dedup target
+    assert(got(3L) === ((3L, 1L, 0L, "")))
+    // a doc that is ONLY a later duplicate empties out completely
+    assert(got(4L) === ((4L, 1L, 1L, "")))
+    // within-doc repeats: the first line of the run survives
+    assert(got(5L) === ((5L, 3L, 2L, "rep")))
+  }
+
   test("substring dup: a planted 32-bit hash collision is NOT a duplicate window") {
     import org.apache.spark.sql.graft.{PolyHash32, PolyHash57}
     // "qgjyptlw" and "wjbstcwx" collide under the 32-bit base-31 rolling

@@ -117,6 +117,7 @@ object SparkEntry {
     "corpus_clean" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "corpus_clean_neardup" -> ((s, d) => Pipeline.cleanCorpusNearDup(s, d)),
     "corpus_clean_spans" -> ((s, d) => Pipeline.cleanCorpusSpans(s, d)),
+    "corpus_clean_c4" -> ((s, d) => Pipeline.c4Clean(s, d)),
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(s, d)),
     "source_report" -> ((s, d) => Pipeline.sourceReport(s, d)),
     "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
@@ -283,6 +284,13 @@ object SparkEntry {
     // span gate is dup_e4 < threshold on pd's per-doc window totals.
     "corpus_clean_spans" ->
       s"""WITH $SubstrCtes, t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s), surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), sp AS (SELECT d.doc_id, CAST(CASE WHEN $SubstrDupE4 < ${graft.operators.Pipeline.SpanDupE4Max} THEN 1 ELSE 0 END AS BIGINT) AS span_ok FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id) SELECT d.doc_id, CAST(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, sp.span_ok, CAST(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 AND sp.span_ok = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id JOIN sp ON d.doc_id = sp.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id ORDER BY d.doc_id""",
+    // C4 line + page cleaning (Raffel et al. 2020 §2.2): line survives iff
+    // terminal punctuation AND >= 3 words AND no "javascript"; page keep =
+    // >= 5 sentences in the cleaned text AND no "lorem ipsum" / curly
+    // brace in the raw page. Thresholds interpolated from the Pipeline
+    // constants so they cannot drift.
+    "corpus_clean_c4" ->
+      s"""WITH g AS (SELECT doc_id, text, lower(text) AS lt, string_split(text, chr(10)) AS lines FROM documents), k AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, list_filter(lines, l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"')) AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= ${graft.operators.Pipeline.C4MinLineWords} AND NOT contains(lower(l), 'javascript')) AS kept, lt FROM g), s AS (SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept, COALESCE(array_to_string(kept, chr(10)), '') AS text_clean, lt FROM k), m AS (SELECT doc_id, n_lines, n_kept, CAST(length(text_clean) - length(replace(replace(replace(text_clean, '.', ''), '!', ''), '?', '')) AS BIGINT) AS n_sentences, text_clean, lt FROM s) SELECT doc_id, n_lines, n_kept, n_sentences, CAST(CASE WHEN n_sentences >= ${graft.operators.Pipeline.C4MinSentences} AND NOT contains(lt, 'lorem ipsum') AND NOT contains(lt, '{') AND NOT contains(lt, '}') THEN 1 ELSE 0 END AS BIGINT) AS keep, text_clean FROM m ORDER BY doc_id""",
     "data_split" ->
       """SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents)) ORDER BY doc_id""",
     // Per-source mixture sampling: both hashes are the same salted

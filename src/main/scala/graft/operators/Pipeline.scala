@@ -122,6 +122,60 @@ object Pipeline {
     gate(qualityLangFlags(docs), survivors)
   }
 
+  /** C4 cleaning constants (Raffel et al. 2020, arXiv:1910.10683 §2.2):
+    * a line survives iff it ends in terminal punctuation (. ! ? ") AND
+    * holds ≥ 3 space-delimited words AND does not mention "javascript";
+    * a page ships iff its cleaned text still holds ≥ 5 sentences
+    * (terminal-punctuation count) and the RAW page has no "lorem ipsum"
+    * and no curly brace. The paper's badword-list rule needs its external
+    * list and is out of scope here. */
+  val C4MinLineWords = 3L
+  val C4MinSentences = 5L
+
+  /** C4 line + page cleaning — the per-row REWRITE sibling of the
+    * doc-level gates above: lines are filtered by the paper's rules, the
+    * page reassembles from survivors, and the page-level decision (with
+    * every metric exposed for audit) rides alongside the cleaned text.
+    *
+    * Scale shape: a pure per-row map — the line filter, word counts,
+    * sentence count and page flags are all higher-order array / string
+    * expressions over the document's own bytes, so the operator runs at
+    * scan speed with NO shuffle before the contract's presentation sort,
+    * and the cleaned text feeds any downstream operator unchanged. */
+  def c4Clean(s: SparkSession, d: String): DataFrame =
+    c4CleanDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) DataFrame (planted line-rule tests). */
+  def c4CleanDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def lineOk(l: Column): Column =
+      (endswith(rtrim(l), lit(".")) || endswith(rtrim(l), lit("!")) ||
+        endswith(rtrim(l), lit("?")) || endswith(rtrim(l), lit("\""))) &&
+      size(filter(split(l, " "), w => w =!= lit(""))) >= lit(C4MinLineWords) &&
+      !lower(l).contains("javascript")
+    val kept = docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        filter(split(col("text"), "\n"), lineOk _).as("__kept"),
+        lower(col("text")).as("__lt"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), "\n").as("text_clean"),
+        col("__lt"))
+    def noTerm(c: Column): Column =
+      length(replace(replace(replace(c, lit("."), lit("")), lit("!"), lit("")),
+        lit("?"), lit("")))
+    kept
+      .withColumn("n_sentences",
+        (length(col("text_clean")) - noTerm(col("text_clean"))).cast("long"))
+      .withColumn("keep", when(
+          col("n_sentences") >= C4MinSentences &&
+          !col("__lt").contains("lorem ipsum") &&
+          !col("__lt").contains("{") && !col("__lt").contains("}"),
+          lit(1L)).otherwise(lit(0L)))
+      .select("doc_id", "n_lines", "n_kept", "n_sentences", "keep", "text_clean")
+      .orderBy("doc_id")
+  }
+
   /** Drop threshold for the exact-substring gate: a document whose windows
     * are ≥ half duplicated corpus-wide is boilerplate-dominated and leaves
     * the corpus whole (Lee et al. 2022 §4 remove the SPANS; at the document

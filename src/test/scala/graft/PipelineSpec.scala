@@ -9,6 +9,39 @@ class PipelineSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("c4 clean: each published line and page rule fires on its planted doc") {
+    val good = Seq("alpha beta gamma one.", "alpha beta gamma two.",
+      "alpha beta gamma three.", "alpha beta gamma four.",
+      "alpha beta gamma five.", "he said \"good day friend.\"").mkString("\n")
+    val lineRules = "keep this line ok.\nno terminal punct here\ntoo short.\n" +
+      "this javascript line is dropped."
+    val lorem = Seq("one two three four.", "five six seven eight!",
+      "nine ten eleven twelve?", "lorem ipsum dolor sit.",
+      "more good words here.", "final line of text.").mkString("\n")
+    val braces = Seq("good line number one.", "good line number two.",
+      "good line number three.", "good line number four.",
+      "good line number five.", "code { brace }").mkString("\n")
+    val short = "only two sentences here.\nsecond good sentence now."
+    val docs = Seq((1L, good), (2L, lineRules), (3L, lorem), (4L, braces),
+      (5L, short), (6L, "")).toDF("doc_id", "text")
+    val got = Pipeline.c4CleanDf(docs)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    // all six lines survive (incl. the close-quote ending); 6 sentences
+    assert(got(1L) === ((1L, 6L, 6L, 6L, 1L, good)))
+    // no-punct, <3-words and javascript lines all drop; page under 5 sentences
+    assert(got(2L) === ((2L, 4L, 1L, 1L, 0L, "keep this line ok.")))
+    // lines all pass but the raw page mentions lorem ipsum
+    assert(got(3L)._5 === 0L && got(3L)._4 === 6L && got(3L)._3 === 6L)
+    // the brace line drops AND the raw page's brace kills the page
+    assert(got(4L) === ((4L, 6L, 5L, 5L, 0L,
+      braces.split("\n").init.mkString("\n"))))
+    // clean but too short: 2 sentences < 5
+    assert(got(5L) === ((5L, 2L, 2L, 2L, 0L, short)))
+    // empty text: one empty line, nothing kept
+    assert(got(6L) === ((6L, 1L, 0L, 0L, 0L, "")))
+  }
+
   test("components: chains collapse to min label, disjoint clusters stay apart") {
     // 1-2-3 chain (transitive, no direct 1-3 edge), {7,8} pair, 9 isolated
     // (not in the pair graph at all).

@@ -146,34 +146,40 @@ object Pipeline {
     c4CleanDf(Tables.documents(s, d))
 
   /** Same, over any (doc_id, text) DataFrame (planted line-rule tests). */
-  def c4CleanDf(docs: DataFrame): DataFrame = {
+  def c4CleanDf(docs: DataFrame): DataFrame =
+    withC4Flags(docs).select(col("doc_id"),
+        col("c4_n_lines").as("n_lines"), col("c4_n_kept").as("n_kept"),
+        col("c4_n_sentences").as("n_sentences"), col("c4_keep").as("keep"),
+        col("c4_text_clean").as("text_clean"))
+      .orderBy("doc_id")
+
+  /** The rules as c4_-prefixed APPENDED columns over any frame with a
+    * `text` column — ONE definition shared by the batch query above and
+    * the streaming gate twin (graft.streaming.TextStreams.gateStream), so
+    * the rules cannot drift. Stateless per-row projection; works on
+    * streams. */
+  private[graft] def withC4Flags(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Column
     def lineOk(l: Column): Column =
       (endswith(rtrim(l), lit(".")) || endswith(rtrim(l), lit("!")) ||
         endswith(rtrim(l), lit("?")) || endswith(rtrim(l), lit("\""))) &&
       size(filter(split(l, " "), w => w =!= lit(""))) >= lit(C4MinLineWords) &&
       !lower(l).contains("javascript")
-    val kept = docs.select(col("doc_id"),
-        size(split(col("text"), "\n")).cast("long").as("n_lines"),
-        filter(split(col("text"), "\n"), lineOk _).as("__kept"),
-        lower(col("text")).as("__lt"))
-      .select(col("doc_id"), col("n_lines"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        array_join(col("__kept"), "\n").as("text_clean"),
-        col("__lt"))
     def noTerm(c: Column): Column =
       length(replace(replace(replace(c, lit("."), lit("")), lit("!"), lit("")),
         lit("?"), lit("")))
-    kept
-      .withColumn("n_sentences",
-        (length(col("text_clean")) - noTerm(col("text_clean"))).cast("long"))
-      .withColumn("keep", when(
-          col("n_sentences") >= C4MinSentences &&
-          !col("__lt").contains("lorem ipsum") &&
-          !col("__lt").contains("{") && !col("__lt").contains("}"),
+    val keptArr = filter(split(col("text"), "\n"), lineOk _)
+    docs
+      .withColumn("c4_n_lines", size(split(col("text"), "\n")).cast("long"))
+      .withColumn("c4_n_kept", size(keptArr).cast("long"))
+      .withColumn("c4_text_clean", array_join(keptArr, "\n"))
+      .withColumn("c4_n_sentences",
+        (length(col("c4_text_clean")) - noTerm(col("c4_text_clean"))).cast("long"))
+      .withColumn("c4_keep", when(
+          col("c4_n_sentences") >= C4MinSentences &&
+          !lower(col("text")).contains("lorem ipsum") &&
+          !col("text").contains("{") && !col("text").contains("}"),
           lit(1L)).otherwise(lit(0L)))
-      .select("doc_id", "n_lines", "n_kept", "n_sentences", "keep", "text_clean")
-      .orderBy("doc_id")
   }
 
   /** Drop threshold for the exact-substring gate: a document whose windows

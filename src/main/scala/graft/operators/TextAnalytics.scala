@@ -649,47 +649,57 @@ object TextAnalytics {
     gopherQualityDf(Tables.documents(spark, dir))
 
   /** Same, over any (doc_id, text) DataFrame (planted rule-trip tests). */
-  def gopherQualityDf(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), col("text"),
-      filter(split(col("text"), " "), w => w =!= lit("")).as("ws"),
-      split(col("text"), "\n").as("lines"),
-      tokens(col("text")).as("toks"))
-    val m = t.select(col("doc_id"),
-      size(col("ws")).cast("long").as("n_words"),
-      // words are space-split, so summed word length = non-space length
-      length(replace(col("text"), lit(" "), lit(""))).cast("long").as("wchars"),
-      (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
-        .cast("long").as("hash_n"),
-      ((length(col("text")) - length(replace(col("text"), lit("..."), lit("")))) / lit(3))
-        .cast("long").as("ell_n"),
-      size(filter(col("lines"),
-        l => substring(ltrim(l), 1, 1).isin("•", "-", "*"))).cast("long").as("bullet_lines"),
-      size(filter(col("lines"),
-        l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
-        .cast("long").as("ell_lines"),
-      size(col("lines")).cast("long").as("n_lines"),
-      size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("long").as("alpha_words"),
-      GopherStops.map(sw => when(array_contains(col("toks"), sw), lit(1L))
-        .otherwise(lit(0L))).reduce(_ + _).as("stop_present"))
+  def gopherQualityDf(docs: DataFrame): DataFrame =
+    withGopherFlags(docs).select(col("doc_id"),
+        col("g_n_words").as("n_words"), col("g_mean_len_e4").as("mean_len_e4"),
+        col("g_symbol_e4").as("symbol_e4"), col("g_bullet_e4").as("bullet_e4"),
+        col("g_ellipsis_e4").as("ellipsis_e4"), col("g_alpha_e4").as("alpha_e4"),
+        col("g_stop_present").as("stop_present"), col("gopher_keep").as("keep"))
+      .orderBy("doc_id")
+
+  /** The battery as g_-prefixed APPENDED columns over any frame with a
+    * `text` column — ONE definition shared by the batch query above and
+    * the streaming gate twin (graft.streaming.TextStreams.gateStream), so
+    * the rules cannot drift. Stateless per-row projection; works on
+    * streams. */
+  private[graft] def withGopherFlags(docs: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => w =!= lit(""))
+    val lines = split(col("text"), "\n")
+    val nWords = size(ws).cast("long")
+    // words are space-split, so summed word length = non-space length
+    val wchars = length(replace(col("text"), lit(" "), lit(""))).cast("long")
+    val hashN = (length(col("text")) -
+      length(replace(col("text"), lit("#"), lit("")))).cast("long")
+    val ellN = ((length(col("text")) -
+      length(replace(col("text"), lit("..."), lit("")))) / lit(3)).cast("long")
+    val bulletLines = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isin("•", "-", "*"))).cast("long")
+    val ellLines = size(filter(lines,
+      l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…")))).cast("long")
+    val nLines = size(lines).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopPresent = GopherStops.map(sw =>
+      when(array_contains(tokens(col("text")), sw), lit(1L))
+        .otherwise(lit(0L))).reduce(_ + _)
     def rat(num: Column, den: Column): Column =
       when(den === 0L, lit(0L))
         .otherwise(round(num * lit(10000.0) / den).cast("long"))
-    m.select(col("doc_id"), col("n_words"),
-        rat(col("wchars"), col("n_words")).as("mean_len_e4"),
-        rat(col("hash_n") + col("ell_n"), col("n_words")).as("symbol_e4"),
-        rat(col("bullet_lines"), col("n_lines")).as("bullet_e4"),
-        rat(col("ell_lines"), col("n_lines")).as("ellipsis_e4"),
-        rat(col("alpha_words"), col("n_words")).as("alpha_e4"),
-        col("stop_present"))
-      .withColumn("keep", when(
-          col("n_words").between(GopherMinWords, GopherMaxWords) &&
-          col("mean_len_e4").between(GopherMinMeanLenE4, GopherMaxMeanLenE4) &&
-          col("symbol_e4") <= GopherMaxSymbolE4 &&
-          col("bullet_e4") <= GopherMaxBulletE4 &&
-          col("ellipsis_e4") <= GopherMaxEllipsisE4 &&
-          col("alpha_e4") >= GopherMinAlphaE4 &&
-          col("stop_present") >= GopherMinStops, lit(1L)).otherwise(lit(0L)))
-      .orderBy("doc_id")
+    docs
+      .withColumn("g_n_words", nWords)
+      .withColumn("g_mean_len_e4", rat(wchars, nWords))
+      .withColumn("g_symbol_e4", rat(hashN + ellN, nWords))
+      .withColumn("g_bullet_e4", rat(bulletLines, nLines))
+      .withColumn("g_ellipsis_e4", rat(ellLines, nLines))
+      .withColumn("g_alpha_e4", rat(alphaWords, nWords))
+      .withColumn("g_stop_present", stopPresent)
+      .withColumn("gopher_keep", when(
+          col("g_n_words").between(GopherMinWords, GopherMaxWords) &&
+          col("g_mean_len_e4").between(GopherMinMeanLenE4, GopherMaxMeanLenE4) &&
+          col("g_symbol_e4") <= GopherMaxSymbolE4 &&
+          col("g_bullet_e4") <= GopherMaxBulletE4 &&
+          col("g_ellipsis_e4") <= GopherMaxEllipsisE4 &&
+          col("g_alpha_e4") >= GopherMinAlphaE4 &&
+          col("g_stop_present") >= GopherMinStops, lit(1L)).otherwise(lit(0L)))
   }
 
   /** Gopher repetition-battery thresholds (Rae et al. 2021 App. A, table

@@ -144,6 +144,24 @@ object TextStreams {
       .filter(col("quality_ok") === 1L && col("lang_match") === 1L)
       .select(col("doc_id"), col("text"), col("lang"))
 
+  /** Streaming quality-gate twin of the batch rule batteries: arriving
+    * documents pass the Gopher rule suite
+    * ([[graft.operators.TextAnalytics.withGopherFlags]]) and the C4
+    * line/page rules ([[graft.operators.Pipeline.withC4Flags]]) — the
+    * SAME appended-column definitions the batch `text_gopher` /
+    * `corpus_clean_c4` queries select from, so batch and stream cannot
+    * drift — and only documents passing BOTH gates are emitted, carrying
+    * the C4-cleaned text. Every stage is a stateless per-row projection:
+    * NO streaming state at all, append mode — the filter a crawl
+    * ingestion front-end runs before anything stateful sees the data. */
+  def gateStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    Pipeline.withC4Flags(TextAnalytics.withGopherFlags(
+        documentStream(spark, path, maxFilesPerTrigger)))
+      .filter(col("gopher_keep") === 1L && col("c4_keep") === 1L)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("c4_text_clean").as("text_clean"))
+
   /** Streaming decontamination twin of
     * [[graft.operators.Pipeline.decontaminateBloom]]: the eval split's
     * Bloom bitset and distinct shingle set are built BATCH-side from

@@ -51,6 +51,48 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "corpus keeps nothing — test would be vacuous")
   }
 
+  test("streaming gate twin keeps exactly the batch gopher∧c4 keep set") {
+    import org.apache.spark.sql.functions.col
+    // Planted corpus: the synthetic table is single-line and
+    // punctuation-free (c4-keep vacuously 0), so parity runs on docs that
+    // exercise all four keep/fail combinations.
+    val passLine = "the quick brown fox jumps over a lazy dog today."
+    val both = Seq.fill(6)(passLine).zipWithIndex
+      .map { case (l, i) => l.replace("today", s"day$i") }.mkString("\n")
+    val gopherOnly = (Seq("the", "a") ++ Seq.fill(58)("word")).mkString(" ")
+    val c4Only = Seq.fill(5)("one two three.").mkString("\n")
+    val docs = Seq(
+      (1L, both, "en", "s1"), (2L, gopherOnly, "en", "s1"),
+      (3L, c4Only, "en", "s2"), (4L, "", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val stage = Paths.get("target", "test-scratch", "docstream_gate_stage")
+    val dir = Paths.get("target", "test-scratch", "docstream_gate")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    docs.coalesce(1).write.parquet(stage.toString)
+    Files.createDirectories(dir)
+    val part = Files.list(stage).filter(p => p.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, dir.resolve("documents.parquet"))
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.gateStream(spark, dir.toString), "t_gate",
+        mode = "append")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.Pipeline.withC4Flags(
+        graft.operators.TextAnalytics.withGopherFlags(docs))
+      .filter(col("gopher_keep") === 1L && col("c4_keep") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch === Set(1L), "planted corpus must keep exactly the both-pass doc")
+    assert(streamed === batch)
+    // The emitted text is the C4 rewrite, not the raw text.
+    val cleaned = EventStreams.runToCompletion(
+        spark, TextStreams.gateStream(spark, dir.toString), "t_gate2",
+        mode = "append")
+      .select("text_clean").as[String].collect()
+    assert(cleaned.forall(_.nonEmpty))
+  }
+
   test("streaming decontamination evidence equals the batch contaminated set") {
     val dir = Paths.get("target", "test-scratch", "docstream_decon")
     Files.createDirectories(dir)

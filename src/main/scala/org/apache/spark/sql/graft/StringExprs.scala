@@ -176,6 +176,151 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** The 114-bit fingerprint pair + character length of every word n-gram of
+  * a token array, WITHOUT materializing the gram strings: element i is
+  * struct(h1, h2, len) where h1/h2 are [[PolyHash57]] (bases 31/37) of
+  * tokens [i, i+n) joined with single spaces and len is that joined
+  * string's codepoint count. Value-identical to
+  * `polyHash57(wordNgrams(toks, n), base)` + `length(...)` — the fold is
+  * linear, so H(x ⧺ " " ⧺ y) = ((H(x)·B + 32)·B^len(y) + H(y)) mod 2^57,
+  * and (a·b) mod 2^57 survives Java's wrapping 64-bit multiply because
+  * 2^57 divides 2^64 — but skips the per-gram UTF8String concat entirely:
+  * per-token hashes/powers are computed once per row, each window then
+  * costs n modular multiply-adds. Fewer than n tokens yields an empty
+  * array. CodegenFallback for the same reason as WordNgrams: the win is
+  * the allocation-free loop, not expression codegen.
+  */
+case class NgramFp57(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override val dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false),
+    StructField("len", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = s"ngram_fp57_$n"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val mask = PolyHash57.Mask
+    // Per-token: the two base folds, the two base powers B^charlen, and
+    // the codepoint count — one pass over each token's characters.
+    val h1 = new Array[Long](m); val h2 = new Array[Long](m)
+    val p1 = new Array[Long](m); val p2 = new Array[Long](m)
+    val ln = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = if (toks.isNullAt(i)) "" else toks.getUTF8String(i).toString
+      var a = 0L; var b = 0L; var q1 = 1L; var q2 = 1L; var cl = 0L
+      var k = 0
+      while (k < s.length) {
+        val cp = s.codePointAt(k)
+        a = (a * 31L + cp) & mask
+        b = (b * 37L + cp) & mask
+        q1 = (q1 * 31L) & mask
+        q2 = (q2 * 37L) & mask
+        cl += 1
+        k += Character.charCount(cp)
+      }
+      h1(i) = a; h2(i) = b; p1(i) = q1; p2(i) = q2; ln(i) = cl
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var a = h1(i); var b = h2(i); var len = ln(i)
+      var j = i + 1
+      while (j < i + n) {
+        a = (((a * 31L + 32L) & mask) * p1(j) + h1(j)) & mask
+        b = (((b * 37L + 32L) & mask) * p2(j) + h2(j)) & mask
+        len += 1L + ln(j)
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a, b, len))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramFp57 =
+    copy(child = newChild)
+}
+
+/** Repetition statistics of one document's item-fingerprint array — the
+  * per-(doc, unit) aggregate of the Gopher repetition battery computed
+  * LOCALLY, so the whole battery stays a per-row map instead of exploding
+  * 11 unit kinds into a corpus-sized shuffle. Input: array<struct<h1, h2,
+  * len>> ([[NgramFp57]] output, or line/paragraph fingerprints built with
+  * [[PolyHash57]]); output: struct(n, nd, tot, dupchars, topmass) where
+  * n = items, nd = distinct items, tot = Σ count·len, dupchars = the same
+  * sum over items with count > 1, and topmass = count·len of the most
+  * frequent item, ties broken by (h1, h2) ascending — the same
+  * deterministic pick as `min(struct(-c, h1, h2))` in the distributed
+  * formulation, which the DuckDB oracle mirrors with
+  * `row_number() OVER (ORDER BY c DESC, h1, h2)`.
+  *
+  * One index sort by (h1, h2) + one run-length walk; equal fingerprints
+  * imply equal len, so runs carry their length. CodegenFallback — the win
+  * is the local O(k log k) pass replacing a corpus-wide aggregate.
+  */
+case class RepStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false),
+    StructField("len", LongType, nullable = false)))))
+  override val dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("nd", LongType, nullable = false),
+    StructField("tot", LongType, nullable = false),
+    StructField("dupchars", LongType, nullable = false),
+    StructField("topmass", LongType, nullable = false)))
+  override def prettyName: String = "rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val h1 = new Array[Long](m); val h2 = new Array[Long](m)
+    val ln = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val row = arr.getStruct(i, 3)
+      h1(i) = row.getLong(0); h2(i) = row.getLong(1); ln(i) = row.getLong(2)
+      i += 1
+    }
+    val idx = Array.tabulate[Integer](m)(identity)
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c1 = java.lang.Long.compare(h1(a), h1(b))
+      if (c1 != 0) c1 else java.lang.Long.compare(h2(a), h2(b))
+    })
+    var n = 0L; var nd = 0L; var tot = 0L; var dup = 0L
+    var bestC = 0L; var bestMass = 0L
+    var s = 0
+    while (s < m) {
+      var e = s + 1
+      while (e < m && h1(idx(e)) == h1(idx(s)) && h2(idx(e)) == h2(idx(s))) e += 1
+      val c = (e - s).toLong
+      val l = ln(idx(s))
+      n += c; nd += 1L; tot += c * l
+      if (c > 1L) dup += c * l
+      // runs walk in (h1, h2) ascending order, so strict > keeps the
+      // smallest-fingerprint run among count ties
+      if (c > bestC) { bestC = c; bestMass = c * l }
+      s = e
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, nd, tot, dup, bestMass))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
 /** SimHash fingerprint over a token array, computed in one tight loop:
   * bit j of the result is the sign of Σ_tokens (bit j of the token's hash
   * set ? +1 : -1), where bits 0-31 come from PolyHash32(token) and bits
@@ -402,6 +547,14 @@ object StringExprs {
   /** Column wrapper: n-grams of a token array joined with spaces. */
   def wordNgrams(toks: Column, n: Int): Column =
     ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(toks), n))
+
+  /** Column wrapper: (h1, h2, len) fingerprints of word n-grams. */
+  def ngramFp57(toks: Column, n: Int): Column =
+    ExpressionUtils.column(NgramFp57(ExpressionUtils.expression(toks), n))
+
+  /** Column wrapper: local repetition stats of a fingerprint array. */
+  def repStats(fps: Column): Column =
+    ExpressionUtils.column(RepStats(ExpressionUtils.expression(fps)))
 
   /** Column wrapper: SimHash fingerprint of a token array. */
   def simhash(toks: Column, bits: Int): Column =

@@ -83,6 +83,7 @@ object SparkEntry {
     "tokenize_wordpiece_learned" -> ((s, d) => TextAnalytics.tokenizeWordpieceLearned(s, d)),
     "vocab_train" -> ((s, d) => TextAnalytics.vocabTrain(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalytics.lmScore(s, d)),
+    "text_phrases_pmi" -> ((s, d) => TextAnalytics.phrases(s, d)),
     "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
     "vocab_coverage" -> ((s, d) => TextAnalytics.vocabCoverage(s, d)),
     // — LLM-pipeline: dedup —
@@ -478,6 +479,11 @@ object SparkEntry {
     // keeps log-probs out; this is the rational-probability analog).
     "text_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), tf AS (SELECT doc_id, bigram, count(*) AS tf FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks) GROUP BY doc_id, bigram), bc AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c_bi FROM tf GROUP BY bigram), hc AS (SELECT split_part(bigram, ' ', 1) AS hist, CAST(sum(c_bi) AS BIGINT) AS c_hist FROM bc GROUP BY 1), v AS (SELECT count(DISTINCT word) AS v FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)), model AS (SELECT bigram, CAST(round(10000.0 * (c_bi + 1) / (c_hist + v.v)) AS BIGINT) AS p_e4 FROM bc JOIN hc ON split_part(bc.bigram, ' ', 1) = hc.hist CROSS JOIN v), scored AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, CAST(sum(tf * p_e4) AS BIGINT) AS lm_score_e4 FROM tf JOIN model USING (bigram) GROUP BY doc_id) SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, COALESCE(s.lm_score_e4, 0) AS lm_score_e4, CAST(CASE WHEN s.n_bigrams IS NULL THEN 0 ELSE round(s.lm_score_e4 * 1.0 / s.n_bigrams) END AS BIGINT) AS lm_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id ORDER BY d.doc_id""",
+    // Discounted normalized PMI (Mikolov 2013 phrase score), one pinned
+    // double expression over exact integer counts — multiplication order
+    // mirrors the Spark column exactly: ((1e4·(c_ab−δ))·N)/(c_a·c_b).
+    "text_phrases_pmi" ->
+      s"""WITH t AS (SELECT regexp_extract_all(lower(text), '$Tok') AS toks FROM documents), uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w), n AS (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) AS n_uni FROM uc), bc AS (SELECT bigram, count(*) AS c_ab FROM (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t) GROUP BY bigram HAVING count(*) > ${TextAnalytics.PhraseDelta}), j AS (SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b FROM bc JOIN uc a ON split_part(bc.bigram, ' ', 1) = a.w JOIN uc b ON split_part(bc.bigram, ' ', 2) = b.w) SELECT bigram, c_ab, c_a, c_b, CAST(round(10000.0 * (c_ab - ${TextAnalytics.PhraseDelta}) * n_uni / (c_a * c_b)) AS BIGINT) AS score_e4 FROM j CROSS JOIN n ORDER BY score_e4 DESC, bigram LIMIT ${TextAnalytics.PhraseTopK}""",
     "text_df_terms" ->
       s"""WITH t AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)) SELECT word, count(*) AS df FROM t GROUP BY word ORDER BY df DESC, word""",
     "text_langid" ->

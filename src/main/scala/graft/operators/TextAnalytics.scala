@@ -1065,6 +1065,53 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** Phrase-mining constants (Mikolov et al. 2013 §4, arXiv:1310.4546):
+    * the discount δ that suppresses phrases built from rare co-occurrences,
+    * and the reported phrase budget. */
+  val PhraseDelta = 5L
+  val PhraseTopK = 50
+
+  /** PMI-style phrase mining — word2vec's phrase-detection pass, the
+    * standard way a pretraining pipeline discovers multiword units
+    * ("new york", "byte pair") to merge before tokenizer training: score
+    * every corpus bigram by the discounted normalized PMI
+    * score = (c(ab) − δ) · N / (c(a) · c(b)) (Mikolov et al. 2013 §4) and
+    * report the top-[[PhraseTopK]] by (score desc, bigram asc). The e4
+    * fixed-point score is ONE pinned-order double expression over exact
+    * integer counts (rule R2 — no logs), so the ranking hash-matches.
+    *
+    * Scale shape: two map-side-combined shuffles (unigram counts, bigram
+    * counts) over the token stream; the δ filter runs BEFORE the joins, so
+    * only bigrams that can score join at all; both count joins are
+    * vocabulary-sized equi-joins; N is a one-row broadcast (the
+    * [[lengthFilter]] pattern); the final top-k is TakeOrderedAndProject —
+    * a per-partition heap, never a global sort. Skew-free: the heaviest
+    * key any shuffle carries is one word's count. */
+  def phrases(spark: SparkSession, dir: String): DataFrame =
+    phrasesDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted-phrase tests). */
+  def phrasesDf(docs: DataFrame): DataFrame = {
+    val uni = docTokensText(docs)
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.agg(coalesce(sum("c"), lit(0L)).as("n_uni"))
+    val bi = docTokensText(docs)
+      .select(explode(wordNgrams(col("toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") > PhraseDelta)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        round(lit(10000.0) * (col("c_ab") - lit(PhraseDelta)) * col("n_uni") /
+          (col("c_a") * col("c_b"))).cast("long").as("score_e4"))
+      .orderBy(desc("score_e4"), asc("bigram"))
+      .limit(PhraseTopK)
+  }
+
   /** Same, over any (doc_id, text) DataFrame (planted-PII tests). */
   def textCleanDf(docs: DataFrame): DataFrame =
     docs

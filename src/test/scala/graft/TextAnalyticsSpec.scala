@@ -409,4 +409,28 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (2L, 0L, 0L, 0L, "no pii here"),
       (3L, 0L, 2L, 2L, "write <EMAIL> and <EMAIL> ids <NUM> and <NUM>")))
   }
+
+  test("phrases: planted collocation outranks a frequent-word bigram") {
+    // "new york" ×6 (words appearing ONLY together) vs "of the" ×6 built
+    // from words that also occur 14 more times each elsewhere — classic
+    // PMI: the exclusive pair scores far higher than the frequent pair.
+    // "rare gem" ×5 misses the δ=5 cutoff entirely (c_ab > δ is strict).
+    // Single-word filler docs raise c(of)/c(the) without creating any
+    // filler bigram, so exactly two bigrams clear the cutoff.
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "new york")) ++
+      (7 to 12).map(i => (i.toLong, "of the")) ++
+      (13 to 26).map(i => (i.toLong, "of")) ++
+      (27 to 40).map(i => (i.toLong, "the")) ++
+      (41 to 45).map(i => (i.toLong, "rare gem"))).toDF("doc_id", "text")
+    val got = TextAnalytics.phrasesDf(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // N = 12 + 12 + 14 + 14 + 10 = 62 unigram occurrences.
+    // new york: (6-5)*62/(6*6)   = 1.7222 → 17222
+    // of the:   (6-5)*62/(20*20) = 0.155  → 1550
+    // rare gem: c_ab = 5 misses the strict c_ab > δ cutoff.
+    assert(got === Seq(
+      ("new york", 6L, 6L, 6L, 17222L),
+      ("of the", 6L, 20L, 20L, 1550L)))
+  }
 }

@@ -26,21 +26,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is Parquet INT64 TIMESTAMP(NANOS, adjustedToUTC=false), which
-    * Spark 4 refuses to read natively. Recipe (verified, FIXTURES.md): read the
-    * column as raw nanos via `nanosAsLong`, then expose `ts_us` = microseconds
-    * since epoch as BIGINT (integer division = truncation — exactly what
-    * DuckDB's ns→µs read does on the oracle side). All event-time logic is done
-    * on `ts_us` integers so both engines order and bucket identically.
+  /** `events.ts` has shipped in two physical encodings across data drops:
+    * Parquet INT64 TIMESTAMP(NANOS) (read as raw-nanos LONG via the
+    * `nanosAsLong` legacy flag) and TIMESTAMP(MICROS, adjustedToUTC=false)
+    * (read natively as TIMESTAMP_NTZ). Either way we expose `ts_us` =
+    * microseconds since epoch as BIGINT and do all event-time logic on that
+    * integer, so both engines order and bucket identically (DuckDB's
+    * `epoch_us(ts)` truncates ns→µs exactly like `div 1000`, and reads µs
+    * as-is). The NTZ branch goes through `cast(... as timestamp)` which is
+    * exact because every session pins `spark.sql.session.timeZone=UTC`.
     *
-    * `spark.sql.legacy.parquet.nanosAsLong=true` must be set on the session —
-    * Bench/Verify/test fixtures all set it at session build (session-wide
-    * read-path config, not mutated per call).
+    * `spark.sql.legacy.parquet.nanosAsLong=true` stays set on all sessions —
+    * it only affects NANOS columns, so it is inert on µs data but keeps the
+    * legacy drop readable.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    raw.withColumn("ts_us", tsUs)
+  }
 
   /** Generic directory-of-text-files source — the reference's ingest surface
     * (coordinator.py:20-44,47-60). One row per line; line-aligned splitting is

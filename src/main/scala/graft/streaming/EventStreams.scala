@@ -23,10 +23,12 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Events schema as read with nanosAsLong (ts = raw nanos since epoch). */
+  /** Events schema for the current data drop: ts = TIMESTAMP(MICROS,
+    * adjustedToUTC=false), read as TIMESTAMP_NTZ (matches Tables.events'
+    * native branch; sessions pin UTC so NTZ→µs conversion is exact). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -48,7 +50,7 @@ object EventStreams {
       else reader
     withOpt
       .parquet(path)
-      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
       .withColumn("ts_ts", timestamp_micros(col("ts_us")))
   }
 

@@ -9,6 +9,15 @@ class StreamingSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  /** Planted event rows carry ts as ns-since-epoch Longs (the fixture
+    * tuples' historical shape); convert to the TIMESTAMP_NTZ(µs) column the
+    * current data drop ships so planted files read like real ones. Exact
+    * under the session's pinned UTC timezone. */
+  private def eventsDf(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+
   test("streaming tumbling counts equal the batch tumbling counts (AvailableNow)") {
     // the file-stream source lists a directory; stage the single-file batch
     // table as one
@@ -51,10 +60,9 @@ class StreamingSpec extends AnyFunSuite {
         .forEach(p => Files.delete(p))
     }
     // Stream carries a trained type and a NOVEL one the baseline never saw.
-    Seq(
+    eventsDf(Seq(
       (1L, t0 * 1000L, 1L, "known", 1.0, "{}"),
-      (2L, (t0 + us) * 1000L, 1L, "novel", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      (2L, (t0 + us) * 1000L, 1L, "novel", 1.0, "{}")))
       .coalesce(1).write.parquet(dir.toString)
     // Baseline trained on "known" only.
     val staticEvents = Seq(("known", t0), ("known", t0 + 3600L * us))
@@ -104,7 +112,7 @@ class StreamingSpec extends AnyFunSuite {
     def writeBatch(name: String,
         rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
       val tmp = Paths.get("target", "test-scratch", s"tmp_$name")
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      eventsDf(rows)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
       Files.copy(part, dir.resolve(s"$name.parquet"),
@@ -167,7 +175,7 @@ class StreamingSpec extends AnyFunSuite {
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
     }
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    eventsDf(rows)
       .coalesce(1).write.parquet(dir.toString)
 
     val expected = Set((1L, 1L, 2L, 10L * 60L * us))
@@ -179,7 +187,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === expected)
     // batch twin: identical code over the batch read
     val batchEvents = spark.read.parquet(dir.toString)
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr(
+        "unix_micros(cast(ts as timestamp))"))
       .withColumn("ts_ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.col("ts_us")))
     val batch = EventStreams.pairedEvents(batchEvents)
@@ -244,7 +253,7 @@ class StreamingSpec extends AnyFunSuite {
     // (the file source lists files, not nested write directories).
     def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
       val tmp = Paths.get("target", "test-scratch", s"events_funnel_late_tmp_$name")
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      eventsDf(rows)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(p =>
         p.getFileName.toString.endsWith(".parquet")).findFirst().get()
@@ -298,7 +307,7 @@ class StreamingSpec extends AnyFunSuite {
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
     }
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    eventsDf(rows)
       .coalesce(1).write.parquet(dir.toString)
 
     val stream = EventStreams.eventStream(spark, dir.toString)
@@ -312,8 +321,9 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 1L, t0, t0)))
 
     // and the batch sessionizer agrees on the same planted data
-    val planted = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+    val planted = eventsDf(rows)
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr(
+        "unix_micros(cast(ts as timestamp))"))
     val batchSessions = operators.Events.sessionizeDf(planted)
       .select("user_id", "n_events", "start_us", "end_us")
       .as[(Long, Long, Long, Long)].collect().toSet

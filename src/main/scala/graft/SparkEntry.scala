@@ -82,6 +82,7 @@ object SparkEntry {
     "tokenize_wordpiece" -> ((s, d) => TextAnalytics.tokenizeWordpiece(s, d)),
     "tokenize_wordpiece_learned" -> ((s, d) => TextAnalytics.tokenizeWordpieceLearned(s, d)),
     "vocab_train" -> ((s, d) => TextAnalytics.vocabTrain(s, d)),
+    "tokenize_bpe" -> ((s, d) => TextAnalytics.tokenizeBpe(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalytics.lmScore(s, d)),
     "text_phrases_pmi" -> ((s, d) => TextAnalytics.phrases(s, d)),
     "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
@@ -146,8 +147,11 @@ object SparkEntry {
     * of CONSECUTIVE candidates is even (runs only arise when lhs = rhs,
     * e.g. merging (a,a) in "aaaa" → aa|aa not a|aa|a); consumed positions
     * (the right half of a selected pair) are dropped by the lag() guard.
-    * Ends with bpe_merges(merge_rank, lhs, rhs, merged, pair_cnt). */
-  private def bpeCtes(n: Int): String = {
+    * Ends with bpe_merges(merge_rank, lhs, rhs, merged, pair_cnt); with
+    * `finalSeg` the last merge's application also runs, so seg-N (the
+    * corpus vocabulary encoded by the full merge sequence — BPE inference)
+    * is available to the tokenize_bpe oracle. */
+  private def bpeCtes(n: Int, finalSeg: Boolean = false): String = {
     val sb = new StringBuilder
     sb ++= s"bpe_words AS (SELECT w AS word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS w FROM documents) GROUP BY 1), "
     sb ++= "seg0 AS (SELECT word, cnt, regexp_extract_all(word, '[a-z]') AS pieces FROM bpe_words)"
@@ -158,7 +162,7 @@ object SparkEntry {
       sb ++= s", pos$k AS MATERIALIZED (SELECT word, cnt, pieces, unnest(range(1, len(pieces) + 1)) AS i FROM seg$k)"
       sb ++= s", pr$k AS (SELECT pieces[i] AS lhs, pieces[i+1] AS rhs, sum(cnt) AS c FROM pos$k WHERE i < len(pieces) GROUP BY 1, 2)"
       sb ++= s", m${k + 1} AS MATERIALIZED (SELECT lhs, rhs, c FROM pr$k ORDER BY c DESC, lhs, rhs LIMIT 1)"
-      if (k < n - 1) {
+      if (k < n - 1 || finalSeg) {
         sb ++= s", cand$k AS (SELECT word, cnt, pieces, i, coalesce(i < len(pieces) AND pieces[i] = m.lhs AND pieces[i+1] = m.rhs, false) AS cand FROM pos$k LEFT JOIN m${k + 1} m ON true)"
         sb ++= s", run$k AS (SELECT word, cnt, pieces, i, cand, i - row_number() OVER (PARTITION BY word, cand ORDER BY i) AS grp FROM cand$k)"
         sb ++= s", sel$k AS (SELECT word, cnt, pieces, i, cand AND ((i - min(i) OVER (PARTITION BY word, cand, grp)) % 2 = 0) AS sel FROM run$k)"
@@ -657,6 +661,11 @@ object SparkEntry {
       s"WITH RECURSIVE ${bpeCtes(TextAnalytics.BpeMerges)}, vocab(piece) AS (SELECT DISTINCT merged FROM bpe_merges), $WordpieceTail",
     "vocab_train" ->
       s"WITH ${bpeCtes(TextAnalytics.BpeMerges)} SELECT merge_rank, lhs, rhs, merged, pair_cnt FROM bpe_merges ORDER BY merge_rank",
+    // True BPE inference: the chain's final segmentation table (merges
+    // applied in rank order) rolled up per doc — NOT the greedy
+    // longest-match walk the two wordpiece oracles share.
+    "tokenize_bpe" ->
+      s"""WITH ${bpeCtes(TextAnalytics.BpeMerges, finalSeg = true)}, occ AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents), np AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_pieces FROM seg${TextAnalytics.BpeMerges}), pd AS (SELECT o.doc_id, count(*) AS n_words, CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces FROM occ o JOIN np ON o.word = np.word GROUP BY o.doc_id) SELECT d.doc_id, COALESCE(pd.n_words, 0) AS n_words, COALESCE(pd.n_pieces, 0) AS n_pieces, CAST(CASE WHEN pd.n_words IS NULL THEN 0 ELSE round(pd.n_pieces * 10000.0 / pd.n_words) END AS BIGINT) AS fertility_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id""",
     // Lexical diversity: type-token ratio + Simpson concentration of the
     // unigram distribution — integer Σc/Σc²/distinct until one double
     // divide + e4 round.

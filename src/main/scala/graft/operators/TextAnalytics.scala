@@ -150,6 +150,18 @@ object TextAnalytics {
     * both and asserts identical tables with fewer passes. */
   private[graft] def vocabTrainRaw(docs: DataFrame, nMerges: Int,
       batch: Int): (Seq[(Long, String, String, String, Long)], Int) = {
+    val (m, p, seg) = vocabTrainSeg(docs, nMerges, batch)
+    seg.unpersist()
+    (m, p)
+  }
+
+  /** [[vocabTrainRaw]] plus the post-training segmentation table
+    * (word, cnt, pieces) — every distinct corpus word encoded by the full
+    * merge sequence. The returned frame is checkpoint-persisted; the caller
+    * owns its release ([[tokenizeBpeDf]] frees it after its terminal
+    * action). */
+  private[graft] def vocabTrainSeg(docs: DataFrame, nMerges: Int,
+      batch: Int): (Seq[(Long, String, String, String, Long)], Int, DataFrame) = {
     var seg = wordCountsText(docs, "text")
       .select(col("word"), col("cnt"),
         regexp_extract_all(col("word"), lit("[a-z]"), lit(0)).as("pieces"))
@@ -196,8 +208,7 @@ object TextAnalytics {
         prev.unpersist()
       }
     }
-    seg.unpersist()
-    (merges.toSeq, passes)
+    (merges.toSeq, passes, seg)
   }
 
   /** Select a batch of merges whose sequential outcome is provably fixed by
@@ -329,6 +340,56 @@ object TextAnalytics {
           .otherwise(round(col("n_pieces") * lit(10000.0) / col("n_words")).cast("long"))
           .as("fertility_e4"))
       .orderBy("doc_id")
+  }
+
+  /** TRUE BPE inference — encode the corpus by replaying the learned merge
+    * sequence IN RANK ORDER (Sennrich et al. 2016 §3: apply merges in the
+    * order they were learned), the semantics HuggingFace/SentencePiece BPE
+    * tokenizers ship. This differs from [[tokenizeWordpieceLearned]]'s
+    * greedy longest-match over the same learned symbols: merge-order can
+    * split where longest-match would not (a long symbol is only reachable
+    * if its build-up chain of merges fires), so the two fertilities
+    * diverge on real text — exactly the BPE-vs-WordPiece inference gap a
+    * tokenizer team measures when choosing an encoder.
+    *
+    * Implementation: training already maintains the corpus segmentation
+    * under the merges applied so far — after the last merge that table IS
+    * the encode of every distinct word, so inference reuses
+    * [[vocabTrainSeg]]'s final state instead of re-running the fold chain.
+    * The per-word piece counts broadcast back onto the occurrence stream
+    * ([[tokenizeWordpieceDf]]'s join shape: segment the VOCABULARY, never
+    * re-encode an occurrence). Output: (doc_id, n_words, n_pieces,
+    * fertility_e4), schema-compatible with both wordpiece fertilities.
+    *
+    * Oracle: the unrolled BPE CTE chain extended with the final merge's
+    * application stage — its seg-N table is the same fixed point, walked
+    * one merge at a time (the batched fold is bit-identical by
+    * [[selectMergeBatch]]'s soundness rule). */
+  def tokenizeBpe(spark: SparkSession, dir: String): DataFrame =
+    tokenizeBpeDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def tokenizeBpeDf(docs: DataFrame, nMerges: Int = BpeMerges,
+      batch: Int = BpeBatch): DataFrame = {
+    val (_, _, seg) = vocabTrainSeg(docs, nMerges, batch)
+    val np = seg.select(col("word"),
+      size(col("pieces")).cast("long").as("n_pieces"))
+    val pd = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .join(broadcast(np), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
+    graft.functions.Caching.releaseAfterAction(
+      docs.select("doc_id").join(pd, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+          when(col("n_words").isNull, lit(0L))
+            .otherwise(round(col("n_pieces") * lit(10000.0) / col("n_words")).cast("long"))
+            .as("fertility_e4"))
+        .orderBy("doc_id"),
+      seg)
   }
 
   /** Count-min sketch dimensions: depth = independent salted hash rows,

@@ -36,6 +36,30 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (2L, "aa", "a", "aaa", 1L)))
   }
 
+  test("bpe inference: merge-order encode, and where it diverges from longest-match") {
+    // Corpus: ba ×4, ab ×2, abab ×1. Pass-1 pairs: (b,a) = 4+1 = 5 beats
+    // (a,b) = 2+2 = 4 → merge1 (b,a)→ba; "abab" greedily becomes [a,ba,b].
+    // Pass-2: (a,b) = 2 beats the abab-internal pairs → merge2 (a,b)→ab.
+    // Merge-order encode of "abab": merge1 first → [a,ba,b], and merge2
+    // finds no (a,b) adjacency left → 3 pieces. Greedy longest-match over
+    // the SAME learned vocab {ba, ab} cuts ab|ab → 2 pieces — the classic
+    // BPE-vs-WordPiece inference gap, visible in the fertility.
+    val docs = Seq((1L, "ba ba ba ba"), (2L, "ab ab"), (3L, "abab"))
+      .toDF("doc_id", "text")
+    val bpe = TextAnalytics.tokenizeBpeDf(docs, nMerges = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(bpe === Seq(
+      (1L, 4L, 4L, 10000L),
+      (2L, 2L, 2L, 10000L),
+      (3L, 1L, 3L, 30000L)))
+    val lm = TextAnalytics.tokenizeWordpieceDf(docs, vocab = Seq("ba", "ab"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(lm === Seq(
+      (1L, 4L, 4L, 10000L),
+      (2L, 2L, 2L, 10000L),
+      (3L, 1L, 2L, 20000L)))
+  }
+
   test("bpe training: batched passes = sequential merge table, fewer jobs") {
     val docs = sources.Tables.documents(spark, TestSpark.sf)
     val (seqTable, seqPasses) = TextAnalytics.vocabTrainRaw(docs, 12, batch = 1)

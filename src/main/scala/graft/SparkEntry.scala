@@ -84,6 +84,7 @@ object SparkEntry {
     "vocab_train" -> ((s, d) => TextAnalytics.vocabTrain(s, d)),
     "tokenize_bpe" -> ((s, d) => TextAnalytics.tokenizeBpe(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalytics.lmScore(s, d)),
+    "text_ccnet_bucket" -> ((s, d) => TextAnalytics.ccnetBucket(s, d)),
     "text_phrases_pmi" -> ((s, d) => TextAnalytics.phrases(s, d)),
     "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
     "vocab_coverage" -> ((s, d) => TextAnalytics.vocabCoverage(s, d)),
@@ -198,6 +199,13 @@ object SparkEntry {
   // explicit Long.MinValue literal because DuckDB overflow-checks 1 << 63.
   // LEFT JOIN back to documents gives token-less docs fingerprint 0, exactly
   // like the Spark aggregate over an empty token array.
+  // Shared bigram-LM CTEs (corpus add-one-smoothed model, e4 fixed point —
+  // text_lm_score's trained scorer) ending with scored(doc_id, n_bigrams,
+  // lm_score_e4); text_lm_score reports it per doc, text_ccnet_bucket
+  // splits its per-language distribution into thirds.
+  private val LmCtes =
+    s"""toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), tf AS (SELECT doc_id, bigram, count(*) AS tf FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks) GROUP BY doc_id, bigram), bc AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c_bi FROM tf GROUP BY bigram), hc AS (SELECT split_part(bigram, ' ', 1) AS hist, CAST(sum(c_bi) AS BIGINT) AS c_hist FROM bc GROUP BY 1), v AS (SELECT count(DISTINCT word) AS v FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)), model AS (SELECT bigram, CAST(round(10000.0 * (c_bi + 1) / (c_hist + v.v)) AS BIGINT) AS p_e4 FROM bc JOIN hc ON split_part(bc.bigram, ' ', 1) = hc.hist CROSS JOIN v), scored AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, CAST(sum(tf * p_e4) AS BIGINT) AS lm_score_e4 FROM tf JOIN model USING (bigram) GROUP BY doc_id)"""
+
   private val SimhashCtes =
     s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS w FROM documents), tw AS (SELECT doc_id, w, 's2#' || w AS w2 FROM toks), th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS ha, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w2) + 1), i -> CAST(ascii(substr(w2, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS hb FROM tw), bitsum AS (SELECT doc_id, j, sum(((CASE WHEN j < 32 THEN ha >> j ELSE hb >> (j - 32) END) & 1) * 2 - 1) AS sgn FROM th, range(0, 64) t(j) GROUP BY doc_id, j), fp AS (SELECT doc_id, CAST(bit_or(CASE WHEN sgn <= 0 THEN 0 WHEN j = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << j) END) AS BIGINT) AS simhash FROM bitsum GROUP BY doc_id), fpall AS (SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id)"""
 
@@ -482,7 +490,12 @@ object SparkEntry {
     // — all-long arithmetic, so the trained scorer hash-matches (rule R2
     // keeps log-probs out; this is the rational-probability analog).
     "text_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), tf AS (SELECT doc_id, bigram, count(*) AS tf FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks) GROUP BY doc_id, bigram), bc AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c_bi FROM tf GROUP BY bigram), hc AS (SELECT split_part(bigram, ' ', 1) AS hist, CAST(sum(c_bi) AS BIGINT) AS c_hist FROM bc GROUP BY 1), v AS (SELECT count(DISTINCT word) AS v FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)), model AS (SELECT bigram, CAST(round(10000.0 * (c_bi + 1) / (c_hist + v.v)) AS BIGINT) AS p_e4 FROM bc JOIN hc ON split_part(bc.bigram, ' ', 1) = hc.hist CROSS JOIN v), scored AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, CAST(sum(tf * p_e4) AS BIGINT) AS lm_score_e4 FROM tf JOIN model USING (bigram) GROUP BY doc_id) SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, COALESCE(s.lm_score_e4, 0) AS lm_score_e4, CAST(CASE WHEN s.n_bigrams IS NULL THEN 0 ELSE round(s.lm_score_e4 * 1.0 / s.n_bigrams) END AS BIGINT) AS lm_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id ORDER BY d.doc_id""",
+      s"""WITH $LmCtes SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, COALESCE(s.lm_score_e4, 0) AS lm_score_e4, CAST(CASE WHEN s.n_bigrams IS NULL THEN 0 ELSE round(s.lm_score_e4 * 1.0 / s.n_bigrams) END AS BIGINT) AS lm_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id ORDER BY d.doc_id""",
+    // CCNet bucketing: the LM score's per-doc mean split into per-language
+    // thirds by ntile over a TOTAL order (score desc, doc_id) — positional
+    // assignment, so both engines agree including remainder handling.
+    "text_ccnet_bucket" ->
+      s"""WITH $LmCtes, lm AS (SELECT d.doc_id, d.lang, CAST(CASE WHEN s.n_bigrams IS NULL THEN 0 ELSE round(s.lm_score_e4 * 1.0 / s.n_bigrams) END AS BIGINT) AS lm_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id), tiled AS (SELECT doc_id, lang, lm_mean_e4, ntile(3) OVER (PARTITION BY lang ORDER BY lm_mean_e4 DESC, doc_id) AS tile FROM lm) SELECT doc_id, lang, lm_mean_e4, CASE WHEN tile = 1 THEN 'head' WHEN tile = 2 THEN 'middle' ELSE 'tail' END AS bucket FROM tiled ORDER BY doc_id""",
     // Discounted normalized PMI (Mikolov 2013 phrase score), one pinned
     // double expression over exact integer counts — multiplication order
     // mirrors the Spark column exactly: ((1e4·(c_ab−δ))·N)/(c_a·c_b).

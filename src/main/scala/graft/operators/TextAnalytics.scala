@@ -1126,6 +1126,44 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.4): score every document with the corpus bigram
+    * LM ([[lmScoreDf]]) and split EACH LANGUAGE's distribution into
+    * head / middle / tail thirds — CCNet's "head" is the lowest-perplexity
+    * (most fluent) third, which under this probability-flavored score is
+    * the HIGHEST-scoring third. The bucket is the knob LLM-data pipelines
+    * actually ship (train on head+middle, drop or down-weight tail), and
+    * per-language splitting is the point: a blanket global threshold would
+    * gut low-resource languages whose scores sit lower overall.
+    *
+    * Determinism: the within-language order is total (score desc, doc_id
+    * asc), so ntile's positional assignment hash-matches the oracle.
+    *
+    * Scale shape: one window partitioned by lang — ~10²–10³ partitions,
+    * each sorted in parallel. The known skew risk is one dominant language
+    * (a web crawl is half English): CCNet's own production answer is to
+    * compute the two cutoff scores per language from a sample/aggregate
+    * and assign buckets by broadcast threshold comparison (no per-language
+    * global sort); that swap keeps this exact output for every doc whose
+    * score is not pinned to a cutoff tie. */
+  def ccnetBucket(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text, lang) DataFrame (planted tests). */
+  def ccnetBucketDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(desc("lm_mean_e4"), asc("doc_id"))
+    docs.select("doc_id", "lang")
+      .join(lmScoreDf(docs).select("doc_id", "lm_mean_e4"), "doc_id")
+      .withColumn("tile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("lm_mean_e4"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Phrase-mining constants (Mikolov et al. 2013 §4, arXiv:1310.4546):
     * the discount δ that suppresses phrases built from rare co-occurrences,
     * and the reported phrase budget. */

@@ -60,6 +60,30 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (3L, 1L, 2L, 20000L)))
   }
 
+  test("ccnet bucketing: per-language thirds, remainder to head, doc_id tie-break") {
+    // Language A: 4 docs — ntile(3) gives 2/1/1 (remainder widens head).
+    // "x x x" repeated bigrams score highest; distinct-word docs lowest.
+    // Language B: 2 docs — tiles 1 and 2, so B has a head and a middle
+    // but NO tail (exactly ntile's small-partition behavior).
+    // Docs 3 and 4 tie on score (same text) → doc_id breaks the tie, so
+    // doc 3 takes the last head slot deterministically.
+    val docs = Seq(
+      (1L, "x x x x x x", "aa"), (2L, "q r s t u v", "aa"),
+      (3L, "x x q", "aa"), (4L, "x x q", "aa"),
+      (5L, "x x x", "bb"), (6L, "m n o", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalytics.ccnetBucketDf(docs)
+      .select("doc_id", "lang", "bucket")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got.filter(_._2 == "bb") ===
+      Seq((5L, "bb", "head"), (6L, "bb", "middle")))
+    val aa = got.filter(_._2 == "aa").map(r => r._1 -> r._3).toMap
+    assert(aa(1L) === "head")
+    assert(aa(3L) === "head", "doc 3 must win the tie for the 2nd head slot")
+    assert(aa(4L) === "middle")
+    assert(aa(2L) === "tail")
+  }
+
   test("bpe training: batched passes = sequential merge table, fewer jobs") {
     val docs = sources.Tables.documents(spark, TestSpark.sf)
     val (seqTable, seqPasses) = TextAnalytics.vocabTrainRaw(docs, 12, batch = 1)

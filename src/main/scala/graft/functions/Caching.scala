@@ -39,7 +39,13 @@ object Caching {
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def release(): Unit = if (done.compareAndSet(false, true)) {
-        cached.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+        cached.foreach { df =>
+          try df.unpersist(false) catch { case _: Throwable => () }
+          // localCheckpoint'd frames persist at the RDD level, which
+          // Dataset.unpersist cannot see — free those blocks too.
+          try org.apache.spark.sql.graft.Checkpoints.release(df)
+          catch { case _: Throwable => () }
+        }
         manager.unregister(this)
       }
       override def onSuccess(funcName: String, qe: QueryExecution,

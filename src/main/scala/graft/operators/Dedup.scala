@@ -133,8 +133,7 @@ object Dedup extends org.apache.spark.internal.Logging {
   def minhashPairs(docs: DataFrame, minEstE4: Long = 5000L): DataFrame = {
     // The signature table feeds the band self-join (both sides) AND the two
     // join-backs below — persist it so the shingle→hash→32-min aggregate runs
-    // once, not four times. The harness (Bench/Verify) clears the cache
-    // between queries; a long-lived caller should unpersist after its action.
+    // once, not four times; released after the caller's terminal action.
     val sigs = minhashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val bands = minhashBandsFromSigs(sigs)
     val cand = bands.as("a")
@@ -152,15 +151,17 @@ object Dedup extends org.apache.spark.internal.Logging {
     // per-row/per-token hot loops, not to a K=32 lambda over an
     // already-winnowed pair set; a native expression here would buy
     // complexity, not time.
-    cand
-      .join(sigs.withColumnRenamed("doc_id", "d1").withColumnRenamed("sig", "sig1"), "d1")
-      .join(sigs.withColumnRenamed("doc_id", "d2").withColumnRenamed("sig", "sig2"), "d2")
-      .select(
-        col("d1"), col("d2"),
-        round(aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (a, v) => a + v) * lit(10000.0) / lit(K.toDouble)).cast("long").as("est_jac_e4"))
-      .filter(col("est_jac_e4") >= minEstE4)
-      .orderBy("d1", "d2")
+    graft.functions.Caching.releaseAfterAction(
+      cand
+        .join(sigs.withColumnRenamed("doc_id", "d1").withColumnRenamed("sig", "sig1"), "d1")
+        .join(sigs.withColumnRenamed("doc_id", "d2").withColumnRenamed("sig", "sig2"), "d2")
+        .select(
+          col("d1"), col("d2"),
+          round(aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (a, v) => a + v) * lit(10000.0) / lit(K.toDouble)).cast("long").as("est_jac_e4"))
+        .filter(col("est_jac_e4") >= minEstE4)
+        .orderBy("d1", "d2"),
+      sigs)
   }
 
   /** Driver-contract query for the full MinHash pipeline (buckets → candidate
@@ -277,16 +278,18 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), col("simhash"), explode(simhashBandStructs(col("simhash"))).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_bits") === col("b.band_bits") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-      .orderBy("d1", "d2")
+    graft.functions.Caching.releaseAfterAction(
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+        .orderBy("d1", "d2"),
+      fp)
   }
 
   /** Incremental NEAR-dup dedup — [[incremental]]'s daily-crawl broadcast
@@ -583,8 +586,8 @@ object Dedup extends org.apache.spark.internal.Logging {
   def jaccardPairsFromShingles(shinglesDf: DataFrame, minJacE4: Long,
       maxDf: Long = MaxShingleDf): DataFrame = {
     // `sh` feeds two consumers (per-doc counts, the pair groups); persist it
-    // so the upstream scan→shingle pipeline runs once instead of twice. The
-    // harness clears the cache between queries.
+    // so the upstream scan→shingle pipeline runs once instead of twice;
+    // released after the caller's terminal action.
     val sh = shinglesDf.persist(StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Pair generation WITHOUT a self-join AND without a separate df-count
@@ -606,13 +609,15 @@ object Dedup extends org.apache.spark.internal.Logging {
         org.apache.spark.sql.graft.AggExprs.longPairs(col("ids"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
     val common = pairs.groupBy("d1", "d2").agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-      .join(counts.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
-      .select(
-        col("d1"), col("d2"),
-        round(col("common") * lit(10000.0) / (col("na") + col("nb") - col("common"))).cast("long").as("jac_e4"))
-      .filter(col("jac_e4") >= minJacE4)
+    graft.functions.Caching.releaseAfterAction(
+      common
+        .join(counts.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+        .join(counts.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
+        .select(
+          col("d1"), col("d2"),
+          round(col("common") * lit(10000.0) / (col("na") + col("nb") - col("common"))).cast("long").as("jac_e4"))
+        .filter(col("jac_e4") >= minJacE4),
+      sh)
   }
 
   /** Connected components over an undirected near-dup pair graph via
@@ -668,6 +673,9 @@ object Dedup extends org.apache.spark.internal.Logging {
         .localCheckpoint(true)
       propagated.unpersist()
       changed = jumped.filter(col("label") =!= col("old")).count()
+      // The superseded round's checkpoint blocks are invisible to
+      // Dataset.unpersist — release them at the RDD level.
+      org.apache.spark.sql.graft.Checkpoints.release(labels)
       labels = jumped.select("id", "label")
       rounds += 1
     }
@@ -700,9 +708,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     * pair threshold exposed — the shipping pipeline passes [[NearDupJacE4]]. */
   def clusterAssignmentsDf(docs: DataFrame, minJacE4: Long = 100L): DataFrame = {
     val comp = components(ngramJaccardPairsRaw(docs, minJacE4).select("d1", "d2"))
-    docs.select(col("doc_id"))
-      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    // comp is the converged round's localCheckpoint — schedule its blocks
+    // for release once the caller's terminal action has consumed it.
+    graft.functions.Caching.releaseAfterAction(
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id")),
+      comp)
   }
 
   /** Cluster survivor by QUALITY policy instead of min-id: within each
@@ -787,10 +799,12 @@ object Dedup extends org.apache.spark.internal.Logging {
       .distinct()
     val x = v.select(col("vec_id").as("v1"), col("v").as("va"), col("nrm").as("na"))
     val y = v.select(col("vec_id").as("v2"), col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(x, "v1").join(y, "v2")
-      .select(col("v1"), col("v2"),
-        e4(dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim_e4"))
-      .filter(col("sim_e4") >= minSimE4)
-      .orderBy("v1", "v2")
+    graft.functions.Caching.releaseAfterAction(
+      cand.join(x, "v1").join(y, "v2")
+        .select(col("v1"), col("v2"),
+          e4(dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim_e4"))
+        .filter(col("sim_e4") >= minSimE4)
+        .orderBy("v1", "v2"),
+      v, keys)
   }
 }

@@ -58,18 +58,20 @@ object Events {
     val t3 = e.filter(col("event_type") === "purchase")
       .join(t2, "user_id").filter(col("ts_us") > col("t2"))
       .groupBy("user_id").agg(min("ts_us").as("t3"))
-    e.select("user_id").distinct()
-      .join(t1, Seq("user_id"), "left")
-      .join(t2, Seq("user_id"), "left")
-      .join(t3, Seq("user_id"), "left")
-      .select(
-        col("user_id"),
-        coalesce(col("t1"), lit(-1L)).as("view_us"),
-        coalesce(col("t2"), lit(-1L)).as("click_us"),
-        coalesce(col("t3"), lit(-1L)).as("purchase_us"),
-        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
-          .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"))
-      .orderBy("user_id")
+    graft.functions.Caching.releaseAfterAction(
+      e.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(
+          col("user_id"),
+          coalesce(col("t1"), lit(-1L)).as("view_us"),
+          coalesce(col("t2"), lit(-1L)).as("click_us"),
+          coalesce(col("t3"), lit(-1L)).as("purchase_us"),
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"))
+        .orderBy("user_id"),
+      e)
   }
 
   /** Cohort retention matrix: cohort = a user's first active day (integer
@@ -99,11 +101,13 @@ object Events {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
       .agg(count(lit(1)).as("n_users"))
     val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
-    act.join(sizes, "cohort_day")
-      .select(
-        col("cohort_day"), col("offset_days"), col("n_users"), col("cohort_size"),
-        round(col("n_users") * lit(10000.0) / col("cohort_size")).cast("long").as("ret_e4"))
-      .orderBy("cohort_day", "offset_days")
+    graft.functions.Caching.releaseAfterAction(
+      act.join(sizes, "cohort_day")
+        .select(
+          col("cohort_day"), col("offset_days"), col("n_users"), col("cohort_size"),
+          round(col("n_users") * lit(10000.0) / col("cohort_size")).cast("long").as("ret_e4"))
+        .orderBy("cohort_day", "offset_days"),
+      days)
   }
 
   /** Hourly volume anomalies per event type: z-score of each (type, hour)

@@ -320,12 +320,14 @@ object Pipeline {
       .join(broadcast(evalSh), "sh")
       // shingles are distinct per doc, so count(*) IS the distinct overlap
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    sp.filter(col("split") =!= "test")
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("split"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-      .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      sp.filter(col("split") =!= "test")
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
+        .orderBy("doc_id"),
+      sh)
   }
 
   /** Semantic decontamination — the SemDeDup/embedding analog of
@@ -375,13 +377,15 @@ object Pipeline {
       .filter(col("sim_e4") >= minSimE4)
       .groupBy("cid").agg(
         count(lit(1)).as("n_matches"), max("sim_e4").as("max_sim_e4"))
-    sp.filter(col("split") =!= "test")
-      .join(matches.withColumnRenamed("cid", "vec_id"), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("split"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        coalesce(col("max_sim_e4"), lit(0L)).as("max_sim_e4"))
-      .withColumn("contaminated", (col("n_matches") > 0).cast("long"))
-      .orderBy("vec_id")
+    graft.functions.Caching.releaseAfterAction(
+      sp.filter(col("split") =!= "test")
+        .join(matches.withColumnRenamed("cid", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("split"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("max_sim_e4"), lit(0L)).as("max_sim_e4"))
+        .withColumn("contaminated", (col("n_matches") > 0).cast("long"))
+        .orderBy("vec_id"),
+      v, keys)
   }
 
   /** Per-source contamination report — [[decontaminate]]'s flags rolled
@@ -489,14 +493,16 @@ object Pipeline {
     val shared = hit.filter(col("is_cand") === 1L)
       .join(evalSh, Seq("sh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    sp.filter(col("split") =!= "test")
-      .join(candAgg, Seq("doc_id"), "left")
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("split"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-      .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      sp.filter(col("split") =!= "test")
+        .join(candAgg, Seq("doc_id"), "left")
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("contaminated", (col("n_shared") > 0).cast("long"))
+        .orderBy("doc_id"),
+      sh, evalSh, hit)
   }
 
   /** Tokens per packed training sequence (the concat-and-chunk rule). */
@@ -559,11 +565,13 @@ object Pipeline {
     // Phase 2: per-partition running sum + broadcast base join.
     val w = Window.partitionBy("pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts.join(broadcast(baseDf), "pid")
-      .withColumn("offset", col("base") + sum("n_toks").over(w) - col("n_toks"))
-      .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
-      .select(col("doc_id"), col("n_toks"), col("offset"), col("seq_id"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      parts.join(broadcast(baseDf), "pid")
+        .withColumn("offset", col("base") + sum("n_toks").over(w) - col("n_toks"))
+        .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
+        .select(col("doc_id"), col("n_toks"), col("offset"), col("seq_id"))
+        .orderBy("doc_id"),
+      parts)
   }
 
   /** Overlapping-chunk parameters: window length and stride in tokens. */

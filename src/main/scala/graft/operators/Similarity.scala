@@ -135,7 +135,8 @@ object Similarity {
     val cents = c.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val assign = assignCells(c, cents)
-    probeAndScore(c, cents, assign, nQueries, k, nProbe)
+    graft.functions.Caching.releaseAfterAction(
+      probeAndScore(c, cents, assign, nQueries, k, nProbe), c)
   }
 
   /** Coarse assignment: one row per corpus vector — argmax over the
@@ -230,7 +231,9 @@ object Similarity {
       cents = cents.map { case (cell, prev) => (cell, updated.getOrElse(cell, prev)) }
     }
     val trained = centsDf(cents)
-    probeAndScore(c, trained, assignCells(c, trained), nQueries, k, nProbe)
+    graft.functions.Caching.releaseAfterAction(
+      probeAndScore(c, trained, assignCells(c, trained), nQueries, k, nProbe),
+      c, ce6)
   }
 
   // PQ parameters: M subspaces of SubDim dims each, K centroids per
@@ -301,10 +304,12 @@ object Similarity {
       .groupBy("qid", "cid")
       .agg(sum("t_e4").as("approx_e4"))
     val w = Window.partitionBy("qid").orderBy(desc("approx_e4"), asc("cid"))
-    scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .orderBy("qid", "rn")
+    graft.functions.Caching.releaseAfterAction(
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn"),
+      c)
   }
 
   // Deterministic per-subspace k-means for the trained PQ codebook: fixed
@@ -504,7 +509,7 @@ object Similarity {
     // projections per vector) feed both sides of the candidate join. Persist
     // both so the projection work runs once — unpersisted this plan redid
     // 3-4× the dot products and was slower than the brute-force baseline.
-    // The harness clears the cache between queries.
+    // Released after the caller's terminal action.
     val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     val keys = bandedKeys(c.select("vec_id", "v"), bands, rows)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -521,9 +526,11 @@ object Similarity {
       .select(col("qid"), col("cid"),
         e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
     val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
-    scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .orderBy("qid", "rn")
+    graft.functions.Caching.releaseAfterAction(
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn"),
+      c, keys)
   }
 }

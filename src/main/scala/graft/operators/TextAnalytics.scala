@@ -151,7 +151,7 @@ object TextAnalytics {
   private[graft] def vocabTrainRaw(docs: DataFrame, nMerges: Int,
       batch: Int): (Seq[(Long, String, String, String, Long)], Int) = {
     val (m, p, seg) = vocabTrainSeg(docs, nMerges, batch)
-    seg.unpersist()
+    org.apache.spark.sql.graft.Checkpoints.release(seg)
     (m, p)
   }
 
@@ -205,7 +205,7 @@ object TextAnalytics {
                   .otherwise(els)
             }))
           .localCheckpoint(true)
-        prev.unpersist()
+        org.apache.spark.sql.graft.Checkpoints.release(prev)
       }
     }
     (merges.toSeq, passes, seg)
@@ -331,15 +331,17 @@ object TextAnalytics {
     val pd = occ.join(broadcast(np), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
-    docs.select("doc_id").join(pd, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
-        when(col("n_words").isNull, lit(0L))
-          .otherwise(round(col("n_pieces") * lit(10000.0) / col("n_words")).cast("long"))
-          .as("fertility_e4"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      docs.select("doc_id").join(pd, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+          when(col("n_words").isNull, lit(0L))
+            .otherwise(round(col("n_pieces") * lit(10000.0) / col("n_words")).cast("long"))
+            .as("fertility_e4"))
+        .orderBy("doc_id"),
+      occ)
   }
 
   /** TRUE BPE inference — encode the corpus by replaying the learned merge
@@ -433,11 +435,13 @@ object TextAnalytics {
     val cells = words.select(col("word"), cellsOf)
       .groupBy(col("p.j").as("j"), col("p.ccol").as("ccol"))
       .agg(count(lit(1)).as("cell"))
-    exact.select(col("word"), col("cnt"), cellsOf)
-      .select(col("word"), col("cnt"), col("p.j").as("j"), col("p.ccol").as("ccol"))
-      .join(broadcast(cells), Seq("j", "ccol"))
-      .groupBy("word", "cnt").agg(min("cell").as("cms_cnt"))
-      .orderBy(desc("cnt"), asc("word"))
+    graft.functions.Caching.releaseAfterAction(
+      exact.select(col("word"), col("cnt"), cellsOf)
+        .select(col("word"), col("cnt"), col("p.j").as("j"), col("p.ccol").as("ccol"))
+        .join(broadcast(cells), Seq("j", "ccol"))
+        .groupBy("word", "cnt").agg(min("cell").as("cms_cnt"))
+        .orderBy(desc("cnt"), asc("word")),
+      words)
   }
 
   /** Bigram frequency top-k. */
@@ -494,7 +498,7 @@ object TextAnalytics {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.count() // one scalar; the scan is cheap relative to the explode
-    (tf.join(df_, "word"), n)
+    (graft.functions.Caching.releaseAfterAction(tf.join(df_, "word"), tf), n)
   }
 
   /** Log-free TF-IDF sibling: weight = tf · N / df in 1e-4 fixed point —
@@ -600,13 +604,15 @@ object TextAnalytics {
         Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("plang"), col("score"))
-    base.select("doc_id", "lang")
-      .join(scores, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("plang"), lit("und")).as("pred_ng"),
-        coalesce(col("score"), lit(0L)).as("score"))
-      .withColumn("is_match", (col("pred_ng") === col("lang")).cast("long"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      base.select("doc_id", "lang")
+        .join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("plang"), lit("und")).as("pred_ng"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .withColumn("is_match", (col("pred_ng") === col("lang")).cast("long"))
+        .orderBy("doc_id"),
+      base)
   }
 
   /** Percentile band for the corpus-relative length filter. */
@@ -1040,15 +1046,17 @@ object TextAnalytics {
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_toks"),
         sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        when(col("n_toks").isNull, lit(0L))
-          .otherwise(round(col("n_oov") * lit(10000.0) / col("n_toks")).cast("long"))
-          .as("oov_e4"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          when(col("n_toks").isNull, lit(0L))
+            .otherwise(round(col("n_oov") * lit(10000.0) / col("n_toks")).cast("long"))
+            .as("oov_e4"))
+        .orderBy("doc_id"),
+      terms)
   }
 
   // PII-redaction patterns. Simple greedy character classes on purpose: the
@@ -1116,14 +1124,16 @@ object TextAnalytics {
       .groupBy("doc_id").agg(
         sum("tf").as("n_bigrams"),
         sum(col("tf") * col("p_e4")).as("lm_score_e4"))
-    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("lm_score_e4"), lit(0L)).as("lm_score_e4"),
-        when(col("n_bigrams").isNull, lit(0L))
-          .otherwise(round(col("lm_score_e4") / col("n_bigrams")).cast("long"))
-          .as("lm_mean_e4"))
-      .orderBy("doc_id")
+    graft.functions.Caching.releaseAfterAction(
+      docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("lm_score_e4"), lit(0L)).as("lm_score_e4"),
+          when(col("n_bigrams").isNull, lit(0L))
+            .otherwise(round(col("lm_score_e4") / col("n_bigrams")).cast("long"))
+            .as("lm_mean_e4"))
+        .orderBy("doc_id"),
+      tf)
   }
 
   /** CCNet-style per-language quality bucketing (Wenzek et al. 2020,

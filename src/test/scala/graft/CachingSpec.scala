@@ -30,6 +30,28 @@ class CachingSpec extends AnyFunSuite {
     assert(awaitReleased(cached), "intermediate stayed cached after the action")
   }
 
+  test("contract sweep: every caching operator self-releases after its action") {
+    // One query per operator family that persists an internal intermediate
+    // (the round-8 sweep extended the discipline repo-wide). Each runs its
+    // terminal action; no cached RDD may survive the listener.
+    val wired = Seq("dedup_minhash_pairs", "dedup_simhash_pairs",
+      "dedup_ngram_jaccard", "dedup_embedding_lsh", "sim_ivf_topk",
+      "sim_lsh_topk", "sim_pq_topk", "events_funnel", "events_retention",
+      "decontaminate", "decontaminate_bloom", "decontaminate_semantic",
+      "pack_sequences_global", "tokenize_wordpiece", "wordcount_cms",
+      "vocab_coverage", "text_langid_ngram", "text_lm_score",
+      "text_ccnet_bucket", "text_tfidf_linear", "vocab_train", "tokenize_bpe",
+      "tokenize_wordpiece_learned", "dedup_clusters", "dedup_clusters_best")
+    for (name <- wired) {
+      spark.catalog.clearCache()
+      SparkEntry.queries(name)(spark, TestSpark.sf).collect()
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def live = spark.sparkContext.getPersistentRDDs.size
+      while (live > 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(live === 0, s"$name: $live persistent RDDs survived its action")
+    }
+  }
+
   test("operator-level: substringDup's window cache self-releases after its action") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

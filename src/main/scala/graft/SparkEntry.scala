@@ -125,6 +125,7 @@ object SparkEntry {
     "source_report" -> ((s, d) => Pipeline.sourceReport(s, d)),
     "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
+    "data_mix_temperature" -> ((s, d) => Pipeline.dataMixTemperature(s, d)),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "source_contamination" -> ((s, d) => Pipeline.sourceContamination(s, d)),
     "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(s, d)),
@@ -176,12 +177,15 @@ object SparkEntry {
     sb.toString
   }
 
-  // Shared stratified-sample order hash: polyHash of 'strat:'||doc_id,
-  // then the mix32 avalanche (xor-shift-multiply ×2 — Fns.mix32's twin) so
-  // the VALUE is uniform on [0, P) for the threshold pre-filter. Ends with
-  // h(doc_id, lang, hh).
-  private val StratHashCtes =
-    """p0 AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h0 FROM (SELECT doc_id, lang, 'strat:' || CAST(doc_id AS VARCHAR) AS s FROM documents)), p1 AS (SELECT doc_id, lang, (xor(h0 >> 16, h0) * 73244475) & 4294967295 AS x1 FROM p0), p2 AS (SELECT doc_id, lang, (xor(x1 >> 16, x1) * 73244475) & 4294967295 AS x2 FROM p1), h AS (SELECT doc_id, lang, xor(x2 >> 16, x2) % 1000000007 AS hh FROM p2)"""
+  // Shared sample-order hash CTEs: polyHash of '<salt>'||doc_id, then the
+  // mix32 avalanche (xor-shift-multiply ×2 — Fns.mix32's twin) so the
+  // VALUE is uniform on [0, P) for the threshold pre-filter. Ends with
+  // h(doc_id, <carry>, hh). Different salts = independent sample orders
+  // (the Spark side's Pipeline.orderHash twin).
+  private def orderHashCtes(salt: String, carry: String): String =
+    s"""p0 AS (SELECT doc_id, $carry, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h0 FROM (SELECT doc_id, $carry, '$salt' || CAST(doc_id AS VARCHAR) AS s FROM documents)), p1 AS (SELECT doc_id, $carry, (xor(h0 >> 16, h0) * 73244475) & 4294967295 AS x1 FROM p0), p2 AS (SELECT doc_id, $carry, (xor(x1 >> 16, x1) * 73244475) & 4294967295 AS x2 FROM p1), h AS (SELECT doc_id, $carry, xor(x2 >> 16, x2) % 1000000007 AS hh FROM p2)"""
+
+  private val StratHashCtes = orderHashCtes("strat:", "lang")
 
   /** Shared tail of the two wordpiece-fertility oracles: greedy
     * longest-match segmentation of every distinct word against `vocab`
@@ -317,6 +321,12 @@ object SparkEntry {
     // list_reduce rolling hash the split uses.
     "data_mix" ->
       """WITH h AS (SELECT doc_id, source, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('rate:' || source) + 1), i -> CAST(ascii(substr('rate:' || source, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS rh, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('mix:' || CAST(doc_id AS VARCHAR)) + 1), i -> CAST(ascii(substr('mix:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS mh FROM documents) SELECT doc_id, source, 2000 + (rh % 8001) AS rate_e4, mh % 10000 AS bucket, CAST(CASE WHEN mh % 10000 < 2000 + (rh % 8001) THEN 1 ELSE 0 END AS BIGINT) AS keep FROM h ORDER BY doc_id""",
+    // Temperature (α = 1/2) source mixing: integer floor-sqrt weights,
+    // integer-div targets, smallest-salted-hash selection per source —
+    // every step exact on both engines (sqrt of an exact-double count is
+    // correctly rounded identically; everything else is BIGINT).
+    "data_mix_temperature" ->
+      s"""WITH ${orderHashCtes("tmix:", "source")}, c AS (SELECT source, count(*) AS n_source, CAST(floor(sqrt(count(*))) AS BIGINT) AS sw FROM h GROUP BY source), tot AS (SELECT CAST(sum(sw) AS BIGINT) AS wsum, CAST(sum(n_source) AS BIGINT) AS ntot FROM c), t AS (SELECT source, n_source, least(n_source, ((ntot // 2) * sw) // wsum) AS target FROM c CROSS JOIN tot), r AS (SELECT h.doc_id, h.source, t.n_source, t.target, row_number() OVER (PARTITION BY h.source ORDER BY h.hh, h.doc_id) AS rn FROM h JOIN t ON h.source = t.source) SELECT doc_id, source, n_source, target, CAST(rn AS BIGINT) AS rn, CAST(CASE WHEN rn <= target THEN 1 ELSE 0 END AS BIGINT) AS kept FROM r ORDER BY doc_id""",
     "corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(len(regexp_extract_all(lower(text), '$Tok'))) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY lang ORDER BY lang""",
     "wordcount_topk" ->

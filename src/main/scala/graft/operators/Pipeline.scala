@@ -651,9 +651,14 @@ object Pipeline {
     * (measured: [0.41P, 0.88P], rank-correlated with doc_id). One
     * definition feeds the audit view, the capped scale path, and both
     * oracles, so the sample can never drift between them. */
-  private def stratHash =
+  private def stratHash = orderHash("strat:")
+
+  /** A salted deterministic sample-order hash on doc_id: polyHash then the
+    * mix32 avalanche, uniform on [0, P). Different salts give independent
+    * orders, so each sampling operator draws its own sample. */
+  private def orderHash(salt: String) =
     pmod(graft.functions.Fns.mix32(
-      polyHash(concat(lit("strat:"), col("doc_id").cast("string")))), lit(StratP))
+      polyHash(concat(lit(salt), col("doc_id").cast("string")))), lit(StratP))
 
   /** Stratified sampling, SCALE PATH — the hash-threshold pre-filter the
     * [[sampleStratified]] docstring promises: emit ONLY the kept sample
@@ -715,5 +720,52 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("rn"))
         .orderBy("doc_id"),
       admitted)
+  }
+
+  /** Temperature-scaled source mixing (α = 1/2) — the multilingual/
+    * multi-source resampling rule of mT5 (Xue et al. 2021) and UniMax-style
+    * pipelines: sample source s proportionally to n_s^α instead of n_s, so
+    * dominant sources are down-weighted and small sources over-represented
+    * relative to their raw share. Contrast [[dataMix]], which applies a
+    * PER-SOURCE-CONFIGURED keep rate; here the rates are DERIVED from the
+    * size distribution — the knob a pipeline turns when it wants "flatter
+    * than natural" without hand-tuning every source.
+    *
+    * All-integer derivation so both engines agree bit for bit: weight
+    * w_s = floor(sqrt(n_s)) (exact: counts are exact doubles below 2^53
+    * and IEEE sqrt is correctly rounded — identical on both engines),
+    * budget = floor(Σn/2), target_s = min(n_s, budget·w_s div Σw). The
+    * kept docs are the target_s smallest salted-hash ranks per source
+    * (salt "tmix:" — an order independent of the stratified sample's).
+    * Emitted audit-style: every doc with its source size, target, rank,
+    * and kept flag.
+    *
+    * Scale shape: one corpus scan → per-source counts (a tiny aggregate,
+    * collected: the source registry is hundreds of rows); targets
+    * broadcast back; one rank window per source. A dominant source's
+    * window input can be pre-filtered by hash threshold exactly as
+    * [[sampleStratifiedCappedDf]] does (h ≤ 2·target_s·P/n_s admits a
+    * consistent prefix), since the kept set is again the smallest-hash
+    * prefix per group. */
+  def dataMixTemperature(s: SparkSession, d: String): DataFrame =
+    dataMixTemperatureDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, source) DataFrame (planted tests). */
+  def dataMixTemperatureDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"), orderHash("tmix:").as("h"))
+    val counts = base.groupBy("source").agg(count(lit(1)).as("n_source"))
+      .withColumn("sw", floor(sqrt(col("n_source"))).cast("long"))
+    val tot = counts.agg(sum("sw").as("wsum"), sum("n_source").as("ntot")).head()
+    val (wsum, ntot) = (tot.getLong(0), tot.getLong(1))
+    val budget = ntot / 2
+    val targets = counts.withColumn("target",
+      least(col("n_source"), expr(s"($budget * sw) div $wsum")))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    base.join(broadcast(targets), "source")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("target"),
+        col("rn"), (col("rn") <= col("target")).cast("long").as("kept"))
+      .orderBy("doc_id")
   }
 }

@@ -460,4 +460,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("under-admitted") && ex.getMessage.contains("xx"),
       s"guard message must name the starved stratum: ${ex.getMessage}")
   }
+
+  test("temperature mixing: sqrt weights flatten the source distribution, all-integer") {
+    // big: 90 docs, small: 10 docs. Weights floor(sqrt): 9 and 3;
+    // budget = 100/2 = 50; targets: 50·9//12 = 37, min(10, 50·3//12=12) = 10.
+    // The small source keeps 100 %, the big one 41 % — flatter than the
+    // natural 90/10 split, which is the entire point of α = 1/2.
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val out = Pipeline.dataMixTemperatureDf(docs)
+      .select("doc_id", "source", "n_source", "target", "rn", "kept")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(out.length === 100)
+    val bySource = out.groupBy(_._2)
+    assert(bySource("big").head._4 === 37L)
+    assert(bySource("small").head._4 === 10L)
+    assert(bySource("big").count(_._6 == 1L) === 37)
+    assert(bySource("small").count(_._6 == 1L) === 10)
+    // ranks are a permutation of 1..n within each source
+    assert(bySource("big").map(_._5).sorted.toSeq === (1L to 90L))
+    // deterministic: a re-run keeps the identical doc set
+    val again = Pipeline.dataMixTemperatureDf(docs)
+      .filter($"kept" === 1L).select("doc_id")
+      .as[Long].collect().toSet
+    assert(again === out.filter(_._6 == 1L).map(_._1).toSet)
+  }
 }

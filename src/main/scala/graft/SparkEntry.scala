@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Pipeline, Relational, Similarity, TextAnalytics}
+import graft.operators.{Dedup, Events, Graph, Pipeline, Relational, Similarity, TextAnalytics}
 import graft.multimodal.Media
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -43,6 +43,7 @@ object SparkEntry {
     "join_outer" -> ((s, d) => Relational.joinOuter(s, d)),
     "pivot_status" -> ((s, d) => Relational.pivotStatus(s, d)),
     "supplier_revenue" -> ((s, d) => Relational.supplierRevenue(s, d)),
+    "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
     "agg_quantiles" -> ((s, d) => Relational.aggQuantiles(s, d)),
@@ -186,6 +187,26 @@ object SparkEntry {
     s"""p0 AS (SELECT doc_id, $carry, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h0 FROM (SELECT doc_id, $carry, '$salt' || CAST(doc_id AS VARCHAR) AS s FROM documents)), p1 AS (SELECT doc_id, $carry, (xor(h0 >> 16, h0) * 73244475) & 4294967295 AS x1 FROM p0), p2 AS (SELECT doc_id, $carry, (xor(x1 >> 16, x1) * 73244475) & 4294967295 AS x2 FROM p1), h AS (SELECT doc_id, $carry, xor(x2 >> 16, x2) % 1000000007 AS hh FROM p2)"""
 
   private val StratHashCtes = orderHashCtes("strat:", "lang")
+
+  /** Unrolled PageRank CTE chain — Graph.pagerank's fixed-round loop, one
+    * (contrib, rank) CTE pair per round, all-BIGINT (DuckDB `//` on
+    * non-negatives = Spark `div`). Ends with r<n>(node_id, r). */
+  private def pagerankCtes(iters: Int): String = {
+    import graft.operators.Graph.{PrScale, PrDampNum, PrDampDen}
+    val sb = new StringBuilder
+    sb ++= "eraw AS (SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode, count(*) AS cnt FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2)"
+    sb ++= ", e0 AS (SELECT cnode AS src, snode AS dst, cnt FROM eraw UNION ALL SELECT snode AS src, cnode AS dst, cnt FROM eraw)"
+    sb ++= ", ow AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS wout FROM e0 GROUP BY src)"
+    sb ++= ", e AS (SELECT e0.src, e0.dst, e0.cnt, ow.wout FROM e0 JOIN ow ON e0.src = ow.src)"
+    sb ++= ", nodes AS (SELECT DISTINCT src AS node_id FROM e0)"
+    sb ++= ", nn AS (SELECT count(*) AS n FROM nodes)"
+    sb ++= s", r0 AS (SELECT node_id, CAST($PrScale // n AS BIGINT) AS r FROM nodes CROSS JOIN nn)"
+    for (k <- 1 to iters) {
+      sb ++= s", c$k AS (SELECT e.dst, CAST(sum((r.r * e.cnt) // e.wout) AS BIGINT) AS inflow FROM e JOIN r${k - 1} r ON e.src = r.node_id GROUP BY e.dst)"
+      sb ++= s", r$k AS (SELECT nodes.node_id, CAST((${PrDampDen - PrDampNum} * ($PrScale // nn.n)) // $PrDampDen + ($PrDampNum * COALESCE(c$k.inflow, 0)) // $PrDampDen AS BIGINT) AS r FROM nodes CROSS JOIN nn LEFT JOIN c$k ON nodes.node_id = c$k.dst)"
+    }
+    sb.toString
+  }
 
   /** Shared tail of the two wordpiece-fertility oracles: greedy
     * longest-match segmentation of every distinct word against `vocab`
@@ -367,6 +388,11 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
     "supplier_revenue" ->
       """SELECT s_suppkey, s_name, n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY s_suppkey, s_name, n_name ORDER BY revenue_c DESC, s_suppkey LIMIT 20""",
+    // Weighted PageRank over the customer-supplier trade graph, 3 rounds
+    // unrolled, exact-integer fixed point (div-per-edge mass loss is
+    // deterministic on both engines).
+    "graph_pagerank" ->
+      s"""WITH ${pagerankCtes(graft.operators.Graph.PrIters)} SELECT node_id, CASE WHEN node_id % 2 = 0 THEN 'c' ELSE 's' END AS kind, node_id // 2 AS key, r AS rank_e12 FROM r${graft.operators.Graph.PrIters} ORDER BY node_id""",
     "dedup_minhash" ->
       s"""$MinhashCtes SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""",
     "dedup_minhash_pairs" ->

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Graph analytics beyond the connected components the dedup family runs
+  * ([[Dedup.components]]): link-style importance scoring, the measure crawl
+  * pipelines attach to pages before quality gating. The reference corpus has
+  * no link column, so the demonstration graph is the TPC-H-ish TRADE
+  * NETWORK: customers and suppliers are nodes, and every lineitem of an
+  * order adds weight to the (customer ↔ supplier) edge pair. The same code
+  * runs any weighted edge list.
+  */
+object Graph {
+
+  /** Fixed PageRank iteration count — unrolled in the oracle CTE chain, so
+    * it stays small the same way [[TextAnalytics.BpeMerges]] does;
+    * production runs iterate to convergence with the identical loop body. */
+  val PrIters = 3
+
+  /** Rank fixed-point scale (1e12: big enough that the div-per-edge mass
+    * loss stays far below rank gaps; products r·w ≤ 1e12·1e5 ≪ 2^63). */
+  val PrScale = 1000000000000L
+
+  /** Damping numerator/denominator (the classic 0.85, kept integral). */
+  val PrDampNum = 85L
+  val PrDampDen = 100L
+
+  /** Weighted PageRank over the customer–supplier transaction graph,
+    * EXACT-INTEGER fixed point so the trained ranks hash-match the oracle:
+    *
+    *  - nodes: customers (node_id = 2·custkey, kind 'c') and suppliers
+    *    (node_id = 2·suppkey + 1, kind 's') — the even/odd embedding keeps
+    *    the two key spaces disjoint without strings;
+    *  - edges: orders ⋈ lineitem yields (custkey, suppkey, cnt) — cnt
+    *    lineitems bought by that customer from that supplier — emitted in
+    *    BOTH directions, so every node has out-degree ≥ 1 (no dangling
+    *    mass) and the walk is the undirected trade random walk;
+    *  - iteration (k = [[PrIters]] rounds): contribution along an edge is
+    *    r(u)·w div W_u (W_u = u's total out-weight; integer div — the
+    *    deterministic mass loss both engines compute identically), and
+    *    r'(v) = (15·(SCALE div N)) div 100 + (85·Σ contrib) div 100.
+    *
+    * Scale shape: the edge list (with pre-aggregated out-weight totals)
+    * persists once and every round shuffles only the node-sized rank
+    * table — join ranks to edges on src, aggregate on dst: the Pregel
+    * message-passing shape. Rounds are FIXED (no driver round-trip, no
+    * convergence action): the full k-round dataflow is one declarative
+    * plan, so Catalyst sees every stage and the edge partitioning is
+    * reused across rounds. At crawl scale swap the plan-deep loop for the
+    * checkpointed round loop [[Dedup.components]] already demonstrates.
+    * Output: (node_id, kind, key, rank_e12) per node. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val edgesRaw = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
+      .select((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"), col("cnt"))
+    val edges = edgesRaw
+      .select(col("cnode").as("src"), col("snode").as("dst"), col("cnt"))
+      .unionAll(edgesRaw.select(col("snode").as("src"),
+        col("cnode").as("dst"), col("cnt")))
+    pagerankDf(edges)
+      .select(col("node_id"),
+        when(pmod(col("node_id"), lit(2L)) === 0L, lit("c")).otherwise(lit("s"))
+          .as("kind"),
+        (col("node_id") / lit(2L)).cast("long").as("key"),
+        col("rank_e12"))
+      .orderBy("node_id")
+  }
+
+  /** PageRank core over any weighted directed edge list (src, dst, cnt);
+    * every node must appear as a src (emit both directions for undirected
+    * graphs). Returns (node_id, rank_e12) after [[PrIters]] rounds. */
+  def pagerankDf(edges: DataFrame): DataFrame = {
+    val outW = edges.groupBy("src").agg(sum("cnt").as("wout"))
+    val e = edges.join(outW, "src")
+      .select(col("src"), col("dst"), col("cnt"), col("wout"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val base = lit(PrScale / n)
+    val teleport = lit((PrDampDen - PrDampNum) * (PrScale / n) / PrDampDen)
+    var ranks = nodes.select(col("node_id"), base.as("rank_e12"))
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(ranks.withColumnRenamed("node_id", "src"), "src")
+        .select(col("dst"),
+          expr("(rank_e12 * cnt) div wout").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node_id"), Seq("node_id"), "left")
+        .select(col("node_id"),
+          (teleport + expr(s"($PrDampNum * coalesce(inflow, 0)) div $PrDampDen"))
+            .as("rank_e12"))
+    }
+    graft.functions.Caching.releaseAfterAction(ranks, e, nodes)
+  }
+}

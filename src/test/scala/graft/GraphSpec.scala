@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** PageRank: the exact-integer fixed point is pinned on a planted path
+  * graph (hand-unrolled arithmetic, every div's floor included), plus
+  * structural checks on the trade-network wrapper. */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("pagerank: hand-computed 3-round fixed point on the path graph a-b-c") {
+    // Path 1-2-3, both directions, unit weights. W1 = W3 = 1, W2 = 2,
+    // N = 3, base = 1e12 // 3, teleport = (15 * base) // 100.
+    // Three rounds of r' = teleport + (85 * inflow) // 100 give (floors
+    // at every div): ends 209729166663, center 580541666661.
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "cnt")
+    val got = Graph.pagerankDf(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 209729166663L,
+      2L -> 580541666661L,
+      3L -> 209729166663L))
+  }
+
+  test("pagerank trade network: keys partition into customers and suppliers, mass sane") {
+    val out = Graph.pagerank(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // even node ids are customers, odd are suppliers — and the key
+    // round-trips the embedding
+    assert(out.forall { case (n, k, key, _) =>
+      (n % 2 == 0 && k == "c" && key == n / 2) ||
+      (n % 2 == 1 && k == "s" && key == n / 2) })
+    assert(out.count(_._2 == "s") > 0 && out.count(_._2 == "c") > 0)
+    // every rank ≥ teleport floor, and total mass stays below the scale
+    // (integer divs only ever LOSE mass)
+    val n = out.length
+    val teleport = 15L * (Graph.PrScale / n) / 100L
+    assert(out.forall(_._4 >= teleport))
+    assert(out.map(_._4).sum <= Graph.PrScale)
+    // suppliers aggregate many customers' mass: the max supplier outranks
+    // the median customer
+    val sRanks = out.filter(_._2 == "s").map(_._4).sorted
+    val cRanks = out.filter(_._2 == "c").map(_._4).sorted
+    assert(sRanks.last > cRanks(cRanks.length / 2))
+  }
+}

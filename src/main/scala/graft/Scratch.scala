@@ -13,6 +13,11 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    if (args.length > 1 && args(1) == "explain") {
+      val df = SparkEntry.queries(args(2))(spark, d)
+      df.explain("formatted")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "pq-eta") {
       import org.apache.spark.sql.Row
       val brute = graft.operators.Similarity.bruteTopK(spark, d)

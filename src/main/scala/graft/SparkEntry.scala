@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDup(s, d)),
     "dedup_substring_rewrite" -> ((s, d) => Dedup.substringRewrite(s, d)),
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(s, d)),
@@ -119,6 +120,7 @@ object SparkEntry {
     "media_neardup" -> ((s, d) => Media.mediaNearDup(s, d)),
     // — LLM-pipeline: corpus shipping —
     "corpus_clean" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
+    "corpus_clean_ccnet" -> ((s, d) => Pipeline.cleanCorpusCcnet(s, d)),
     "corpus_clean_neardup" -> ((s, d) => Pipeline.cleanCorpusNearDup(s, d)),
     "corpus_clean_spans" -> ((s, d) => Pipeline.cleanCorpusSpans(s, d)),
     "corpus_clean_c4" -> ((s, d) => Pipeline.c4Clean(s, d)),
@@ -187,6 +189,13 @@ object SparkEntry {
     s"""p0 AS (SELECT doc_id, $carry, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h0 FROM (SELECT doc_id, $carry, '$salt' || CAST(doc_id AS VARCHAR) AS s FROM documents)), p1 AS (SELECT doc_id, $carry, (xor(h0 >> 16, h0) * 73244475) & 4294967295 AS x1 FROM p0), p2 AS (SELECT doc_id, $carry, (xor(x1 >> 16, x1) * 73244475) & 4294967295 AS x2 FROM p1), h AS (SELECT doc_id, $carry, xor(x2 >> 16, x2) % 1000000007 AS hh FROM p2)"""
 
   private val StratHashCtes = orderHashCtes("strat:", "lang")
+
+  /** corpus_clean's gate CTEs (quality + language flags, exact-dedup
+    * survivors) — shared by the three oracles that compose them so the
+    * gates cannot drift. Ends with flags(doc_id, quality_ok, lang_match)
+    * and surv(doc_id). */
+  private def cleanFlagCtes: String =
+    s"""t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s), surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)"""
 
   /** Unrolled PageRank CTE chain — Graph.pagerank's fixed-round loop, one
     * (contrib, rank) CTE pair per round, all-BIGINT (DuckDB `//` on
@@ -311,11 +320,16 @@ object SparkEntry {
     * float projections with e4-rounded outputs (sign-projection LSH, IVF). */
   def oracleSql: Map[String, String] = Map(
     "corpus_clean" ->
-      s"""WITH t AS (SELECT doc_id, lang, length(replace(text, ' ', '')) AS alpha_len, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s), surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) SELECT d.doc_id, CAST(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, CAST(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id ORDER BY d.doc_id""",
+      s"""WITH $cleanFlagCtes SELECT d.doc_id, CAST(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, CAST(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id ORDER BY d.doc_id""",
+    // corpus_clean plus CCNet's perplexity gate: the per-language tail
+    // third of the LM score distribution is dropped; bucket rides along
+    // for the audit view.
+    "corpus_clean_ccnet" ->
+      s"""WITH $LmCtes, lm AS (SELECT d.doc_id, d.lang, CAST(CASE WHEN s.n_bigrams IS NULL THEN 0 ELSE round(s.lm_score_e4 * 1.0 / s.n_bigrams) END AS BIGINT) AS lm_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id), tiled AS (SELECT doc_id, ntile(3) OVER (PARTITION BY lang ORDER BY lm_mean_e4 DESC, doc_id) AS tile FROM lm), bkt AS (SELECT doc_id, CASE WHEN tile = 1 THEN 'head' WHEN tile = 2 THEN 'middle' ELSE 'tail' END AS bucket FROM tiled), $cleanFlagCtes SELECT d.doc_id, CAST(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, b.bucket, CAST(CASE WHEN b.bucket <> 'tail' THEN 1 ELSE 0 END AS BIGINT) AS ccnet_ok, CAST(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 AND b.bucket <> 'tail' THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id JOIN bkt b ON d.doc_id = b.doc_id ORDER BY d.doc_id""",
     // Per-source gate report: corpus_clean's flag CTEs grouped by source
     // (DuckDB sum(BIGINT) widens to HUGEINT, hence the casts).
     "source_report" ->
-      s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), flags AS (SELECT doc_id, CAST(CASE WHEN n_toks >= 5 AND stop_hits > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_ok, CAST(CASE WHEN (CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS lang_match FROM s), surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) SELECT d.source, count(*) AS n_docs, CAST(sum(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivor, CAST(sum(f.quality_ok) AS BIGINT) AS n_quality, CAST(sum(f.lang_match) AS BIGINT) AS n_lang, CAST(sum(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id GROUP BY d.source ORDER BY d.source""",
+      s"""WITH $cleanFlagCtes SELECT d.source, count(*) AS n_docs, CAST(sum(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivor, CAST(sum(f.quality_ok) AS BIGINT) AS n_quality, CAST(sum(f.lang_match) AS BIGINT) AS n_lang, CAST(sum(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id GROUP BY d.source ORDER BY d.source""",
     // Near-dup-aware clean: the survivor CTEs are the dedup_clusters
     // transitive closure at the decision-grade Jaccard ≥ 0.8 threshold
     // (Dedup.NearDupJacE4 — a doc survives iff no smaller doc_id is
@@ -620,6 +634,16 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, CAST(max(octet_length(encode(text))) AS BIGINT) AS n_bytes FROM documents GROUP BY text ORDER BY keep_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramCtes SELECT d1, d2, jac_e4 FROM jpairs WHERE jac_e4 >= 100 ORDER BY d1, d2""",
+    // Winnowing (Schleimer et al. 2003): ORDERED 3-gram hash sequence →
+    // min per sliding window of WinnowW → distinct selected values are the
+    // fingerprints; pairs share ≥ WinnowMinShared under the same df cap as
+    // the Jaccard kit. All-integer → hash-matched.
+    "dedup_winnowing" -> {
+      val w = graft.operators.Dedup.WinnowW
+      val cap = graft.operators.Dedup.MaxShingleDf
+      val minSh = graft.operators.Dedup.WinnowMinShared
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS tw FROM documents), g AS (SELECT doc_id, list_transform(range(1, len(tw) - 1), i -> tw[i] || ' ' || tw[i+1] || ' ' || tw[i+2]) AS grams FROM toks WHERE len(tw) >= 3), hx AS (SELECT doc_id, list_transform(grams, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295)) AS hs FROM g), fp AS (SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(CASE WHEN len(hs) <= $w THEN [list_min(hs)] ELSE list_transform(range(1, len(hs) - $w + 2), i -> list_min(hs[i:i+${w - 1}])) END) AS fp FROM hx)), eligible AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $cap), fpf AS (SELECT f.doc_id, f.fp FROM fp f JOIN eligible e ON f.fp = e.fp), pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared FROM pr WHERE n_shared >= $minSh ORDER BY d1, d2"""
+    },
     // Exact-substring (token-window) duplication: windows reduce to the
     // 114-bit fingerprint pair immediately — two 57-bit checked-BIGINT
     // polynomial folds with coprime bases (31, 37), the same recurrences

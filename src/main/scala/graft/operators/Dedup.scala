@@ -554,6 +554,65 @@ object Dedup extends org.apache.spark.internal.Logging {
     * skew ceiling at 100 TB. */
   val MaxShingleDf = 50L
 
+  /** Winnowing window width: a fingerprint is selected from every run of
+    * [[WinnowW]] consecutive 3-gram hashes, so any shared token run of
+    * length ≥ 3 + [[WinnowW]] − 1 is GUARANTEED to share a fingerprint —
+    * the winnowing coverage theorem's t = w + k − 1. */
+  val WinnowW = 4
+
+  /** Minimum shared fingerprints for a reported pair (1 fingerprint can be
+    * a single boilerplate phrase; 2+ is sustained overlap). */
+  val WinnowMinShared = 2L
+
+  /** Winnowing document fingerprints → copy-detection pairs (Schleimer,
+    * Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — the MOSS algorithm). Each document's ORDERED 3-gram
+    * hash sequence (duplicates kept — position matters, unlike the
+    * Jaccard family's distinct-shingle SET) slides a [[WinnowW]]-wide
+    * window; the window's MINIMUM hash is selected. The distinct selected
+    * values are the document's fingerprint set — a (2/(w+1))-density local
+    * sample with the GUARANTEE that any match of t = w+k−1 tokens shares
+    * a fingerprint (contrast MinHash, whose misses are probabilistic).
+    * Pairs then form exactly like the Jaccard kit: bounded-state collect
+    * per fingerprint (df cap = hot boilerplate fingerprints dropped, the
+    * same [[MaxShingleDf]] rationale), LongPairs, shared-count filter.
+    * Selection is by VALUE min (ties keep one value — both engines
+    * identical); the paper's rightmost-position tie rule only affects
+    * density, not the coverage guarantee.
+    *
+    * Scale shape: fingerprinting is a narrow per-row pass (token-linear,
+    * array ops inside codegen); the density bound means only ~2/(w+1) of
+    * gram hashes ever leave the row. The one shuffle groups (fp → doc
+    * ids) with per-key state capped at maxDf+1 longs. Docs under k+w−1
+    * tokens contribute their single min-hash fingerprint; docs under k
+    * tokens have none (exact dedup covers them). */
+  def winnowingPairs(s: SparkSession, d: String): DataFrame =
+    winnowingPairsDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def winnowingPairsDf(docs: DataFrame, minShared: Long = WinnowMinShared,
+      maxDf: Long = MaxShingleDf): DataFrame = {
+    val hs = TextAnalytics.docTokensText(docs)
+      .select(col("doc_id"),
+        transform(wordNgrams(col("toks"), 3), g => polyHash(g)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val fps = hs.select(col("doc_id"), explode(array_distinct(
+        when(size(col("hs")) <= WinnowW, array(array_min(col("hs"))))
+          .otherwise(transform(
+            sequence(lit(1), size(col("hs")) - lit(WinnowW) + lit(1)),
+            i => array_min(slice(col("hs"), i, lit(WinnowW))))))).as("fp"))
+    val capped = org.apache.spark.sql.graft.AggExprs
+      .boundedCollectLong(col("doc_id"), (maxDf + 1).toInt)
+    val grouped = fps.groupBy("fp").agg(capped.as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+    grouped.select(explode(
+        org.apache.spark.sql.graft.AggExprs.longPairs(col("ids"))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("d1", "d2")
+  }
+
   /** n-gram Jaccard near-dup pairs, exact (not sketched): join documents on
     * shared distinct 3-shingles, count common, Jaccard = common/(na+nb-common)
     * in 1e-4 fixed point. Equi-join on the shingle — no cross product — with

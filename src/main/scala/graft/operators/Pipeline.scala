@@ -122,6 +122,40 @@ object Pipeline {
     gate(qualityLangFlags(docs), survivors)
   }
 
+  /** The decision frame with CCNet's perplexity gate added: alongside the
+    * exact-dedup survivor, quality, and language gates, a document must not
+    * sit in its language's TAIL third of the corpus-LM score distribution
+    * ([[TextAnalytics.ccnetBucket]] — Wenzek et al. 2020's "discard or
+    * down-weight the tail" rule, the deployment CCNet exists for). The
+    * bucket rides along so the audit view shows WHICH band a dropped doc
+    * sat in, corpus_clean-style.
+    *
+    * Scale shape: the gates are one narrow scan + one text-hash shuffle
+    * (corpus_clean's); the bucket adds the LM scorer's bigram shuffle and
+    * one per-language rank window — the same components priced standalone
+    * by text_lm_score and text_ccnet_bucket. */
+  def cleanCorpusCcnet(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_survivor"))
+    val buckets = TextAnalytics.ccnetBucketDf(docs)
+      .select(col("doc_id"), col("bucket"))
+    qualityLangFlags(docs)
+      .join(survivors, Seq("doc_id"), "left")
+      .join(buckets, "doc_id")
+      .select(
+        col("doc_id"),
+        coalesce(col("is_survivor"), lit(0L)).as("is_survivor"),
+        col("quality_ok"),
+        col("lang_match"),
+        col("bucket"),
+        (col("bucket") =!= "tail").cast("long").as("ccnet_ok"))
+      .withColumn("keep",
+        (col("is_survivor") === 1 && col("quality_ok") === 1 &&
+          col("lang_match") === 1 && col("ccnet_ok") === 1).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** C4 cleaning constants (Raffel et al. 2020, arXiv:1910.10683 §2.2):
     * a line survives iff it ends in terminal punctuation (. ! ? ") AND
     * holds ≥ 3 space-delimited words AND does not mention "javascript";

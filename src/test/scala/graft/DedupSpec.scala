@@ -313,4 +313,28 @@ class DedupSpec extends AnyFunSuite {
       assert(recall >= 0.8, s"high-sim recall $recall below 0.8 (${high.size} high-sim pairs)")
     }
   }
+
+  test("winnowing: t-run coverage guarantee, no false pairs, full overlap on twins") {
+    // Docs 1-2 share the 6-token run "the quick brown fox jumps over" —
+    // exactly t = w + k − 1 = 4 + 3 − 1, so the coverage theorem
+    // GUARANTEES a shared fingerprint. Doc 3 shares no 3-gram with either.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "intro words the quick brown fox jumps over something else entirely"),
+      (3L, "completely different vocabulary here with no token overlap at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairsDf(docs, minShared = 1L)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      "guaranteed t-run fingerprint match missing")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // byte-identical twins share their whole fingerprint set and clear
+    // the default min-shared bar
+    val twins = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val p2 = Dedup.winnowingPairsDf(twins).as[(Long, Long, Long)].collect()
+    assert(p2.length === 1 && p2.head._3 >= Dedup.WinnowMinShared)
+  }
 }

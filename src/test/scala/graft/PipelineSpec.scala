@@ -461,6 +461,25 @@ class PipelineSpec extends AnyFunSuite {
       s"guard message must name the starved stratum: ${ex.getMessage}")
   }
 
+  test("ccnet gate: keep = corpus_clean keep AND bucket != tail, flags agree") {
+    val base = Pipeline.cleanCorpus(spark, TestSpark.sf)
+      .select("doc_id", "keep").as[(Long, Long)].collect().toMap
+    val buckets = operators.TextAnalytics.ccnetBucket(spark, TestSpark.sf)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val out = Pipeline.cleanCorpusCcnet(spark, TestSpark.sf)
+      .select("doc_id", "bucket", "ccnet_ok", "keep")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    for ((id, bucket, ok, keep) <- out) {
+      assert(bucket === buckets(id))
+      assert(ok === (if (bucket != "tail") 1L else 0L))
+      assert(keep === (base(id) min ok))
+    }
+    // the gate actually fires: some docs fall out purely for sitting in
+    // the tail (corpus_clean kept them)
+    assert(out.exists { case (id, _, ok, _) => base(id) == 1L && ok == 0L })
+  }
+
   test("temperature mixing: sqrt weights flatten the source distribution, all-integer") {
     // big: 90 docs, small: 10 docs. Weights floor(sqrt): 9 and 3;
     // budget = 100/2 = 50; targets: 50·9//12 = 37, min(10, 50·3//12=12) = 10.

@@ -589,18 +589,27 @@ object Dedup extends org.apache.spark.internal.Logging {
   def winnowingPairs(s: SparkSession, d: String): DataFrame =
     winnowingPairsDf(Tables.documents(s, d))
 
-  /** Same, over any (doc_id, text) DataFrame (planted tests). */
-  def winnowingPairsDf(docs: DataFrame, minShared: Long = WinnowMinShared,
-      maxDf: Long = MaxShingleDf): DataFrame = {
+  /** The distinct winnowing fingerprint set per document — ONE definition
+    * shared by the batch pair query and the streaming probe twin, so the
+    * two can never select differently. Narrow per-row array work (no
+    * shuffle): ordered 3-gram hashes, min per [[WinnowW]]-window,
+    * distinct. */
+  def winnowingFingerprints(docs: DataFrame): DataFrame = {
     val hs = TextAnalytics.docTokensText(docs)
       .select(col("doc_id"),
         transform(wordNgrams(col("toks"), 3), g => polyHash(g)).as("hs"))
       .filter(size(col("hs")) > 0)
-    val fps = hs.select(col("doc_id"), explode(array_distinct(
+    hs.select(col("doc_id"), explode(array_distinct(
         when(size(col("hs")) <= WinnowW, array(array_min(col("hs"))))
           .otherwise(transform(
             sequence(lit(1), size(col("hs")) - lit(WinnowW) + lit(1)),
             i => array_min(slice(col("hs"), i, lit(WinnowW))))))).as("fp"))
+  }
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def winnowingPairsDf(docs: DataFrame, minShared: Long = WinnowMinShared,
+      maxDf: Long = MaxShingleDf): DataFrame = {
+    val fps = winnowingFingerprints(docs)
     val capped = org.apache.spark.sql.graft.AggExprs
       .boundedCollectLong(col("doc_id"), (maxDf + 1).toInt)
     val grouped = fps.groupBy("fp").agg(capped.as("ids"))

@@ -200,6 +200,32 @@ object TextStreams {
       .select(col("doc_id"), col("sh"))
   }
 
+  /** Streaming copy-detection probe — the winnowing family's daily-crawl
+    * shape (the eleventh twin): arriving documents fingerprint STATELESSLY
+    * with the exact batch selector ([[Dedup.winnowingFingerprints]] — one
+    * definition, so batch and stream can never select differently) and
+    * probe the static corpus fingerprint table; every shared fingerprint
+    * emits an evidence row (doc_id, corpus_doc_id, fp). Self-matches are
+    * excluded so replaying the corpus over itself reports only genuine
+    * cross-document overlap.
+    *
+    * Scale posture: per-row fingerprinting is narrow (≈ 2/(w+1) density);
+    * the probe is a stream-static equi-join on the fingerprint — at test
+    * scale the static side broadcasts, at 100 TB the fingerprint table is
+    * written BUCKETED by fp once and each micro-batch (bounded) shuffles
+    * to it, the corpus never recomputing — the same posture as
+    * [[graft.operators.Dedup.incremental]]'s saved-fingerprint contract.
+    * No watermark state: the stream side holds nothing between batches. */
+  def winnowingProbeStream(spark: SparkSession, path: String,
+      staticDocs: DataFrame, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val corpusFps = Dedup.winnowingFingerprints(staticDocs)
+      .select(col("doc_id").as("corpus_doc_id"), col("fp"))
+    Dedup.winnowingFingerprints(documentStream(spark, path, maxFilesPerTrigger))
+      .join(corpusFps, "fp")
+      .filter(col("doc_id") =!= col("corpus_doc_id"))
+      .select(col("doc_id"), col("corpus_doc_id"), col("fp"))
+  }
+
   /** Streaming NEAR-dup twin of [[Dedup.simhashPairs]]: arriving documents
     * are SimHash-fingerprinted, exploded into the same 16-bit prefix bands,
     * and matched against per-bucket state via `flatMapGroupsWithState` —

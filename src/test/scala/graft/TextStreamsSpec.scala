@@ -112,6 +112,30 @@ class TextStreamsSpec extends AnyFunSuite {
       "streamed evidence doc set must equal the batch contaminated set")
   }
 
+  test("streaming winnowing probe evidence equals the batch fingerprint join") {
+    val dir = Paths.get("target", "test-scratch", "docstream_winnow")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val staticDocs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.winnowingProbeStream(spark, dir.toString, staticDocs),
+        "t_winnow", mode = "append")
+      .select("doc_id", "corpus_doc_id", "fp")
+      .as[(Long, Long, Long)].collect().toSet
+    // batch expectation: the same one-definition fingerprint join
+    val fps = graft.operators.Dedup.winnowingFingerprints(staticDocs)
+    val batch = fps
+      .join(fps.withColumnsRenamed(Map("doc_id" -> "corpus_doc_id")), "fp")
+      .filter(org.apache.spark.sql.functions.col("doc_id") =!=
+        org.apache.spark.sql.functions.col("corpus_doc_id"))
+      .select("doc_id", "corpus_doc_id", "fp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "no cross-document fingerprint overlap — vacuous")
+    assert(streamed === batch)
+  }
+
   test("streaming near-dup pairs equal the batch simhash Hamming-ball exactly") {
     val dir = Paths.get("target", "test-scratch", "docstream_neardup")
     Files.createDirectories(dir)

@@ -591,20 +591,17 @@ object Dedup extends org.apache.spark.internal.Logging {
 
   /** The distinct winnowing fingerprint set per document — ONE definition
     * shared by the batch pair query and the streaming probe twin, so the
-    * two can never select differently. Narrow per-row array work (no
-    * shuffle): ordered 3-gram hashes, min per [[WinnowW]]-window,
-    * distinct. */
-  def winnowingFingerprints(docs: DataFrame): DataFrame = {
-    val hs = TextAnalytics.docTokensText(docs)
-      .select(col("doc_id"),
-        transform(wordNgrams(col("toks"), 3), g => polyHash(g)).as("hs"))
-      .filter(size(col("hs")) > 0)
-    hs.select(col("doc_id"), explode(array_distinct(
-        when(size(col("hs")) <= WinnowW, array(array_min(col("hs"))))
-          .otherwise(transform(
-            sequence(lit(1), size(col("hs")) - lit(WinnowW) + lit(1)),
-            i => array_min(slice(col("hs"), i, lit(WinnowW))))))).as("fp"))
-  }
+    * two can never select differently. Narrow per-row work (no shuffle):
+    * the native [[org.apache.spark.sql.graft.StringExprs.winnowFps]]
+    * expression hashes each 3-gram without materializing the string and
+    * slides the window minimum with a monotonic deque — O(tokens) per row
+    * where the equivalent HOF chain (transform → slice → array_min) is
+    * O(tokens·w) with a per-window allocation (FnsParitySpec pins the
+    * value parity). */
+  def winnowingFingerprints(docs: DataFrame): DataFrame =
+    TextAnalytics.docTokensText(docs)
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft.StringExprs
+        .winnowFps(col("toks"), 3, WinnowW)).as("fp"))
 
   /** Same, over any (doc_id, text) DataFrame (planted tests). */
   def winnowingPairsDf(docs: DataFrame, minShared: Long = WinnowMinShared,

@@ -453,6 +453,91 @@ case class WindowPolyHashes(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints of a token array in ONE pass (Schleimer et al.
+  * 2003): the distinct minima of every `w`-wide sliding window over the
+  * ordered sequence of [[PolyHash32]] values of the `k`-token grams
+  * (space-joined, so values are identical to
+  * `transform(wordNgrams(toks, k), polyHash)` — the fold walks the gram's
+  * codepoints without materializing the string). The sliding min is a
+  * monotonic deque — O(n) total versus the HOF chain's O(n·w) with a
+  * per-window slice allocation; dedup is sort+unique on a primitive
+  * long[] (callers treat the output as a set). Fewer than k tokens →
+  * empty; k..k+w-1 tokens (1..w grams) → the single global min, the
+  * winnowing convention for short documents. CodegenFallback — array
+  * output, the win is the loop (same rationale as WordNgrams).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(k >= 1 && w >= 1, "gram size and window width must be >= 1")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"winnow_fps_${k}_$w"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Any])
+    // Gram hashes: fold PolyHash32 over each k-token window's codepoints
+    // with ' ' (32) between tokens — no gram string is ever built.
+    val nGrams = m - k + 1
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) h = (h * 31L + 32L) & 0xffffffffL
+        val t = if (toks.isNullAt(i + j)) "" else toks.getUTF8String(i + j).toString
+        var p = 0
+        while (p < t.length) {
+          val cp = t.codePointAt(p)
+          h = (h * 31L + cp) & 0xffffffffL
+          p += Character.charCount(cp)
+        }
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    // Sliding min via monotonic deque (indices, increasing values).
+    val nWins = if (nGrams <= w) 1 else nGrams - w + 1
+    val mins = new Array[Long](nWins)
+    if (nGrams <= w) {
+      var mn = hs(0)
+      i = 1
+      while (i < nGrams) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      mins(0) = mn
+    } else {
+      val deque = new Array[Int](nGrams)
+      var head = 0
+      var tail = 0 // exclusive
+      i = 0
+      while (i < nGrams) {
+        while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - w) head += 1
+        if (i >= w - 1) mins(i - w + 1) = hs(deque(head))
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(mins)
+    var n = 0
+    i = 0
+    while (i < mins.length) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(n) = mins(i); n += 1 }
+      i += 1
+    }
+    val distinct = new Array[Any](n)
+    i = 0
+    while (i < n) { distinct(i) = mins(i); i += 1 }
+    new GenericArrayData(distinct)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** All `n`-codepoint sliding windows of a string as an array<string>, in ONE
   * pass. Value-identical to `transform(sequence(1, len-n+1), i ->
   * substr(s, i, n))` (and the DuckDB list_transform twin), but that HOF form
@@ -567,6 +652,10 @@ object StringExprs {
   /** Column wrapper: all n-codepoint character windows of a string. */
   def charNgrams(s: Column, n: Int): Column =
     ExpressionUtils.column(CharNgrams(ExpressionUtils.expression(s), n))
+
+  /** Column wrapper: distinct winnowing fingerprints of a token array. */
+  def winnowFps(toks: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(toks), k, w))
 
   /** Column wrapper: greedy longest-match subword pieces of a token. */
   def wordPieces(word: Column, vocab: Seq[String]): Column =

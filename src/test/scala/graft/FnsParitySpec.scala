@@ -92,6 +92,29 @@ class FnsParitySpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("WinnowFingerprints equals the HOF gram-hash/slice/array_min chain") {
+    // The native one-pass (gram hash fold + monotonic-deque sliding min)
+    // must be set-identical to the HOF form the DuckDB oracle mirrors:
+    // transform(wordNgrams(toks, 3), polyHash) → min per slice(…, w) →
+    // distinct. Corpus rows plus the short-doc (< k, < k+w) edges.
+    val w = operators.Dedup.WinnowW
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("text"))
+      .union(Seq("", "one", "one two", "one two three",
+        "one two three four five").toDF("text"))
+      .select(Fns.tokens(col("text")).as("toks"))
+    val hs = transform(Fns.wordNgrams(col("toks"), 3), g => Fns.polyHash(g))
+    val ref = array_sort(array_distinct(
+      when(size(hs) === 0, array().cast("array<long>"))
+        .when(size(hs) <= w, array(array_min(hs)))
+        .otherwise(transform(sequence(lit(1), size(hs) - lit(w) + lit(1)),
+          i => array_min(slice(hs, i, lit(w)))))))
+    val fast = org.apache.spark.sql.graft.StringExprs.winnowFps(col("toks"), 3, w)
+    val bad = docs.select(fast.as("fast"), ref.as("ref"))
+      .filter(not(col("fast") <=> col("ref"))).count()
+    assert(bad === 0L)
+  }
+
   test("CharNgrams equals the HOF substr-window formulation") {
     val docs = sources.Tables.documents(spark, TestSpark.sf)
       .select(lower(col("text")).as("t"))

@@ -44,6 +44,7 @@ object SparkEntry {
     "pivot_status" -> ((s, d) => Relational.pivotStatus(s, d)),
     "supplier_revenue" -> ((s, d) => Relational.supplierRevenue(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    "join_salted" -> ((s, d) => Relational.joinSalted(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
     "agg_quantiles" -> ((s, d) => Relational.aggQuantiles(s, d)),
@@ -402,6 +403,10 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
     "supplier_revenue" ->
       """SELECT s_suppkey, s_name, n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY s_suppkey, s_name, n_name ORDER BY revenue_c DESC, s_suppkey LIMIT 20""",
+    // The salted join re-routes rows between reducers without changing the
+    // result, so its oracle is the plain unsalted join.
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // Weighted PageRank over the customer-supplier trade graph, 3 rounds
     // unrolled, exact-integer fixed point (div-per-edge mass loss is
     // deterministic on both engines).

@@ -318,6 +318,26 @@ object Relational {
     sl.join(sr, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** The salted join as a CONTRACT query (not just a recipe): lineitem ⋈
+    * orders on the order key through [[saltedJoin]], aggregated to
+    * per-priority revenue — the result is identical to the plain join (the
+    * salt only re-routes rows between reducers), so the oracle is the
+    * unsalted SQL join. RelationalSpec separately proves the placement
+    * mechanics (one straggler bucket unsalted vs bounded buckets salted);
+    * this query keeps the technique itself under the hash-match gate.
+    * Scale note: AQE's skew split covers moderate skew automatically;
+    * explicit salting is for the pathological single-key case where one
+    * key alone exceeds a task, at the price of `salts`× the build side. */
+  def joinSalted(s: SparkSession, d: String): DataFrame =
+    saltedJoin(
+      lineitem(s, d).select(col("l_orderkey").as("okey"),
+        cents(col("l_extendedprice")).as("price_c")),
+      orders(s, d).select(col("o_orderkey").as("okey"), col("o_orderpriority")),
+      "okey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("price_c").as("revenue_c"))
+      .orderBy("o_orderpriority")
+
   /** Scalar string functions over part. */
   def scalarString(s: SparkSession, d: String): DataFrame =
     part(s, d).select(

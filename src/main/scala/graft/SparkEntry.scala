@@ -87,6 +87,7 @@ object SparkEntry {
     "tokenize_bpe" -> ((s, d) => TextAnalytics.tokenizeBpe(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalytics.lmScore(s, d)),
     "text_ccnet_bucket" -> ((s, d) => TextAnalytics.ccnetBucket(s, d)),
+    "data_selection_dsir" -> ((s, d) => TextAnalytics.dsirScore(s, d)),
     "text_phrases_pmi" -> ((s, d) => TextAnalytics.phrases(s, d)),
     "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
     "vocab_coverage" -> ((s, d) => TextAnalytics.vocabCoverage(s, d)),
@@ -546,6 +547,11 @@ object SparkEntry {
     // keeps log-probs out; this is the rational-probability analog).
     "text_lm_score" ->
       s"""WITH $LmCtes SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, COALESCE(s.lm_score_e4, 0) AS lm_score_e4, CAST(CASE WHEN s.n_bigrams IS NULL THEN 0 ELSE round(s.lm_score_e4 * 1.0 / s.n_bigrams) END AS BIGINT) AS lm_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id ORDER BY d.doc_id""",
+    // DSIR importance weights: smoothed target/source unigram ratio per
+    // term (target = the quality gate's accepted set), one pinned
+    // divide-then-scale double per term, all-long document sums.
+    "data_selection_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), tf AS (SELECT doc_id, word, count(*) AS tf FROM (SELECT doc_id, unnest(w) AS word FROM toks) GROUP BY doc_id, word), q AS (SELECT doc_id FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) AS BIGINT) AS stop_hits FROM toks) WHERE n_toks >= 5 AND stop_hits > 0), cs AS (SELECT word, CAST(sum(tf) AS BIGINT) AS c_s FROM tf GROUP BY word), ct AS (SELECT word, CAST(sum(tf) AS BIGINT) AS c_t FROM tf JOIN q USING (doc_id) GROUP BY word), tot AS (SELECT CAST(COALESCE(sum(c_s), 0) AS BIGINT) AS ns, count(*) AS v FROM cs), tt AS (SELECT CAST(COALESCE(sum(c_t), 0) AS BIGINT) AS nt FROM ct), model AS (SELECT cs.word, CAST(round((CAST((COALESCE(ct.c_t, 0) + 1) * (tot.ns + tot.v) AS DOUBLE) / CAST((cs.c_s + 1) * (tt.nt + tot.v) AS DOUBLE)) * 10000.0) AS BIGINT) AS ratio_e4 FROM cs LEFT JOIN ct ON cs.word = ct.word CROSS JOIN tot CROSS JOIN tt), scored AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_terms, CAST(sum(tf * ratio_e4) AS BIGINT) AS dsir_sum_e4 FROM tf JOIN model USING (word) GROUP BY doc_id) SELECT d.doc_id, COALESCE(s.n_terms, 0) AS n_terms, COALESCE(s.dsir_sum_e4, 0) AS dsir_sum_e4, CAST(CASE WHEN s.n_terms IS NULL THEN 0 ELSE round(s.dsir_sum_e4 * 1.0 / s.n_terms) END AS BIGINT) AS dsir_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id ORDER BY d.doc_id""",
     // CCNet bucketing: the LM score's per-doc mean split into per-language
     // thirds by ntile over a TOTAL order (score desc, doc_id) — positional
     // assignment, so both engines agree including remainder handling.

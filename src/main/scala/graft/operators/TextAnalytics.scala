@@ -671,6 +671,68 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance scoring for data selection (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its terms
+    * are under the TARGET distribution than under the raw-corpus SOURCE
+    * distribution — the importance weight that DSIR then samples
+    * proportionally to. The target here is the quality gate's accepted set
+    * ([[qualityDf]]'s ok flag — one definition, so "what good text looks
+    * like" cannot drift from the gate); production swaps in any curated
+    * target corpus at no structural change. Features are unigram terms
+    * (the paper uses hashed n-grams; the hash bucketing drops in where the
+    * word key is).
+    *
+    * Exactness: both smoothed distributions stay integer — the per-term
+    * weight is round((( c_t+1)·(n_s+V) as exact-long double) / ((c_s+1)·
+    * (n_t+V)) · 1e4), ONE divide and ONE multiply in pinned order (the
+    * products stay < 2^53, the ratio is O(10) so the e4 scale-up is
+    * exact-range), then all-long document sums — hash-matched.
+    *
+    * Scale shape: ONE (doc, term) tf shuffle feeds the source counts, the
+    * target counts, and the scoring join (the [[qualityTrainedDf]] /
+    * [[lmScoreDf]] train-and-score shape); the model table is
+    * vocabulary-sized; n_s/n_t/V are three scalars. Train once, score any
+    * corpus. */
+  def dsirScore(spark: SparkSession, dir: String): DataFrame =
+    dsirScoreDf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def dsirScoreDf(docs: DataFrame): DataFrame = {
+    val tf = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val target = qualityDf(docs).filter(col("ok") === 1L).select("doc_id")
+    val cs = tf.groupBy("word").agg(sum("tf").as("c_s"))
+    val ct = tf.join(target, "doc_id").groupBy("word").agg(sum("tf").as("c_t"))
+    val totRow = cs.agg(sum("c_s").as("ns"), count(lit(1)).as("v")).head()
+    val (ns, v) =
+      (if (totRow.isNullAt(0)) 0L else totRow.getLong(0), totRow.getLong(1))
+    val ntRow = ct.agg(sum("c_t")).head()
+    val nt = if (ntRow.isNullAt(0)) 0L else ntRow.getLong(0)
+    val model = cs.join(ct, Seq("word"), "left")
+      .select(col("word"),
+        round(((coalesce(col("c_t"), lit(0L)) + lit(1L)) * lit(ns + v))
+          .cast("double")
+          ./(((col("c_s") + lit(1L)) * lit(nt + v)).cast("double"))
+          .*(lit(10000.0))).cast("long").as("ratio_e4"))
+    val scored = tf.join(model, "word")
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_terms"),
+        sum(col("tf") * col("ratio_e4")).as("dsir_sum_e4"))
+    graft.functions.Caching.releaseAfterAction(
+      docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+          coalesce(col("dsir_sum_e4"), lit(0L)).as("dsir_sum_e4"),
+          when(col("n_terms").isNull, lit(0L))
+            .otherwise(round(col("dsir_sum_e4") / col("n_terms")).cast("long"))
+            .as("dsir_mean_e4"))
+        .orderBy("doc_id"),
+      tf)
+  }
+
   /** The Gopher rule-suite thresholds (Rae et al. 2021, arXiv:2112.11446
     * Appendix A) — the paper's published constants, unscaled: word count
     * in [50, 100000], mean word length in [3, 10] chars, symbol-to-word

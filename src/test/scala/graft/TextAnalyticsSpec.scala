@@ -60,6 +60,21 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (3L, 1L, 2L, 20000L)))
   }
 
+  test("dsir: target-vs-source importance ratios, hand-computed on a planted corpus") {
+    // d1 (7 tokens, stopwords present) is the only quality-ok doc → the
+    // target corpus. Every d1 word: c_t = c_s = 1, so ratio =
+    // (2·(ns+V))/(2·(nt+V)) = (9+9)/(7+9) = 1.125 → 11250. d2's words
+    // never appear in the target: ratio = (1·18)/(2·16) = 0.5625 → 5625.
+    val docs = Seq(
+      (1L, "the good text is here and polished"),
+      (2L, "zz qq")).toDF("doc_id", "text")
+    val got = TextAnalytics.dsirScoreDf(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 7L, 7L * 11250L, 11250L),
+      (2L, 2L, 2L * 5625L, 5625L)))
+  }
+
   test("ccnet bucketing: per-language thirds, remainder to head, doc_id tie-break") {
     // Language A: 4 docs — ntile(3) gives 2/1/1 (remainder widens head).
     // "x x x" repeated bigrams score highest; distinct-word docs lowest.

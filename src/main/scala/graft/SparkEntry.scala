@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
+    "dedup_semantic_clusters" -> ((s, d) => Dedup.semanticClusters(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDup(s, d)),
     "dedup_substring_rewrite" -> ((s, d) => Dedup.substringRewrite(s, d)),
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(s, d)),
@@ -713,6 +714,11 @@ object SparkEntry {
     // the approximate operator hash-matches.
     "dedup_embedding_lsh" ->
       s"""WITH $EmbLshCtes, cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2 FROM keys a JOIN keys b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id) SELECT v1, v2, sim_e4 FROM (SELECT v1, v2, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand JOIN n x ON v1 = x.vec_id JOIN n y ON v2 = y.vec_id) WHERE sim_e4 >= 3500 ORDER BY v1, v2""",
+    // SemDeDup decision: LSH-banded candidates exact-verified at the
+    // decision bar, transitive closure, min-id survivor per semantic
+    // cluster.
+    "dedup_semantic_clusters" ->
+      s"""WITH RECURSIVE $EmbLshCtes, cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2 FROM keys a JOIN keys b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id), sp AS (SELECT v1, v2 FROM (SELECT v1, v2, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand JOIN n x ON v1 = x.vec_id JOIN n y ON v2 = y.vec_id) WHERE sim_e4 >= ${graft.operators.Dedup.SemanticClusterSimE4}), edges AS (SELECT v1 AS a, v2 AS b FROM sp UNION ALL SELECT v2 AS a, v1 AS b FROM sp), reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a) SELECT e.vec_id, CAST(CASE WHEN m.m IS NOT NULL AND m.m < e.vec_id THEN m.m ELSE e.vec_id END AS BIGINT) AS cluster_id, CAST(CASE WHEN m.m IS NULL OR m.m >= e.vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep FROM embeddings e LEFT JOIN mn m ON e.vec_id = m.a ORDER BY e.vec_id""",
     // Semantic decontamination: the LSH banding CTEs above + the data_split
     // hash rule applied to vec_id; train/val vectors whose verified cosine
     // to any test vector reaches the near-dup bar are flagged.

@@ -837,6 +837,42 @@ object Dedup extends org.apache.spark.internal.Logging {
   val EmbBands = 6
   val EmbRowsPerBand = 6
 
+  /** Decision bar for SEMANTIC cluster dedup — chosen against the synthetic
+    * embedding distribution (max pairwise cosine ≈ 0.51 at sf0.01; real
+    * SemDeDup deployments sit at 0.9+ on true near-dup embeddings): high
+    * enough that clusters are sparse, low enough to be non-vacuous. */
+  val SemanticClusterSimE4 = 4500L
+
+  /** SemDeDup-shaped semantic dedup DECISION (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space's near-dup pair graph
+    * (banded-LSH candidates, exact-cosine verified at
+    * [[SemanticClusterSimE4]]) with the same connected-components fixpoint
+    * the text family uses, and keep one representative per semantic
+    * cluster (min vec_id — swap the survivor policy exactly as
+    * [[clustersBest]] does for text). This is the dedup that catches
+    * PARAPHRASES: same meaning, different tokens, invisible to every
+    * shingle/fingerprint member of the family.
+    *
+    * Scale shape: the pair graph is the LSH path (bucketed equi-join,
+    * never O(n²)); CC is the checkpointed pointer-jumping loop; the keep
+    * projection is one broadcast-sized join back. SemDeDup proper clusters
+    * with k-means first and dedups within cells — [[Similarity]]'s trained
+    * IVF shows exactly that cell structure if the pair graph outgrows
+    * banding. */
+  def semanticClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = embeddingPairsLsh(s, d, SemanticClusterSimE4)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val comp = components(pairs)
+    graft.functions.Caching.releaseAfterAction(
+      Tables.embeddings(s, d).select(col("vec_id"))
+        .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster_id"))
+        .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("long"))
+        .orderBy("vec_id"),
+      comp)
+  }
+
   /** Embedding-cosine near-dup pairs via banded sign-projection LSH — the
     * scale path: vectors are bucketed per band (equi-join, shuffle linear in
     * data size), only bucket-mates are exact-verified with the codegen'd dot

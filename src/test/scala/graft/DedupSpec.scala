@@ -314,6 +314,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic clusters: pairs co-cluster, survivors are cluster minima") {
+    val out = Dedup.semanticClusters(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    // every decision-bar pair's ends share a cluster
+    val pairs = Dedup.embeddingPairsLsh(spark, TestSpark.sf, Dedup.SemanticClusterSimE4)
+      .select("v1", "v2").as[(Long, Long)].collect()
+    for ((a, b) <- pairs) assert(cluster(a) === cluster(b))
+    // keep = cluster minimum, exactly one survivor per cluster
+    for ((id, cl, keep) <- out) assert(keep === (if (id == cl) 1L else 0L))
+    val byCluster = out.groupBy(_._2)
+    for ((cl, members) <- byCluster) {
+      assert(members.map(_._1).min === cl)
+      assert(members.count(_._3 == 1L) === 1)
+    }
+  }
+
   test("winnowing: t-run coverage guarantee, no false pairs, full overlap on twins") {
     // Docs 1-2 share the 6-token run "the quick brown fox jumps over" —
     // exactly t = w + k − 1 = 4 + 3 − 1, so the coverage theorem

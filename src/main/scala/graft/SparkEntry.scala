@@ -116,6 +116,7 @@ object SparkEntry {
     "sim_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "sim_pq_trained" -> ((s, d) => Similarity.pqTrainedTopK(s, d)),
+    "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
@@ -464,6 +465,11 @@ object SparkEntry {
     },
     "sim_ivf_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), asgn AS (SELECT vec_id, cell_id FROM (SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY CAST(round(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM n, cents c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, cents c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN asgn a ON p.cell_id = a.cell_id), s AS (SELECT cd.qid, cd.cid, CAST(round(list_inner_product(x.v, y.qv) / (x.nrm * y.qn) * 10000) AS BIGINT) AS sim_e4 FROM cand cd JOIN n x ON cd.cid = x.vec_id JOIN q y ON cd.qid = y.qid), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    // IVF-PQ composed: the IVF oracle's cells/probes/candidates routed into
+    // the PQ oracle's codes/ADC, then the exact re-rank of the shortlist —
+    // every stage verbatim from its standalone oracle.
+    "sim_ivfpq_topk" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), asgn AS (SELECT vec_id, cell_id FROM (SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY CAST(round(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM n, cents c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, cents c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN asgn a ON p.cell_id = a.cell_id), nn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM n), mm AS (SELECT unnest(range(8)) AS m), subs AS (SELECT vec_id, m, vn[m*8+1 : m*8+8] AS xm FROM nn CROSS JOIN mm), cb AS (SELECT vec_id AS j, m, xm AS cm FROM subs WHERE vec_id < 16), dist AS (SELECT s.vec_id, s.m, c.j, CAST(round((list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm)) * 10000) AS BIGINT) AS d2_e4 FROM subs s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id AS cid, m, j FROM (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e4, j) AS rn FROM dist) WHERE rn = 1), qtab AS (SELECT s.vec_id AS qid, s.m, c.j, CAST(round(list_inner_product(s.xm, c.cm) * 10000) AS BIGINT) AS t_e4 FROM subs s JOIN cb c ON s.m = c.m WHERE s.vec_id < 10), adc AS (SELECT cd.qid, cd.cid, CAST(sum(qt.t_e4) AS BIGINT) AS approx_e4 FROM cand cd JOIN codes co ON cd.cid = co.cid JOIN qtab qt ON qt.qid = cd.qid AND co.m = qt.m AND co.j = qt.j GROUP BY cd.qid, cd.cid), short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx_e4 DESC, cid) AS srn FROM adc) WHERE srn <= 25), ex AS (SELECT sh.qid, sh.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM short sh JOIN n x ON sh.cid = x.vec_id JOIN n y ON sh.qid = y.vec_id) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ex) WHERE rn <= 5 ORDER BY qid, rn""",
     // Trained IVF: two unrolled deterministic Lloyd iterations. Centroids in
     // 1e-6 fixed point (exact integer sums → exact double division →
     // round-half-away), cosine is scale-invariant so the e6 integer vectors

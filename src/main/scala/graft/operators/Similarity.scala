@@ -312,6 +312,81 @@ object Similarity {
       c)
   }
 
+  /** IVF-PQ composed — the production billion-vector index shape (FAISS
+    * IndexIVFPQ): the coarse quantizer routes each query to its nProbe
+    * nearest CELLS, and within probed cells candidates are scored by the
+    * compressed PQ codes (ADC) instead of their full vectors; an exact
+    * re-rank of the ADC shortlist finishes the retrieval. Both stages are
+    * the existing deterministic stub quantizers ([[ivfTopK]]'s cells,
+    * [[pqTopK]]'s codebook — the trained twins swap in unchanged), so the
+    * whole composition hash-matches the composed oracle.
+    *
+    * Scale shape — why this composition IS the 100 TB answer: IVF bounds
+    * the candidate set to probed-cell occupancy (never the corpus), PQ
+    * bounds the bytes touched per candidate to M code bytes (the full
+    * vectors are only read for the nQueries × rerank shortlist), and every
+    * broadcast side is codebook/query/probe-sized. The corpus streams once
+    * through assignment and once through encoding; both products persist
+    * in production and amortize over every query batch. */
+  def ivfPqTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = IvfCells, nProbe: Int = IvfProbe,
+      m: Int = PqM, kCents: Int = PqK, rerank: Int = PqRerank): DataFrame = {
+    val sub = PqSubDim
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = c.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assign = assignCells(c, cents)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("qid").orderBy(desc("csim_e4"), asc("cell_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cell_id"),
+        e4(dotD(col("qv"), col("cv")) / (col("qn") * col("cnrm"))).as("csim_e4"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cell_id"))
+    val cand = assign.join(broadcast(probes), "cell_id")
+      .select(col("qid"), col("vec_id").as("cid")).distinct()
+    val cn = c.select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
+    def subVectors(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id"), posexplode(
+          array((0 until m).map(i => slice(col("vn"), i * sub + 1, sub)): _*)))
+        .toDF(idCol, "m", "xm")
+    val cb = subVectors(cn.filter(col("vec_id") < kCents), "j")
+      .select(col("j"), col("m"), col("xm").as("cm"))
+    val wCode = Window.partitionBy("vec_id", "m").orderBy(asc("d2_e4"), asc("j"))
+    val codes = subVectors(cn, "vec_id").join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("j"),
+        e4(dotD(col("xm"), col("xm")) - lit(2.0) * dotD(col("xm"), col("cm"))
+          + dotD(col("cm"), col("cm"))).as("d2_e4"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cid"), col("m"), col("j"))
+    val qtab = subVectors(cn.filter(col("vec_id") < nQueries), "qid")
+      .select(col("qid"), col("m"), col("xm").as("qm"))
+      .join(broadcast(cb), "m")
+      .select(col("qid"), col("m"), col("j"),
+        e4(dotD(col("qm"), col("cm"))).as("t_e4"))
+    val adc = cand.join(codes, "cid")
+      .join(broadcast(qtab), Seq("qid", "m", "j"))
+      .groupBy("qid", "cid").agg(sum("t_e4").as("approx_e4"))
+    val wShort = Window.partitionBy("qid").orderBy(desc("approx_e4"), asc("cid"))
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= rerank).select("qid", "cid")
+    val x = c.select(col("vec_id").as("cid"), col("v").as("xv"), col("nrm").as("xn"))
+    val y = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("yv"), col("nrm").as("yn"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    graft.functions.Caching.releaseAfterAction(
+      short.join(x, "cid").join(broadcast(y), "qid")
+        .select(col("qid"), col("cid"),
+          e4(dotD(col("xv"), col("yv")) / (col("xn") * col("yn"))).as("sim_e4"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn"),
+      c)
+  }
+
   // Deterministic per-subspace k-means for the trained PQ codebook: fixed
   // iteration count, stub-codebook init (the first K normalized vectors'
   // sub-slices, e6-quantized). PqRerank is the ADC shortlist size that the

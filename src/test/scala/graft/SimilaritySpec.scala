@@ -47,6 +47,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivfTopK recall vs brute dropped to $recall")
   }
 
+  test("ivfpq: full coverage, self-match, recall within the probed-cell ceiling") {
+    val out = Similarity.ivfPqTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).distinct.length === 10)
+    // exact re-rank restores the self-match whenever the query survives
+    // its own ADC shortlist — structural for the stub codebook
+    val top = out.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    for (q <- 0L until 10L)
+      assert(top(q) === q, s"ivfpq rank-1 for query $q is not itself")
+    // candidates are IVF's; ADC+rerank can only lose recall vs exact
+    // scoring of the same candidates — gate against the IVF ceiling
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val ivfSet = ivf.map(t => (t._1, t._2)).toSet
+    val outSet = out.map(t => (t._1, t._2)).toSet
+    val recall = bruteSet.count(outSet.contains).toDouble / bruteSet.size
+    val ceiling = bruteSet.count(ivfSet.contains).toDouble / bruteSet.size
+    assert(recall >= 0.4, s"ivfpq recall vs brute dropped to $recall")
+    assert(recall <= ceiling + 1e-9,
+      s"ivfpq recall $recall exceeds its IVF candidate ceiling $ceiling")
+  }
+
   test("ivf trained: rank-1 self-match, full coverage, recall gated vs brute") {
     val trained = Similarity.ivfTrainedTopK(spark, TestSpark.sf)
       .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()

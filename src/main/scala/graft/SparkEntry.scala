@@ -139,6 +139,7 @@ object SparkEntry {
     "decontaminate_semantic" -> ((s, d) => Pipeline.decontaminateSemantic(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "pack_sequences_global" -> ((s, d) => Pipeline.packSequencesGlobal(s, d)),
+    "pack_sequences_bpe" -> ((s, d) => Pipeline.packSequencesBpe(s, d)),
     "chunk_documents" -> ((s, d) => Pipeline.chunkDocuments(s, d)),
     "sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
     "sample_stratified_capped" -> ((s, d) => Pipeline.sampleStratifiedCapped(s, d)),
@@ -797,6 +798,10 @@ object SparkEntry {
     // (reserved word).
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), o AS (SELECT doc_id, source, n_toks, CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, source, n_toks, "offset", CAST("offset" // 256 AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
+    // Packing by the trained tokenizer's piece counts: the tokenize_bpe
+    // chain's per-doc n_pieces feeds the identical per-source window.
+    "pack_sequences_bpe" ->
+      s"""WITH ${bpeCtes(TextAnalytics.BpeMerges, finalSeg = true)}, occ AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents), np AS (SELECT word, CAST(len(pieces) AS BIGINT) AS n_pieces FROM seg${TextAnalytics.BpeMerges}), pd AS (SELECT o.doc_id, CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces FROM occ o JOIN np ON o.word = np.word GROUP BY o.doc_id), t AS (SELECT d.doc_id, d.source, COALESCE(pd.n_pieces, 0) AS n_pieces FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id), o2 AS (SELECT doc_id, source, n_pieces, CAST(sum(n_pieces) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_pieces AS BIGINT) AS "offset" FROM t) SELECT doc_id, source, n_pieces, "offset", CAST("offset" // ${Pipeline.SeqLen} AS BIGINT) AS seq_id FROM o2 ORDER BY doc_id""",
     // Global packing: the oracle states the flat corpus-wide running sum;
     // the Spark side computes the identical numbers with the two-phase
     // distributed prefix sum (partition totals → broadcast bases), which is

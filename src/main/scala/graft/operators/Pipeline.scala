@@ -568,6 +568,27 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing by the TRAINED tokenizer's piece counts — what a
+    * trainer's budget actually measures: [[packSequences]] counts
+    * whitespace words, but sequences are packed in TOKENIZER tokens, and
+    * the two diverge exactly where fertility > 1. Composes
+    * [[TextAnalytics.tokenizeBpe]]'s per-document piece counts (the
+    * learned-merge encode — train the vocab, encode the vocabulary table,
+    * broadcast counts onto occurrences) with the identical per-source
+    * running-sum window. At production scale the tokenizer trains once and
+    * the n_pieces column ships with the corpus; packing then costs the
+    * same one window as the word-count form. */
+  def packSequencesBpe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(TextAnalytics.tokenizeBpe(s, d).select("doc_id", "n_pieces"), "doc_id")
+      .withColumn("offset", sum("n_pieces").over(w) - col("n_pieces"))
+      .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** GLOBAL sequence packing — same concat-and-chunk rule as
     * [[packSequences]] but over ONE corpus-wide doc_id order, implemented
     * with the two-phase distributed prefix sum (the shape the per-shard

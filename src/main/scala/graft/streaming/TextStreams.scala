@@ -200,6 +200,36 @@ object TextStreams {
       .select(col("doc_id"), col("sh"))
   }
 
+  /** Streaming fertility twin — the trained tokenizer DEPLOYED on the
+    * stream: the vocabulary is learned batch-side
+    * ([[graft.operators.TextAnalytics.vocabTrainDf]] over the static
+    * corpus, a bounded merge-table collect), and each arriving document
+    * segments statelessly against it with the same native greedy
+    * longest-match expression the batch fertility uses — per-row column
+    * work, no state, no shuffle. This is the train-offline/serve-online
+    * split every production tokenizer ships with. Batch difference:
+    * the batch form segments only DISTINCT words and joins counts back;
+    * the stateless stream pays the per-occurrence segmentation instead of
+    * carrying a vocabulary-sized state store — the standard
+    * stream-vs-batch trade, and the outputs are identical
+    * (TextStreamsSpec replays the corpus). */
+  def fertilityStream(spark: SparkSession, path: String,
+      staticDocs: DataFrame, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val learned = graft.operators.TextAnalytics.vocabTrainDf(staticDocs)
+      .select("merged").collect().map(_.getString(0)).toSeq.distinct
+    documentStream(spark, path, maxFilesPerTrigger)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc +
+          size(org.apache.spark.sql.graft.StringExprs.wordPieces(t, learned))
+            .cast("long")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        when(col("n_words") === 0L, lit(0L))
+          .otherwise(round(col("n_pieces") * lit(10000.0) / col("n_words")).cast("long"))
+          .as("fertility_e4"))
+  }
+
   /** Streaming copy-detection probe — the winnowing family's daily-crawl
     * shape (the eleventh twin): arriving documents fingerprint STATELESSLY
     * with the exact batch selector ([[Dedup.winnowingFingerprints]] — one

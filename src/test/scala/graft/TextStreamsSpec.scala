@@ -112,6 +112,24 @@ class TextStreamsSpec extends AnyFunSuite {
       "streamed evidence doc set must equal the batch contaminated set")
   }
 
+  test("streaming fertility equals the batch learned-vocab fertility per doc") {
+    val dir = Paths.get("target", "test-scratch", "docstream_fert")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val staticDocs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.fertilityStream(spark, dir.toString, staticDocs),
+        "t_fert", mode = "append")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.TextAnalytics
+      .tokenizeWordpieceLearned(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming winnowing probe evidence equals the batch fingerprint join") {
     val dir = Paths.get("target", "test-scratch", "docstream_winnow")
     Files.createDirectories(dir)

@@ -58,6 +58,7 @@ object SparkEntry {
     "events_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "events_funnel_windowed" -> ((s, d) => Events.funnelWindowed(s, d)),
     "events_retention" -> ((s, d) => Events.retention(s, d)),
     "events_paths" -> ((s, d) => Events.paths(s, d)),
     "events_anomaly" -> ((s, d) => Events.anomaly(s, d)),
@@ -521,6 +522,12 @@ object SparkEntry {
     // the Spark side's keyed aggregates.
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), t2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'click' AND e.ts_us > t1.t1 GROUP BY e.user_id), t3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2 GROUP BY e.user_id), u AS (SELECT DISTINCT user_id FROM e) SELECT u.user_id, CAST(COALESCE(t1.t1, -1) AS BIGINT) AS view_us, CAST(COALESCE(t2.t2, -1) AS BIGINT) AS click_us, CAST(COALESCE(t3.t3, -1) AS BIGINT) AS purchase_us, CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2 WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage FROM u LEFT JOIN t1 ON u.user_id = t1.user_id LEFT JOIN t2 ON u.user_id = t2.user_id LEFT JOIN t3 ON u.user_id = t3.user_id ORDER BY u.user_id""",
+    // Windowed funnel: the same first-touch staging with each stage
+    // bounded to one hour past the previous stage's time.
+    "events_funnel_windowed" -> {
+      val w = graft.operators.Events.FunnelWindowUs
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), t2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'click' AND e.ts_us > t1.t1 AND e.ts_us <= t1.t1 + $w GROUP BY e.user_id), t3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2 AND e.ts_us <= t2.t2 + $w GROUP BY e.user_id), u AS (SELECT DISTINCT user_id FROM e) SELECT u.user_id, CAST(COALESCE(t1.t1, -1) AS BIGINT) AS view_us, CAST(COALESCE(t2.t2, -1) AS BIGINT) AS click_us, CAST(COALESCE(t3.t3, -1) AS BIGINT) AS purchase_us, CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2 WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage FROM u LEFT JOIN t1 ON u.user_id = t1.user_id LEFT JOIN t2 ON u.user_id = t2.user_id LEFT JOIN t3 ON u.user_id = t3.user_id ORDER BY u.user_id"""
+    },
     // Cohort retention triangle: cohort = first active day; a user is at
     // most one row per day after the DISTINCT, so cells are plain counts.
     "events_retention" ->

@@ -74,6 +74,51 @@ object Events {
       e)
   }
 
+  /** Conversion window for [[funnelWindowed]] — one hour in µs. */
+  val FunnelWindowUs: Long = 3600L * 1000000L
+
+  /** Time-bounded funnel — [[funnelDf]]'s first-touch staging with a
+    * CONVERSION WINDOW: each stage counts only if it happens within
+    * [[FunnelWindowUs]] of the previous stage's time (the form product
+    * funnels actually ship — "purchased within an hour of clicking" — a
+    * stage reached days later is a different journey). Same two-column
+    * shuffle profile as the unbounded funnel: per-stage min aggregates
+    * over one user_id partitioning; the bound is a filter inside each
+    * stage's aggregate, not a new shuffle. */
+  def funnelWindowed(s: SparkSession, d: String): DataFrame =
+    funnelWindowedDf(Tables.events(s, d))
+
+  /** Same, over any (user_id, event_type, ts_us) DataFrame. */
+  def funnelWindowedDf(events: DataFrame,
+      windowUs: Long = FunnelWindowUs): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), col("ts_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + windowUs)
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t2") + windowUs)
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    graft.functions.Caching.releaseAfterAction(
+      e.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(
+          col("user_id"),
+          coalesce(col("t1"), lit(-1L)).as("view_us"),
+          coalesce(col("t2"), lit(-1L)).as("click_us"),
+          coalesce(col("t3"), lit(-1L)).as("purchase_us"),
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"))
+        .orderBy("user_id"),
+      e)
+  }
+
   /** Cohort retention matrix: cohort = a user's first active day (integer
     * day index — `ts_us div DayUs`, so both engines bucket identically);
     * for every (cohort_day, day offset) the count of cohort users active

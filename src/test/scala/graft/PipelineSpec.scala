@@ -461,6 +461,27 @@ class PipelineSpec extends AnyFunSuite {
       s"guard message must name the starved stratum: ${ex.getMessage}")
   }
 
+  test("bpe packing: offsets are cumulative piece counts and diverge from word packing") {
+    val out = Pipeline.packSequencesBpe(spark, TestSpark.sf)
+      .select("doc_id", "source", "n_pieces", "offset", "seq_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // per source: offset(doc) = Σ n_pieces of smaller doc_ids, seq_id = offset // SeqLen
+    for ((src, docs) <- out.groupBy(_._2)) {
+      var acc = 0L
+      for ((_, _, np, off, seq) <- docs.sortBy(_._1)) {
+        assert(off === acc, s"offset drift in $src")
+        assert(seq === off / Pipeline.SeqLen)
+        acc += np
+      }
+    }
+    // the piece budget differs from the word budget somewhere (fertility > 1)
+    val words = Pipeline.packSequences(spark, TestSpark.sf)
+      .select("doc_id", "n_toks").as[(Long, Long)].collect().toMap
+    assert(out.exists { case (id, _, np, _, _) => np != words(id) },
+      "piece counts never diverge from word counts — vacuous composition")
+  }
+
   test("ccnet gate: keep = corpus_clean keep AND bucket != tail, flags agree") {
     val base = Pipeline.cleanCorpus(spark, TestSpark.sf)
       .select("doc_id", "keep").as[(Long, Long)].collect().toMap

@@ -133,6 +133,35 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("graph_pagerank: the edge list persists and every round broadcasts ranks") {
+    val df = SparkEntry.queries("graph_pagerank")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString // pre-action: see above
+    df.count()
+    assert(plan.contains("InMemoryTableScan"),
+      s"edge list no longer persisted across rounds:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("data_mix_temperature: per-source targets broadcast into the rank window") {
+    val df = SparkEntry.queries("data_mix_temperature")(spark, TestSpark.sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny per-source target table must broadcast:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("sim_ivfpq: codebook/probe/query sides broadcast; corpus persists") {
+    val df = SparkEntry.queries("sim_ivfpq_topk")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString // pre-action: see above
+    df.count()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook/qtab/probes must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"corpus no longer persisted across stages:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
   test("contract-wide sweep: no query plans a CartesianProduct") {
     // Every cross join in the library carries a broadcast-sized side (one-row
     // cut points, centroid tables, query sets) and must plan as

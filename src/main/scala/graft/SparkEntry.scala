@@ -59,6 +59,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_funnel_windowed" -> ((s, d) => Events.funnelWindowed(s, d)),
+    "events_attribution" -> ((s, d) => Events.attribution(s, d)),
     "events_retention" -> ((s, d) => Events.retention(s, d)),
     "events_paths" -> ((s, d) => Events.paths(s, d)),
     "events_anomaly" -> ((s, d) => Events.anomaly(s, d)),
@@ -528,6 +529,10 @@ object SparkEntry {
       val w = graft.operators.Events.FunnelWindowUs
       s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events), t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id), t2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'click' AND e.ts_us > t1.t1 AND e.ts_us <= t1.t1 + $w GROUP BY e.user_id), t3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2 AND e.ts_us <= t2.t2 + $w GROUP BY e.user_id), u AS (SELECT DISTINCT user_id FROM e) SELECT u.user_id, CAST(COALESCE(t1.t1, -1) AS BIGINT) AS view_us, CAST(COALESCE(t2.t2, -1) AS BIGINT) AS click_us, CAST(COALESCE(t3.t3, -1) AS BIGINT) AS purchase_us, CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2 WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage FROM u LEFT JOIN t1 ON u.user_id = t1.user_id LEFT JOIN t2 ON u.user_id = t2.user_id LEFT JOIN t3 ON u.user_id = t3.user_id ORDER BY u.user_id"""
     },
+    // Last-touch attribution: native ASOF picks the same deterministic
+    // (user, µs)-deduped event representative as the carry-forward window.
+    "events_attribution" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS t, arg_max(event_type, event_id) AS etype FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2), p AS (SELECT user_id, epoch_us(ts) AS t, CAST(round(value * 100) AS BIGINT) AS val_c FROM events WHERE event_type = 'purchase'), j AS (SELECT p.val_c, t.etype FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.t >= t.t) SELECT COALESCE(etype, 'none') AS touch_type, count(*) AS n_purchases, CAST(sum(val_c) AS BIGINT) AS value_c FROM j GROUP BY 1 ORDER BY 1""",
     // Cohort retention triangle: cohort = first active day; a user is at
     // most one row per day after the DISTINCT, so cells are plain counts.
     "events_retention" ->

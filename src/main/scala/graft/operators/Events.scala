@@ -333,6 +333,43 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Last-touch attribution — the as-of recipe applied to the question
+    * marketing analytics actually asks: every PURCHASE event's value is
+    * credited to the last non-purchase TOUCH at-or-before it on the same
+    * user timeline, rolled up per touch type ('none' when nothing
+    * precedes). Same union + carry-forward window as [[asofJoinOrders]]
+    * with the roles swapped (touches carry their type forward, purchases
+    * pick it up), so the cost stays ONE shuffle + ONE sort per user
+    * timeline — the join-filter-argmax alternative is quadratic per key.
+    * Touches pre-dedup to one per (user, µs) via max_by(type, event_id),
+    * making the tie winner deterministic on both engines (the oracle's
+    * native ASOF picks the same representative; a touch at the purchase's
+    * own µs attributes, matching ASOF's >=). */
+  def attribution(s: SparkSession, d: String): DataFrame =
+    attributionDf(Tables.events(s, d))
+
+  /** Same, over any (user_id, event_type, ts_us, value, event_id) frame. */
+  def attributionDf(events: DataFrame): DataFrame = {
+    val t = events.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("t"))
+      .agg(max_by(col("event_type"), col("event_id")).as("etype"))
+      .select(col("user_id"), col("t"), col("etype"),
+        lit(null).cast("long").as("val_c"), lit(0).as("tag"))
+    val p = events.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts_us").as("t"),
+      lit(null).cast("string").as("etype"),
+      graft.functions.Fns.cents(col("value")).as("val_c"),
+      lit(1).as("tag"))
+    val w = Window.partitionBy("user_id").orderBy("t", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.unionByName(p)
+      .withColumn("attr_type", last("etype", ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .groupBy(coalesce(col("attr_type"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum("val_c").as("value_c"))
+      .orderBy("touch_type")
+  }
+
   /** FORWARD as-of join — the mirror of [[asofJoinOrders]]: for every
     * event, the EARLIEST order at-or-after the event time for the same
     * key (the "next action after exposure" direction attribution needs).

@@ -134,4 +134,23 @@ class EventsSpec extends AnyFunSuite {
     assert(got.map(_._4) === counts.map(zE4))
     assert(got.forall(_._4 != 0L), "planted series has real variance; a zero z_e4 means the moments overflowed")
   }
+
+  test("attribution: last touch wins, same-instant touch attributes, none bucket") {
+    // user 1: view@10 → click@20 → purchase@30 (5.00) → last touch = click.
+    //         then purchase@40 (1.00) with no newer touch → still click.
+    // user 2: purchase@5 (2.00) with no preceding touch → none.
+    // user 3: touch and purchase at the SAME µs → attributes (ASOF >=).
+    val events = Seq(
+      (1L, 1L, "view", 10L, 0.0), (2L, 1L, "click", 20L, 0.0),
+      (3L, 1L, "purchase", 30L, 5.0), (4L, 1L, "purchase", 40L, 1.0),
+      (5L, 2L, "purchase", 5L, 2.0),
+      (6L, 3L, "view", 7L, 0.0), (7L, 3L, "purchase", 7L, 3.0))
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+    val got = Events.attributionDf(events)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("click", 2L, 600L),
+      ("none", 1L, 200L),
+      ("view", 1L, 300L)))
+  }
 }

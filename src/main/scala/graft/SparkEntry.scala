@@ -135,6 +135,7 @@ object SparkEntry {
     "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
     "data_mix_temperature" -> ((s, d) => Pipeline.dataMixTemperature(s, d)),
+    "data_mix_temperature_capped" -> ((s, d) => Pipeline.dataMixTemperatureCapped(s, d)),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "source_contamination" -> ((s, d) => Pipeline.sourceContamination(s, d)),
     "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(s, d)),
@@ -369,6 +370,11 @@ object SparkEntry {
     // correctly rounded identically; everything else is BIGINT).
     "data_mix_temperature" ->
       s"""WITH ${orderHashCtes("tmix:", "source")}, c AS (SELECT source, count(*) AS n_source, CAST(floor(sqrt(count(*))) AS BIGINT) AS sw FROM h GROUP BY source), tot AS (SELECT CAST(sum(sw) AS BIGINT) AS wsum, CAST(sum(n_source) AS BIGINT) AS ntot FROM c), t AS (SELECT source, n_source, least(n_source, ((ntot // 2) * sw) // wsum) AS target FROM c CROSS JOIN tot), r AS (SELECT h.doc_id, h.source, t.n_source, t.target, row_number() OVER (PARTITION BY h.source ORDER BY h.hh, h.doc_id) AS rn FROM h JOIN t ON h.source = t.source) SELECT doc_id, source, n_source, target, CAST(rn AS BIGINT) AS rn, CAST(CASE WHEN rn <= target THEN 1 ELSE 0 END AS BIGINT) AS kept FROM r ORDER BY doc_id""",
+    // Scale path: the oracle states the UNFILTERED rank's kept rows — the
+    // hash-threshold pre-filter admits a consistent prefix of the sample
+    // order, so the capped plan computes the identical kept set.
+    "data_mix_temperature_capped" ->
+      s"""WITH ${orderHashCtes("tmix:", "source")}, c AS (SELECT source, count(*) AS n_source, CAST(floor(sqrt(count(*))) AS BIGINT) AS sw FROM h GROUP BY source), tot AS (SELECT CAST(sum(sw) AS BIGINT) AS wsum, CAST(sum(n_source) AS BIGINT) AS ntot FROM c), t AS (SELECT source, n_source, least(n_source, ((ntot // 2) * sw) // wsum) AS target FROM c CROSS JOIN tot), r AS (SELECT h.doc_id, h.source, t.target, row_number() OVER (PARTITION BY h.source ORDER BY h.hh, h.doc_id) AS rn FROM h JOIN t ON h.source = t.source) SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= target ORDER BY doc_id""",
     "corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(len(regexp_extract_all(lower(text), '$Tok'))) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY lang ORDER BY lang""",
     "wordcount_topk" ->

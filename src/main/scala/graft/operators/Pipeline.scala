@@ -805,6 +805,59 @@ object Pipeline {
   def dataMixTemperature(s: SparkSession, d: String): DataFrame =
     dataMixTemperatureDf(Tables.documents(s, d))
 
+  /** Temperature mixing, SCALE PATH — the hash-threshold pre-filter
+    * [[dataMixTemperatureDf]]'s docstring promises, the exact shape
+    * [[sampleStratifiedCappedDf]] proved for fixed caps applied to the
+    * DERIVED per-source targets: admit h ≤ overAdmit·target_s·P/n_s (a
+    * consistent prefix of the sample order, so no kept row is lost while
+    * the threshold over-admits), rank only the admitted ~overAdmit·target
+    * rows per source, emit the kept sample. The same under-admission
+    * guard THROWS rather than ship a silently truncated mix. Emits only
+    * kept rows — what production ships; kept set equals
+    * [[dataMixTemperatureDf]]'s (PipelineSpec asserts it). */
+  def dataMixTemperatureCapped(s: SparkSession, d: String,
+      overAdmit: Double = 2.0): DataFrame =
+    dataMixTemperatureCappedDf(Tables.documents(s, d), overAdmit)
+
+  /** Same, over any (doc_id, source) DataFrame (planted tests). */
+  def dataMixTemperatureCappedDf(docs: DataFrame,
+      overAdmit: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"), orderHash("tmix:").as("h"))
+    val counts = base.groupBy("source").agg(count(lit(1)).as("n_source"))
+      .withColumn("sw", floor(sqrt(col("n_source"))).cast("long"))
+    val tot = counts.agg(sum("sw").as("wsum"), sum("n_source").as("ntot")).head()
+    val (wsum, ntot) = (tot.getLong(0), tot.getLong(1))
+    val budget = ntot / 2
+    val targets = counts
+      .withColumn("target", least(col("n_source"), expr(s"($budget * sw) div $wsum")))
+      .withColumn("thr", least(lit(StratP),
+        ceil(lit(overAdmit) * col("target") * lit(StratP.toDouble) / col("n_source"))
+          .cast("long")))
+    val admitted = base.join(broadcast(targets), "source")
+      .filter(col("h") <= col("thr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adm = admitted.groupBy("source").agg(count(lit(1)).as("adm"))
+    val short = targets.join(adm, Seq("source"), "left")
+      .filter(coalesce(col("adm"), lit(0L)) < col("target"))
+      .select(col("source"), col("n_source"), col("target"),
+        coalesce(col("adm"), lit(0L)).as("adm"))
+      .collect()
+    require(short.isEmpty,
+      "temperature mixing under-admitted sources " +
+        short.map(r => s"${r.get(0)}(n=${r.get(1)}, target=${r.get(2)}, admitted=${r.get(3)})")
+          .mkString(", ") +
+        " — re-run with a higher over-admit factor")
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    graft.functions.Caching.releaseAfterAction(
+      admitted
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= col("target"))
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy("doc_id"),
+      admitted)
+  }
+
   /** Same, over any (doc_id, source) DataFrame (planted tests). */
   def dataMixTemperatureDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

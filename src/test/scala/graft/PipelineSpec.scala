@@ -482,6 +482,23 @@ class PipelineSpec extends AnyFunSuite {
       "piece counts never diverge from word counts — vacuous composition")
   }
 
+  test("temperature capped: same kept set as the audit view; guard throws on starvation") {
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val audit = Pipeline.dataMixTemperatureDf(docs)
+      .filter($"kept" === 1L).select("doc_id", "source", "rn")
+      .as[(Long, String, Long)].collect().toSet
+    val capped = Pipeline.dataMixTemperatureCappedDf(docs)
+      .as[(Long, String, Long)].collect().toSet
+    assert(capped === audit, "capped kept set drifted from the audit view")
+    // a pathological over-admit factor must throw, never silently truncate
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.dataMixTemperatureCappedDf(docs, overAdmit = 0.0001)
+    }
+    assert(ex.getMessage.contains("under-admitted"),
+      s"guard message: ${ex.getMessage}")
+  }
+
   test("ccnet gate: keep = corpus_clean keep AND bucket != tail, flags agree") {
     val base = Pipeline.cleanCorpus(spark, TestSpark.sf)
       .select("doc_id", "keep").as[(Long, Long)].collect().toMap

@@ -14,8 +14,12 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     if (args.length > 1 && args(1) == "explain") {
-      val df = SparkEntry.queries(args(2))(spark, d)
-      df.explain("formatted")
+      args.drop(2).headOption.flatMap(SparkEntry.queries.get) match {
+        case Some(q) => q(spark, d).explain("formatted")
+        case None => println(
+          s"usage: Scratch <sfDir> explain <query>; known queries: " +
+            SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      }
       spark.stop(); return
     }
     if (args.length > 1 && args(1) == "pq-eta") {

@@ -365,16 +365,18 @@ object SparkEntry {
     "data_mix" ->
       """WITH h AS (SELECT doc_id, source, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('rate:' || source) + 1), i -> CAST(ascii(substr('rate:' || source, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS rh, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('mix:' || CAST(doc_id AS VARCHAR)) + 1), i -> CAST(ascii(substr('mix:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS mh FROM documents) SELECT doc_id, source, 2000 + (rh % 8001) AS rate_e4, mh % 10000 AS bucket, CAST(CASE WHEN mh % 10000 < 2000 + (rh % 8001) THEN 1 ELSE 0 END AS BIGINT) AS keep FROM h ORDER BY doc_id""",
     // Temperature (α = 1/2) source mixing: integer floor-sqrt weights,
-    // integer-div targets, smallest-salted-hash selection per source —
+    // integer-div base targets with the remainder distributed
+    // largest-remainder (rem DESC, source ASC — so uncapped targets sum
+    // exactly to the budget), smallest-salted-hash selection per source —
     // every step exact on both engines (sqrt of an exact-double count is
     // correctly rounded identically; everything else is BIGINT).
     "data_mix_temperature" ->
-      s"""WITH ${orderHashCtes("tmix:", "source")}, c AS (SELECT source, count(*) AS n_source, CAST(floor(sqrt(count(*))) AS BIGINT) AS sw FROM h GROUP BY source), tot AS (SELECT CAST(sum(sw) AS BIGINT) AS wsum, CAST(sum(n_source) AS BIGINT) AS ntot FROM c), t AS (SELECT source, n_source, least(n_source, ((ntot // 2) * sw) // wsum) AS target FROM c CROSS JOIN tot), r AS (SELECT h.doc_id, h.source, t.n_source, t.target, row_number() OVER (PARTITION BY h.source ORDER BY h.hh, h.doc_id) AS rn FROM h JOIN t ON h.source = t.source) SELECT doc_id, source, n_source, target, CAST(rn AS BIGINT) AS rn, CAST(CASE WHEN rn <= target THEN 1 ELSE 0 END AS BIGINT) AS kept FROM r ORDER BY doc_id""",
+      s"""WITH ${orderHashCtes("tmix:", "source")}, c AS (SELECT source, count(*) AS n_source, CAST(floor(sqrt(count(*))) AS BIGINT) AS sw FROM h GROUP BY source), tot AS (SELECT CAST(sum(sw) AS BIGINT) AS wsum, CAST(sum(n_source) AS BIGINT) AS ntot FROM c), t0 AS (SELECT source, n_source, ((ntot // 2) * sw) // wsum AS base, ((ntot // 2) * sw) % wsum AS rem, ntot // 2 AS budget FROM c CROSS JOIN tot), lo AS (SELECT CAST(max(budget) - sum(base) AS BIGINT) AS leftover FROM t0), t AS (SELECT source, n_source, least(n_source, base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover THEN 1 ELSE 0 END) AS target FROM t0 CROSS JOIN lo), r AS (SELECT h.doc_id, h.source, t.n_source, t.target, row_number() OVER (PARTITION BY h.source ORDER BY h.hh, h.doc_id) AS rn FROM h JOIN t ON h.source = t.source) SELECT doc_id, source, n_source, target, CAST(rn AS BIGINT) AS rn, CAST(CASE WHEN rn <= target THEN 1 ELSE 0 END AS BIGINT) AS kept FROM r ORDER BY doc_id""",
     // Scale path: the oracle states the UNFILTERED rank's kept rows — the
     // hash-threshold pre-filter admits a consistent prefix of the sample
     // order, so the capped plan computes the identical kept set.
     "data_mix_temperature_capped" ->
-      s"""WITH ${orderHashCtes("tmix:", "source")}, c AS (SELECT source, count(*) AS n_source, CAST(floor(sqrt(count(*))) AS BIGINT) AS sw FROM h GROUP BY source), tot AS (SELECT CAST(sum(sw) AS BIGINT) AS wsum, CAST(sum(n_source) AS BIGINT) AS ntot FROM c), t AS (SELECT source, n_source, least(n_source, ((ntot // 2) * sw) // wsum) AS target FROM c CROSS JOIN tot), r AS (SELECT h.doc_id, h.source, t.target, row_number() OVER (PARTITION BY h.source ORDER BY h.hh, h.doc_id) AS rn FROM h JOIN t ON h.source = t.source) SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= target ORDER BY doc_id""",
+      s"""WITH ${orderHashCtes("tmix:", "source")}, c AS (SELECT source, count(*) AS n_source, CAST(floor(sqrt(count(*))) AS BIGINT) AS sw FROM h GROUP BY source), tot AS (SELECT CAST(sum(sw) AS BIGINT) AS wsum, CAST(sum(n_source) AS BIGINT) AS ntot FROM c), t0 AS (SELECT source, n_source, ((ntot // 2) * sw) // wsum AS base, ((ntot // 2) * sw) % wsum AS rem, ntot // 2 AS budget FROM c CROSS JOIN tot), lo AS (SELECT CAST(max(budget) - sum(base) AS BIGINT) AS leftover FROM t0), t AS (SELECT source, n_source, least(n_source, base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover THEN 1 ELSE 0 END) AS target FROM t0 CROSS JOIN lo), r AS (SELECT h.doc_id, h.source, t.target, row_number() OVER (PARTITION BY h.source ORDER BY h.hh, h.doc_id) AS rn FROM h JOIN t ON h.source = t.source) SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= target ORDER BY doc_id""",
     "corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(len(regexp_extract_all(lower(text), '$Tok'))) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY lang ORDER BY lang""",
     "wordcount_topk" ->

@@ -19,39 +19,63 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * [[releaseAfterAction]] closes the gap: it registers a one-shot
   * QueryExecutionListener that unpersists the intermediates as soon as the
-  * NEXT action on the session completes (success or failure) and then
-  * unregisters itself. In the intended pattern — build the query, run its
-  * terminal action — that next action IS the query's own, so the blocks
-  * are freed exactly when the advisor's "unpersist after the terminal
-  * action" asks. If a caller interleaves an unrelated action first, the
-  * intermediates are released early and the query transparently recomputes
-  * them — a deterministic-correctness no-op, never a wrong answer (the
-  * same contract `unpersist()` itself gives). The callback runs on the
-  * listener bus thread; `unpersist(blocking = false)` and listener
-  * self-removal are both thread-safe.
+  * RIGHT completed action fires and then unregisters itself. Which action
+  * is "right" depends on what was cached:
+  *
+  *  - plain `persist`ed frames release after the NEXT completed action on
+  *    the session (success or failure). In the intended pattern — build
+  *    the query, run its terminal action — that next action IS the
+  *    query's own. If a caller interleaves an unrelated action first, the
+  *    intermediates are released early and the query transparently
+  *    recomputes them — a deterministic-correctness no-op, never a wrong
+  *    answer (the same contract `unpersist()` itself gives);
+  *  - `localCheckpoint`ed frames have TRUNCATED lineage — early release
+  *    cannot recompute, it fails. For those, release waits for a
+  *    completed action whose plan actually REFERENCES one of the
+  *    checkpoint RDDs (matched by RDD id on the plan's LogicalRDD
+  *    leaves), so unrelated session actions — concurrent threads, another
+  *    operator's internal collect() — can never strand the result.
+  *
+  * One contract limit remains for checkpoint-backed results: the FIRST
+  * action on the result releases the checkpoint, so such results are
+  * single-use — run one terminal action (write/collect), not several.
+  * The callback runs on the listener bus thread; `unpersist(blocking =
+  * false)` and listener self-removal are both thread-safe.
   */
 object Caching {
 
   /** Return `result` with `cached` scheduled for release after the next
-    * completed action on its session. */
+    * completed action that can no longer need it (see object doc). */
   def releaseAfterAction(result: DataFrame, cached: DataFrame*): DataFrame = {
     val manager = result.sparkSession.listenerManager
+    // RDD ids of the localCheckpoint leaves backing the cached frames; an
+    // action is "the result's own" iff its plan reads one of these.
+    val ckptIds: Set[Int] = cached.flatMap(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }).toSet
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def release(): Unit = if (done.compareAndSet(false, true)) {
-        cached.foreach { df =>
-          try df.unpersist(false) catch { case _: Throwable => () }
-          // localCheckpoint'd frames persist at the RDD level, which
-          // Dataset.unpersist cannot see — free those blocks too.
-          try org.apache.spark.sql.graft.Checkpoints.release(df)
-          catch { case _: Throwable => () }
+      private def release(qe: QueryExecution): Unit = {
+        val ours = ckptIds.isEmpty || qe.analyzed.exists {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            ckptIds.contains(lr.rdd.id)
+          case _ => false
         }
-        manager.unregister(this)
+        if (ours && done.compareAndSet(false, true)) {
+          cached.foreach { df =>
+            try df.unpersist(false) catch { case _: Throwable => () }
+            // localCheckpoint'd frames persist at the RDD level, which
+            // Dataset.unpersist cannot see — free those blocks too.
+            try org.apache.spark.sql.graft.Checkpoints.release(df)
+            catch { case _: Throwable => () }
+          }
+          manager.unregister(this)
+        }
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = release()
+          durationNs: Long): Unit = release(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = release()
+          exception: Exception): Unit = release(qe)
     }
     manager.register(listener)
     result

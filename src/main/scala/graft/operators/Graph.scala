@@ -83,6 +83,10 @@ object Graph {
     val nodes = e.select(col("src").as("node_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
+    if (n == 0) { // degenerate input: no nodes → empty ranks, not a div-by-0
+      e.unpersist(false); nodes.unpersist(false)
+      return nodes.select(col("node_id"), lit(0L).as("rank_e12")).limit(0)
+    }
     val base = lit(PrScale / n)
     val teleport = lit((PrDampDen - PrDampNum) * (PrScale / n) / PrDampDen)
     var ranks = nodes.select(col("node_id"), base.as("rank_e12"))

@@ -789,11 +789,15 @@ object Pipeline {
     * All-integer derivation so both engines agree bit for bit: weight
     * w_s = floor(sqrt(n_s)) (exact: counts are exact doubles below 2^53
     * and IEEE sqrt is correctly rounded — identical on both engines),
-    * budget = floor(Σn/2), target_s = min(n_s, budget·w_s div Σw). The
-    * kept docs are the target_s smallest salted-hash ranks per source
-    * (salt "tmix:" — an order independent of the stratified sample's).
-    * Emitted audit-style: every doc with its source size, target, rank,
-    * and kept flag.
+    * budget = floor(Σn/2), base_s = budget·w_s div Σw, and the floor-div
+    * remainder is distributed LARGEST-REMAINDER (one extra doc to each of
+    * the `budget − Σbase` sources ranking highest by `budget·w_s mod Σw`,
+    * ties to the lexicographically smaller source) so the uncapped
+    * targets sum EXACTLY to the budget; target_s caps at n_s. The kept
+    * docs are the target_s smallest salted-hash ranks per source (salt
+    * "tmix:" — an order independent of the stratified sample's). Emitted
+    * audit-style: every doc with its source size, target, rank, and kept
+    * flag.
     *
     * Scale shape: one corpus scan → per-source counts (a tiny aggregate,
     * collected: the source registry is hundreds of rows); targets
@@ -819,18 +823,40 @@ object Pipeline {
       overAdmit: Double = 2.0): DataFrame =
     dataMixTemperatureCappedDf(Tables.documents(s, d), overAdmit)
 
+  /** Per-source temperature targets from the collected source registry:
+    * (source, n_source, target) rows plus the budget, by the exact
+    * integer largest-remainder rule the docstring above states. Driver
+    * arithmetic over registry-sized input — the same "tiny collected
+    * aggregate" both mix variants already paid for. */
+  private def temperatureTargets(
+      counts: Array[(String, Long)]): (Seq[(String, Long, Long)], Long) = {
+    val ntot = counts.map(_._2).sum
+    val budget = ntot / 2
+    val ws = counts.map { case (src, n) =>
+      (src, n, math.floor(math.sqrt(n.toDouble)).toLong) }
+    val wsum = ws.map(_._3).sum
+    val alloc = ws.map { case (src, n, sw) =>
+      (src, n, budget * sw / wsum, budget * sw % wsum) }
+    val leftover = (budget - alloc.map(_._3).sum).toInt
+    val bumped = alloc.sortBy { case (src, _, _, rem) => (-rem, src) }
+      .take(leftover).map(_._1).toSet
+    (alloc.map { case (src, n, base, _) =>
+      (src, n, math.min(n, base + (if (bumped(src)) 1L else 0L))) }.toSeq,
+      budget)
+  }
+
   /** Same, over any (doc_id, source) DataFrame (planted tests). */
   def dataMixTemperatureCappedDf(docs: DataFrame,
       overAdmit: Double = 2.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import docs.sparkSession.implicits._
     val base = docs.select(col("doc_id"), col("source"), orderHash("tmix:").as("h"))
     val counts = base.groupBy("source").agg(count(lit(1)).as("n_source"))
-      .withColumn("sw", floor(sqrt(col("n_source"))).cast("long"))
-    val tot = counts.agg(sum("sw").as("wsum"), sum("n_source").as("ntot")).head()
-    val (wsum, ntot) = (tot.getLong(0), tot.getLong(1))
-    val budget = ntot / 2
-    val targets = counts
-      .withColumn("target", least(col("n_source"), expr(s"($budget * sw) div $wsum")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (counts.isEmpty) // empty corpus: no sources → empty mix, not an NPE
+      return base.select(col("doc_id"), col("source"), lit(0L).as("rn")).limit(0)
+    val (targetRows, _) = temperatureTargets(counts)
+    val targets = targetRows.toDF("source", "n_source", "target")
       .withColumn("thr", least(lit(StratP),
         ceil(lit(overAdmit) * col("target") * lit(StratP.toDouble) / col("n_source"))
           .cast("long")))
@@ -861,14 +887,15 @@ object Pipeline {
   /** Same, over any (doc_id, source) DataFrame (planted tests). */
   def dataMixTemperatureDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import docs.sparkSession.implicits._
     val base = docs.select(col("doc_id"), col("source"), orderHash("tmix:").as("h"))
     val counts = base.groupBy("source").agg(count(lit(1)).as("n_source"))
-      .withColumn("sw", floor(sqrt(col("n_source"))).cast("long"))
-    val tot = counts.agg(sum("sw").as("wsum"), sum("n_source").as("ntot")).head()
-    val (wsum, ntot) = (tot.getLong(0), tot.getLong(1))
-    val budget = ntot / 2
-    val targets = counts.withColumn("target",
-      least(col("n_source"), expr(s"($budget * sw) div $wsum")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (counts.isEmpty) // empty corpus: no sources → empty audit, not an NPE
+      return base.select(col("doc_id"), col("source"), col("h").as("n_source"),
+        col("h").as("target"), lit(0L).as("rn"), lit(0L).as("kept")).limit(0)
+    val (targetRows, _) = temperatureTargets(counts)
+    val targets = targetRows.toDF("source", "n_source", "target")
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
     base.join(broadcast(targets), "source")
       .withColumn("rn", row_number().over(w).cast("long"))

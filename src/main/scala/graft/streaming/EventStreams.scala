@@ -34,23 +34,39 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Same, for the legacy INT64 TIMESTAMP(NANOS) drop (read as raw-nanos
+    * LONG under the `nanosAsLong` flag every session sets). */
+  val eventsSchemaLegacy: StructType = StructType(
+    eventsSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+
   /** Streaming source over an events parquet path. Adds `ts_us` (µs, the
     * batch twin's integer event-time) and `ts_ts` (timestamp for
     * watermark/window — truncated µs, matching rule R4).
     * `maxFilesPerTrigger` > 0 caps files per micro-batch — the ingestion
     * back-pressure knob (the analog of the reference's MAX_INFLIGHT cap,
     * coordinator.py:12) and what makes watermark semantics observable in
-    * tests (one file per batch ⇒ the watermark advances between files). */
+    * tests (one file per batch ⇒ the watermark advances between files).
+    *
+    * Branches on the drop's physical ts encoding exactly like
+    * Tables.events (one batch-reader footer peek at setup, not a data
+    * scan), so the legacy NANOS drop streams as well as it batch-reads. */
   def eventStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 0): DataFrame = {
-    val reader = spark.readStream.schema(eventsSchema)
+    val legacy =
+      spark.read.parquet(path).schema("ts").dataType == LongType
+    val reader = spark.readStream.schema(
+      if (legacy) eventsSchemaLegacy else eventsSchema)
     val withOpt =
       if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       else reader
+    val tsUs =
+      if (legacy) expr("ts div 1000")
+      else expr("unix_micros(cast(ts as timestamp))")
     withOpt
       .parquet(path)
-      .withColumn("ts_us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("ts_us", tsUs)
       .withColumn("ts_ts", timestamp_micros(col("ts_us")))
   }
 

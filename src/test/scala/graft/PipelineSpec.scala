@@ -520,8 +520,10 @@ class PipelineSpec extends AnyFunSuite {
 
   test("temperature mixing: sqrt weights flatten the source distribution, all-integer") {
     // big: 90 docs, small: 10 docs. Weights floor(sqrt): 9 and 3;
-    // budget = 100/2 = 50; targets: 50·9//12 = 37, min(10, 50·3//12=12) = 10.
-    // The small source keeps 100 %, the big one 41 % — flatter than the
+    // budget = 100/2 = 50; bases: 50·9//12 = 37 (rem 6), 50·3//12 = 12
+    // (rem 6); leftover = 50−49 = 1 goes to 'big' (equal remainders tie to
+    // the lexicographically smaller source) → targets 38 and min(10,12)=10.
+    // The small source keeps 100 %, the big one 42 % — flatter than the
     // natural 90/10 split, which is the entire point of α = 1/2.
     val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
       (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
@@ -530,9 +532,9 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long, Long, Long)].collect()
     assert(out.length === 100)
     val bySource = out.groupBy(_._2)
-    assert(bySource("big").head._4 === 37L)
+    assert(bySource("big").head._4 === 38L)
     assert(bySource("small").head._4 === 10L)
-    assert(bySource("big").count(_._6 == 1L) === 37)
+    assert(bySource("big").count(_._6 == 1L) === 38)
     assert(bySource("small").count(_._6 == 1L) === 10)
     // ranks are a permutation of 1..n within each source
     assert(bySource("big").map(_._5).sorted.toSeq === (1L to 90L))
@@ -541,5 +543,23 @@ class PipelineSpec extends AnyFunSuite {
       .filter($"kept" === 1L).select("doc_id")
       .as[Long].collect().toSet
     assert(again === out.filter(_._6 == 1L).map(_._1).toSet)
+  }
+
+  test("temperature mixing: largest-remainder targets sum exactly to the budget") {
+    // a: 100, b: 50, c: 30 → weights 10, 7, 5 (wsum 22), budget 90.
+    // Bases 40/28/20 (rems 20/14/10), leftover 2 → a and b get +1:
+    // targets 41/29/20 sum to exactly 90, and no source hits its n cap.
+    val docs = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 150).map(i => (i.toLong, "b")) ++
+      (151 to 180).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val targets = Pipeline.dataMixTemperatureDf(docs)
+      .select("source", "target").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(targets === Map("a" -> 41L, "b" -> 29L, "c" -> 20L))
+    assert(targets.values.sum === 90L, "remainder not fully distributed")
+    // the capped scale path keeps exactly the target count per source
+    val kept = Pipeline.dataMixTemperatureCappedDf(docs)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept === targets)
   }
 }

@@ -34,6 +34,25 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "ivfpq-recall") {
+      import org.apache.spark.sql.Row
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "cid").collect()
+          .map { case Row(q: Long, c: Long) => (q, c) }.toSet
+      val brute = graft.operators.Similarity.bruteTopK(spark, d)
+        .select(org.apache.spark.sql.functions.col("qid"), org.apache.spark.sql.functions.col("cid"))
+        .collect().map { case Row(q: Long, c: Long) => (q, c) }.toSet
+      spark.catalog.clearCache()
+      for ((name, df) <- Seq(
+          "stub-composed" -> graft.operators.Similarity.ivfPqTopK(spark, d),
+          "trained-composed" -> graft.operators.Similarity.ivfPqTrainedTopK(spark, d),
+          "pq-trained" -> graft.operators.Similarity.pqTrainedTopK(spark, d))) {
+        val r = brute.count(pairs(df).contains).toDouble / brute.size
+        spark.catalog.clearCache()
+        println(f"[scratch] ivfpq $name recall@5=$r%.3f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "bpe-passes") {
       val docs = graft.sources.Tables.documents(spark, d)
       for (b <- Seq(1, 8)) {

@@ -119,6 +119,7 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "sim_pq_trained" -> ((s, d) => Similarity.pqTrainedTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "sim_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
@@ -444,18 +445,20 @@ object SparkEntry {
     // identical op order on both engines.
     "sim_pq_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), nn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM n), mm AS (SELECT unnest(range(8)) AS m), subs AS (SELECT vec_id, m, vn[m*8+1 : m*8+8] AS xm FROM nn CROSS JOIN mm), cb AS (SELECT vec_id AS j, m, xm AS cm FROM subs WHERE vec_id < 16), dist AS (SELECT s.vec_id, s.m, c.j, CAST(round((list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm)) * 10000) AS BIGINT) AS d2_e4 FROM subs s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id, m, j FROM (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e4, j) AS rn FROM dist) WHERE rn = 1), qtab AS (SELECT s.vec_id AS qid, s.m, c.j, CAST(round(list_inner_product(s.xm, c.cm) * 10000) AS BIGINT) AS t_e4 FROM subs s JOIN cb c ON s.m = c.m WHERE s.vec_id < 10), scored AS (SELECT q.qid, co.vec_id AS cid, CAST(sum(q.t_e4) AS BIGINT) AS approx_e4 FROM codes co JOIN qtab q ON co.m = q.m AND co.j = q.j GROUP BY q.qid, co.vec_id) SELECT qid, cid, approx_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, approx_e4, row_number() OVER (PARTITION BY qid ORDER BY approx_e4 DESC, cid) AS rn FROM scored) WHERE rn <= 5 ORDER BY qid, rn""",
-    // Trained PQ: two unrolled per-subspace Lloyd iterations in the e6
+    // Trained PQ: two unrolled per-subspace Lloyd iterations in the e4
     // integer domain — sub-vectors quantize once, then every distance,
     // centroid sum and ADC score is exact integer arithmetic carried in
-    // DOUBLE (≤ 8e12 ≪ 2^53), so no rounding exists to diverge between
+    // DOUBLE (≤ 8e8 ≪ 2^53), so no rounding exists to diverge between
     // engines. Same carry-forward COALESCE for emptied codes as trained IVF.
     "sim_pq_trained" -> {
-      // Anisotropic assignment loss (η = PqEta), exact in HUGEINT:
-      // (η−1)·⟨e,x⟩² + ⟨x,x⟩·⟨e,e⟩ with ⟨e,x⟩ = ⟨x,x⟩−⟨x,c⟩ — the same
-      // 128-bit integers the Spark side carries in Decimal(38,0).
+      // Anisotropic assignment loss (η = PqEta), exact in BIGINT at the
+      // e4 scale (tops out near 5.2e18 < 2^63 — DuckDB's overflow check
+      // stays quiet): (η−1)·⟨e,x⟩² + ⟨x,x⟩·⟨e,e⟩ with ⟨e,x⟩ =
+      // ⟨x,x⟩−⟨x,c⟩ — the same 64-bit integers the Spark side carries in
+      // LONG.
       val etaM1 = graft.operators.Similarity.PqEta - 1
       val aloss =
-        s"$etaM1 * CAST(list_inner_product(s.xm, s.xm) - list_inner_product(s.xm, c.cm) AS HUGEINT) * CAST(list_inner_product(s.xm, s.xm) - list_inner_product(s.xm, c.cm) AS HUGEINT) + CAST(list_inner_product(s.xm, s.xm) AS HUGEINT) * CAST(list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm) AS HUGEINT)"
+        s"$etaM1 * CAST(list_inner_product(s.xm, s.xm) - list_inner_product(s.xm, c.cm) AS BIGINT) * CAST(list_inner_product(s.xm, s.xm) - list_inner_product(s.xm, c.cm) AS BIGINT) + CAST(list_inner_product(s.xm, s.xm) AS BIGINT) * CAST(list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm) AS BIGINT)"
       def iter(i: Int, prev: String) =
         s"a$i AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM subs s JOIN $prev c ON s.m = c.m) WHERE rn = 1), " +
         s"u$i AS (SELECT a.m, a.j, t.k, CAST(round(sum(s.xm[CAST(t.k AS INTEGER)]) / count(*)) AS DOUBLE) AS comp FROM a$i a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 9) t(k) GROUP BY a.m, a.j, t.k), " +
@@ -463,7 +466,7 @@ object SparkEntry {
       "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "nn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM n), " +
       "mm AS (SELECT unnest(range(8)) AS m), " +
-      "subs AS MATERIALIZED (SELECT vec_id, m, list_transform(vn[m*8+1 : m*8+8], x -> CAST(round(x * 1000000) AS DOUBLE)) AS xm FROM nn CROSS JOIN mm), " +
+      "subs AS MATERIALIZED (SELECT vec_id, m, list_transform(vn[m*8+1 : m*8+8], x -> CAST(round(x * 10000) AS DOUBLE)) AS xm FROM nn CROSS JOIN mm), " +
       "cb0 AS MATERIALIZED (SELECT vec_id AS j, m, xm AS cm FROM subs WHERE vec_id < 16), " +
       iter(1, "cb0") + ", " + iter(2, "cb1") + ", " +
       s"codes AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM subs s JOIN cb2 c ON s.m = c.m) WHERE rn = 1), " +
@@ -481,6 +484,49 @@ object SparkEntry {
     // every stage verbatim from its standalone oracle.
     "sim_ivfpq_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), asgn AS (SELECT vec_id, cell_id FROM (SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY CAST(round(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM n, cents c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, cents c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN asgn a ON p.cell_id = a.cell_id), nn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM n), mm AS (SELECT unnest(range(8)) AS m), subs AS (SELECT vec_id, m, vn[m*8+1 : m*8+8] AS xm FROM nn CROSS JOIN mm), cb AS (SELECT vec_id AS j, m, xm AS cm FROM subs WHERE vec_id < 16), dist AS (SELECT s.vec_id, s.m, c.j, CAST(round((list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm)) * 10000) AS BIGINT) AS d2_e4 FROM subs s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id AS cid, m, j FROM (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e4, j) AS rn FROM dist) WHERE rn = 1), qtab AS (SELECT s.vec_id AS qid, s.m, c.j, CAST(round(list_inner_product(s.xm, c.cm) * 10000) AS BIGINT) AS t_e4 FROM subs s JOIN cb c ON s.m = c.m WHERE s.vec_id < 10), adc AS (SELECT cd.qid, cd.cid, CAST(sum(qt.t_e4) AS BIGINT) AS approx_e4 FROM cand cd JOIN codes co ON cd.cid = co.cid JOIN qtab qt ON qt.qid = cd.qid AND co.m = qt.m AND co.j = qt.j GROUP BY cd.qid, cd.cid), short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx_e4 DESC, cid) AS srn FROM adc) WHERE srn <= 25), ex AS (SELECT sh.qid, sh.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM short sh JOIN n x ON sh.cid = x.vec_id JOIN n y ON sh.qid = y.vec_id) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ex) WHERE rn <= 5 ORDER BY qid, rn""",
+    // Trained IVF-PQ with per-cell residual encoding: coarse k-means over
+    // the e4 NORMALIZED corpus (two unrolled Lloyd iterations, integer
+    // means with COALESCE carry-forward), residual r = x − c(cell) in
+    // exact e4 integers, anisotropic residual-codebook k-means (direction
+    // = the original vector at e3 so the loss stays BIGINT), linear-ADC
+    // scoring ⟨q,c_cell⟩ + Σ⟨q_m,cm⟩, exact re-rank of the 25-shortlist.
+    "sim_ivfpq_trained" -> {
+      val etaM1 = graft.operators.Similarity.PqEta - 1
+      val aloss =
+        s"$etaM1 * CAST(list_inner_product(s.rm, s.xq) - list_inner_product(c.cm, s.xq) AS BIGINT) * CAST(list_inner_product(s.rm, s.xq) - list_inner_product(c.cm, s.xq) AS BIGINT) + CAST(list_inner_product(s.xq, s.xq) AS BIGINT) * CAST(list_inner_product(s.rm, s.rm) - 2.0 * list_inner_product(s.rm, c.cm) + list_inner_product(c.cm, c.cm) AS BIGINT)"
+      def cIter(i: Int, prev: Int) =
+        s"a$i AS (SELECT vec_id, cell_id FROM (SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c${prev}n c) WHERE rn = 1), " +
+        s"m$i AS (SELECT a.cell_id, t.k, CAST(round(CAST(sum(e.ve[CAST(t.k AS INTEGER)]) AS DOUBLE) / count(*)) AS BIGINT) AS comp FROM a$i a JOIN e4v e ON a.vec_id = e.vec_id, range(1, 65) t(k) GROUP BY a.cell_id, t.k), " +
+        s"c$i AS (SELECT cell_id, list_transform(list(comp ORDER BY k), x -> CAST(x AS DOUBLE)) AS cv FROM m$i GROUP BY cell_id), " +
+        s"c${i}f AS (SELECT p.cell_id, COALESCE(u.cv, p.cv) AS cv FROM c${prev}f p LEFT JOIN c$i u ON p.cell_id = u.cell_id), " +
+        s"c${i}n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c${i}f)"
+      def pIter(i: Int, prev: String) =
+        s"q$i AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM rsubs s JOIN $prev c ON s.m = c.m) WHERE rn = 1), " +
+        s"u$i AS (SELECT a.m, a.j, t.k, CAST(round(sum(s.rm[CAST(t.k AS INTEGER)]) / count(*)) AS DOUBLE) AS comp FROM q$i a JOIN rsubs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 9) t(k) GROUP BY a.m, a.j, t.k), " +
+        s"p$i AS MATERIALIZED (SELECT p.m, p.j, COALESCE(u.cm, p.cm) AS cm FROM $prev p LEFT JOIN (SELECT m, j, list(comp ORDER BY k) AS cm FROM u$i GROUP BY m, j) u ON p.m = u.m AND p.j = u.j)"
+      "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "nrm AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nr FROM n), " +
+      "e4v AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(round(x / nr * 10000) AS DOUBLE)) AS ve FROM nrm), " +
+      "en AS MATERIALIZED (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS vn FROM e4v), " +
+      "c0f AS (SELECT vec_id AS cell_id, ve AS cv FROM e4v WHERE vec_id < 16), " +
+      "c0n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c0f), " +
+      cIter(1, 0) + ", " + cIter(2, 1) + ", " +
+      "af AS MATERIALIZED (SELECT vec_id, cell_id FROM (SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c2n c) WHERE rn = 1), " +
+      "resid AS (SELECT e.vec_id, list_transform(range(1, 65), i -> e.ve[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS r, e.ve FROM e4v e JOIN af a ON e.vec_id = a.vec_id JOIN c2f c ON a.cell_id = c.cell_id), " +
+      "mm AS (SELECT unnest(range(8)) AS m), " +
+      "rsubs AS MATERIALIZED (SELECT vec_id, m, r[m*8+1 : m*8+8] AS rm, list_transform(ve[m*8+1 : m*8+8], x -> round(x / 10)) AS xq FROM resid CROSS JOIN mm), " +
+      "p0 AS MATERIALIZED (SELECT vec_id AS j, m, rm AS cm FROM rsubs WHERE vec_id < 16), " +
+      pIter(1, "p0") + ", " + pIter(2, "p1") + ", " +
+      s"codes AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM rsubs s JOIN p2 c ON s.m = c.m) WHERE rn = 1), " +
+      "qsubs AS (SELECT vec_id AS qid, m, ve[m*8+1 : m*8+8] AS qm FROM e4v CROSS JOIN mm WHERE vec_id < 10), " +
+      "qtab AS (SELECT s.qid, s.m, c.j, list_inner_product(s.qm, c.cm) AS t FROM qsubs s JOIN p2 c ON s.m = c.m), " +
+      "probes AS (SELECT qid, cell_id, pdot FROM (SELECT e.vec_id AS qid, c.cell_id, list_inner_product(e.ve, c.cv) AS pdot, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c2n c WHERE e.vec_id < 10) WHERE rn <= 4), " +
+      "cand AS (SELECT p.qid, a.vec_id AS cid, p.pdot FROM probes p JOIN af a ON p.cell_id = a.cell_id), " +
+      "adc AS (SELECT cd.qid, cd.cid, cd.pdot + sum(q.t) AS approx FROM cand cd JOIN codes co ON cd.cid = co.vec_id JOIN qtab q ON q.qid = cd.qid AND co.m = q.m AND co.j = q.j GROUP BY cd.qid, cd.cid, cd.pdot), " +
+      "short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS srn FROM adc) WHERE srn <= 25), " +
+      "ex AS (SELECT sh.qid, sh.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nr * y.nr) * 10000) AS BIGINT) AS sim_e4 FROM short sh JOIN nrm x ON sh.cid = x.vec_id JOIN nrm y ON sh.qid = y.vec_id) " +
+      "SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ex) WHERE rn <= 5 ORDER BY qid, rn"
+    },
     // Trained IVF: two unrolled deterministic Lloyd iterations. Centroids in
     // 1e-6 fixed point (exact integer sums → exact double division →
     // round-half-away), cosine is scale-invariant so the e6 integer vectors

@@ -142,16 +142,16 @@ object Similarity {
   /** Coarse assignment: one row per corpus vector — argmax over the
     * broadcast centroids by e4-rounded cosine, ties to the lower cell id
     * (identical ordering on both engines). The one-pass
-    * broadcast-centroids scan is the production IVF indexing shape. */
-  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("csim_e4"), asc("cell_id"))
+    * broadcast-centroids scan is the production IVF indexing shape; the
+    * argmax is a map-side-combining min over (−sim, cell) struct pairs,
+    * not a window sort (same plan shape as the trained-PQ encode). */
+  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame =
     c.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell_id"),
         e4(dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim_e4"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell_id"))
-  }
+      .groupBy("vec_id")
+      .agg(min(struct(negate(col("csim_e4")), col("cell_id"))).as("mn"))
+      .select(col("vec_id"), col("mn.cell_id").as("cell_id"))
 
   /** Probe the nProbe nearest cells per query, exact-score only vectors in
     * probed cells, rank. Shared by the stub-quantizer and trained IVF. */
@@ -281,15 +281,15 @@ object Similarity {
     val cb = subVectors(c.filter(col("vec_id") < kCents), "j")
       .select(col("j"), col("m"), col("xm").as("cm"))
     // Encode: d²(x_m, c_mj) = ⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩ in e4, argmin per
-    // (vec_id, m) with centroid-id ties — one linear corpus pass.
-    val wCode = Window.partitionBy("vec_id", "m").orderBy(asc("d2_e4"), asc("j"))
+    // (vec_id, m) with centroid-id ties — one linear corpus pass whose
+    // argmin partial-aggregates map-side (min over (d2, j) structs).
     val codes = subs.join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("j"),
         e4(dotD(col("xm"), col("xm")) - lit(2.0) * dotD(col("xm"), col("cm"))
           + dotD(col("cm"), col("cm"))).as("d2_e4"))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("j"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2_e4"), col("j"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.j").as("j"))
     // ADC lookup table: e4 inner products of each query sub-vector with
     // every centroid — nQueries × M × K rows, broadcast.
     val qtab = subVectors(c.filter(col("vec_id") < nQueries), "qid")
@@ -354,14 +354,13 @@ object Similarity {
         .toDF(idCol, "m", "xm")
     val cb = subVectors(cn.filter(col("vec_id") < kCents), "j")
       .select(col("j"), col("m"), col("xm").as("cm"))
-    val wCode = Window.partitionBy("vec_id", "m").orderBy(asc("d2_e4"), asc("j"))
     val codes = subVectors(cn, "vec_id").join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("j"),
         e4(dotD(col("xm"), col("xm")) - lit(2.0) * dotD(col("xm"), col("cm"))
           + dotD(col("cm"), col("cm"))).as("d2_e4"))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("cid"), col("m"), col("j"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2_e4"), col("j"))).as("mn"))
+      .select(col("vec_id").as("cid"), col("m"), col("mn.j").as("j"))
     val qtab = subVectors(cn.filter(col("vec_id") < nQueries), "qid")
       .select(col("qid"), col("m"), col("xm").as("qm"))
       .join(broadcast(cb), "m")
@@ -387,9 +386,175 @@ object Similarity {
       c)
   }
 
+  /** IVF-PQ with BOTH stages TRAINED and per-cell RESIDUAL encoding — the
+    * production billion-vector index exactly as Jégou et al. 2011 (IVFADC;
+    * the FAISS IndexIVFPQ shape) deploy it, replacing [[ivfPqTopK]]'s
+    * stub∘stub composition with trained∘trained:
+    *  1. COARSE: Lloyd's k-means over the e4-quantized NORMALIZED corpus
+    *     (the [[ivfTrainedTopK]] recipe moved into the normalized space,
+    *     because residuals must live in the same space PQ encodes) —
+    *     exact integer sums, round-half-away means, carry-forward empty
+    *     cells, e4-cosine assignment with cell-id ties;
+    *  2. RESIDUALS: r = x − c(cell) per vector — exact e4 integers (the
+    *     key IVF-PQ idea: residuals have ~cell-radius magnitude, so the
+    *     codebook's K centroids quantize a far tighter distribution than
+    *     raw vectors);
+    *  3. PQ: per-subspace anisotropic Lloyd over the residual sub-vectors
+    *     ([[pqTrainedTopK]]'s loss with the parallel direction taken
+    *     along the ORIGINAL vector x — the ScaNN-correct direction, since
+    *     ⟨q,x̂⟩ error for queries near x is what anisotropy protects; x
+    *     rides at e3 scale so (η−1)·⟨e,x⟩² + ⟨x,x⟩·⟨e,e⟩ tops out near
+    *     2.1e17 ≪ 2^63 — pure 64-bit on both engines);
+    *  4. ADC: inner product is linear, so ⟨q, c + r̂⟩ = ⟨q, c_cell⟩ +
+    *     Σ_m⟨q_m, cm_code⟩ — ONE M×K lookup table per query (not per
+    *     cell) plus a per-(query, probed-cell) offset, all exact e7/e8
+    *     integers;
+    *  5. exact re-rank of the [[PqRerank]] shortlist on the original
+    *     vectors.
+    * Scale shape: identical to [[ivfPqTopK]] (assignment and encoding
+    * stream the corpus against broadcast centroids/codebook; candidates
+    * bounded by probed-cell occupancy; only codes move through ADC; exact
+    * reads bounded by nQueries × rerank) plus the two training loops,
+    * whose driver state is nCells×Dim + M×K×SubDim integers — at
+    * billion-vector scale k-means‖ slots into the init and the loops are
+    * the same broadcast-assign-aggregate rounds. Every ordering decision
+    * is integer-exact with id ties, so the whole trained index
+    * hash-matches the unrolled DuckDB oracle. */
+  def ivfPqTrainedTopK(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = IvfCells, nProbe: Int = IvfProbe,
+      m: Int = PqM, kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
+      pqIters: Int = PqKmeansIters, rerank: Int = PqRerank,
+      eta: Int = PqEta): DataFrame = {
+    import s.implicits._
+    val sub = PqSubDim
+    val full = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    // e4-quantized normalized corpus; its own L2 norm feeds e4 cosine.
+    val nv = full.select(col("vec_id"),
+        transform(col("v"), x => round(x / col("nrm") * lit(10000.0))).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ---- stage 1: trained coarse quantizer (Lloyd, e4 integer domain).
+    var cents: Seq[(Long, Seq[Double])] = nv.filter(col("vec_id") < nCells)
+      .select("vec_id", "v").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    def centsDf(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      cs.toDF("cell_id", "cv").withColumn("cnrm", l2Norm(col("cv")))
+    for (_ <- 1 to ivfIters) {
+      val asgn = assignCells(nv, centsDf(cents))
+      val sums = (0 until Dim).map(kk =>
+        sum(element_at(col("v"), kk + 1)).as(s"s$kk"))
+      val rows = asgn.join(nv, "vec_id").groupBy("cell_id")
+        .agg(count(lit(1)).as("cnt"), sums: _*).collect()
+      val updated = rows.map { r =>
+        val cnt = r.getLong(1)
+        val comps = (0 until Dim).map { kk =>
+          val q = r.getDouble(2 + kk) / cnt
+          Math.copySign(Math.floor(Math.abs(q) + 0.5), q) // round half away
+        }
+        r.getLong(0) -> comps.toSeq
+      }.toMap
+      cents = cents.map { case (cell, prev) => (cell, updated.getOrElse(cell, prev)) }
+    }
+    val ct = centsDf(cents)
+    // Final assignment feeds BOTH the residual computation (via rsubs) and
+    // the candidate join in the terminal action — persist it so the
+    // corpus-× -centroids argmin runs once, not twice.
+    val af = assignCells(nv, ct).persist(StorageLevel.MEMORY_AND_DISK)
+    // ---- stage 2: residuals + their e3 anisotropy direction sub-vectors.
+    val resid = nv.join(af, "vec_id")
+      .join(broadcast(ct.select("cell_id", "cv")), "cell_id")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"), col("v"))
+    val rsubs = resid.select(col("vec_id"), posexplode(
+        array((0 until m).map(i => struct(
+          slice(col("r"), i * sub + 1, sub).as("rm"),
+          transform(slice(col("v"), i * sub + 1, sub),
+            x => round(x / lit(10.0))).as("xq"))): _*)))
+      .select(col("vec_id"), col("pos").as("m"),
+        col("col.rm").as("rm"), col("col.xq").as("xq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cb: Seq[(Long, Long, Seq[Double])] = rsubs.filter(col("vec_id") < kCents)
+      .select("vec_id", "m", "rm").orderBy("vec_id", "m").collect()
+      .map(r => (r.getInt(1).toLong, r.getLong(0), r.getSeq[Double](2).toSeq)).toSeq
+    def cbDf(cs: Seq[(Long, Long, Seq[Double])]): DataFrame =
+      cs.toDF("m", "j", "cm")
+    // Anisotropic residual encode — same argmin-aggregate plan shape as
+    // pqTrainedScored's, with e = rm − cm measured against direction xq.
+    def encode(codebook: DataFrame): DataFrame =
+      rsubs.join(broadcast(codebook), "m")
+        .select(col("vec_id"), col("m"), col("j"),
+          (dotD(col("rm"), col("rm")) - lit(2.0) * dotD(col("rm"), col("cm"))
+            + dotD(col("cm"), col("cm"))).as("d2"),
+          (dotD(col("rm"), col("xq")) - dotD(col("cm"), col("xq"))).as("ex"),
+          dotD(col("xq"), col("xq")).as("xx"))
+        .withColumn("loss",
+          lit((eta - 1).toLong) * col("ex").cast("long") * col("ex").cast("long") +
+            col("xx").cast("long") * col("d2").cast("long"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("loss"), col("j"))).as("mn"))
+        .select(col("vec_id"), col("m"), col("mn.j").as("j"))
+    for (_ <- 1 to pqIters) {
+      val asgn = encode(cbDf(cb))
+      val sums = (0 until sub).map(kk =>
+        sum(element_at(col("rm"), kk + 1)).as(s"s$kk"))
+      val rows = asgn.join(rsubs, Seq("vec_id", "m")).groupBy("m", "j")
+        .agg(count(lit(1)).as("cnt"), sums: _*).collect()
+      val updated = rows.map { r =>
+        val cnt = r.getLong(2)
+        val comps = (0 until sub).map { kk =>
+          val q = r.getDouble(3 + kk) / cnt
+          Math.copySign(Math.floor(Math.abs(q) + 0.5), q)
+        }
+        (r.getInt(0).toLong, r.getLong(1)) -> comps.toSeq
+      }.toMap
+      cb = cb.map { case (mm, j, prev) =>
+        (mm, j, updated.getOrElse((mm, j), prev)) }
+    }
+    val codes = encode(cbDf(cb))
+    // ---- stage 3: ADC + exact re-rank.
+    val qsubs = nv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), posexplode(
+        array((0 until m).map(i => slice(col("v"), i * sub + 1, sub)): _*)))
+      .toDF("qid", "m", "qm")
+    val qtab = qsubs.join(broadcast(cbDf(cb)), "m")
+      .select(col("qid"), col("m"), col("j"), dotD(col("qm"), col("cm")).as("t"))
+    val wProbe = Window.partitionBy("qid").orderBy(desc("csim_e4"), asc("cell_id"))
+    val probes = nv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(ct))
+      .select(col("qid"), col("cell_id"),
+        e4(dotD(col("qv"), col("cv")) / (col("qn") * col("cnrm"))).as("csim_e4"),
+        dotD(col("qv"), col("cv")).as("pdot"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cell_id"), col("pdot"))
+    val cand = af.join(broadcast(probes), "cell_id")
+      .select(col("qid"), col("vec_id").as("cid"), col("pdot"))
+    val adc = cand.join(codes.withColumnRenamed("vec_id", "cid"), "cid")
+      .join(broadcast(qtab), Seq("qid", "m", "j"))
+      .groupBy("qid", "cid", "pdot")
+      .agg(sum("t").as("st"))
+      .select(col("qid"), col("cid"), (col("pdot") + col("st")).as("approx"))
+    val wShort = Window.partitionBy("qid").orderBy(desc("approx"), asc("cid"))
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= rerank).select("qid", "cid")
+    val q = full.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    graft.functions.Caching.releaseAfterAction(
+      short.join(full.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("cid"),
+          e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn"),
+      full, nv, rsubs, af)
+  }
+
   // Deterministic per-subspace k-means for the trained PQ codebook: fixed
   // iteration count, stub-codebook init (the first K normalized vectors'
-  // sub-slices, e6-quantized). PqRerank is the ADC shortlist size that the
+  // sub-slices, e4-quantized). PqRerank is the ADC shortlist size that the
   // exact re-rank stage consumes.
   val PqKmeansIters = 2
   val PqRerank = 25
@@ -401,12 +566,12 @@ object Similarity {
 
   /** PQ with a TRAINED codebook and an exact re-rank stage — the full
     * production PQ retrieval shape. Training is per-subspace Lloyd's
-    * k-means, the same deterministic e6 fixed-point recipe as
-    * [[ivfTrainedTopK]] applied to each of the M sub-spaces independently:
-    *  - sub-vectors quantize to 1e-6 fixed point ONCE; every distance,
+    * k-means, the deterministic fixed-point recipe of [[ivfTrainedTopK]]
+    * applied to each of the M sub-spaces independently, at 1e-4 scale:
+    *  - sub-vectors quantize to 1e-4 fixed point ONCE; every distance,
     *    assignment, update and ADC score after that is exact integer
-    *    arithmetic carried in doubles (components ≤ 1e6 ⇒ an 8-dim inner
-    *    product ≤ 8e12 ≪ 2^53 — no rounding anywhere, so distributed
+    *    arithmetic carried in doubles (components ≤ 1e4 ⇒ an 8-dim inner
+    *    product ≤ 8e8 ≪ 2^53 — no rounding anywhere, so distributed
     *    order cannot perturb a single comparison and the whole trained
     *    index hash-matches the DuckDB oracle's unrolled iterations);
     *  - assignment: argmin L2² (⟨x,x⟩−2⟨x,c⟩+⟨c,c⟩), ties to lower code;
@@ -427,12 +592,15 @@ object Similarity {
     * that rank x highly) η = [[PqEta]] times the orthogonal part recovers
     * it: the η sweep measured raw-ADC recall 0.42 (= stub) at sf0.001 and
     * 0.46 vs MSE's 0.42 at sf0.01 at the shipped η = 2, iters = 2 —
-    * training no longer degrades its own init. The update step stays the
-    * plain per-cluster mean (assignment-only anisotropy; the full ScaNN
-    * update solves a per-cluster linear system). The scaled loss
-    * (η−1)·⟨e,x⟩² + ⟨x,x⟩·⟨e,e⟩ squares e6 integers past 2^53, so it is
-    * carried exactly in Decimal(38,0) / HUGEINT — the same 128-bit-exact
-    * pattern as the events moments.
+    * training no longer degrades its own init (re-measured unchanged at
+    * the e4 scale). The update step stays the plain per-cluster mean
+    * (assignment-only anisotropy; the full ScaNN update solves a
+    * per-cluster linear system). The 1e-4 scale is what keeps the loss
+    * 64-bit: (η−1)·⟨e,x⟩² + ⟨x,x⟩·⟨e,e⟩ tops out near 5.2e18 < 2^63
+    * (ex ≤ 1.6e9, xx ≤ 8e8, d2 ≤ 3.2e9), so both engines compare exact
+    * BIGINTs — no 128-bit decimals in the hot encode path (at e6 the
+    * squares passed 2^53 and needed Decimal(38,0), which dominated the
+    * encode cost).
     *
     * Retrieval is two-stage, as deployed PQ systems run it: the compressed
     * codes produce a [[PqRerank]]-deep ADC shortlist per query (only codes
@@ -495,11 +663,11 @@ object Similarity {
     val sub = PqSubDim
     val c = corpus(s, d)
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("vn"))
-    // (vec_id, m, xm): e6-quantized sub-vectors, integral doubles.
+    // (vec_id, m, xm): e4-quantized sub-vectors, integral doubles.
     val subs = c.select(col("vec_id"), posexplode(
         array((0 until m).map(i => transform(
           slice(col("vn"), i * sub + 1, sub),
-          x => round(x * lit(1000000.0)).cast("double"))): _*)))
+          x => round(x * lit(10000.0)).cast("double"))): _*)))
       .toDF("vec_id", "m", "xm")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cb: Seq[(Long, Long, Seq[Double])] = subs.filter(col("vec_id") < kCents)
@@ -507,20 +675,23 @@ object Similarity {
       .map(r => (r.getInt(1).toLong, r.getLong(0), r.getSeq[Double](2).toSeq)).toSeq
     def cbDf(cs: Seq[(Long, Long, Seq[Double])]): DataFrame =
       cs.toDF("m", "j", "cm")
-    // Anisotropic (score-aware) assignment, exact in 128-bit integers:
+    // Anisotropic (score-aware) assignment, exact in 64-bit integers:
     // residual e = x − c splits into a component along x (which shifts
     // every inner product ⟨q, ·⟩ for queries near x — the MIPS-relevant
     // error) and an orthogonal one; the ScaNN loss up-weights the first.
     // Scaled by ‖x‖² to stay integral:
     //   L = (η−1)·⟨e,x⟩² + ⟨x,x⟩·⟨e,e⟩
-    // with ⟨e,x⟩ = ⟨x,x⟩−⟨x,c⟩. e6 terms are ≤ 3.2e13 (exact doubles);
-    // the products exceed 2^53, so they're carried in Decimal(38,0)
-    // (operands cast at 18 digits ⇒ 37-digit products, no precision cap)
-    // — the DuckDB oracle mirrors with HUGEINT. η = 1 degenerates to
-    // MSE·‖x‖², whose argmin matches plain MSE (‖x‖² is constant within
-    // a (vec_id, m) group).
-    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
-    val wCode = Window.partitionBy("vec_id", "m").orderBy(asc("loss"), asc("j"))
+    // with ⟨e,x⟩ = ⟨x,x⟩−⟨x,c⟩. At the e4 scale every term and the full
+    // loss stay under 2^63 (see the class doc), so the comparison runs in
+    // plain LONG arithmetic — the DuckDB oracle mirrors with
+    // overflow-checked BIGINT. η = 1 degenerates to MSE·‖x‖², whose
+    // argmin matches plain MSE (‖x‖² is constant within a (vec_id, m)
+    // group).
+    // The argmin is a partial-aggregatable min over (loss, j) struct pairs
+    // (field-wise ordering = loss first, centroid-id tie-break) — a
+    // map-side-combining HashAggregate, NOT a row_number window: the
+    // window formulation shuffle-SORTED all n·M·K scored rows per encode
+    // pass, which dominated the trained-PQ cost.
     def encode(codebook: DataFrame): DataFrame =
       subs.join(broadcast(codebook), "m")
         .select(col("vec_id"), col("m"), col("j"),
@@ -529,11 +700,11 @@ object Similarity {
           (dotD(col("xm"), col("xm")) - dotD(col("xm"), col("cm"))).as("ex"),
           dotD(col("xm"), col("xm")).as("xx"))
         .withColumn("loss",
-          lit(eta - 1).cast(d18) * col("ex").cast(d18) * col("ex").cast(d18) +
-            col("xx").cast(d18) * col("d2").cast(d18))
-        .withColumn("rn", row_number().over(wCode))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("j"))
+          lit((eta - 1).toLong) * col("ex").cast("long") * col("ex").cast("long") +
+            col("xx").cast("long") * col("d2").cast("long"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("loss"), col("j"))).as("mn"))
+        .select(col("vec_id"), col("m"), col("mn.j").as("j"))
     for (_ <- 1 to iters) {
       val asgn = encode(cbDf(cb))
       val sums = (0 until sub).map(kk =>
@@ -553,8 +724,8 @@ object Similarity {
     }
     val trained = cbDf(cb)
     val codes = encode(trained)
-    // ADC in the e6 integer domain: table entries and scores are exact
-    // e12-unit integers — sums, not rounds, so ranks are engine-exact.
+    // ADC in the e4 integer domain: table entries and scores are exact
+    // e8-unit integers — sums, not rounds, so ranks are engine-exact.
     val qtab = subs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("m"), col("xm").as("qm"))
       .join(broadcast(trained), "m")

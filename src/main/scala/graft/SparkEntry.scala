@@ -122,7 +122,7 @@ object SparkEntry {
     "sim_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
-    "multimodal_features" -> ((s, d) => Media.featuresQuery(s, d)),
+    "multimodal_features" -> ((s, d) => Media.ppmFeaturesQuery(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     "media_neardup" -> ((s, d) => Media.mediaNearDup(s, d)),
     // — LLM-pipeline: corpus shipping —
@@ -320,13 +320,14 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted (→ rows-only check): distinct_words_approx
-    * (HLL registers are engine-specific), multimodal_features (stub codec),
-    * text_tfidf (libm ln, rule R2), and agg_quantiles_approx (GK summary
-    * merge is engine-specific) — each with ground-truth ScalaTest checks
-    * instead (rule R5; see RelationalSpec, MediaSpec, TextAnalyticsSpec). Every other query — including every
-    * LSH/sketch/clustering operator — hash-matches: the sketches are
-    * deterministic integer arithmetic (MinHash, SimHash) or fixed-op-order
-    * float projections with e4-rounded outputs (sign-projection LSH, IVF). */
+    * (HLL registers are engine-specific), text_tfidf (libm ln, rule R2),
+    * and agg_quantiles_approx (GK summary merge is engine-specific) — each
+    * with ground-truth ScalaTest checks instead (rule R5; see
+    * RelationalSpec, TextAnalyticsSpec). Every other query — including
+    * every LSH/sketch/clustering operator and the real-codec
+    * multimodal_features — hash-matches: the sketches are deterministic
+    * integer arithmetic (MinHash, SimHash) or fixed-op-order float
+    * projections with e4-rounded outputs (sign-projection LSH, IVF). */
   def oracleSql: Map[String, String] = Map(
     "corpus_clean" ->
       s"""WITH $cleanFlagCtes SELECT d.doc_id, CAST(CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, CAST(CASE WHEN sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id ORDER BY d.doc_id""",
@@ -717,6 +718,14 @@ object SparkEntry {
     // (injective encoding), so the oracle needs no blob arithmetic.
     "media_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, CAST(max(octet_length(encode(text))) AS BIGINT) AS n_bytes FROM documents GROUP BY text ORDER BY keep_id""",
+    // Real-codec multimodal features: the engine BUILDS binary P6 PPM
+    // images (header + text bytes cycled through the raster) and DECODES
+    // them with an actual header parse + pixel fold; the oracle
+    // reconstructs the identical per-channel sums by pure integer
+    // arithmetic over the source text (ASCII ⇒ byte = code point; raster
+    // byte i = text byte i mod len, channel c = raster index 3p + c).
+    "multimodal_features" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(text, CAST((3*p) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS r_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(text, CAST((3*p+1) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS g_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(text, CAST((3*p+2) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS b_sum FROM d ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramCtes SELECT d1, d2, jac_e4 FROM jpairs WHERE jac_e4 >= 100 ORDER BY d1, d2""",
     // Winnowing (Schleimer et al. 2003): ORDERED 3-gram hash sequence →

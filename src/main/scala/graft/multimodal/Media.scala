@@ -13,10 +13,15 @@ import graft.sources.Tables
   * one codec init per partition, streaming over rows, never materializing a
   * partition in memory.
   *
-  * The codec itself is a clearly-marked STUB (no image/audio libraries exist
-  * in this container): `decodeStub` derives a deterministic fake feature
-  * vector from the bytes. The Spark-side contract — schema, batch shape,
-  * partitioning, null/empty handling — is real and tested.
+  * Two codec tiers:
+  *  - [[decodePpm]] is a REAL image decoder for binary P6 PPM (the
+  *    uncompressed netpbm raster format): header parse + pixel statistics,
+  *    end-to-end oracle-checked through `multimodal_features`;
+  *  - `decodeStub` remains the clearly-marked STUB standing in for codecs
+  *    that need libraries this container lacks (JPEG, audio resample):
+  *    a deterministic fake feature vector from the bytes. The Spark-side
+  *    contract — schema, batch shape, partitioning — is identical for
+  *    both tiers and is what the pipeline relies on.
   */
 object Media {
 
@@ -209,7 +214,93 @@ object Media {
       .orderBy("d1", "d2")
   }
 
-  /** Driver-contract query: deterministic feature summary per doc. */
+  /** Build a table of REAL binary P6 PPM images from the documents corpus:
+    * `P6\n{w} {h}\n255\n` followed by w·h·3 RGB bytes — the document's own
+    * bytes repeated cyclically to fill the raster (pixel byte i = text
+    * byte i mod len). Pure SQL expressions (repeat + substring + encode),
+    * so the construction is reproducible byte-for-byte in the oracle;
+    * dimensions follow [[mediaTable]]'s derivation. The payloads are
+    * genuine images any netpbm tool opens. */
+  def ppmTable(s: SparkSession, d: String): DataFrame = {
+    val w = (col("n_chars") % 64 + 1).cast("int")
+    val h = (col("n_chars") % 48 + 1).cast("int")
+    val npix = (col("w").cast("long") * col("h") * lit(3L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), w.as("w"), h.as("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        encode(concat(
+          lit("P6\n"), col("w").cast("string"), lit(" "),
+          col("h").cast("string"), lit("\n255\n"),
+          repeat(col("text"),
+            ((npix + length(col("text")) - 1) / length(col("text")))
+              .cast("int"))
+            .substr(lit(1), npix.cast("int"))),
+          "UTF-8").as("media"))
+  }
+
+  /** REAL P6 PPM decode: parse the header (magic, whitespace-separated
+    * ASCII width/height/maxval) and fold the raster into per-channel
+    * integer sums — the pixel-statistics feature a quality gate or a
+    * brightness filter consumes. Throws on malformed input like a codec
+    * would. Works on any maxval-255 P6 file, not just [[ppmTable]]'s. */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a P6 PPM")
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < bytes.length && (bytes(pos) == ' ' || bytes(pos) == '\n' ||
+        bytes(pos) == '\r' || bytes(pos) == '\t')) pos += 1
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        "bad PPM header")
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    require(maxv == 255, s"unsupported maxval $maxv")
+    pos += 1 // exactly one whitespace byte after maxval, per the spec
+    require(bytes.length - pos >= w * h * 3, "truncated pixel data")
+    var r = 0L; var g = 0L; var b = 0L
+    var p = 0
+    while (p < w * h) {
+      r += bytes(pos + 3 * p) & 0xff
+      g += bytes(pos + 3 * p + 1) & 0xff
+      b += bytes(pos + 3 * p + 2) & 0xff
+      p += 1
+    }
+    (w, h, r, g, b)
+  }
+
+  /** Driver-contract query: REAL image decode end-to-end. Builds the P6
+    * corpus, decodes every payload partition-batched (one codec scope per
+    * partition — the mapPartitions shape `extractFeatures` established),
+    * and emits the parsed dimensions plus per-channel pixel sums. The
+    * dimensions come from the HEADER BYTES, not the metadata — the parse
+    * is load-bearing. Oracle-checked: DuckDB reconstructs the same sums
+    * from the documents table with pure integer arithmetic. */
+  def ppmFeaturesQuery(s: SparkSession, d: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("r_sum", LongType),
+      StructField("g_sum", LongType),
+      StructField("b_sum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    ppmTable(s, d).select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, rs, gs, bs) = decodePpm(r.getAs[Array[Byte]]("media"))
+          Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, rs, gs, bs)
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
+  /** Stub-tier feature summary per doc (see the class doc's codec tiers;
+    * [[ppmFeaturesQuery]] is the oracle-checked real-decode twin). */
   def featuresQuery(s: SparkSession, d: String): DataFrame =
     extractFeatures(mediaTable(s, d))
       .select(

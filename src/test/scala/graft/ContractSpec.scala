@@ -18,7 +18,6 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
       "distinct_words_approx", // HLL registers are engine-specific
-      "multimodal_features",   // stub codec
       "text_tfidf",            // libm ln (rule R2)
       "agg_quantiles_approx"), // GK summary merge is engine-specific
       s"rows-only set drifted: $rowsOnly")

@@ -41,6 +41,41 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.resizeStub(b, 4, 2, 3, 2).toSeq === Media.resizeStub(b, 4, 2, 3, 2).toSeq)
   }
 
+  test("decodePpm: golden parse, header variants, malformed inputs throw") {
+    // 2×1 image: pixels (1,2,3) and (250,251,252)
+    val px = Array[Byte](1, 2, 3, -6, -5, -4) // -6 & 0xff = 250 …
+    val img = "P6\n2 1\n255\n".getBytes("UTF-8") ++ px
+    assert(Media.decodePpm(img) === ((2, 1, 251L, 253L, 255L)))
+    // whitespace-flexible header (netpbm allows any whitespace runs)
+    val img2 = "P6\n2\t 1 255\n".getBytes("UTF-8") ++ px
+    assert(Media.decodePpm(img2) === ((2, 1, 251L, 253L, 255L)))
+    // trailing extra bytes are ignored (raster length is header-driven)
+    assert(Media.decodePpm(img ++ Array[Byte](9)) === ((2, 1, 251L, 253L, 255L)))
+    intercept[IllegalArgumentException](Media.decodePpm("P5\n1 1\n255\n ".getBytes))
+    intercept[IllegalArgumentException](Media.decodePpm("P6\n2 1\n255\n".getBytes ++ px.take(3)))
+    intercept[IllegalArgumentException](Media.decodePpm("P6\n2 1\n65535\n".getBytes ++ px))
+  }
+
+  test("ppm features: real decode round-trips the construction, oracle-shaped") {
+    // The query's sums must equal an independent in-JVM reconstruction
+    // from the raw text (byte i of the raster = text byte i mod len).
+    val texts = sources.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val out = Media.ppmFeaturesQuery(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length === texts.size)
+    for ((id, w, h, rs, gs, bs) <- out.take(25)) {
+      val t = texts(id).getBytes("UTF-8")
+      assert(w === t.length % 64 + 1)
+      assert(h === t.length % 48 + 1)
+      val sums = Array(0L, 0L, 0L)
+      for (i <- 0 until (w * h * 3).toInt)
+        sums(i % 3) += t(i % t.length) & 0xff
+      assert((rs, gs, bs) === ((sums(0), sums(1), sums(2))),
+        s"doc $id channel sums diverge from the reconstruction")
+    }
+  }
+
   test("featuresQuery end-to-end: schema, dim, meta passthrough, determinism") {
     val out1 = Media.featuresQuery(spark, TestSpark.sf)
     assert(out1.columns.toSeq === Seq("doc_id", "dim", "f1_e4", "width", "height"))

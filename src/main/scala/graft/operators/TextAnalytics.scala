@@ -401,6 +401,15 @@ object TextAnalytics {
   val CmsDepth = 4
   val CmsWidth = 8192
 
+  /** Probe-join strategy bound: the k-result-word probe BROADCASTS the
+    * aggregated sketch only while d·w stays under this many cells (the
+    * shipped 4×8192 = 32 K cells is ~a few hundred KB — trivially
+    * broadcastable). A sketch configured wider than this probes via a
+    * plain shuffle join instead: at 100 TB a fat sketch (d·w sized for
+    * single-digit-ppm error on trillions of tokens) must not be shipped
+    * to every executor when only the k probed words' d cells are needed. */
+  val CmsBroadcastCells = 1L << 20
+
   /** Heavy-hitter word counts through a count-min sketch — the frequency
     * member of the sketch family (HLL = distinct, GK = quantiles, CMS =
     * counts). Each token occurrence increments [[CmsDepth]] salted-hash
@@ -415,9 +424,10 @@ object TextAnalytics {
     * counters per task — THE point of a sketch: the shuffle carries
     * bounded state however large the vocabulary, where the exact count's
     * shuffle grows with distinct words. The probe joins the k result
-    * words' cells against the broadcast 32 K-row sketch. Integer counts +
-    * deterministic salted hashes ⇒ hash-matches the oracle, collisions
-    * included. */
+    * words' cells against the sketch — broadcast while d·w ≤
+    * [[CmsBroadcastCells]], shuffle join beyond it (PlanSpec pins both
+    * shapes). Integer counts + deterministic salted hashes ⇒ hash-matches
+    * the oracle, collisions included. */
   def wordcountCms(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     wordcountCmsDf(Tables.documents(spark, dir), k)
 
@@ -435,10 +445,12 @@ object TextAnalytics {
     val cells = words.select(col("word"), cellsOf)
       .groupBy(col("p.j").as("j"), col("p.ccol").as("ccol"))
       .agg(count(lit(1)).as("cell"))
+    val probeSide =
+      if (depth.toLong * width <= CmsBroadcastCells) broadcast(cells) else cells
     graft.functions.Caching.releaseAfterAction(
       exact.select(col("word"), col("cnt"), cellsOf)
         .select(col("word"), col("cnt"), col("p.j").as("j"), col("p.ccol").as("ccol"))
-        .join(broadcast(cells), Seq("j", "ccol"))
+        .join(probeSide, Seq("j", "ccol"))
         .groupBy("word", "cnt").agg(min("cell").as("cms_cnt"))
         .orderBy(desc("cnt"), asc("word")),
       words)

@@ -151,6 +151,27 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cms probe: sketch broadcasts at the shipped width, shuffles past the bound") {
+    // The strategy is OUR hint, so assert on the logical join hints — not
+    // on Spark's own auto-broadcast/AQE choices, which are free to differ.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import graft.operators.TextAnalytics
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    def hints(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j.hint.toString }
+    val narrow = TextAnalytics.wordcountCmsDf(docs, 5,
+      TextAnalytics.CmsDepth, TextAnalytics.CmsWidth)
+    assert(hints(narrow).exists(_.toLowerCase.contains("broadcast")),
+      "shipped-width CMS probe lost its broadcast hint")
+    // planted wide sketch: d·w crosses CmsBroadcastCells → no broadcast hint
+    val wide = TextAnalytics.wordcountCmsDf(docs, 5,
+      TextAnalytics.CmsDepth, ((TextAnalytics.CmsBroadcastCells / TextAnalytics.CmsDepth) + 1).toInt)
+    assert(!hints(wide).exists(_.toLowerCase.contains("broadcast")),
+      "a wide CMS sketch must probe via shuffle join, not a cluster-wide broadcast")
+    spark.catalog.clearCache()
+  }
+
   test("sim_ivfpq: codebook/probe/query sides broadcast; corpus persists") {
     val df = SparkEntry.queries("sim_ivfpq_topk")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString // pre-action: see above

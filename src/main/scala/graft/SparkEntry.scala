@@ -120,6 +120,7 @@ object SparkEntry {
     "sim_pq_trained" -> ((s, d) => Similarity.pqTrainedTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sim_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
+    "sim_ivfpq_index" -> ((s, d) => Similarity.ivfPqTrainedCodes(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.ppmFeaturesQuery(s, d)),
@@ -318,6 +319,41 @@ object SparkEntry {
     s"""stoks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), toks AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS tok FROM stoks), wins AS (SELECT doc_id, unnest(range(1, len(w) - ${w - 2})) AS pos, unnest(list_transform(range(1, len(w) - ${w - 2}), i -> $cat)) AS win FROM stoks), wh AS (SELECT doc_id, pos, ${fold(31)} AS h1, ${fold(37)} AS h2 FROM wins), wr AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY h1, h2 ORDER BY doc_id, pos) AS rn FROM wh), drops AS (SELECT DISTINCT doc_id, p AS pos FROM (SELECT doc_id, unnest(range(pos, pos + $w)) AS p FROM wr WHERE rn > 1)), reb AS (SELECT t.doc_id, count(*) AS n_kept, string_agg(t.tok, ' ' ORDER BY t.pos) AS text_clean FROM toks t LEFT JOIN drops dr ON t.doc_id = dr.doc_id AND t.pos = dr.pos WHERE dr.doc_id IS NULL GROUP BY t.doc_id)"""
   }
 
+  /** Shared trained-IVF-PQ training CTEs — the full unrolled model build
+    * (e4-normalized corpus → two coarse Lloyd iterations → final
+    * assignment `af` → residual sub-vectors → two anisotropic codebook
+    * iterations → final `codes`), consumed by both the retrieval oracle
+    * (`sim_ivfpq_trained`) and the index oracle (`sim_ivfpq_index`). */
+  private lazy val IvfPqTrainedCtes: String = {
+    val etaM1 = graft.operators.Similarity.PqEta - 1
+    val aloss =
+      s"$etaM1 * CAST(list_inner_product(s.rm, s.xq) - list_inner_product(c.cm, s.xq) AS BIGINT) * CAST(list_inner_product(s.rm, s.xq) - list_inner_product(c.cm, s.xq) AS BIGINT) + CAST(list_inner_product(s.xq, s.xq) AS BIGINT) * CAST(list_inner_product(s.rm, s.rm) - 2.0 * list_inner_product(s.rm, c.cm) + list_inner_product(c.cm, c.cm) AS BIGINT)"
+    def cIter(i: Int, prev: Int) =
+      s"a$i AS (SELECT vec_id, cell_id FROM (SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c${prev}n c) WHERE rn = 1), " +
+      s"m$i AS (SELECT a.cell_id, t.k, CAST(round(CAST(sum(e.ve[CAST(t.k AS INTEGER)]) AS DOUBLE) / count(*)) AS BIGINT) AS comp FROM a$i a JOIN e4v e ON a.vec_id = e.vec_id, range(1, 65) t(k) GROUP BY a.cell_id, t.k), " +
+      s"c$i AS (SELECT cell_id, list_transform(list(comp ORDER BY k), x -> CAST(x AS DOUBLE)) AS cv FROM m$i GROUP BY cell_id), " +
+      s"c${i}f AS (SELECT p.cell_id, COALESCE(u.cv, p.cv) AS cv FROM c${prev}f p LEFT JOIN c$i u ON p.cell_id = u.cell_id), " +
+      s"c${i}n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c${i}f)"
+    def pIter(i: Int, prev: String) =
+      s"q$i AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM rsubs s JOIN $prev c ON s.m = c.m) WHERE rn = 1), " +
+      s"u$i AS (SELECT a.m, a.j, t.k, CAST(round(sum(s.rm[CAST(t.k AS INTEGER)]) / count(*)) AS DOUBLE) AS comp FROM q$i a JOIN rsubs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 9) t(k) GROUP BY a.m, a.j, t.k), " +
+      s"p$i AS MATERIALIZED (SELECT p.m, p.j, COALESCE(u.cm, p.cm) AS cm FROM $prev p LEFT JOIN (SELECT m, j, list(comp ORDER BY k) AS cm FROM u$i GROUP BY m, j) u ON p.m = u.m AND p.j = u.j)"
+    "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+    "nrm AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nr FROM n), " +
+    "e4v AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(round(x / nr * 10000) AS DOUBLE)) AS ve FROM nrm), " +
+    "en AS MATERIALIZED (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS vn FROM e4v), " +
+    "c0f AS (SELECT vec_id AS cell_id, ve AS cv FROM e4v WHERE vec_id < 16), " +
+    "c0n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c0f), " +
+    cIter(1, 0) + ", " + cIter(2, 1) + ", " +
+    "af AS MATERIALIZED (SELECT vec_id, cell_id FROM (SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c2n c) WHERE rn = 1), " +
+    "resid AS (SELECT e.vec_id, list_transform(range(1, 65), i -> e.ve[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS r, e.ve FROM e4v e JOIN af a ON e.vec_id = a.vec_id JOIN c2f c ON a.cell_id = c.cell_id), " +
+    "mm AS (SELECT unnest(range(8)) AS m), " +
+    "rsubs AS MATERIALIZED (SELECT vec_id, m, r[m*8+1 : m*8+8] AS rm, list_transform(ve[m*8+1 : m*8+8], x -> round(x / 10)) AS xq FROM resid CROSS JOIN mm), " +
+    "p0 AS MATERIALIZED (SELECT vec_id AS j, m, rm AS cm FROM rsubs WHERE vec_id < 16), " +
+    pIter(1, "p0") + ", " + pIter(2, "p1") + ", " +
+    s"codes AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM rsubs s JOIN p2 c ON s.m = c.m) WHERE rn = 1)"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted (→ rows-only check): distinct_words_approx
     * (HLL registers are engine-specific), text_tfidf (libm ln, rule R2),
@@ -491,34 +527,8 @@ object SparkEntry {
     // exact e4 integers, anisotropic residual-codebook k-means (direction
     // = the original vector at e3 so the loss stays BIGINT), linear-ADC
     // scoring ⟨q,c_cell⟩ + Σ⟨q_m,cm⟩, exact re-rank of the 25-shortlist.
-    "sim_ivfpq_trained" -> {
-      val etaM1 = graft.operators.Similarity.PqEta - 1
-      val aloss =
-        s"$etaM1 * CAST(list_inner_product(s.rm, s.xq) - list_inner_product(c.cm, s.xq) AS BIGINT) * CAST(list_inner_product(s.rm, s.xq) - list_inner_product(c.cm, s.xq) AS BIGINT) + CAST(list_inner_product(s.xq, s.xq) AS BIGINT) * CAST(list_inner_product(s.rm, s.rm) - 2.0 * list_inner_product(s.rm, c.cm) + list_inner_product(c.cm, c.cm) AS BIGINT)"
-      def cIter(i: Int, prev: Int) =
-        s"a$i AS (SELECT vec_id, cell_id FROM (SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c${prev}n c) WHERE rn = 1), " +
-        s"m$i AS (SELECT a.cell_id, t.k, CAST(round(CAST(sum(e.ve[CAST(t.k AS INTEGER)]) AS DOUBLE) / count(*)) AS BIGINT) AS comp FROM a$i a JOIN e4v e ON a.vec_id = e.vec_id, range(1, 65) t(k) GROUP BY a.cell_id, t.k), " +
-        s"c$i AS (SELECT cell_id, list_transform(list(comp ORDER BY k), x -> CAST(x AS DOUBLE)) AS cv FROM m$i GROUP BY cell_id), " +
-        s"c${i}f AS (SELECT p.cell_id, COALESCE(u.cv, p.cv) AS cv FROM c${prev}f p LEFT JOIN c$i u ON p.cell_id = u.cell_id), " +
-        s"c${i}n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c${i}f)"
-      def pIter(i: Int, prev: String) =
-        s"q$i AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM rsubs s JOIN $prev c ON s.m = c.m) WHERE rn = 1), " +
-        s"u$i AS (SELECT a.m, a.j, t.k, CAST(round(sum(s.rm[CAST(t.k AS INTEGER)]) / count(*)) AS DOUBLE) AS comp FROM q$i a JOIN rsubs s ON a.vec_id = s.vec_id AND a.m = s.m, range(1, 9) t(k) GROUP BY a.m, a.j, t.k), " +
-        s"p$i AS MATERIALIZED (SELECT p.m, p.j, COALESCE(u.cm, p.cm) AS cm FROM $prev p LEFT JOIN (SELECT m, j, list(comp ORDER BY k) AS cm FROM u$i GROUP BY m, j) u ON p.m = u.m AND p.j = u.j)"
-      "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-      "nrm AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nr FROM n), " +
-      "e4v AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> CAST(round(x / nr * 10000) AS DOUBLE)) AS ve FROM nrm), " +
-      "en AS MATERIALIZED (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS vn FROM e4v), " +
-      "c0f AS (SELECT vec_id AS cell_id, ve AS cv FROM e4v WHERE vec_id < 16), " +
-      "c0n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c0f), " +
-      cIter(1, 0) + ", " + cIter(2, 1) + ", " +
-      "af AS MATERIALIZED (SELECT vec_id, cell_id FROM (SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c2n c) WHERE rn = 1), " +
-      "resid AS (SELECT e.vec_id, list_transform(range(1, 65), i -> e.ve[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]) AS r, e.ve FROM e4v e JOIN af a ON e.vec_id = a.vec_id JOIN c2f c ON a.cell_id = c.cell_id), " +
-      "mm AS (SELECT unnest(range(8)) AS m), " +
-      "rsubs AS MATERIALIZED (SELECT vec_id, m, r[m*8+1 : m*8+8] AS rm, list_transform(ve[m*8+1 : m*8+8], x -> round(x / 10)) AS xq FROM resid CROSS JOIN mm), " +
-      "p0 AS MATERIALIZED (SELECT vec_id AS j, m, rm AS cm FROM rsubs WHERE vec_id < 16), " +
-      pIter(1, "p0") + ", " + pIter(2, "p1") + ", " +
-      s"codes AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM rsubs s JOIN p2 c ON s.m = c.m) WHERE rn = 1), " +
+    "sim_ivfpq_trained" ->
+      (IvfPqTrainedCtes + ", " +
       "qsubs AS (SELECT vec_id AS qid, m, ve[m*8+1 : m*8+8] AS qm FROM e4v CROSS JOIN mm WHERE vec_id < 10), " +
       "qtab AS (SELECT s.qid, s.m, c.j, list_inner_product(s.qm, c.cm) AS t FROM qsubs s JOIN p2 c ON s.m = c.m), " +
       "probes AS (SELECT qid, cell_id, pdot FROM (SELECT e.vec_id AS qid, c.cell_id, list_inner_product(e.ve, c.cv) AS pdot, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c2n c WHERE e.vec_id < 10) WHERE rn <= 4), " +
@@ -526,8 +536,16 @@ object SparkEntry {
       "adc AS (SELECT cd.qid, cd.cid, cd.pdot + sum(q.t) AS approx FROM cand cd JOIN codes co ON cd.cid = co.vec_id JOIN qtab q ON q.qid = cd.qid AND co.m = q.m AND co.j = q.j GROUP BY cd.qid, cd.cid, cd.pdot), " +
       "short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS srn FROM adc) WHERE srn <= 25), " +
       "ex AS (SELECT sh.qid, sh.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nr * y.nr) * 10000) AS BIGINT) AS sim_e4 FROM short sh JOIN nrm x ON sh.cid = x.vec_id JOIN nrm y ON sh.qid = y.vec_id) " +
-      "SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ex) WHERE rn <= 5 ORDER BY qid, rn"
-    },
+      "SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ex) WHERE rn <= 5 ORDER BY qid, rn"),
+    // The serving index itself: the shared training CTEs' final assignment
+    // + codes, pivoted to one BIGINT column per subspace.
+    "sim_ivfpq_index" ->
+      (IvfPqTrainedCtes +
+      " SELECT af.vec_id, af.cell_id, " +
+      (0 until 8).map(i =>
+        s"CAST(min(CASE WHEN co.m = $i THEN co.j END) AS BIGINT) AS c$i")
+        .mkString(", ") +
+      " FROM af JOIN codes co ON af.vec_id = co.vec_id GROUP BY af.vec_id, af.cell_id ORDER BY af.vec_id"),
     // Trained IVF: two unrolled deterministic Lloyd iterations. Centroids in
     // 1e-6 fixed point (exact integer sums → exact double division →
     // round-half-away), cosine is scale-invariant so the e6 integer vectors

@@ -425,6 +425,25 @@ object Similarity {
       m: Int = PqM, kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
       pqIters: Int = PqKmeansIters, rerank: Int = PqRerank,
       eta: Int = PqEta): DataFrame = {
+    val (cents, cb, full, nv, af, rsubs) =
+      ivfPqTrainedModel(s, d, nCells, m, kCents, ivfIters, pqIters, eta)
+    ivfPqTrainedQuery(s, cents, cb, full, nv, af, rsubs,
+      nQueries, k, nProbe, m, rerank, eta)
+  }
+
+  /** The trained IVF-PQ MODEL alone — both k-means loops run to
+    * completion; returns the driver-sized artifacts (coarse centroids,
+    * residual codebook) plus the persisted corpus frames the batch query
+    * keeps using (full, e4-normalized nv, final assignment af, residual
+    * sub-vectors rsubs). Callers that only want the artifacts (e.g. the
+    * streaming ingest twin, which serves them broadcast) must unpersist
+    * the frames. */
+  private[graft] def ivfPqTrainedModel(s: SparkSession, d: String,
+      nCells: Int = IvfCells, m: Int = PqM, kCents: Int = PqK,
+      ivfIters: Int = IvfKmeansIters, pqIters: Int = PqKmeansIters,
+      eta: Int = PqEta): (Seq[(Long, Seq[Double])],
+        Seq[(Long, Long, Seq[Double])], DataFrame, DataFrame, DataFrame,
+        DataFrame) = {
     import s.implicits._
     val sub = PqSubDim
     val full = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
@@ -476,25 +495,8 @@ object Similarity {
     var cb: Seq[(Long, Long, Seq[Double])] = rsubs.filter(col("vec_id") < kCents)
       .select("vec_id", "m", "rm").orderBy("vec_id", "m").collect()
       .map(r => (r.getInt(1).toLong, r.getLong(0), r.getSeq[Double](2).toSeq)).toSeq
-    def cbDf(cs: Seq[(Long, Long, Seq[Double])]): DataFrame =
-      cs.toDF("m", "j", "cm")
-    // Anisotropic residual encode — same argmin-aggregate plan shape as
-    // pqTrainedScored's, with e = rm − cm measured against direction xq.
-    def encode(codebook: DataFrame): DataFrame =
-      rsubs.join(broadcast(codebook), "m")
-        .select(col("vec_id"), col("m"), col("j"),
-          (dotD(col("rm"), col("rm")) - lit(2.0) * dotD(col("rm"), col("cm"))
-            + dotD(col("cm"), col("cm"))).as("d2"),
-          (dotD(col("rm"), col("xq")) - dotD(col("cm"), col("xq"))).as("ex"),
-          dotD(col("xq"), col("xq")).as("xx"))
-        .withColumn("loss",
-          lit((eta - 1).toLong) * col("ex").cast("long") * col("ex").cast("long") +
-            col("xx").cast("long") * col("d2").cast("long"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("loss"), col("j"))).as("mn"))
-        .select(col("vec_id"), col("m"), col("mn.j").as("j"))
     for (_ <- 1 to pqIters) {
-      val asgn = encode(cbDf(cb))
+      val asgn = residualEncode(rsubs, cbDf(s, cb), eta)
       val sums = (0 until sub).map(kk =>
         sum(element_at(col("rm"), kk + 1)).as(s"s$kk"))
       val rows = asgn.join(rsubs, Seq("vec_id", "m")).groupBy("m", "j")
@@ -510,13 +512,76 @@ object Similarity {
       cb = cb.map { case (mm, j, prev) =>
         (mm, j, updated.getOrElse((mm, j), prev)) }
     }
-    val codes = encode(cbDf(cb))
-    // ---- stage 3: ADC + exact re-rank.
+    (cents, cb, full, nv, af, rsubs)
+  }
+
+  private def cbDf(s: SparkSession,
+      cs: Seq[(Long, Long, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cs.toDF("m", "j", "cm")
+  }
+
+  /** Anisotropic residual encode — same argmin-aggregate plan shape as
+    * pqTrainedScored's, with e = rm − cm measured against direction xq.
+    * Input needs (vec_id, m, rm, xq); codebook (m, j, cm). */
+  private def residualEncode(rsubs: DataFrame, codebook: DataFrame,
+      eta: Int): DataFrame =
+    rsubs.join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("j"),
+        (dotD(col("rm"), col("rm")) - lit(2.0) * dotD(col("rm"), col("cm"))
+          + dotD(col("cm"), col("cm"))).as("d2"),
+        (dotD(col("rm"), col("xq")) - dotD(col("cm"), col("xq"))).as("ex"),
+        dotD(col("xq"), col("xq")).as("xx"))
+      .withColumn("loss",
+        lit((eta - 1).toLong) * col("ex").cast("long") * col("ex").cast("long") +
+          col("xx").cast("long") * col("d2").cast("long"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("loss"), col("j"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.j").as("j"))
+
+  /** The trained serving INDEX itself — one row per corpus vector with
+    * its assigned coarse cell and the M residual PQ codes: exactly what a
+    * production deployment WRITES OUT (bucketed by cell) for query
+    * serving; [[ivfPqTrainedTopK]] is this index consumed by the
+    * probe/ADC/re-rank stages, and
+    * [[graft.streaming.VectorStreams.ivfPqIngestStream]] is the same
+    * encode applied to vectors as they ARRIVE. Codes pivot to columns
+    * c0..c{M−1} (one exact long each), so the whole index hash-matches
+    * the unrolled training oracle. */
+  def ivfPqTrainedCodes(s: SparkSession, d: String, nCells: Int = IvfCells,
+      m: Int = PqM, kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
+      pqIters: Int = PqKmeansIters, eta: Int = PqEta): DataFrame = {
+    val (_, cb, full, nv, af, rsubs) =
+      ivfPqTrainedModel(s, d, nCells, m, kCents, ivfIters, pqIters, eta)
+    val codes = residualEncode(rsubs, cbDf(s, cb), eta)
+    val pivot = codes.groupBy("vec_id").agg(
+      min(when(col("m") === 0, col("j"))).as("c0"),
+      (1 until m).map(i => min(when(col("m") === i, col("j"))).as(s"c$i")): _*)
+    graft.functions.Caching.releaseAfterAction(
+      af.join(pivot, "vec_id")
+        .select(col("vec_id") +: col("cell_id") +:
+          (0 until m).map(i => col(s"c$i")): _*)
+        .orderBy("vec_id"),
+      full, nv, af, rsubs)
+  }
+
+  /** The retrieval stage over a trained model (see [[ivfPqTrainedTopK]]
+    * steps 4-5): final residual encode, ADC with the per-cell offset,
+    * exact re-rank. */
+  private def ivfPqTrainedQuery(s: SparkSession,
+      cents: Seq[(Long, Seq[Double])], cb: Seq[(Long, Long, Seq[Double])],
+      full: DataFrame, nv: DataFrame, af: DataFrame, rsubs: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int, m: Int, rerank: Int,
+      eta: Int): DataFrame = {
+    import s.implicits._
+    val sub = PqSubDim
+    val ct = cents.toDF("cell_id", "cv").withColumn("cnrm", l2Norm(col("cv")))
+    val codes = residualEncode(rsubs, cbDf(s, cb), eta)
     val qsubs = nv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), posexplode(
         array((0 until m).map(i => slice(col("v"), i * sub + 1, sub)): _*)))
       .toDF("qid", "m", "qm")
-    val qtab = qsubs.join(broadcast(cbDf(cb)), "m")
+    val qtab = qsubs.join(broadcast(cbDf(s, cb)), "m")
       .select(col("qid"), col("m"), col("j"), dotD(col("qm"), col("cm")).as("t"))
     val wProbe = Window.partitionBy("qid").orderBy(desc("csim_e4"), asc("cell_id"))
     val probes = nv.filter(col("vec_id") < nQueries)

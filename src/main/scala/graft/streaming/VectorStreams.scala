@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Fns._
+import graft.operators.Similarity
+
+/** Streaming twins for the vector/ANN family: the trained IVF-PQ index
+  * artifacts (coarse centroids + residual codebook — driver-sized integer
+  * tables) are learned BATCH-side, and arriving vectors are assigned and
+  * encoded STATELESSLY against them — the train-offline/serve-online split
+  * every production vector store ships with, and the continuous-ingest
+  * side of the billion-vector index story ([[Similarity.ivfPqTrainedCodes]]
+  * is the same encode as a batch index build).
+  *
+  * Scale posture: per-row column work only — the centroids and codebook
+  * ride as literals inside codegen'd expressions (nCells·Dim + M·K·SubDim
+  * integers), so there is NO streaming state, no shuffle, and no
+  * per-batch driver work; micro-batches append straight to the
+  * cell-bucketed index sink. Retraining (rare) swaps the literals —
+  * exactly how serving systems version their codebooks.
+  */
+object VectorStreams {
+
+  /** Embeddings schema (TESTDATA.md) for the streaming file source. */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming source over an embeddings parquet path; `maxFilesPerTrigger`
+    * is the same ingestion back-pressure knob as the other file streams. */
+  def embeddingStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream.schema(embeddingsSchema)
+    val withOpt =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else reader
+    withOpt.parquet(path)
+  }
+
+  /** Streaming IVF-PQ index ingest — the seventeenth twin: train the
+    * model on the static corpus ([[Similarity.ivfPqTrainedModel]], both
+    * k-means loops, bounded collects), then encode every ARRIVING vector
+    * per row against the broadcast-literal artifacts. Output rows
+    * (vec_id, cell_id, c0..c{M−1}) are bit-identical to the batch index
+    * ([[Similarity.ivfPqTrainedCodes]] — VectorStreamsSpec replays the
+    * corpus and asserts equality), because every arithmetic step (e4
+    * quantization, e4-cosine argmax with cell-id ties, exact-integer
+    * residual, 64-bit anisotropic loss argmin with code-id ties) is the
+    * same fixed-op-order expression. */
+  def ivfPqIngestStream(spark: SparkSession, path: String, staticDir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val (cents, cb, full, nv, af, rsubs) =
+      Similarity.ivfPqTrainedModel(spark, staticDir)
+    // Batch-side training frames are not needed for serving — release now
+    // (the artifacts live on as literals).
+    Seq(full, nv, af, rsubs).foreach(_.unpersist(false))
+    ivfPqEncodeColumns(embeddingStream(spark, path, maxFilesPerTrigger),
+      cents, cb)
+  }
+
+  /** Stateless per-row IVF-PQ encode of (vec_id, embedding) rows against
+    * driver-held artifacts: normalized e4 quantization, coarse argmax,
+    * exact residual, per-subspace anisotropic argmin — all as literal-array
+    * column expressions (works on static frames and streams alike). */
+  def ivfPqEncodeColumns(vecs: DataFrame, cents: Seq[(Long, Seq[Double])],
+      cb: Seq[(Long, Long, Seq[Double])], m: Int = Similarity.PqM,
+      eta: Int = Similarity.PqEta): DataFrame = {
+    val sub = Similarity.PqSubDim
+    val ordered = cents.sortBy(_._1)
+    require(ordered.map(_._1) == ordered.indices.map(_.toLong),
+      "cell ids must be 0..nCells-1 (stub-init contract)")
+    val base = vecs
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .select(col("vec_id"),
+        transform(col("v"), x => round(x / col("nrm") * lit(10000.0))).as("ve"))
+      .withColumn("vn", l2Norm(col("ve")))
+    // Coarse argmax = min over (−e4cosine, cell_id) structs — the same
+    // ordering as the batch assignCells aggregate, one struct per literal
+    // centroid.
+    val simStructs = ordered.map { case (cellId, cv) =>
+      val cvLit = typedlit(cv)
+      struct(
+        negate(e4(dotD(col("ve"), cvLit) / (col("vn") * l2Norm(cvLit)))).as("ns"),
+        lit(cellId).as("cell_id"))
+    }
+    val cvArr = typedlit(ordered.map(_._2))
+    val withR = base
+      .withColumn("cell_id", least(simStructs: _*).getField("cell_id"))
+      .withColumn("cvs", element_at(cvArr, col("cell_id").cast("int") + 1))
+      .withColumn("r", zip_with(col("ve"), col("cvs"), (a, b) => a - b))
+      .withColumn("xq", transform(col("ve"), x => round(x / lit(10.0))))
+    val byM: Map[Long, Seq[(Long, Seq[Double])]] =
+      cb.groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    def codeFor(mm: Int): Column = {
+      val rm = slice(col("r"), mm * sub + 1, sub)
+      val xm = slice(col("xq"), mm * sub + 1, sub)
+      val losses = byM(mm.toLong).map { case (j, cm) =>
+        val cmL = typedlit(cm)
+        val d2 = dotD(rm, rm) - lit(2.0) * dotD(rm, cmL) + dotD(cmL, cmL)
+        val ex = dotD(rm, xm) - dotD(cmL, xm)
+        val xx = dotD(xm, xm)
+        val loss = lit((eta - 1).toLong) * ex.cast("long") * ex.cast("long") +
+          xx.cast("long") * d2.cast("long")
+        struct(loss.as("loss"), lit(j).as("j"))
+      }
+      least(losses: _*).getField("j")
+    }
+    withR.select(col("vec_id") +: col("cell_id") +:
+      (0 until m).map(i => codeFor(i).as(s"c$i")): _*)
+  }
+}

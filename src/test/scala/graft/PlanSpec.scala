@@ -183,6 +183,17 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("sim_ivfpq_trained: codebook/qtab/probes broadcast; corpus frames cached") {
+    val df = SparkEntry.queries("sim_ivfpq_trained")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString // pre-action: see above
+    df.count()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"trained codebook/qtab/probes must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"trained corpus frames (nv/af/rsubs) no longer cached:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
   test("contract-wide sweep: no query plans a CartesianProduct") {
     // Every cross join in the library carries a broadcast-sized side (one-row
     // cut points, centroid tables, query sets) and must plan as

@@ -30,6 +30,33 @@ class CachingSpec extends AnyFunSuite {
     assert(awaitReleased(cached), "intermediate stayed cached after the action")
   }
 
+  test("checkpoint-backed results survive unrelated actions, release on their own") {
+    // The round-9 advisory fix: a localCheckpoint'd input has TRUNCATED
+    // lineage, so releasing it on just any session action would strand
+    // the result. Release must wait for an action whose plan actually
+    // reads the checkpoint RDD.
+    val ckpt = Seq(1L, 2L, 3L, 4L).toDF("x").localCheckpoint(true)
+    val ckptRdds = ckpt.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(ckptRdds.nonEmpty && ckptRdds.forall(_.getStorageLevel != StorageLevel.NONE))
+    val result = Caching.releaseAfterAction(
+      ckpt.groupBy().sum("x").withColumnRenamed("sum(x)", "s"), ckpt)
+    // unrelated actions must NOT release the checkpoint blocks
+    Seq(9L).toDF("y").count()
+    Seq(9L).toDF("y").collect()
+    Thread.sleep(500) // give the listener bus time to (wrongly) fire
+    assert(ckptRdds.forall(_.getStorageLevel != StorageLevel.NONE),
+      "an unrelated action released the checkpoint the result still needs")
+    // ...and the result still computes correctly
+    assert(result.collect().map(_.getLong(0)).toSeq === Seq(10L))
+    // after the result's OWN action, the checkpoint blocks are freed
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def live = ckptRdds.count(_.getStorageLevel != StorageLevel.NONE)
+    while (live > 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(live === 0, "checkpoint blocks survived the result's own action")
+  }
+
   test("contract sweep: every caching operator self-releases after its action") {
     // One query per operator family that persists an internal intermediate
     // (the round-8 sweep extended the discipline repo-wide). Each runs its

@@ -115,6 +115,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(badOut.values.forall(_ == 0L), "uniform bad class must predict bad")
   }
 
+  test("round-9 operators handle empty and degenerate inputs") {
+    import graft.operators.Graph
+    // PageRank on an empty edge list: empty ranks, not a division by zero
+    // — both the fixed-round and the convergence engines.
+    val emptyEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "cnt")
+    assert(Graph.pagerankDf(emptyEdges).count() === 0L)
+    assert(Graph.pagerankConvergedDf(emptyEdges).count() === 0L)
+    // Temperature mixing on an empty corpus: empty frames, not an NPE on
+    // the null count aggregate.
+    val emptySrc = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Pipeline.dataMixTemperatureDf(emptySrc).count() === 0L)
+    assert(Pipeline.dataMixTemperatureCappedDf(emptySrc).count() === 0L)
+    // One-source corpus: the whole budget lands on it (capped at n).
+    val oneSrc = (1 to 10).map(i => (i.toLong, "only")).toDF("doc_id", "source")
+    val t = Pipeline.dataMixTemperatureDf(oneSrc)
+      .select("target").distinct().as[Long].collect()
+    assert(t.toSeq === Seq(5L), "single source must receive the full budget")
+  }
+
   test("whitespace-only and empty texts flow through fingerprints and shingles") {
     val degenerate = Seq((1L, "", "en"), (2L, "   ", "en"), (3L, ". , !", "en"))
       .toDF("doc_id", "text", "lang")

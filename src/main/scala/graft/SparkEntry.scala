@@ -133,6 +133,7 @@ object SparkEntry {
     "corpus_clean_spans" -> ((s, d) => Pipeline.cleanCorpusSpans(s, d)),
     "corpus_clean_c4" -> ((s, d) => Pipeline.c4Clean(s, d)),
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(s, d)),
+    "corpus_drift" -> ((s, d) => Pipeline.corpusDrift(s, d)),
     "source_report" -> ((s, d) => Pipeline.sourceReport(s, d)),
     "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
@@ -417,6 +418,11 @@ object SparkEntry {
       s"""WITH ${orderHashCtes("tmix:", "source")}, c AS (SELECT source, count(*) AS n_source, CAST(floor(sqrt(count(*))) AS BIGINT) AS sw FROM h GROUP BY source), tot AS (SELECT CAST(sum(sw) AS BIGINT) AS wsum, CAST(sum(n_source) AS BIGINT) AS ntot FROM c), t0 AS (SELECT source, n_source, ((ntot // 2) * sw) // wsum AS base, ((ntot // 2) * sw) % wsum AS rem, ntot // 2 AS budget FROM c CROSS JOIN tot), lo AS (SELECT CAST(max(budget) - sum(base) AS BIGINT) AS leftover FROM t0), t AS (SELECT source, n_source, least(n_source, base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover THEN 1 ELSE 0 END) AS target FROM t0 CROSS JOIN lo), r AS (SELECT h.doc_id, h.source, t.target, row_number() OVER (PARTITION BY h.source ORDER BY h.hh, h.doc_id) AS rn FROM h JOIN t ON h.source = t.source) SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= target ORDER BY doc_id""",
     "corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(len(regexp_extract_all(lower(text), '$Tok'))) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY lang ORDER BY lang""",
+    // Drift monitor: top words by relative-frequency shift between the
+    // even- and odd-numbered source cohorts — exact integer counts, then
+    // the pinned float tail (div, div, sub, abs, e6 round) on both engines.
+    "corpus_drift" ->
+      s"""WITH t AS (SELECT CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS a, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents), c AS (SELECT word, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a, CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b FROM t GROUP BY word), n AS (SELECT CAST(sum(cnt_a) AS DOUBLE) AS na, CAST(sum(cnt_b) AS DOUBLE) AS nb FROM c) SELECT word, cnt_a, cnt_b, CAST(round(abs(CAST(cnt_a AS DOUBLE) / na - CAST(cnt_b AS DOUBLE) / nb) * 1000000) AS BIGINT) AS diff_e6 FROM c CROSS JOIN n ORDER BY diff_e6 DESC, word LIMIT ${graft.operators.Pipeline.DriftTopK}""",
     "wordcount_topk" ->
       s"""SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""",
     // Count-min sketch word counts: every token occurrence increments 4

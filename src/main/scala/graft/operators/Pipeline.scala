@@ -274,6 +274,58 @@ object Pipeline {
         sum(col("n_chars")).as("n_chars"))
       .orderBy("lang")
 
+  /** Top-k report size for [[corpusDrift]]. */
+  val DriftTopK = 30
+
+  /** Word-distribution DRIFT between two corpus snapshots — the monitor a
+    * pipeline runs before admitting a new crawl drop: the top words whose
+    * relative frequency moved most between cohorts. The demonstration
+    * split is even- vs odd-numbered sources (a stable partition of the
+    * registry standing in for old-drop/new-drop); the Df form takes any
+    * precomputed cohort flag. Score = |c_a/N_a − c_b/N_b| in 1e-6 units —
+    * two exact-integer counts, two IEEE divisions and one subtraction in
+    * pinned op order, so even the float tail hash-matches (the same
+    * recipe as the cosine scores). Raw counts ride along so the report
+    * shows direction and mass, not just magnitude.
+    *
+    * Scale shape: ONE tokenize pass → one word-keyed aggregate carrying
+    * both cohort counts as conditional sums (map-side combined), a 2-long
+    * totals collect, and a TakeOrderedAndProject top-k — drift over a
+    * 100 TB pair of drops costs exactly one word count. */
+  def corpusDrift(s: SparkSession, d: String, k: Int = DriftTopK): DataFrame =
+    corpusDriftDf(
+      Tables.documents(s, d).withColumn("cohort_a",
+        substring(col("source"), 4, 10).cast("long") % 2 === 0),
+      k)
+
+  /** Same, over any (text, cohort_a: boolean) DataFrame (planted tests). */
+  def corpusDriftDf(docs: DataFrame, k: Int = DriftTopK): DataFrame = {
+    val counts = docs
+      .select(col("cohort_a"), explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(
+        sum(when(col("cohort_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("cohort_a"), 1L).otherwise(0L)).as("cnt_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = counts.agg(sum("cnt_a"), sum("cnt_b")).head()
+    // Empty corpus or a one-cohort corpus: drift is undefined — empty
+    // report, never an NPE or a divide-by-zero NaN ranking.
+    if (tot.isNullAt(0) || tot.getLong(0) == 0L || tot.getLong(1) == 0L) {
+      counts.unpersist(false)
+      return counts.select(col("word"), col("cnt_a"), col("cnt_b"),
+        lit(0L).as("diff_e6")).limit(0)
+    }
+    val (na, nb) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+    graft.functions.Caching.releaseAfterAction(
+      counts.select(col("word"), col("cnt_a"), col("cnt_b"),
+        round(abs(col("cnt_a").cast("double") / lit(na)
+            - col("cnt_b").cast("double") / lit(nb)) * lit(1000000.0))
+          .cast("long").as("diff_e6"))
+        .orderBy(desc("diff_e6"), asc("word"))
+        .limit(k),
+      counts)
+  }
+
   // Split fractions in percent: [0, Train) train, [Train, TrainVal) val,
   // rest test. The bucket is a deterministic hash of "split:<doc_id>" — the
   // salt prefix decorrelates it from any other use of the id hash.

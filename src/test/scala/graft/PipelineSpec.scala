@@ -545,6 +545,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === out.filter(_._6 == 1L).map(_._1).toSet)
   }
 
+  test("corpus drift: planted cohort shift ranks the moved word first") {
+    // Cohort A: 'alpha' dominates; cohort B: 'beta' dominates; 'gamma'
+    // appears evenly. N_a = N_b = 8 tokens, so drifts are exact quarters.
+    val docs = Seq(
+      (true, "alpha alpha alpha alpha alpha alpha gamma gamma"),
+      (false, "beta beta beta beta beta beta gamma gamma")
+    ).toDF("cohort_a", "text")
+    val out = Pipeline.corpusDriftDf(docs)
+      .as[(String, Long, Long, Long)].collect()
+    // |6/8 − 0/8| = 0.75 for alpha and beta; gamma moved 0.
+    assert(out.map(r => (r._1, r._4)).toSeq === Seq(
+      ("alpha", 750000L), ("beta", 750000L), ("gamma", 0L)))
+    assert(out.find(_._1 == "alpha").get._2 === 6L)
+    assert(out.find(_._1 == "beta").get._3 === 6L)
+    // one-cohort corpus: drift undefined → empty report, no NaN ranking
+    val oneSided = Seq((true, "alpha beta")).toDF("cohort_a", "text")
+    assert(Pipeline.corpusDriftDf(oneSided).count() === 0L)
+  }
+
   test("temperature mixing: largest-remainder targets sum exactly to the budget") {
     // a: 100, b: 50, c: 30 → weights 10, 7, 5 (wsum 22), budget 90.
     // Bases 40/28/20 (rems 20/14/10), leftover 2 → a and b get +1:

@@ -200,6 +200,26 @@ object TextStreams {
       .select(col("doc_id"), col("sh"))
   }
 
+  /** Streaming drift-count twin of [[Pipeline.corpusDrift]]'s aggregate —
+    * the continuous form of the crawl-admission monitor: per-word cohort
+    * counts maintained incrementally as documents arrive (state is one row
+    * per distinct word — vocabulary-bounded like the word-count stream,
+    * never stream-length-bounded). The report tail (totals + the pinned
+    * e6 division ranking) is a report-sized post-step over the sink —
+    * TextStreamsSpec replays the corpus, applies it, and matches the
+    * batch report exactly. Complete-mode here; update mode into a keyed
+    * sink at 100 TB. */
+  def driftCountsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    documentStream(spark, path, maxFilesPerTrigger)
+      .select(
+        (substring(col("source"), 4, 10).cast("long") % 2 === 0).as("cohort_a"),
+        explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(
+        sum(when(col("cohort_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("cohort_a"), 1L).otherwise(0L)).as("cnt_b"))
+
   /** Streaming fertility twin — the trained tokenizer DEPLOYED on the
     * stream: the vocabulary is learned batch-side
     * ([[graft.operators.TextAnalytics.vocabTrainDf]] over the static

@@ -213,6 +213,29 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming drift counts + report tail reproduce the batch drift report") {
+    val dir = Paths.get("target", "test-scratch", "docstream_drift")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val cells = EventStreams.runToCompletion(
+        spark, TextStreams.driftCountsStream(spark, dir.toString), "t_drift")
+      .as[(String, Long, Long)].collect()
+    // Report tail over the sink (the post-step the scaladoc describes):
+    // totals + the same pinned e6 arithmetic, top-k by (diff desc, word).
+    val na = cells.map(_._2).sum.toDouble
+    val nb = cells.map(_._3).sum.toDouble
+    val report = cells.map { case (w, ca, cb) =>
+      (w, ca, cb, math.round(math.abs(ca / na - cb / nb) * 1000000.0))
+    }.sortBy { case (w, _, _, d) => (-d, w) }
+      .take(graft.operators.Pipeline.DriftTopK).toSeq
+    val batch = graft.operators.Pipeline.corpusDrift(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(report === batch)
+    assert(report.nonEmpty)
+  }
+
   test("streaming word count over a text dir equals the batch word count") {
     val dir = Paths.get("target", "test-scratch", "textstream")
     Files.createDirectories(dir)

@@ -749,7 +749,7 @@ object SparkEntry {
     // arithmetic over the source text (ASCII ⇒ byte = code point; raster
     // byte i = text byte i mod len, channel c = raster index 3p + c).
     "multimodal_features" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS len, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(text, CAST((3*p) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS r_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(text, CAST((3*p+1) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS g_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(text, CAST((3*p+2) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS b_sum FROM d ORDER BY doc_id""",
+      """WITH d AS (SELECT doc_id, CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t, length(CASE WHEN length(text) = 0 THEN ' ' ELSE text END) AS len, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS r_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p+1) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS g_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p+2) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS b_sum FROM d ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramCtes SELECT d1, d2, jac_e4 FROM jpairs WHERE jac_e4 >= 100 ORDER BY d1, d2""",
     // Winnowing (Schleimer et al. 2003): ORDERED 3-gram hash sequence →

@@ -221,18 +221,26 @@ object Media {
     * so the construction is reproducible byte-for-byte in the oracle;
     * dimensions follow [[mediaTable]]'s derivation. The payloads are
     * genuine images any netpbm tool opens. */
-  def ppmTable(s: SparkSession, d: String): DataFrame = {
+  def ppmTable(s: SparkSession, d: String): DataFrame =
+    ppmTableDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text, n_chars) DataFrame (planted tests). */
+  def ppmTableDf(docs: DataFrame): DataFrame = {
     val w = (col("n_chars") % 64 + 1).cast("int")
     val h = (col("n_chars") % 48 + 1).cast("int")
     val npix = (col("w").cast("long") * col("h") * lit(3L))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), w.as("w"), h.as("h"))
+    // Empty documents still produce a VALID image: the raster fills from a
+    // single space byte (the repeat-count division would otherwise null
+    // out and the decoder would see no payload at all).
+    val src = when(length(col("text")) === 0, lit(" ")).otherwise(col("text"))
+    docs
+      .select(col("doc_id"), src.as("t"), w.as("w"), h.as("h"))
       .select(col("doc_id"), col("w"), col("h"),
         encode(concat(
           lit("P6\n"), col("w").cast("string"), lit(" "),
           col("h").cast("string"), lit("\n255\n"),
-          repeat(col("text"),
-            ((npix + length(col("text")) - 1) / length(col("text")))
+          repeat(col("t"),
+            ((npix + length(col("t")) - 1) / length(col("t")))
               .cast("int"))
             .substr(lit(1), npix.cast("int"))),
           "UTF-8").as("media"))
@@ -248,8 +256,14 @@ object Media {
       "not a P6 PPM")
     var pos = 2
     def nextInt(): Int = {
-      while (pos < bytes.length && (bytes(pos) == ' ' || bytes(pos) == '\n' ||
-        bytes(pos) == '\r' || bytes(pos) == '\t')) pos += 1
+      var skipping = true // whitespace runs AND '#'-to-EOL comments (spec)
+      while (skipping && pos < bytes.length) {
+        if (bytes(pos) == ' ' || bytes(pos) == '\n' || bytes(pos) == '\r' ||
+          bytes(pos) == '\t') pos += 1
+        else if (bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else skipping = false
+      }
       require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
         "bad PPM header")
       var v = 0
@@ -261,7 +275,10 @@ object Media {
     val w = nextInt(); val h = nextInt(); val maxv = nextInt()
     require(maxv == 255, s"unsupported maxval $maxv")
     pos += 1 // exactly one whitespace byte after maxval, per the spec
-    require(bytes.length - pos >= w * h * 3, "truncated pixel data")
+    // Raster size in LONG: huge header dims must fail the bounds check,
+    // not wrap Int negative and skip the fold.
+    val raster = w.toLong * h * 3L
+    require(bytes.length.toLong - pos >= raster, "truncated pixel data")
     var r = 0L; var g = 0L; var b = 0L
     var p = 0
     while (p < w * h) {
@@ -280,7 +297,11 @@ object Media {
     * dimensions come from the HEADER BYTES, not the metadata — the parse
     * is load-bearing. Oracle-checked: DuckDB reconstructs the same sums
     * from the documents table with pure integer arithmetic. */
-  def ppmFeaturesQuery(s: SparkSession, d: String): DataFrame = {
+  def ppmFeaturesQuery(s: SparkSession, d: String): DataFrame =
+    ppmFeaturesDf(ppmTable(s, d))
+
+  /** Same, over any (doc_id, media: binary P6) DataFrame. */
+  def ppmFeaturesDf(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("width", LongType),
@@ -289,7 +310,7 @@ object Media {
       StructField("g_sum", LongType),
       StructField("b_sum", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    ppmTable(s, d).select(col("doc_id"), col("media"))
+    media.select(col("doc_id"), col("media"))
       .mapPartitions { rows =>
         rows.map { r =>
           val (w, h, rs, gs, bs) = decodePpm(r.getAs[Array[Byte]]("media"))

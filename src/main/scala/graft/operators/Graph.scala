@@ -125,7 +125,11 @@ object Graph {
       rounds += 1
     }
     e.unpersist(false); nodes.unpersist(false)
-    (ranks, rounds)
+    // The converged ranks are checkpoint-backed: schedule the blocks for
+    // release after the caller's terminal action (checkpoint-aware —
+    // unrelated actions don't fire it; see Caching). Single-use result,
+    // like every checkpoint-backed frame in this library.
+    (graft.functions.Caching.releaseAfterAction(ranks, ranks), rounds)
   }
 
   /** PageRank core over any weighted directed edge list (src, dst, cnt);

@@ -294,18 +294,28 @@ object Pipeline {
     * 100 TB pair of drops costs exactly one word count. */
   def corpusDrift(s: SparkSession, d: String, k: Int = DriftTopK): DataFrame =
     corpusDriftDf(
-      Tables.documents(s, d).withColumn("cohort_a",
-        substring(col("source"), 4, 10).cast("long") % 2 === 0),
-      k)
+      Tables.documents(s, d).withColumn("cohort_a", driftCohortA), k)
 
-  /** Same, over any (text, cohort_a: boolean) DataFrame (planted tests). */
-  def corpusDriftDf(docs: DataFrame, k: Int = DriftTopK): DataFrame = {
-    val counts = docs
+  /** The demonstration cohort rule — even- vs odd-numbered sources — in
+    * ONE place, shared by the batch monitor, its oracle twin, and the
+    * streaming twin (a rule change cannot desynchronize them). */
+  def driftCohortA: org.apache.spark.sql.Column =
+    substring(col("source"), 4, 10).cast("long") % 2 === 0
+
+  /** Per-word cohort counts over a (text, cohort_a) frame — the one
+    * aggregate both [[corpusDriftDf]] and the streaming twin
+    * ([[graft.streaming.TextStreams.driftCountsStream]]) run. */
+  def driftCounts(docs: DataFrame): DataFrame =
+    docs
       .select(col("cohort_a"), explode(tokens(col("text"))).as("word"))
       .groupBy("word")
       .agg(
         sum(when(col("cohort_a"), 1L).otherwise(0L)).as("cnt_a"),
         sum(when(!col("cohort_a"), 1L).otherwise(0L)).as("cnt_b"))
+
+  /** Same, over any (text, cohort_a: boolean) DataFrame (planted tests). */
+  def corpusDriftDf(docs: DataFrame, k: Int = DriftTopK): DataFrame = {
+    val counts = driftCounts(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = counts.agg(sum("cnt_a"), sum("cnt_b")).head()
     // Empty corpus or a one-cohort corpus: drift is undefined — empty

@@ -211,14 +211,9 @@ object TextStreams {
     * sink at 100 TB. */
   def driftCountsStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 0): DataFrame =
-    documentStream(spark, path, maxFilesPerTrigger)
-      .select(
-        (substring(col("source"), 4, 10).cast("long") % 2 === 0).as("cohort_a"),
-        explode(tokens(col("text"))).as("word"))
-      .groupBy("word")
-      .agg(
-        sum(when(col("cohort_a"), 1L).otherwise(0L)).as("cnt_a"),
-        sum(when(!col("cohort_a"), 1L).otherwise(0L)).as("cnt_b"))
+    Pipeline.driftCounts(
+      documentStream(spark, path, maxFilesPerTrigger)
+        .withColumn("cohort_a", Pipeline.driftCohortA))
 
   /** Streaming fertility twin — the trained tokenizer DEPLOYED on the
     * stream: the vocabulary is learned batch-side

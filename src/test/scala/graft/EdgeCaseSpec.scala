@@ -132,6 +132,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     val t = Pipeline.dataMixTemperatureDf(oneSrc)
       .select("target").distinct().as[Long].collect()
     assert(t.toSeq === Seq(5L), "single source must receive the full budget")
+    // Empty-text documents still build and decode a VALID 1×1 image
+    // (raster fills from a space byte) — no NPE through the real codec.
+    import graft.multimodal.Media
+    val degenerate = Seq((1L, "", 0L), (2L, "ab", 2L))
+      .toDF("doc_id", "text", "n_chars")
+    val feats = Media.ppmFeaturesDf(Media.ppmTableDf(degenerate))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(feats(0) === ((1L, 1L, 1L, 32L, 32L, 32L))) // three 0x20 bytes
+    assert(feats(1)._2 === 3L && feats(1)._3 === 3L)
+    val cyc = Array.tabulate(27)(i => "ab".charAt(i % 2).toLong)
+    assert((feats(1)._4, feats(1)._5, feats(1)._6) === (
+      cyc.indices.filter(_ % 3 == 0).map(cyc).sum,
+      cyc.indices.filter(_ % 3 == 1).map(cyc).sum,
+      cyc.indices.filter(_ % 3 == 2).map(cyc).sum))
   }
 
   test("whitespace-only and empty texts flow through fingerprints and shingles") {

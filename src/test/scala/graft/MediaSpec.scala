@@ -54,6 +54,15 @@ class MediaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Media.decodePpm("P5\n1 1\n255\n ".getBytes))
     intercept[IllegalArgumentException](Media.decodePpm("P6\n2 1\n255\n".getBytes ++ px.take(3)))
     intercept[IllegalArgumentException](Media.decodePpm("P6\n2 1\n65535\n".getBytes ++ px))
+    // '#' comments between header tokens are spec-valid (GIMP/ImageMagick
+    // emit them) and must parse
+    val img4 = "P6\n# made by a tool\n2 1\n# dims above\n255\n".getBytes("UTF-8") ++ px
+    assert(Media.decodePpm(img4) === ((2, 1, 251L, 253L, 255L)))
+    // header dims whose raster overflows Int must throw "truncated", not
+    // wrap negative and return zero sums
+    val huge = intercept[IllegalArgumentException](
+      Media.decodePpm("P6\n46341 46341\n255\n".getBytes("UTF-8") ++ px))
+    assert(huge.getMessage.contains("truncated"))
   }
 
   test("ppm features: real decode round-trips the construction, oracle-shaped") {

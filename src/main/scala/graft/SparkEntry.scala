@@ -44,6 +44,7 @@ object SparkEntry {
     "pivot_status" -> ((s, d) => Relational.pivotStatus(s, d)),
     "supplier_revenue" -> ((s, d) => Relational.supplierRevenue(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "join_salted" -> ((s, d) => Relational.joinSalted(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
@@ -81,6 +82,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalytics.fingerprint(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalytics.tfIdf(s, d)),
     "text_tfidf_linear" -> ((s, d) => TextAnalytics.tfIdfLinear(s, d)),
+    "text_bm25" -> ((s, d) => TextAnalytics.bm25(s, d)),
     "text_repetition" -> ((s, d) => TextAnalytics.repetition(s, d)),
     "text_diversity" -> ((s, d) => TextAnalytics.diversity(s, d)),
     "tokenize_wordpiece" -> ((s, d) => TextAnalytics.tokenizeWordpiece(s, d)),
@@ -121,6 +123,7 @@ object SparkEntry {
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sim_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     "sim_ivfpq_index" -> ((s, d) => Similarity.ivfPqTrainedCodes(s, d)),
+    "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.ppmFeaturesQuery(s, d)),
@@ -149,6 +152,7 @@ object SparkEntry {
     "chunk_documents" -> ((s, d) => Pipeline.chunkDocuments(s, d)),
     "sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
     "sample_stratified_capped" -> ((s, d) => Pipeline.sampleStratifiedCapped(s, d)),
+    "data_shuffle" -> ((s, d) => Pipeline.dataShuffle(s, d)),
   )
 
   private val Tok = """\b[a-z]+\b""" // RE2 string for DuckDB (ASCII text only)
@@ -470,12 +474,25 @@ object SparkEntry {
     // deterministic on both engines).
     "graph_pagerank" ->
       s"""WITH ${pagerankCtes(graft.operators.Graph.PrIters)} SELECT node_id, CASE WHEN node_id % 2 = 0 THEN 'c' ELSE 's' END AS kind, node_id // 2 AS key, r AS rank_e12 FROM r${graft.operators.Graph.PrIters} ORDER BY node_id""",
+    // Triangle counting on the thresholded co-supply graph: canonical
+    // a<b edges, degree-ordered orientation (u→w from the lower
+    // (degree, key) endpoint — ties keep u=a since a<b), wedges over
+    // ordered out-neighbor pairs closed against the canonical edge set.
+    "graph_triangles" ->
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), e0 AS (SELECT x.sk AS a, y.sk AS b, count(*) AS cnt FROM os x JOIN os y ON x.o = y.o AND x.sk < y.sk GROUP BY 1, 2), edges AS (SELECT a, b FROM e0 WHERE cnt >= ${graft.operators.Graph.TriMinShared}), deg AS (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) GROUP BY v), o AS (SELECT CASE WHEN da.dg <= db.dg THEN e.a ELSE e.b END AS u, CASE WHEN da.dg <= db.dg THEN e.b ELSE e.a END AS w FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v), tri AS (SELECT e1.u AS u, e1.w AS v, e2.w AS x FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.w < e2.w JOIN edges c ON c.a = e1.w AND c.b = e2.w), nodes AS (SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri UNION ALL SELECT x AS n FROM tri) SELECT n AS s_suppkey, count(*) AS n_tri FROM nodes GROUP BY n ORDER BY s_suppkey""",
     "dedup_minhash" ->
       s"""$MinhashCtes SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""",
     "dedup_minhash_pairs" ->
       s"""$MinhashCtes, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT d1, d2, est_jac_e4 FROM (SELECT c.d1, c.d2, CAST(round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) * 10000.0 / 32) AS BIGINT) AS est_jac_e4 FROM cand c JOIN mins ma ON ma.doc_id = c.d1 JOIN mins mb ON mb.doc_id = c.d2 AND mb.i = ma.i GROUP BY c.d1, c.d2) WHERE est_jac_e4 >= 5000 ORDER BY d1, d2""",
     "sim_lsh_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 4 AS band_idx, sum(bit * (1 << (j % 4))) AS band_key FROM proj GROUP BY vec_id, j // 4), qk AS (SELECT vec_id AS qid, band_idx, band_key FROM keys WHERE vec_id < 10), cand AS (SELECT DISTINCT qk.qid, k.vec_id AS cid FROM keys k JOIN qk ON k.band_idx = qk.band_idx AND k.band_key = qk.band_key), s AS (SELECT c.qid, c.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.cid = x.vec_id JOIN n y ON c.qid = y.vec_id), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    // k-NN graph build: every vector's top-4 neighbors among the banded
+    // sign-projection bucket candidates (each undirected candidate computed
+    // once at a < b, then mirrored), exact-cosine verified with e4/dst
+    // determinism — the same LSH machinery as sim_lsh_topk with every
+    // vector as a query.
+    "sim_knn_graph" ->
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 4 AS band_idx, sum(bit * (1 << (j % 4))) AS band_key FROM proj GROUP BY vec_id, j // 4), half AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM keys a JOIN keys b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id), cand AS (SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half), s AS (SELECT c.src, c.dst, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id), r AS (SELECT src, dst, sim_e4, row_number() OVER (PARTITION BY src ORDER BY sim_e4 DESC, dst) AS rn FROM s) SELECT src, dst, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} ORDER BY src, rn""",
     // IVF: deterministic coarse quantizer (first-16 vectors as centroids),
     // e4-rounded cosine for ALL ordering decisions (assignment, probing,
     // final rank) with id tie-breaks — so even this approximate ANN path
@@ -729,6 +746,14 @@ object SparkEntry {
     // text_tfidf this weighting is hash-checked end to end.
     "text_tfidf_linear" ->
       s"""WITH terms AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents), tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word), df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word), n AS (SELECT count(*) AS n FROM documents) SELECT tf.doc_id, tf.word, tf.tf, df.df, CAST(round(tf.tf * 10000.0 * n.n / df.df) AS BIGINT) AS w_e4 FROM tf JOIN df ON tf.word = df.word, n ORDER BY tf.doc_id, tf.word""",
+    // BM25 retrieval scoring with the log-free Robertson–Spärck Jones idf
+    // kernel (rule R2 — no libm log in hash-matched outputs): exact-integer
+    // tf/df/dl/N in, a pinned IEEE float chain (idf division; dl/avgdl → ·b
+    // → +(1−b) → ·k1 → +tf; tf·(k1+1); multiply) then one e4 round.
+    "text_bm25" -> {
+      val (k1, b) = (TextAnalytics.Bm25K1, TextAnalytics.Bm25B)
+      s"""WITH tf AS (SELECT doc_id, word, count(*) AS tf FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents) GROUP BY 1, 2), dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word), q AS (SELECT word, df FROM dfx ORDER BY df DESC, word LIMIT ${TextAnalytics.Bm25Terms}), dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id), st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS nd, CAST((SELECT sum(tf) FROM tf) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl), sc AS (SELECT q.word, t.doc_id, t.tf, q.df, CAST(round(((st.nd - q.df + 0.5) / (q.df + 0.5)) * ((t.tf * ${k1 + 1.0}) / (t.tf + $k1 * (${1.0 - b} + $b * (d.dl / st.avgdl)))) * 10000.0) AS BIGINT) AS score_e4 FROM tf t JOIN q ON t.word = q.word JOIN dl d ON t.doc_id = d.doc_id CROSS JOIN st), r AS (SELECT word, doc_id, tf, df, score_e4, row_number() OVER (PARTITION BY word ORDER BY score_e4 DESC, doc_id) AS rn FROM sc) SELECT word, doc_id, tf, df, score_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= ${TextAnalytics.Bm25TopK} ORDER BY word, rn"""
+    },
     "text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> ((h * 31 + c) & 4294967295)) AS fp FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
@@ -922,5 +947,11 @@ object SparkEntry {
     // asserts equality with the audit view's kept rows.
     "sample_stratified_capped" ->
       s"""WITH $StratHashCtes, counts AS (SELECT lang, count(*) AS n FROM h GROUP BY 1), adm AS (SELECT b.doc_id, b.lang, b.hh FROM h b JOIN counts c ON b.lang = c.lang WHERE b.hh <= least(1000000007, CAST(ceil(2.0 * 50 * 1000000007 / c.n) AS BIGINT))), r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS BIGINT) AS rn FROM adm) SELECT doc_id, lang, rn FROM r WHERE rn <= 50 ORDER BY doc_id""",
+    // Deterministic global training shuffle: the oracle states the flat
+    // rank in salted-hash order; the Spark side computes the identical
+    // positions with the two-phase distributed prefix count, which is
+    // exactly why the output is partition-independent.
+    "data_shuffle" ->
+      s"""WITH ${orderHashCtes("shuf:", "source")}, r AS (SELECT doc_id, hh, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos FROM h) SELECT doc_id, CAST(hh AS BIGINT) AS shuffle_h, CAST(pos AS BIGINT) AS pos, CAST(pos % ${Pipeline.ShuffleShards} AS BIGINT) AS shard FROM r ORDER BY doc_id""",
   )
 }

@@ -132,6 +132,70 @@ object Graph {
     (graft.functions.Caching.releaseAfterAction(ranks, ranks), rounds)
   }
 
+  /** Minimum shared orders for a co-supply edge (sparsifies the graph the
+    * way production co-occurrence graphs threshold raw counts). */
+  val TriMinShared = 2L
+
+  /** TRIANGLE COUNTING over the co-supply graph — the local-clustering
+    * signal community detection and spam/fraud pipelines compute first.
+    * Nodes are suppliers; an undirected edge joins two suppliers filling
+    * lines of at least [[TriMinShared]] common orders (the thresholded
+    * co-occurrence graph). Output: (s_suppkey, n_tri) for every supplier in
+    * at least one triangle.
+    *
+    * Scale shape (Suri & Vassilvitskii, WWW 2011 — the MapReduce triangle
+    * algorithm): edge generation enumerates supplier pairs WITHIN an order
+    * (fan-out bounded by lineitems-per-order, a schema constant — never a
+    * corpus-sized self-join), and the wedge join runs on the DEGREE-ORDERED
+    * orientation: each edge points from its lower-(degree, key) endpoint,
+    * so every out-degree is O(√m) and the Σ d_out² wedge count is O(m^1.5)
+    * even with celebrity nodes — the "curse of the last reducer" the naive
+    * undirected wedge join hits. Wedges shuffle on the closing pair and
+    * hash-join the canonical edge set; per-node counts are one explode +
+    * aggregate over triangle rows. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val os = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = os.as("x")
+      .join(os.as("y"), col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= TriMinShared)
+      .select("a", "b")
+    trianglesDf(edges).withColumnRenamed("node", "s_suppkey")
+      .orderBy("s_suppkey")
+  }
+
+  /** Triangle core over any canonical undirected edge list (a, b) with
+    * a < b, no duplicates. Returns (node, n_tri) for nodes in ≥ 1
+    * triangle, unordered. */
+  def trianglesDf(edges: DataFrame): DataFrame = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    // Orientation: u→w from the lower (degree, key) endpoint. a < b always,
+    // so the tie (da = db) keeps u = a — one rule on both engines.
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("w"))
+    // Wedges at u over out-neighbors (v < x by key → the closing edge is
+    // exactly the canonical (v, x) row); one hash join closes them.
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("u"), col("e1.w").as("v"), col("e2.w").as("x"))
+      .join(e, col("v") === col("a") && col("x") === col("b"))
+      .select("u", "v", "x")
+    graft.functions.Caching.releaseAfterAction(
+      tri.select(explode(array(col("u"), col("v"), col("x"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri")),
+      e)
+  }
+
   /** PageRank core over any weighted directed edge list (src, dst, cnt);
     * every node must appear as a src (emit both directions for undirected
     * graphs). Returns (node_id, rank_e12) after [[PrIters]] rounds. */

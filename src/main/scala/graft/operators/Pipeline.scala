@@ -839,6 +839,60 @@ object Pipeline {
       admitted)
   }
 
+  /** Shard count for the deterministic global training shuffle. */
+  val ShuffleShards = 64L
+
+  /** Deterministic GLOBAL SHUFFLE — the "shuffle the corpus before
+    * training" step every LLM data pipeline runs between cleaning and
+    * packing, so consecutive training batches are not correlated by crawl
+    * order. `ORDER BY random()` is neither reproducible nor resumable;
+    * this is: the training order is the salted-hash order (salt "shuf:",
+    * [[orderHash]] — avalanche-mixed, uniform, independent of every other
+    * sampling order in the library), each document gets its GLOBAL
+    * position in that order, and shards are dealt round-robin
+    * (shard = pos mod [[ShuffleShards]]) so every shard is a uniform
+    * 1/S sample of the corpus with sizes balanced to ±1 — the property
+    * that lets a trainer stream shards in any order, or restart from any
+    * shard boundary, and still see an unbiased sample.
+    *
+    * Scale shape: the global position uses the two-phase distributed
+    * prefix count (the [[packSequencesGlobal]] shape): range-partition by
+    * (h, doc_id) — which IS the shuffle — then per-partition row counts
+    * (one row per partition to the driver), broadcast base offsets back,
+    * and rank within partitions only. No global window, no single-reducer
+    * stage anywhere; the output is partition-independent (pos = number of
+    * rows with smaller (h, doc_id)), which is why the oracle can state it
+    * as one flat row_number. In production the result is written
+    * partitioned by shard; a trainer reads shard files directly. */
+  def dataShuffle(s: SparkSession, d: String): DataFrame =
+    dataShuffleDf(Tables.documents(s, d))
+
+  /** Same, over any frame with a doc_id column (partition-independence and
+    * balance tests). */
+  def dataShuffleDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), orderHash("shuf:").as("h"))
+      .repartitionByRange(col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Phase 1: per-partition row counts → prefix bases (≤ #partitions rows).
+    val totals = base.groupBy("pid").agg(count(lit(1)).as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (pid, tot) => val b = acc; acc += tot; (pid, b) }
+    val baseDf = docs.sparkSession.createDataFrame(bases.toSeq).toDF("pid", "base")
+    // Phase 2: rank within partitions + broadcast base join.
+    val w = Window.partitionBy("pid").orderBy(col("h"), col("doc_id"))
+    graft.functions.Caching.releaseAfterAction(
+      base.join(broadcast(baseDf), "pid")
+        .withColumn("pos", col("base") + row_number().over(w).cast("long") - 1)
+        .select(col("doc_id"), col("h").as("shuffle_h"), col("pos"),
+          pmod(col("pos"), lit(ShuffleShards)).as("shard"))
+        .orderBy("doc_id"),
+      base)
+  }
+
   /** Temperature-scaled source mixing (α = 1/2) — the multilingual/
     * multi-source resampling rule of mT5 (Xue et al. 2021) and UniMax-style
     * pipelines: sample source s proportionally to n_s^α instead of n_s, so

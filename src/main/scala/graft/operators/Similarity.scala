@@ -813,6 +813,52 @@ object Similarity {
     * `bands` buys recall back. Only (band, key) pairs and candidate id pairs
     * shuffle — vectors are read once and joined back by id. Recall vs
     * bruteTopK is gated in SimilaritySpec. */
+  /** Neighbors per node in the k-NN graph build. */
+  val KnnK = 4
+
+  /** K-NN GRAPH BUILD — every vector's top-[[KnnK]] neighbors, the
+    * all-pairs sibling of [[lshTopK]] and the precursor structure of
+    * graph-based ANN serving (HNSW-style), embedding clustering, and
+    * SemDeDup-style curation: one build, many consumers. Candidates come
+    * from the banded sign-projection buckets (a pair is considered iff
+    * ANY band agrees), exact-cosine-verified and ranked per source with
+    * (sim_e4 desc, dst) determinism, so the whole approximate build
+    * hash-matches the oracle.
+    *
+    * Scale shape: the candidate set is the band-bucket SELF-join — shuffle
+    * on (band, key), cost Σ bucket² per band, never n² (bucket occupancy
+    * is the `rows` knob; a skew-capped variant drops celebrity buckets the
+    * way the Jaccard family's df cap does). Each undirected candidate is
+    * computed once (a < b) and mirrored, the two vector join-backs are
+    * id-equi-joins, and the per-src top-k window is bounded by candidate
+    * fan-out, not corpus size. */
+  def knnGraph(s: SparkSession, d: String, k: Int = KnnK,
+      bands: Int = 8, rows: Int = 4): DataFrame = {
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val keys = bandedKeys(c.select("vec_id", "v"), bands, rows)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val half = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct()
+    val cand = half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+    val scored = cand
+      .join(c.select(col("vec_id").as("src"), col("v").as("sv"), col("nrm").as("sn")), "src")
+      .join(c.select(col("vec_id").as("dst"), col("v").as("dv"), col("nrm").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        e4(dotD(col("sv"), col("dv")) / (col("sn") * col("dn"))).as("sim_e4"))
+    val w = Window.partitionBy("src").orderBy(desc("sim_e4"), asc("dst"))
+    graft.functions.Caching.releaseAfterAction(
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("src", "rn"),
+      c, keys)
+  }
+
   def lshTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       bands: Int = 8, rows: Int = 4): DataFrame = {
     // The normed corpus feeds the key computation, the candidate join-back,

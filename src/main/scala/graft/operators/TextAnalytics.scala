@@ -527,6 +527,98 @@ object TextAnalytics {
       .orderBy("doc_id", "word")
   }
 
+  /** BM25 parameters (Robertson et al.; the standard k1/b defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms = 8
+  val Bm25TopK = 10
+
+  /** BM25 RETRIEVAL SCORING — the lexical ranking function behind classic
+    * search and RAG retrieval stacks. Queries here are the corpus's top
+    * [[Bm25Terms]] terms by document frequency (a deterministic stand-in
+    * for a query workload; the Df form takes any term list), and each term
+    * returns its top [[Bm25TopK]] documents by BM25 score.
+    *
+    * Hash-match note (rule R2): the idf factor is the LOG-FREE
+    * Robertson–Spärck Jones kernel (N − df + ½)/(df + ½) — the exact
+    * argument BM25's `log` takes, monotone decreasing in df like the real
+    * idf, but rational, so no libm call enters the oracle surface. The tf
+    * saturation term is textbook: tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * All inputs are exact integers; the float tail is a fixed chain of IEEE
+    * ops written in the identical order on both engines, then one e4 round.
+    *
+    * Scale shape: tf/df come from one exploded scan (df FROM the tf
+    * aggregate — the shared kit); the query-term table is top-k-tiny and
+    * `broadcast()`, so the posting join is map-side and only rows matching
+    * a query term survive (8 posting lists, not the corpus). The per-term
+    * top-k window partitions on the term; with a stopword-sized posting
+    * list at 100 TB, swap the window for a per-partition top-K heap + merge
+    * (the TakeOrderedAndProject shape per key) — the ranking is unchanged
+    * because scores are already e4-rounded with doc_id tie-breaks. */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Df(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) DataFrame (planted-corpus tests). */
+  def bm25Df(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val qterms = dfT.orderBy(desc("df"), asc("word")).limit(Bm25Terms)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val nDocs = docs.count()
+    val totRow = tf.agg(sum("tf")).head()
+    val avgdl = if (totRow.isNullAt(0) || nDocs == 0L) 1.0
+                else totRow.getLong(0).toDouble / nDocs
+    val w = Window.partitionBy("word").orderBy(desc("score_e4"), asc("doc_id"))
+    graft.functions.Caching.releaseAfterAction(
+      tf.join(broadcast(qterms), "word")
+        .join(dl, "doc_id")
+        .withColumn("score_e4",
+          bm25ScoreCol(col("tf"), col("df"), col("dl"), nDocs.toDouble, avgdl))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= Bm25TopK)
+        .select(col("word"), col("doc_id"), col("tf"), col("df"),
+          col("score_e4"), col("rn"))
+        .orderBy("word", "rn"),
+      tf)
+  }
+
+  /** The BM25 score as one pinned-order float column (identical op order
+    * in the oracle SQL and the streaming twin — one definition, so the
+    * three can never drift): one division for idf, dl/avgdl → ·b → +(1−b)
+    * → ·k1 → +tf for the denominator, tf·(k1+1) for the numerator,
+    * multiply, e4 round. */
+  private[graft] def bm25ScoreCol(tf: org.apache.spark.sql.Column,
+      df: org.apache.spark.sql.Column, dl: org.apache.spark.sql.Column,
+      nDocs: Double, avgdl: Double): org.apache.spark.sql.Column = {
+    val idf = (lit(nDocs) - df + lit(0.5)) / (df + lit(0.5))
+    val den = tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * (dl / lit(avgdl)))
+    round(idf * ((tf * lit(Bm25K1 + 1.0)) / den) * lit(10000.0)).cast("long")
+  }
+
+  /** The corpus-side BM25 model a stream serves with: the top
+    * [[Bm25Terms]] (word, df) query terms, the document count, and the
+    * average document length — all bounded (8 rows + 2 scalars), the
+    * train-offline half of the train-offline/score-online split. */
+  private[graft] def bm25Stats(docs: DataFrame): (Seq[(String, Long)], Double, Double) = {
+    val tf = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("word")).limit(Bm25Terms)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val nDocs = docs.count()
+    val tot = tf.agg(sum("tf")).head()
+    tf.unpersist(false)
+    val avgdl = if (tot.isNullAt(0) || nDocs == 0L) 1.0
+                else tot.getLong(0).toDouble / nDocs
+    (q, nDocs.toDouble, avgdl)
+  }
+
   /** docTokens without the lang column (works on any (doc_id, text) frame). */
   def docTokensText(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))

@@ -245,6 +245,39 @@ object TextStreams {
           .as("fertility_e4"))
   }
 
+  /** Streaming BM25 scoring — the retrieval scorer DEPLOYED online: the
+    * corpus-side model (query-term dfs, N, avgdl — 8 rows + 2 scalars,
+    * [[graft.operators.TextAnalytics.bm25Stats]]) trains batch-side, and
+    * each ARRIVING document scores statelessly against it: tokenize per
+    * row, tf per query term by an array scan over the literal 8-term list
+    * (no explode-groupBy, so no streaming aggregation state), dl from the
+    * same token array, then the IDENTICAL pinned float chain the batch
+    * query and the oracle share ([[graft.operators.TextAnalytics.bm25ScoreCol]]).
+    * Emits (doc_id, word, tf, df, score_e4) for terms the document
+    * contains — the batch query's pre-top-k scored rows, which is what
+    * TextStreamsSpec replays and matches. No state, no shuffle, no
+    * watermark: the ranking tail (per-term top-k) stays a report-sized
+    * post-step wherever the scores land. */
+  def bm25ScoreStream(spark: SparkSession, path: String,
+      staticDocs: DataFrame, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val (q, nd, avgdl) = graft.operators.TextAnalytics.bm25Stats(staticDocs)
+    val qArr = // empty-corpus guard: a typed empty list, not an untyped array()
+      if (q.isEmpty) array().cast("array<struct<word:string,df:bigint>>")
+      else array(q.map { case (word, df) =>
+        struct(lit(word).as("word"), lit(df).as("df")) }: _*)
+    documentStream(spark, path, maxFilesPerTrigger)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("dl"), explode(qArr).as("q"))
+      .withColumn("tf",
+        size(filter(col("toks"), t => t === col("q.word"))).cast("long"))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), col("q.word").as("word"), col("tf"),
+        col("q.df").as("df"),
+        graft.operators.TextAnalytics.bm25ScoreCol(
+          col("tf"), col("q.df"), col("dl"), nd, avgdl).as("score_e4"))
+  }
+
   /** Streaming copy-detection probe — the winnowing family's daily-crawl
     * shape (the eleventh twin): arriving documents fingerprint STATELESSLY
     * with the exact batch selector ([[Dedup.winnowingFingerprints]] — one

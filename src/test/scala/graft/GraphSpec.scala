@@ -56,6 +56,39 @@ class GraphSpec extends AnyFunSuite {
       "converged ranks plan grew with round count")
   }
 
+  test("triangles: planted graph — per-node membership counts, non-triangle nodes absent") {
+    // One 3-cycle {1,2,3}, a dangling path 3-4-5 (no triangle), and a K4 on
+    // {6..9} (4 triangles, every node in 3 of them). The K4's degree ties
+    // exercise the (degree, key) orientation tie-break.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L),
+      (6L, 7L), (6L, 8L), (6L, 9L), (7L, 8L), (7L, 9L), (8L, 9L)
+    ).toDF("a", "b")
+    val got = Graph.trianglesDf(edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      6L -> 3L, 7L -> 3L, 8L -> 3L, 9L -> 3L))
+  }
+
+  test("triangles: skewed star — orientation keeps the hub's wedge fan-out at zero") {
+    // Hub 100 connects to leaves 1..20; leaves 1-2 and 2-3 close triangles.
+    // Degree orientation points every hub edge AWAY from the leaf (leaf
+    // degree ≤ 3 < 20), so the hub generates NO wedges — the Suri/
+    // Vassilvitskii bound this operator exists for. Counts still exact.
+    val star = (1L to 20L).map(l => (l, 100L))
+    val edges = (star ++ Seq((1L, 2L), (2L, 3L))).toDF("a", "b")
+    val got = Graph.trianglesDf(edges).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 100L -> 2L))
+  }
+
+  test("triangles: co-supply wrapper — non-empty, positive counts, suppkey-ordered") {
+    val out = Graph.triangles(spark, TestSpark.sf).as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 > 0))
+    assert(out.map(_._1).toSeq === out.map(_._1).sorted.toSeq)
+  }
+
   test("pagerank trade network: keys partition into customers and suppliers, mass sane") {
     val out = Graph.pagerank(spark, TestSpark.sf)
       .as[(Long, String, Long, Long)].collect()

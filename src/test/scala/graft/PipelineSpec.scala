@@ -581,4 +581,27 @@ class PipelineSpec extends AnyFunSuite {
       .groupBy("source").count().as[(String, Long)].collect().toMap
     assert(kept === targets)
   }
+
+  test("data_shuffle: pos is a permutation, shards balanced to ±1, partition-independent") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val out = Pipeline.dataShuffleDf(docs)
+      .as[(Long, Long, Long, Long)].collect() // (doc_id, shuffle_h, pos, shard)
+    val n = out.length
+    assert(n > 0)
+    // pos is exactly {0..n-1}
+    assert(out.map(_._3).sorted.toSeq === (0L until n.toLong))
+    // pos agrees with the flat (h, doc_id) rank — the partition-independent
+    // definition the two-phase prefix count must reproduce
+    val expected = out.sortBy(r => (r._2, r._1)).map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(out.forall(r => expected(r._1) === r._3), "pos drifted from the flat rank")
+    // round-robin dealing balances shards to ±1
+    val byShard = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(byShard.keySet.subsetOf((0L until Pipeline.ShuffleShards).toSet))
+    assert(byShard.values.max - byShard.values.min <= 1)
+    // partition independence: a repartitioned input yields identical rows
+    val re = Pipeline.dataShuffleDf(docs.repartition(7))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
 }

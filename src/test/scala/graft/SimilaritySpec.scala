@@ -206,4 +206,28 @@ class SimilaritySpec extends AnyFunSuite {
     // candidates); at minimum the self-pair guarantees non-emptiness
     assert(lsh.map(_._1).distinct.length === 10)
   }
+
+  test("knn graph: no self-edges, ranked per src, consistent with the query-side LSH") {
+    val g = Similarity.knnGraph(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect() // (src, dst, sim_e4, rn)
+    assert(g.nonEmpty)
+    assert(g.forall(r => r._1 != r._2), "self-edge in the knn graph")
+    for ((_, rows) <- g.groupBy(_._1)) {
+      assert(rows.length <= Similarity.KnnK)
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length))
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "similarity not descending in rank")
+    }
+    // cross-check vs lshTopK: for each of its 10 query vectors, the knn
+    // graph's neighbor list is the same candidate pool ranked the same way
+    // once lsh's self-row is dropped — so lsh's best non-self neighbor must
+    // be knn rank 1.
+    val lshBest = lsh.filter(t => t._3 <= 2 && t._1 != t._2)
+      .groupBy(_._1).view.mapValues(_.minBy(_._3)._2).toMap
+    val knnBest = g.filter(_._4 == 1L).map(r => r._1 -> r._2).toMap
+    for ((q, best) <- lshBest)
+      assert(knnBest(q) === best,
+        s"knn rank-1 for $q disagrees with lsh's best non-self neighbor")
+  }
 }

@@ -496,4 +496,29 @@ class TextAnalyticsSpec extends AnyFunSuite {
       ("new york", 6L, 6L, 6L, 17222L),
       ("of the", 6L, 20L, 20L, 1550L)))
   }
+
+  test("bm25: planted corpus — scores match the formula, ranked per term") {
+    // Corpus: d1 "a a b", d2 "a c", d3 "b b b c". tf: d1{a:2,b:1},
+    // d2{a:1,c:1}, d3{b:3,c:1}; df(a)=df(b)=df(c)=2; N=3; Σtok=9, avgdl=3.
+    // All three terms are query terms (Bm25Terms=8 > vocabulary).
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c"))
+      .toDF("doc_id", "text")
+    def score(tf: Long, df: Long, dl: Long): Long = {
+      val idf = (3.0 - df + 0.5) / (df + 0.5)
+      val den = tf + 1.2 * (0.25 + 0.75 * (dl / 3.0))
+      math.round(idf * ((tf * 2.2) / den) * 10000.0)
+    }
+    val got = TextAnalytics.bm25Df(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // per-term expected rankings (higher tf wins; doc_id breaks the a-tie)
+    assert(got === Seq(
+      ("a", 1L, 2L, 2L, score(2, 2, 3), 1L),
+      ("a", 2L, 1L, 2L, score(1, 2, 2), 2L),
+      ("b", 3L, 3L, 2L, score(3, 2, 4), 1L),
+      ("b", 1L, 1L, 2L, score(1, 2, 3), 2L),
+      ("c", 2L, 1L, 2L, score(1, 2, 2), 1L),
+      ("c", 3L, 1L, 2L, score(1, 2, 4), 2L)))
+    // saturation sanity: tf=3 in a longer doc still beats tf=1
+    assert(score(3, 2, 4) > score(1, 2, 3))
+  }
 }

@@ -154,6 +154,46 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming bm25 equals an independent model and contains the batch top-k") {
+    val dir = Paths.get("target", "test-scratch", "docstream_bm25")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val staticDocs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.bm25ScoreStream(spark, dir.toString, staticDocs),
+        "t_bm25", mode = "append")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    // Independent plain-Scala model over the same corpus: tokenize with the
+    // reference regex, derive tf/df/N/avgdl, apply the identical IEEE chain.
+    val raw = staticDocs.select("doc_id", "text").as[(Long, String)].collect()
+    val tok = """\b[a-z]+\b""".r
+    val toks = raw.map { case (id, t) => id -> tok.findAllIn(t.toLowerCase).toSeq }
+    val tf = toks.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, o) => (id, w, o.size.toLong) } }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val qterms = df.toSeq.sortBy { case (w, d) => (-d, w) }
+      .take(graft.operators.TextAnalytics.Bm25Terms)
+    val dl = toks.map { case (id, ws) => id -> ws.length.toLong }.toMap
+    val nd = raw.length.toDouble
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / raw.length
+    val qset = qterms.toMap
+    val expected = tf.filter(t => qset.contains(t._2)).map { case (id, w, f) =>
+      val d = qset(w)
+      val idf = (nd - d + 0.5) / (d + 0.5)
+      val den = f + 1.2 * (0.25 + 0.75 * (dl(id) / avgdl))
+      (id, w, f, d, math.round(idf * ((f * 2.2) / den) * 10000.0))
+    }.toSet
+    assert(expected.nonEmpty)
+    assert(streamed === expected)
+    // the batch query's ranked rows are a subset of the streamed scores
+    val batch = graft.operators.TextAnalytics.bm25(spark, TestSpark.sf)
+      .select("doc_id", "word", "tf", "df", "score_e4")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(batch.subsetOf(streamed), "batch top-k rows missing from the stream")
+  }
+
   test("streaming near-dup pairs equal the batch simhash Hamming-ball exactly") {
     val dir = Paths.get("target", "test-scratch", "docstream_neardup")
     Files.createDirectories(dir)

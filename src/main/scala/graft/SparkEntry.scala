@@ -129,6 +129,8 @@ object SparkEntry {
     "multimodal_features" -> ((s, d) => Media.ppmFeaturesQuery(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     "media_neardup" -> ((s, d) => Media.mediaNearDup(s, d)),
+    "media_phash" -> ((s, d) => Media.phashQuery(s, d)),
+    "media_phash_pairs" -> ((s, d) => Media.phashPairsQuery(s, d)),
     // — LLM-pipeline: corpus shipping —
     "corpus_clean" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "corpus_clean_ccnet" -> ((s, d) => Pipeline.cleanCorpusCcnet(s, d)),
@@ -278,6 +280,16 @@ object SparkEntry {
   // connected-components clustering both build on `jpairs`.
   private val NgramCtes =
     s"""toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id)"""
+
+  // Shared perceptual-hash CTEs: rebuild each P6 raster's grayscale from
+  // the cyclic text bytes (the multimodal_features reconstruction), box-
+  // filter onto the 8×8 grid, set a bit where the block mean beats the
+  // global mean by integer cross-multiply, fold bits with bit_or (bit 63
+  // via the explicit Long.MinValue literal). Ends with d(doc_id, t, len,
+  // w, h) and ph(doc_id, phash); all-uniform images are absent from ph
+  // (COALESCE to 0 at the consumer).
+  private val PhashCtes =
+    """d AS (SELECT doc_id, CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t, length(CASE WHEN length(text) = 0 THEN ' ' ELSE text END) AS len, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents), g AS (SELECT doc_id, w, h, p, ascii(substr(t, CAST((3*p) % len AS INTEGER) + 1, 1)) + ascii(substr(t, CAST((3*p+1) % len AS INTEGER) + 1, 1)) + ascii(substr(t, CAST((3*p+2) % len AS INTEGER) + 1, 1)) AS gray FROM (SELECT doc_id, t, len, w, h, unnest(range(0, w*h)) AS p FROM d)), blk AS (SELECT doc_id, w, h, ((p // w) * 8 // h) * 8 + ((p % w) * 8 // w) AS idx, gray FROM g), bs AS (SELECT doc_id, idx, CAST(w AS BIGINT) * CAST(h AS BIGINT) AS npix, CAST(sum(gray) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bcnt FROM blk GROUP BY doc_id, idx, w, h), ts AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS tsum FROM g GROUP BY doc_id), bits AS (SELECT b.doc_id, b.idx FROM bs b JOIN ts t ON b.doc_id = t.doc_id WHERE b.bsum * b.npix > t.tsum * b.bcnt), ph AS (SELECT doc_id, bit_or(CASE WHEN idx = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << CAST(idx AS INTEGER)) END) AS phash FROM bits GROUP BY doc_id)"""
 
   // Shared exact-substring duplication CTEs: token windows reduce to the
   // 114-bit fingerprint pair (two 57-bit checked-BIGINT polynomial folds
@@ -775,6 +787,18 @@ object SparkEntry {
     // byte i = text byte i mod len, channel c = raster index 3p + c).
     "multimodal_features" ->
       """WITH d AS (SELECT doc_id, CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t, length(CASE WHEN length(text) = 0 THEN ' ' ELSE text END) AS len, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS r_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p+1) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS g_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p+2) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS b_sum FROM d ORDER BY doc_id""",
+    // Average-hash perceptual fingerprint of the P6 corpus: per-pixel
+    // gray = r+g+b reconstructed from the cyclic text bytes, 8×8 block
+    // sums, block-vs-global mean by integer cross-multiply, bits folded
+    // with bit_or (bit 63 is the explicit Long.MinValue literal — DuckDB
+    // overflow-checks 1 << 63). Uniform images fold to phash 0.
+    "media_phash" ->
+      s"""WITH $PhashCtes SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height, COALESCE(ph.phash, 0) AS phash FROM d LEFT JOIN ph ON d.doc_id = ph.doc_id ORDER BY d.doc_id""",
+    // Perceptual near-dup pairs: pigeonhole recall is exact for
+    // maxHamming 3 < 4 bands, so the oracle checks the Hamming balls
+    // DIRECTLY on the per-doc hashes (quadratic is fine at oracle scale).
+    "media_phash_pairs" ->
+      s"""WITH $PhashCtes, hp AS (SELECT d.doc_id, COALESCE(ph.phash, 0) AS phash FROM d LEFT JOIN ph ON d.doc_id = ph.doc_id) SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming FROM hp a JOIN hp b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY d1, d2""",
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramCtes SELECT d1, d2, jac_e4 FROM jpairs WHERE jac_e4 >= 100 ORDER BY d1, d2""",
     // Winnowing (Schleimer et al. 2003): ORDERED 3-gram hash sequence →

@@ -252,6 +252,24 @@ object Media {
     * brightness filter consumes. Throws on malformed input like a codec
     * would. Works on any maxval-255 P6 file, not just [[ppmTable]]'s. */
   def decodePpm(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val (w, h, pos) = ppmHeader(bytes)
+    var r = 0L; var g = 0L; var b = 0L
+    var p = 0
+    while (p < w * h) {
+      r += bytes(pos + 3 * p) & 0xff
+      g += bytes(pos + 3 * p + 1) & 0xff
+      b += bytes(pos + 3 * p + 2) & 0xff
+      p += 1
+    }
+    (w, h, r, g, b)
+  }
+
+  /** P6 header parse shared by [[decodePpm]] and [[phashPpm]]: magic,
+    * whitespace/comment-separated ASCII width/height/maxval, then exactly
+    * one whitespace byte before the raster. Returns (w, h, raster offset)
+    * after bounds-checking the raster in LONG (huge header dims must fail
+    * the check, not wrap Int negative and skip the fold). */
+  private def ppmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
       "not a P6 PPM")
     var pos = 2
@@ -275,19 +293,45 @@ object Media {
     val w = nextInt(); val h = nextInt(); val maxv = nextInt()
     require(maxv == 255, s"unsupported maxval $maxv")
     pos += 1 // exactly one whitespace byte after maxval, per the spec
-    // Raster size in LONG: huge header dims must fail the bounds check,
-    // not wrap Int negative and skip the fold.
     val raster = w.toLong * h * 3L
     require(bytes.length.toLong - pos >= raster, "truncated pixel data")
-    var r = 0L; var g = 0L; var b = 0L
+    (w, h, pos)
+  }
+
+  /** Perceptual-hash grid: [[phashPpm]] emits a grid² = 64-bit hash. */
+  val PhashGrid = 8
+
+  /** AVERAGE-HASH (aHash) perceptual fingerprint of a P6 image: box-filter
+    * the grayscale raster onto an 8×8 grid and set bit (by·8+bx) when that
+    * block's mean exceeds the global mean — the classic perceptual hash
+    * (same family as pHash/dHash) that survives re-encodes and small edits
+    * byte-level dedup misses. ALL-INTEGER: gray = r+g+b per pixel (no
+    * luma weights — monotone equivalent for thresholding), block pixel
+    * assignment by floor(x·grid/w), and the mean comparison cross-
+    * multiplied (bsum·npix > tsum·bcnt, products ≤ 7·10⁹ ≪ 2⁶³) — so the
+    * hash is exactly reproducible in the DuckDB oracle. Blocks with no
+    * pixels (w or h < grid) deterministically contribute a 0 bit. */
+  def phashPpm(bytes: Array[Byte], grid: Int = PhashGrid): (Int, Int, Long) = {
+    val (w, h, pos) = ppmHeader(bytes)
+    val bsum = new Array[Long](grid * grid)
+    val bcnt = new Array[Long](grid * grid)
+    var tsum = 0L
     var p = 0
     while (p < w * h) {
-      r += bytes(pos + 3 * p) & 0xff
-      g += bytes(pos + 3 * p + 1) & 0xff
-      b += bytes(pos + 3 * p + 2) & 0xff
+      val gray = (bytes(pos + 3 * p) & 0xff) + (bytes(pos + 3 * p + 1) & 0xff) +
+        (bytes(pos + 3 * p + 2) & 0xff)
+      val idx = (p / w * grid / h) * grid + (p % w * grid / w)
+      bsum(idx) += gray; bcnt(idx) += 1; tsum += gray
       p += 1
     }
-    (w, h, r, g, b)
+    val npix = w.toLong * h
+    var hash = 0L
+    var i = 0
+    while (i < grid * grid) {
+      if (bsum(i) * npix > tsum * bcnt(i)) hash |= (1L << i)
+      i += 1
+    }
+    (w, h, hash)
   }
 
   /** Driver-contract query: REAL image decode end-to-end. Builds the P6
@@ -318,6 +362,68 @@ object Media {
         }
       }(enc)
       .orderBy("doc_id")
+  }
+
+  /** Per-image perceptual hash over the decoded P6 corpus — the pixel-level
+    * fingerprint table production writes next to the media store (the
+    * byte-level [[mediaDedup]]/[[mediaNearDup]] miss re-encodes; this tier
+    * catches them). Partition-batched decode like [[ppmFeaturesDf]]; the
+    * dimensions come from the header bytes, the hash from the raster. */
+  def phashQuery(s: SparkSession, d: String): DataFrame =
+    phashRaw(ppmTable(s, d)).orderBy("doc_id")
+
+  /** Unordered (doc_id, width, height, phash) — feeds the query wrapper and
+    * the pair search. */
+  private def phashRaw(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, hash) = phashPpm(r.getAs[Array[Byte]]("media"))
+          Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, hash)
+        }
+      }(enc)
+  }
+
+  /** PERCEPTUALLY-near-duplicate image pairs: Hamming ≤ maxHamming on the
+    * 64-bit average-hash, searched with the SimHash family's band kit
+    * ([[graft.operators.Dedup.simhashBandStructs]] — one band definition
+    * across text and media fingerprints). Pigeonhole recall is exact for
+    * maxHamming < SimBands, so the oracle's direct quadratic check agrees
+    * row for row while the Spark plan stays the linear band equi-join with
+    * the verify inside the join — the same 100 TB posture as the text
+    * near-dup family. */
+  def phashPairsQuery(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+    phashPairsDf(ppmTable(s, d), maxHamming)
+
+  /** Same, over any (doc_id, media: binary P6) DataFrame (planted tests). */
+  def phashPairsDf(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < graft.operators.Dedup.SimBands,
+      "pigeonhole guarantee needs maxHamming < SimBands")
+    val fp = phashRaw(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = fp.select(col("doc_id"), col("phash"),
+        explode(graft.operators.Dedup.simhashBandStructs(col("phash"))).as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band_idx").as("band_idx"), col("bb.band_bits").as("band_bits"))
+    graft.functions.Caching.releaseAfterAction(
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long")
+            .as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+        .orderBy("d1", "d2"),
+      fp)
   }
 
   /** Stub-tier feature summary per doc (see the class doc's codec tiers;

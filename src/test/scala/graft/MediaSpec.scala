@@ -162,4 +162,52 @@ class MediaSpec extends AnyFunSuite {
       s"expected exactly the planted near-dup pair, got $pairs")
     assert(pairs.head._3 >= 8000L)
   }
+
+  test("phashPpm: hand-checked bits on a planted gradient, uniform image is 0") {
+    // 8×8 image, left half black (gray 0), right half white (gray 765):
+    // each aHash block is exactly one pixel; the 32 right-half blocks beat
+    // the global mean, the left half never does.
+    def ppm(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val head = s"P6\n$w $h\n255\n".getBytes("UTF-8")
+      val raster = Array.tabulate(w * h * 3) { i =>
+        val p = i / 3; px(p % w, p / w).toByte }
+      head ++ raster
+    }
+    val (w1, h1, hash1) = Media.phashPpm(ppm(8, 8, (x, _) => if (x < 4) 0 else 255))
+    assert((w1, h1) === (8, 8))
+    val expected = (0 until 64).filter(i => i % 8 >= 4)
+      .foldLeft(0L)((acc, i) => acc | (1L << i))
+    assert(hash1 === expected, f"gradient hash 0x$hash1%016x != 0x$expected%016x")
+    // uniform image: no block beats the mean (strict >) → 0
+    assert(Media.phashPpm(ppm(8, 8, (_, _) => 128))._3 === 0L)
+    // 1×1 image: single block, equal to its own mean → 0; empty grid cells
+    // contribute 0 bits rather than throwing
+    assert(Media.phashPpm(ppm(1, 1, (_, _) => 200))._3 === 0L)
+    // bit 63 reachable: only the bottom-right pixel bright
+    val (_, _, corner) = Media.phashPpm(ppm(8, 8, (x, y) => if (x == 7 && y == 7) 255 else 0))
+    assert(corner === Long.MinValue, "bottom-right block must set bit 63")
+  }
+
+  test("phash pairs: identical and lightly-edited images pair, distinct ones do not") {
+    import org.apache.spark.sql.functions.{col, length}
+    // doc 2 = exact copy of doc 1 (same bytes → hamming 0); doc 3 = one
+    // same-length substitution (same dims, a few cyclic pixels move → small
+    // hamming); doc 4 = unrelated text (no pair expected at ≤ 3).
+    val base = ("the quick brown fox jumps over the lazy dog while zephyrs " +
+      "vex a daft jim and sphinxes of black quartz judge my vow repeatedly " +
+      "until every pangram wears out its welcome in the corpus") * 2
+    val edited = base.updated(10, 'Q')
+    val other = base.reverse.map(c => if (c.isLetter) ('z' - (c - 'a')).toChar else c)
+    val docs = Seq((1L, base), (2L, base), (3L, edited), (4L, other))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pairs = Media.phashPairsDf(Media.ppmTableDf(docs))
+      .as[(Long, Long, Long)].collect().toSeq
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap.get((1L, 2L)) === Some(0L), s"exact copy must be hamming 0: $pairs")
+    assert(asMap.contains((1L, 3L)) && asMap((1L, 3L)) <= 3L,
+      s"light edit must stay inside the hamming ball: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image paired: $pairs")
+  }
 }

@@ -57,6 +57,7 @@ object SparkEntry {
     "window_running" -> ((s, d) => Relational.windowRunning(s, d)),
     "window_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
     "events_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
+    "events_sliding" -> ((s, d) => Events.slidingCounts(s, d)),
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_funnel_windowed" -> ((s, d) => Events.funnelWindowed(s, d)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
     "sample_stratified_capped" -> ((s, d) => Pipeline.sampleStratifiedCapped(s, d)),
     "data_shuffle" -> ((s, d) => Pipeline.dataShuffle(s, d)),
+    "data_pack_shuffled" -> ((s, d) => Pipeline.packShuffled(s, d)),
   )
 
   private val Tok = """\b[a-z]+\b""" // RE2 string for DuckDB (ASCII text only)
@@ -624,6 +626,10 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(round(value * 100) AS BIGINT) AS v_c FROM events) SELECT user_id, event_id, ts_us, CAST(sum(v_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c FROM e ORDER BY user_id, ts_us, event_id""",
     "events_tumbling" ->
       """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events) SELECT hour_idx, event_type, count(*) AS cnt FROM e GROUP BY hour_idx, event_type ORDER BY hour_idx, event_type""",
+    // Sliding 1h/15min windows: each event belongs to the 4 windows
+    // starting at its slide quarter minus 0..3.
+    "events_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) // 900000000 AS slide_idx, event_type FROM events), x AS (SELECT slide_idx - k AS win_idx, event_type FROM e CROSS JOIN range(0, 4) t(k) WHERE slide_idx - k >= 0) SELECT win_idx, CAST(win_idx * 900000000 AS BIGINT) AS win_start_us, event_type, count(*) AS cnt FROM x GROUP BY win_idx, event_type ORDER BY win_idx, event_type""",
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, event_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM l) SELECT user_id, session_id, count(*) AS n_events, CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     // Ordered first-touch funnel: each stage's min is constrained to land
@@ -977,5 +983,10 @@ object SparkEntry {
     // exactly why the output is partition-independent.
     "data_shuffle" ->
       s"""WITH ${orderHashCtes("shuf:", "source")}, r AS (SELECT doc_id, hh, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos FROM h) SELECT doc_id, CAST(hh AS BIGINT) AS shuffle_h, CAST(pos AS BIGINT) AS pos, CAST(pos % ${Pipeline.ShuffleShards} AS BIGINT) AS shard FROM r ORDER BY doc_id""",
+    // Packing in the shuffled training order: the flat window over the
+    // shuffle-hash order; the Spark side computes identical offsets with
+    // the two-phase distributed prefix sum over (h, doc_id) ranges.
+    "data_pack_shuffled" ->
+      s"""WITH ${orderHashCtes("shuf:", "text")}, t AS (SELECT doc_id, hh, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM h), o AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, n_toks, "offset", CAST("offset" // ${Pipeline.SeqLen} AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
   )
 }

@@ -31,6 +31,37 @@ object Events {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("hour_idx", "event_type")
 
+  /** Sliding-window parameters: 1-hour windows starting every 15 minutes
+    * ([[slidingCounts]] fan-out = WindowSlides windows per event). */
+  val SlideUs: Long = 900L * 1000000L
+  val WindowSlides = 4
+
+  /** SLIDING-window event counts — the 1h-window/15min-slide dashboard
+    * aggregate (tumbling is its slide = length special case). Window
+    * indexing is integer: an event in slide-quarter q belongs to the
+    * windows starting at quarters q−3 … q, so each event explodes into
+    * exactly [[WindowSlides]] (win_idx, type) rows before the count —
+    * the standard batch evaluation of a sliding window, with fan-out
+    * bounded by the window/slide ratio (a schema constant), map-side
+    * combined like any word count. win_start_us makes rows directly
+    * comparable with the streaming twin
+    * ([[graft.streaming.EventStreams.slidingCounts]]). */
+  def slidingCounts(s: SparkSession, d: String): DataFrame =
+    slidingCountsDf(Tables.events(s, d))
+
+  /** Same over any events DataFrame with a ts_us column. */
+  def slidingCountsDf(events: DataFrame): DataFrame =
+    events
+      .select(expr(s"ts_us div $SlideUs").as("slide_idx"), col("event_type"))
+      .select(explode(sequence(col("slide_idx") - (WindowSlides - 1),
+        col("slide_idx"))).as("win_idx"), col("event_type"))
+      .filter(col("win_idx") >= 0)
+      .groupBy("win_idx", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win_idx"), (col("win_idx") * SlideUs).as("win_start_us"),
+        col("event_type"), col("cnt"))
+      .orderBy("win_idx", "event_type")
+
   /** First-touch conversion funnel view → click → purchase: per user, the
     * earliest 'view', the earliest 'click' STRICTLY AFTER it, and the
     * earliest 'purchase' strictly after that — the standard ordered-funnel

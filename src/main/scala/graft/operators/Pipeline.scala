@@ -893,6 +893,43 @@ object Pipeline {
       base)
   }
 
+  /** GLOBAL packing in the SHUFFLED training order — the step that actually
+    * follows [[dataShuffle]] in a training pipeline: concat-and-chunk
+    * offsets accumulate over the salted-hash order instead of crawl/doc_id
+    * order, so consecutive packed sequences mix sources and epochs instead
+    * of replaying the crawl. Same rule as [[packSequencesGlobal]]
+    * (offset = tokens before this doc, seq_id = offset div [[SeqLen]]),
+    * same two-phase distributed prefix sum — only the order key changes to
+    * (shuffle hash, doc_id), and the range partitioning ON that key is
+    * itself the shuffle. Output is partition-independent, which is why the
+    * oracle states it as one flat window over (hh, doc_id). */
+  def packShuffled(s: SparkSession, d: String): DataFrame =
+    packShuffledDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) DataFrame (composition tests). */
+  def packShuffledDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), orderHash("shuf:").as("h"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .repartitionByRange(col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = base.groupBy("pid").agg(sum("n_toks").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (pid, tot) => val b = acc; acc += tot; (pid, b) }
+    val baseDf = docs.sparkSession.createDataFrame(bases.toSeq).toDF("pid", "base")
+    val w = Window.partitionBy("pid").orderBy(col("h"), col("doc_id"))
+    graft.functions.Caching.releaseAfterAction(
+      base.join(broadcast(baseDf), "pid")
+        .withColumn("offset", col("base") + sum("n_toks").over(w) - col("n_toks"))
+        .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
+        .select(col("doc_id"), col("n_toks"), col("offset"), col("seq_id"))
+        .orderBy("doc_id"),
+      base)
+  }
+
   /** Temperature-scaled source mixing (α = 1/2) — the multilingual/
     * multi-source resampling rule of mT5 (Xue et al. 2021) and UniMax-style
     * pipelines: sample source s proportionally to n_s^α instead of n_s, so

@@ -82,6 +82,20 @@ object EventStreams {
         (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_idx"),
         col("event_type"), col("cnt"))
 
+  /** Streaming sliding 1h/15min counts per event type — the twin of
+    * [[graft.operators.Events.slidingCounts]], using the engine's native
+    * sliding window (each event lands in 4 open windows; state is the
+    * windowed counts inside the watermark horizon). win_idx = window
+    * start in slide quarters, directly comparable with the batch rows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        (unix_timestamp(col("window.start")) / 900).cast("long").as("win_idx"),
+        col("event_type"), col("cnt"))
+
   /** Streaming anomaly monitor — the twin of
     * [[graft.operators.Events.anomaly]] run the way monitoring actually
     * deploys: the per-type baseline moments TRAIN batch-side from

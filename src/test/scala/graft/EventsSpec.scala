@@ -153,4 +153,24 @@ class EventsSpec extends AnyFunSuite {
       ("none", 1L, 200L),
       ("view", 1L, 300L)))
   }
+
+  test("sliding counts: each event lands in exactly its 4 covering windows") {
+    val q = Events.SlideUs // one slide quarter
+    val events = Seq(
+      // event in quarter 10 → windows 7..10
+      (1L, "view", 10 * q + 1),
+      // event in quarter 11 → windows 8..11: overlap with the first on 8,9,10
+      (2L, "view", 11 * q + 5),
+      // event in quarter 1 → windows 0,1 survive; -2,-1 clipped at epoch
+      (3L, "click", 1 * q)
+    ).toDF("event_id", "event_type", "ts_us")
+    val got = Events.slidingCountsDf(events)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val expected = Seq(
+      (0L, "click", 1L), (1L, "click", 1L),
+      (7L, "view", 1L), (8L, "view", 2L), (9L, "view", 2L),
+      (10L, "view", 2L), (11L, "view", 1L)
+    ).map { case (w, t, c) => (w, w * q, t, c) }
+    assert(got === expected)
+  }
 }

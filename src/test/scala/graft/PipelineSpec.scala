@@ -604,4 +604,24 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect()
     assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
+
+  test("data_pack_shuffled: offsets accumulate in exactly the data_shuffle order") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val packed = Pipeline.packShuffledDf(docs)
+      .as[(Long, Long, Long, Long)].collect() // (doc_id, n_toks, offset, seq_id)
+    val order = Pipeline.dataShuffleDf(docs)
+      .as[(Long, Long, Long, Long)].collect() // (doc_id, h, pos, shard)
+      .sortBy(_._3).map(_._1) // doc ids in shuffle order
+    val byDoc = packed.map(p => p._1 -> p).toMap
+    // walking the shuffle order, the running token total is each doc's offset
+    var acc = 0L
+    for (id <- order) {
+      val (_, nToks, offset, seqId) = byDoc(id)
+      assert(offset === acc, s"doc $id offset $offset != running total $acc")
+      assert(seqId === offset / Pipeline.SeqLen)
+      acc += nToks
+    }
+    // and both operators saw the same doc set
+    assert(packed.length === order.length)
+  }
 }

@@ -34,6 +34,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === batch)
   }
 
+  test("streaming sliding counts equal the batch sliding counts (AvailableNow)") {
+    val dir = Paths.get("target", "test-scratch", "events_sf")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "events.parquet"), dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.eventStream(spark, dir.toString)
+    val out = EventStreams.runToCompletion(
+        spark, EventStreams.slidingCounts(stream), "t_sliding")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = operators.Events.slidingCounts(spark, TestSpark.sf)
+      .select("win_idx", "event_type", "cnt")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out === batch)
+    // overlap sanity: sliding totals are WindowSlides× the event count
+    assert(out.toSeq.map(_._3).sum ===
+      operators.Events.WindowSlides * sources.Tables.events(spark, TestSpark.sf).count())
+  }
+
   test("streaming anomaly monitor equals the batch anomaly on a replayed corpus") {
     val dir = Paths.get("target", "test-scratch", "events_sf")
     Files.createDirectories(dir)

@@ -34,7 +34,15 @@ object Similarity {
     * if ANY band agrees, which keeps recall high for near-duplicates while
     * each band's equi-join stays bounded by bucket occupancy. Input must have
     * (vec_id, v: array<double>). */
-  def bandedKeys(df: DataFrame, bands: Int, rows: Int): DataFrame = {
+  def bandedKeys(df: DataFrame, bands: Int, rows: Int): DataFrame =
+    bandedKeysCarry(df.select("vec_id", "v"), bands, rows)
+      .select("vec_id", "band_idx", "band_key")
+
+  /** [[bandedKeys]] keeping every input column — the form a streaming
+    * consumer needs (the arriving vector must ride along with its keys;
+    * a join-back by id would be a stream-stream join). One band-key
+    * definition for both (this IS bandedKeys' implementation). */
+  def bandedKeysCarry(df: DataFrame, bands: Int, rows: Int): DataFrame = {
     val bandStructs = array((0 until bands).map { b =>
       val key = (0 until rows).map { r =>
         when(dotD(col("v"), typedlit(plane(b * rows + r).toSeq)) > 0, lit(1L << r))
@@ -42,8 +50,10 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b.toLong).as("band_idx"), key.as("band_key"))
     }: _*)
-    df.select(col("vec_id"), explode(bandStructs).as("bb"))
-      .select(col("vec_id"), col("bb.band_idx").as("band_idx"), col("bb.band_key").as("band_key"))
+    df.withColumn("bb", explode(bandStructs))
+      .withColumn("band_idx", col("bb.band_idx"))
+      .withColumn("band_key", col("bb.band_key"))
+      .drop("bb")
   }
 
   private def corpus(s: SparkSession, d: String): DataFrame =

@@ -62,6 +62,43 @@ object VectorStreams {
       cents, cb)
   }
 
+  /** Streaming ANN PROBE — the serving side of the k-NN graph/LSH query
+    * family ([[Similarity.knnGraph]]/[[Similarity.lshTopK]]) run online:
+    * each ARRIVING vector computes its banded sign-projection keys per row
+    * (the SAME [[Similarity.bandedKeysCarry]] definition as batch, so
+    * bucketing can never drift), probes the static corpus's banded key
+    * table, and every agreeing band emits a scored evidence row
+    * (src, dst, band_idx, sim_e4) with the exact-cosine verify inside the
+    * join — self-matches excluded so replaying the corpus reports only
+    * genuine neighbors. The ranking tail (dedup multi-band hits, top-k per
+    * src) is a report-sized post-step at the sink, the same contract as
+    * the BM25 and winnowing probes; VectorStreamsSpec applies it and
+    * matches [[Similarity.knnGraph]] exactly.
+    *
+    * Scale posture: no streaming state, no watermark — per-row key
+    * computation plus a stream-static equi-join on (band, key). At test
+    * scale the static side broadcasts; at 100 TB the banded corpus table
+    * is written BUCKETED by (band, key) once and each micro-batch
+    * (bounded) shuffles to it — the winnowing probe's posture, vector-
+    * valued. */
+  def knnProbeStream(spark: SparkSession, path: String, staticDir: String,
+      bands: Int = 8, rows: Int = 4, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val corpus = graft.sources.Tables.embeddings(spark, staticDir)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val staticKeys = Similarity.bandedKeysCarry(corpus, bands, rows)
+      .select(col("band_idx"), col("band_key"), col("vec_id").as("dst"),
+        col("v").as("dv"), col("nrm").as("dn"))
+    val stream = embeddingStream(spark, path, maxFilesPerTrigger)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    Similarity.bandedKeysCarry(stream, bands, rows)
+      .join(broadcast(staticKeys), Seq("band_idx", "band_key"))
+      .filter(col("dst") =!= col("vec_id"))
+      .select(col("vec_id").as("src"), col("dst"), col("band_idx"),
+        e4(dotD(col("v"), col("dv")) / (col("nrm") * col("dn"))).as("sim_e4"))
+  }
+
   /** Stateless per-row IVF-PQ encode of (vec_id, embedding) rows against
     * driver-held artifacts: normalized e4 quantization, coarse argmax,
     * exact residual, per-subspace anisotropic argmin — all as literal-array

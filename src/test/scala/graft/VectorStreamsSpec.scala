@@ -34,6 +34,34 @@ class VectorStreamsSpec extends AnyFunSuite {
     assert(streamed.map(_._3).distinct.length > 1)
   }
 
+  test("streaming knn probe + ranking tail equals the batch knn graph") {
+    val dir = Paths.get("target", "test-scratch", "vecstream_knn")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark,
+        VectorStreams.knnProbeStream(spark, dir.toString, TestSpark.sf),
+        "t_knnprobe", mode = "append")
+      .as[(Long, Long, Long, Long)].collect() // (src, dst, band_idx, sim_e4)
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(r => r._1 != r._2), "self-match leaked through")
+    // multi-band hits agree on the score (the verify is a pure pair function)
+    for (((_, _), rows) <- streamed.groupBy(r => (r._1, r._2)))
+      assert(rows.map(_._4).distinct.length === 1)
+    // ranking tail (dedup + top-k per src) == the batch knn graph exactly
+    val tail = streamed.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.toSeq.map(r => (r._2, r._4)).distinct
+        .sortBy { case (dst, sim) => (-sim, dst) }
+        .take(Similarity.KnnK).zipWithIndex
+        .map { case ((dst, sim), i) => (src, dst, sim, i + 1L) }
+    }.toSet
+    val batch = Similarity.knnGraph(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(tail === batch, "streamed probe + post-step diverged from batch")
+  }
+
   test("the per-row encoder matches the batch argmin on a static frame too") {
     // Same encoder, batch frame in, no streaming machinery — pins that the
     // literal-array expressions are the load-bearing equality, not the

@@ -45,6 +45,7 @@ object SparkEntry {
     "supplier_revenue" -> ((s, d) => Relational.supplierRevenue(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
+    "graph_components" -> ((s, d) => Graph.componentsQuery(s, d)),
     "join_salted" -> ((s, d) => Relational.joinSalted(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
@@ -68,6 +69,7 @@ object SparkEntry {
     "events_anomaly_dense" -> ((s, d) => Events.anomalyDense(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
+    "join_asof_tolerance" -> ((s, d) => Events.asofJoinOrdersTolerance(s, d)),
     "join_range" -> ((s, d) => Events.rangeJoinBands(s, d)),
     // — LLM-pipeline: text analysis —
     "text_ngrams" -> ((s, d) => TextAnalytics.ngramTopK(s, d)),
@@ -494,6 +496,12 @@ object SparkEntry {
     // ordered out-neighbor pairs closed against the canonical edge set.
     "graph_triangles" ->
       s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), e0 AS (SELECT x.sk AS a, y.sk AS b, count(*) AS cnt FROM os x JOIN os y ON x.o = y.o AND x.sk < y.sk GROUP BY 1, 2), edges AS (SELECT a, b FROM e0 WHERE cnt >= ${graft.operators.Graph.TriMinShared}), deg AS (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) GROUP BY v), o AS (SELECT CASE WHEN da.dg <= db.dg THEN e.a ELSE e.b END AS u, CASE WHEN da.dg <= db.dg THEN e.b ELSE e.a END AS w FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v), tri AS (SELECT e1.u AS u, e1.w AS v, e2.w AS x FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.w < e2.w JOIN edges c ON c.a = e1.w AND c.b = e2.w), nodes AS (SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri UNION ALL SELECT x AS n FROM tri) SELECT n AS s_suppkey, count(*) AS n_tri FROM nodes GROUP BY n ORDER BY s_suppkey""",
+    // Connected components of the co-supply graph: the same recursive-CTE
+    // transitive closure the dedup cluster oracles use, over the
+    // thresholded co-supply edges, joined back to the full supplier dim so
+    // isolated suppliers appear as singleton components.
+    "graph_components" ->
+      s"""WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), e0 AS (SELECT x.sk AS a, y.sk AS b, count(*) AS cnt FROM os x JOIN os y ON x.o = y.o AND x.sk < y.sk GROUP BY 1, 2), edges0 AS (SELECT a, b FROM e0 WHERE cnt >= ${graft.operators.Graph.TriMinShared}), edges AS (SELECT a, b FROM edges0 UNION ALL SELECT b AS a, a AS b FROM edges0), reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a), lab AS (SELECT s.s_suppkey, CAST(CASE WHEN m.m IS NOT NULL AND m.m < s.s_suppkey THEN m.m ELSE s.s_suppkey END AS BIGINT) AS component_id FROM supplier s LEFT JOIN mn m ON s.s_suppkey = m.a), sz AS (SELECT component_id, count(*) AS component_size FROM lab GROUP BY component_id) SELECT l.s_suppkey, l.component_id, sz.component_size FROM lab l JOIN sz ON l.component_id = sz.component_id ORDER BY l.s_suppkey""",
     "dedup_minhash" ->
       s"""$MinhashCtes SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""",
     "dedup_minhash_pairs" ->
@@ -667,6 +675,11 @@ object SparkEntry {
       """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx, count(*) AS cnt FROM events GROUP BY 1, 2), b AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM hourly), hrs AS (SELECT unnest(range(lo, hi + 1)) AS hour_idx FROM b), dense AS (SELECT t.event_type, h.hour_idx, COALESCE(x.cnt, 0) AS cnt FROM (SELECT DISTINCT event_type FROM hourly) t CROSS JOIN hrs h LEFT JOIN hourly x ON t.event_type = x.event_type AND h.hour_idx = x.hour_idx), stats AS (SELECT event_type, count(*) AS n, sum(CAST(cnt AS HUGEINT)) AS s, sum(CAST(cnt AS HUGEINT) * cnt) AS q FROM dense GROUP BY 1), z AS (SELECT h.event_type, h.hour_idx, h.cnt, CAST(CASE WHEN st.n * st.q = st.s * st.s THEN 0 ELSE round((h.cnt - CAST(st.s AS DOUBLE) / st.n) / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE) / (st.n * st.n)) * 10000) END AS BIGINT) AS z_e4 FROM dense h JOIN stats st USING (event_type)) SELECT event_type, hour_idx, cnt, z_e4, CAST(CASE WHEN abs(z_e4) >= 30000 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly FROM z ORDER BY event_type, hour_idx""",
     "join_asof" ->
       """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) SELECT e.event_id, e.user_id, e.t AS ts_us, COALESCE(o.o_orderkey, -1) AS asof_orderkey, COALESCE(o.t, -1) AS asof_us FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t >= o.t ORDER BY event_id""",
+    // Tolerance-bounded as-of (attribution window): each purchase's native
+    // ASOF view match survives only within the 24h staleness bound; older
+    // matches collapse to the -1 sentinel.
+    "join_asof_tolerance" ->
+      s"""WITH v AS (SELECT user_id, epoch_us(ts) AS t, max(event_id) AS view_id FROM events WHERE event_type = 'view' GROUP BY 1, 2), p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase') SELECT p.event_id, p.user_id, p.t AS ts_us, CASE WHEN v.t IS NOT NULL AND p.t - v.t <= ${graft.operators.Events.AsofTolUs} THEN v.view_id ELSE -1 END AS asof_view_id, CASE WHEN v.t IS NOT NULL AND p.t - v.t <= ${graft.operators.Events.AsofTolUs} THEN v.t ELSE -1 END AS asof_us FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.t ORDER BY event_id""",
     // Forward as-of: DuckDB's native ASOF with the <= comparator picks the
     // smallest order time at-or-after each event.
     "join_asof_fwd" ->

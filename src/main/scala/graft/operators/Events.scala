@@ -364,6 +364,50 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** As-of tolerance: matches older than this are discarded (24 hours). */
+  val AsofTolUs: Long = 24L * 3600 * 1000000L
+
+  /** TOLERANCE-bounded as-of join — the as-of recipe with the staleness
+    * bound every practical point-in-time join carries (pandas
+    * `merge_asof(tolerance=…)`, feature-store PIT lookups): each PURCHASE
+    * matches the most recent VIEW at-or-before it on the same user
+    * timeline ONLY within [[AsofTolUs]]; staler matches return the
+    * no-match sentinel, because yesterday's-before-last browsing should
+    * not be credited with today's purchase (this is the attribution-
+    * window version of [[attribution]]'s unbounded last-touch). Same
+    * union + carry-forward window (one shuffle + one sort per user
+    * timeline); the bound is a pure row-local post-condition on the
+    * carried match, so the scale shape is unchanged. Views pre-dedup to
+    * one per (user, µs) via max(event_id), making ties deterministic on
+    * both engines. */
+  def asofJoinOrdersTolerance(s: SparkSession, d: String,
+      tolUs: Long = AsofTolUs): DataFrame =
+    asofViewToleranceDf(Tables.events(s, d), tolUs)
+
+  /** Same, over any (user_id, event_type, ts_us, event_id) frame. */
+  def asofViewToleranceDf(events: DataFrame, tolUs: Long = AsofTolUs): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us").as("t"))
+      .agg(max("event_id").as("view_id"))
+      .select(col("user_id"), col("t"), lit(null).cast("long").as("event_id"),
+        col("view_id"), lit(0).as("tag"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("t"), col("event_id"),
+        lit(null).cast("long").as("view_id"), lit(1).as("tag"))
+    val w = Window.partitionBy("user_id").orderBy("t", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ok = col("vu") >= 0 && col("t") - col("vu") <= tolUs
+    v.unionByName(p)
+      .withColumn("vid", last("view_id", ignoreNulls = true).over(w))
+      .withColumn("vu",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts_us"),
+        when(ok, col("vid")).otherwise(lit(-1L)).as("asof_view_id"),
+        when(ok, col("vu")).otherwise(lit(-1L)).as("asof_us"))
+      .orderBy("event_id")
+  }
+
   /** Last-touch attribution — the as-of recipe applied to the question
     * marketing analytics actually asks: every PURCHASE event's value is
     * credited to the last non-purchase TOUCH at-or-before it on the same

@@ -153,17 +153,49 @@ object Graph {
     * undirected wedge join hits. Wedges shuffle on the closing pair and
     * hash-join the canonical edge set; per-node counts are one explode +
     * aggregate over triangle rows. */
-  def triangles(s: SparkSession, d: String): DataFrame = {
+  def triangles(s: SparkSession, d: String): DataFrame =
+    trianglesDf(coSupplyEdges(s, d)).withColumnRenamed("node", "s_suppkey")
+      .orderBy("s_suppkey")
+
+  /** The thresholded co-supply edge list (a, b) with a < b — suppliers
+    * filling lines of ≥ [[TriMinShared]] common orders. Pair enumeration
+    * runs WITHIN an order (fan-out bounded by lineitems-per-order, a
+    * schema constant); shared by [[triangles]] and [[componentsQuery]]. */
+  def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
     val os = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
       .distinct()
-    val edges = os.as("x")
+    os.as("x")
       .join(os.as("y"), col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
       .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= TriMinShared)
       .select("a", "b")
-    trianglesDf(edges).withColumnRenamed("node", "s_suppkey")
-      .orderBy("s_suppkey")
+  }
+
+  /** CONNECTED COMPONENTS of the co-supply graph — trading communities:
+    * every supplier labeled with the smallest supplier key reachable
+    * through the thresholded co-supply relation, plus the community size.
+    * Isolated suppliers are their own singleton component (the LEFT join
+    * against the full supplier dim). The fixpoint engine is the dedup
+    * family's [[Dedup.components]] — min-label propagation with pointer
+    * jumping, checkpointed rounds, logarithmic in component diameter —
+    * applied to a second domain: one CC implementation, every consumer.
+    * Hash-matched against a recursive-CTE transitive closure. */
+  def componentsQuery(s: SparkSession, d: String): DataFrame = {
+    val comp = graft.operators.Dedup.components(
+      coSupplyEdges(s, d).select(col("a").as("d1"), col("b").as("d2")))
+    val labeled = supplier(s, d).select(col("s_suppkey"))
+      .join(comp.withColumnRenamed("id", "s_suppkey"), Seq("s_suppkey"), "left")
+      .select(col("s_suppkey"),
+        coalesce(col("label"), col("s_suppkey")).as("component_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = labeled.groupBy("component_id")
+      .agg(count(lit(1)).as("component_size"))
+    graft.functions.Caching.releaseAfterAction(
+      labeled.join(sizes, "component_id")
+        .select(col("s_suppkey"), col("component_id"), col("component_size"))
+        .orderBy("s_suppkey"),
+      labeled, comp)
   }
 
   /** Triangle core over any canonical undirected edge list (a, b) with

@@ -154,6 +154,27 @@ class EventsSpec extends AnyFunSuite {
       ("view", 1L, 300L)))
   }
 
+  test("tolerance as-of: kept within bound, clipped beyond, sentinel without") {
+    val tol = 1000L
+    val events = Seq(
+      // user 1: view at 100, purchase at 500 → within bound, matched
+      (1L, 10L, "view", 100L), (1L, 11L, "purchase", 500L),
+      // user 1: second purchase at 2000 → last view 100 is stale (>1000)
+      (1L, 12L, "purchase", 2000L),
+      // user 2: purchase with no view at all → sentinel
+      (2L, 20L, "purchase", 300L),
+      // user 3: two views at the same µs — max event_id wins the tie
+      (3L, 30L, "view", 50L), (3L, 31L, "view", 50L), (3L, 32L, "purchase", 60L)
+    ).toDF("user_id", "event_id", "event_type", "ts_us")
+    val got = Events.asofViewToleranceDf(events, tol)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (11L, 1L, 500L, 10L, 100L),
+      (12L, 1L, 2000L, -1L, -1L),
+      (20L, 2L, 300L, -1L, -1L),
+      (32L, 3L, 60L, 31L, 50L)))
+  }
+
   test("sliding counts: each event lands in exactly its 4 covering windows") {
     val q = Events.SlideUs // one slide quarter
     val events = Seq(

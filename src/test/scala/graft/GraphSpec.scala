@@ -89,6 +89,25 @@ class GraphSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq === out.map(_._1).sorted.toSeq)
   }
 
+  test("components: every supplier labeled, edges stay within a component, sizes add up") {
+    val out = Graph.componentsQuery(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect() // (s_suppkey, component_id, component_size)
+    val nSuppliers = graft.sources.Tables.supplier(spark, TestSpark.sf).count()
+    assert(out.length.toLong === nSuppliers)
+    // the label is the component's min member key
+    val byComp = out.groupBy(_._2)
+    for ((comp, members) <- byComp) {
+      assert(members.map(_._1).min === comp, s"component $comp label is not its min member")
+      assert(members.forall(_._3 === members.length.toLong), s"size mismatch in $comp")
+    }
+    // co-supply edges never cross components
+    val label = out.map(r => r._1 -> r._2).toMap
+    val edges = Graph.coSupplyEdges(spark, TestSpark.sf).as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (a, b) => label(a) === label(b) },
+      "a co-supply edge crossed a component boundary")
+  }
+
   test("pagerank trade network: keys partition into customers and suppliers, mass sane") {
     val out = Graph.pagerank(spark, TestSpark.sf)
       .as[(Long, String, Long, Long)].collect()

@@ -65,6 +65,7 @@ object SparkEntry {
     "events_attribution" -> ((s, d) => Events.attribution(s, d)),
     "events_retention" -> ((s, d) => Events.retention(s, d)),
     "events_paths" -> ((s, d) => Events.paths(s, d)),
+    "events_experiment" -> ((s, d) => Events.experiment(s, d)),
     "events_anomaly" -> ((s, d) => Events.anomaly(s, d)),
     "events_anomaly_dense" -> ((s, d) => Events.anomalyDense(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "sample_stratified_capped" -> ((s, d) => Pipeline.sampleStratifiedCapped(s, d)),
     "data_shuffle" -> ((s, d) => Pipeline.dataShuffle(s, d)),
     "data_pack_shuffled" -> ((s, d) => Pipeline.packShuffled(s, d)),
+    "ship_manifest" -> ((s, d) => Pipeline.shipManifest(s, d)),
   )
 
   private val Tok = """\b[a-z]+\b""" // RE2 string for DuckDB (ASCII text only)
@@ -634,6 +636,10 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(round(value * 100) AS BIGINT) AS v_c FROM events) SELECT user_id, event_id, ts_us, CAST(sum(v_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c FROM e ORDER BY user_id, ts_us, event_id""",
     "events_tumbling" ->
       """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events) SELECT hour_idx, event_type, count(*) AS cnt FROM e GROUP BY hour_idx, event_type ORDER BY hour_idx, event_type""",
+    // A/B readout: variant by salted user hash (stable under growth),
+    // per-arm users/converters/e4 rate (one pinned integer division).
+    "events_experiment" ->
+      """WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted FROM events GROUP BY user_id), v AS (SELECT CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('exp:' || CAST(user_id AS VARCHAR)) + 1), i -> CAST(ascii(substr('exp:' || CAST(user_id AS VARCHAR), i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 2 = 0 THEN 'control' ELSE 'treatment' END AS variant, converted FROM u) SELECT variant, count(*) AS n_users, CAST(sum(converted) AS BIGINT) AS n_converted, CAST(round(sum(converted) * 10000.0 / count(*)) AS BIGINT) AS rate_e4 FROM v GROUP BY variant ORDER BY variant""",
     // Sliding 1h/15min windows: each event belongs to the 4 windows
     // starting at its slide quarter minus 0..3.
     "events_sliding" ->
@@ -1001,5 +1007,11 @@ object SparkEntry {
     // the two-phase distributed prefix sum over (h, doc_id) ranges.
     "data_pack_shuffled" ->
       s"""WITH ${orderHashCtes("shuf:", "text")}, t AS (SELECT doc_id, hh, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM h), o AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, n_toks, "offset", CAST("offset" // ${Pipeline.SeqLen} AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
+    // End-to-end training manifest: clean gates ∧ train split ∧ not
+    // contaminated, survivors shuffled + packed — the standalone stage
+    // oracles' CTEs composed into one statement (same definitions, so the
+    // manifest cannot disagree with its audit views).
+    "ship_manifest" ->
+      s"""WITH $cleanFlagCtes, toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), shd AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), sps AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s2) + 1), i -> CAST(ascii(substr(s2, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s2 FROM documents))), tsh AS (SELECT DISTINCT s.sh FROM shd s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split = 'test'), shr AS (SELECT s.doc_id, count(*) AS n_shared FROM shd s JOIN sps p ON s.doc_id = p.doc_id JOIN tsh t2 ON s.sh = t2.sh WHERE p.split <> 'test' GROUP BY s.doc_id), kept AS (SELECT d.doc_id FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN surv sv ON d.doc_id = sv.doc_id JOIN sps p ON d.doc_id = p.doc_id LEFT JOIN shr r ON d.doc_id = r.doc_id WHERE sv.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 AND p.split = 'train' AND COALESCE(r.n_shared, 0) = 0), ${orderHashCtes("shuf:", "source")}, kt AS (SELECT h.doc_id, h.hh, s.n_toks FROM h JOIN kept k ON h.doc_id = k.doc_id JOIN s ON h.doc_id = s.doc_id), o AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM kt) SELECT doc_id, n_toks, "offset", CAST("offset" // ${Pipeline.SeqLen} AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
   )
 }

@@ -408,6 +408,34 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** A/B EXPERIMENT READOUT — deterministic variant assignment by salted
+    * user hash (the same stable-bucketing recipe as [[Pipeline.dataSplit]]:
+    * a user's arm never flips as traffic grows, and re-runs reproduce the
+    * split exactly), then per-arm conversion: users, converters (≥ 1
+    * purchase), and the e4 conversion rate — one integer division's float
+    * tail, pinned. Shape: one user-level aggregate (purchase flag via
+    * max), then a 2-row arm rollup — the per-user aggregate shuffles once
+    * on user_id, the rollup is map-side combined into 2 groups. */
+  def experiment(s: SparkSession, d: String): DataFrame =
+    experimentDf(Tables.events(s, d))
+
+  /** Same, over any (user_id, event_type) frame (planted-assignment tests). */
+  def experimentDf(events: DataFrame): DataFrame = {
+    import graft.functions.Fns.polyHash
+    val users = events
+      .groupBy("user_id")
+      .agg(max((col("event_type") === "purchase").cast("long")).as("converted"))
+      .withColumn("variant",
+        when(pmod(polyHash(concat(lit("exp:"), col("user_id").cast("string"))),
+          lit(2L)) === 0L, lit("control")).otherwise(lit("treatment")))
+    users.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("converted").as("n_converted"))
+      .select(col("variant"), col("n_users"), col("n_converted"),
+        round(col("n_converted") * lit(10000.0) / col("n_users")).cast("long")
+          .as("rate_e4"))
+      .orderBy("variant")
+  }
+
   /** Last-touch attribution — the as-of recipe applied to the question
     * marketing analytics actually asks: every PURCHASE event's value is
     * credited to the last non-purchase TOUCH at-or-before it on the same

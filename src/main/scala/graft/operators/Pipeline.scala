@@ -893,6 +893,28 @@ object Pipeline {
       base)
   }
 
+  /** END-TO-END TRAINING MANIFEST — the whole prep DAG as ONE declarative
+    * query: clean gates ([[cleanCorpus]]: exact-dedup survivor ∧ quality ∧
+    * language match) ∧ train split ∧ not contaminated ([[decontaminate]]'s
+    * eval-shingle broadcast probe), then the survivors SHUFFLED into
+    * training order and PACKED ([[packShuffledDf]]'s two-phase prefix sum
+    * over the salted-hash order). This is what a user hands to a trainer:
+    * (doc_id, n_toks, offset, seq_id) for exactly the documents that
+    * survive every gate, reproducible bit-for-bit — and because every
+    * stage is the SAME operator the standalone queries run, the manifest
+    * can never disagree with its per-stage audit views. Catalyst sees the
+    * whole DAG as one plan: gate filters push into the scans, the two id
+    * joins are the only pre-pack shuffles beyond each stage's own. */
+  def shipManifest(s: SparkSession, d: String): DataFrame = {
+    val cleanKeep = cleanCorpus(s, d).filter(col("keep") === 1).select("doc_id")
+    val deconOk = decontaminate(s, d)
+      .filter(col("split") === "train" && col("contaminated") === 0L)
+      .select("doc_id")
+    packShuffledDf(
+      Tables.documents(s, d).join(cleanKeep, "doc_id").join(deconOk, "doc_id")
+        .select("doc_id", "text"))
+  }
+
   /** GLOBAL packing in the SHUFFLED training order — the step that actually
     * follows [[dataShuffle]] in a training pipeline: concat-and-chunk
     * offsets accumulate over the salted-hash order instead of crawl/doc_id

@@ -154,6 +154,35 @@ class EventsSpec extends AnyFunSuite {
       ("view", 1L, 300L)))
   }
 
+  test("experiment: deterministic arms, conversion counted once per user") {
+    import graft.functions.Fns.polyHash
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    val events = Seq(
+      (1L, "view"), (1L, "purchase"), (1L, "purchase"), // converts once
+      (2L, "view"), (2L, "click"),                      // does not convert
+      (3L, "purchase"),                                 // converts
+      (4L, "view")                                      // does not convert
+    ).toDF("user_id", "event_type")
+    val got = Events.experimentDf(events)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // recompute arms with the same hash to stay robust to the split
+    val arms = Seq(1L, 2L, 3L, 4L).toDF("user_id")
+      .select(col("user_id"),
+        pmod(polyHash(concat(lit("exp:"), col("user_id").cast("string"))), lit(2L))
+          .as("arm"))
+      .as[(Long, Long)].collect().toMap
+    val conv = Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L)
+    def expect(arm: Long, name: String) = {
+      val us = arms.filter(_._2 == arm).keys.toSeq
+      if (us.isEmpty) None
+      else Some((name, us.size.toLong, us.map(conv).sum,
+        math.round(us.map(conv).sum * 10000.0 / us.size)))
+    }
+    assert(got === Seq(expect(0L, "control"), expect(1L, "treatment")).flatten)
+    // totals: 4 users, 2 conversions across both arms
+    assert(got.map(_._2).sum === 4L && got.map(_._3).sum === 2L)
+  }
+
   test("tolerance as-of: kept within bound, clipped beyond, sentinel without") {
     val tol = 1000L
     val events = Seq(

@@ -624,4 +624,32 @@ class PipelineSpec extends AnyFunSuite {
     // and both operators saw the same doc set
     assert(packed.length === order.length)
   }
+
+  test("ship_manifest: exactly the all-gates survivors, packed in shuffle order") {
+    import org.apache.spark.sql.functions.col
+    val manifest = Pipeline.shipManifest(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect() // (doc_id, n_toks, offset, seq_id)
+    // kept set = intersection of the standalone stage audit views
+    val cleanKeep = Pipeline.cleanCorpus(spark, TestSpark.sf)
+      .filter(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    val deconOk = Pipeline.decontaminate(spark, TestSpark.sf)
+      .filter(col("split") === "train" && col("contaminated") === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val expectedIds = cleanKeep intersect deconOk
+    assert(manifest.map(_._1).toSet === expectedIds)
+    assert(manifest.nonEmpty && manifest.length < cleanKeep.size,
+      "gates must actually drop something for this test to bite")
+    // offsets are the running token totals in the shuffle order of the
+    // kept docs (data_shuffle's order restricted to the manifest)
+    val shuffleOrder = Pipeline.dataShuffleDf(
+        graft.sources.Tables.documents(spark, TestSpark.sf))
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(r => expectedIds(r._1)).sortBy(_._3).map(_._1)
+    val byDoc = manifest.map(m => m._1 -> m).toMap
+    var acc = 0L
+    for (id <- shuffleOrder) {
+      assert(byDoc(id)._3 === acc, s"manifest offset for $id drifted")
+      acc += byDoc(id)._2
+    }
+  }
 }

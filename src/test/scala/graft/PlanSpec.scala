@@ -194,6 +194,45 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("text_bm25: the query-term table broadcasts into the posting join") {
+    val df = SparkEntry.queries("text_bm25")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    df.count()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 8-term query table must broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the shared tf frame is no longer persisted:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("data_shuffle / data_pack_shuffled: partition bases broadcast, no global window") {
+    for (q <- Seq("data_shuffle", "data_pack_shuffled")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString
+      df.count()
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: the per-partition base table must broadcast:\n${plan.take(2000)}")
+      // the rank/prefix window partitions by pid — a corpus-wide window
+      // would show a single-partition exchange
+      assert(!plan.contains("SinglePartition"),
+        s"$q funnels through a single partition:\n${plan.take(2000)}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("media_phash_pairs / sim_knn_graph: band self-joins stay equi-joins on cached keys") {
+    for (q <- Seq("media_phash_pairs", "sim_knn_graph")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString
+      df.count()
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate generation degenerated to a product join:\n${plan.take(2000)}")
+      assert(plan.contains("InMemoryTableScan"),
+        s"$q: the shared key/fingerprint frame is no longer persisted:\n${plan.take(2000)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("contract-wide sweep: no query plans a CartesianProduct") {
     // Every cross join in the library carries a broadcast-sized side (one-row
     // cut points, centroid tables, query sets) and must plan as

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Events, Graph, Pipeline, Relational, Similarity, TextAnalytics}
+import graft.operators.{DataQuality, Dedup, Events, Graph, Pipeline, Relational, Similarity, TextAnalytics}
 import graft.multimodal.Media
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -52,6 +52,10 @@ object SparkEntry {
     "agg_quantiles" -> ((s, d) => Relational.aggQuantiles(s, d)),
     "agg_quantiles_approx" -> ((s, d) => Relational.aggQuantilesApprox(s, d)),
     "agg_grouping_sets" -> ((s, d) => Relational.aggGroupingSets(s, d)),
+    "agg_correlation" -> ((s, d) => DataQuality.correlation(s, d)),
+    // — data quality / validation —
+    "data_profile" -> ((s, d) => DataQuality.profile(s, d)),
+    "data_expectations" -> ((s, d) => DataQuality.expectations(s, d)),
     // — windows & events —
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "window_suite" -> ((s, d) => Relational.windowSuite(s, d)),
@@ -779,6 +783,24 @@ object SparkEntry {
       s"""WITH c AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), cuts AS (SELECT CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_toks) AS BIGINT) AS lo, CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_toks) AS BIGINT) AS hi FROM c) SELECT doc_id, n_toks, lo, hi, CAST(CASE WHEN n_toks >= lo AND n_toks <= hi THEN 1 ELSE 0 END AS BIGINT) AS keep FROM c, cuts ORDER BY doc_id""",
     "agg_grouping_sets" ->
       """SELECT CAST(grouping(o_orderstatus) AS BIGINT) AS g_s, CAST(grouping(o_orderpriority) AS BIGINT) AS g_p, o_orderstatus, o_orderpriority, count(*) AS cnt, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority)) ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    // Per-group Pearson correlation: integer-cent moments in HUGEINT (the
+    // Decimal(38,0) twin), then the pinned tail — numerator and the two
+    // variance terms cast to double, two IEEE sqrts, one divide, e4 round.
+    "agg_correlation" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sx, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy, sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy, sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx, sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, n, CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0 ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 10000) END AS BIGINT) AS corr_e4 FROM m ORDER BY l_returnflag""",
+    // Column profiles: one 1-row aggregate per profiled column, unioned;
+    // min/max cast to string for the uniform report schema (integer and
+    // varchar columns only — doubles stay out by rule R2).
+    "data_profile" -> {
+      def prof(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, count(DISTINCT $c) AS n_distinct, CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v FROM documents"""
+      Seq("doc_id", "lang", "source", "n_chars").map(prof)
+        .mkString("SELECT * FROM (", " UNION ALL ", """) ORDER BY "column"""")
+    },
+    // Expectation battery: PK uniqueness, FK anti-joins, null rates,
+    // domain constraints — one row per check with the violation count.
+    "data_expectations" ->
+      """WITH pk AS (SELECT CAST(COALESCE(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS violations FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)), fko AS (SELECT count(*) AS violations FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)), fkl AS (SELECT count(*) AS violations FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)), nc AS (SELECT CAST(COALESCE(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations FROM customer), rd AS (SELECT CAST(COALESCE(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations FROM lineitem), rq AS (SELECT CAST(COALESCE(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations FROM lineitem), eo AS (SELECT CAST(COALESCE(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations FROM orders), u AS (SELECT 'pk_orders_unique' AS "check", violations FROM pk UNION ALL SELECT 'fk_orders_customer', violations FROM fko UNION ALL SELECT 'fk_lineitem_orders', violations FROM fkl UNION ALL SELECT 'null_customer_name', violations FROM nc UNION ALL SELECT 'range_discount_0_1', violations FROM rd UNION ALL SELECT 'range_quantity_pos', violations FROM rq UNION ALL SELECT 'enum_orderstatus', violations FROM eo) SELECT "check", violations, CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass FROM u ORDER BY "check"""",
     // Log-free TF-IDF twin: tf·N/df — rule-R2-clean (no libm ln), so unlike
     // text_tfidf this weighting is hash-checked end to end.
     "text_tfidf_linear" ->

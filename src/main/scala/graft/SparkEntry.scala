@@ -132,6 +132,7 @@ object SparkEntry {
     "sim_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     "sim_ivfpq_index" -> ((s, d) => Similarity.ivfPqTrainedCodes(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "embedding_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.ppmFeaturesQuery(s, d)),
@@ -290,6 +291,16 @@ object SparkEntry {
   // connected-components clustering both build on `jpairs`.
   private val NgramCtes =
     s"""toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id)"""
+
+  // Shared trained-coarse-quantizer CTEs (two unrolled Lloyd iterations in
+  // the e6 integer domain, emptied cells carry forward) — ends with
+  // nn(vec_id, v, nrm) and c2n(cell_id, cv, cnrm). sim_ivf_trained and
+  // embedding_kmeans train identically by construction.
+  private val IvfTrainedCtes: String = {
+    def iter(i: Int, prev: Int) =
+      s"""a$i AS (SELECT vec_id, cell_id FROM (SELECT nn.vec_id, c.cell_id, row_number() OVER (PARTITION BY nn.vec_id ORDER BY CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM nn, c${prev}n c) WHERE rn = 1), m$i AS (SELECT a.cell_id, t.k, CAST(round(CAST(sum(e.ve6[t.k]) AS DOUBLE) / count(*)) AS BIGINT) AS comp FROM a$i a JOIN e6 e ON a.vec_id = e.vec_id, range(1, 65) t(k) GROUP BY a.cell_id, t.k), c$i AS (SELECT cell_id, list_transform(list(comp ORDER BY k), x -> CAST(x AS DOUBLE)) AS cv FROM m$i GROUP BY cell_id), c${i}f AS (SELECT p.cell_id, COALESCE(u.cv, p.cv) AS cv FROM c${prev}f p LEFT JOIN c$i u ON p.cell_id = u.cell_id), c${i}n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c${i}f)"""
+    s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), e6 AS (SELECT vec_id, v, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS ve6 FROM n), nn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM n), c0f AS (SELECT vec_id AS cell_id, list_transform(ve6, x -> CAST(x AS DOUBLE)) AS cv FROM e6 WHERE vec_id < 16), c0n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c0f), ${iter(1, 0)}, ${iter(2, 1)}"""
+  }
 
   // Shared perceptual-hash CTEs: rebuild each P6 raster's grayscale from
   // the cyclic text bytes (the multimodal_features reconstruction), box-
@@ -603,11 +614,13 @@ object SparkEntry {
     // are used directly; every ordering decision is e4-rounded with cell/id
     // ties — so even the TRAINED ANN path hash-matches. Cells that lose all
     // members keep their previous centroid (the COALESCE).
-    "sim_ivf_trained" -> {
-      def iter(i: Int, prev: Int) =
-        s"""a$i AS (SELECT vec_id, cell_id FROM (SELECT nn.vec_id, c.cell_id, row_number() OVER (PARTITION BY nn.vec_id ORDER BY CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM nn, c${prev}n c) WHERE rn = 1), m$i AS (SELECT a.cell_id, t.k, CAST(round(CAST(sum(e.ve6[t.k]) AS DOUBLE) / count(*)) AS BIGINT) AS comp FROM a$i a JOIN e6 e ON a.vec_id = e.vec_id, range(1, 65) t(k) GROUP BY a.cell_id, t.k), c$i AS (SELECT cell_id, list_transform(list(comp ORDER BY k), x -> CAST(x AS DOUBLE)) AS cv FROM m$i GROUP BY cell_id), c${i}f AS (SELECT p.cell_id, COALESCE(u.cv, p.cv) AS cv FROM c${prev}f p LEFT JOIN c$i u ON p.cell_id = u.cell_id), c${i}n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c${i}f)"""
-      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), e6 AS (SELECT vec_id, v, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS ve6 FROM n), nn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM n), c0f AS (SELECT vec_id AS cell_id, list_transform(ve6, x -> CAST(x AS DOUBLE)) AS cv FROM e6 WHERE vec_id < 16), c0n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c0f), ${iter(1, 0)}, ${iter(2, 1)}, af AS (SELECT vec_id, cell_id FROM (SELECT nn.vec_id, c.cell_id, row_number() OVER (PARTITION BY nn.vec_id ORDER BY CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM nn, c2n c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nn WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, c2n c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN af a ON p.cell_id = a.cell_id), sc AS (SELECT cd.qid, cd.cid, CAST(round(list_inner_product(x.v, y.qv) / (x.nrm * y.qn) * 10000) AS BIGINT) AS sim_e4 FROM cand cd JOIN nn x ON cd.cid = x.vec_id JOIN q y ON cd.qid = y.qid), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM sc) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""
-    },
+    "sim_ivf_trained" ->
+      s"""WITH $IvfTrainedCtes, af AS (SELECT vec_id, cell_id FROM (SELECT nn.vec_id, c.cell_id, row_number() OVER (PARTITION BY nn.vec_id ORDER BY CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM nn, c2n c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nn WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, c2n c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN af a ON p.cell_id = a.cell_id), sc AS (SELECT cd.qid, cd.cid, CAST(round(list_inner_product(x.v, y.qv) / (x.nrm * y.qn) * 10000) AS BIGINT) AS sim_e4 FROM cand cd JOIN nn x ON cd.cid = x.vec_id JOIN q y ON cd.qid = y.qid), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM sc) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    // Full k-means clustering product: the IvfTrainedCtes training chain,
+    // then one assignment pass KEEPING the winning e4 cosine, plus the
+    // cluster-size rollup.
+    "embedding_kmeans" ->
+      s"""WITH $IvfTrainedCtes, asg AS (SELECT vec_id, cell_id AS cluster_id, sim_e4 FROM (SELECT nn.vec_id, c.cell_id, CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY nn.vec_id ORDER BY CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM nn, c2n c) WHERE rn = 1), sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY cluster_id) SELECT a.vec_id, a.cluster_id, a.sim_e4, sz.cluster_size FROM asg a JOIN sz ON a.cluster_id = sz.cluster_id ORDER BY a.vec_id""",
     "dedup_simhash" ->
       s"""$SimhashCtes SELECT doc_id, simhash FROM fpall ORDER BY doc_id""",
     "dedup_simhash_pairs" ->

@@ -156,12 +156,18 @@ object Similarity {
     * argmax is a map-side-combining min over (−sim, cell) struct pairs,
     * not a window sort (same plan shape as the trained-PQ encode). */
   private def assignCells(c: DataFrame, cents: DataFrame): DataFrame =
+    assignCellsSim(c, cents).select("vec_id", "cell_id")
+
+  /** [[assignCells]] keeping the winning e4 cosine — the form the full
+    * clustering product emits. */
+  private def assignCellsSim(c: DataFrame, cents: DataFrame): DataFrame =
     c.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell_id"),
         e4(dotD(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim_e4"))
       .groupBy("vec_id")
-      .agg(min(struct(negate(col("csim_e4")), col("cell_id"))).as("mn"))
-      .select(col("vec_id"), col("mn.cell_id").as("cell_id"))
+      .agg(min(struct(negate(col("csim_e4")).as("ns"), col("cell_id").as("cell_id"))).as("mn"))
+      .select(col("vec_id"), col("mn.cell_id").as("cell_id"),
+        negate(col("mn.ns")).as("sim_e4"))
 
   /** Probe the nProbe nearest cells per query, exact-score only vectors in
     * probed cells, rank. Shared by the stub-quantizer and trained IVF. */
@@ -212,6 +218,16 @@ object Similarity {
   def ivfTrainedTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       nCells: Int = IvfCells, nProbe: Int = IvfProbe,
       iters: Int = IvfKmeansIters): DataFrame = {
+    val (c, trained) = trainCoarse(s, d, nCells, iters)
+    graft.functions.Caching.releaseAfterAction(
+      probeAndScore(c, trained, assignCells(c, trained), nQueries, k, nProbe), c)
+  }
+
+  /** The deterministic coarse k-means loop shared by [[ivfTrainedTopK]]
+    * and [[kmeansClusters]]: returns the PERSISTED normed corpus (caller
+    * releases after its terminal action) and the trained centroid frame. */
+  private def trainCoarse(s: SparkSession, d: String, nCells: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     // e6 fixed-point corpus for the exact-integer centroid sums.
@@ -240,10 +256,35 @@ object Similarity {
       }.toMap
       cents = cents.map { case (cell, prev) => (cell, updated.getOrElse(cell, prev)) }
     }
-    val trained = centsDf(cents)
+    ce6.unpersist(false)
+    (c, centsDf(cents))
+  }
+
+  /** FULL K-MEANS CLUSTERING as a product — the per-vector assignment
+    * table [[ivfTrainedTopK]]'s quantizer only uses internally: every
+    * vector labeled with its trained cluster, its e4 cosine to the
+    * centroid (the cartography "confidence" column), and the cluster
+    * size. This is the dataset-map / semantic-bucketing surface
+    * (cluster-balanced sampling, per-cluster inspection, SemDeDup's
+    * within-cluster stage) — train once, emit the whole assignment.
+    *
+    * Scale shape: the training loop is the shared [[trainCoarse]]
+    * (broadcast centroids → one corpus pass → per-cell aggregate per
+    * round; driver holds nCells × Dim integers); the final assignment is
+    * one more broadcast-centroid pass (map-side argmax aggregate, no
+    * window), sizes are a cluster-count aggregate broadcast back. */
+  def kmeansClusters(s: SparkSession, d: String, nCells: Int = IvfCells,
+      iters: Int = IvfKmeansIters): DataFrame = {
+    val (c, trained) = trainCoarse(s, d, nCells, iters)
+    val asgn = assignCellsSim(c, trained)
+      .select(col("vec_id"), col("cell_id").as("cluster_id"), col("sim_e4"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = asgn.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     graft.functions.Caching.releaseAfterAction(
-      probeAndScore(c, trained, assignCells(c, trained), nQueries, k, nProbe),
-      c, ce6)
+      asgn.join(broadcast(sizes), "cluster_id")
+        .select(col("vec_id"), col("cluster_id"), col("sim_e4"), col("cluster_size"))
+        .orderBy("vec_id"),
+      c, asgn)
   }
 
   // PQ parameters: M subspaces of SubDim dims each, K centroids per

@@ -133,6 +133,7 @@ object SparkEntry {
     "sim_ivfpq_index" -> ((s, d) => Similarity.ivfPqTrainedCodes(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "embedding_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
+    "sample_cluster_balanced" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.ppmFeaturesQuery(s, d)),
@@ -301,6 +302,12 @@ object SparkEntry {
       s"""a$i AS (SELECT vec_id, cell_id FROM (SELECT nn.vec_id, c.cell_id, row_number() OVER (PARTITION BY nn.vec_id ORDER BY CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM nn, c${prev}n c) WHERE rn = 1), m$i AS (SELECT a.cell_id, t.k, CAST(round(CAST(sum(e.ve6[t.k]) AS DOUBLE) / count(*)) AS BIGINT) AS comp FROM a$i a JOIN e6 e ON a.vec_id = e.vec_id, range(1, 65) t(k) GROUP BY a.cell_id, t.k), c$i AS (SELECT cell_id, list_transform(list(comp ORDER BY k), x -> CAST(x AS DOUBLE)) AS cv FROM m$i GROUP BY cell_id), c${i}f AS (SELECT p.cell_id, COALESCE(u.cv, p.cv) AS cv FROM c${prev}f p LEFT JOIN c$i u ON p.cell_id = u.cell_id), c${i}n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c${i}f)"""
     s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), e6 AS (SELECT vec_id, v, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS ve6 FROM n), nn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM n), c0f AS (SELECT vec_id AS cell_id, list_transform(ve6, x -> CAST(x AS DOUBLE)) AS cv FROM e6 WHERE vec_id < 16), c0n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c0f), ${iter(1, 0)}, ${iter(2, 1)}"""
   }
+
+  // The kmeans assignment CTE (winning cluster + e4 cosine per vector) on
+  // top of IvfTrainedCtes — shared by embedding_kmeans and the
+  // cluster-balanced sampler.
+  private val KmeansAsgCte =
+    """asg AS (SELECT vec_id, cell_id AS cluster_id, sim_e4 FROM (SELECT nn.vec_id, c.cell_id, CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY nn.vec_id ORDER BY CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM nn, c2n c) WHERE rn = 1)"""
 
   // Shared perceptual-hash CTEs: rebuild each P6 raster's grayscale from
   // the cyclic text bytes (the multimodal_features reconstruction), box-
@@ -620,7 +627,11 @@ object SparkEntry {
     // then one assignment pass KEEPING the winning e4 cosine, plus the
     // cluster-size rollup.
     "embedding_kmeans" ->
-      s"""WITH $IvfTrainedCtes, asg AS (SELECT vec_id, cell_id AS cluster_id, sim_e4 FROM (SELECT nn.vec_id, c.cell_id, CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY nn.vec_id ORDER BY CAST(round(list_inner_product(nn.v, c.cv) / (nn.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM nn, c2n c) WHERE rn = 1), sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY cluster_id) SELECT a.vec_id, a.cluster_id, a.sim_e4, sz.cluster_size FROM asg a JOIN sz ON a.cluster_id = sz.cluster_id ORDER BY a.vec_id""",
+      s"""WITH $IvfTrainedCtes, $KmeansAsgCte, sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY cluster_id) SELECT a.vec_id, a.cluster_id, a.sim_e4, sz.cluster_size FROM asg a JOIN sz ON a.cluster_id = sz.cluster_id ORDER BY a.vec_id""",
+    // Cluster-balanced sampling: the kmeans assignment + the mix32 salted
+    // hash order (salt cbal:) ranked per cluster, kept = rn <= cap.
+    "sample_cluster_balanced" ->
+      s"""WITH $IvfTrainedCtes, $KmeansAsgCte, p0 AS (SELECT vec_id, cluster_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s2) + 1), i -> CAST(ascii(substr(s2, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h0 FROM (SELECT vec_id, cluster_id, 'cbal:' || CAST(vec_id AS VARCHAR) AS s2 FROM asg)), p1 AS (SELECT vec_id, cluster_id, (xor(h0 >> 16, h0) * 73244475) & 4294967295 AS x1 FROM p0), p2 AS (SELECT vec_id, cluster_id, (xor(x1 >> 16, x1) * 73244475) & 4294967295 AS x2 FROM p1), hh AS (SELECT vec_id, cluster_id, xor(x2 >> 16, x2) % 1000000007 AS hv FROM p2), r AS (SELECT vec_id, cluster_id, CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY hv, vec_id) AS BIGINT) AS rn FROM hh) SELECT vec_id, cluster_id, rn, CAST(CASE WHEN rn <= ${graft.operators.Similarity.ClusterCap} THEN 1 ELSE 0 END AS BIGINT) AS kept FROM r ORDER BY vec_id""",
     "dedup_simhash" ->
       s"""$SimhashCtes SELECT doc_id, simhash FROM fpall ORDER BY doc_id""",
     "dedup_simhash_pairs" ->

@@ -287,6 +287,38 @@ object Similarity {
       c, asgn)
   }
 
+  /** Per-cluster cap for the cluster-balanced sample. */
+  val ClusterCap = 20L
+
+  /** CLUSTER-BALANCED SAMPLING — the curation step the k-means product
+    * exists for: cap each semantic cluster at [[ClusterCap]] members so
+    * over-represented modes (boilerplate clusters, template farms) stop
+    * dominating the sample — the embedding-space analog of the
+    * per-language stratified sampler, with the SAME deterministic
+    * salted-hash order (salt "cbal:", mix32-avalanched) and the same
+    * audit contract: every vector emitted with its cluster, rank, and
+    * kept flag. Composes [[trainCoarse]] + one assignment pass + one
+    * rank window on the cluster key; the hash-threshold pre-filter
+    * scale path applies verbatim when clusters outgrow the window
+    * (see `sample_stratified_capped`). */
+  def clusterBalancedSample(s: SparkSession, d: String,
+      cap: Long = ClusterCap, nCells: Int = IvfCells,
+      iters: Int = IvfKmeansIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (c, trained) = trainCoarse(s, d, nCells, iters)
+    val h = pmod(graft.functions.Fns.mix32(graft.functions.Fns.polyHash(
+      concat(lit("cbal:"), col("vec_id").cast("string")))), lit(1000000007L))
+    val w = Window.partitionBy("cluster_id").orderBy(col("h"), col("vec_id"))
+    graft.functions.Caching.releaseAfterAction(
+      assignCellsSim(c, trained)
+        .select(col("vec_id"), col("cell_id").as("cluster_id"), h.as("h"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("vec_id"), col("cluster_id"), col("rn"),
+          (col("rn") <= cap).cast("long").as("kept"))
+        .orderBy("vec_id"),
+      c)
+  }
+
   // PQ parameters: M subspaces of SubDim dims each, K centroids per
   // subspace. 8×16 → codes are 8 small ints per vector: a 16× memory
   // compression of the 64-double corpus, the property that lets

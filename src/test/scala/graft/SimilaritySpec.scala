@@ -223,6 +223,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(r => r._3 >= -10000L && r._3 <= 10001L))
   }
 
+  test("cluster-balanced sample: caps bite per cluster, consistent with kmeans") {
+    val sample = Similarity.clusterBalancedSample(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect() // (vec_id, cluster_id, rn, kept)
+    val clusters = Similarity.kmeansClusters(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(sample.length === clusters.size)
+    assert(sample.forall(r => clusters(r._1) === r._2),
+      "sampler and kmeans product disagree on a cluster assignment")
+    for ((_, members) <- sample.groupBy(_._2)) {
+      val kept = members.count(_._4 === 1L)
+      assert(kept === math.min(Similarity.ClusterCap, members.length.toLong),
+        "kept count is not min(cap, cluster size)")
+      assert(members.map(_._3).sorted.toSeq === (1L to members.length))
+    }
+    // the cap must actually bite somewhere for the test to mean anything
+    assert(sample.exists(_._4 === 0L), "no cluster exceeded the cap — vacuous")
+  }
+
   test("knn graph: no self-edges, ranked per src, consistent with the query-side LSH") {
     val g = Similarity.knnGraph(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long)].collect() // (src, dst, sim_e4, rn)

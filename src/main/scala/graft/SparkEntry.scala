@@ -303,6 +303,13 @@ object SparkEntry {
     s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), e6 AS (SELECT vec_id, v, list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS ve6 FROM n), nn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM n), c0f AS (SELECT vec_id AS cell_id, list_transform(ve6, x -> CAST(x AS DOUBLE)) AS cv FROM e6 WHERE vec_id < 16), c0n AS (SELECT cell_id, cv, sqrt(list_inner_product(cv, cv)) AS cnrm FROM c0f), ${iter(1, 0)}, ${iter(2, 1)}"""
   }
 
+  // Shared budget-thresholded co-supply edge CTEs: per-order supplier
+  // pairs with shared-order counts, then the smallest count threshold
+  // whose ≥-cumulative edge total fits 25·n (the Graph.coSupplyEdges
+  // twin). Ends with edges(a, b), a < b.
+  private val CoSupplyCtes =
+    s"""os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), e0 AS (SELECT x.sk AS a, y.sk AS b, count(*) AS cnt FROM os x JOIN os y ON x.o = y.o AND x.sk < y.sk GROUP BY 1, 2), hst AS (SELECT cnt, count(*) AS m FROM e0 GROUP BY cnt), cum AS (SELECT cnt, CAST(sum(m) OVER (ORDER BY cnt DESC) AS BIGINT) AS ge FROM hst), nsup AS (SELECT count(DISTINCT sk) AS n FROM os), thr AS (SELECT COALESCE(min(cnt), 9223372036854775807) AS t FROM cum CROSS JOIN nsup WHERE ge <= ${graft.operators.Graph.TriEdgesPerNode} * n), edges AS (SELECT a, b FROM e0 CROSS JOIN thr WHERE cnt >= t)"""
+
   // The kmeans assignment CTE (winning cluster + e4 cosine per vector) on
   // top of IvfTrainedCtes — shared by embedding_kmeans and the
   // cluster-balanced sampler.
@@ -514,18 +521,19 @@ object SparkEntry {
     // deterministic on both engines).
     "graph_pagerank" ->
       s"""WITH ${pagerankCtes(graft.operators.Graph.PrIters)} SELECT node_id, CASE WHEN node_id % 2 = 0 THEN 'c' ELSE 's' END AS kind, node_id // 2 AS key, r AS rank_e12 FROM r${graft.operators.Graph.PrIters} ORDER BY node_id""",
-    // Triangle counting on the thresholded co-supply graph: canonical
-    // a<b edges, degree-ordered orientation (u→w from the lower
+    // Triangle counting on the budget-thresholded co-supply graph:
+    // canonical a<b edges kept up to 25·n by the shared-count histogram
+    // threshold, degree-ordered orientation (u→w from the lower
     // (degree, key) endpoint — ties keep u=a since a<b), wedges over
     // ordered out-neighbor pairs closed against the canonical edge set.
     "graph_triangles" ->
-      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), e0 AS (SELECT x.sk AS a, y.sk AS b, count(*) AS cnt FROM os x JOIN os y ON x.o = y.o AND x.sk < y.sk GROUP BY 1, 2), edges AS (SELECT a, b FROM e0 WHERE cnt >= ${graft.operators.Graph.TriMinShared}), deg AS (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) GROUP BY v), o AS (SELECT CASE WHEN da.dg <= db.dg THEN e.a ELSE e.b END AS u, CASE WHEN da.dg <= db.dg THEN e.b ELSE e.a END AS w FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v), tri AS (SELECT e1.u AS u, e1.w AS v, e2.w AS x FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.w < e2.w JOIN edges c ON c.a = e1.w AND c.b = e2.w), nodes AS (SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri UNION ALL SELECT x AS n FROM tri) SELECT n AS s_suppkey, count(*) AS n_tri FROM nodes GROUP BY n ORDER BY s_suppkey""",
+      s"""WITH $CoSupplyCtes, deg AS (SELECT v, count(*) AS dg FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges) GROUP BY v), o AS (SELECT CASE WHEN da.dg <= db.dg THEN e.a ELSE e.b END AS u, CASE WHEN da.dg <= db.dg THEN e.b ELSE e.a END AS w FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v), tri AS (SELECT e1.u AS u, e1.w AS v, e2.w AS x FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.w < e2.w JOIN edges c ON c.a = e1.w AND c.b = e2.w), nodes AS (SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri UNION ALL SELECT x AS n FROM tri) SELECT n AS s_suppkey, count(*) AS n_tri FROM nodes GROUP BY n ORDER BY s_suppkey""",
     // Connected components of the co-supply graph: the same recursive-CTE
     // transitive closure the dedup cluster oracles use, over the
     // thresholded co-supply edges, joined back to the full supplier dim so
     // isolated suppliers appear as singleton components.
     "graph_components" ->
-      s"""WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), e0 AS (SELECT x.sk AS a, y.sk AS b, count(*) AS cnt FROM os x JOIN os y ON x.o = y.o AND x.sk < y.sk GROUP BY 1, 2), edges0 AS (SELECT a, b FROM e0 WHERE cnt >= ${graft.operators.Graph.TriMinShared}), edges AS (SELECT a, b FROM edges0 UNION ALL SELECT b AS a, a AS b FROM edges0), reach AS (SELECT a, b FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a), lab AS (SELECT s.s_suppkey, CAST(CASE WHEN m.m IS NOT NULL AND m.m < s.s_suppkey THEN m.m ELSE s.s_suppkey END AS BIGINT) AS component_id FROM supplier s LEFT JOIN mn m ON s.s_suppkey = m.a), sz AS (SELECT component_id, count(*) AS component_size FROM lab GROUP BY component_id) SELECT l.s_suppkey, l.component_id, sz.component_size FROM lab l JOIN sz ON l.component_id = sz.component_id ORDER BY l.s_suppkey""",
+      s"""WITH RECURSIVE $CoSupplyCtes, bedges AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), reach AS (SELECT a, b FROM bedges UNION SELECT r.a, e.b FROM reach r JOIN bedges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a), lab AS (SELECT s.s_suppkey, CAST(CASE WHEN m.m IS NOT NULL AND m.m < s.s_suppkey THEN m.m ELSE s.s_suppkey END AS BIGINT) AS component_id FROM supplier s LEFT JOIN mn m ON s.s_suppkey = m.a), sz AS (SELECT component_id, count(*) AS component_size FROM lab GROUP BY component_id) SELECT l.s_suppkey, l.component_id, sz.component_size FROM lab l JOIN sz ON l.component_id = sz.component_id ORDER BY l.s_suppkey""",
     "dedup_minhash" ->
       s"""$MinhashCtes SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""",
     "dedup_minhash_pairs" ->

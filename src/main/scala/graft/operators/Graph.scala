@@ -132,9 +132,16 @@ object Graph {
     (graft.functions.Caching.releaseAfterAction(ranks, ranks), rounds)
   }
 
-  /** Minimum shared orders for a co-supply edge (sparsifies the graph the
-    * way production co-occurrence graphs threshold raw counts). */
-  val TriMinShared = 2L
+  /** Edge budget per node for the co-supply graph: the construction keeps
+    * at most [[TriEdgesPerNode]]·n edges by raising the shared-order
+    * threshold — co-occurrence graphs DENSIFY as a corpus grows (at
+    * sf0.1 every supplier pair shares ≥ 1 order and the raw graph is 69 %
+    * complete: 344 K edges, 76 M wedges), so a FIXED threshold is wrong
+    * at every scale but one. Budgeting by average degree is the standard
+    * production sparsification (keep the strongest edges), keeps wedge
+    * work near-scale-invariant, and stays deterministic: the threshold
+    * is a pure function of the shared-count histogram. */
+  val TriEdgesPerNode = 25L
 
   /** TRIANGLE COUNTING over the co-supply graph — the local-clustering
     * signal community detection and spam/fraud pipelines compute first.
@@ -157,19 +164,40 @@ object Graph {
     trianglesDf(coSupplyEdges(s, d)).withColumnRenamed("node", "s_suppkey")
       .orderBy("s_suppkey")
 
-  /** The thresholded co-supply edge list (a, b) with a < b — suppliers
-    * filling lines of ≥ [[TriMinShared]] common orders. Pair enumeration
-    * runs WITHIN an order (fan-out bounded by lineitems-per-order, a
-    * schema constant); shared by [[triangles]] and [[componentsQuery]]. */
+  /** The BUDGET-thresholded co-supply edge list (a, b) with a < b:
+    * suppliers filling lines of common orders, kept only while the edge
+    * count stays within [[TriEdgesPerNode]]·n. Pair enumeration runs
+    * WITHIN an order (fan-out bounded by lineitems-per-order, a schema
+    * constant — never a corpus-sized self-join); the threshold comes
+    * from the shared-count histogram (distinct count values — a
+    * driver-bounded collect, like every trained operator's model):
+    * t = the smallest shared count whose ≥-cumulative edge total fits
+    * the budget, so the kept graph is always the STRONGEST edges and the
+    * average degree is a constant at any corpus size. Shared by
+    * [[triangles]] and [[componentsQuery]]. */
   def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
     val os = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
       .distinct()
-    os.as("x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e0 = os.as("x")
       .join(os.as("y"), col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
       .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= TriMinShared)
-      .select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val budget = TriEdgesPerNode * os.select("sk").distinct().count()
+    val hist = e0.groupBy("cnt").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    var thr = Long.MaxValue
+    var over = false // STOP at the first over-budget class (the SQL twin's
+    // ≥-cumulative includes it for every smaller count, so skipping and
+    // continuing would diverge from `min cnt WHERE ge <= budget`)
+    for ((c, m) <- hist if !over) {
+      if (acc + m <= budget) { acc += m; thr = c } else over = true
+    }
+    os.unpersist(false)
+    graft.functions.Caching.releaseAfterAction(
+      e0.filter(col("cnt") >= thr).select("a", "b"), e0)
   }
 
   /** CONNECTED COMPONENTS of the co-supply graph — trading communities:

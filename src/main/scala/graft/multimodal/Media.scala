@@ -372,9 +372,10 @@ object Media {
   def phashQuery(s: SparkSession, d: String): DataFrame =
     phashRaw(ppmTable(s, d)).orderBy("doc_id")
 
-  /** Unordered (doc_id, width, height, phash) — feeds the query wrapper and
-    * the pair search. */
-  private def phashRaw(media: DataFrame): DataFrame = {
+  /** Unordered (doc_id, width, height, phash) — feeds the query wrapper,
+    * the pair search, and the streaming twin (stateless mapPartitions
+    * works identically on a streaming frame). */
+  private[graft] def phashRaw(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("width", LongType),

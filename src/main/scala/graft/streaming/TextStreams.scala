@@ -278,6 +278,22 @@ object TextStreams {
           col("tf"), col("q.df"), col("dl"), nd, avgdl).as("score_e4"))
   }
 
+  /** Streaming perceptual fingerprinting — the media-ingest twin: each
+    * arriving document builds its P6 image (the same pure-SQL
+    * construction as batch) and decodes + average-hashes it per row with
+    * the ONE [[graft.multimodal.Media.phashRaw]] implementation, so
+    * batch and stream cannot hash differently. Stateless per-row column
+    * + mapPartitions work (one codec scope per partition — the
+    * multimodal batching contract holds on streams too); the emitted
+    * (doc_id, width, height, phash) rows append straight to the
+    * fingerprint table the Hamming pair search reads. TextStreamsSpec
+    * replays the corpus and matches the batch media_phash rows exactly. */
+  def phashStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    graft.multimodal.Media.phashRaw(
+      graft.multimodal.Media.ppmTableDf(
+        documentStream(spark, path, maxFilesPerTrigger)))
+
   /** Streaming copy-detection probe — the winnowing family's daily-crawl
     * shape (the eleventh twin): arriving documents fingerprint STATELESSLY
     * with the exact batch selector ([[Dedup.winnowingFingerprints]] — one

@@ -148,6 +148,43 @@ class EdgeCaseSpec extends AnyFunSuite {
       cyc.indices.filter(_ % 3 == 2).map(cyc).sum))
   }
 
+  test("round-9 second-half operators handle empty and degenerate inputs") {
+    import graft.operators.{DataQuality, Events, Graph, TextAnalytics}
+    // Empty corpus through the shuffle/pack/bm25 family: empty out, no
+    // throw (the prefix-count bases collect to an empty list; bm25's
+    // query-term collect is empty and avgdl guards its division).
+    val emptyIdText = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Pipeline.dataShuffleDf(emptyIdText).count() === 0L)
+    assert(Pipeline.packShuffledDf(emptyIdText).count() === 0L)
+    assert(TextAnalytics.bm25Df(emptyIdText).count() === 0L)
+    // Token-less docs: zero-length packing rows, no bm25 rows (no terms).
+    val degenerate = Seq((1L, ""), (2L, " . ")).toDF("doc_id", "text")
+    assert(Pipeline.packShuffledDf(degenerate).count() === 2L)
+    assert(TextAnalytics.bm25Df(degenerate).count() === 0L)
+    // Empty edge lists through the triangle/CC engines.
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.trianglesDf(noEdges).count() === 0L)
+    // Correlation: a single-point group has zero variance on both axes.
+    val single = Seq(("g", 5L, 7L)).toDF("l_returnflag", "x", "y")
+    assert(DataQuality.correlationDf(single)
+      .as[(String, Long, Long)].collect().toSeq === Seq(("g", 1L, 0L)))
+    // Profiler on an all-null column.
+    val nulls = Seq[(Long, Option[String])]((1L, None), (2L, None)).toDF("id", "s")
+    val prof = DataQuality.profileDf(nulls, Seq("s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])].collect()
+    assert(prof.toSeq === Seq(("s", 2L, 2L, 0L, None, None)))
+    // Tolerance as-of with no views at all: every purchase gets sentinels.
+    val purchasesOnly = Seq((1L, 10L, "purchase", 100L))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    assert(Events.asofViewToleranceDf(purchasesOnly)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ===
+      Seq((10L, 1L, 100L, -1L, -1L)))
+    // Sliding counts on an empty event frame.
+    val noEvents = Seq.empty[(Long, String, Long)]
+      .toDF("event_id", "event_type", "ts_us")
+    assert(Events.slidingCountsDf(noEvents).count() === 0L)
+  }
+
   test("whitespace-only and empty texts flow through fingerprints and shingles") {
     val degenerate = Seq((1L, "", "en"), (2L, "   ", "en"), (3L, ". , !", "en"))
       .toDF("doc_id", "text", "lang")

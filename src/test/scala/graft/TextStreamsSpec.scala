@@ -154,6 +154,22 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming perceptual hashes equal the batch media_phash rows") {
+    val dir = Paths.get("target", "test-scratch", "docstream_phash")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.phashStream(spark, dir.toString), "t_phash",
+        mode = "append")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.multimodal.Media.phashQuery(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming bm25 equals an independent model and contains the batch top-k") {
     val dir = Paths.get("target", "test-scratch", "docstream_bm25")
     Files.createDirectories(dir)

@@ -325,10 +325,18 @@ object Media {
       p += 1
     }
     val npix = w.toLong * h
+    // The long cross-multiply is exact while 765·npix² < 2⁶³ (npix < 1e8
+    // — every corpus image by orders of magnitude); a legal giant strip
+    // (e.g. 1 × 700M) would wrap it silently, so past the bound the
+    // comparison falls back to exact BigInt arithmetic instead.
+    val longSafe = npix < 100000000L
     var hash = 0L
     var i = 0
     while (i < grid * grid) {
-      if (bsum(i) * npix > tsum * bcnt(i)) hash |= (1L << i)
+      val bit =
+        if (longSafe) bsum(i) * npix > tsum * bcnt(i)
+        else BigInt(bsum(i)) * npix > BigInt(tsum) * bcnt(i)
+      if (bit) hash |= (1L << i)
       i += 1
     }
     (w, h, hash)

@@ -396,7 +396,10 @@ object Events {
         lit(null).cast("long").as("view_id"), lit(1).as("tag"))
     val w = Window.partitionBy("user_id").orderBy("t", "tag")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ok = col("vu") >= 0 && col("t") - col("vu") <= tolUs
+    // isNotNull, not >= 0: the no-match case is a NULL carry (the oracle's
+    // `v.t IS NOT NULL`); a legitimate pre-epoch (negative-µs) view must
+    // still match inside the tolerance.
+    val ok = col("vu").isNotNull && col("t") - col("vu") <= tolUs
     v.unionByName(p)
       .withColumn("vid", last("view_id", ignoreNulls = true).over(w))
       .withColumn("vu",

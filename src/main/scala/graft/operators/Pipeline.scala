@@ -666,29 +666,51 @@ object Pipeline {
     * independent (offset = tokens in all smaller doc_ids), which is why the
     * oracle can state it as one flat window sum. */
   def packSequencesGlobal(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = Tables.documents(s, d)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
-      .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id().cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Phase 1: partition totals → prefix bases (driver-side, ≤ #partitions rows).
-    val totals = parts.groupBy("pid").agg(sum("n_toks").as("tot"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val bases = totals.map { case (pid, tot) => val b = acc; acc += tot; (pid, b) }
-    val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
-    // Phase 2: per-partition running sum + broadcast base join.
-    val w = Window.partitionBy("pid").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (p, base) = exclusivePrefixSum(
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks")),
+      Seq("doc_id"), "n_toks")
     graft.functions.Caching.releaseAfterAction(
-      parts.join(broadcast(baseDf), "pid")
-        .withColumn("offset", col("base") + sum("n_toks").over(w) - col("n_toks"))
+      p.withColumnRenamed("prefix", "offset")
         .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
         .select(col("doc_id"), col("n_toks"), col("offset"), col("seq_id"))
         .orderBy("doc_id"),
-      parts)
+      base)
+  }
+
+  /** The two-phase distributed EXCLUSIVE prefix sum — the ONE
+    * implementation behind [[packSequencesGlobal]], [[dataShuffleDf]]
+    * (value = 1 ⇒ prefix = global rank) and [[packShuffledDf]]:
+    *   1. range-partition by the order columns (for hash-ordered callers
+    *      this IS the shuffle) and sum `valueCol` per partition — the
+    *      totals are one row per PARTITION, collected to the driver
+    *      (bounded by partition count, never data size);
+    *   2. broadcast each partition's base offset back and window WITHIN
+    *      partitions only.
+    * No global single-partition window anywhere: every stage is
+    * partition-parallel, and the OUTPUT is partition-independent
+    * (prefix = Σ value over all smaller order keys), which is why every
+    * consumer's oracle can state it as one flat window. Returns the
+    * input columns + `prefix`, and the persisted base frame the caller
+    * releases after its terminal action. */
+  private def exclusivePrefixSum(df: DataFrame, orderCols: Seq[String],
+      valueCol: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = base.groupBy("pid").agg(sum(valueCol).as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (pid, tot) => val b = acc; acc += tot; (pid, b) }
+    val baseDf = df.sparkSession.createDataFrame(bases.toSeq).toDF("pid", "base")
+    val w = Window.partitionBy("pid").orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (base.join(broadcast(baseDf), "pid")
+      .withColumn("prefix", col("base") + sum(valueCol).over(w) - col(valueCol))
+      .drop("pid", "base"),
+     base)
   }
 
   /** Overlapping-chunk parameters: window length and stride in tokens. */
@@ -870,25 +892,14 @@ object Pipeline {
   /** Same, over any frame with a doc_id column (partition-independence and
     * balance tests). */
   def dataShuffleDf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col("doc_id"), orderHash("shuf:").as("h"))
-      .repartitionByRange(col("h"), col("doc_id"))
-      .sortWithinPartitions("h", "doc_id")
-      .withColumn("pid", spark_partition_id().cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Phase 1: per-partition row counts → prefix bases (≤ #partitions rows).
-    val totals = base.groupBy("pid").agg(count(lit(1)).as("tot"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val bases = totals.map { case (pid, tot) => val b = acc; acc += tot; (pid, b) }
-    val baseDf = docs.sparkSession.createDataFrame(bases.toSeq).toDF("pid", "base")
-    // Phase 2: rank within partitions + broadcast base join.
-    val w = Window.partitionBy("pid").orderBy(col("h"), col("doc_id"))
+    // Exclusive prefix sum of 1s over the hash order = the global rank.
+    val (p, base) = exclusivePrefixSum(
+      docs.select(col("doc_id"), orderHash("shuf:").as("h"), lit(1L).as("one")),
+      Seq("h", "doc_id"), "one")
     graft.functions.Caching.releaseAfterAction(
-      base.join(broadcast(baseDf), "pid")
-        .withColumn("pos", col("base") + row_number().over(w).cast("long") - 1)
-        .select(col("doc_id"), col("h").as("shuffle_h"), col("pos"),
-          pmod(col("pos"), lit(ShuffleShards)).as("shard"))
+      p.select(col("doc_id"), col("h").as("shuffle_h"),
+          col("prefix").as("pos"),
+          pmod(col("prefix"), lit(ShuffleShards)).as("shard"))
         .orderBy("doc_id"),
       base)
   }
@@ -930,22 +941,12 @@ object Pipeline {
 
   /** Same, over any (doc_id, text) DataFrame (composition tests). */
   def packShuffledDf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col("doc_id"), orderHash("shuf:").as("h"),
-        size(tokens(col("text"))).cast("long").as("n_toks"))
-      .repartitionByRange(col("h"), col("doc_id"))
-      .sortWithinPartitions("h", "doc_id")
-      .withColumn("pid", spark_partition_id().cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = base.groupBy("pid").agg(sum("n_toks").as("tot"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val bases = totals.map { case (pid, tot) => val b = acc; acc += tot; (pid, b) }
-    val baseDf = docs.sparkSession.createDataFrame(bases.toSeq).toDF("pid", "base")
-    val w = Window.partitionBy("pid").orderBy(col("h"), col("doc_id"))
+    val (p, base) = exclusivePrefixSum(
+      docs.select(col("doc_id"), orderHash("shuf:").as("h"),
+        size(tokens(col("text"))).cast("long").as("n_toks")),
+      Seq("h", "doc_id"), "n_toks")
     graft.functions.Caching.releaseAfterAction(
-      base.join(broadcast(baseDf), "pid")
-        .withColumn("offset", col("base") + sum("n_toks").over(w) - col("n_toks"))
+      p.withColumnRenamed("prefix", "offset")
         .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
         .select(col("doc_id"), col("n_toks"), col("offset"), col("seq_id"))
         .orderBy("doc_id"),

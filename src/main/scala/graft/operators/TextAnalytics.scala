@@ -561,29 +561,43 @@ object TextAnalytics {
   /** Same, over any (doc_id, text) DataFrame (planted-corpus tests). */
   def bm25Df(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = docTokensText(docs)
-      .select(col("doc_id"), explode(col("toks")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = bm25Tf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val qterms = dfT.orderBy(desc("df"), asc("word")).limit(Bm25Terms)
+    val (q, nd, avgdl) = bm25ModelOf(tf, docs.count())
+    val qterms = docs.sparkSession.createDataFrame(q).toDF("word", "df")
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val nDocs = docs.count()
-    val totRow = tf.agg(sum("tf")).head()
-    val avgdl = if (totRow.isNullAt(0) || nDocs == 0L) 1.0
-                else totRow.getLong(0).toDouble / nDocs
     val w = Window.partitionBy("word").orderBy(desc("score_e4"), asc("doc_id"))
     graft.functions.Caching.releaseAfterAction(
       tf.join(broadcast(qterms), "word")
         .join(dl, "doc_id")
         .withColumn("score_e4",
-          bm25ScoreCol(col("tf"), col("df"), col("dl"), nDocs.toDouble, avgdl))
+          bm25ScoreCol(col("tf"), col("df"), col("dl"), nd, avgdl))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= Bm25TopK)
         .select(col("word"), col("doc_id"), col("tf"), col("df"),
           col("score_e4"), col("rn"))
         .orderBy("word", "rn"),
       tf)
+  }
+
+  /** Per-(doc, word) term counts — the shared BM25 input frame. */
+  private def bm25Tf(docs: DataFrame): DataFrame =
+    docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+
+  /** The corpus-side BM25 model from a tf frame + the doc count: the top
+    * [[Bm25Terms]] (word, df) query terms, N as double, and avgdl — ONE
+    * derivation consumed by both the batch query and the streaming
+    * scorer, so the model cannot drift between them. */
+  private def bm25ModelOf(tf: DataFrame, nDocs: Long): (Seq[(String, Long)], Double, Double) = {
+    val q = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("word")).limit(Bm25Terms)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val tot = tf.agg(sum("tf")).head()
+    val avgdl = if (tot.isNullAt(0) || nDocs == 0L) 1.0
+                else tot.getLong(0).toDouble / nDocs
+    (q, nDocs.toDouble, avgdl)
   }
 
   /** The BM25 score as one pinned-order float column (identical op order
@@ -602,21 +616,15 @@ object TextAnalytics {
   /** The corpus-side BM25 model a stream serves with: the top
     * [[Bm25Terms]] (word, df) query terms, the document count, and the
     * average document length — all bounded (8 rows + 2 scalars), the
-    * train-offline half of the train-offline/score-online split. */
+    * train-offline half of the train-offline/score-online split.
+    * Delegates to [[bm25ModelOf]] — the same derivation [[bm25Df]]
+    * consumes. */
   private[graft] def bm25Stats(docs: DataFrame): (Seq[(String, Long)], Double, Double) = {
-    val tf = docTokensText(docs)
-      .select(col("doc_id"), explode(col("toks")).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = bm25Tf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = tf.groupBy("word").agg(count(lit(1)).as("df"))
-      .orderBy(desc("df"), asc("word")).limit(Bm25Terms)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val nDocs = docs.count()
-    val tot = tf.agg(sum("tf")).head()
+    val r = bm25ModelOf(tf, docs.count())
     tf.unpersist(false)
-    val avgdl = if (tot.isNullAt(0) || nDocs == 0L) 1.0
-                else tot.getLong(0).toDouble / nDocs
-    (q, nDocs.toDouble, avgdl)
+    r
   }
 
   /** docTokens without the lang column (works on any (doc_id, text) frame). */

@@ -95,6 +95,13 @@ object EventStreams {
       .select(
         (unix_timestamp(col("window.start")) / 900).cast("long").as("win_idx"),
         col("event_type"), col("cnt"))
+      // epoch clip + the start column, so rows match the batch twin's
+      // schema and window set exactly (the engine's sliding window emits
+      // negative-start windows near the epoch that the batch form clips)
+      .filter(col("win_idx") >= 0)
+      .select(col("win_idx"),
+        (col("win_idx") * graft.operators.Events.SlideUs).as("win_start_us"),
+        col("event_type"), col("cnt"))
 
   /** Streaming anomaly monitor — the twin of
     * [[graft.operators.Events.anomaly]] run the way monitoring actually

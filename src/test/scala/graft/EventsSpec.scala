@@ -193,7 +193,11 @@ class EventsSpec extends AnyFunSuite {
       // user 2: purchase with no view at all → sentinel
       (2L, 20L, "purchase", 300L),
       // user 3: two views at the same µs — max event_id wins the tie
-      (3L, 30L, "view", 50L), (3L, 31L, "view", 50L), (3L, 32L, "purchase", 60L)
+      (3L, 30L, "view", 50L), (3L, 31L, "view", 50L), (3L, 32L, "purchase", 60L),
+      // user 4: a legitimate PRE-EPOCH view (negative µs) inside the
+      // bound still matches — the no-match test is the null carry, not
+      // the sign (the `vu >= 0` form sentineled this case wrongly)
+      (4L, 40L, "view", -500L), (4L, 41L, "purchase", 100L)
     ).toDF("user_id", "event_id", "event_type", "ts_us")
     val got = Events.asofViewToleranceDf(events, tol)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
@@ -201,7 +205,8 @@ class EventsSpec extends AnyFunSuite {
       (11L, 1L, 500L, 10L, 100L),
       (12L, 1L, 2000L, -1L, -1L),
       (20L, 2L, 300L, -1L, -1L),
-      (32L, 3L, 60L, 31L, 50L)))
+      (32L, 3L, 60L, 31L, 50L),
+      (41L, 4L, 100L, 40L, -500L)))
   }
 
   test("sliding counts: each event lands in exactly its 4 covering windows") {

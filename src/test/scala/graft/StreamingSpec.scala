@@ -42,13 +42,12 @@ class StreamingSpec extends AnyFunSuite {
     val stream = EventStreams.eventStream(spark, dir.toString)
     val out = EventStreams.runToCompletion(
         spark, EventStreams.slidingCounts(stream), "t_sliding")
-      .as[(Long, String, Long)].collect().toSet
+      .as[(Long, Long, String, Long)].collect().toSet
     val batch = operators.Events.slidingCounts(spark, TestSpark.sf)
-      .select("win_idx", "event_type", "cnt")
-      .as[(Long, String, Long)].collect().toSet
+      .as[(Long, Long, String, Long)].collect().toSet
     assert(out === batch)
     // overlap sanity: sliding totals are WindowSlides× the event count
-    assert(out.toSeq.map(_._3).sum ===
+    assert(out.toSeq.map(_._4).sum ===
       operators.Events.WindowSlides * sources.Tables.events(spark, TestSpark.sf).count())
   }
 

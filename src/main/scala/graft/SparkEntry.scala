@@ -81,6 +81,7 @@ object SparkEntry {
     "text_df_terms" -> ((s, d) => TextAnalytics.docFrequency(s, d)),
     "text_langid" -> ((s, d) => TextAnalytics.langId(s, d)),
     "text_langid_ngram" -> ((s, d) => TextAnalytics.langIdNgram(s, d)),
+    "eval_langid_confusion" -> ((s, d) => TextAnalytics.langidConfusion(s, d)),
     "text_quality" -> ((s, d) => TextAnalytics.quality(s, d)),
     "text_gopher" -> ((s, d) => TextAnalytics.gopherQuality(s, d)),
     "text_gopher_rep" -> ((s, d) => TextAnalytics.gopherRepetition(s, d)),
@@ -134,6 +135,7 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "embedding_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "sample_cluster_balanced" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
+    "eval_retrieval_recall" -> ((s, d) => Similarity.retrievalRecall(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.ppmFeaturesQuery(s, d)),
@@ -292,6 +294,13 @@ object SparkEntry {
   // connected-components clustering both build on `jpairs`.
   private val NgramCtes =
     s"""toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id)"""
+
+  // Shared LSH top-k CTE chain (8 bands × 4 sign-projection bits, query
+  // band keys, exact-cosine verify, per-query ranking) — ends with
+  // lshr(qid, cid, sim_e4, rn). sim_lsh_topk and the retrieval-recall
+  // evaluation read the same index by construction.
+  private val LshTopkCtes =
+    """n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 4 AS band_idx, sum(bit * (1 << (j % 4))) AS band_key FROM proj GROUP BY vec_id, j // 4), qk AS (SELECT vec_id AS qid, band_idx, band_key FROM keys WHERE vec_id < 10), cand AS (SELECT DISTINCT qk.qid, k.vec_id AS cid FROM keys k JOIN qk ON k.band_idx = qk.band_idx AND k.band_key = qk.band_key), lsc AS (SELECT c.qid, c.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.cid = x.vec_id JOIN n y ON c.qid = y.vec_id), lshr AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM lsc)"""
 
   // Shared trained-coarse-quantizer CTEs (two unrolled Lloyd iterations in
   // the e6 integer domain, emptied cells carry forward) — ends with
@@ -539,7 +548,12 @@ object SparkEntry {
     "dedup_minhash_pairs" ->
       s"""$MinhashCtes, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT d1, d2, est_jac_e4 FROM (SELECT c.d1, c.d2, CAST(round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) * 10000.0 / 32) AS BIGINT) AS est_jac_e4 FROM cand c JOIN mins ma ON ma.doc_id = c.d1 JOIN mins mb ON mb.doc_id = c.d2 AND mb.i = ma.i GROUP BY c.d1, c.d2) WHERE est_jac_e4 >= 5000 ORDER BY d1, d2""",
     "sim_lsh_topk" ->
-      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 4 AS band_idx, sum(bit * (1 << (j % 4))) AS band_key FROM proj GROUP BY vec_id, j // 4), qk AS (SELECT vec_id AS qid, band_idx, band_key FROM keys WHERE vec_id < 10), cand AS (SELECT DISTINCT qk.qid, k.vec_id AS cid FROM keys k JOIN qk ON k.band_idx = qk.band_idx AND k.band_key = qk.band_key), s AS (SELECT c.qid, c.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.cid = x.vec_id JOIN n y ON c.qid = y.vec_id), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+      s"""WITH $LshTopkCtes SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM lshr WHERE rn <= 5 ORDER BY qid, rn""",
+    // Retrieval recall@5 as a query: the brute baseline's top-5 LEFT
+    // JOINed against the LSH index's top-5, hits counted per query, one
+    // pinned division for the e4 recall.
+    "eval_retrieval_recall" ->
+      s"""WITH $LshTopkCtes, bq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), bc AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), bs AS (SELECT qid, cid, list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim FROM bc, bq), br AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, cid) AS rn FROM bs) WHERE rn <= 5), ls AS (SELECT qid, cid FROM lshr WHERE rn <= 5) SELECT b.qid, CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, CAST(round(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / 5) AS BIGINT) AS recall_e4 FROM br b LEFT JOIN ls l ON b.qid = l.qid AND b.cid = l.cid GROUP BY b.qid ORDER BY b.qid""",
     // k-NN graph build: every vector's top-4 neighbors among the banded
     // sign-projection bucket candidates (each undirected candidate computed
     // once at a < b, then mirrored), exact-cosine verified with e4/dst
@@ -755,6 +769,10 @@ object SparkEntry {
       s"""WITH t AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)) SELECT word, count(*) AS df FROM t GROUP BY word ORDER BY df DESC, word""",
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t) SELECT doc_id, lang, en_s, de_s, es_s, fr_s, CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END AS pred FROM s ORDER BY doc_id""",
+    // Confusion matrix of the marker classifier against the labeled
+    // corpus: per (true, predicted) counts + the within-language share.
+    "eval_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), p AS (SELECT lang, CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END AS pred FROM s), m AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2) SELECT lang, pred, n, CAST(round(n * 10000.0 / sum(n) OVER (PARTITION BY lang)) AS BIGINT) AS share_e4 FROM m ORDER BY lang, pred""",
     // Trained character-trigram language ID: per-lang top-20 trigram
     // profiles (count-desc/trigram-asc ties) from the labeled corpus, then
     // distinct-trigram overlap argmax (score-desc/lang-asc ties, 'und' on

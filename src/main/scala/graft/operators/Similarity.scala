@@ -896,6 +896,28 @@ object Similarity {
     * `bands` buys recall back. Only (band, key) pairs and candidate id pairs
     * shuffle — vectors are read once and joined back by id. Recall vs
     * bruteTopK is gated in SimilaritySpec. */
+  /** RETRIEVAL EVALUATION as a first-class query — per-query recall@k of
+    * the LSH index against the exact baseline, the number SimilaritySpec
+    * gates in tests promoted to a production monitoring query (run it
+    * after every index rebuild; alert on the aggregate). Composes the
+    * two existing operators and counts overlap per query — the exact
+    * side runs on the (small) query set only, so the cost is the brute
+    * pass over queries plus the index probe, never n². One pinned
+    * division for the e4 recall. */
+  def retrievalRecall(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val brute = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+    val lsh = lshTopK(s, d, nQueries, k)
+      .select(col("qid").as("lq"), col("cid").as("lc"))
+    brute
+      .join(lsh, col("qid") === col("lq") && col("cid") === col("lc"), "left")
+      .groupBy("qid")
+      .agg(sum(when(col("lc").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("qid"), col("hits"),
+        round(col("hits") * lit(10000.0) / lit(k)).cast("long").as("recall_e4"))
+      .orderBy("qid")
+  }
+
   /** Neighbors per node in the k-NN graph build. */
   val KnnK = 4
 

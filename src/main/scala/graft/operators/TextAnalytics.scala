@@ -671,6 +671,25 @@ object TextAnalytics {
       .orderBy("doc_id")
   }
 
+  /** CLASSIFIER EVALUATION as a first-class query — the labeled-corpus
+    * confusion matrix of the marker language classifier: one row per
+    * (true lang, predicted lang) with the count and the within-language
+    * share (e4, one pinned division). This is the model-QA surface a
+    * pipeline runs after every classifier refresh; the same shape
+    * evaluates any (label, pred) pair. Cost: the langId pass + one
+    * langs²-bounded aggregate — the matrix is tiny however large the
+    * corpus, and the share window partitions on the handful of true
+    * languages. */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = Window.partitionBy("lang")
+    langId(spark, dir).select("lang", "pred")
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .withColumn("share_e4",
+        round(col("n") * lit(10000.0) / sum("n").over(tot)).cast("long"))
+      .orderBy("lang", "pred")
+  }
+
   /** Profile size for the character-n-gram language ID. */
   val LangProfileK = 20
 

@@ -207,6 +207,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.map(_._1).distinct.length === 10)
   }
 
+  test("retrieval recall query equals the spec-level recall computation") {
+    val got = Similarity.retrievalRecall(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect() // (qid, hits, recall_e4)
+    assert(got.length === 10)
+    for ((qid, hits, re4) <- got) {
+      val b = brute.filter(_._1 == qid).map(_._2).toSet
+      val l = lsh.filter(_._1 == qid).map(_._2).toSet
+      assert(hits === b.count(l.contains).toLong,
+        s"query $qid hit count disagrees with the gated computation")
+      assert(re4 === math.round(hits * 10000.0 / 5))
+    }
+    // the monitoring aggregate this query exists for: mean recall at the
+    // spec gate's floor
+    assert(got.map(_._2).sum.toDouble / (10 * 5) >= 0.6)
+  }
+
   test("kmeans clusters: full coverage, sizes consistent, non-degenerate") {
     val out = Similarity.kmeansClusters(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long)].collect() // (vec_id, cluster_id, sim_e4, cluster_size)

@@ -497,6 +497,23 @@ class TextAnalyticsSpec extends AnyFunSuite {
       ("of the", 6L, 20L, 20L, 1550L)))
   }
 
+  test("langid confusion: counts total the corpus, shares sum per language") {
+    val m = TextAnalytics.langidConfusion(spark, TestSpark.sf)
+      .as[(String, String, Long, Long)].collect() // (lang, pred, n, share_e4)
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.sf).count()
+    assert(m.map(_._3).sum === nDocs, "confusion counts must partition the corpus")
+    for ((lang, rows) <- m.groupBy(_._1)) {
+      val shares = rows.map(_._4).sum
+      assert(math.abs(shares - 10000L) <= rows.length,
+        s"$lang shares sum to $shares — rounding drift only is allowed")
+    }
+    // matrix agrees cell-by-cell with the per-doc classifier output
+    val perDoc = TextAnalytics.langId(spark, TestSpark.sf)
+      .select("lang", "pred").as[(String, String)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(m.map(r => (r._1, r._2) -> r._3).toMap === perDoc)
+  }
+
   test("bm25: planted corpus — scores match the formula, ranked per term") {
     // Corpus: d1 "a a b", d2 "a c", d3 "b b b c". tf: d1{a:2,b:1},
     // d2{a:1,c:1}, d3{b:3,c:1}; df(a)=df(b)=df(c)=2; N=3; Σtok=9, avgdl=3.

@@ -295,6 +295,20 @@ object SparkEntry {
   private val NgramCtes =
     s"""toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id)"""
 
+  // Shared marker-language-ID CTEs (tokenize + per-language marker hits)
+  // and the argmax CASE — text_langid and eval_langid_confusion classify
+  // identically by construction. Ends with s(doc_id, lang, *_s).
+  private val LangidCtes =
+    s"""t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t)"""
+  private val LangPredSql =
+    """CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END"""
+
+  // Shared brute-force cosine top-k CTEs — sim_topk and the retrieval-
+  // recall evaluation rank against the same baseline by construction.
+  // Ends with brk(qid, cid, sim_e4, rn).
+  private val BruteTopkCtes =
+    """bq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), bc AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), bs AS (SELECT qid, cid, list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim FROM bc, bq), brk AS (SELECT qid, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY qid ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, cid) AS rn FROM bs)"""
+
   // Shared LSH top-k CTE chain (8 bands × 4 sign-projection bits, query
   // band keys, exact-cosine verify, per-query ranking) — ends with
   // lshr(qid, cid, sim_e4, rn). sim_lsh_topk and the retrieval-recall
@@ -553,7 +567,7 @@ object SparkEntry {
     // JOINed against the LSH index's top-5, hits counted per query, one
     // pinned division for the e4 recall.
     "eval_retrieval_recall" ->
-      s"""WITH $LshTopkCtes, bq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), bc AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), bs AS (SELECT qid, cid, list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim FROM bc, bq), br AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, cid) AS rn FROM bs) WHERE rn <= 5), ls AS (SELECT qid, cid FROM lshr WHERE rn <= 5) SELECT b.qid, CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, CAST(round(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / 5) AS BIGINT) AS recall_e4 FROM br b LEFT JOIN ls l ON b.qid = l.qid AND b.cid = l.cid GROUP BY b.qid ORDER BY b.qid""",
+      s"""WITH $LshTopkCtes, $BruteTopkCtes, br AS (SELECT qid, cid FROM brk WHERE rn <= 5), ls AS (SELECT qid, cid FROM lshr WHERE rn <= 5) SELECT b.qid, CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, CAST(round(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / 5) AS BIGINT) AS recall_e4 FROM br b LEFT JOIN ls l ON b.qid = l.qid AND b.cid = l.cid GROUP BY b.qid ORDER BY b.qid""",
     // k-NN graph build: every vector's top-4 neighbors among the banded
     // sign-projection bucket candidates (each undirected candidate computed
     // once at a < b, then mirrored), exact-cosine verified with e4/dst
@@ -768,11 +782,12 @@ object SparkEntry {
     "text_df_terms" ->
       s"""WITH t AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)) SELECT word, count(*) AS df FROM t GROUP BY word ORDER BY df DESC, word""",
     "text_langid" ->
-      s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t) SELECT doc_id, lang, en_s, de_s, es_s, fr_s, CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END AS pred FROM s ORDER BY doc_id""",
+      s"""WITH $LangidCtes SELECT doc_id, lang, en_s, de_s, es_s, fr_s, $LangPredSql AS pred FROM s ORDER BY doc_id""",
     // Confusion matrix of the marker classifier against the labeled
-    // corpus: per (true, predicted) counts + the within-language share.
+    // corpus: per (true, predicted) counts + the within-language share —
+    // the same LangidCtes/LangPredSql as text_langid by construction.
     "eval_langid_confusion" ->
-      s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), s AS (SELECT doc_id, lang, CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS en_s, CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_s, CAST(len(list_filter(w, x -> list_contains(['el','la','los','que','y'], x))) AS BIGINT) AS es_s, CAST(len(list_filter(w, x -> list_contains(['le','les','des','et','est'], x))) AS BIGINT) AS fr_s FROM t), p AS (SELECT lang, CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s AND en_s > 0 THEN 'en' WHEN de_s >= es_s AND de_s >= fr_s AND de_s > 0 THEN 'de' WHEN es_s >= fr_s AND es_s > 0 THEN 'es' WHEN fr_s > 0 THEN 'fr' ELSE 'und' END AS pred FROM s), m AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2) SELECT lang, pred, n, CAST(round(n * 10000.0 / sum(n) OVER (PARTITION BY lang)) AS BIGINT) AS share_e4 FROM m ORDER BY lang, pred""",
+      s"""WITH $LangidCtes, p AS (SELECT lang, $LangPredSql AS pred FROM s), m AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2) SELECT lang, pred, n, CAST(round(n * 10000.0 / sum(n) OVER (PARTITION BY lang)) AS BIGINT) AS share_e4 FROM m ORDER BY lang, pred""",
     // Trained character-trigram language ID: per-lang top-20 trigram
     // profiles (count-desc/trigram-asc ties) from the labeled corpus, then
     // distinct-trigram overlap argmax (score-desc/lang-asc ties, 'und' on
@@ -977,7 +992,7 @@ object SparkEntry {
     "decontaminate_semantic" ->
       s"""WITH $EmbLshCtes, sp AS (SELECT vec_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('split:' || CAST(vec_id AS VARCHAR)) + 1), i -> CAST(ascii(substr('split:' || CAST(vec_id AS VARCHAR), i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM embeddings)), tk AS (SELECT k.vec_id AS tid, k.band_idx, k.band_key FROM keys k JOIN sp ON k.vec_id = sp.vec_id WHERE sp.split = 'test'), cand AS (SELECT DISTINCT k.vec_id AS cid, tk.tid FROM keys k JOIN sp ON k.vec_id = sp.vec_id JOIN tk ON k.band_idx = tk.band_idx AND k.band_key = tk.band_key WHERE sp.split <> 'test'), m AS (SELECT c.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.cid = x.vec_id JOIN n y ON c.tid = y.vec_id), agg AS (SELECT cid, count(*) AS n_matches, CAST(max(sim_e4) AS BIGINT) AS max_sim_e4 FROM m WHERE sim_e4 >= 3500 GROUP BY cid) SELECT sp.vec_id, sp.split, COALESCE(a.n_matches, 0) AS n_matches, COALESCE(a.max_sim_e4, 0) AS max_sim_e4, CAST(CASE WHEN COALESCE(a.n_matches, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM sp LEFT JOIN agg a ON sp.vec_id = a.cid WHERE sp.split <> 'test' ORDER BY sp.vec_id""",
     "sim_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), s AS (SELECT qid, cid, list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim FROM c, q), r AS (SELECT qid, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY qid ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+      s"""WITH $BruteTopkCtes SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM brk WHERE rn <= 5 ORDER BY qid, rn""",
     // Vocabulary coverage: top-10 corpus vocab (count desc, word asc ties),
     // per-doc OOV token fraction in e4 fixed point; token-less docs score 0.
     "vocab_coverage" ->

@@ -320,7 +320,12 @@ object Media {
     while (p < w * h) {
       val gray = (bytes(pos + 3 * p) & 0xff) + (bytes(pos + 3 * p + 1) & 0xff) +
         (bytes(pos + 3 * p + 2) & 0xff)
-      val idx = (p / w * grid / h) * grid + (p % w * grid / w)
+      // Block index in LONG: for a legal giant strip (1 × 7e8 fits the
+      // Int raster bound) y·grid or x·grid overflows Int before the
+      // division brings it back under grid.
+      val y = p / w
+      val x = p - y * w
+      val idx = ((y.toLong * grid / h) * grid + x.toLong * grid / w).toInt
       bsum(idx) += gray; bcnt(idx) += 1; tsum += gray
       p += 1
     }

@@ -52,7 +52,14 @@ object Events {
   /** Same over any events DataFrame with a ts_us column. */
   def slidingCountsDf(events: DataFrame): DataFrame =
     events
-      .select(expr(s"ts_us div $SlideUs").as("slide_idx"), col("event_type"))
+      // FLOOR division, not `div` (which truncates toward zero): a
+      // pre-epoch event must land in negative windows — which the epoch
+      // clip then drops — exactly as the streaming engine's floor-based
+      // windows and DuckDB's `//` do. `div` would smuggle it into
+      // window 0, which does not contain it.
+      .select((expr(s"ts_us div $SlideUs") -
+          when(expr(s"ts_us % $SlideUs") < 0, 1).otherwise(0)).as("slide_idx"),
+        col("event_type"))
       .select(explode(sequence(col("slide_idx") - (WindowSlides - 1),
         col("slide_idx"))).as("win_idx"), col("event_type"))
       .filter(col("win_idx") >= 0)

@@ -217,7 +217,12 @@ class EventsSpec extends AnyFunSuite {
       // event in quarter 11 → windows 8..11: overlap with the first on 8,9,10
       (2L, "view", 11 * q + 5),
       // event in quarter 1 → windows 0,1 survive; -2,-1 clipped at epoch
-      (3L, "click", 1 * q)
+      (3L, "click", 1 * q),
+      // PRE-epoch event: floor division puts it in quarter -1 → windows
+      // -4..-1, ALL clipped — `div` truncation would have smuggled it
+      // into window 0, which does not contain it (and the streaming
+      // engine's floor-based windows would disagree)
+      (4L, "click", -500L)
     ).toDF("event_id", "event_type", "ts_us")
     val got = Events.slidingCountsDf(events)
       .as[(Long, Long, String, Long)].collect().toSeq

@@ -106,6 +106,7 @@ object SparkEntry {
     "vocab_coverage" -> ((s, d) => TextAnalytics.vocabCoverage(s, d)),
     // — LLM-pipeline: dedup —
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_exact_normalized" -> ((s, d) => Dedup.exactNormalized(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -882,6 +883,11 @@ object SparkEntry {
       """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> ((h * 31 + c) & 4294967295)) AS fp FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text FROM documents GROUP BY text ORDER BY keep_id""",
+    // CCNet-normalized exact dedup: lowercase → strip non-[a-z0-9 ] →
+    // collapse spaces → trim, then the min-survivor group; the audit
+    // fingerprint is the shared polyHash of the normalized text.
+    "dedup_exact_normalized" ->
+      """WITH nt AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents), g AS (SELECT norm, min(doc_id) AS keep_id, count(*) AS n_dups FROM nt GROUP BY norm) SELECT nt.doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(nt.norm) + 1), i -> CAST(ascii(substr(nt.norm, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS norm_fp, g.keep_id, g.n_dups, CAST(CASE WHEN nt.doc_id = g.keep_id THEN 1 ELSE 0 END AS BIGINT) AS keep FROM nt JOIN g ON nt.norm = g.norm ORDER BY nt.doc_id""",
     // Incremental dedup: batch = source 'src19', corpus = everything else;
     // batch docs whose text exists in the corpus are dropped, survivors
     // exact-deduped within the batch (min doc_id).

@@ -39,6 +39,41 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("keep_id", "n_dups", "text")
       .orderBy("keep_id")
 
+  /** NORMALIZED exact dedup — CCNet's pre-dedup normalization (Wenzek et
+    * al. 2020 lowercase + strip punctuation + collapse whitespace) applied
+    * before the exact group: re-serialized pages differing only in case,
+    * punctuation or spacing collapse to one survivor, the duplicates raw
+    * [[exact]] misses without paying near-dup machinery. Per-doc audit
+    * shape (every doc with its normalized fingerprint, survivor, group
+    * size, keep flag) rather than [[exact]]'s per-group rows, because the
+    * drop decision is what downstream gates consume.
+    *
+    * Scale shape: the normalization is three codegen'd regex passes (zero
+    * shuffle), then the one survivor shuffle keyed on the normalized
+    * text — identical profile to [[exact]]; at 100 TB group on the
+    * fingerprint hash instead of the string to shrink shuffle bytes,
+    * exactly as [[exact]]'s scale note prescribes. */
+  def exactNormalized(s: SparkSession, d: String): DataFrame =
+    exactNormalizedDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def exactNormalizedDf(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val t = docs.select(col("doc_id"), norm.as("norm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val groups = t.groupBy("norm")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+    graft.functions.Caching.releaseAfterAction(
+      t.join(groups, "norm")
+        .select(col("doc_id"),
+          graft.functions.Fns.polyHash(col("norm")).as("norm_fp"),
+          col("keep_id"), col("n_dups"),
+          (col("doc_id") === col("keep_id")).cast("long").as("keep"))
+        .orderBy("doc_id"),
+      t)
+  }
+
   /** Incremental exact dedup — the daily-crawl shape: dedup an ARRIVING
     * batch against the already-shipped corpus, then within itself. The
     * decision order matters for scale: the batch is small relative to the

@@ -354,4 +354,23 @@ class DedupSpec extends AnyFunSuite {
     val p2 = Dedup.winnowingPairsDf(twins).as[(Long, Long, Long)].collect()
     assert(p2.length === 1 && p2.head._3 >= Dedup.WinnowMinShared)
   }
+
+  test("normalized exact dedup merges case/punct/space variants raw exact misses") {
+    val docs = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "HELLO... world"),
+      (4L, "goodbye world")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactNormalizedDf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._3, r._4, r._5)) // (doc_id, keep_id, n_dups, keep)
+    assert(got === Seq(
+      (1L, 1L, 3L, 1L), (2L, 1L, 3L, 0L), (3L, 1L, 3L, 0L),
+      (4L, 4L, 1L, 1L)))
+    // variants share one fingerprint; the distinct text does not
+    val fps = Dedup.exactNormalizedDf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(fps(1L) === fps(2L) && fps(2L) === fps(3L) && fps(1L) != fps(4L))
+  }
 }

@@ -44,6 +44,26 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Caching {
 
+  /** MULTI-ACTION alternative to [[releaseAfterAction]] for
+    * checkpoint-backed results: eagerly re-`localCheckpoint` `result` so it
+    * is backed by its OWN blocks, release every `cached` input immediately,
+    * and return the materialized frame. The returned frame supports any
+    * number of terminal actions (the single-use limit above does not
+    * apply); the caller owns its lifetime — call
+    * `Checkpoints.release(frame)` when done, or let the ContextCleaner
+    * collect it. Costs one extra materialization of the result (typically
+    * node-sized for the iterative operators that need this), which is why
+    * it is opt-in rather than the default. */
+  def materialize(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    cached.foreach { df =>
+      try df.unpersist(false) catch { case _: Throwable => () }
+      try org.apache.spark.sql.graft.Checkpoints.release(df)
+      catch { case _: Throwable => () }
+    }
+    out
+  }
+
   /** Return `result` with `cached` scheduled for release after the next
     * completed action that can no longer need it (see object doc). */
   def releaseAfterAction(result: DataFrame, cached: DataFrame*): DataFrame = {

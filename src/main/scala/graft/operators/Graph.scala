@@ -85,14 +85,21 @@ object Graph {
     * `old`, so convergence is a filter-free aggregate over the round's own
     * checkpoint — no extra join. On a real cluster swap `localCheckpoint`
     * for `checkpoint` with a reliable dir to keep fault tolerance.
-    * Returns (node_id, rank_e12) at the fixed point. */
+    * Returns (node_id, rank_e12) at the fixed point.
+    *
+    * The default result is checkpoint-backed and SINGLE-USE (its blocks
+    * release after the caller's first terminal action — the library-wide
+    * contract). Pass `materialize = true` to get a multi-action frame
+    * instead: the ranks re-checkpoint into their own blocks
+    * ([[graft.functions.Caching.materialize]]) and the caller owns the
+    * release. */
   def pagerankConvergedDf(edges: DataFrame, epsE12: Long = 1000000L,
-      maxRounds: Int = 100): DataFrame =
-    pagerankConvergedRaw(edges, epsE12, maxRounds)._1
+      maxRounds: Int = 100, materialize: Boolean = false): DataFrame =
+    pagerankConvergedRaw(edges, epsE12, maxRounds, materialize)._1
 
   /** Same, also returning the round count (spec surface). */
   private[graft] def pagerankConvergedRaw(edges: DataFrame, epsE12: Long,
-      maxRounds: Int): (DataFrame, Int) = {
+      maxRounds: Int, materialize: Boolean = false): (DataFrame, Int) = {
     val outW = edges.groupBy("src").agg(sum("cnt").as("wout"))
     val e = edges.join(outW, "src")
       .select(col("src"), col("dst"), col("cnt"), col("wout"))
@@ -125,11 +132,16 @@ object Graph {
       rounds += 1
     }
     e.unpersist(false); nodes.unpersist(false)
-    // The converged ranks are checkpoint-backed: schedule the blocks for
-    // release after the caller's terminal action (checkpoint-aware —
-    // unrelated actions don't fire it; see Caching). Single-use result,
-    // like every checkpoint-backed frame in this library.
-    (graft.functions.Caching.releaseAfterAction(ranks, ranks), rounds)
+    // The converged ranks are checkpoint-backed: by default schedule the
+    // blocks for release after the caller's terminal action
+    // (checkpoint-aware — unrelated actions don't fire it; see Caching) —
+    // a single-use result, like every checkpoint-backed frame in this
+    // library. With `materialize` the ranks re-checkpoint into caller-owned
+    // blocks instead, so any number of actions may follow.
+    if (materialize)
+      (graft.functions.Caching.materialize(ranks, ranks), rounds)
+    else
+      (graft.functions.Caching.releaseAfterAction(ranks, ranks), rounds)
   }
 
   /** Edge budget per node for the co-supply graph: the construction keeps

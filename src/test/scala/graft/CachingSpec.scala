@@ -79,6 +79,27 @@ class CachingSpec extends AnyFunSuite {
     }
   }
 
+  test("materialize: pagerankConvergedDf survives TWO terminal actions") {
+    // The round-9 verdict's missing contract: checkpoint-backed results are
+    // single-use by default — a library consumer that needs several actions
+    // opts into `materialize`, which re-checkpoints the result into its own
+    // blocks and releases the loop's internal checkpoints immediately.
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "cnt")
+    val ranks = operators.Graph.pagerankConvergedDf(
+      edges, epsE12 = 1000000L, maxRounds = 50, materialize = true)
+    val first = ranks.orderBy("node_id").collect()
+    val second = ranks.orderBy("node_id").collect() // would throw on released blocks
+    assert(first.toSeq === second.toSeq)
+    assert(first.length === 3)
+    assert(ranks.count() === 3L) // and a third, differently-shaped action
+    org.apache.spark.sql.graft.Checkpoints.release(ranks) // caller-owned release
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    def live = spark.sparkContext.getPersistentRDDs.size
+    while (live > 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(live === 0, s"$live persistent RDDs survived the caller's release")
+  }
+
   test("operator-level: substringDup's window cache self-releases after its action") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -573,9 +573,12 @@ object SparkEntry {
     // sign-projection bucket candidates (each undirected candidate computed
     // once at a < b, then mirrored), exact-cosine verified with e4/dst
     // determinism — the same LSH machinery as sim_lsh_topk with every
-    // vector as a query.
+    // vector as a query. Celebrity buckets (occupancy > KnnBucketCap) are
+    // dropped from the pairing join, the Jaccard family's df-cap rule —
+    // inert at this corpus (max occupancy 329 at sf0.1) but mirrored here
+    // so the twin stays faithful at any scale.
     "sim_knn_graph" ->
-      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 4 AS band_idx, sum(bit * (1 << (j % 4))) AS band_key FROM proj GROUP BY vec_id, j // 4), half AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM keys a JOIN keys b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id), cand AS (SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half), s AS (SELECT c.src, c.dst, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id), r AS (SELECT src, dst, sim_e4, row_number() OVER (PARTITION BY src ORDER BY sim_e4 DESC, dst) AS rn FROM s) SELECT src, dst, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} ORDER BY src, rn""",
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 4 AS band_idx, sum(bit * (1 << (j % 4))) AS band_key FROM proj GROUP BY vec_id, j // 4), elig AS (SELECT band_idx, band_key FROM keys GROUP BY band_idx, band_key HAVING count(*) <= ${graft.operators.Similarity.KnnBucketCap}), ck AS (SELECT k.vec_id, k.band_idx, k.band_key FROM keys k JOIN elig e ON k.band_idx = e.band_idx AND k.band_key = e.band_key), half AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ck a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id), cand AS (SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half), s AS (SELECT c.src, c.dst, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id), r AS (SELECT src, dst, sim_e4, row_number() OVER (PARTITION BY src ORDER BY sim_e4 DESC, dst) AS rn FROM s) SELECT src, dst, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} ORDER BY src, rn""",
     // IVF: deterministic coarse quantizer (first-16 vectors as centroids),
     // e4-rounded cosine for ALL ordering decisions (assignment, probing,
     // final rank) with id tie-breaks — so even this approximate ANN path

@@ -921,6 +921,21 @@ object Similarity {
   /** Neighbors per node in the k-NN graph build. */
   val KnnK = 4
 
+  /** Celebrity-bucket occupancy cap for [[knnGraph]]'s candidate
+    * self-join: a (band, key) bucket holding f vectors contributes O(f²)
+    * candidate pairs, so a dense embedding MODE (boilerplate pages, a
+    * template farm, near-constant vectors) makes the join quadratic on
+    * skew — the exact failure the Jaccard family's [[Dedup.MaxShingleDf]]
+    * cap fences. Buckets with occupancy > cap are excluded from the
+    * PAIRING join entirely (drop-the-bucket, the df-cap rule): a bucket
+    * at many times its expected occupancy carries little discriminative
+    * signal, and genuinely-similar pairs inside a dropped bucket can
+    * still meet through their other bands. 400 is a no-op on the test
+    * corpus (max occupancy at sf0.1 is 329 over 16-key bands) and a hard
+    * Σ bucket² ceiling at 100 TB; recall is gated on the un-skewed mass
+    * (SimilaritySpec's planted hot-bucket test). */
+  val KnnBucketCap = 400L
+
   /** K-NN GRAPH BUILD — every vector's top-[[KnnK]] neighbors, the
     * all-pairs sibling of [[lshTopK]] and the precursor structure of
     * graph-based ANN serving (HNSW-style), embedding clustering, and
@@ -932,18 +947,38 @@ object Similarity {
     *
     * Scale shape: the candidate set is the band-bucket SELF-join — shuffle
     * on (band, key), cost Σ bucket² per band, never n² (bucket occupancy
-    * is the `rows` knob; a skew-capped variant drops celebrity buckets the
-    * way the Jaccard family's df cap does). Each undirected candidate is
-    * computed once (a < b) and mirrored, the two vector join-backs are
-    * id-equi-joins, and the per-src top-k window is bounded by candidate
-    * fan-out, not corpus size. */
+    * is the `rows` knob, and [[KnnBucketCap]] drops celebrity buckets so
+    * a dense mode cannot make any single bucket quadratic). Each
+    * undirected candidate is computed once (a < b) and mirrored, the two
+    * vector join-backs are id-equi-joins, and the per-src top-k window is
+    * bounded by candidate fan-out, not corpus size. */
   def knnGraph(s: SparkSession, d: String, k: Int = KnnK,
-      bands: Int = 8, rows: Int = 4): DataFrame = {
-    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      bands: Int = 8, rows: Int = 4,
+      bucketCap: Long = KnnBucketCap): DataFrame =
+    knnGraphDf(Tables.embeddings(s, d), k, bands, rows, bucketCap)
+
+  /** Same, over any (vec_id, embedding: array<float|double>) DataFrame
+    * (planted tests). */
+  def knnGraphDf(embeddings: DataFrame, k: Int = KnnK,
+      bands: Int = 8, rows: Int = 4,
+      bucketCap: Long = KnnBucketCap): DataFrame = {
+    val c = embeddings
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val keys = bandedKeys(c.select("vec_id", "v"), bands, rows)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val half = keys.as("a")
-      .join(keys.as("b"),
+    // The bucket registry is bands × 2^rows rows — small enough that
+    // Catalyst auto-broadcasts the eligibility side at these knobs, and a
+    // size-based shuffle join takes over if `rows` ever grows past the
+    // broadcast threshold (no forced broadcast() here, deliberately).
+    val eligible = keys.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= bucketCap)
+      .select("band_idx", "band_key")
+    val capped = keys.join(eligible, Seq("band_idx", "band_key"))
+    val half = capped.as("a")
+      .join(capped.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.vec_id") < col("b.vec_id"))

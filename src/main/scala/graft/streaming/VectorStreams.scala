@@ -23,6 +23,14 @@ import graft.operators.Similarity
   */
 object VectorStreams {
 
+  /** Broadcast ceiling for [[knnProbeStream]]'s static banded key table,
+    * in KEY ROWS (corpus vectors × bands; each row carries a Dim-double
+    * vector, so 1M rows ≈ 0.5 GB serialized — about the most a broadcast
+    * should ever carry). Above it the join goes hint-free and the
+    * optimizer shuffles each bounded micro-batch to the static side
+    * instead of duplicating the corpus into every executor. */
+  val KnnProbeBroadcastMaxRows = 1000000L
+
   /** Embeddings schema (TESTDATA.md) for the streaming file source. */
   val embeddingsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
@@ -76,24 +84,34 @@ object VectorStreams {
     * matches [[Similarity.knnGraph]] exactly.
     *
     * Scale posture: no streaming state, no watermark — per-row key
-    * computation plus a stream-static equi-join on (band, key). At test
-    * scale the static side broadcasts; at 100 TB the banded corpus table
-    * is written BUCKETED by (band, key) once and each micro-batch
-    * (bounded) shuffles to it — the winnowing probe's posture, vector-
-    * valued. */
+    * computation plus a stream-static equi-join on (band, key). The
+    * static side carries every corpus vector once PER BAND (bands× the
+    * corpus bytes), so broadcasting it is only right while the corpus is
+    * small: the switch below broadcasts up to
+    * [[KnnProbeBroadcastMaxRows]] key rows (one cheap metadata count
+    * decides) and otherwise leaves the join hint-free, letting the
+    * optimizer shuffle the micro-batch to the static side. At 100 TB the
+    * banded corpus table is written BUCKETED by (band, key) once and each
+    * micro-batch (bounded) shuffles to it — the winnowing probe's
+    * posture, vector-valued. */
   def knnProbeStream(spark: SparkSession, path: String, staticDir: String,
-      bands: Int = 8, rows: Int = 4, maxFilesPerTrigger: Int = 0): DataFrame = {
+      bands: Int = 8, rows: Int = 4, maxFilesPerTrigger: Int = 0,
+      broadcastMaxRows: Long = KnnProbeBroadcastMaxRows): DataFrame = {
     val corpus = graft.sources.Tables.embeddings(spark, staticDir)
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val staticKeys = Similarity.bandedKeysCarry(corpus, bands, rows)
       .select(col("band_idx"), col("band_key"), col("vec_id").as("dst"),
         col("v").as("dv"), col("nrm").as("dn"))
+    val keyRows = graft.sources.Tables.embeddings(spark, staticDir).count() *
+      bands
+    val staticSide =
+      if (keyRows <= broadcastMaxRows) broadcast(staticKeys) else staticKeys
     val stream = embeddingStream(spark, path, maxFilesPerTrigger)
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     Similarity.bandedKeysCarry(stream, bands, rows)
-      .join(broadcast(staticKeys), Seq("band_idx", "band_key"))
+      .join(staticSide, Seq("band_idx", "band_key"))
       .filter(col("dst") =!= col("vec_id"))
       .select(col("vec_id").as("src"), col("dst"), col("band_idx"),
         e4(dotD(col("v"), col("dv")) / (col("nrm") * col("dn"))).as("sim_e4"))

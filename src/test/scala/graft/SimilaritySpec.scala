@@ -281,4 +281,48 @@ class SimilaritySpec extends AnyFunSuite {
       assert(knnBest(q) === best,
         s"knn rank-1 for $q disagrees with lsh's best non-self neighbor")
   }
+
+  test("knn graph: celebrity-bucket cap bounds fan-out, recall holds on the un-skewed mass") {
+    // Planted corpus: a 30-vector dense MODE (one direction, tiny
+    // perturbations — every member lands in the same (band, key) bucket in
+    // all 8 bands) plus three genuine near-dup pairs in distinct
+    // directions. With bucketCap below the mode size, every bucket touched
+    // by the mode is dropped from the pairing join, so the mode emits ZERO
+    // candidate pairs (the bounded-fan-out claim); the un-skewed pairs
+    // still find each other through their own small buckets.
+    def lcg(seed: Long): Iterator[Double] =
+      Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+        .map(x => ((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5).drop(1)
+    val base = lcg(42).take(64).toArray
+    val hot = (100L until 130L).map { i =>
+      val v = base.clone(); v(0) += (i - 100L) * 1e-9; (i, v.toSeq)
+    }
+    // Pair directions: distinct seeds; partner = same direction + tiny noise.
+    val pairSeeds = Seq(7L, 19L, 101L)
+    val pairs = pairSeeds.zipWithIndex.flatMap { case (seed, idx) =>
+      val dir = lcg(seed).take(64).toArray
+      val a = (idx * 2L, dir.toSeq)
+      val bVec = dir.clone(); bVec(1) += 1e-9
+      val b = (idx * 2L + 1L, bVec.toSeq)
+      Seq(a, b)
+    }
+    val df = (hot ++ pairs).toDF("vec_id", "embedding")
+    val capped = Similarity.knnGraphDf(df, k = 4, bucketCap = 10L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(!capped.exists(r => r._1 >= 100L || r._2 >= 100L),
+      "a mode vector survived into the capped pairing join")
+    val best = capped.filter(_._4 == 1L).map(r => r._1 -> r._2).toMap
+    for (i <- 0 until 3) {
+      assert(best.get(i * 2L) === Some(i * 2L + 1L),
+        s"pair $i lost its partner under the cap")
+      assert(best.get(i * 2L + 1L) === Some(i * 2L),
+        s"pair $i (mirror) lost its partner under the cap")
+    }
+    // Control: at the default (inert) cap the mode pairs freely — the cap,
+    // not the corpus, is what bounded the fan-out above.
+    val open = Similarity.knnGraphDf(df, k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(open.count(r => r._1 >= 100L) === 30 * 4,
+      "uncapped mode vectors should each emit k edges")
+  }
 }

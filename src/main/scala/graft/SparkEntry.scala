@@ -133,6 +133,7 @@ object SparkEntry {
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sim_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     "sim_ivfpq_index" -> ((s, d) => Similarity.ivfPqTrainedCodes(s, d)),
+    "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "embedding_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "sample_cluster_balanced" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
@@ -430,6 +431,23 @@ object SparkEntry {
     s"codes AS (SELECT vec_id, m, j FROM (SELECT s.vec_id, s.m, c.j, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY $aloss, c.j) AS rn FROM rsubs s JOIN p2 c ON s.m = c.m) WHERE rn = 1)"
   }
 
+  /** Trained IVF-PQ retrieval oracle (see the map-entry comment at
+    * `sim_ivfpq_trained`): the shared training CTEs plus probes → ADC with
+    * the per-cell offset → exact re-rank. Shared verbatim by
+    * `sim_ivfpq_trained` (retrains in-query) and `sim_ivfpq_served`
+    * (reads the persisted index) — the two paths are the same
+    * deterministic encode, so one oracle covers both. */
+  private lazy val IvfPqTrainedRetrievalSql: String =
+    IvfPqTrainedCtes + ", " +
+    "qsubs AS (SELECT vec_id AS qid, m, ve[m*8+1 : m*8+8] AS qm FROM e4v CROSS JOIN mm WHERE vec_id < 10), " +
+    "qtab AS (SELECT s.qid, s.m, c.j, list_inner_product(s.qm, c.cm) AS t FROM qsubs s JOIN p2 c ON s.m = c.m), " +
+    "probes AS (SELECT qid, cell_id, pdot FROM (SELECT e.vec_id AS qid, c.cell_id, list_inner_product(e.ve, c.cv) AS pdot, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c2n c WHERE e.vec_id < 10) WHERE rn <= 4), " +
+    "cand AS (SELECT p.qid, a.vec_id AS cid, p.pdot FROM probes p JOIN af a ON p.cell_id = a.cell_id), " +
+    "adc AS (SELECT cd.qid, cd.cid, cd.pdot + sum(q.t) AS approx FROM cand cd JOIN codes co ON cd.cid = co.vec_id JOIN qtab q ON q.qid = cd.qid AND co.m = q.m AND co.j = q.j GROUP BY cd.qid, cd.cid, cd.pdot), " +
+    "short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS srn FROM adc) WHERE srn <= 25), " +
+    "ex AS (SELECT sh.qid, sh.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nr * y.nr) * 10000) AS BIGINT) AS sim_e4 FROM short sh JOIN nrm x ON sh.cid = x.vec_id JOIN nrm y ON sh.qid = y.vec_id) " +
+    "SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ex) WHERE rn <= 5 ORDER BY qid, rn"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted (→ rows-only check): distinct_words_approx
     * (HLL registers are engine-specific), text_tfidf (libm ln, rule R2),
@@ -636,16 +654,12 @@ object SparkEntry {
     // exact e4 integers, anisotropic residual-codebook k-means (direction
     // = the original vector at e3 so the loss stays BIGINT), linear-ADC
     // scoring ⟨q,c_cell⟩ + Σ⟨q_m,cm⟩, exact re-rank of the 25-shortlist.
-    "sim_ivfpq_trained" ->
-      (IvfPqTrainedCtes + ", " +
-      "qsubs AS (SELECT vec_id AS qid, m, ve[m*8+1 : m*8+8] AS qm FROM e4v CROSS JOIN mm WHERE vec_id < 10), " +
-      "qtab AS (SELECT s.qid, s.m, c.j, list_inner_product(s.qm, c.cm) AS t FROM qsubs s JOIN p2 c ON s.m = c.m), " +
-      "probes AS (SELECT qid, cell_id, pdot FROM (SELECT e.vec_id AS qid, c.cell_id, list_inner_product(e.ve, c.cv) AS pdot, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c2n c WHERE e.vec_id < 10) WHERE rn <= 4), " +
-      "cand AS (SELECT p.qid, a.vec_id AS cid, p.pdot FROM probes p JOIN af a ON p.cell_id = a.cell_id), " +
-      "adc AS (SELECT cd.qid, cd.cid, cd.pdot + sum(q.t) AS approx FROM cand cd JOIN codes co ON cd.cid = co.vec_id JOIN qtab q ON q.qid = cd.qid AND co.m = q.m AND co.j = q.j GROUP BY cd.qid, cd.cid, cd.pdot), " +
-      "short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS srn FROM adc) WHERE srn <= 25), " +
-      "ex AS (SELECT sh.qid, sh.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nr * y.nr) * 10000) AS BIGINT) AS sim_e4 FROM short sh JOIN nrm x ON sh.cid = x.vec_id JOIN nrm y ON sh.qid = y.vec_id) " +
-      "SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ex) WHERE rn <= 5 ORDER BY qid, rn"),
+    "sim_ivfpq_trained" -> IvfPqTrainedRetrievalSql,
+    // Serve-from-index: the retrieval result is IDENTICAL whether the
+    // model is retrained in-query or read from the persisted index (the
+    // stored assignment/codes are the same deterministic encode), so the
+    // served query shares the trained oracle verbatim.
+    "sim_ivfpq_served" -> IvfPqTrainedRetrievalSql,
     // The serving index itself: the shared training CTEs' final assignment
     // + codes, pivoted to one BIGINT column per subspace.
     "sim_ivfpq_index" ->

@@ -510,8 +510,9 @@ object Similarity {
       eta: Int = PqEta): DataFrame = {
     val (cents, cb, full, nv, af, rsubs) =
       ivfPqTrainedModel(s, d, nCells, m, kCents, ivfIters, pqIters, eta)
-    ivfPqTrainedQuery(s, cents, cb, full, nv, af, rsubs,
-      nQueries, k, nProbe, m, rerank, eta)
+    val codes = residualEncode(rsubs, cbDf(s, cb), eta)
+    ivfPqTrainedQuery(s, cents, cb, full, nv, af, codes,
+      nQueries, k, nProbe, m, rerank, Seq(full, nv, rsubs, af))
   }
 
   /** The trained IVF-PQ MODEL alone — both k-means loops run to
@@ -637,29 +638,39 @@ object Similarity {
     val (_, cb, full, nv, af, rsubs) =
       ivfPqTrainedModel(s, d, nCells, m, kCents, ivfIters, pqIters, eta)
     val codes = residualEncode(rsubs, cbDf(s, cb), eta)
+    graft.functions.Caching.releaseAfterAction(
+      trainedIndexDf(af, codes, m), full, nv, af, rsubs)
+  }
+
+  /** The (vec_id, cell_id, c0..c{M−1}) serving-index frame from an
+    * assignment + long-form codes — the one pivot definition shared by the
+    * index query, the index WRITER, and (inverted) the served reader. */
+  private def trainedIndexDf(af: DataFrame, codes: DataFrame,
+      m: Int): DataFrame = {
     val pivot = codes.groupBy("vec_id").agg(
       min(when(col("m") === 0, col("j"))).as("c0"),
       (1 until m).map(i => min(when(col("m") === i, col("j"))).as(s"c$i")): _*)
-    graft.functions.Caching.releaseAfterAction(
-      af.join(pivot, "vec_id")
-        .select(col("vec_id") +: col("cell_id") +:
-          (0 until m).map(i => col(s"c$i")): _*)
-        .orderBy("vec_id"),
-      full, nv, af, rsubs)
+    af.join(pivot, "vec_id")
+      .select(col("vec_id") +: col("cell_id") +:
+        (0 until m).map(i => col(s"c$i")): _*)
+      .orderBy("vec_id")
   }
 
   /** The retrieval stage over a trained model (see [[ivfPqTrainedTopK]]
-    * steps 4-5): final residual encode, ADC with the per-cell offset,
-    * exact re-rank. */
+    * steps 4-5): ADC over the supplied long-form codes with the per-cell
+    * offset, exact re-rank. `nv` need only contain the query rows (the
+    * served path passes the pruned query slice); `cached` is whatever the
+    * caller persisted for this plan — released after its terminal action
+    * (empty for the served path, which reads everything from
+    * parquet). */
   private def ivfPqTrainedQuery(s: SparkSession,
       cents: Seq[(Long, Seq[Double])], cb: Seq[(Long, Long, Seq[Double])],
-      full: DataFrame, nv: DataFrame, af: DataFrame, rsubs: DataFrame,
+      full: DataFrame, nv: DataFrame, af: DataFrame, codes: DataFrame,
       nQueries: Int, k: Int, nProbe: Int, m: Int, rerank: Int,
-      eta: Int): DataFrame = {
+      cached: Seq[DataFrame]): DataFrame = {
     import s.implicits._
     val sub = PqSubDim
     val ct = cents.toDF("cell_id", "cv").withColumn("cnrm", l2Norm(col("cv")))
-    val codes = residualEncode(rsubs, cbDf(s, cb), eta)
     val qsubs = nv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), posexplode(
         array((0 until m).map(i => slice(col("v"), i * sub + 1, sub)): _*)))
@@ -689,15 +700,133 @@ object Similarity {
     val q = full.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
-    graft.functions.Caching.releaseAfterAction(
+    val ranked =
       short.join(full.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
         .join(broadcast(q), "qid")
         .select(col("qid"), col("cid"),
           e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= k)
-        .orderBy("qid", "rn"),
-      full, nv, rsubs, af)
+        .orderBy("qid", "rn")
+    if (cached.isEmpty) ranked
+    else graft.functions.Caching.releaseAfterAction(ranked, cached: _*)
+  }
+
+  /** On-disk layout version of the persisted IVF-PQ index — bump whenever
+    * the trained encode or the table shapes change, so a stale index can
+    * never be served against newer retrieval code. */
+  private val IvfPqIndexVersion = 1
+
+  /** Default location for the persisted index of corpus `d`: keyed by the
+    * corpus file's identity (path, size, mtime) AND every training
+    * parameter AND [[IvfPqIndexVersion]], so a changed corpus, changed
+    * knobs, or changed code can never silently serve a stale index — the
+    * standard content-addressed cache rule. Lives under the JVM temp dir
+    * (a scratch artifact, like Spark's own local dirs); production
+    * deployments pass an explicit warehouse path instead. */
+  def ivfPqIndexDir(d: String, nCells: Int = IvfCells, m: Int = PqM,
+      kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
+      pqIters: Int = PqKmeansIters, eta: Int = PqEta): String = {
+    val f = new java.io.File(d, "embeddings.parquet")
+    val key = Seq(f.getAbsolutePath, f.length, f.lastModified,
+      nCells, m, kCents, ivfIters, pqIters, eta, IvfPqIndexVersion)
+      .mkString("|")
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivfpq-$h")
+      .getAbsolutePath
+  }
+
+  /** BUILD-AND-PERSIST the trained IVF-PQ index — the production split's
+    * offline half (what [[ivfPqTrainedCodes]] computes, written out): runs
+    * both k-means loops once and stores three parquet tables under `dir`:
+    *
+    *  - `index/`      (vec_id, cell_id, c0..c{M−1}) — the serving index,
+    *                  exactly [[ivfPqTrainedCodes]]' output;
+    *  - `centroids/`  (cell_id, cv) — nCells rows;
+    *  - `codebook/`   (m, j, cm) — M×K rows.
+    *
+    * The write is crash-safe: tables land under `dir.tmp` and an atomic
+    * rename publishes them, so a killed build never leaves a half-index a
+    * reader could mistake for complete. On a cluster, `index/` would be
+    * written bucketed by cell_id (the probe join's key); local mode keeps
+    * the plain layout. */
+  def ivfPqWriteIndex(s: SparkSession, d: String, dir: String,
+      nCells: Int = IvfCells, m: Int = PqM, kCents: Int = PqK,
+      ivfIters: Int = IvfKmeansIters, pqIters: Int = PqKmeansIters,
+      eta: Int = PqEta): Unit = {
+    import s.implicits._
+    val (cents, cb, full, nv, af, rsubs) =
+      ivfPqTrainedModel(s, d, nCells, m, kCents, ivfIters, pqIters, eta)
+    val codes = residualEncode(rsubs, cbDf(s, cb), eta)
+    val tmp = new java.io.File(dir + ".tmp")
+    val fin = new java.io.File(dir)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(tmp)
+    trainedIndexDf(af, codes, m)
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    cents.toDF("cell_id", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    cbDf(s, cb)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
+    Seq(full, nv, af, rsubs).foreach(_.unpersist(false))
+    rmTree(fin)
+    if (!tmp.renameTo(fin))
+      throw new java.io.IOException(s"could not publish index at $dir")
+  }
+
+  /** SERVE top-k from the PERSISTED trained index — the production split's
+    * online half, and the amortization [[ivfPqTrainedTopK]]'s
+    * self-contained pricing lacks: retrieval reads the stored assignment +
+    * codes instead of re-running either k-means loop, so a query batch
+    * costs probe + ADC + re-rank only (the driver-side artifacts —
+    * centroids and codebook, nCells×Dim + M×K×SubDim numbers — load once
+    * per call). Results are IDENTICAL to [[ivfPqTrainedTopK]] because the
+    * stored index is the same deterministic encode (the query hash-matches
+    * the same oracle). Builds the index on first use when `indexDir` is
+    * absent (content-addressed via [[ivfPqIndexDir]] — corpus or parameter
+    * changes invalidate it); production calls [[ivfPqWriteIndex]] on its
+    * own schedule and passes the path.
+    *
+    * Scale shape: the corpus parquet is touched only for the query rows
+    * (vec_id < nQueries — pushed to the scan) and the nQueries×rerank
+    * exact reads; the index scan is M+2 small ints per vector; everything
+    * broadcast is model/query/probe-sized. */
+  def ivfPqServedTopK(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, nProbe: Int = IvfProbe, nCells: Int = IvfCells,
+      m: Int = PqM, kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
+      pqIters: Int = PqKmeansIters, rerank: Int = PqRerank,
+      eta: Int = PqEta, indexDir: Option[String] = None): DataFrame = {
+    val dir = indexDir.getOrElse(
+      ivfPqIndexDir(d, nCells, m, kCents, ivfIters, pqIters, eta))
+    if (!new java.io.File(dir, "index").exists())
+      ivfPqWriteIndex(s, d, dir, nCells, m, kCents, ivfIters, pqIters, eta)
+    val cents = s.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val cb = s.read.parquet(s"$dir/codebook")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val idx = s.read.parquet(s"$dir/index")
+    val af = idx.select("vec_id", "cell_id")
+    // Long-form codes from the stored pivot — posexplode, the pivot's
+    // exact inverse.
+    val codes = idx.select(col("vec_id"), posexplode(
+        array((0 until m).map(i => col(s"c$i")): _*)))
+      .toDF("vec_id", "m", "j")
+    val full = corpus(s, d)
+    // The query slice of the e4-normalized corpus: the vec_id predicate
+    // pushes into the parquet scan, so serving never normalizes the corpus.
+    val qnv = full.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"),
+        transform(col("v"), x => round(x / col("nrm") * lit(10000.0))).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    ivfPqTrainedQuery(s, cents, cb, full, qnv, af, codes,
+      nQueries, k, nProbe, m, rerank, Seq.empty)
   }
 
   // Deterministic per-subspace k-means for the trained PQ codebook: fixed

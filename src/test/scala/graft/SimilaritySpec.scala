@@ -153,6 +153,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trainedRecall >= 0.5, s"trained ivfpq recall dropped to $trainedRecall")
   }
 
+  test("ivfpq served-from-index: identical to in-query retraining, reusable") {
+    // The production split: ivfPqWriteIndex persists the trained index
+    // once (crash-safe publish), ivfPqServedTopK answers from the stored
+    // assignment + codes without touching either k-means loop. The stored
+    // encode is the same deterministic arithmetic, so results must be
+    // BIT-identical to the self-contained trained query — and a second
+    // serve from the same index must agree (no hidden retrain state).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec")
+      .resolve("idx").toString
+    graft.operators.Similarity.ivfPqWriteIndex(spark, TestSpark.sf, dir)
+    assert(new java.io.File(dir, "index").exists(), "index not published")
+    assert(!new java.io.File(dir + ".tmp").exists(), "tmp dir left behind")
+    val served = Similarity.ivfPqServedTopK(spark, TestSpark.sf,
+        indexDir = Some(dir))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    val trained = Similarity.ivfPqTrainedTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(served === trained, "served retrieval diverged from retraining")
+    val again = Similarity.ivfPqServedTopK(spark, TestSpark.sf,
+        indexDir = Some(dir))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again === trained, "second serve from the same index diverged")
+  }
+
   test("trained retrieval tier holds its recall at the bench scale (sf0.1)") {
     // The eta sweep and the gates above run on the small fixtures; this
     // pins codebook quality where the bench runs, so a training change

@@ -173,8 +173,24 @@ object Graph {
     * hash-join the canonical edge set; per-node counts are one explode +
     * aggregate over triangle rows. */
   def triangles(s: SparkSession, d: String): DataFrame =
-    trianglesDf(coSupplyEdges(s, d)).withColumnRenamed("node", "s_suppkey")
+    trianglesDf(coSupplyEdgesShared(s, d)).withColumnRenamed("node", "s_suppkey")
       .orderBy("s_suppkey")
+
+  /** The co-supply edge product, built once per corpus and SHARED across
+    * the graph family (the round-9 verdict's amortization item: triangles
+    * and components each rebuilt the pair aggregate — the family's
+    * dominant cost — inside their own plans). First consumer builds via
+    * [[coSupplyEdges]] and publishes through the content-addressed
+    * [[graft.sources.ArtifactCache]] (keyed on the lineitem file's
+    * identity + the edge budget, so a changed corpus or knob rebuilds);
+    * every later consumer scans the stored (a, b) list. Identical rows to
+    * [[coSupplyEdges]] by construction, so consumers' oracles are
+    * unchanged. */
+  def coSupplyEdgesShared(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactCache.getOrBuild(s,
+      graft.sources.ArtifactCache.path("cosupply",
+        new java.io.File(d, "lineitem.parquet"),
+        Seq(TriEdgesPerNode)))(coSupplyEdges(s, d))
 
   /** The BUDGET-thresholded co-supply edge list (a, b) with a < b:
     * suppliers filling lines of common orders, kept only while the edge
@@ -185,8 +201,9 @@ object Graph {
     * driver-bounded collect, like every trained operator's model):
     * t = the smallest shared count whose ≥-cumulative edge total fits
     * the budget, so the kept graph is always the STRONGEST edges and the
-    * average degree is a constant at any corpus size. Shared by
-    * [[triangles]] and [[componentsQuery]]. */
+    * average degree is a constant at any corpus size. Consumed through
+    * the build-once [[coSupplyEdgesShared]] by [[triangles]] and
+    * [[componentsQuery]]. */
   def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
     val os = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
       .distinct()
@@ -223,7 +240,7 @@ object Graph {
     * Hash-matched against a recursive-CTE transitive closure. */
   def componentsQuery(s: SparkSession, d: String): DataFrame = {
     val comp = graft.operators.Dedup.components(
-      coSupplyEdges(s, d).select(col("a").as("d1"), col("b").as("d2")))
+      coSupplyEdgesShared(s, d).select(col("a").as("d1"), col("b").as("d2")))
     val labeled = supplier(s, d).select(col("s_suppkey"))
       .join(comp.withColumnRenamed("id", "s_suppkey"), Seq("s_suppkey"), "left")
       .select(col("s_suppkey"),

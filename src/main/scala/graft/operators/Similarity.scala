@@ -726,17 +726,10 @@ object Similarity {
     * deployments pass an explicit warehouse path instead. */
   def ivfPqIndexDir(d: String, nCells: Int = IvfCells, m: Int = PqM,
       kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
-      pqIters: Int = PqKmeansIters, eta: Int = PqEta): String = {
-    val f = new java.io.File(d, "embeddings.parquet")
-    val key = Seq(f.getAbsolutePath, f.length, f.lastModified,
-      nCells, m, kCents, ivfIters, pqIters, eta, IvfPqIndexVersion)
-      .mkString("|")
-    val h = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(key.getBytes("UTF-8")).take(8)
-      .map(b => f"$b%02x").mkString
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft-ivfpq-$h")
-      .getAbsolutePath
-  }
+      pqIters: Int = PqKmeansIters, eta: Int = PqEta): String =
+    graft.sources.ArtifactCache.path("ivfpq",
+      new java.io.File(d, "embeddings.parquet"),
+      Seq(nCells, m, kCents, ivfIters, pqIters, eta, IvfPqIndexVersion))
 
   /** BUILD-AND-PERSIST the trained IVF-PQ index — the production split's
     * offline half (what [[ivfPqTrainedCodes]] computes, written out): runs
@@ -761,12 +754,7 @@ object Similarity {
       ivfPqTrainedModel(s, d, nCells, m, kCents, ivfIters, pqIters, eta)
     val codes = residualEncode(rsubs, cbDf(s, cb), eta)
     val tmp = new java.io.File(dir + ".tmp")
-    val fin = new java.io.File(dir)
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(): Unit
-    }
-    rmTree(tmp)
+    graft.sources.ArtifactCache.rmTree(tmp)
     trainedIndexDf(af, codes, m)
       .write.mode("overwrite").parquet(s"$tmp/index")
     cents.toDF("cell_id", "cv")
@@ -774,9 +762,7 @@ object Similarity {
     cbDf(s, cb)
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
     Seq(full, nv, af, rsubs).foreach(_.unpersist(false))
-    rmTree(fin)
-    if (!tmp.renameTo(fin))
-      throw new java.io.IOException(s"could not publish index at $dir")
+    graft.sources.ArtifactCache.publish(tmp, new java.io.File(dir))
   }
 
   /** SERVE top-k from the PERSISTED trained index — the production split's

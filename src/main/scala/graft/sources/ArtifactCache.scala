@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Content-addressed local cache for derived BUILD PRODUCTS — the
+  * build-once/consume-many split expensive derivations need (the trained
+  * IVF-PQ serving index, the thresholded co-supply edge product): several
+  * queries consume the same product, and rebuilding it inside each
+  * consumer's plan repeats the dominant cost.
+  *
+  * The cache key is the identity of the SOURCE file the product derives
+  * from (absolute path, byte size, mtime) plus every build parameter plus
+  * a layout version — so a changed corpus, changed knobs, or changed code
+  * can never silently serve a stale product; invalidation is structural,
+  * not scheduled. Products live under the JVM temp dir (scratch, like
+  * Spark's own local dirs); production deployments write to a warehouse
+  * path on their own schedule instead and hand consumers the location.
+  *
+  * Publication is crash-safe: the build lands in `<dir>.tmp` and an atomic
+  * rename publishes it, so a killed build never leaves a half-product a
+  * reader could mistake for complete.
+  */
+object ArtifactCache {
+
+  /** Bump to invalidate every cached product at once (layout changes). */
+  private val CacheVersion = 1
+
+  /** Content-addressed directory for product `name` derived from
+    * `keyFile` under `params`. Pure function — does not touch the
+    * filesystem beyond reading the key file's metadata. */
+  def path(name: String, keyFile: File, params: Seq[Any]): String = {
+    val key = (Seq(keyFile.getAbsolutePath, keyFile.length,
+      keyFile.lastModified) ++ params :+ CacheVersion).mkString("|")
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8")).take(8)
+      .map(b => f"$b%02x").mkString
+    new File(sys.props("java.io.tmpdir"), s"graft-$name-$h").getAbsolutePath
+  }
+
+  def rmTree(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Atomically publish `tmp` as `dir` (replacing any previous product). */
+  def publish(tmp: File, dir: File): Unit = {
+    rmTree(dir)
+    if (!tmp.renameTo(dir))
+      throw new java.io.IOException(s"could not publish artifact at $dir")
+  }
+
+  /** Read the single-table product at `dir`, building and publishing it
+    * first if absent. `build` runs at most once per key (per process race
+    * window — concurrent builders both succeed, last publish wins, both
+    * reads see a complete product). */
+  def getOrBuild(s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val fin = new File(dir)
+    if (!fin.exists()) {
+      val tmp = new File(dir + ".tmp")
+      rmTree(tmp)
+      build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      publish(tmp, fin)
+    }
+    s.read.parquet(dir)
+  }
+}

@@ -584,9 +584,11 @@ object SparkEntry {
       s"""WITH $LshTopkCtes SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM lshr WHERE rn <= 5 ORDER BY qid, rn""",
     // Retrieval recall@5 as a query: the brute baseline's top-5 LEFT
     // JOINed against the LSH index's top-5, hits counted per query, one
-    // pinned division for the e4 recall.
+    // pinned division for the e4 recall. The denominator is the per-query
+    // brute row count (count(*) over the group), matching the Scala side's
+    // corpus-smaller-than-k behavior.
     "eval_retrieval_recall" ->
-      s"""WITH $LshTopkCtes, $BruteTopkCtes, br AS (SELECT qid, cid FROM brk WHERE rn <= 5), ls AS (SELECT qid, cid FROM lshr WHERE rn <= 5) SELECT b.qid, CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, CAST(round(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / 5) AS BIGINT) AS recall_e4 FROM br b LEFT JOIN ls l ON b.qid = l.qid AND b.cid = l.cid GROUP BY b.qid ORDER BY b.qid""",
+      s"""WITH $LshTopkCtes, $BruteTopkCtes, br AS (SELECT qid, cid FROM brk WHERE rn <= 5), ls AS (SELECT qid, cid FROM lshr WHERE rn <= 5) SELECT b.qid, CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, CAST(round(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 FROM br b LEFT JOIN ls l ON b.qid = l.qid AND b.cid = l.cid GROUP BY b.qid ORDER BY b.qid""",
     // k-NN graph build: every vector's top-4 neighbors among the banded
     // sign-projection bucket candidates (each undirected candidate computed
     // once at a < b, then mirrored), exact-cosine verified with e4/dst

@@ -107,7 +107,17 @@ object DataQuality {
         round(col("l_quantity") * 100).cast("long").as("x"),
         round(col("l_extendedprice") * 100).cast("long").as("y")))
 
-  /** Same, over any (l_returnflag, x, y) integer frame (planted tests). */
+  /** Same, over any (l_returnflag, x, y) integer frame (planted tests).
+    *
+    * Capacity bound of the Decimal(38, 0) moments: the largest
+    * intermediates are n·Σx² and (Σx)², each ≤ (n·max|x|)² — so with
+    * cent-scale values (|x| ≤ 1e7) the recipe is exact up to ~1e12 rows
+    * PER GROUP, right at the 100 TB envelope. Past it, Spark 4's default
+    * ANSI mode raises ARITHMETIC_OVERFLOW at the sum — already matching
+    * the DuckDB HUGEINT twin's raise. A NON-ANSI session instead returns
+    * NULL on decimal overflow (a silent divergence), so the overflow
+    * guard below converts any null moment product into a loud
+    * `raise_error`: the query fails identically under either mode. */
   def correlationDf(pairs: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val m = pairs
@@ -122,9 +132,18 @@ object DataQuality {
     val vx = col("n") * col("sxx") - col("sx") * col("sx")
     val vy = col("n") * col("syy") - col("sy") * col("sy")
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    // Inputs are non-null ints, so a null moment/product can only mean
+    // decimal overflow (non-ANSI null-on-overflow) — fail like the oracle.
+    val overflow = col("sx").isNull || col("sy").isNull ||
+      col("sxy").isNull || col("sxx").isNull || col("syy").isNull ||
+      vx.isNull || vy.isNull
     val r = num / (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))
     m.select(col("l_returnflag"), col("n"),
-        when(vx === 0 || vy === 0, lit(0L))
+        when(overflow, raise_error(
+            lit("correlation moments overflowed Decimal(38,0) — group too " +
+              "large for the exact recipe; pre-aggregate or shard the group"))
+          .cast("long"))
+          .when(vx === 0 || vy === 0, lit(0L))
           .otherwise(round(r * 10000).cast("long")).as("corr_e4"))
       .orderBy("l_returnflag")
   }

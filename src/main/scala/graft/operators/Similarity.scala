@@ -1015,10 +1015,15 @@ object Similarity {
     * the LSH index against the exact baseline, the number SimilaritySpec
     * gates in tests promoted to a production monitoring query (run it
     * after every index rebuild; alert on the aggregate). Composes the
-    * two existing operators and counts overlap per query — the exact
-    * side runs on the (small) query set only, so the cost is the brute
-    * pass over queries plus the index probe, never n². One pinned
-    * division for the e4 recall. */
+    * two existing operators and counts overlap per query. Cost: the brute
+    * stage scores the corpus once against the broadcast query set
+    * (corpus × nQueries similarity triples — the monitoring-grade linear
+    * pass, never n²) plus the index probe. The recall denominator is the
+    * PER-QUERY brute row count, not k, so a corpus smaller than k still
+    * reports recall in [0, 1]. One pinned division for the e4 recall.
+    * Only the default (nQueries, k) is oracle-checked — the DuckDB twin
+    * pins both inside its shared CTEs; other values are spec-covered via
+    * the recall gates. */
   def retrievalRecall(s: SparkSession, d: String, nQueries: Int = 10,
       k: Int = 5): DataFrame = {
     val brute = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
@@ -1027,9 +1032,11 @@ object Similarity {
     brute
       .join(lsh, col("qid") === col("lq") && col("cid") === col("lc"), "left")
       .groupBy("qid")
-      .agg(sum(when(col("lc").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .agg(sum(when(col("lc").isNotNull, 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("n_brute"))
       .select(col("qid"), col("hits"),
-        round(col("hits") * lit(10000.0) / lit(k)).cast("long").as("recall_e4"))
+        round(col("hits") * lit(10000.0) / col("n_brute")).cast("long")
+          .as("recall_e4"))
       .orderBy("qid")
   }
 

@@ -42,6 +42,25 @@ class DataQualitySpec extends AnyFunSuite {
     assert(got === Seq(("flat", 10L, 0L), ("lin", 10L, 10000L), ("neg", 10L, -10000L)))
   }
 
+  test("correlation: decimal overflow fails loudly, like the HUGEINT oracle") {
+    // Values near Long.MaxValue push Σx² past Decimal(38,0)'s 1e38
+    // capacity. Under Spark 4's default ANSI mode the sum itself raises
+    // ARITHMETIC_OVERFLOW; in a non-ANSI session the sum nulls silently
+    // and the operator's raise_error guard fires instead. Either way the
+    // query FAILS — never a silent null where the HUGEINT oracle raises.
+    val big = 9000000000000000000L // 9e18; Σx² over two rows = 1.62e38
+    val pairs = Seq(("of", big, 1L), ("of", big, 2L))
+      .toDF("l_returnflag", "x", "y")
+    val e = intercept[Exception] {
+      DataQuality.correlationDf(pairs).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("overflowed Decimal(38,0)") ||
+        m.contains("ARITHMETIC_OVERFLOW")),
+      s"expected a loud overflow failure, got: ${e.getMessage}")
+  }
+
   test("correlation: the synthetic corpus's quantity/price are near-independent") {
     val got = DataQuality.correlation(spark, TestSpark.sf)
       .as[(String, Long, Long)].collect()

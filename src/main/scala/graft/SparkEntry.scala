@@ -123,6 +123,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairsQuery(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "eval_dedup_pr" -> ((s, d) => Dedup.sketchPr(s, d)),
     // — LLM-pipeline: similarity search —
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -282,8 +283,16 @@ object SparkEntry {
   // h < 2^32, so a·h + b < 2^63: no BIGINT overflow on either engine —
   // then 8 bands of 4 minima serialized "_"-joined. All integer
   // arithmetic, so buckets AND candidate pairs hash-match the oracle.
-  private val MinhashCtes =
-    s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), hv AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h FROM sh), mins AS (SELECT doc_id, i, min((((1103515245 * (i + 1) + 7) % 1000000007) * h + ((12345 * (i + 1) + 678910) % 1000000007)) % 1000000007) AS m FROM hv, range(0, 32) t(i) GROUP BY doc_id, i), bands AS (SELECT doc_id, i // 4 AS band_idx, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS band_key FROM mins GROUP BY doc_id, i // 4)"""
+  // Common 3-shingle prefix (tokenize → distinct shingles with the
+  // short-doc fallback) shared by the MinHash kit, the exact-Jaccard kit,
+  // and the sketch-evaluation query that composes both in one WITH.
+  private val ShingleCtes =
+    s"""toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks))"""
+
+  private val MinhashTailCtes =
+    """hv AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(sh) + 1), i -> CAST(ascii(substr(sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h FROM sh), mins AS (SELECT doc_id, i, min((((1103515245 * (i + 1) + 7) % 1000000007) * h + ((12345 * (i + 1) + 678910) % 1000000007)) % 1000000007) AS m FROM hv, range(0, 32) t(i) GROUP BY doc_id, i), bands AS (SELECT doc_id, i // 4 AS band_idx, string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS band_key FROM mins GROUP BY doc_id, i // 4)"""
+
+  private val MinhashCtes = s"WITH $ShingleCtes, $MinhashTailCtes"
 
   // Shared banded sign-projection CTEs (6 bands × 6 bits, planes from the
   // same LCG as Similarity.plane) — dedup_embedding_lsh and
@@ -294,8 +303,10 @@ object SparkEntry {
   // Shared n-gram-Jaccard pipeline CTEs (shingles with the short-doc
   // fallback, df cap, per-doc counts, pair scores) — the pair query and the
   // connected-components clustering both build on `jpairs`.
-  private val NgramCtes =
-    s"""toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id)"""
+  private val NgramTailCtes =
+    """eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id)"""
+
+  private val NgramCtes = s"$ShingleCtes, $NgramTailCtes"
 
   // Shared marker-language-ID CTEs (tokenize + per-language marker hits)
   // and the argmax CASE — text_langid and eval_langid_confusion classify
@@ -578,6 +589,13 @@ object SparkEntry {
       s"""WITH RECURSIVE $CoSupplyCtes, bedges AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), reach AS (SELECT a, b FROM bedges UNION SELECT r.a, e.b FROM reach r JOIN bedges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a), lab AS (SELECT s.s_suppkey, CAST(CASE WHEN m.m IS NOT NULL AND m.m < s.s_suppkey THEN m.m ELSE s.s_suppkey END AS BIGINT) AS component_id FROM supplier s LEFT JOIN mn m ON s.s_suppkey = m.a), sz AS (SELECT component_id, count(*) AS component_size FROM lab GROUP BY component_id) SELECT l.s_suppkey, l.component_id, sz.component_size FROM lab l JOIN sz ON l.component_id = sz.component_id ORDER BY l.s_suppkey""",
     "dedup_minhash" ->
       s"""$MinhashCtes SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""",
+    // Sketch-quality evaluation: MinHash-LSH pairs (est >= 5000) scored
+    // against the exact n-gram Jaccard pairs (jac >= 5000) — both kits'
+    // shared shingle prefix plus their tails in ONE WITH, a full outer
+    // join on the pair key, and a 1-row precision/recall aggregate with
+    // pinned e4 divisions (0 when a denominator is empty).
+    "eval_dedup_pr" ->
+      s"""WITH $ShingleCtes, $MinhashTailCtes, $NgramTailCtes, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id), mp AS (SELECT d1, d2 FROM (SELECT c.d1, c.d2, CAST(round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) * 10000.0 / 32) AS BIGINT) AS est_jac_e4 FROM cand c JOIN mins ma ON ma.doc_id = c.d1 JOIN mins mb ON mb.doc_id = c.d2 AND mb.i = ma.i GROUP BY c.d1, c.d2) WHERE est_jac_e4 >= 5000), ex AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= 5000), u AS (SELECT CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END AS exf, CASE WHEN m.d1 IS NOT NULL THEN 1 ELSE 0 END AS prf FROM ex e FULL JOIN mp m ON e.d1 = m.d1 AND e.d2 = m.d2) SELECT CAST(COALESCE(sum(exf), 0) AS BIGINT) AS n_exact, CAST(COALESCE(sum(prf), 0) AS BIGINT) AS n_pred, CAST(COALESCE(sum(exf * prf), 0) AS BIGINT) AS n_hit, CAST(CASE WHEN COALESCE(sum(prf), 0) = 0 THEN 0 ELSE round(sum(exf * prf) * 10000.0 / sum(prf)) END AS BIGINT) AS precision_e4, CAST(CASE WHEN COALESCE(sum(exf), 0) = 0 THEN 0 ELSE round(sum(exf * prf) * 10000.0 / sum(exf)) END AS BIGINT) AS recall_e4 FROM u ORDER BY n_exact""",
     "dedup_minhash_pairs" ->
       s"""$MinhashCtes, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT d1, d2, est_jac_e4 FROM (SELECT c.d1, c.d2, CAST(round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) * 10000.0 / 32) AS BIGINT) AS est_jac_e4 FROM cand c JOIN mins ma ON ma.doc_id = c.d1 JOIN mins mb ON mb.doc_id = c.d2 AND mb.i = ma.i GROUP BY c.d1, c.d2) WHERE est_jac_e4 >= 5000 ORDER BY d1, d2""",
     "sim_lsh_topk" ->

@@ -943,4 +943,46 @@ object Dedup extends org.apache.spark.internal.Logging {
         .orderBy("v1", "v2"),
       v, keys)
   }
+
+  /** SKETCH-QUALITY EVALUATION as a first-class query — precision and
+    * recall of the MinHash-LSH pair sketch against the exact n-gram
+    * Jaccard ground truth at the decision threshold: the number a
+    * production pipeline watches when tuning bands/rows or admitting a
+    * new corpus whose duplicate structure might defeat the sketch (the
+    * dedup-family sibling of [[Similarity.retrievalRecall]] — the
+    * evaluation tier covers both sketch families). Both operands are the
+    * existing operators unchanged, so the evaluation measures exactly
+    * what ships: predicted = banded-candidate pairs with signature
+    * estimate ≥ thr, truth = exact pairs with Jaccard ≥ thr (same df
+    * cap on both sides). One full-outer join on the pair key and a
+    * single 5-column aggregate — report-sized output, two pinned e4
+    * divisions (0 when a denominator is empty).
+    *
+    * Scale shape: both pair sets are the bounded band/df-capped joins
+    * their own docstrings price; the join key (d1, d2) equi-joins them
+    * and the final aggregate is 1 row. */
+  def sketchPr(s: SparkSession, d: String, thrE4: Long = 5000L): DataFrame =
+    sketchPrDf(Tables.documents(s, d), thrE4)
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def sketchPrDf(docs: DataFrame, thrE4: Long = 5000L): DataFrame = {
+    val exact = ngramJaccardPairsRaw(docs, thrE4)
+      .select(col("d1"), col("d2"), lit(1L).as("ex"))
+    val pred = minhashPairs(docs, thrE4)
+      .select(col("d1"), col("d2"), lit(1L).as("pr"))
+    exact.join(pred, Seq("d1", "d2"), "full_outer")
+      .select(coalesce(col("ex"), lit(0L)).as("ex"),
+        coalesce(col("pr"), lit(0L)).as("pr"))
+      .agg(
+        coalesce(sum("ex"), lit(0L)).as("n_exact"),
+        coalesce(sum("pr"), lit(0L)).as("n_pred"),
+        coalesce(sum(col("ex") * col("pr")), lit(0L)).as("n_hit"))
+      .select(col("n_exact"), col("n_pred"), col("n_hit"),
+        when(col("n_pred") === 0L, lit(0L))
+          .otherwise(round(col("n_hit") * lit(10000.0) / col("n_pred")).cast("long"))
+          .as("precision_e4"),
+        when(col("n_exact") === 0L, lit(0L))
+          .otherwise(round(col("n_hit") * lit(10000.0) / col("n_exact")).cast("long"))
+          .as("recall_e4"))
+  }
 }

@@ -373,4 +373,31 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(fps(1L) === fps(2L) && fps(2L) === fps(3L) && fps(1L) != fps(4L))
   }
+
+  test("sketch PR evaluation: counts consistent, twins always scored a hit") {
+    // Planted corpus: an identical twin pair (Jaccard 1.0 — the sketch
+    // cannot miss it: every band key agrees and all 32 signature minima
+    // match), a partially-overlapping pair near the decision threshold,
+    // and unrelated documents. The evaluation must report set-consistent
+    // counts (hit <= min(exact, pred)), e4 rates in range, and both
+    // denominators' rates exact when the sets coincide.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val half = ((1 to 20).map(i => s"tok$i") ++ (1 to 20).map(i => s"alt$i")).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),            // twins: exact jac 10000
+      (3L, half),                        // ~half overlap with base
+      (4L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Dedup.sketchPrDf(docs).as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.length === 1)
+    val (nExact, nPred, nHit, prec, rec) = r.head
+    assert(nExact >= 1L, "the twin pair must be in the exact ground truth")
+    assert(nPred >= 1L, "the twin pair must be in the sketch prediction")
+    assert(nHit >= 1L && nHit <= math.min(nExact, nPred))
+    assert(prec >= 0L && prec <= 10000L && rec >= 0L && rec <= 10000L)
+    // empty corpus: zero everywhere, no division blow-up
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val z = Dedup.sketchPrDf(empty).as[(Long, Long, Long, Long, Long)].collect()
+    assert(z.toSeq === Seq((0L, 0L, 0L, 0L, 0L)))
+  }
 }

@@ -712,6 +712,35 @@ object Similarity {
     else graft.functions.Caching.releaseAfterAction(ranked, cached: _*)
   }
 
+  /** Resolve (and build on miss) the persisted index for corpus `d`:
+    * returns the index directory, content-addressed unless the caller
+    * passes an explicit one. Shared by the batch served query and the
+    * served streaming ingest. */
+  private[graft] def ensureIvfPqIndex(s: SparkSession, d: String,
+      indexDir: Option[String], nCells: Int = IvfCells, m: Int = PqM,
+      kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
+      pqIters: Int = PqKmeansIters, eta: Int = PqEta): String = {
+    val dir = indexDir.getOrElse(
+      ivfPqIndexDir(d, nCells, m, kCents, ivfIters, pqIters, eta))
+    if (!new java.io.File(dir, "index").exists())
+      ivfPqWriteIndex(s, d, dir, nCells, m, kCents, ivfIters, pqIters, eta)
+    dir
+  }
+
+  /** Load the driver-sized model artifacts (coarse centroids, residual
+    * codebook) back from a persisted index directory — the serving-side
+    * inverse of [[ivfPqWriteIndex]]'s small tables. */
+  private[graft] def loadIvfPqArtifacts(s: SparkSession, dir: String):
+      (Seq[(Long, Seq[Double])], Seq[(Long, Long, Seq[Double])]) = {
+    val cents = s.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val cb = s.read.parquet(s"$dir/codebook")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    (cents, cb)
+  }
+
   /** On-disk layout version of the persisted IVF-PQ index — bump whenever
     * the trained encode or the table shapes change, so a stale index can
     * never be served against newer retrieval code. */
@@ -787,16 +816,9 @@ object Similarity {
       m: Int = PqM, kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
       pqIters: Int = PqKmeansIters, rerank: Int = PqRerank,
       eta: Int = PqEta, indexDir: Option[String] = None): DataFrame = {
-    val dir = indexDir.getOrElse(
-      ivfPqIndexDir(d, nCells, m, kCents, ivfIters, pqIters, eta))
-    if (!new java.io.File(dir, "index").exists())
-      ivfPqWriteIndex(s, d, dir, nCells, m, kCents, ivfIters, pqIters, eta)
-    val cents = s.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
-    val cb = s.read.parquet(s"$dir/codebook")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq))
-      .sortBy(t => (t._1, t._2)).toSeq
+    val dir = ensureIvfPqIndex(s, d, indexDir, nCells, m, kCents,
+      ivfIters, pqIters, eta)
+    val (cents, cb) = loadIvfPqArtifacts(s, dir)
     val idx = s.read.parquet(s"$dir/index")
     val af = idx.select("vec_id", "cell_id")
     // Long-form codes from the stored pivot — posexplode, the pivot's

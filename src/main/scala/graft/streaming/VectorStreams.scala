@@ -70,6 +70,26 @@ object VectorStreams {
       cents, cb)
   }
 
+  /** [[ivfPqIngestStream]] SERVED from the persisted index: the coarse
+    * centroids and residual codebook load from
+    * [[Similarity.ivfPqWriteIndex]]'s stored artifact tables instead of
+    * retraining both k-means loops at stream start — the complete
+    * production loop: build the index offline on a schedule, serve batch
+    * queries from it ([[Similarity.ivfPqServedTopK]]), and encode
+    * ARRIVING vectors against the very same versioned artifacts so online
+    * ingest can never drift from the offline build (the artifacts are the
+    * index's own tables, not a re-derivation). Stream-side cost is
+    * unchanged — the artifacts ride as codegen literals, no state, no
+    * shuffle. */
+  def ivfPqIngestStreamServed(spark: SparkSession, path: String,
+      staticDir: String, indexDir: Option[String] = None,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val dir = Similarity.ensureIvfPqIndex(spark, staticDir, indexDir)
+    val (cents, cb) = Similarity.loadIvfPqArtifacts(spark, dir)
+    ivfPqEncodeColumns(embeddingStream(spark, path, maxFilesPerTrigger),
+      cents, cb)
+  }
+
   /** Streaming ANN PROBE — the serving side of the k-NN graph/LSH query
     * family ([[Similarity.knnGraph]]/[[Similarity.lshTopK]]) run online:
     * each ARRIVING vector computes its banded sign-projection keys per row

@@ -194,6 +194,30 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("sim_ivfpq_served: probe/qtab broadcast; NO training scan of the corpus") {
+    // The serve path must read the persisted index plus ONLY the query
+    // slice of the corpus: probes/qtab/q broadcast (model/query-sized),
+    // and the plan carries no k-means aggregation — no InMemoryTableScan
+    // (nothing to persist when nothing trains) and the vec_id < nQueries
+    // predicate is pushed into the embeddings parquet scan.
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val df = SparkEntry.queries("sim_ivfpq_served")(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString
+      df.count()
+      assert(plan.contains("BroadcastHashJoin"),
+        s"served probes/qtab/q must broadcast:\n${plan.take(2000)}")
+      assert(!plan.contains("InMemoryTableScan"),
+        s"the serve path persisted a training frame it should not have:\n${plan.take(2000)}")
+      assert(plan.contains("LessThan(vec_id"),
+        s"the query-slice predicate is not pushed to the embeddings scan:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("text_bm25: the query-term table broadcasts into the posting join") {
     val df = SparkEntry.queries("text_bm25")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString

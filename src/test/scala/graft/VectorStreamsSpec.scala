@@ -34,6 +34,32 @@ class VectorStreamsSpec extends AnyFunSuite {
     assert(streamed.map(_._3).distinct.length > 1)
   }
 
+  test("served streaming ingest (artifacts from the persisted index) matches too") {
+    // The full production loop: the index builds once on disk, the stream
+    // encodes arrivals against the STORED centroids/codebook — rows must
+    // still be bit-identical to the batch build, proving online ingest
+    // cannot drift from the offline index version it serves beside.
+    val dir = Paths.get("target", "test-scratch", "vecstream_served")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val idxDir = Paths.get("target", "test-scratch", "vecstream_served_idx")
+      .toAbsolutePath.toString
+    val streamed = EventStreams.runToCompletion(
+        spark,
+        VectorStreams.ivfPqIngestStreamServed(spark, dir.toString,
+          TestSpark.sf, indexDir = Some(idxDir)),
+        "t_vecingest_served", mode = "append")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    val batch = Similarity.ivfPqTrainedCodes(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq,
+      "served-ingest rows diverge from the batch index build")
+  }
+
   test("streaming knn probe + ranking tail equals the batch knn graph") {
     val dir = Paths.get("target", "test-scratch", "vecstream_knn")
     Files.createDirectories(dir)

@@ -143,6 +143,7 @@ object Bench {
     val chunks = names.grouped(chunkSize).toSeq
     val merged = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
     var forkBroken = false
+    var fallbackChunks = 0
     for (chunk <- chunks) {
       val viaFork =
         if (forkBroken) None
@@ -158,14 +159,21 @@ object Bench {
           // artifact still covers the contract; later chunks still try
           // the fork unless the very first one failed structurally.
           if (merged.isEmpty) forkBroken = true
+          fallbackChunks += 1
           System.err.println(
             s"[bench] fork failed for chunk ${chunk.head}.. — in-process fallback")
           merged ++= runShared(Some(chunk.toSet))
       }
     }
-    val mode = if (forkBroken) "shared-fallback" else "isolated"
+    // The mode label must not oversell: a run where SOME chunks fell back
+    // to the parent JVM is not pure isolated floors — mark it so a
+    // round-over-round comparison can see exactly what it is reading.
+    val mode =
+      if (fallbackChunks == chunks.length) "shared-fallback"
+      else if (fallbackChunks > 0) "isolated+fallback"
+      else "isolated"
     println(sharedJsonLine(merged.toSeq,
-      s""","mode":"$mode","reps":2,"chunk_size":$chunkSize"""))
+      s""","mode":"$mode","reps":2,"chunk_size":$chunkSize,"fallback_chunks":$fallbackChunks"""))
   }
 
   /** Fork one child JVM running this main over `chunk` (same classpath and

@@ -190,7 +190,13 @@ object Graph {
     graft.sources.ArtifactCache.getOrBuild(s,
       graft.sources.ArtifactCache.path("cosupply",
         new java.io.File(d, "lineitem.parquet"),
-        Seq(TriEdgesPerNode)))(coSupplyEdges(s, d))
+        Seq(TriEdgesPerNode, CoSupplyVersion)))(coSupplyEdges(s, d))
+
+  /** Algorithm version of the co-supply edge product — part of the cache
+    * key (like the IVF-PQ index's IvfPqIndexVersion): bump whenever
+    * [[coSupplyEdges]]' construction changes, so a code change can never
+    * silently serve a stale edge product from a previous build. */
+  private val CoSupplyVersion = 1
 
   /** The BUDGET-thresholded co-supply edge list (a, b) with a < b:
     * suppliers filling lines of common orders, kept only while the edge

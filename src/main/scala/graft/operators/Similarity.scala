@@ -532,10 +532,7 @@ object Similarity {
     val sub = PqSubDim
     val full = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     // e4-quantized normalized corpus; its own L2 norm feeds e4 cosine.
-    val nv = full.select(col("vec_id"),
-        transform(col("v"), x => round(x / col("nrm") * lit(10000.0))).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nv = e4Normalized(full).persist(StorageLevel.MEMORY_AND_DISK)
     // ---- stage 1: trained coarse quantizer (Lloyd, e4 integer domain).
     var cents: Seq[(Long, Seq[Double])] = nv.filter(col("vec_id") < nCells)
       .select("vec_id", "v").orderBy("vec_id").collect()
@@ -781,17 +778,29 @@ object Similarity {
     import s.implicits._
     val (cents, cb, full, nv, af, rsubs) =
       ivfPqTrainedModel(s, d, nCells, m, kCents, ivfIters, pqIters, eta)
-    val codes = residualEncode(rsubs, cbDf(s, cb), eta)
-    val tmp = new java.io.File(dir + ".tmp")
-    graft.sources.ArtifactCache.rmTree(tmp)
-    trainedIndexDf(af, codes, m)
-      .write.mode("overwrite").parquet(s"$tmp/index")
-    cents.toDF("cell_id", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-    cbDf(s, cb)
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
-    Seq(full, nv, af, rsubs).foreach(_.unpersist(false))
-    graft.sources.ArtifactCache.publish(tmp, new java.io.File(dir))
+    try {
+      val codes = residualEncode(rsubs, cbDf(s, cb), eta)
+      // Private tmp dir: concurrent builders never touch each other's
+      // in-flight part files (ArtifactCache.newTmpDir).
+      val tmp = graft.sources.ArtifactCache.newTmpDir(dir)
+      trainedIndexDf(af, codes, m)
+        .write.mode("overwrite").parquet(s"$tmp/index")
+      cents.toDF("cell_id", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      cbDf(s, cb)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
+      // Explicit-rebuild semantics: this API REPLACES any previous index
+      // (the content-addressed default dir never hits this — a key change
+      // means a new dir). Coordinating rebuilds against live readers is
+      // the caller's deployment concern, as with any index swap.
+      val fin = new java.io.File(dir)
+      graft.sources.ArtifactCache.rmTree(fin)
+      graft.sources.ArtifactCache.publish(tmp, fin)
+    } finally
+      // Release the model-sized corpus frames even when a write fails —
+      // the library must not rely on the caller's clearCache hygiene.
+      Seq(full, nv, af, rsubs).foreach(f =>
+        try f.unpersist(false) catch { case _: Throwable => () })
   }
 
   /** SERVE top-k from the PERSISTED trained index — the production split's
@@ -807,10 +816,16 @@ object Similarity {
     * changes invalidate it); production calls [[ivfPqWriteIndex]] on its
     * own schedule and passes the path.
     *
-    * Scale shape: the corpus parquet is touched only for the query rows
-    * (vec_id < nQueries — pushed to the scan) and the nQueries×rerank
-    * exact reads; the index scan is M+2 small ints per vector; everything
-    * broadcast is model/query/probe-sized. */
+    * Scale shape: no training pass, no model collects — the index scan
+    * is M+2 small ints per vector, the query sides prune to
+    * vec_id < nQueries at the parquet scan, and everything broadcast is
+    * model/query/probe-sized. The exact RE-RANK join-back is one
+    * projection-pruned columnar scan of the corpus hash-joined against
+    * the nQueries×rerank shortlist (the same shape as every
+    * retrieval tier here); a production deployment that needs
+    * sub-scan serve latency stores the vectors bucketed/indexed by
+    * vec_id so the shortlist read becomes a bounded lookup — the plan
+    * is unchanged, only the source layout. */
   def ivfPqServedTopK(s: SparkSession, d: String, nQueries: Int = 10,
       k: Int = 5, nProbe: Int = IvfProbe, nCells: Int = IvfCells,
       m: Int = PqM, kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
@@ -828,14 +843,21 @@ object Similarity {
       .toDF("vec_id", "m", "j")
     val full = corpus(s, d)
     // The query slice of the e4-normalized corpus: the vec_id predicate
-    // pushes into the parquet scan, so serving never normalizes the corpus.
-    val qnv = full.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"),
-        transform(col("v"), x => round(x / col("nrm") * lit(10000.0))).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
+    // pushes into the parquet scan, so the probe/ADC stages never
+    // normalize the full corpus.
+    val qnv = e4Normalized(full.filter(col("vec_id") < nQueries))
     ivfPqTrainedQuery(s, cents, cb, full, qnv, af, codes,
       nQueries, k, nProbe, m, rerank, Seq.empty)
   }
+
+  /** The e4-quantized normalized view of a (vec_id, v, nrm) frame — ONE
+    * definition shared by the trained model build and the served query
+    * slice, so serve-time quantization can never drift from the encode
+    * that built the index it serves. */
+  private def e4Normalized(c: DataFrame): DataFrame =
+    c.select(col("vec_id"),
+        transform(col("v"), x => round(x / col("nrm") * lit(10000.0))).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
 
   // Deterministic per-subspace k-means for the trained PQ codebook: fixed
   // iteration count, stub-codebook init (the first K normalized vectors'

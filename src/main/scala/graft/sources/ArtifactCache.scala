@@ -44,22 +44,34 @@ object ArtifactCache {
     f.delete(): Unit
   }
 
-  /** Atomically publish `tmp` as `dir` (replacing any previous product). */
+  /** A build directory PRIVATE to this builder: the unique suffix means
+    * concurrent builders of the same key never write into each other's
+    * in-flight part files (they each build a complete product and race
+    * only on the atomic publish, where losing is harmless). */
+  def newTmpDir(dir: String): File =
+    new File(dir + ".tmp-" + java.lang.ProcessHandle.current().pid() +
+      "-" + java.util.UUID.randomUUID().toString.take(8))
+
+  /** Atomically publish `tmp` as `dir`. If another builder won the race
+    * (`dir` appeared first), this builder's copy is discarded — the
+    * published product is complete either way, and a live `dir` is NEVER
+    * deleted out from under a concurrent reader. */
   def publish(tmp: File, dir: File): Unit = {
-    rmTree(dir)
-    if (!tmp.renameTo(dir))
-      throw new java.io.IOException(s"could not publish artifact at $dir")
+    if (dir.exists() || !tmp.renameTo(dir)) {
+      rmTree(tmp) // lost the race (or fs refused): keep the winner's copy
+      if (!dir.exists())
+        throw new java.io.IOException(s"could not publish artifact at $dir")
+    }
   }
 
   /** Read the single-table product at `dir`, building and publishing it
-    * first if absent. `build` runs at most once per key (per process race
-    * window — concurrent builders both succeed, last publish wins, both
-    * reads see a complete product). */
+    * first if absent. Concurrent builders each build into a PRIVATE tmp
+    * dir and race only on the atomic publish — first wins, losers discard
+    * their complete copy, every reader sees one complete product. */
   def getOrBuild(s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     val fin = new File(dir)
     if (!fin.exists()) {
-      val tmp = new File(dir + ".tmp")
-      rmTree(tmp)
+      val tmp = newTmpDir(dir)
       build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
       publish(tmp, fin)
     }

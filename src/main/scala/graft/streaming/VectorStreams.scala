@@ -116,13 +116,24 @@ object VectorStreams {
     * posture, vector-valued. */
   def knnProbeStream(spark: SparkSession, path: String, staticDir: String,
       bands: Int = 8, rows: Int = 4, maxFilesPerTrigger: Int = 0,
-      broadcastMaxRows: Long = KnnProbeBroadcastMaxRows): DataFrame = {
+      broadcastMaxRows: Long = KnnProbeBroadcastMaxRows,
+      bucketCap: Long = Similarity.KnnBucketCap): DataFrame = {
     val corpus = graft.sources.Tables.embeddings(spark, staticDir)
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val staticKeys = Similarity.bandedKeysCarry(corpus, bands, rows)
+    val allKeys = Similarity.bandedKeysCarry(corpus, bands, rows)
       .select(col("band_idx"), col("band_key"), col("vec_id").as("dst"),
         col("v").as("dv"), col("nrm").as("dn"))
+    // Same celebrity-bucket occupancy cap as the batch knnGraph: buckets
+    // holding > bucketCap corpus vectors are dropped from the probe table,
+    // so an arriving vector can never fan out quadratically into a dense
+    // mode AND the streamed evidence stays consistent with the capped
+    // batch graph on skewed corpora (inert on this corpus, like batch).
+    val eligible = allKeys.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= bucketCap)
+      .select("band_idx", "band_key")
+    val staticKeys = allKeys.join(eligible, Seq("band_idx", "band_key"))
     val keyRows = graft.sources.Tables.embeddings(spark, staticDir).count() *
       bands
     val staticSide =

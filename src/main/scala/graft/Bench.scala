@@ -217,8 +217,9 @@ object Bench {
   }
 
   /** Minimal parser for the child's own `sharedJsonLine` output (query
-    * names are [a-z0-9_]+, values plain doubles — no escaping exists). */
-  private def parseChildJson(line: String): Option[Seq[(String, Double, Boolean)]] =
+    * names are [a-z0-9_]+, values plain doubles — no escaping exists).
+    * private[graft] for the BenchHarnessSpec round-trip test. */
+  private[graft] def parseChildJson(line: String): Option[Seq[(String, Double, Boolean)]] =
     try {
       val qBody = line.substring(line.indexOf("\"queries\":{") + 11,
         line.indexOf("}", line.indexOf("\"queries\":{")))

@@ -124,6 +124,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "eval_dedup_pr" -> ((s, d) => Dedup.sketchPr(s, d)),
+    "eval_simhash_pr" -> ((s, d) => Dedup.simhashPr(s, d)),
     // — LLM-pipeline: similarity search —
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -274,8 +275,14 @@ object SparkEntry {
   private val LmCtes =
     s"""toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), tf AS (SELECT doc_id, bigram, count(*) AS tf FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM toks) GROUP BY doc_id, bigram), bc AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c_bi FROM tf GROUP BY bigram), hc AS (SELECT split_part(bigram, ' ', 1) AS hist, CAST(sum(c_bi) AS BIGINT) AS c_hist FROM bc GROUP BY 1), v AS (SELECT count(DISTINCT word) AS v FROM (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents)), model AS (SELECT bigram, CAST(round(10000.0 * (c_bi + 1) / (c_hist + v.v)) AS BIGINT) AS p_e4 FROM bc JOIN hc ON split_part(bc.bigram, ' ', 1) = hc.hist CROSS JOIN v), scored AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, CAST(sum(tf * p_e4) AS BIGINT) AS lm_score_e4 FROM tf JOIN model USING (bigram) GROUP BY doc_id)"""
 
-  private val SimhashCtes =
-    s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS w FROM documents), tw AS (SELECT doc_id, w, 's2#' || w AS w2 FROM toks), th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS ha, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w2) + 1), i -> CAST(ascii(substr(w2, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS hb FROM tw), bitsum AS (SELECT doc_id, j, sum(((CASE WHEN j < 32 THEN ha >> j ELSE hb >> (j - 32) END) & 1) * 2 - 1) AS sgn FROM th, range(0, 64) t(j) GROUP BY doc_id, j), fp AS (SELECT doc_id, CAST(bit_or(CASE WHEN sgn <= 0 THEN 0 WHEN j = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << j) END) AS BIGINT) AS simhash FROM bitsum GROUP BY doc_id), fpall AS (SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id)"""
+  /** SimHash fingerprint CTE chain, with every CTE name prefixed by `p` so
+    * it can compose in one WITH alongside kits that also define `toks`
+    * (the sketch-evaluation query joins it with the shingle kit). Ends
+    * with `${p}fpall(doc_id, simhash)`. */
+  private def simhashChain(p: String): String =
+    s"""${p}toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS w FROM documents), ${p}tw AS (SELECT doc_id, w, 's2#' || w AS w2 FROM ${p}toks), ${p}th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS ha, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w2) + 1), i -> CAST(ascii(substr(w2, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS hb FROM ${p}tw), ${p}bitsum AS (SELECT doc_id, j, sum(((CASE WHEN j < 32 THEN ha >> j ELSE hb >> (j - 32) END) & 1) * 2 - 1) AS sgn FROM ${p}th, range(0, 64) t(j) GROUP BY doc_id, j), ${p}fp AS (SELECT doc_id, CAST(bit_or(CASE WHEN sgn <= 0 THEN 0 WHEN j = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << j) END) AS BIGINT) AS simhash FROM ${p}bitsum GROUP BY doc_id), ${p}fpall AS (SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash FROM documents d LEFT JOIN ${p}fp f ON d.doc_id = f.doc_id)"""
+
+  private val SimhashCtes = "WITH " + simhashChain("")
 
   // MinHash in portable SQL: distinct 3-shingles (with the short-doc
   // whole-text fallback), the 32-bit polynomial shingle hash, K=32
@@ -596,6 +603,12 @@ object SparkEntry {
     // pinned e4 divisions (0 when a denominator is empty).
     "eval_dedup_pr" ->
       s"""WITH $ShingleCtes, $MinhashTailCtes, $NgramTailCtes, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id), mp AS (SELECT d1, d2 FROM (SELECT c.d1, c.d2, CAST(round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) * 10000.0 / 32) AS BIGINT) AS est_jac_e4 FROM cand c JOIN mins ma ON ma.doc_id = c.d1 JOIN mins mb ON mb.doc_id = c.d2 AND mb.i = ma.i GROUP BY c.d1, c.d2) WHERE est_jac_e4 >= 5000), ex AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= 5000), u AS (SELECT CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END AS exf, CASE WHEN m.d1 IS NOT NULL THEN 1 ELSE 0 END AS prf FROM ex e FULL JOIN mp m ON e.d1 = m.d1 AND e.d2 = m.d2) SELECT CAST(COALESCE(sum(exf), 0) AS BIGINT) AS n_exact, CAST(COALESCE(sum(prf), 0) AS BIGINT) AS n_pred, CAST(COALESCE(sum(exf * prf), 0) AS BIGINT) AS n_hit, CAST(CASE WHEN COALESCE(sum(prf), 0) = 0 THEN 0 ELSE round(sum(exf * prf) * 10000.0 / sum(prf)) END AS BIGINT) AS precision_e4, CAST(CASE WHEN COALESCE(sum(exf), 0) = 0 THEN 0 ELSE round(sum(exf * prf) * 10000.0 / sum(exf)) END AS BIGINT) AS recall_e4 FROM u ORDER BY n_exact""",
+    // SimHash sketch evaluation: the Hamming<=3 band search's pairs scored
+    // against the DECISION-GRADE exact Jaccard truth (jac >= 8000 —
+    // NearDupJacE4). The simhash chain composes prefix-renamed (sx) so its
+    // `toks` cannot collide with the shingle kit's in one WITH.
+    "eval_simhash_pr" ->
+      s"""WITH $ShingleCtes, $NgramTailCtes, ${simhashChain("sx")}, sbands AS (SELECT doc_id, b AS band_idx, (simhash >> (b * 16)) & 65535 AS band_bits FROM sxfpall, range(0, 4) t(b)), scand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM sbands a JOIN sbands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id), sp AS (SELECT d1, d2 FROM (SELECT d1, d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM scand JOIN sxfpall x ON d1 = x.doc_id JOIN sxfpall y ON d2 = y.doc_id) WHERE hamming <= 3), ex AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= ${graft.operators.Dedup.NearDupJacE4}), u AS (SELECT CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END AS exf, CASE WHEN m.d1 IS NOT NULL THEN 1 ELSE 0 END AS prf FROM ex e FULL JOIN sp m ON e.d1 = m.d1 AND e.d2 = m.d2) SELECT CAST(COALESCE(sum(exf), 0) AS BIGINT) AS n_exact, CAST(COALESCE(sum(prf), 0) AS BIGINT) AS n_pred, CAST(COALESCE(sum(exf * prf), 0) AS BIGINT) AS n_hit, CAST(CASE WHEN COALESCE(sum(prf), 0) = 0 THEN 0 ELSE round(sum(exf * prf) * 10000.0 / sum(prf)) END AS BIGINT) AS precision_e4, CAST(CASE WHEN COALESCE(sum(exf), 0) = 0 THEN 0 ELSE round(sum(exf * prf) * 10000.0 / sum(exf)) END AS BIGINT) AS recall_e4 FROM u ORDER BY n_exact""",
     "dedup_minhash_pairs" ->
       s"""$MinhashCtes, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT d1, d2, est_jac_e4 FROM (SELECT c.d1, c.d2, CAST(round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) * 10000.0 / 32) AS BIGINT) AS est_jac_e4 FROM cand c JOIN mins ma ON ma.doc_id = c.d1 JOIN mins mb ON mb.doc_id = c.d2 AND mb.i = ma.i GROUP BY c.d1, c.d2) WHERE est_jac_e4 >= 5000 ORDER BY d1, d2""",
     "sim_lsh_topk" ->

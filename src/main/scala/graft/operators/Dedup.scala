@@ -965,12 +965,33 @@ object Dedup extends org.apache.spark.internal.Logging {
     sketchPrDf(Tables.documents(s, d), thrE4)
 
   /** Same, over any (doc_id, text) DataFrame (planted tests). */
-  def sketchPrDf(docs: DataFrame, thrE4: Long = 5000L): DataFrame = {
+  def sketchPrDf(docs: DataFrame, thrE4: Long = 5000L): DataFrame =
+    pairsPrDf(minhashPairs(docs, thrE4), docs, thrE4)
+
+  /** [[sketchPr]] for the OTHER sketch family: SimHash Hamming-ball pairs
+    * (the shipped `maxHamming` = 3 search) scored against the
+    * decision-grade exact Jaccard truth ([[NearDupJacE4]]). SimHash
+    * approximates token-frequency cosine, not Jaccard, so this measures
+    * the operational question: how well the cheap fingerprint STANDS IN
+    * for the decision-grade near-dup judgment. */
+  def simhashPr(s: SparkSession, d: String, maxHamming: Int = 3,
+      thrE4: Long = NearDupJacE4): DataFrame =
+    simhashPrDf(Tables.documents(s, d), maxHamming, thrE4)
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def simhashPrDf(docs: DataFrame, maxHamming: Int = 3,
+      thrE4: Long = NearDupJacE4): DataFrame =
+    pairsPrDf(simhashPairsDf(docs, maxHamming), docs, thrE4)
+
+  /** The shared evaluation core: precision/recall of ANY predicted
+    * (d1, d2) pair set against the exact n-gram Jaccard ground truth at
+    * `thrE4`. One full-outer join on the pair key, one 1-row aggregate,
+    * two pinned e4 divisions (0 on empty denominators). */
+  def pairsPrDf(pred: DataFrame, docs: DataFrame, thrE4: Long): DataFrame = {
     val exact = ngramJaccardPairsRaw(docs, thrE4)
       .select(col("d1"), col("d2"), lit(1L).as("ex"))
-    val pred = minhashPairs(docs, thrE4)
-      .select(col("d1"), col("d2"), lit(1L).as("pr"))
-    exact.join(pred, Seq("d1", "d2"), "full_outer")
+    val p = pred.select(col("d1"), col("d2"), lit(1L).as("pr"))
+    exact.join(p, Seq("d1", "d2"), "full_outer")
       .select(coalesce(col("ex"), lit(0L)).as("ex"),
         coalesce(col("pr"), lit(0L)).as("pr"))
       .agg(

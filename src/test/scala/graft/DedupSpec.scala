@@ -395,9 +395,18 @@ class DedupSpec extends AnyFunSuite {
     assert(nPred >= 1L, "the twin pair must be in the sketch prediction")
     assert(nHit >= 1L && nHit <= math.min(nExact, nPred))
     assert(prec >= 0L && prec <= 10000L && rec >= 0L && rec <= 10000L)
+    // the SimHash-family evaluation obeys the same invariants: twins are
+    // Hamming 0 (always predicted) and Jaccard 10000 (always true)
+    val s2 = Dedup.simhashPrDf(docs).as[(Long, Long, Long, Long, Long)].collect()
+    assert(s2.length === 1)
+    val (se, sp2, sh2, sprec, srec) = s2.head
+    assert(se >= 1L && sp2 >= 1L && sh2 >= 1L && sh2 <= math.min(se, sp2))
+    assert(sprec >= 0L && sprec <= 10000L && srec >= 0L && srec <= 10000L)
     // empty corpus: zero everywhere, no division blow-up
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val z = Dedup.sketchPrDf(empty).as[(Long, Long, Long, Long, Long)].collect()
     assert(z.toSeq === Seq((0L, 0L, 0L, 0L, 0L)))
+    val z2 = Dedup.simhashPrDf(empty).as[(Long, Long, Long, Long, Long)].collect()
+    assert(z2.toSeq === Seq((0L, 0L, 0L, 0L, 0L)))
   }
 }

@@ -17,14 +17,7 @@ object IndexBuild {
     val in = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else Similarity.ivfPqIndexDir(in)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.sources.Sessions.local(cpus)
     val t0 = System.nanoTime()
     Similarity.ivfPqWriteIndex(spark, in, out)
     val idx = spark.read.parquet(s"$out/index")

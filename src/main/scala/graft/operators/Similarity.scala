@@ -712,7 +712,11 @@ object Similarity {
   /** Resolve (and build on miss) the persisted index for corpus `d`:
     * returns the index directory, content-addressed unless the caller
     * passes an explicit one. Shared by the batch served query and the
-    * served streaming ingest. */
+    * served streaming ingest. The miss path builds FIRST-WINS
+    * (`replace = false`): two consumers cold-starting concurrently both
+    * train, the first publish sticks, the loser discards its complete
+    * copy — a just-published live index is never deleted under the
+    * winner's readers. */
   private[graft] def ensureIvfPqIndex(s: SparkSession, d: String,
       indexDir: Option[String], nCells: Int = IvfCells, m: Int = PqM,
       kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
@@ -720,7 +724,8 @@ object Similarity {
     val dir = indexDir.getOrElse(
       ivfPqIndexDir(d, nCells, m, kCents, ivfIters, pqIters, eta))
     if (!new java.io.File(dir, "index").exists())
-      ivfPqWriteIndex(s, d, dir, nCells, m, kCents, ivfIters, pqIters, eta)
+      ivfPqWriteIndex(s, d, dir, nCells, m, kCents, ivfIters, pqIters, eta,
+        replace = false)
     dir
   }
 
@@ -774,27 +779,34 @@ object Similarity {
   def ivfPqWriteIndex(s: SparkSession, d: String, dir: String,
       nCells: Int = IvfCells, m: Int = PqM, kCents: Int = PqK,
       ivfIters: Int = IvfKmeansIters, pqIters: Int = PqKmeansIters,
-      eta: Int = PqEta): Unit = {
+      eta: Int = PqEta, replace: Boolean = true): Unit = {
     import s.implicits._
     val (cents, cb, full, nv, af, rsubs) =
       ivfPqTrainedModel(s, d, nCells, m, kCents, ivfIters, pqIters, eta)
     try {
       val codes = residualEncode(rsubs, cbDf(s, cb), eta)
       // Private tmp dir: concurrent builders never touch each other's
-      // in-flight part files (ArtifactCache.newTmpDir).
+      // in-flight part files (ArtifactCache.newTmpDir). A failed write
+      // cleans its own tmp tree (unique names are not self-healing).
       val tmp = graft.sources.ArtifactCache.newTmpDir(dir)
-      trainedIndexDf(af, codes, m)
-        .write.mode("overwrite").parquet(s"$tmp/index")
-      cents.toDF("cell_id", "cv")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-      cbDf(s, cb)
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
-      // Explicit-rebuild semantics: this API REPLACES any previous index
-      // (the content-addressed default dir never hits this — a key change
-      // means a new dir). Coordinating rebuilds against live readers is
-      // the caller's deployment concern, as with any index swap.
+      try {
+        trainedIndexDf(af, codes, m)
+          .write.mode("overwrite").parquet(s"$tmp/index")
+        cents.toDF("cell_id", "cv")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+        cbDf(s, cb)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
+      } catch { case e: Throwable =>
+        graft.sources.ArtifactCache.rmTree(tmp); throw e
+      }
       val fin = new java.io.File(dir)
-      graft.sources.ArtifactCache.rmTree(fin)
+      // Replace semantics (the default): this API REBUILDS an index in
+      // place — coordinating against live readers is the caller's
+      // deployment concern, as with any index swap. The build-on-miss
+      // path (ensureIvfPqIndex) passes replace = false instead: losing a
+      // concurrent cold-start race discards this copy and keeps the
+      // winner's, so a just-published live index is never deleted.
+      if (replace) graft.sources.ArtifactCache.rmTree(fin)
       graft.sources.ArtifactCache.publish(tmp, fin)
     } finally
       // Release the model-sized corpus frames even when a write fails —

@@ -55,24 +55,29 @@ object ArtifactCache {
   /** Atomically publish `tmp` as `dir`. If another builder won the race
     * (`dir` appeared first), this builder's copy is discarded — the
     * published product is complete either way, and a live `dir` is NEVER
-    * deleted out from under a concurrent reader. */
+    * deleted out from under a concurrent reader. A GENUINE rename failure
+    * with no winner present (cross-mount path, permissions) keeps the
+    * built tmp copy on disk and names it in the error, so a
+    * minutes-long build is recoverable rather than destroyed. */
   def publish(tmp: File, dir: File): Unit = {
-    if (dir.exists() || !tmp.renameTo(dir)) {
-      rmTree(tmp) // lost the race (or fs refused): keep the winner's copy
-      if (!dir.exists())
-        throw new java.io.IOException(s"could not publish artifact at $dir")
-    }
+    if (!dir.exists() && tmp.renameTo(dir)) return
+    if (dir.exists()) rmTree(tmp) // lost the race: keep the winner's copy
+    else throw new java.io.IOException(
+      s"could not publish artifact at $dir (completed build kept at $tmp)")
   }
 
   /** Read the single-table product at `dir`, building and publishing it
     * first if absent. Concurrent builders each build into a PRIVATE tmp
     * dir and race only on the atomic publish — first wins, losers discard
-    * their complete copy, every reader sees one complete product. */
+    * their complete copy, every reader sees one complete product. A build
+    * that THROWS cleans its own tmp dir (unique names are not
+    * self-healing the way a fixed name was). */
   def getOrBuild(s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     val fin = new File(dir)
     if (!fin.exists()) {
       val tmp = newTmpDir(dir)
-      build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      try build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      catch { case e: Throwable => rmTree(tmp); throw e }
       publish(tmp, fin)
     }
     s.read.parquet(dir)

@@ -121,9 +121,16 @@ object VectorStreams {
     val corpus = graft.sources.Tables.embeddings(spark, staticDir)
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
+    // The banded static table feeds TWO consumers (the occupancy count
+    // and the probe join), and a stream-static join re-evaluates its
+    // static side every micro-batch — persist it so the corpus
+    // scan+projection runs once, exactly as the batch knnGraph persists
+    // its keys. The cache lives for the stream's lifetime (it IS the
+    // serving table); the stream's owner releases it at stream stop.
     val allKeys = Similarity.bandedKeysCarry(corpus, bands, rows)
       .select(col("band_idx"), col("band_key"), col("vec_id").as("dst"),
         col("v").as("dv"), col("nrm").as("dn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Same celebrity-bucket occupancy cap as the batch knnGraph: buckets
     // holding > bucketCap corpus vectors are dropped from the probe table,
     // so an arriving vector can never fan out quadratically into a dense

@@ -795,7 +795,32 @@ object Dedup extends org.apache.spark.internal.Logging {
     * consumes (Pipeline.cleanCorpusNearDup): its survivor gate only needs
     * doc_id = cluster_id, never a sorted frame. */
   def clusterAssignments(s: SparkSession, d: String): DataFrame =
-    clusterAssignmentsDf(Tables.documents(s, d))
+    clusterAssignmentsShared(s, d)
+
+  /** Algorithm version of the cluster-assignment product — part of the
+    * cache key, like the graph family's CoSupplyVersion: bump whenever
+    * the shingle/pair/CC construction changes, so a code change can never
+    * serve a stale assignment from a previous build. */
+  private val ClustersVersion = 1
+
+  /** The cluster assignment built ONCE per (corpus, threshold) and SHARED
+    * across its consumers through the content-addressed
+    * [[graft.sources.ArtifactCache]] — the most expensive product in the
+    * text-dedup family (shingles → capped pairs → the CC fixpoint), which
+    * `dedup_clusters` (exploratory threshold), `dedup_clusters_best` and
+    * `corpus_clean_neardup` (decision threshold) each rebuilt inside
+    * their own plans. First consumer per key builds and publishes; every
+    * later consumer scans the stored (doc_id, cluster_id) table —
+    * identical rows by construction (the assignment is deterministic), so
+    * consumers' oracles are unchanged. A changed corpus, threshold, df
+    * cap, or algorithm version rebuilds. */
+  def clusterAssignmentsShared(s: SparkSession, d: String,
+      minJacE4: Long = 100L): DataFrame =
+    graft.sources.ArtifactCache.getOrBuild(s,
+      graft.sources.ArtifactCache.path("dedupcc",
+        new java.io.File(d, "documents.parquet"),
+        Seq(minJacE4, MaxShingleDf, ClustersVersion)))(
+      clusterAssignmentsDf(Tables.documents(s, d), minJacE4))
 
   /** Decision-grade near-dup threshold (Jaccard ≥ 0.8). The pair QUERY's
     * default (0.01) is exploratory — low enough to surface weak overlaps for
@@ -832,12 +857,17 @@ object Dedup extends org.apache.spark.internal.Logging {
     * are bounded by near-dup group sizes, so the window never sees a
     * corpus-scale partition. */
   def clustersBest(s: SparkSession, d: String): DataFrame =
-    clustersBestDf(Tables.documents(s, d))
+    clustersBestFrom(Tables.documents(s, d),
+      clusterAssignmentsShared(s, d, NearDupJacE4))
 
-  /** Same, over any (doc_id, text) DataFrame (planted tests). */
-  def clustersBestDf(docs: DataFrame): DataFrame = {
+  /** Same, over any (doc_id, text) DataFrame (planted tests — computes
+    * its own assignment instead of the shared product). */
+  def clustersBestDf(docs: DataFrame): DataFrame =
+    clustersBestFrom(docs, clusterAssignmentsDf(docs, NearDupJacE4))
+
+  /** The survivor-choice core over a supplied assignment. */
+  private def clustersBestFrom(docs: DataFrame, assign: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assign = clusterAssignmentsDf(docs, NearDupJacE4)
     val toks = docs.select(col("doc_id"),
       size(graft.functions.Fns.tokens(col("text"))).cast("long").as("n_toks"))
     val w = Window.partitionBy("cluster_id").orderBy(desc("n_toks"), asc("doc_id"))

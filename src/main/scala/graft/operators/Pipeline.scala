@@ -108,11 +108,19 @@ object Pipeline {
     * with — boilerplate variants and re-crawls collapse to one survivor, not
     * just byte-identical copies. */
   def cleanCorpusNearDup(s: SparkSession, d: String): DataFrame =
-    cleanCorpusNearDupDf(Tables.documents(s, d))
+    cleanCorpusNearDupFrom(Tables.documents(s, d),
+      Dedup.clusterAssignmentsShared(s, d, Dedup.NearDupJacE4))
 
-  /** Same, over any (doc_id, text, lang) DataFrame (planted-dup tests). */
-  def cleanCorpusNearDupDf(docs: DataFrame): DataFrame = {
-    val clusterMin = Dedup.clusterAssignmentsDf(docs, Dedup.NearDupJacE4)
+  /** Same, over any (doc_id, text, lang) DataFrame (planted-dup tests —
+    * computes its own assignment instead of the shared product). */
+  def cleanCorpusNearDupDf(docs: DataFrame): DataFrame =
+    cleanCorpusNearDupFrom(docs,
+      Dedup.clusterAssignmentsDf(docs, Dedup.NearDupJacE4))
+
+  /** The gate conjunction over a supplied cluster assignment. */
+  private def cleanCorpusNearDupFrom(docs: DataFrame,
+      assign: DataFrame): DataFrame = {
+    val clusterMin = assign
       .filter(col("doc_id") === col("cluster_id"))
       .select("doc_id")
     val exactMin = docs.groupBy("text").agg(min("doc_id").as("doc_id"))

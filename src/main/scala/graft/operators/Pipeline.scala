@@ -146,7 +146,10 @@ object Pipeline {
     val docs = Tables.documents(s, d)
     val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), lit(1L).as("is_survivor"))
-    val buckets = TextAnalytics.ccnetBucketDf(docs)
+    // Corpus-level path: the bucket comes off the SHARED LM-score product
+    // (see TextAnalytics.lmScoresShared) instead of retraining the bigram
+    // model inside this plan.
+    val buckets = TextAnalytics.ccnetBucket(s, d)
       .select(col("doc_id"), col("bucket"))
     qualityLangFlags(docs)
       .join(survivors, Seq("doc_id"), "left")

@@ -1295,7 +1295,28 @@ object TextAnalytics {
     * In production the model tables persist once and score any number of
     * corpora — train/score split at no extra cost. */
   def lmScore(spark: SparkSession, dir: String): DataFrame =
-    lmScoreDf(Tables.documents(spark, dir))
+    lmScoresShared(spark, dir).orderBy("doc_id")
+
+  /** Algorithm version of the LM-score product — part of the cache key
+    * (bump when the model/scoring recipe changes). */
+  private val LmScoreVersion = 1
+
+  /** The per-document LM-score table built ONCE per corpus and SHARED
+    * through the content-addressed [[graft.sources.ArtifactCache]] —
+    * three queries consume it (`text_lm_score` is the product itself,
+    * `text_ccnet_bucket` ranks it per language, `corpus_clean_ccnet`
+    * gates on the buckets), and each previously retrained the bigram
+    * model inside its own plan. This IS the "model tables persist once
+    * and score any number of corpora" split the [[lmScore]] docstring
+    * describes, realized: first consumer trains + scores + publishes;
+    * every later consumer scans (doc_id, n_bigrams, lm_score_e4,
+    * lm_mean_e4). Identical rows by construction (integer-exact scoring),
+    * so consumers' oracles are unchanged. */
+  def lmScoresShared(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactCache.getOrBuild(s,
+      graft.sources.ArtifactCache.path("lmscore",
+        new java.io.File(d, "documents.parquet"), Seq(LmScoreVersion)))(
+      lmScoreDf(Tables.documents(s, d)))
 
   /** Same, over any (doc_id, text) DataFrame (planted fluency tests). */
   def lmScoreDf(docs: DataFrame): DataFrame = {
@@ -1350,15 +1371,21 @@ object TextAnalytics {
     * global sort); that swap keeps this exact output for every doc whose
     * score is not pinned to a cutoff tie. */
   def ccnetBucket(spark: SparkSession, dir: String): DataFrame =
-    ccnetBucketDf(Tables.documents(spark, dir))
+    ccnetBucketFrom(Tables.documents(spark, dir),
+      lmScoresShared(spark, dir))
 
-  /** Same, over any (doc_id, text, lang) DataFrame (planted tests). */
-  def ccnetBucketDf(docs: DataFrame): DataFrame = {
+  /** Same, over any (doc_id, text, lang) DataFrame (planted tests —
+    * computes its own scores instead of the shared product). */
+  def ccnetBucketDf(docs: DataFrame): DataFrame =
+    ccnetBucketFrom(docs, lmScoreDf(docs))
+
+  /** The per-language bucketing core over a supplied score table. */
+  private def ccnetBucketFrom(docs: DataFrame, scores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang")
       .orderBy(desc("lm_mean_e4"), asc("doc_id"))
     docs.select("doc_id", "lang")
-      .join(lmScoreDf(docs).select("doc_id", "lm_mean_e4"), "doc_id")
+      .join(scores.select("doc_id", "lm_mean_e4"), "doc_id")
       .withColumn("tile", ntile(3).over(w))
       .select(col("doc_id"), col("lang"), col("lm_mean_e4"),
         when(col("tile") === 1, "head")

@@ -662,7 +662,40 @@ object Dedup extends org.apache.spark.internal.Logging {
     * verifier. */
   def ngramJaccardPairs(s: SparkSession, d: String, minJacE4: Long = 100L,
       maxDf: Long = MaxShingleDf): DataFrame =
-    ngramJaccardPairsDf(Tables.documents(s, d), minJacE4, maxDf)
+    if (minJacE4 >= JacPairsBaseE4)
+      jaccardPairsShared(s, d, maxDf)
+        .filter(col("jac_e4") >= minJacE4).orderBy("d1", "d2")
+    else ngramJaccardPairsDf(Tables.documents(s, d), minJacE4, maxDf)
+
+  /** Algorithm version of the Jaccard pair product — cache-key component;
+    * bump whenever the shingle/pair/score construction changes. */
+  private val JacPairsVersion = 1
+
+  /** The shared product's pair threshold: the LOWEST bar any consumer
+    * uses (the pair QUERY's exploratory 0.01), so every consumer's pair
+    * set — the decision-grade cluster builds (0.8), the evaluation
+    * truths (0.5/0.8) — is a monotone filter of the stored table. */
+  val JacPairsBaseE4 = 100L
+
+  /** The exact n-gram Jaccard pair table built ONCE per (corpus, df cap)
+    * and SHARED through the content-addressed
+    * [[graft.sources.ArtifactCache]]. Four consumers rebuilt this
+    * product inside their own plans: the pair query itself, the
+    * cluster-assignment build ([[clusterAssignmentsShared]]'s CC runs on
+    * these edges), and both sketch-quality evaluations' ground-truth
+    * sides ([[sketchPr]], [[simhashPr]]). First consumer per key builds
+    * and publishes (shingles → bounded-state pair collect → score);
+    * later consumers scan (d1, d2, jac_e4) and filter at their own
+    * threshold — identical rows by construction (the score filter is
+    * monotone above [[JacPairsBaseE4]]), so every consumer's oracle is
+    * unchanged. Planted-test Df variants keep computing self-contained. */
+  def jaccardPairsShared(s: SparkSession, d: String,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    graft.sources.ArtifactCache.getOrBuild(s,
+      graft.sources.ArtifactCache.path("jacpairs",
+        new java.io.File(d, "documents.parquet"),
+        Seq(JacPairsBaseE4, maxDf, JacPairsVersion)))(
+      ngramJaccardPairsRaw(Tables.documents(s, d), JacPairsBaseE4, maxDf))
 
   /** Same, over any (doc_id, text) DataFrame. Query-contract wrapper — adds
     * the terminal sort; internal consumers ([[components]] via [[clusters]])
@@ -801,7 +834,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     * cache key, like the graph family's CoSupplyVersion: bump whenever
     * the shingle/pair/CC construction changes, so a code change can never
     * serve a stale assignment from a previous build. */
-  private val ClustersVersion = 1
+  private val ClustersVersion = 2
 
   /** The cluster assignment built ONCE per (corpus, threshold) and SHARED
     * across its consumers through the content-addressed
@@ -820,7 +853,16 @@ object Dedup extends org.apache.spark.internal.Logging {
       graft.sources.ArtifactCache.path("dedupcc",
         new java.io.File(d, "documents.parquet"),
         Seq(minJacE4, MaxShingleDf, ClustersVersion)))(
-      clusterAssignmentsDf(Tables.documents(s, d), minJacE4))
+      // The build itself consumes the SHARED pair product (filtered at
+      // this assignment's threshold — monotone above the base, so rows
+      // are identical to the self-contained Df path), so the two cached
+      // products stack: one shingle→pair pass per corpus, one CC
+      // fixpoint per threshold. A sub-base threshold (never used by the
+      // contract) computes self-contained.
+      if (minJacE4 >= JacPairsBaseE4)
+        assignmentsFromPairs(Tables.documents(s, d),
+          jaccardPairsShared(s, d).filter(col("jac_e4") >= minJacE4))
+      else clusterAssignmentsDf(Tables.documents(s, d), minJacE4))
 
   /** Decision-grade near-dup threshold (Jaccard ≥ 0.8). The pair QUERY's
     * default (0.01) is exploratory — low enough to surface weak overlaps for
@@ -831,8 +873,13 @@ object Dedup extends org.apache.spark.internal.Logging {
 
   /** Same, over any (doc_id, text) DataFrame (planted-dup tests), with the
     * pair threshold exposed — the shipping pipeline passes [[NearDupJacE4]]. */
-  def clusterAssignmentsDf(docs: DataFrame, minJacE4: Long = 100L): DataFrame = {
-    val comp = components(ngramJaccardPairsRaw(docs, minJacE4).select("d1", "d2"))
+  def clusterAssignmentsDf(docs: DataFrame, minJacE4: Long = 100L): DataFrame =
+    assignmentsFromPairs(docs, ngramJaccardPairsRaw(docs, minJacE4))
+
+  /** The CC-and-label-back core over a supplied (d1, d2) pair frame —
+    * shared by the self-contained Df path and the stacked-product build. */
+  private def assignmentsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs.select("d1", "d2"))
     // comp is the converged round's localCheckpoint — schedule its blocks
     // for release once the caller's terminal action has consumed it.
     graft.functions.Caching.releaseAfterAction(
@@ -925,7 +972,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     * IVF shows exactly that cell structure if the pair graph outgrows
     * banding. */
   def semanticClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = embeddingPairsLsh(s, d, SemanticClusterSimE4)
+    // Consume the SHARED pair product at the decision bar (monotone
+    // filter — same pairs the self-contained path verifies).
+    val pairs = embeddingPairsShared(s, d)
+      .filter(col("sim_e4") >= SemanticClusterSimE4)
       .select(col("v1").as("d1"), col("v2").as("d2"))
     val comp = components(pairs)
     graft.functions.Caching.releaseAfterAction(
@@ -945,7 +995,39 @@ object Dedup extends org.apache.spark.internal.Logging {
     * make the bucketing reproducible in the DuckDB oracle, so even this
     * approximate operator is hash-checked. Candidate recall vs the exact
     * embeddingPairs is asserted in DedupSpec. */
-  def embeddingPairsLsh(s: SparkSession, d: String, minSimE4: Long = 3500L): DataFrame = {
+  def embeddingPairsLsh(s: SparkSession, d: String, minSimE4: Long = 3500L): DataFrame =
+    if (minSimE4 >= EmbPairsBaseE4)
+      embeddingPairsShared(s, d)
+        .filter(col("sim_e4") >= minSimE4).orderBy("v1", "v2")
+    else embeddingPairsLshRaw(s, d, minSimE4).orderBy("v1", "v2")
+
+  /** Algorithm version of the embedding pair product — cache-key
+    * component; bump whenever the banding/verify construction changes. */
+  private val EmbPairsVersion = 1
+
+  /** The shared product's similarity floor: the LOWEST bar any consumer
+    * uses (the pair QUERY's default), so the semantic-cluster decision
+    * bar ([[SemanticClusterSimE4]]) is a monotone filter of the table. */
+  val EmbPairsBaseE4 = 3500L
+
+  /** The LSH-candidate, exact-verified embedding pair table built ONCE
+    * per corpus and SHARED through the content-addressed
+    * [[graft.sources.ArtifactCache]] — the banded self-join plus two
+    * exact-verify join-backs that `dedup_embedding_lsh` and
+    * `dedup_semantic_clusters` each rebuilt inside their own plans.
+    * Consumers scan (v1, v2, sim_e4) and filter at their own threshold;
+    * rows are identical by construction (deterministic integer-derived
+    * hyperplanes, monotone score filter above [[EmbPairsBaseE4]]). */
+  def embeddingPairsShared(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactCache.getOrBuild(s,
+      graft.sources.ArtifactCache.path("embpairs",
+        new java.io.File(d, "embeddings.parquet"),
+        Seq(EmbPairsBaseE4, EmbBands, EmbRowsPerBand, EmbPairsVersion)))(
+      embeddingPairsLshRaw(s, d, EmbPairsBaseE4))
+
+  /** The unordered pair computation — the build side of the product. */
+  private def embeddingPairsLshRaw(s: SparkSession, d: String,
+      minSimE4: Long): DataFrame = {
     // The normed corpus is read by the band-key computation and both exact-
     // verify join-backs; the banded keys (36 codegen'd 64-dim dot products
     // per vector) sit on both sides of the candidate self-join. Persist both
@@ -969,8 +1051,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       cand.join(x, "v1").join(y, "v2")
         .select(col("v1"), col("v2"),
           e4(dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim_e4"))
-        .filter(col("sim_e4") >= minSimE4)
-        .orderBy("v1", "v2"),
+        .filter(col("sim_e4") >= minSimE4),
       v, keys)
   }
 
@@ -992,7 +1073,16 @@ object Dedup extends org.apache.spark.internal.Logging {
     * their own docstrings price; the join key (d1, d2) equi-joins them
     * and the final aggregate is 1 row. */
   def sketchPr(s: SparkSession, d: String, thrE4: Long = 5000L): DataFrame =
-    sketchPrDf(Tables.documents(s, d), thrE4)
+    if (thrE4 >= JacPairsBaseE4)
+      pairsPrCore(exactTruthShared(s, d, thrE4),
+        minhashPairs(Tables.documents(s, d), thrE4))
+    else sketchPrDf(Tables.documents(s, d), thrE4)
+
+  /** The evaluation ground truth from the SHARED pair product: exact
+    * pairs at `thrE4`, a monotone filter of the stored table — the same
+    * rows [[ngramJaccardPairsRaw]] computes self-contained. */
+  private def exactTruthShared(s: SparkSession, d: String, thrE4: Long): DataFrame =
+    jaccardPairsShared(s, d).filter(col("jac_e4") >= thrE4)
 
   /** Same, over any (doc_id, text) DataFrame (planted tests). */
   def sketchPrDf(docs: DataFrame, thrE4: Long = 5000L): DataFrame =
@@ -1006,7 +1096,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     * for the decision-grade near-dup judgment. */
   def simhashPr(s: SparkSession, d: String, maxHamming: Int = 3,
       thrE4: Long = NearDupJacE4): DataFrame =
-    simhashPrDf(Tables.documents(s, d), maxHamming, thrE4)
+    if (thrE4 >= JacPairsBaseE4)
+      pairsPrCore(exactTruthShared(s, d, thrE4),
+        simhashPairsDf(Tables.documents(s, d), maxHamming))
+    else simhashPrDf(Tables.documents(s, d), maxHamming, thrE4)
 
   /** Same, over any (doc_id, text) DataFrame (planted tests). */
   def simhashPrDf(docs: DataFrame, maxHamming: Int = 3,
@@ -1017,9 +1110,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     * (d1, d2) pair set against the exact n-gram Jaccard ground truth at
     * `thrE4`. One full-outer join on the pair key, one 1-row aggregate,
     * two pinned e4 divisions (0 on empty denominators). */
-  def pairsPrDf(pred: DataFrame, docs: DataFrame, thrE4: Long): DataFrame = {
-    val exact = ngramJaccardPairsRaw(docs, thrE4)
-      .select(col("d1"), col("d2"), lit(1L).as("ex"))
+  def pairsPrDf(pred: DataFrame, docs: DataFrame, thrE4: Long): DataFrame =
+    pairsPrCore(ngramJaccardPairsRaw(docs, thrE4), pred)
+
+  /** The PR aggregate over supplied exact-truth and predicted pair
+    * frames — shared by the self-contained Df path and the
+    * shared-product query path. */
+  private def pairsPrCore(exactPairs: DataFrame, pred: DataFrame): DataFrame = {
+    val exact = exactPairs.select(col("d1"), col("d2"), lit(1L).as("ex"))
     val p = pred.select(col("d1"), col("d2"), lit(1L).as("pr"))
     exact.join(p, Seq("d1", "d2"), "full_outer")
       .select(coalesce(col("ex"), lit(0L)).as("ex"),

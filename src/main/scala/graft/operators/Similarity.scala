@@ -274,7 +274,33 @@ object Similarity {
     * one more broadcast-centroid pass (map-side argmax aggregate, no
     * window), sizes are a cluster-count aggregate broadcast back. */
   def kmeansClusters(s: SparkSession, d: String, nCells: Int = IvfCells,
-      iters: Int = IvfKmeansIters): DataFrame = {
+      iters: Int = IvfKmeansIters): DataFrame =
+    kmeansAssignmentsShared(s, d, nCells, iters).orderBy("vec_id")
+
+  /** Algorithm version of the k-means assignment product — cache-key
+    * component; bump whenever the training/assignment construction
+    * changes. */
+  private val KmAssignVersion = 1
+
+  /** The full k-means assignment table built ONCE per (corpus, cells,
+    * iters) and SHARED through the content-addressed
+    * [[graft.sources.ArtifactCache]] — the Lloyd training loop plus the
+    * assignment pass that `embedding_kmeans` and
+    * `sample_cluster_balanced` each re-ran inside their own plans.
+    * Consumers scan (vec_id, cluster_id, sim_e4, cluster_size); rows are
+    * identical by construction (deterministic seeding and integer-exact
+    * argmax ties). */
+  def kmeansAssignmentsShared(s: SparkSession, d: String,
+      nCells: Int = IvfCells, iters: Int = IvfKmeansIters): DataFrame =
+    graft.sources.ArtifactCache.getOrBuild(s,
+      graft.sources.ArtifactCache.path("kmassign",
+        new java.io.File(d, "embeddings.parquet"),
+        Seq(nCells, iters, KmAssignVersion)))(
+      kmeansClustersRaw(s, d, nCells, iters))
+
+  /** The unordered assignment computation — the build side of the product. */
+  private def kmeansClustersRaw(s: SparkSession, d: String, nCells: Int,
+      iters: Int): DataFrame = {
     val (c, trained) = trainCoarse(s, d, nCells, iters)
     val asgn = assignCellsSim(c, trained)
       .select(col("vec_id"), col("cell_id").as("cluster_id"), col("sim_e4"))
@@ -282,8 +308,7 @@ object Similarity {
     val sizes = asgn.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     graft.functions.Caching.releaseAfterAction(
       asgn.join(broadcast(sizes), "cluster_id")
-        .select(col("vec_id"), col("cluster_id"), col("sim_e4"), col("cluster_size"))
-        .orderBy("vec_id"),
+        .select(col("vec_id"), col("cluster_id"), col("sim_e4"), col("cluster_size")),
       c, asgn)
   }
 
@@ -297,26 +322,25 @@ object Similarity {
     * per-language stratified sampler, with the SAME deterministic
     * salted-hash order (salt "cbal:", mix32-avalanched) and the same
     * audit contract: every vector emitted with its cluster, rank, and
-    * kept flag. Composes [[trainCoarse]] + one assignment pass + one
-    * rank window on the cluster key; the hash-threshold pre-filter
-    * scale path applies verbatim when clusters outgrow the window
-    * (see `sample_stratified_capped`). */
+    * kept flag. Consumes the SHARED assignment product
+    * ([[kmeansAssignmentsShared]]) + one rank window on the cluster
+    * key; the hash-threshold pre-filter scale path applies verbatim
+    * when clusters outgrow the window (see `sample_stratified_capped`). */
   def clusterBalancedSample(s: SparkSession, d: String,
       cap: Long = ClusterCap, nCells: Int = IvfCells,
       iters: Int = IvfKmeansIters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (c, trained) = trainCoarse(s, d, nCells, iters)
     val h = pmod(graft.functions.Fns.mix32(graft.functions.Fns.polyHash(
       concat(lit("cbal:"), col("vec_id").cast("string")))), lit(1000000007L))
     val w = Window.partitionBy("cluster_id").orderBy(col("h"), col("vec_id"))
-    graft.functions.Caching.releaseAfterAction(
-      assignCellsSim(c, trained)
-        .select(col("vec_id"), col("cell_id").as("cluster_id"), h.as("h"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .select(col("vec_id"), col("cluster_id"), col("rn"),
-          (col("rn") <= cap).cast("long").as("kept"))
-        .orderBy("vec_id"),
-      c)
+    // Consume the SHARED assignment product instead of re-running the
+    // training loop — the sampler only needs (vec_id, cluster_id).
+    kmeansAssignmentsShared(s, d, nCells, iters)
+      .select(col("vec_id"), col("cluster_id"), h.as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cluster_id"), col("rn"),
+        (col("rn") <= cap).cast("long").as("kept"))
+      .orderBy("vec_id")
   }
 
   // PQ parameters: M subspaces of SubDim dims each, K centroids per

@@ -41,10 +41,18 @@ class PlanSpec extends AnyFunSuite {
     // corpus, fingerprints) are persisted so they compute once, not 3-4×.
     // If a persist is dropped the plan loses its InMemoryTableScan and this
     // fails — the regression guard for the 26.9s→4.7s class of win.
-    for (q <- Seq("dedup_ngram_jaccard", "sim_lsh_topk", "dedup_simhash_pairs",
+    // dedup_ngram_jaccard's QUERY now scans the shared jacpairs product,
+    // so the persist guard probes the machinery via its Df path instead.
+    val probes: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      Seq("ngramJaccardPairsDf" -> (() =>
+        graft.operators.Dedup.ngramJaccardPairsDf(
+          graft.sources.Tables.documents(spark, TestSpark.sf)))) ++
+      Seq("sim_lsh_topk", "dedup_simhash_pairs",
         "dedup_minhash_pairs", "sim_ivf_topk", "decontaminate",
-        "vocab_coverage", "text_tfidf_linear")) {
-      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+        "vocab_coverage", "text_tfidf_linear")
+        .map(q => q -> (() => SparkEntry.queries(q)(spark, TestSpark.sf)))
+    for ((q, mk) <- probes) {
+      val df = mk()
       // Capture the plan BEFORE the terminal action: operators wired
       // through Caching.releaseAfterAction unpersist their intermediates
       // as soon as the action completes (the advisor's release

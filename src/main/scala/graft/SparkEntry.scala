@@ -137,6 +137,7 @@ object SparkEntry {
     "sim_ivfpq_index" -> ((s, d) => Similarity.ivfPqTrainedCodes(s, d)),
     "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "embedding_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "sample_cluster_balanced" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     "eval_retrieval_recall" -> ((s, d) => Similarity.retrievalRecall(s, d)),
@@ -1049,6 +1050,13 @@ object SparkEntry {
       s"""WITH $EmbLshCtes, sp AS (SELECT vec_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('split:' || CAST(vec_id AS VARCHAR)) + 1), i -> CAST(ascii(substr('split:' || CAST(vec_id AS VARCHAR), i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM embeddings)), tk AS (SELECT k.vec_id AS tid, k.band_idx, k.band_key FROM keys k JOIN sp ON k.vec_id = sp.vec_id WHERE sp.split = 'test'), cand AS (SELECT DISTINCT k.vec_id AS cid, tk.tid FROM keys k JOIN sp ON k.vec_id = sp.vec_id JOIN tk ON k.band_idx = tk.band_idx AND k.band_key = tk.band_key WHERE sp.split <> 'test'), m AS (SELECT c.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.cid = x.vec_id JOIN n y ON c.tid = y.vec_id), agg AS (SELECT cid, count(*) AS n_matches, CAST(max(sim_e4) AS BIGINT) AS max_sim_e4 FROM m WHERE sim_e4 >= 3500 GROUP BY cid) SELECT sp.vec_id, sp.split, COALESCE(a.n_matches, 0) AS n_matches, COALESCE(a.max_sim_e4, 0) AS max_sim_e4, CAST(CASE WHEN COALESCE(a.n_matches, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM sp LEFT JOIN agg a ON sp.vec_id = a.cid WHERE sp.split <> 'test' ORDER BY sp.vec_id""",
     "sim_topk" ->
       s"""WITH $BruteTopkCtes SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM brk WHERE rn <= 5 ORDER BY qid, rn""",
+    // Hybrid retrieval via reciprocal rank fusion: lexical tower = the
+    // exact n-gram Jaccard pairs re-oriented around query docs (< 5),
+    // semantic tower = exact cosine with self excluded; each tower's top
+    // 20 fuses with integer-exact e4 RRF terms (no half-way rounding
+    // case exists at this depth), top 10 per query kept.
+    "search_hybrid_rrf" ->
+      s"""WITH $NgramCtes, hbq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5), hbs AS (SELECT q.qid, c.vec_id AS cid, CAST(round(list_inner_product(CAST(c.embedding AS DOUBLE[]), q.qv) / (sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) * sqrt(list_inner_product(q.qv, q.qv))) * 10000) AS BIGINT) AS sim_e4 FROM embeddings c, hbq q WHERE c.vec_id <> q.qid), hsem AS (SELECT qid, cid, r FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS r FROM hbs) WHERE r <= 20), hlex0 AS (SELECT d1 AS qid, d2 AS cid, jac_e4 FROM jpairs WHERE jac_e4 >= 100 AND d1 < 5 UNION ALL SELECT d2 AS qid, d1 AS cid, jac_e4 FROM jpairs WHERE jac_e4 >= 100 AND d2 < 5), hlex AS (SELECT qid, cid, r FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY jac_e4 DESC, cid) AS r FROM hlex0) WHERE r <= 20), hf AS (SELECT COALESCE(l.qid, s.qid) AS qid, COALESCE(l.cid, s.cid) AS cid, l.r AS rl, s.r AS rs FROM hlex l FULL OUTER JOIN hsem s ON l.qid = s.qid AND l.cid = s.cid), hr AS (SELECT qid, cid, CAST(COALESCE(rl, 0) AS BIGINT) AS r_lex, CAST(COALESCE(rs, 0) AS BIGINT) AS r_sem, CAST(CASE WHEN rl IS NULL THEN 0 ELSE round(10000.0 / (60 + rl)) END + CASE WHEN rs IS NULL THEN 0 ELSE round(10000.0 / (60 + rs)) END AS BIGINT) AS rrf_e4 FROM hf) SELECT qid, cid, r_lex, r_sem, rrf_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_e4 DESC, cid) AS rn FROM hr) WHERE rn <= 10 ORDER BY qid, rn""",
     // Vocabulary coverage: top-10 corpus vocab (count desc, word asc ties),
     // per-doc OOV token fraction in e4 fixed point; token-less docs score 0.
     "vocab_coverage" ->

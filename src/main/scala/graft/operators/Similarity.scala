@@ -112,6 +112,80 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009,
+    * "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+    * Learning Methods", SIGIR — k=60 is the paper's setting and the
+    * de-facto default in hybrid search stacks). */
+  val RrfK = 60
+  val HybridNq = 5
+  val HybridDepth = 20
+  val HybridTopK = 10
+
+  /** HYBRID RETRIEVAL via reciprocal rank fusion — the standard two-tower
+    * search shape of RAG and curation stacks: a LEXICAL ranking and a
+    * SEMANTIC ranking are computed independently per query and fused by
+    * RRF(d) = Σ 1/(k + rank_i(d)), which needs no score calibration
+    * between the towers (ranks only). Queries are the corpus documents
+    * with doc_id < `nQueries` (ids are shared between `documents` and
+    * `embeddings` on the common prefix — the multimodal-row contract):
+    *
+    *  - lexical tower: the SHARED exact n-gram Jaccard pair product
+    *    ([[graft.operators.Dedup.jaccardPairsShared]]), re-oriented
+    *    around the query doc and ranked by jac_e4 (desc, cid asc);
+    *  - semantic tower: exact cosine against the query's embedding,
+    *    self excluded, ranked the same way ([[bruteTopK]]'s shape; at
+    *    scale swap in [[lshTopK]] or the served IVF-PQ index — the
+    *    fusion is rank-only, so the tower is pluggable by construction).
+    *
+    * Each tower contributes its top `depth`; a doc missing from one
+    * tower contributes 0 from that side (the conventional treatment).
+    * RRF terms are e4-rounded integers (round(1e4/(k+r))) so the fused
+    * score — and therefore the ranking — is integer-exact and
+    * hash-matches the oracle; at depth ≤ 20 no half-way rounding case
+    * exists (no divisor of 2·1e4 lies in (60, 80]).
+    *
+    * Scale shape: the lexical tower is a filter of the stored pair
+    * product (query-rows only); the semantic tower broadcasts the tiny
+    * query set and streams the corpus once; the fusion is an equi-join
+    * of two depth×nQueries-row frames and a per-query window over
+    * ≤ 2·depth rows. */
+  def hybridRrf(s: SparkSession, d: String, nQueries: Int = HybridNq,
+      depth: Int = HybridDepth, k: Int = HybridTopK): DataFrame = {
+    val c = corpus(s, d)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wSem = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    val sem = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+      .withColumn("r", row_number().over(wSem).cast("long"))
+      .filter(col("r") <= depth)
+      .select(col("qid"), col("cid"), col("r").as("r_sem"))
+    val jac = graft.operators.Dedup.jaccardPairsShared(s, d)
+    val lex0 = jac.filter(col("d1") < nQueries)
+        .select(col("d1").as("qid"), col("d2").as("cid"), col("jac_e4"))
+      .unionAll(jac.filter(col("d2") < nQueries)
+        .select(col("d2").as("qid"), col("d1").as("cid"), col("jac_e4")))
+    val wLex = Window.partitionBy("qid").orderBy(desc("jac_e4"), asc("cid"))
+    val lex = lex0
+      .withColumn("r", row_number().over(wLex).cast("long"))
+      .filter(col("r") <= depth)
+      .select(col("qid"), col("cid"), col("r").as("r_lex"))
+    def term(r: org.apache.spark.sql.Column) =
+      when(r.isNotNull,
+        round(lit(10000.0) / (lit(RrfK) + r)).cast("long")).otherwise(lit(0L))
+    val wF = Window.partitionBy("qid").orderBy(desc("rrf_e4"), asc("cid"))
+    lex.join(sem, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"),
+        (term(col("r_lex")) + term(col("r_sem"))).as("rrf_e4"))
+      .withColumn("rn", row_number().over(wF).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("qid", "rn")
+  }
+
   // IVF parameters: nCells coarse cells, nProbe cells scanned per query.
   // At 100 TB, nCells grows with corpus size (classically ~sqrt(n)) so cell
   // occupancy — and therefore per-query scan cost — stays bounded; nProbe

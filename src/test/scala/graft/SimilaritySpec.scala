@@ -350,4 +350,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(open.count(r => r._1 >= 100L) === 30 * 4,
       "uncapped mode vectors should each emit k edges")
   }
+
+  test("hybrid RRF: fused scores recompute from the rank columns, towers agree") {
+    val out = Similarity.hybridRrf(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // (qid, cid, r_lex, r_sem, rrf_e4, rn)
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length === Similarity.HybridNq)
+    // every emitted row carries at least one tower, ranks bounded by depth
+    assert(out.forall(r => r._3 > 0L || r._4 > 0L))
+    assert(out.forall(r => r._3 <= Similarity.HybridDepth &&
+      r._4 <= Similarity.HybridDepth))
+    // the fused score is EXACTLY the integer-rounded RRF of its ranks —
+    // the property that makes the ranking oracle-reproducible
+    for (r <- out) {
+      val e = (if (r._3 > 0) math.round(10000.0 / (Similarity.RrfK + r._3)) else 0L) +
+        (if (r._4 > 0) math.round(10000.0 / (Similarity.RrfK + r._4)) else 0L)
+      assert(r._5 === e, s"rrf_e4 drifted for (${r._1}, ${r._2})")
+    }
+    // per-query order: rn dense from 1, rrf non-increasing, cid-asc ties
+    for ((_, rows0) <- out.groupBy(_._1)) {
+      val rows = rows0.sortBy(_._6)
+      assert(rows.map(_._6) === (1L to rows.length.toLong))
+      assert(rows.sliding(2).forall {
+        case Array(a, b) => a._5 > b._5 || (a._5 == b._5 && a._2 < b._2)
+        case _ => true
+      }, "fused ranking is not (rrf desc, cid asc)")
+    }
+    // the semantic tower matches bruteTopK's ranking with self removed
+    val brute = Similarity.bruteTopK(spark, TestSpark.sf,
+        nQueries = Similarity.HybridNq, k = Similarity.HybridDepth + 1)
+      .as[(Long, Long, Long, Long)].collect()
+    for ((qid, rows) <- brute.groupBy(_._1)) {
+      val expect = rows.sortBy(_._4).filter(_._2 != qid)
+        .take(Similarity.HybridDepth).map(_._2).zipWithIndex
+        .map { case (cid, i) => cid -> (i + 1L) }.toMap
+      val gotSem = out.filter(r => r._1 == qid && r._4 > 0L)
+        .map(r => r._2 -> r._4).toMap
+      for ((cid, rSem) <- gotSem)
+        assert(expect.get(cid).contains(rSem),
+          s"semantic rank of ($qid, $cid) disagrees with bruteTopK")
+    }
+  }
 }

@@ -852,7 +852,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     graft.sources.ArtifactCache.getOrBuild(s,
       graft.sources.ArtifactCache.path("dedupcc",
         new java.io.File(d, "documents.parquet"),
-        Seq(minJacE4, MaxShingleDf, ClustersVersion)))(
+        // The pair product's version and base are part of THIS key too:
+        // the build consumes jacpairs, so a pair-construction change
+        // must invalidate the assignment mechanically, not by a
+        // remember-to-double-bump convention.
+        Seq(minJacE4, MaxShingleDf, ClustersVersion,
+          JacPairsBaseE4, JacPairsVersion)))(
       // The build itself consumes the SHARED pair product (filtered at
       // this assignment's threshold — monotone above the base, so rows
       // are identical to the self-contained Df path), so the two cached

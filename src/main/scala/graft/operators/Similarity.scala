@@ -142,13 +142,18 @@ object Similarity {
     * RRF terms are e4-rounded integers (round(1e4/(k+r))) so the fused
     * score — and therefore the ranking — is integer-exact and
     * hash-matches the oracle; at depth ≤ 20 no half-way rounding case
-    * exists (no divisor of 2·1e4 lies in (60, 80]).
+    * exists (1e4/(60+r) = x.5 needs 20000/(60+r) to be an ODD integer;
+    * the only divisor of 20000 in (60, 80] is 80, whose quotient 250 is
+    * even — re-derive this bound when changing RrfK or the depth).
     *
     * Scale shape: the lexical tower is a filter of the stored pair
     * product (query-rows only); the semantic tower broadcasts the tiny
     * query set and streams the corpus once; the fusion is an equi-join
     * of two depth×nQueries-row frames and a per-query window over
-    * ≤ 2·depth rows. */
+    * ≤ 2·depth rows. The towers' ONLINE halves already exist as the
+    * streaming BM25 scorer and the streaming ANN probe
+    * ([[graft.streaming.VectorStreams.knnProbeStream]]) — RRF fusion over
+    * their sink tables is the same rank-only post-step as here. */
   def hybridRrf(s: SparkSession, d: String, nQueries: Int = HybridNq,
       depth: Int = HybridDepth, k: Int = HybridTopK): DataFrame = {
     val c = corpus(s, d)

@@ -169,10 +169,14 @@ object TextAnalytics {
           m.toDF("merge_rank", "lhs", "rhs", "merged", "pair_cnt")
             .coalesce(1).write.parquet(tmp.getAbsolutePath + "/merges")
           seg.write.parquet(tmp.getAbsolutePath + "/seg")
-          graft.sources.ArtifactCache.publish(tmp, new java.io.File(dir))
         } catch { case e: Throwable =>
           graft.sources.ArtifactCache.rmTree(tmp); throw e
         }
+        // OUTSIDE the cleanup catch: a genuine publish failure keeps the
+        // completed tmp build on disk and names it in the error
+        // (ArtifactCache.publish's contract) — deleting it here would
+        // destroy the recoverable copy the message points at.
+        graft.sources.ArtifactCache.publish(tmp, new java.io.File(dir))
       } finally org.apache.spark.sql.graft.Checkpoints.release(seg)
     }
     dir

@@ -391,5 +391,27 @@ class SimilaritySpec extends AnyFunSuite {
         assert(expect.get(cid).contains(rSem),
           s"semantic rank of ($qid, $cid) disagrees with bruteTopK")
     }
+    // the lexical tower matches an INDEPENDENT Jaccard ranking — the
+    // self-contained Df path, not the shared product the tower reads —
+    // re-oriented around the query docs exactly as the operator promises
+    val jac = graft.operators.Dedup.ngramJaccardPairsDf(
+        graft.sources.Tables.documents(spark, TestSpark.sf))
+      .as[(Long, Long, Long)].collect()
+    val oriented = jac.flatMap { case (d1, d2, j) =>
+      Seq((d1, d2, j), (d2, d1, j)) }
+      .filter(_._1 < Similarity.HybridNq)
+    for ((qid, rows) <- oriented.groupBy(_._1)) {
+      val expect = rows.sortBy(r => (-r._3, r._2))
+        .take(Similarity.HybridDepth).map(_._2).zipWithIndex
+        .map { case (cid, i) => cid -> (i + 1L) }.toMap
+      val gotLex = out.filter(r => r._1 == qid && r._3 > 0L)
+        .map(r => r._2 -> r._3).toMap
+      for ((cid, rLex) <- gotLex)
+        assert(expect.get(cid).contains(rLex),
+          s"lexical rank of ($qid, $cid) disagrees with the Df-path Jaccard ranking")
+    }
+    // at least one query doc must actually exercise the lexical tower
+    // (the corpus plants near-dups among the low ids)
+    assert(out.exists(_._3 > 0L), "lexical tower never fired")
   }
 }

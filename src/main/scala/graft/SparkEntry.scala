@@ -134,7 +134,7 @@ object SparkEntry {
     "sim_pq_trained" -> ((s, d) => Similarity.pqTrainedTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sim_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
-    "sim_ivfpq_index" -> ((s, d) => Similarity.ivfPqTrainedCodes(s, d)),
+    "sim_ivfpq_index" -> ((s, d) => Similarity.ivfPqServedCodes(s, d)),
     "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),

@@ -742,6 +742,21 @@ object Similarity {
       trainedIndexDf(af, codes, m), full, nv, af, rsubs)
   }
 
+  /** The serving-index CONTENT from the PERSISTED artifact — what the
+    * `sim_ivfpq_index` query ships: first consumer per corpus builds and
+    * publishes the index ([[ensureIvfPqIndex]], both k-means loops run
+    * once); every later consumer scans the stored `index/` table, which
+    * is [[ivfPqTrainedCodes]]' frame written out (bit-identical by
+    * construction — SimilaritySpec asserts it), the same
+    * build-once/consume-many posture as the dedup/kmeans/BPE products.
+    * The self-contained retraining form stays available as
+    * [[ivfPqTrainedCodes]] (the spec surface and the writer's input). */
+  def ivfPqServedCodes(s: SparkSession, d: String,
+      indexDir: Option[String] = None): DataFrame = {
+    val dir = ensureIvfPqIndex(s, d, indexDir)
+    s.read.parquet(dir + "/index").orderBy("vec_id")
+  }
+
   /** The (vec_id, cell_id, c0..c{M−1}) serving-index frame from an
     * assignment + long-form codes — the one pivot definition shared by the
     * index query, the index WRITER, and (inverted) the served reader. */

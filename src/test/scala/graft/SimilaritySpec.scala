@@ -176,6 +176,15 @@ class SimilaritySpec extends AnyFunSuite {
         indexDir = Some(dir))
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(again === trained, "second serve from the same index diverged")
+    // The index QUERY's served form: the stored `index/` table scanned
+    // back must be row-identical to the self-contained retraining frame —
+    // the guarantee that lets sim_ivfpq_index ship the persisted artifact.
+    val servedCodes = Similarity.ivfPqServedCodes(spark, TestSpark.sf,
+        indexDir = Some(dir)).collect().map(_.toSeq).toSeq
+    val retrainedCodes = Similarity.ivfPqTrainedCodes(spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(servedCodes === retrainedCodes,
+      "served index content diverged from in-query retraining")
   }
 
   test("trained retrieval tier holds its recall at the bench scale (sf0.1)") {

@@ -173,6 +173,8 @@ object SparkEntry {
     "sample_stratified_capped" -> ((s, d) => Pipeline.sampleStratifiedCapped(s, d)),
     "data_shuffle" -> ((s, d) => Pipeline.dataShuffle(s, d)),
     "data_pack_shuffled" -> ((s, d) => Pipeline.packShuffled(s, d)),
+    "data_budget_trim" -> ((s, d) => Pipeline.dataBudgetTrim(s, d)),
+    "data_curriculum" -> ((s, d) => Pipeline.dataCurriculum(s, d)),
     "ship_manifest" -> ((s, d) => Pipeline.shipManifest(s, d)),
   )
 
@@ -1158,6 +1160,15 @@ object SparkEntry {
     // the two-phase distributed prefix sum over (h, doc_id) ranges.
     "data_pack_shuffled" ->
       s"""WITH ${orderHashCtes("shuf:", "text")}, t AS (SELECT doc_id, hh, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM h), o AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, n_toks, "offset", CAST("offset" // ${Pipeline.SeqLen} AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
+    // Token-budget trim: the same packed offsets over the shuffled order;
+    // kept iff the whole document's span fits under the budget.
+    "data_budget_trim" ->
+      s"""WITH ${orderHashCtes("shuf:", "text")}, t AS (SELECT doc_id, hh, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM h), o AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, n_toks, "offset", CAST(CASE WHEN "offset" + n_toks <= ${Pipeline.TrimBudgetTokens} THEN 1 ELSE 0 END AS BIGINT) AS kept FROM o ORDER BY doc_id""",
+    // Curriculum staging: the LM-score CTEs feed a flat (fluency desc,
+    // doc_id) position; stage = (pos * S) div N + 1 — equal-width
+    // position stages, all-integer.
+    "data_curriculum" ->
+      s"""WITH $LmCtes, lmc AS (SELECT d.doc_id, CAST(CASE WHEN s.n_bigrams IS NULL THEN 0 ELSE round(s.lm_score_e4 * 1.0 / s.n_bigrams) END AS BIGINT) AS lm_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id), rk AS (SELECT doc_id, lm_mean_e4, CAST(row_number() OVER (ORDER BY lm_mean_e4 DESC, doc_id) - 1 AS BIGINT) AS pos FROM lmc), nn AS (SELECT count(*) AS n FROM documents) SELECT doc_id, lm_mean_e4, pos, CAST((pos * ${Pipeline.CurriculumStages}) // nn.n + 1 AS BIGINT) AS stage FROM rk CROSS JOIN nn ORDER BY doc_id""",
     // End-to-end training manifest: clean gates ∧ train split ∧ not
     // contaminated, survivors shuffled + packed — the standalone stage
     // oracles' CTEs composed into one statement (same definitions, so the

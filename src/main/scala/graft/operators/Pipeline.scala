@@ -964,6 +964,73 @@ object Pipeline {
       base)
   }
 
+  /** Whole-document token budget for the trimmed ship — non-trivial at
+    * every SF of the test corpus (~36 % of sf0.01's tokens, ~4 % of
+    * sf0.1's); production passes its real budget. */
+  val TrimBudgetTokens = 10000L
+
+  /** TOKEN-BUDGET TRIM — ship exactly the documents that fit a fixed
+    * token budget, in the deterministic shuffled training order: the
+    * "give me N tokens of this corpus" request (ablation runs,
+    * scaling-law points, budget-priced data orders) answered without a
+    * driver-side cursor. A document is kept iff its packed span fits
+    * entirely under the budget (offset + n_toks ≤ budget) in
+    * [[packShuffledDf]]'s order — whole documents only, the rule a
+    * sequential trimmer applies. Because the order is the salted-hash
+    * shuffle, the kept set is a uniform corpus sample at every budget,
+    * and growing the budget only ADDS documents — nested samples, the
+    * property scaling-law suites need (PipelineSpec pins both).
+    *
+    * Scale shape: [[packShuffledDf]]'s two-phase distributed prefix sum
+    * plus one comparison — no global window, no driver accumulation. */
+  def dataBudgetTrim(s: SparkSession, d: String,
+      budget: Long = TrimBudgetTokens): DataFrame =
+    dataBudgetTrimDf(Tables.documents(s, d), budget)
+
+  /** Same, over any (doc_id, text) DataFrame (nesting tests). */
+  def dataBudgetTrimDf(docs: DataFrame,
+      budget: Long = TrimBudgetTokens): DataFrame =
+    packShuffledDf(docs)
+      .select(col("doc_id"), col("n_toks"), col("offset"),
+        ((col("offset") + col("n_toks")) <= budget).cast("long").as("kept"))
+      .orderBy("doc_id")
+
+  /** Curriculum stage count (position quarters). */
+  val CurriculumStages = 4L
+
+  /** CURRICULUM STAGING by language-model fluency — the data-side half of
+    * curriculum learning (Bengio et al. 2009): order documents easy →
+    * hard and split the order into [[CurriculumStages]] equal-width
+    * POSITION stages a trainer feeds in sequence. Difficulty here is the
+    * corpus bigram-LM fluency (the SHARED [[TextAnalytics.lmScoresShared]]
+    * product — most fluent first, the same signal CCNet buckets on);
+    * production swaps in any per-doc difficulty column unchanged. Stage
+    * s = (pos · S) div N + 1 over the (lm_mean_e4 desc, doc_id) order —
+    * all-integer, so the staging hash-matches the oracle's flat
+    * row_number statement.
+    *
+    * Scale shape: the global position is the two-phase distributed
+    * prefix count over the score order ([[dataShuffleDf]]'s shape — the
+    * range partitioning IS the sort); no global window, no ntile over a
+    * single partition. The one extra action is the corpus count. */
+  def dataCurriculum(s: SparkSession, d: String,
+      stages: Long = CurriculumStages): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val lm = TextAnalytics.lmScoresShared(s, d)
+      .select(col("doc_id"), col("lm_mean_e4"))
+    val (p, base) = exclusivePrefixSum(
+      lm.select(col("doc_id"), (-col("lm_mean_e4")).as("neg"),
+        lit(1L).as("one")),
+      Seq("neg", "doc_id"), "one")
+    graft.functions.Caching.releaseAfterAction(
+      p.select(col("doc_id"), (-col("neg")).as("lm_mean_e4"),
+          col("prefix").as("pos"),
+          (expr(s"(prefix * $stages) div $n") + lit(1L)).as("stage"))
+        .orderBy("doc_id"),
+      base)
+  }
+
   /** Temperature-scaled source mixing (α = 1/2) — the multilingual/
     * multi-source resampling rule of mT5 (Xue et al. 2021) and UniMax-style
     * pipelines: sample source s proportionally to n_s^α instead of n_s, so

@@ -652,4 +652,53 @@ class PipelineSpec extends AnyFunSuite {
       acc += byDoc(id)._2
     }
   }
+
+  test("data_budget_trim: whole-doc prefix under the budget, nested across budgets") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val out = Pipeline.dataBudgetTrimDf(docs)
+      .as[(Long, Long, Long, Long)].collect() // (doc_id, n_toks, offset, kept)
+    assert(out.nonEmpty)
+    val kept = out.filter(_._4 == 1L)
+    assert(kept.nonEmpty && kept.length < out.length,
+      "the default budget must split the corpus non-trivially")
+    // exactly the spans that fit entirely under the budget
+    assert(out.forall(r =>
+      (r._4 == 1L) === (r._3 + r._2 <= Pipeline.TrimBudgetTokens)))
+    // kept tokens never exceed the budget
+    assert(kept.map(_._2).sum <= Pipeline.TrimBudgetTokens)
+    // the kept set is a PREFIX of the shuffled order (no gaps): every
+    // kept doc's offset is below every dropped doc's offset... except
+    // zero-token docs, which occupy no span and are kept wherever they
+    // sit — exclude them from the boundary check
+    val dropMin = out.filter(_._4 == 0L).map(_._3).minOption.getOrElse(Long.MaxValue)
+    assert(kept.filter(_._2 > 0).forall(_._3 < dropMin),
+      "kept span-bearing docs must precede every dropped doc")
+    // nested: doubling the budget only ADDS documents
+    val bigger = Pipeline.dataBudgetTrimDf(docs, Pipeline.TrimBudgetTokens * 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(_._4 == 1L).map(_._1).toSet
+    assert(kept.map(_._1).toSet.subsetOf(bigger),
+      "a larger budget must be a superset (nested samples)")
+  }
+
+  test("data_curriculum: equal-width position stages in fluency order, full coverage") {
+    val out = Pipeline.dataCurriculum(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect() // (doc_id, lm_mean_e4, pos, stage)
+    val n = out.length
+    assert(n > 0)
+    // pos is exactly the flat (fluency desc, doc_id) rank
+    val expected = out.sortBy(r => (-r._2, r._1)).map(_._1)
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(out.forall(r => expected(r._1) === r._3), "pos drifted from the flat rank")
+    // stage = (pos * S) div N + 1 — equal-width quarters, 1-indexed
+    assert(out.forall(r =>
+      r._4 === r._3 * Pipeline.CurriculumStages / n + 1))
+    assert(out.map(_._4).distinct.sorted.toSeq ===
+      (1L to Pipeline.CurriculumStages))
+    // stages are CONTIGUOUS in the fluency order: max pos of stage s is
+    // below min pos of stage s+1
+    val byStage = out.groupBy(_._4)
+    for (st <- 1L until Pipeline.CurriculumStages)
+      assert(byStage(st).map(_._3).max < byStage(st + 1).map(_._3).min)
+  }
 }

@@ -159,6 +159,7 @@ object SparkEntry {
     "source_report" -> ((s, d) => Pipeline.sourceReport(s, d)),
     "data_split" -> ((s, d) => Pipeline.dataSplit(s, d)),
     "data_mix" -> ((s, d) => Pipeline.dataMix(s, d)),
+    "data_mix_epochs" -> ((s, d) => Pipeline.dataMixEpochs(s, d)),
     "data_mix_temperature" -> ((s, d) => Pipeline.dataMixTemperature(s, d)),
     "data_mix_temperature_capped" -> ((s, d) => Pipeline.dataMixTemperatureCapped(s, d)),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
@@ -517,6 +518,11 @@ object SparkEntry {
     // list_reduce rolling hash the split uses.
     "data_mix" ->
       """WITH h AS (SELECT doc_id, source, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('rate:' || source) + 1), i -> CAST(ascii(substr('rate:' || source, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS rh, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('mix:' || CAST(doc_id AS VARCHAR)) + 1), i -> CAST(ascii(substr('mix:' || CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS mh FROM documents) SELECT doc_id, source, 2000 + (rh % 8001) AS rate_e4, mh % 10000 AS bucket, CAST(CASE WHEN mh % 10000 < 2000 + (rh % 8001) THEN 1 ELSE 0 END AS BIGINT) AS keep FROM h ORDER BY doc_id""",
+    // Data-constrained repetition plan: equal integer budget share per
+    // source; full epochs = min(share div n, cap); partial remainder only
+    // below the cap. All div/mod.
+    "data_mix_epochs" ->
+      s"""WITH ps AS (SELECT source, CAST(sum(len(regexp_extract_all(lower(text), '$Tok'))) AS BIGINT) AS n_toks FROM documents GROUP BY source), sc AS (SELECT count(*) AS s_cnt FROM ps), j AS (SELECT source, n_toks, CAST(${graft.operators.Pipeline.EpochBudgetTokens} // s_cnt AS BIGINT) AS share FROM ps CROSS JOIN sc), f AS (SELECT source, n_toks, share, CAST(CASE WHEN n_toks = 0 THEN 0 ELSE least(share // n_toks, ${graft.operators.Pipeline.MaxEpochs}) END AS BIGINT) AS full_epochs FROM j) SELECT source, n_toks, share, full_epochs, CAST(CASE WHEN full_epochs >= ${graft.operators.Pipeline.MaxEpochs} OR n_toks = 0 THEN 0 ELSE share % n_toks END AS BIGINT) AS rem_tokens, CAST(full_epochs * n_toks + CASE WHEN full_epochs >= ${graft.operators.Pipeline.MaxEpochs} OR n_toks = 0 THEN 0 ELSE share % n_toks END AS BIGINT) AS kept_tokens FROM f ORDER BY source""",
     // Temperature (α = 1/2) source mixing: integer floor-sqrt weights,
     // integer-div base targets with the remainder distributed
     // largest-remainder (rem DESC, source ASC — so uncapped targets sum

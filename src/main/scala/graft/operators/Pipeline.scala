@@ -374,6 +374,48 @@ object Pipeline {
       .withColumn("keep", (col("bucket") < col("rate_e4")).cast("long"))
       .orderBy("doc_id")
 
+  /** Per-source token budget share and epoch cap for the repetition
+    * plan. The budget is sf-independent on purpose: at small SFs most
+    * sources repeat to the cap; at larger SFs the fresh supply covers
+    * the share — both regimes exercised by one constant. */
+  val EpochBudgetTokens = 50000L
+  val MaxEpochs = 4L
+
+  /** DATA-CONSTRAINED REPETITION PLAN — how many epochs of each source a
+    * token budget buys under a repetition cap (Muennighoff et al. 2023,
+    * arXiv:2305.16264 "Scaling Data-Constrained Language Models": up to
+    * ~4 epochs of repeated data are nearly as good as fresh; beyond that
+    * returns decay). Each source receives an equal share of
+    * [[EpochBudgetTokens]]; the plan reports the full epochs that share
+    * buys (capped at [[MaxEpochs]]), the partial-epoch remainder, and
+    * the kept token total — the planning table a data-constrained
+    * training run is provisioned from. All-integer (div/mod), so the
+    * plan hash-matches the oracle.
+    *
+    * Scale shape: one map-side-combinable aggregate to source-level rows
+    * (sources are few), one 1-row count broadcast back — report-sized
+    * output, no per-document state. */
+  def dataMixEpochs(s: SparkSession, d: String,
+      budget: Long = EpochBudgetTokens, maxEpochs: Long = MaxEpochs): DataFrame = {
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("n_toks"))
+    val nSrc = perSrc.agg(count(lit(1)).as("s_cnt"))
+    val share = expr(s"$budget div s_cnt")
+    val full = when(col("n_toks") === 0L, lit(0L))
+      .otherwise(least(expr("share div n_toks"), lit(maxEpochs)))
+    perSrc.crossJoin(broadcast(nSrc))
+      .withColumn("share", share)
+      .withColumn("full_epochs", full)
+      .withColumn("rem_tokens",
+        when(col("full_epochs") >= maxEpochs || col("n_toks") === 0L, lit(0L))
+          .otherwise(expr("share % n_toks")))
+      .select(col("source"), col("n_toks"), col("share"), col("full_epochs"),
+        col("rem_tokens"),
+        (col("full_epochs") * col("n_toks") + col("rem_tokens")).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** Deterministic train/val/test assignment per document: bucket =
     * polyHash("split:" ++ doc_id) mod 100. Hash-based (not random) so the
     * assignment is reproducible across engines, runs, and partitionings. */

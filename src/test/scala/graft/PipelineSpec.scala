@@ -701,4 +701,24 @@ class PipelineSpec extends AnyFunSuite {
     for (st <- 1L until Pipeline.CurriculumStages)
       assert(byStage(st).map(_._3).max < byStage(st + 1).map(_._3).min)
   }
+
+  test("data_mix_epochs: repetition plan invariants hold for every source") {
+    val out = Pipeline.dataMixEpochs(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // (source, n_toks, share, full_epochs, rem_tokens, kept_tokens)
+    assert(out.nonEmpty)
+    val share = out.head._3
+    assert(out.forall(_._3 === share), "equal budget share per source")
+    for (r <- out) {
+      assert(r._4 <= Pipeline.MaxEpochs, "epoch cap violated")
+      assert(r._6 === r._4 * r._2 + r._5, "kept != full*n + rem")
+      assert(r._6 <= share, "a source's kept tokens exceed its share")
+      if (r._4 < Pipeline.MaxEpochs && r._2 > 0)
+        assert(r._6 === share, "below the cap the whole share is used")
+      if (r._4 >= Pipeline.MaxEpochs)
+        assert(r._5 === 0L, "no partial epoch beyond the cap")
+      assert(r._5 < math.max(r._2, 1L), "remainder must be a partial epoch")
+    }
+    assert(out.exists(_._4 >= 1L), "no source affords even one full epoch")
+  }
 }

@@ -679,11 +679,13 @@ object Dedup extends org.apache.spark.internal.Logging {
 
   /** The exact n-gram Jaccard pair table built ONCE per (corpus, df cap)
     * and SHARED through the content-addressed
-    * [[graft.sources.ArtifactCache]]. Four consumers rebuilt this
-    * product inside their own plans: the pair query itself, the
-    * cluster-assignment build ([[clusterAssignmentsShared]]'s CC runs on
-    * these edges), and both sketch-quality evaluations' ground-truth
-    * sides ([[sketchPr]], [[simhashPr]]). First consumer per key builds
+    * [[graft.sources.ArtifactCache]]. Five consumers previously rebuilt
+    * or would rebuild this product inside their own plans: the pair
+    * query itself, the cluster-assignment build
+    * ([[clusterAssignmentsShared]]'s CC runs on these edges), both
+    * sketch-quality evaluations' ground-truth sides ([[sketchPr]],
+    * [[simhashPr]]), and the hybrid retrieval query's lexical tower
+    * ([[Similarity.hybridRrf]]). First consumer per key builds
     * and publishes (shingles → bounded-state pair collect → score);
     * later consumers scan (d1, d2, jac_e4) and filter at their own
     * threshold — identical rows by construction (the score filter is

@@ -1366,10 +1366,11 @@ object TextAnalytics {
 
   /** The per-document LM-score table built ONCE per corpus and SHARED
     * through the content-addressed [[graft.sources.ArtifactCache]] —
-    * three queries consume it (`text_lm_score` is the product itself,
+    * four queries consume it (`text_lm_score` is the product itself,
     * `text_ccnet_bucket` ranks it per language, `corpus_clean_ccnet`
-    * gates on the buckets), and each previously retrained the bigram
-    * model inside its own plan. This IS the "model tables persist once
+    * gates on the buckets, `data_curriculum` stages the training order
+    * by it), and the first three previously retrained the bigram
+    * model inside their own plans. This IS the "model tables persist once
     * and score any number of corpora" split the [[lmScore]] docstring
     * describes, realized: first consumer trains + scores + publishes;
     * every later consumer scans (doc_id, n_bigrams, lm_score_e4,

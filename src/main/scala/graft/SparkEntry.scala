@@ -229,6 +229,14 @@ object SparkEntry {
 
   private val StratHashCtes = orderHashCtes("strat:", "lang")
 
+  // Shared packed-offset CTEs over the shuffled training order (tokenize,
+  // exclusive prefix window on (hh, doc_id)) — data_pack_shuffled and
+  // data_budget_trim state identical offsets by construction, which is
+  // exactly the trim's whole-document/nesting guarantee. Ends with
+  // o(doc_id, n_toks, "offset").
+  private val PackShuffledCtes =
+    s"""${orderHashCtes("shuf:", "text")}, t AS (SELECT doc_id, hh, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM h), o AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t)"""
+
   /** corpus_clean's gate CTEs (quality + language flags, exact-dedup
     * survivors) — shared by the three oracles that compose them so the
     * gates cannot drift. Ends with flags(doc_id, quality_ok, lang_match)
@@ -1165,11 +1173,11 @@ object SparkEntry {
     // shuffle-hash order; the Spark side computes identical offsets with
     // the two-phase distributed prefix sum over (h, doc_id) ranges.
     "data_pack_shuffled" ->
-      s"""WITH ${orderHashCtes("shuf:", "text")}, t AS (SELECT doc_id, hh, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM h), o AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, n_toks, "offset", CAST("offset" // ${Pipeline.SeqLen} AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
-    // Token-budget trim: the same packed offsets over the shuffled order;
-    // kept iff the whole document's span fits under the budget.
+      s"""WITH $PackShuffledCtes SELECT doc_id, n_toks, "offset", CAST("offset" // ${Pipeline.SeqLen} AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
+    // Token-budget trim: the SAME packed offsets over the shuffled order
+    // (shared CTE constant); kept iff the whole span fits the budget.
     "data_budget_trim" ->
-      s"""WITH ${orderHashCtes("shuf:", "text")}, t AS (SELECT doc_id, hh, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM h), o AS (SELECT doc_id, n_toks, CAST(sum(n_toks) OVER (ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, n_toks, "offset", CAST(CASE WHEN "offset" + n_toks <= ${Pipeline.TrimBudgetTokens} THEN 1 ELSE 0 END AS BIGINT) AS kept FROM o ORDER BY doc_id""",
+      s"""WITH $PackShuffledCtes SELECT doc_id, n_toks, "offset", CAST(CASE WHEN "offset" + n_toks <= ${Pipeline.TrimBudgetTokens} THEN 1 ELSE 0 END AS BIGINT) AS kept FROM o ORDER BY doc_id""",
     // Curriculum staging: the LM-score CTEs feed a flat (fluency desc,
     // doc_id) position; stage = (pos * S) div N + 1 — equal-width
     // position stages, all-integer.

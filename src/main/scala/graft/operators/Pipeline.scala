@@ -396,8 +396,14 @@ object Pipeline {
     * (sources are few), one 1-row count broadcast back — report-sized
     * output, no per-document state. */
   def dataMixEpochs(s: SparkSession, d: String,
+      budget: Long = EpochBudgetTokens, maxEpochs: Long = MaxEpochs): DataFrame =
+    dataMixEpochsDf(Tables.documents(s, d), budget, maxEpochs)
+
+  /** Same, over any (source, text) DataFrame (planted-regime tests — a
+    * tiny source must hit the cap while a large one stays fresh). */
+  def dataMixEpochsDf(docs: DataFrame,
       budget: Long = EpochBudgetTokens, maxEpochs: Long = MaxEpochs): DataFrame = {
-    val perSrc = Tables.documents(s, d)
+    val perSrc = docs
       .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
       .groupBy("source").agg(sum("t").as("n_toks"))
     val nSrc = perSrc.agg(count(lit(1)).as("s_cnt"))
@@ -719,7 +725,7 @@ object Pipeline {
     * independent (offset = tokens in all smaller doc_ids), which is why the
     * oracle can state it as one flat window sum. */
   def packSequencesGlobal(s: SparkSession, d: String): DataFrame = {
-    val (p, base) = exclusivePrefixSum(
+    val (p, base, _) = exclusivePrefixSum(
       Tables.documents(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks")),
       Seq("doc_id"), "n_toks")
@@ -744,10 +750,12 @@ object Pipeline {
     * partition-parallel, and the OUTPUT is partition-independent
     * (prefix = Σ value over all smaller order keys), which is why every
     * consumer's oracle can state it as one flat window. Returns the
-    * input columns + `prefix`, and the persisted base frame the caller
-    * releases after its terminal action. */
+    * input columns + `prefix`, the persisted base frame the caller
+    * releases after its terminal action, and the GRAND TOTAL of
+    * `valueCol` (the collected partition totals' sum — a free N for
+    * rank-fraction consumers like [[dataCurriculum]], no extra pass). */
   private def exclusivePrefixSum(df: DataFrame, orderCols: Seq[String],
-      valueCol: String): (DataFrame, DataFrame) = {
+      valueCol: String): (DataFrame, DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val base = df.repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
@@ -763,7 +771,7 @@ object Pipeline {
     (base.join(broadcast(baseDf), "pid")
       .withColumn("prefix", col("base") + sum(valueCol).over(w) - col(valueCol))
       .drop("pid", "base"),
-     base)
+     base, acc)
   }
 
   /** Overlapping-chunk parameters: window length and stride in tokens. */
@@ -946,7 +954,7 @@ object Pipeline {
     * balance tests). */
   def dataShuffleDf(docs: DataFrame): DataFrame = {
     // Exclusive prefix sum of 1s over the hash order = the global rank.
-    val (p, base) = exclusivePrefixSum(
+    val (p, base, _) = exclusivePrefixSum(
       docs.select(col("doc_id"), orderHash("shuf:").as("h"), lit(1L).as("one")),
       Seq("h", "doc_id"), "one")
     graft.functions.Caching.releaseAfterAction(
@@ -994,7 +1002,7 @@ object Pipeline {
 
   /** Same, over any (doc_id, text) DataFrame (composition tests). */
   def packShuffledDf(docs: DataFrame): DataFrame = {
-    val (p, base) = exclusivePrefixSum(
+    val (p, base, _) = exclusivePrefixSum(
       docs.select(col("doc_id"), orderHash("shuf:").as("h"),
         size(tokens(col("text"))).cast("long").as("n_toks")),
       Seq("h", "doc_id"), "n_toks")
@@ -1054,14 +1062,15 @@ object Pipeline {
     * Scale shape: the global position is the two-phase distributed
     * prefix count over the score order ([[dataShuffleDf]]'s shape — the
     * range partitioning IS the sort); no global window, no ntile over a
-    * single partition. The one extra action is the corpus count. */
+    * single partition, and N rides out of the prefix machinery's own
+    * partition totals — no separate counting pass. */
   def dataCurriculum(s: SparkSession, d: String,
       stages: Long = CurriculumStages): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val n = docs.count()
     val lm = TextAnalytics.lmScoresShared(s, d)
       .select(col("doc_id"), col("lm_mean_e4"))
-    val (p, base) = exclusivePrefixSum(
+    // N is the prefix machinery's own grand total (Σ of the ones) — no
+    // separate counting pass over the corpus.
+    val (p, base, n) = exclusivePrefixSum(
       lm.select(col("doc_id"), (-col("lm_mean_e4")).as("neg"),
         lit(1L).as("one")),
       Seq("neg", "doc_id"), "one")

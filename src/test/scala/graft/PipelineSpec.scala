@@ -721,4 +721,25 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(out.exists(_._4 >= 1L), "no source affords even one full epoch")
   }
+
+  test("data_mix_epochs: planted corpus exercises BOTH regimes (capped and fresh)") {
+    // tiny source: 4 tokens total -> a 100-token share buys far more than
+    // MaxEpochs epochs, so it must cap with rem = 0; big source: 80
+    // tokens -> the share buys 1 full epoch + a 20-token partial.
+    val docs = Seq(
+      ("tiny", "a b c d"),
+      ("big", Seq.fill(80)("w").mkString(" "))
+    ).toDF("source", "text")
+    val out = Pipeline.dataMixEpochsDf(docs, budget = 200L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val tiny = out("tiny")
+    assert(tiny._4 === Pipeline.MaxEpochs, "tiny source must repeat to the cap")
+    assert(tiny._5 === 0L, "no partial epoch beyond the cap")
+    assert(tiny._6 === Pipeline.MaxEpochs * 4L)
+    val big = out("big")
+    assert(big._4 === 1L, "big source affords exactly one full epoch")
+    assert(big._5 === 20L, "partial epoch remainder below the cap")
+    assert(big._6 === 100L, "below the cap the whole share is used")
+  }
 }

@@ -408,7 +408,50 @@ object TextStreams {
           }
       }
   }
+
+  /** STREAMING BUDGET ADMISSION — the online half of the token-budget
+    * plans ([[graft.operators.Pipeline.dataMixEpochs]] allocates each
+    * source a share; [[graft.operators.Pipeline.dataBudgetTrim]] trims a
+    * static corpus to a budget): documents arriving at crawl intake are
+    * ADMITTED while their source's share has room and refused after —
+    * admission control, the per-document decision a 100 TB intake makes
+    * as data lands. No windowed aggregate expresses it (the running
+    * total must survive across triggers AND gate each row), so this is
+    * the `flatMapGroupsWithState` custom-state case: state is ONE long
+    * per source (O(sources), never O(docs)); whole documents only, the
+    * batch trim's rule. Rows within a micro-batch process in doc_id
+    * order, so the decision sequence is deterministic for any
+    * file-ordered replay — StreamingSpec replays the corpus and matches
+    * the batch fold exactly. Output mode: update (each arriving doc
+    * emits its decision once, with the share consumed after it). */
+  def budgetAdmissionStream(spark: SparkSession, path: String,
+      sharePerSource: Long, maxFilesPerTrigger: Int = 0): Dataset[BudgetAdmit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    documentStream(spark, path, maxFilesPerTrigger)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, BudgetAdmit](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, n) =>
+            val ok = used + n <= sharePerSource
+            if (ok) used += n
+            BudgetAdmit(src, id, n, if (ok) 1L else 0L, used)
+          }
+          state.update(used)
+          out.iterator
+      }
+  }
 }
 
 /** Output row of [[TextStreams.nearDupStream]]. */
 case class NearDupPair(d1: Long, d2: Long, hamming: Long)
+
+/** Output row of [[TextStreams.budgetAdmissionStream]]. */
+case class BudgetAdmit(source: String, doc_id: Long, n_toks: Long,
+  admitted: Long, used_after: Long)

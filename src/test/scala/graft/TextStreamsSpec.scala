@@ -305,4 +305,40 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed("the") === 3L)
   }
+
+  test("streaming budget admission matches the batch per-source greedy fold") {
+    val dir = Paths.get("target", "test-scratch", "docstream_budget")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val share = 500L
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.budgetAdmissionStream(spark, dir.toString, share).toDF(),
+        "t_budget", mode = "update")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(streamed.nonEmpty)
+    // Batch fold: per source in doc_id order, admit while used + n <= share.
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.Fns.tokens(org.apache.spark.sql.functions.col("text")))
+          .cast("long"))
+      .as[(String, Long, Long)].collect()
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var used = 0L
+      rows.sortBy(_._2).toSeq.map { case (_, id, n) =>
+        val ok = used + n <= share
+        if (ok) used += n
+        (src, id, n, if (ok) 1L else 0L, used)
+      }
+    }.toSet
+    assert(streamed.toSet === expect)
+    // both decisions must actually occur at this share
+    assert(streamed.exists(_._4 == 1L) && streamed.exists(_._4 == 0L),
+      "share must split the corpus non-trivially")
+    // every emitted running total respects the share
+    assert(streamed.forall(_._5 <= share))
+  }
 }

@@ -195,4 +195,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.shingles(degenerate).count() === 3L)
     assert(Dedup.clusterAssignmentsDf(degenerate).count() === 3L)
   }
+
+  test("budget trim and repetition plan handle empty and zero-token inputs") {
+    assert(Pipeline.dataBudgetTrimDf(emptyDocs).count() === 0L)
+    val emptySrc = Seq.empty[(String, String)].toDF("source", "text")
+    assert(Pipeline.dataMixEpochsDf(emptySrc).count() === 0L)
+    // A zero-token source plans zero epochs and zero kept tokens (the
+    // div-by-zero guard); its sibling still consumes its whole share.
+    val zt = Seq(("z", ""), ("w", "a a a")).toDF("source", "text")
+    val plan = Pipeline.dataMixEpochsDf(zt, budget = 10L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(plan("z")._2 === 0L && plan("z")._4 === 0L && plan("z")._6 === 0L)
+    assert(plan("w")._4 === 1L && plan("w")._5 === 2L && plan("w")._6 === 5L)
+  }
 }

@@ -421,9 +421,9 @@ object TextStreams {
     * per source (O(sources), never O(docs)); whole documents only, the
     * batch trim's rule. Rows within a micro-batch process in doc_id
     * order, so the decision sequence is deterministic for any
-    * file-ordered replay — StreamingSpec replays the corpus and matches
-    * the batch fold exactly. Output mode: update (each arriving doc
-    * emits its decision once, with the share consumed after it). */
+    * file-ordered replay — TextStreamsSpec replays the corpus and
+    * matches the batch fold exactly. Output mode: update (each arriving
+    * doc emits its decision once, with the share consumed after it). */
   def budgetAdmissionStream(spark: SparkSession, path: String,
       sharePerSource: Long, maxFilesPerTrigger: Int = 0): Dataset[BudgetAdmit] = {
     import spark.implicits._

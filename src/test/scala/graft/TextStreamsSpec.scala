@@ -318,6 +318,10 @@ class TextStreamsSpec extends AnyFunSuite {
         "t_budget", mode = "update")
       .as[(String, Long, Long, Long, Long)].collect()
     assert(streamed.nonEmpty)
+    // Each doc emits its decision EXACTLY once — duplicate emissions
+    // would be collapsed by the set compare below, so pin count first.
+    assert(streamed.length === streamed.map(r => (r._1, r._2)).distinct.length,
+      "a document emitted more than one admission decision")
     // Batch fold: per source in doc_id order, admit while used + n <= share.
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
       .select(org.apache.spark.sql.functions.col("source"),

@@ -82,4 +82,54 @@ object ArtifactCache {
     }
     s.read.parquet(dir)
   }
+
+  private def treeStats(f: File): (Long, Long) =
+    if (f.isFile) (f.length(), 1L)
+    else f.listFiles() match {
+      case null => (0L, 0L)
+      case kids => kids.foldLeft((0L, 0L)) { case ((b, n), k) =>
+        val (kb, kn) = treeStats(k); (b + kb, n + kn)
+      }
+    }
+
+  /** The PRODUCT REGISTRY — what the build-once/consume-many layer has
+    * materialized: one row per published product directory (name, key
+    * hash, bytes, file count, publish mtime), in-flight `.tmp-*` builds
+    * excluded. The ops view a production deployment watches (which
+    * indexes exist, how big, how stale) and the input to an eviction
+    * policy. Driver-side listing bounded by product COUNT, never data
+    * size. */
+  def registry(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val root = new File(sys.props("java.io.tmpdir"))
+    val rows = Option(root.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-") &&
+        !f.getName.contains(".tmp-"))
+      .map { f =>
+        // graft-<name>-<16-hex-key>
+        val parts = f.getName.stripPrefix("graft-").split("-")
+        val (name, key) =
+          if (parts.length >= 2) (parts.dropRight(1).mkString("-"), parts.last)
+          else (parts.mkString("-"), "")
+        val (bytes, files) = treeStats(f)
+        (name, key, f.getAbsolutePath, bytes, files, f.lastModified())
+      }.toSeq.sortBy(r => (r._1, r._2))
+    rows.toDF("product", "key", "dir", "bytes", "files", "modified_ms")
+  }
+
+  /** Evict every published product whose name matches `product` (all
+    * keys — a corpus change leaves stale keys behind; this is the
+    * cleanup). In-flight `.tmp-*` builds are never touched (their owner
+    * cleans or publishes them), and the next consumer simply rebuilds:
+    * eviction can never break correctness, only re-pay a build. Returns
+    * the number of directories removed. */
+  def evict(product: String): Int = {
+    val root = new File(sys.props("java.io.tmpdir"))
+    val victims = Option(root.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && !f.getName.contains(".tmp-") &&
+        (f.getName == s"graft-$product" ||
+         f.getName.startsWith(s"graft-$product-")))
+    victims.foreach(rmTree)
+    victims.length
+  }
 }

@@ -63,4 +63,30 @@ class BenchHarnessSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(rows === Seq((1L, 10L)), "the winner's published product was disturbed")
   }
+
+  test("ArtifactCache: registry lists published products, evict forces a rebuild") {
+    val f = java.nio.file.Files.createTempFile("graft-reg-key", ".parquet").toFile
+    val dir = ArtifactCache.path("regtest", f, Seq(1))
+    var builds = 0
+    def build() = { builds += 1; Seq((1L, 2L), (3L, 4L)).toDF("a", "b") }
+    assert(ArtifactCache.getOrBuild(spark, dir)(build()).count() === 2L)
+    val row = ArtifactCache.registry(spark).collect()
+      .find(_.getString(0) == "regtest")
+    assert(row.isDefined, "published product missing from the registry")
+    assert(row.get.getString(2) === dir, "registry dir drifted from the key path")
+    assert(row.get.getLong(3) > 0L && row.get.getLong(4) > 0L,
+      "registry must report real bytes and file counts")
+    // in-flight tmp builds never appear
+    val tmp = ArtifactCache.newTmpDir(dir)
+    java.nio.file.Files.createDirectories(tmp.toPath)
+    assert(!ArtifactCache.registry(spark).collect()
+      .exists(_.getString(2).contains(".tmp-")), "in-flight build leaked into the registry")
+    ArtifactCache.rmTree(tmp)
+    // evict removes every key of the product; the next consumer rebuilds
+    assert(ArtifactCache.evict("regtest") >= 1)
+    assert(!ArtifactCache.registry(spark).collect().exists(_.getString(0) == "regtest"))
+    assert(ArtifactCache.getOrBuild(spark, dir)(build()).count() === 2L)
+    assert(builds === 2, "eviction must force exactly one rebuild")
+    ArtifactCache.evict("regtest"): Unit
+  }
 }

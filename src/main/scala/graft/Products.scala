@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.ArtifactCache
+
+/** Product-layer ops CLI — the registry view of the
+  * build-once/consume-many cache ([[ArtifactCache.registry]]) and its
+  * eviction knob, as a job:
+  *
+  *   runMain graft.Products                 # list published products
+  *   runMain graft.Products evict <name>    # drop every key of <name>
+  *
+  * Companion to [[IndexBuild]] (build the big one on a schedule) and the
+  * in-library consumers (every family's first consumer builds on miss):
+  * this is what an operator runs to see what is materialized, how big,
+  * and how stale — and to force a rebuild after a policy change that the
+  * content-addressed key does not capture (e.g. reclaiming scratch
+  * space). Eviction can never break correctness; the next consumer
+  * rebuilds.
+  */
+object Products {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.sources.Sessions.local(cpus, logLevel = "ERROR")
+    args.toList match {
+      case "evict" :: name :: Nil =>
+        val n = ArtifactCache.evict(name)
+        println(s"evicted $n director${if (n == 1) "y" else "ies"} of product '$name'")
+      case Nil =>
+        val rows = ArtifactCache.registry(spark).collect()
+        if (rows.isEmpty) println("no published products")
+        else {
+          println(f"${"product"}%-12s ${"key"}%-18s ${"MB"}%8s ${"files"}%6s  dir")
+          rows.foreach { r =>
+            println(f"${r.getString(0)}%-12s ${r.getString(1)}%-18s " +
+              f"${r.getLong(3) / 1048576.0}%8.2f ${r.getLong(4)}%6d  ${r.getString(2)}")
+          }
+        }
+      case other =>
+        System.err.println(s"usage: Products [evict <name>] (got: ${other.mkString(" ")})")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

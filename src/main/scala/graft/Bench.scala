@@ -21,12 +21,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    intermediates (LSH keys, shingle tables) release them, and no query
   *    can reuse another's cached data. The clear is INSIDE the timed region
   *    — freeing its own intermediates is part of a query's cost.
-  *  - The timed phase runs TWICE and each query reports the minimum of its
-  *    two runs. The box is a shared VM with bursty CPU steal — identical
-  *    code measured 101 s and 422 s total back to back, with 20-90 s stall
-  *    blocks landing on whichever queries were running during a burst.
-  *    Min-of-2 keeps one clean sample per query; a query lands in "failed"
-  *    only if every run of it failed.
+  *  - COLD/WARM pricing (since round 11): the product layer persists
+  *    build-once artifacts on disk across passes — and across whole bench
+  *    invocations — so a min-over-passes number alone can never show what
+  *    a cold pipeline run costs (the round-10 measurement gap: every
+  *    product BUILD had vanished from the artifact). The harness therefore
+  *    EVICTS every published product after warmup, making the first timed
+  *    pass genuinely cold (each chunk's first product consumer pays the
+  *    family's build), and reports THREE things: per-query `queries_cold`
+  *    (pass A, build-inclusive), per-query `queries` (min of the two
+  *    passes — the warm floor, round-comparable), and `products` (each
+  *    product build's own seconds, timed at the getOrBuild/index miss).
+  *  - The timed phase runs TWICE and `queries` reports the minimum. The box
+  *    is a shared VM with bursty CPU steal — identical code measured 101 s
+  *    and 422 s total back to back, with 20-90 s stall blocks landing on
+  *    whichever queries were running during a burst. Min-of-2 keeps one
+  *    clean sample per query; a query lands in "failed" only if every run
+  *    of it failed.
   *  - JVM ISOLATION (default since round 10): the contract outgrew one JVM.
   *    A single process that has already executed 100+ distinct queries
   *    carries JIT code-cache pressure, GC tenuring and listener residue
@@ -36,17 +47,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    child JVM per [[ChunkSize]]-query family (alphabetical chunks, so
   *    each JVM sees the query-count of the r7-era bench whose numbers were
   *    stable) and merges the children's JSON; each child runs the full
-  *    warm + min-of-2 protocol for its chunk. Reported times are therefore
-  *    ISOLATED FLOORS — comparable across rounds regardless of how large
-  *    the contract grows. `SPARK_GRAFT_ISOLATED=0` forces the legacy
-  *    single-JVM mode; `SPARK_GRAFT_ONLY=a,b` (the dev loop) also runs
-  *    in-process. If forking is unavailable the harness falls back to the
-  *    legacy mode rather than reporting nothing.
+  *    warm + cold + warm protocol for its chunk. Reported times are
+  *    therefore ISOLATED FLOORS — comparable across rounds regardless of
+  *    how large the contract grows. `SPARK_GRAFT_ISOLATED=0` forces the
+  *    legacy single-JVM mode; `SPARK_GRAFT_ONLY=a,b` (the dev loop) also
+  *    runs in-process. Fork-capability failure (no spawnable java) falls
+  *    the whole run back to the legacy mode; a chunk whose child CRASHES
+  *    (nonzero exit, timeout) falls back for that chunk alone — later
+  *    chunks still fork.
   */
 object Bench {
   /** Queries per child JVM. 12 ≈ the per-JVM query count of the rounds
     * whose in-bench numbers matched isolated re-runs. */
   val ChunkSize = 12
+
+  /** One query's bench outcome: `best` = min over the timed passes
+    * (negative when every pass failed), `cold` = the first, post-eviction
+    * pass alone (negative when that pass failed). */
+  final case class QueryTimes(name: String, best: Double, cold: Double,
+    ok: Boolean)
+
+  /** One protocol run's outcome: per-query times plus the product builds
+    * the cold pass paid (dir basename → build seconds). */
+  final case class RunResult(queries: Seq[QueryTimes],
+    products: Map[String, Double])
 
   private def execute(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -66,14 +90,14 @@ object Bench {
     if (isolated) runIsolated()
     else {
       val subset = forked.orElse(only)
-      println(sharedJsonLine(runShared(subset)))
+      println(jsonLine(runShared(subset)))
       if (forked.nonEmpty) sys.exit(0) // plain-java child: don't wait on stragglers
     }
   }
 
-  // ---- classic in-process protocol (one JVM, warm + min-of-2) ----
+  // ---- classic in-process protocol (one JVM, warm + cold + warm) ----
 
-  private def runShared(subset: Option[Set[String]]): Seq[(String, Double, Boolean)] = {
+  private def runShared(subset: Option[Set[String]]): RunResult = {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -94,6 +118,13 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
+    // Cold reset: drop every published product so pass A prices the
+    // builds a cold pipeline run pays; discard warmup-era build timings.
+    try graft.sources.ArtifactCache.evictAll(): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] product eviction failed: ${e.getMessage}")
+    }
+    graft.sources.ArtifactCache.drainBuildTimes(): Unit
     def timedPass(): Seq[(String, Double, Boolean)] =
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -107,55 +138,73 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         (name, if (ok) sec else -sec, ok)
       }
-    val (passA, passB) = (timedPass(), timedPass())
+    val passA = timedPass()
+    val products = graft.sources.ArtifactCache.drainBuildTimes()
+    val passB = timedPass()
     val results = passA.zip(passB).map { case ((name, a, okA), (_, b, okB)) =>
       val okTimes = Seq((a, okA), (b, okB)).collect { case (t, true) => t }
-      if (okTimes.nonEmpty) (name, okTimes.min, true)
-      else (name, math.min(a, b), false)
+      if (okTimes.nonEmpty) QueryTimes(name, okTimes.min, a, ok = true)
+      else QueryTimes(name, math.min(a, b), a, ok = false)
     }
     spark.stop()
-    results
+    RunResult(results, products)
   }
 
-  private def sharedJsonLine(results: Seq[(String, Double, Boolean)],
-      extra: String = ""): String = {
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+  private def flatObj(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private def jsonLine(r: RunResult, extra: String = ""): String = {
+    val qs = flatObj(r.queries.map(q => (q.name, q.best)))
+    val colds = flatObj(r.queries.map(q => (q.name, q.cold)))
+    val prods = flatObj(r.products.toSeq.sortBy(_._1))
+    val failed = r.queries.collect { case q if !q.ok => "\"" + q.name + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$extra}"""
+    val total = r.queries.collect { case q if q.ok => q.best }.sum
+    val totalCold = r.queries.collect { case q if q.cold > 0 => q.cold }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"queries":$qs,"queries_cold":$colds,"products":$prods,"failed":$failed,"sf":"$sfDir"$extra}"""
   }
 
   // ---- isolated mode: fork one child JVM per query chunk, merge ----
+
+  private sealed trait ChildOutcome
+  private case class ChildOk(r: RunResult) extends ChildOutcome
+  private case object ChildCrashed extends ChildOutcome
+  private case object ForkUnavailable extends ChildOutcome
 
   private def runIsolated(): Unit = {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val chunkSize = sys.env.get("SPARK_GRAFT_CHUNK").map(_.toInt)
       .getOrElse(ChunkSize).max(1)
     val chunks = names.grouped(chunkSize).toSeq
-    val merged = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
+    val merged = scala.collection.mutable.ArrayBuffer.empty[QueryTimes]
+    val mergedProducts = scala.collection.mutable.Map.empty[String, Double]
     var forkBroken = false
     var fallbackChunks = 0
     for (chunk <- chunks) {
-      val viaFork =
-        if (forkBroken) None
-        else runChild(chunk).orElse {
-          System.err.println(s"[bench] retrying chunk ${chunk.head}..")
-          runChild(chunk)
+      val viaFork: ChildOutcome =
+        if (forkBroken) ForkUnavailable
+        else runChild(chunk) match {
+          case ChildCrashed =>
+            System.err.println(s"[bench] retrying chunk ${chunk.head}..")
+            runChild(chunk)
+          case other => other
         }
       viaFork match {
-        case Some(rs) => merged ++= rs
-        case None =>
-          // Fork path unusable (environment without a spawnable java, or
-          // the chunk crashed twice) — run THIS chunk in-process so the
-          // artifact still covers the contract; later chunks still try
-          // the fork unless the very first one failed structurally.
-          if (merged.isEmpty) forkBroken = true
+        case ChildOk(r) =>
+          merged ++= r.queries
+          mergedProducts ++= r.products
+        case outcome =>
+          // ForkUnavailable (ProcessBuilder cannot start a java at all —
+          // structural, poisons every later chunk too) vs ChildCrashed
+          // (this chunk's queries killed the child twice — local): only
+          // the former abandons forking for the rest of the run.
+          if (outcome == ForkUnavailable) forkBroken = true
           fallbackChunks += 1
           System.err.println(
             s"[bench] fork failed for chunk ${chunk.head}.. — in-process fallback")
-          merged ++= runShared(Some(chunk.toSet))
+          val r = runShared(Some(chunk.toSet))
+          merged ++= r.queries
+          mergedProducts ++= r.products
       }
     }
     // The mode label must not oversell: a run where SOME chunks fell back
@@ -165,27 +214,36 @@ object Bench {
       if (fallbackChunks == chunks.length) "shared-fallback"
       else if (fallbackChunks > 0) "isolated+fallback"
       else "isolated"
-    println(sharedJsonLine(merged.toSeq,
+    println(jsonLine(RunResult(merged.toSeq, mergedProducts.toMap),
       s""","mode":"$mode","reps":2,"chunk_size":$chunkSize,"fallback_chunks":$fallbackChunks"""))
   }
 
   /** Fork one child JVM running this main over `chunk` (same classpath and
-    * JVM flags as this process), parse its JSON line. None on any failure. */
-  private def runChild(chunk: Seq[String]): Option[Seq[(String, Double, Boolean)]] = {
+    * JVM flags as this process), parse its JSON line. Distinguishes the
+    * fork being UNAVAILABLE (spawn itself failed) from the child CRASHING
+    * (started but died / hung / printed garbage) — the caller treats only
+    * the former as structural. */
+  private def runChild(chunk: Seq[String]): ChildOutcome = {
     import scala.jdk.CollectionConverters._
+    val p =
+      try {
+        val javaBin = new java.io.File(new java.io.File(
+          sys.props("java.home"), "bin"), "java").getAbsolutePath
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.environment().put("SPARK_GRAFT_FORKED", chunk.mkString(","))
+        pb.redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.start()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fork unavailable: ${e.getMessage}")
+        return ForkUnavailable
+      }
     try {
-      val javaBin = new java.io.File(new java.io.File(
-        sys.props("java.home"), "bin"), "java").getAbsolutePath
-      val jvmArgs = java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getInputArguments.asScala.toSeq
-        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
-      val cmd = Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", sys.props("java.class.path"), "graft.Bench")
-      val pb = new ProcessBuilder(cmd.asJava)
-      pb.environment().put("SPARK_GRAFT_FORKED", chunk.mkString(","))
-      pb.redirectErrorStream(false)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val p = pb.start()
       // Drain stdout on a side thread so the timeout below still fires if
       // the child hangs with its pipe open.
       val outBuf = new java.io.ByteArrayOutputStream()
@@ -196,34 +254,49 @@ object Bench {
       reader.setDaemon(true)
       reader.start()
       val finished = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
-      if (!finished) { p.destroyForcibly(); p.waitFor(); return None }
+      if (!finished) { p.destroyForcibly(); p.waitFor(); return ChildCrashed }
       reader.join(10000)
       val out = outBuf.toString("UTF-8")
-      if (p.exitValue() != 0) return None
+      if (p.exitValue() != 0) return ChildCrashed
       out.linesIterator.find(_.startsWith("{\"metric\""))
         .flatMap(parseChildJson)
-        .filter(rs => chunk.toSet.subsetOf(rs.map(_._1).toSet))
+        .filter(r => chunk.toSet.subsetOf(r.queries.map(_.name).toSet))
+        .map(ChildOk(_): ChildOutcome)
+        .getOrElse(ChildCrashed)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fork error: ${e.getMessage}")
-      None
+      ChildCrashed
     }
   }
 
-  /** Minimal parser for the child's own `sharedJsonLine` output (query
-    * names are [a-z0-9_]+, values plain doubles — no escaping exists).
+  /** Pull the flat string→number object named `key` out of `line`.
+    * Minimal by design: keys are [a-z0-9_-]+ (query names and product dir
+    * basenames), values plain doubles — no escaping exists. */
+  private def flatSection(line: String, key: String): Seq[(String, Double)] = {
+    val marker = "\"" + key + "\":{"
+    val at = line.indexOf(marker)
+    if (at < 0) return Seq.empty
+    val body = line.substring(at + marker.length, line.indexOf("}", at))
+    "\"([a-z0-9_.-]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(body)
+      .map(m => (m.group(1), m.group(2).toDouble)).toSeq
+  }
+
+  /** Minimal parser for the child's own [[jsonLine]] output.
     * private[graft] for the BenchHarnessSpec round-trip test. */
-  private[graft] def parseChildJson(line: String): Option[Seq[(String, Double, Boolean)]] =
+  private[graft] def parseChildJson(line: String): Option[RunResult] =
     try {
-      val qBody = line.substring(line.indexOf("\"queries\":{") + 11,
-        line.indexOf("}", line.indexOf("\"queries\":{")))
       val fStart = line.indexOf("\"failed\":[") + 10
       val fBody = line.substring(fStart, line.indexOf("]", fStart))
       val failed = "\"([a-z0-9_]+)\"".r.findAllMatchIn(fBody)
         .map(_.group(1)).toSet
-      val entries = "\"([a-z0-9_]+)\":(-?[0-9.eE+-]+)".r
-        .findAllMatchIn(qBody)
-        .map(m => (m.group(1), m.group(2).toDouble)).toSeq
+      val entries = flatSection(line, "queries")
+      val colds = flatSection(line, "queries_cold").toMap
+      val products = flatSection(line, "products").toMap
       if (entries.isEmpty) None
-      else Some(entries.map { case (n, v) => (n, v, !failed.contains(n)) })
+      else Some(RunResult(
+        entries.map { case (n, v) =>
+          QueryTimes(n, v, colds.getOrElse(n, v), !failed.contains(n))
+        },
+        products))
     } catch { case _: Throwable => None }
 }

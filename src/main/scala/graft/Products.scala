@@ -3,19 +3,24 @@ package graft
 import graft.sources.ArtifactCache
 
 /** Product-layer ops CLI — the registry view of the
-  * build-once/consume-many cache ([[ArtifactCache.registry]]) and its
-  * eviction knob, as a job:
+  * build-once/consume-many cache ([[ArtifactCache.registry]]), its
+  * eviction knob, and the eviction POLICY, as a job:
   *
   *   runMain graft.Products                 # list published products
   *   runMain graft.Products evict <name>    # drop every key of <name>
+  *   runMain graft.Products gc [--max-bytes N] [--max-age-days D]
+  *                                          # age/size policy over the cache
   *
   * Companion to [[IndexBuild]] (build the big one on a schedule) and the
   * in-library consumers (every family's first consumer builds on miss):
   * this is what an operator runs to see what is materialized, how big,
   * and how stale — and to force a rebuild after a policy change that the
   * content-addressed key does not capture (e.g. reclaiming scratch
-  * space). Eviction can never break correctness; the next consumer
-  * rebuilds.
+  * space). `gc` is the daily-corpus-loop guard: every corpus drop mints
+  * fresh content-addressed keys, so without a policy the stale ones
+  * accumulate forever; age eviction drops them, size eviction keeps the
+  * cache under a byte budget oldest-first. Eviction can never break
+  * correctness; the next consumer rebuilds.
   */
 object Products {
 
@@ -26,6 +31,25 @@ object Products {
       case "evict" :: name :: Nil =>
         val n = ArtifactCache.evict(name)
         println(s"evicted $n director${if (n == 1) "y" else "ies"} of product '$name'")
+      case "gc" :: rest =>
+        def opt(flag: String): Option[Long] = rest.dropWhile(_ != flag) match {
+          case `flag` :: v :: _ => Some(v.toLong)
+          case _ => None
+        }
+        val known = rest.grouped(2).forall {
+          case Seq("--max-bytes" | "--max-age-days", _) => true
+          case _ => false
+        }
+        if (!known) {
+          System.err.println(
+            s"usage: Products gc [--max-bytes N] [--max-age-days D] (got: ${rest.mkString(" ")})")
+          sys.exit(2)
+        }
+        val evicted = ArtifactCache.gc(
+          maxBytes = opt("--max-bytes"),
+          maxAgeMs = opt("--max-age-days").map(_ * 86400000L))
+        evicted.foreach(d => println(s"evicted $d"))
+        println(s"gc evicted ${evicted.size} director${if (evicted.size == 1) "y" else "ies"}")
       case Nil =>
         val rows = ArtifactCache.registry(spark).collect()
         if (rows.isEmpty) println("no published products")
@@ -37,7 +61,8 @@ object Products {
           }
         }
       case other =>
-        System.err.println(s"usage: Products [evict <name>] (got: ${other.mkString(" ")})")
+        System.err.println(
+          s"usage: Products [evict <name> | gc [--max-bytes N] [--max-age-days D]] (got: ${other.mkString(" ")})")
         sys.exit(2)
     }
     spark.stop()

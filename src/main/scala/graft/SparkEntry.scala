@@ -138,6 +138,7 @@ object SparkEntry {
     "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "search_hybrid_served" -> ((s, d) => Similarity.hybridRrfServed(s, d)),
     "embedding_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "sample_cluster_balanced" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     "eval_retrieval_recall" -> ((s, d) => Similarity.retrievalRecall(s, d)),
@@ -477,6 +478,30 @@ object SparkEntry {
     "short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS srn FROM adc) WHERE srn <= 25), " +
     "ex AS (SELECT sh.qid, sh.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nr * y.nr) * 10000) AS BIGINT) AS sim_e4 FROM short sh JOIN nrm x ON sh.cid = x.vec_id JOIN nrm y ON sh.qid = y.vec_id) " +
     "SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ex) WHERE rn <= 5 ORDER BY qid, rn"
+
+  /** Hybrid RRF with the SEMANTIC TOWER swapped for the served IVF-PQ
+    * index (the map-entry comment at `search_hybrid_served`): the shared
+    * training CTEs re-run the index's deterministic encode, retrieval
+    * runs at the hybrid's query set (vec_id < 5) to depth 21, the self
+    * hit is excluded and ranks recomputed, then the fusion tail is
+    * `search_hybrid_rrf`'s verbatim. One oracle therefore proves the
+    * persisted index and the fusion compose end-to-end. */
+  private lazy val HybridServedSql: String =
+    IvfPqTrainedCtes + ", " + NgramCtes + ", " +
+    "qsubs AS (SELECT vec_id AS qid, m, ve[m*8+1 : m*8+8] AS qm FROM e4v CROSS JOIN mm WHERE vec_id < 5), " +
+    "qtab AS (SELECT s.qid, s.m, c.j, list_inner_product(s.qm, c.cm) AS t FROM qsubs s JOIN p2 c ON s.m = c.m), " +
+    "probes AS (SELECT qid, cell_id, pdot FROM (SELECT e.vec_id AS qid, c.cell_id, list_inner_product(e.ve, c.cv) AS pdot, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c2n c WHERE e.vec_id < 5) WHERE rn <= 4), " +
+    "cand AS (SELECT p.qid, a.vec_id AS cid, p.pdot FROM probes p JOIN af a ON p.cell_id = a.cell_id), " +
+    "adc AS (SELECT cd.qid, cd.cid, cd.pdot + sum(q.t) AS approx FROM cand cd JOIN codes co ON cd.cid = co.vec_id JOIN qtab q ON q.qid = cd.qid AND co.m = q.m AND co.j = q.j GROUP BY cd.qid, cd.cid, cd.pdot), " +
+    "short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS srn FROM adc) WHERE srn <= 25), " +
+    "ivex AS (SELECT sh.qid, sh.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nr * y.nr) * 10000) AS BIGINT) AS sim_e4 FROM short sh JOIN nrm x ON sh.cid = x.vec_id JOIN nrm y ON sh.qid = y.vec_id), " +
+    "ivr AS (SELECT qid, cid, rn FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ivex) WHERE rn <= 21), " +
+    "hsem AS (SELECT qid, cid, r FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY rn) AS r FROM ivr WHERE cid <> qid) WHERE r <= 20), " +
+    "hlex0 AS (SELECT d1 AS qid, d2 AS cid, jac_e4 FROM jpairs WHERE jac_e4 >= 100 AND d1 < 5 UNION ALL SELECT d2 AS qid, d1 AS cid, jac_e4 FROM jpairs WHERE jac_e4 >= 100 AND d2 < 5), " +
+    "hlex AS (SELECT qid, cid, r FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY jac_e4 DESC, cid) AS r FROM hlex0) WHERE r <= 20), " +
+    "hf AS (SELECT COALESCE(l.qid, s.qid) AS qid, COALESCE(l.cid, s.cid) AS cid, l.r AS rl, s.r AS rs FROM hlex l FULL OUTER JOIN hsem s ON l.qid = s.qid AND l.cid = s.cid), " +
+    "hr AS (SELECT qid, cid, CAST(COALESCE(rl, 0) AS BIGINT) AS r_lex, CAST(COALESCE(rs, 0) AS BIGINT) AS r_sem, CAST(CASE WHEN rl IS NULL THEN 0 ELSE round(10000.0 / (60 + rl)) END + CASE WHEN rs IS NULL THEN 0 ELSE round(10000.0 / (60 + rs)) END AS BIGINT) AS rrf_e4 FROM hf) " +
+    "SELECT qid, cid, r_lex, r_sem, rrf_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_e4 DESC, cid) AS rn FROM hr) WHERE rn <= 10 ORDER BY qid, rn"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted (→ rows-only check): distinct_words_approx
@@ -1073,6 +1098,11 @@ object SparkEntry {
     // case exists at this depth), top 10 per query kept.
     "search_hybrid_rrf" ->
       s"""WITH $NgramCtes, hbq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5), hbs AS (SELECT q.qid, c.vec_id AS cid, CAST(round(list_inner_product(CAST(c.embedding AS DOUBLE[]), q.qv) / (sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) * sqrt(list_inner_product(q.qv, q.qv))) * 10000) AS BIGINT) AS sim_e4 FROM embeddings c, hbq q WHERE c.vec_id <> q.qid), hsem AS (SELECT qid, cid, r FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS r FROM hbs) WHERE r <= 20), hlex0 AS (SELECT d1 AS qid, d2 AS cid, jac_e4 FROM jpairs WHERE jac_e4 >= 100 AND d1 < 5 UNION ALL SELECT d2 AS qid, d1 AS cid, jac_e4 FROM jpairs WHERE jac_e4 >= 100 AND d2 < 5), hlex AS (SELECT qid, cid, r FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY jac_e4 DESC, cid) AS r FROM hlex0) WHERE r <= 20), hf AS (SELECT COALESCE(l.qid, s.qid) AS qid, COALESCE(l.cid, s.cid) AS cid, l.r AS rl, s.r AS rs FROM hlex l FULL OUTER JOIN hsem s ON l.qid = s.qid AND l.cid = s.cid), hr AS (SELECT qid, cid, CAST(COALESCE(rl, 0) AS BIGINT) AS r_lex, CAST(COALESCE(rs, 0) AS BIGINT) AS r_sem, CAST(CASE WHEN rl IS NULL THEN 0 ELSE round(10000.0 / (60 + rl)) END + CASE WHEN rs IS NULL THEN 0 ELSE round(10000.0 / (60 + rs)) END AS BIGINT) AS rrf_e4 FROM hf) SELECT qid, cid, r_lex, r_sem, rrf_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_e4 DESC, cid) AS rn FROM hr) WHERE rn <= 10 ORDER BY qid, rn""",
+    // The tower swap proved end-to-end: hybrid RRF whose semantic tower
+    // is the SERVED IVF-PQ index (probe + ADC + re-rank over the persisted
+    // artifacts) instead of exact cosine; lexical tower and fusion tail
+    // identical to search_hybrid_rrf.
+    "search_hybrid_served" -> HybridServedSql,
     // Vocabulary coverage: top-10 corpus vocab (count desc, word asc ties),
     // per-doc OOV token fraction in e4 fixed point; token-less docs score 0.
     "vocab_coverage" ->

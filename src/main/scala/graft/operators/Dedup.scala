@@ -693,10 +693,9 @@ object Dedup extends org.apache.spark.internal.Logging {
     * unchanged. Planted-test Df variants keep computing self-contained. */
   def jaccardPairsShared(s: SparkSession, d: String,
       maxDf: Long = MaxShingleDf): DataFrame =
-    graft.sources.ArtifactCache.getOrBuild(s,
-      graft.sources.ArtifactCache.path("jacpairs",
-        new java.io.File(d, "documents.parquet"),
-        Seq(JacPairsBaseE4, maxDf, JacPairsVersion)))(
+    graft.sources.ArtifactCache.getOrBuild(s, "jacpairs",
+      new java.io.File(d, "documents.parquet"),
+      Seq(JacPairsBaseE4, maxDf, JacPairsVersion))(
       ngramJaccardPairsRaw(Tables.documents(s, d), JacPairsBaseE4, maxDf))
 
   /** Same, over any (doc_id, text) DataFrame. Query-contract wrapper — adds
@@ -851,15 +850,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     * cap, or algorithm version rebuilds. */
   def clusterAssignmentsShared(s: SparkSession, d: String,
       minJacE4: Long = 100L): DataFrame =
-    graft.sources.ArtifactCache.getOrBuild(s,
-      graft.sources.ArtifactCache.path("dedupcc",
-        new java.io.File(d, "documents.parquet"),
-        // The pair product's version and base are part of THIS key too:
-        // the build consumes jacpairs, so a pair-construction change
-        // must invalidate the assignment mechanically, not by a
-        // remember-to-double-bump convention.
-        Seq(minJacE4, MaxShingleDf, ClustersVersion,
-          JacPairsBaseE4, JacPairsVersion)))(
+    graft.sources.ArtifactCache.getOrBuild(s, "dedupcc",
+      new java.io.File(d, "documents.parquet"),
+      // The pair product's version and base are part of THIS key too:
+      // the build consumes jacpairs, so a pair-construction change
+      // must invalidate the assignment mechanically, not by a
+      // remember-to-double-bump convention.
+      Seq(minJacE4, MaxShingleDf, ClustersVersion,
+        JacPairsBaseE4, JacPairsVersion))(
       // The build itself consumes the SHARED pair product (filtered at
       // this assignment's threshold — monotone above the base, so rows
       // are identical to the self-contained Df path), so the two cached
@@ -1026,10 +1024,9 @@ object Dedup extends org.apache.spark.internal.Logging {
     * rows are identical by construction (deterministic integer-derived
     * hyperplanes, monotone score filter above [[EmbPairsBaseE4]]). */
   def embeddingPairsShared(s: SparkSession, d: String): DataFrame =
-    graft.sources.ArtifactCache.getOrBuild(s,
-      graft.sources.ArtifactCache.path("embpairs",
-        new java.io.File(d, "embeddings.parquet"),
-        Seq(EmbPairsBaseE4, EmbBands, EmbRowsPerBand, EmbPairsVersion)))(
+    graft.sources.ArtifactCache.getOrBuild(s, "embpairs",
+      new java.io.File(d, "embeddings.parquet"),
+      Seq(EmbPairsBaseE4, EmbBands, EmbRowsPerBand, EmbPairsVersion))(
       embeddingPairsLshRaw(s, d, EmbPairsBaseE4))
 
   /** The unordered pair computation — the build side of the product. */

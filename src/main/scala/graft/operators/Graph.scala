@@ -187,10 +187,9 @@ object Graph {
     * [[coSupplyEdges]] by construction, so consumers' oracles are
     * unchanged. */
   def coSupplyEdgesShared(s: SparkSession, d: String): DataFrame =
-    graft.sources.ArtifactCache.getOrBuild(s,
-      graft.sources.ArtifactCache.path("cosupply",
-        new java.io.File(d, "lineitem.parquet"),
-        Seq(TriEdgesPerNode, CoSupplyVersion)))(coSupplyEdges(s, d))
+    graft.sources.ArtifactCache.getOrBuild(s, "cosupply",
+      new java.io.File(d, "lineitem.parquet"),
+      Seq(TriEdgesPerNode, CoSupplyVersion))(coSupplyEdges(s, d))
 
   /** Algorithm version of the co-supply edge product — part of the cache
     * key (like the IVF-PQ index's IvfPqIndexVersion): bump whenever

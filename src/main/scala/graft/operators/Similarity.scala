@@ -167,6 +167,39 @@ object Similarity {
       .withColumn("r", row_number().over(wSem).cast("long"))
       .filter(col("r") <= depth)
       .select(col("qid"), col("cid"), col("r").as("r_sem"))
+    fuseRrf(s, d, sem, nQueries, depth, k)
+  }
+
+  /** [[hybridRrf]] with the semantic tower SWAPPED for the persisted
+    * IVF-PQ index — the tower-pluggability the RRF design promises, made
+    * code: rankings come from [[ivfPqServedTopK]] (probe + ADC + exact
+    * re-rank over the stored artifacts, NO training scan), re-ranked
+    * after self-exclusion so rank 1 is the best non-self neighbor, then
+    * fused with the same shared-lexical tower by the same integer-exact
+    * RRF. This is the RAG-stack deployment shape: both towers read
+    * build-once products (the Jaccard pair table, the serving index);
+    * query cost is two bounded retrievals plus a depth×nQueries fuse. */
+  def hybridRrfServed(s: SparkSession, d: String, nQueries: Int = HybridNq,
+      depth: Int = HybridDepth, k: Int = HybridTopK,
+      indexDir: Option[String] = None): DataFrame = {
+    // depth+1 from the index: the self-hit (cosine 1.0) occupies one
+    // slot; after excluding it, a full `depth` of neighbors remains.
+    val served = ivfPqServedTopK(s, d, nQueries = nQueries, k = depth + 1,
+      indexDir = indexDir)
+    val wSem = Window.partitionBy("qid").orderBy(asc("rn"))
+    val sem = served.filter(col("cid") =!= col("qid"))
+      .withColumn("r", row_number().over(wSem).cast("long"))
+      .filter(col("r") <= depth)
+      .select(col("qid"), col("cid"), col("r").as("r_sem"))
+    fuseRrf(s, d, sem, nQueries, depth, k)
+  }
+
+  /** The tower-agnostic half of hybrid retrieval: the SHARED lexical
+    * tower (stored Jaccard pairs re-oriented around the queries) fused
+    * with any (qid, cid, r_sem) semantic ranking by integer-exact RRF —
+    * one definition, so every tower swap fuses identically. */
+  private def fuseRrf(s: SparkSession, d: String, sem: DataFrame,
+      nQueries: Int, depth: Int, k: Int): DataFrame = {
     val jac = graft.operators.Dedup.jaccardPairsShared(s, d)
     val lex0 = jac.filter(col("d1") < nQueries)
         .select(col("d1").as("qid"), col("d2").as("cid"), col("jac_e4"))
@@ -371,10 +404,9 @@ object Similarity {
     * argmax ties). */
   def kmeansAssignmentsShared(s: SparkSession, d: String,
       nCells: Int = IvfCells, iters: Int = IvfKmeansIters): DataFrame =
-    graft.sources.ArtifactCache.getOrBuild(s,
-      graft.sources.ArtifactCache.path("kmassign",
-        new java.io.File(d, "embeddings.parquet"),
-        Seq(nCells, iters, KmAssignVersion)))(
+    graft.sources.ArtifactCache.getOrBuild(s, "kmassign",
+      new java.io.File(d, "embeddings.parquet"),
+      Seq(nCells, iters, KmAssignVersion))(
       kmeansClustersRaw(s, d, nCells, iters))
 
   /** The unordered assignment computation — the build side of the product. */
@@ -834,17 +866,94 @@ object Similarity {
     * (`replace = false`): two consumers cold-starting concurrently both
     * train, the first publish sticks, the loser discards its complete
     * copy — a just-published live index is never deleted under the
-    * winner's readers. */
+    * winner's readers.
+    *
+    * Every HIT validates the index manifest against the corpus identity
+    * and training parameters THIS caller requested and fails loudly on
+    * mismatch — the content-addressed default can't go stale by
+    * construction, but the explicit-`indexDir` production mode could
+    * otherwise silently serve neighbors from an index built against a
+    * different corpus, different knobs, or an older layout. A
+    * swap-managed base directory (one carrying a `CURRENT` pointer —
+    * [[ivfPqSwapIndex]]) resolves to its live version first. */
   private[graft] def ensureIvfPqIndex(s: SparkSession, d: String,
       indexDir: Option[String], nCells: Int = IvfCells, m: Int = PqM,
       kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
       pqIters: Int = PqKmeansIters, eta: Int = PqEta): String = {
-    val dir = indexDir.getOrElse(
-      ivfPqIndexDir(d, nCells, m, kCents, ivfIters, pqIters, eta))
-    if (!new java.io.File(dir, "index").exists())
+    val dir = ivfPqResolveDir(indexDir.getOrElse(
+      ivfPqIndexDir(d, nCells, m, kCents, ivfIters, pqIters, eta)))
+    if (!new java.io.File(dir, "index").exists()) {
+      val t0 = System.nanoTime()
       ivfPqWriteIndex(s, d, dir, nCells, m, kCents, ivfIters, pqIters, eta,
         replace = false)
+      graft.sources.ArtifactCache.recordBuild(
+        new java.io.File(dir).getName, (System.nanoTime() - t0) / 1e9)
+    }
+    graft.sources.ArtifactCache.validateManifest(new java.io.File(dir),
+      ivfPqManifestKey(d, nCells, m, kCents, ivfIters, pqIters, eta))
     dir
+  }
+
+  /** The live index under a version-pointer BASE directory: if
+    * `dir/CURRENT` exists (a swap-managed deployment —
+    * [[ivfPqSwapIndex]]), the index is `dir/<contents-of-CURRENT>`;
+    * otherwise `dir` itself is the index. Readers resolve ONCE per query,
+    * so a swap mid-query cannot tear one plan across two versions. */
+  private[graft] def ivfPqResolveDir(dir: String): String = {
+    val cur = new java.io.File(dir, "CURRENT")
+    if (!cur.isFile) dir
+    else new java.io.File(dir, new String(
+      java.nio.file.Files.readAllBytes(cur.toPath), "UTF-8").trim)
+      .getAbsolutePath
+  }
+
+  /** The full (unhashed) identity a persisted index must prove at read
+    * time: corpus file identity, every training knob, layout version —
+    * written by [[ivfPqWriteIndex]], demanded by [[ensureIvfPqIndex]]. */
+  private def ivfPqManifestKey(d: String, nCells: Int, m: Int, kCents: Int,
+      ivfIters: Int, pqIters: Int, eta: Int): String =
+    graft.sources.ArtifactCache.keyString("ivfpq",
+      new java.io.File(d, "embeddings.parquet"),
+      Seq(nCells, m, kCents, ivfIters, pqIters, eta, IvfPqIndexVersion))
+
+  /** REBUILD-UNDER-READERS: build a fresh index VERSION under `baseDir`
+    * and atomically flip the `CURRENT` pointer to it — the index swap the
+    * drift monitor's "rebuild trigger" needs. Readers resolve `CURRENT`
+    * once per query ([[ivfPqResolveDir]]), so queries in flight finish on
+    * the version they resolved while new queries pick up the fresh one;
+    * nothing is ever rebuilt in place under a reader. The version
+    * PREVIOUS to the new one is retained (in-flight readers), anything
+    * older is retired — one rebuild cycle is the staleness bound, the
+    * standard assumption (rebuild period ≫ query latency). Returns the
+    * new version's directory. */
+  def ivfPqSwapIndex(s: SparkSession, d: String, baseDir: String,
+      nCells: Int = IvfCells, m: Int = PqM, kCents: Int = PqK,
+      ivfIters: Int = IvfKmeansIters, pqIters: Int = PqKmeansIters,
+      eta: Int = PqEta): String = {
+    val base = new java.io.File(baseDir)
+    java.nio.file.Files.createDirectories(base.toPath): Unit
+    val prev = Option(new java.io.File(base, "CURRENT"))
+      .filter(_.isFile).map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+    val version = "v-" + java.lang.ProcessHandle.current().pid() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val vdir = new java.io.File(base, version)
+    ivfPqWriteIndex(s, d, vdir.getAbsolutePath, nCells, m, kCents,
+      ivfIters, pqIters, eta)
+    // Flip the pointer atomically: write-then-move, never a partial read.
+    val tmp = new java.io.File(base, "CURRENT.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.write(tmp.toPath, version.getBytes("UTF-8")): Unit
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(base, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    // Retire everything older than the just-replaced version.
+    Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v-") &&
+        f.getName != version && !prev.contains(f.getName))
+      .foreach(graft.sources.ArtifactCache.rmTree)
+    vdir.getAbsolutePath
   }
 
   /** Load the driver-sized model artifacts (coarse centroids, residual
@@ -914,6 +1023,11 @@ object Similarity {
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
         cbDf(s, cb)
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/codebook")
+        // The read-time proof this directory serves THIS corpus at THESE
+        // knobs (ensureIvfPqIndex demands it — the explicit-dir
+        // production mode must fail loudly on a stale/mismatched index).
+        graft.sources.ArtifactCache.writeManifest(tmp,
+          ivfPqManifestKey(d, nCells, m, kCents, ivfIters, pqIters, eta))
       } catch { case e: Throwable =>
         graft.sources.ArtifactCache.rmTree(tmp); throw e
       }

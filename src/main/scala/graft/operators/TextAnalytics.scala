@@ -157,10 +157,12 @@ object TextAnalytics {
     * Planted-test Df variants keep training self-contained. */
   private[graft] def ensureBpeProduct(s: SparkSession, d: String,
       nMerges: Int = BpeMerges, batch: Int = BpeBatch): String = {
-    val dir = graft.sources.ArtifactCache.path("bpe",
-      new java.io.File(d, "documents.parquet"),
-      Seq(nMerges, batch, BpeProductVersion))
+    val srcFile = new java.io.File(d, "documents.parquet")
+    val params = Seq(nMerges, batch, BpeProductVersion)
+    val key = graft.sources.ArtifactCache.keyString("bpe", srcFile, params)
+    val dir = graft.sources.ArtifactCache.path("bpe", srcFile, params)
     if (!new java.io.File(dir, "merges").exists()) {
+      val t0 = System.nanoTime()
       import s.implicits._
       val (m, _, seg) = vocabTrainSeg(Tables.documents(s, d), nMerges, batch)
       try {
@@ -169,6 +171,7 @@ object TextAnalytics {
           m.toDF("merge_rank", "lhs", "rhs", "merged", "pair_cnt")
             .coalesce(1).write.parquet(tmp.getAbsolutePath + "/merges")
           seg.write.parquet(tmp.getAbsolutePath + "/seg")
+          graft.sources.ArtifactCache.writeManifest(tmp, key)
         } catch { case e: Throwable =>
           graft.sources.ArtifactCache.rmTree(tmp); throw e
         }
@@ -177,8 +180,11 @@ object TextAnalytics {
         // (ArtifactCache.publish's contract) — deleting it here would
         // destroy the recoverable copy the message points at.
         graft.sources.ArtifactCache.publish(tmp, new java.io.File(dir))
+        graft.sources.ArtifactCache.recordBuild(
+          new java.io.File(dir).getName, (System.nanoTime() - t0) / 1e9)
       } finally org.apache.spark.sql.graft.Checkpoints.release(seg)
     }
+    graft.sources.ArtifactCache.validateManifest(new java.io.File(dir), key)
     dir
   }
 
@@ -1377,9 +1383,8 @@ object TextAnalytics {
     * lm_mean_e4). Identical rows by construction (integer-exact scoring),
     * so consumers' oracles are unchanged. */
   def lmScoresShared(s: SparkSession, d: String): DataFrame =
-    graft.sources.ArtifactCache.getOrBuild(s,
-      graft.sources.ArtifactCache.path("lmscore",
-        new java.io.File(d, "documents.parquet"), Seq(LmScoreVersion)))(
+    graft.sources.ArtifactCache.getOrBuild(s, "lmscore",
+      new java.io.File(d, "documents.parquet"), Seq(LmScoreVersion))(
       lmScoreDf(Tables.documents(s, d)))
 
   /** Same, over any (doc_id, text) DataFrame (planted fluency tests). */

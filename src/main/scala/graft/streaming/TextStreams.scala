@@ -419,11 +419,21 @@ object TextStreams {
     * total must survive across triggers AND gate each row), so this is
     * the `flatMapGroupsWithState` custom-state case: state is ONE long
     * per source (O(sources), never O(docs)); whole documents only, the
-    * batch trim's rule. Rows within a micro-batch process in doc_id
-    * order, so the decision sequence is deterministic for any
-    * file-ordered replay — TextStreamsSpec replays the corpus and
-    * matches the batch fold exactly. Output mode: update (each arriving
-    * doc emits its decision once, with the share consumed after it). */
+    * batch trim's rule. Output mode: update (each arriving doc emits its
+    * decision once, with the share consumed after it).
+    *
+    * ORDERING SEMANTICS (stated, not assumed): admission is
+    * order-of-ARRIVAL across triggers — the production intake rule. Rows
+    * WITHIN one micro-batch are re-ordered by doc_id before folding
+    * (Spark's stateful exchange only guarantees grouping-key order, so an
+    * upstream secondary sort cannot survive to this iterator), which
+    * makes the decision sequence deterministic — and equal to the batch
+    * greedy fold — whenever files ARRIVE in doc_id order (a single-drop
+    * replay, or an ordered feed); under arbitrary trigger slicing of an
+    * unordered feed the admitted set is the arrival-order one.
+    * MEMORY BOUND: the sort buffers one source's slice of ONE micro-batch
+    * (3 longs per doc) on its state worker — bounded by the trigger size
+    * (`maxFilesPerTrigger`), never by the corpus. */
   def budgetAdmissionStream(spark: SparkSession, path: String,
       sharePerSource: Long, maxFilesPerTrigger: Int = 0): Dataset[BudgetAdmit] = {
     import spark.implicits._
@@ -438,7 +448,11 @@ object TextStreams {
         (src: String, rows: Iterator[(String, Long, Long)],
          state: GroupState[Long]) =>
           var used = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(_._2).map { case (_, id, n) =>
+          // One array, sorted in place, folded eagerly: the state update
+          // must see the post-fold total before the iterator is returned.
+          val batch = rows.toArray
+          scala.util.Sorting.quickSort(batch)(Ordering.by(_._2))
+          val out = batch.map { case (_, id, n) =>
             val ok = used + n <= sharePerSource
             if (ok) used += n
             BudgetAdmit(src, id, n, if (ok) 1L else 0L, used)

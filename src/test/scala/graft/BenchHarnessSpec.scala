@@ -5,45 +5,111 @@ import graft.sources.ArtifactCache
 
 /** Trust tests for the measurement/caching plumbing itself: the isolated
   * bench's child-JSON round trip (a silent parse gap would drop queries
-  * from the merged artifact) and the ArtifactCache publish protocol (a
-  * race mishandled here corrupts every build-once consumer at once). */
+  * from the merged artifact), the ArtifactCache publish protocol (a race
+  * mishandled here corrupts every build-once consumer at once), the
+  * manifest gate (a planted or mislabeled directory must refuse to
+  * serve), and the gc policy (age + size eviction over the registry). */
 class BenchHarnessSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  /** Run `body` with the products root pointed at a fresh temp dir, so
+    * these tests can never disturb (or be disturbed by) the real cache. */
+  private def withTempRoot[A](body: java.io.File => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-acroot").toFile
+    spark.conf.set("spark.graft.products.dir", tmp.getAbsolutePath)
+    try body(tmp)
+    finally {
+      spark.conf.unset("spark.graft.products.dir")
+      ArtifactCache.rmTree(tmp)
+    }
+  }
+
   test("child JSON round trip: every value shape the child can print parses back") {
     // Negative times mark failed queries; tiny values print in scientific
-    // notation with negative exponents; both must survive the round trip.
-    val line = """{"metric":"total","value":3.5,"unit":"sec","queries":{""" +
-      """"q_ok":1.25,"q_failed":-0.75,"q_tiny":1.4E-5,"q_big":1.0E2},""" +
+    // notation with negative exponents; both must survive the round trip —
+    // as must the round-11 cold-pass and product-build sections.
+    val line = """{"metric":"total","value":3.5,"unit":"sec","value_cold":9.5,""" +
+      """"queries":{"q_ok":1.25,"q_failed":-0.75,"q_tiny":1.4E-5,"q_big":1.0E2},""" +
+      """"queries_cold":{"q_ok":7.25,"q_failed":-0.8,"q_tiny":2.4E-5,"q_big":1.2E2},""" +
+      """"products":{"jacpairs-0123456789abcdef":3.25,"bpe-fedcba9876543210":1.5},""" +
       """"failed":["q_failed"],"sf":"/x"}"""
     val parsed = Bench.parseChildJson(line)
     assert(parsed.isDefined, "parser rejected a well-formed child line")
-    val byName = parsed.get.map(t => t._1 -> ((t._2, t._3))).toMap
-    assert(byName("q_ok") === ((1.25, true)))
-    assert(byName("q_failed") === ((-0.75, false)))
-    assert(byName("q_tiny")._1 === 1.4e-5)
-    assert(byName("q_big")._1 === 100.0)
+    val byName = parsed.get.queries.map(t => t.name -> t).toMap
+    assert(byName("q_ok").best === 1.25)
+    assert(byName("q_ok").cold === 7.25)
+    assert(byName("q_ok").ok)
+    assert(byName("q_failed").best === -0.75)
+    assert(!byName("q_failed").ok)
+    assert(byName("q_tiny").best === 1.4e-5)
+    assert(byName("q_big").best === 100.0)
+    assert(parsed.get.products === Map(
+      "jacpairs-0123456789abcdef" -> 3.25, "bpe-fedcba9876543210" -> 1.5))
+    // a pre-cold-pass line (no queries_cold/products) still parses: cold
+    // falls back to best, products empty
+    val legacy = """{"metric":"total","value":3.5,"unit":"sec","queries":""" +
+      """{"q_ok":1.25},"failed":[],"sf":"/x"}"""
+    val lp = Bench.parseChildJson(legacy)
+    assert(lp.isDefined && lp.get.queries.head.cold === 1.25)
+    assert(lp.get.products.isEmpty)
     // garbage and empty-queries lines must return None, not a partial parse
     assert(Bench.parseChildJson("""{"metric":"total","queries":{},"failed":[]}""").isEmpty)
     assert(Bench.parseChildJson("not json at all").isEmpty)
   }
 
   test("ArtifactCache: builds once, rereads without rebuilding, key includes params") {
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-ac-spec")
-    val dir = tmpRoot.resolve("product").toString
-    var builds = 0
-    def build() = { builds += 1; Seq((1L, 2L), (3L, 4L)).toDF("a", "b") }
-    val first = ArtifactCache.getOrBuild(spark, dir)(build()).count()
-    val second = ArtifactCache.getOrBuild(spark, dir)(build()).count()
-    assert(first === 2L && second === 2L)
-    assert(builds === 1, "second consumer rebuilt a published product")
-    // params and the key-file identity both move the content address
-    val f = java.nio.file.Files.createTempFile("graft-ac-key", ".parquet").toFile
-    val p1 = ArtifactCache.path("t", f, Seq(1))
-    val p2 = ArtifactCache.path("t", f, Seq(2))
-    assert(p1 != p2, "param change did not move the cache key")
-    assert(ArtifactCache.path("t", f, Seq(1)) === p1, "path is not a pure function")
+    withTempRoot { root =>
+      val f = java.nio.file.Files.createTempFile("graft-ac-key", ".parquet").toFile
+      var builds = 0
+      def build() = { builds += 1; Seq((1L, 2L), (3L, 4L)).toDF("a", "b") }
+      val first = ArtifactCache.getOrBuild(spark, "acspec", f, Seq(1))(build()).count()
+      val second = ArtifactCache.getOrBuild(spark, "acspec", f, Seq(1))(build()).count()
+      assert(first === 2L && second === 2L)
+      assert(builds === 1, "second consumer rebuilt a published product")
+      // the product landed under the configured root, nowhere else
+      assert(ArtifactCache.path("acspec", f, Seq(1))
+        .startsWith(root.getAbsolutePath), "location knob was ignored")
+      // params and the key-file identity both move the content address
+      val p1 = ArtifactCache.path("t", f, Seq(1))
+      val p2 = ArtifactCache.path("t", f, Seq(2))
+      assert(p1 != p2, "param change did not move the cache key")
+      assert(ArtifactCache.path("t", f, Seq(1)) === p1, "path is not a pure function")
+      // the miss was timed for the bench's products section; the hit was not
+      val times = ArtifactCache.drainBuildTimes()
+      assert(times.keys.exists(_.startsWith("acspec-")),
+        s"build timing not recorded: ${times.keys}")
+      assert(ArtifactCache.drainBuildTimes().isEmpty, "drain must clear")
+    }
+  }
+
+  test("ArtifactCache: manifest gate refuses planted and mislabeled directories") {
+    withTempRoot { _ =>
+      val f = java.nio.file.Files.createTempFile("graft-ac-man", ".parquet").toFile
+      def build() = Seq((1L, 2L)).toDF("a", "b")
+      // A directory PLANTED at the expected path without a manifest must
+      // refuse to serve (the shared-host attack: pre-created dir with
+      // attacker parquet inside).
+      val dir = new java.io.File(ArtifactCache.path("planted", f, Seq(1)))
+      build().write.parquet(dir.getAbsolutePath) // no manifest
+      val e = intercept[java.io.IOException] {
+        ArtifactCache.getOrBuild(spark, "planted", f, Seq(1))(build()).count()
+      }
+      assert(e.getMessage.contains("no manifest"))
+      // A dir whose manifest names a DIFFERENT key (mislabeled/stale) also
+      // refuses.
+      val dir2 = new java.io.File(ArtifactCache.path("mislabel", f, Seq(1)))
+      build().write.parquet(dir2.getAbsolutePath)
+      ArtifactCache.writeManifest(dir2, "some-other-key")
+      val e2 = intercept[java.io.IOException] {
+        ArtifactCache.getOrBuild(spark, "mislabel", f, Seq(1))(build()).count()
+      }
+      assert(e2.getMessage.contains("does not match"))
+      // evicting the bad dir heals: the next consumer rebuilds cleanly
+      assert(ArtifactCache.evict("mislabel") === 1)
+      assert(ArtifactCache.getOrBuild(spark, "mislabel", f, Seq(1))(build())
+        .count() === 1L)
+    }
   }
 
   test("ArtifactCache: losing the publish race discards quietly, keeps the winner") {
@@ -62,31 +128,66 @@ class BenchHarnessSpec extends AnyFunSuite {
     val rows = spark.read.parquet(dir.getAbsolutePath)
       .as[(Long, Long)].collect().toSeq
     assert(rows === Seq((1L, 10L)), "the winner's published product was disturbed")
+    ArtifactCache.rmTree(tmpRoot.toFile)
   }
 
   test("ArtifactCache: registry lists published products, evict forces a rebuild") {
-    val f = java.nio.file.Files.createTempFile("graft-reg-key", ".parquet").toFile
-    val dir = ArtifactCache.path("regtest", f, Seq(1))
-    var builds = 0
-    def build() = { builds += 1; Seq((1L, 2L), (3L, 4L)).toDF("a", "b") }
-    assert(ArtifactCache.getOrBuild(spark, dir)(build()).count() === 2L)
-    val row = ArtifactCache.registry(spark).collect()
-      .find(_.getString(0) == "regtest")
-    assert(row.isDefined, "published product missing from the registry")
-    assert(row.get.getString(2) === dir, "registry dir drifted from the key path")
-    assert(row.get.getLong(3) > 0L && row.get.getLong(4) > 0L,
-      "registry must report real bytes and file counts")
-    // in-flight tmp builds never appear
-    val tmp = ArtifactCache.newTmpDir(dir)
-    java.nio.file.Files.createDirectories(tmp.toPath)
-    assert(!ArtifactCache.registry(spark).collect()
-      .exists(_.getString(2).contains(".tmp-")), "in-flight build leaked into the registry")
-    ArtifactCache.rmTree(tmp)
-    // evict removes every key of the product; the next consumer rebuilds
-    assert(ArtifactCache.evict("regtest") >= 1)
-    assert(!ArtifactCache.registry(spark).collect().exists(_.getString(0) == "regtest"))
-    assert(ArtifactCache.getOrBuild(spark, dir)(build()).count() === 2L)
-    assert(builds === 2, "eviction must force exactly one rebuild")
-    ArtifactCache.evict("regtest"): Unit
+    withTempRoot { _ =>
+      val f = java.nio.file.Files.createTempFile("graft-reg-key", ".parquet").toFile
+      var builds = 0
+      def build() = { builds += 1; Seq((1L, 2L), (3L, 4L)).toDF("a", "b") }
+      assert(ArtifactCache.getOrBuild(spark, "regtest", f, Seq(1))(build()).count() === 2L)
+      val dir = ArtifactCache.path("regtest", f, Seq(1))
+      val row = ArtifactCache.registry(spark).collect()
+        .find(_.getString(0) == "regtest")
+      assert(row.isDefined, "published product missing from the registry")
+      assert(row.get.getString(2) === dir, "registry dir drifted from the key path")
+      assert(row.get.getLong(3) > 0L && row.get.getLong(4) > 0L,
+        "registry must report real bytes and file counts")
+      // a product name CONTAINING hyphens parses whole (last-hyphen split)
+      assert(ArtifactCache.getOrBuild(spark, "two-part", f, Seq(1))(build()).count() === 2L)
+      assert(ArtifactCache.registry(spark).collect()
+        .exists(_.getString(0) == "two-part"), "hyphenated name mis-split")
+      // in-flight tmp builds never appear
+      val tmp = ArtifactCache.newTmpDir(dir)
+      java.nio.file.Files.createDirectories(tmp.toPath)
+      assert(!ArtifactCache.registry(spark).collect()
+        .exists(_.getString(2).contains(".tmp-")), "in-flight build leaked into the registry")
+      ArtifactCache.rmTree(tmp)
+      // evict removes every key of the product; the next consumer rebuilds
+      assert(ArtifactCache.evict("regtest") >= 1)
+      assert(!ArtifactCache.registry(spark).collect().exists(_.getString(0) == "regtest"))
+      assert(ArtifactCache.getOrBuild(spark, "regtest", f, Seq(1))(build()).count() === 2L)
+      assert(builds === 3, "eviction must force exactly one rebuild")
+    }
+  }
+
+  test("ArtifactCache.gc: age then size, oldest-first, tmp dirs untouched") {
+    withTempRoot { root =>
+      val f = java.nio.file.Files.createTempFile("graft-gc-key", ".parquet").toFile
+      def build(n: Long) = Seq((n, n)).toDF("a", "b")
+      // three products, with distinct publish times planted via mtime
+      for ((name, age) <- Seq(("old", 10L), ("mid", 5L), ("new", 1L))) {
+        ArtifactCache.getOrBuild(spark, name, f, Seq(1))(build(1)).count(): Unit
+        val d = new java.io.File(ArtifactCache.path(name, f, Seq(1)))
+        assert(d.setLastModified(System.currentTimeMillis() - age * 86400000L))
+      }
+      // an in-flight build must survive every gc
+      val tmp = ArtifactCache.newTmpDir(new java.io.File(root, "wip").toString)
+      java.nio.file.Files.createDirectories(tmp.toPath)
+      // age policy alone: only `old` (10 d) exceeds 7 d
+      val byAge = ArtifactCache.gc(maxAgeMs = Some(7L * 86400000L))
+      assert(byAge.size === 1 && byAge.head.contains("old-"), s"got $byAge")
+      // size policy: budget 0 evicts the remaining published products,
+      // oldest first
+      val bySize = ArtifactCache.gc(maxBytes = Some(0L))
+      assert(bySize.size === 2, s"got $bySize")
+      assert(bySize.head.contains("mid-") && bySize.last.contains("new-"),
+        "size eviction must run oldest-first")
+      assert(tmp.exists(), "gc touched an in-flight build")
+      assert(ArtifactCache.registry(spark).collect().isEmpty)
+      // no-op policies evict nothing
+      assert(ArtifactCache.gc() === Seq.empty)
+    }
   }
 }

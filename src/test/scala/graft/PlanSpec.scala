@@ -226,6 +226,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("search_hybrid_served: fusion plan carries NO training scan either") {
+    // The tower swap must keep the serve path's scale shape: the fused
+    // plan reads the persisted index + the stored pair product + the
+    // query slice — nothing persists (nothing trains), towers broadcast
+    // their model/query-sized sides.
+    val df = SparkEntry.queries("search_hybrid_served")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    df.count()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"served tower sides must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("InMemoryTableScan"),
+      s"the served fusion persisted a training frame it should not have:\n${plan.take(2000)}")
+    spark.catalog.clearCache()
+  }
+
   test("text_bm25: the query-term table broadcasts into the posting join") {
     val df = SparkEntry.queries("text_bm25")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString

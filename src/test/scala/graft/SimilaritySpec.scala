@@ -187,6 +187,79 @@ class SimilaritySpec extends AnyFunSuite {
       "served index content diverged from in-query retraining")
   }
 
+  test("ensureIvfPqIndex refuses a stale or mismatched explicit index (manifest)") {
+    // The content-addressed default cannot go stale; the explicit-dir
+    // production mode could — so a dir built at one (corpus, knobs) must
+    // FAIL LOUDLY when served at another, never silently return neighbors
+    // from the wrong index.
+    val dir = java.nio.file.Files.createTempDirectory("graft-man-spec")
+      .resolve("idx").toString
+    Similarity.ivfPqWriteIndex(spark, TestSpark.sf, dir) // default knobs
+    // different training knob → refuse
+    val e = intercept[java.io.IOException] {
+      Similarity.ivfPqServedTopK(spark, TestSpark.sf,
+        pqIters = Similarity.PqKmeansIters + 1, indexDir = Some(dir)).count()
+    }
+    assert(e.getMessage.contains("does not match"))
+    // different corpus → refuse
+    intercept[java.io.IOException] {
+      Similarity.ivfPqServedTopK(spark, "/root/testdata/sf0.01",
+        indexDir = Some(dir)).count()
+    }
+    // the matching request still serves
+    assert(Similarity.ivfPqServedTopK(spark, TestSpark.sf,
+      indexDir = Some(dir)).count() === 50L)
+  }
+
+  test("ivfPqSwapIndex: in-flight readers finish on the old version, new resolve the new") {
+    val base = java.nio.file.Files.createTempDirectory("graft-swap-spec")
+      .resolve("idx").toString
+    val v1 = Similarity.ivfPqSwapIndex(spark, TestSpark.sf, base)
+    assert(Similarity.ivfPqResolveDir(base) === v1, "CURRENT not flipped to v1")
+    // a reader resolves v1 and is mid-flight when the rebuild lands
+    val inFlight = spark.read.parquet(v1 + "/index")
+    val v2 = Similarity.ivfPqSwapIndex(spark, TestSpark.sf, base)
+    assert(v2 !== v1, "swap must build a FRESH version, not rebuild in place")
+    assert(Similarity.ivfPqResolveDir(base) === v2, "CURRENT not flipped to v2")
+    // v1 is retained for the in-flight reader, which completes on it
+    assert(new java.io.File(v1, "index").exists(), "previous version retired too early")
+    assert(inFlight.count() > 0L, "in-flight reader lost its version")
+    // new queries through the base dir resolve v2 and serve correctly
+    val served = Similarity.ivfPqServedTopK(spark, TestSpark.sf,
+        indexDir = Some(base))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    val trained = Similarity.ivfPqTrainedTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(served === trained, "post-swap serving diverged from retraining")
+    // a third swap retires v1 (older than the new previous, v2)
+    val v3 = Similarity.ivfPqSwapIndex(spark, TestSpark.sf, base)
+    assert(!new java.io.File(v1).exists(), "v1 outlived one rebuild cycle")
+    assert(new java.io.File(v2, "index").exists(), "v2 must be the retained previous")
+    assert(Similarity.ivfPqResolveDir(base) === v3)
+  }
+
+  test("hybrid served: semantic-tower ranks come from the persisted index") {
+    // The tower swap made code: every non-zero r_sem in the fused output
+    // must equal the doc's self-excluded rank in the SERVED index's
+    // retrieval at the hybrid's depth — the proof the fusion consumes the
+    // persisted artifact, not the exact-cosine tower.
+    val fused = Similarity.hybridRrfServed(spark, TestSpark.sf)
+      .select("qid", "cid", "r_sem").as[(Long, Long, Long)].collect()
+    assert(fused.nonEmpty)
+    val served = Similarity.ivfPqServedTopK(spark, TestSpark.sf,
+        nQueries = Similarity.HybridNq, k = Similarity.HybridDepth + 1)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    val expect = served.filter(t => t._1 != t._2).groupBy(_._1).toSeq
+      .flatMap { case (q, rows) =>
+        rows.sortBy(_._3).take(Similarity.HybridDepth).zipWithIndex
+          .map { case ((_, cid, _), i) => ((q, cid), (i + 1).toLong) }
+      }.toMap
+    for ((q, c, rSem) <- fused if rSem > 0L)
+      assert(expect((q, c)) === rSem,
+        s"r_sem for ($q,$c) is not the served-index rank")
+  }
+
   test("trained retrieval tier holds its recall at the bench scale (sf0.1)") {
     // The eta sweep and the gates above run on the small fixtures; this
     // pins codebook quality where the bench runs, so a training change

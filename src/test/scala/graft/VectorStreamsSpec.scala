@@ -44,8 +44,12 @@ class VectorStreamsSpec extends AnyFunSuite {
     Files.copy(Paths.get(TestSpark.sf, "embeddings.parquet"),
       dir.resolve("embeddings.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val idxDir = Paths.get("target", "test-scratch", "vecstream_served_idx")
-      .toAbsolutePath.toString
+    val idxPath = Paths.get("target", "test-scratch", "vecstream_served_idx")
+    // A leftover index from an OLDER layout (e.g. pre-manifest) correctly
+    // refuses to serve (fail-loud validation) — start from a clean dir so
+    // this test exercises the build-and-serve loop, not stale scratch.
+    graft.sources.ArtifactCache.rmTree(idxPath.toFile)
+    val idxDir = idxPath.toAbsolutePath.toString
     val streamed = EventStreams.runToCompletion(
         spark,
         VectorStreams.ivfPqIngestStreamServed(spark, dir.toString,

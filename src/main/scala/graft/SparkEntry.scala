@@ -142,6 +142,7 @@ object SparkEntry {
     "embedding_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "sample_cluster_balanced" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     "eval_retrieval_recall" -> ((s, d) => Similarity.retrievalRecall(s, d)),
+    "eval_ann_recall_served" -> ((s, d) => Similarity.servedRecall(s, d)),
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.ppmFeaturesQuery(s, d)),
@@ -662,6 +663,22 @@ object SparkEntry {
     // corpus-smaller-than-k behavior.
     "eval_retrieval_recall" ->
       s"""WITH $LshTopkCtes, $BruteTopkCtes, br AS (SELECT qid, cid FROM brk WHERE rn <= 5), ls AS (SELECT qid, cid FROM lshr WHERE rn <= 5) SELECT b.qid, CAST(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, CAST(round(sum(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 FROM br b LEFT JOIN ls l ON b.qid = l.qid AND b.cid = l.cid GROUP BY b.qid ORDER BY b.qid""",
+    // Serving-quality monitor: recall@5 of the SERVED IVF-PQ index vs
+    // the brute baseline — the trained retrieval CTEs (the index's own
+    // deterministic encode) replayed and LEFT JOINed against brute top-5,
+    // the same evaluation core as eval_retrieval_recall.
+    "eval_ann_recall_served" ->
+      (IvfPqTrainedCtes + ", " + BruteTopkCtes + ", " +
+      "qsubs AS (SELECT vec_id AS qid, m, ve[m*8+1 : m*8+8] AS qm FROM e4v CROSS JOIN mm WHERE vec_id < 10), " +
+      "qtab AS (SELECT s.qid, s.m, c.j, list_inner_product(s.qm, c.cm) AS t FROM qsubs s JOIN p2 c ON s.m = c.m), " +
+      "probes AS (SELECT qid, cell_id, pdot FROM (SELECT e.vec_id AS qid, c.cell_id, list_inner_product(e.ve, c.cv) AS pdot, row_number() OVER (PARTITION BY e.vec_id ORDER BY CAST(round(list_inner_product(e.ve, c.cv) / (e.vn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM en e, c2n c WHERE e.vec_id < 10) WHERE rn <= 4), " +
+      "cand AS (SELECT p.qid, a.vec_id AS cid, p.pdot FROM probes p JOIN af a ON p.cell_id = a.cell_id), " +
+      "adc AS (SELECT cd.qid, cd.cid, cd.pdot + sum(q.t) AS approx FROM cand cd JOIN codes co ON cd.cid = co.vec_id JOIN qtab q ON q.qid = cd.qid AND co.m = q.m AND co.j = q.j GROUP BY cd.qid, cd.cid, cd.pdot), " +
+      "short AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS srn FROM adc) WHERE srn <= 25), " +
+      "ivex AS (SELECT sh.qid, sh.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nr * y.nr) * 10000) AS BIGINT) AS sim_e4 FROM short sh JOIN nrm x ON sh.cid = x.vec_id JOIN nrm y ON sh.qid = y.vec_id), " +
+      "sv AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ivex) WHERE rn <= 5), " +
+      "br AS (SELECT qid, cid FROM brk WHERE rn <= 5) " +
+      "SELECT b.qid, CAST(sum(CASE WHEN s.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, CAST(round(sum(CASE WHEN s.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 FROM br b LEFT JOIN sv s ON b.qid = s.qid AND b.cid = s.cid GROUP BY b.qid ORDER BY b.qid"),
     // k-NN graph build: every vector's top-4 neighbors among the banded
     // sign-projection bucket candidates (each undirected candidate computed
     // once at a < b, then mirrored), exact-cosine verified with e4/dst

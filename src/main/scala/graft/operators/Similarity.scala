@@ -1328,6 +1328,32 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** SERVING-QUALITY MONITOR — per-query recall@k of the PERSISTED
+    * IVF-PQ index against the exact baseline: [[retrievalRecall]]'s
+    * composition with the served index as the candidate side. This is
+    * the number an operator watches after every index rebuild (run it
+    * against the fresh version [[ivfPqSwapIndex]] published; alert on
+    * the aggregate before traffic shifts) — approximate retrieval is
+    * only deployable next to a continuously-measured recall. Cost: one
+    * linear brute pass over the corpus against the broadcast query set
+    * plus the served probe — monitoring-grade, never n². Denominator is
+    * the per-query brute row count, matching [[retrievalRecall]]. */
+  def servedRecall(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, indexDir: Option[String] = None): DataFrame = {
+    val brute = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+    val served = ivfPqServedTopK(s, d, nQueries, k, indexDir = indexDir)
+      .select(col("qid").as("sq"), col("cid").as("sc"))
+    brute
+      .join(served, col("qid") === col("sq") && col("cid") === col("sc"), "left")
+      .groupBy("qid")
+      .agg(sum(when(col("sc").isNotNull, 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("n_brute"))
+      .select(col("qid"), col("hits"),
+        round(col("hits") * lit(10000.0) / col("n_brute")).cast("long")
+          .as("recall_e4"))
+      .orderBy("qid")
+  }
+
   /** Neighbors per node in the k-NN graph build. */
   val KnnK = 4
 

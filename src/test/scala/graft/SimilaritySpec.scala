@@ -330,6 +330,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).sum.toDouble / (10 * 5) >= 0.6)
   }
 
+  test("served recall query equals the spec-level recall of the served index") {
+    val got = Similarity.servedRecall(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect() // (qid, hits, recall_e4)
+    assert(got.length === 10)
+    val served = Similarity.ivfPqServedTopK(spark, TestSpark.sf)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    for ((qid, hits, re4) <- got) {
+      val b = brute.filter(_._1 == qid).map(_._2).toSet
+      val s = served.filter(_._1 == qid).map(_._2).toSet
+      assert(hits === b.count(s.contains).toLong,
+        s"query $qid hit count disagrees with the served index overlap")
+      assert(re4 === math.round(hits * 10000.0 / 5))
+    }
+    // rebuild-gate floor: the trained tier's gated recall, as the monitor
+    // would alert on it
+    assert(got.map(_._2).sum.toDouble / (10 * 5) >= 0.5)
+  }
+
   test("kmeans clusters: full coverage, sizes consistent, non-degenerate") {
     val out = Similarity.kmeansClusters(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long)].collect() // (vec_id, cluster_id, sim_e4, cluster_size)

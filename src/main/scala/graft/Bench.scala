@@ -26,12 +26,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    invocations — so a min-over-passes number alone can never show what
   *    a cold pipeline run costs (the round-10 measurement gap: every
   *    product BUILD had vanished from the artifact). The harness therefore
-  *    EVICTS every published product after warmup, making the first timed
-  *    pass genuinely cold (each chunk's first product consumer pays the
-  *    family's build), and reports THREE things: per-query `queries_cold`
-  *    (pass A, build-inclusive), per-query `queries` (min of the two
-  *    passes — the warm floor, round-comparable), and `products` (each
-  *    product build's own seconds, timed at the getOrBuild/index miss).
+  *    EVICTS every published product ONCE per run (the isolated parent
+  *    before its chunk sequence; the dev loop for itself), so each build
+  *    is paid by exactly one cold pass — the run's first consumer — and
+  *    `value_cold` sums to what a single cold pipeline run costs. It
+  *    reports THREE things: per-query `queries_cold` (pass A,
+  *    build-inclusive), per-query `queries` (min of the two passes — the
+  *    warm floor, round-comparable), and `products` (each product
+  *    build's own seconds, timed at the getOrBuild/index miss).
   *  - The timed phase runs TWICE and `queries` reports the minimum. The box
   *    is a shared VM with bursty CPU steal — identical code measured 101 s
   *    and 422 s total back to back, with 20-90 s stall blocks landing on
@@ -90,14 +92,20 @@ object Bench {
     if (isolated) runIsolated()
     else {
       val subset = forked.orElse(only)
-      println(jsonLine(runShared(subset)))
+      // The dev loop (SPARK_GRAFT_ONLY) owns its whole run, so it evicts
+      // for itself; a forked child must NOT — the parent evicted ONCE
+      // before the chunk sequence, so each product build is paid exactly
+      // once across the run (a family spanning chunks stays warm after
+      // its first chunk — the true cold-pipeline semantics).
+      println(jsonLine(runShared(subset, evictFirst = forked.isEmpty)))
       if (forked.nonEmpty) sys.exit(0) // plain-java child: don't wait on stragglers
     }
   }
 
   // ---- classic in-process protocol (one JVM, warm + cold + warm) ----
 
-  private def runShared(subset: Option[Set[String]]): RunResult = {
+  private def runShared(subset: Option[Set[String]],
+      evictFirst: Boolean = true): RunResult = {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -119,11 +127,15 @@ object Bench {
       spark.catalog.clearCache()
     }
     // Cold reset: drop every published product so pass A prices the
-    // builds a cold pipeline run pays; discard warmup-era build timings.
-    try graft.sources.ArtifactCache.evictAll(): Unit
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] product eviction failed: ${e.getMessage}")
-    }
+    // builds a cold pipeline run pays. Skipped in forked children (the
+    // isolated parent evicted once for the whole run). The warmup-era
+    // build timings (tiny-SF keys) are discarded unconditionally so only
+    // target-SF builds reach the products section.
+    if (evictFirst)
+      try graft.sources.ArtifactCache.evictAll(): Unit
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] product eviction failed: ${e.getMessage}")
+      }
     graft.sources.ArtifactCache.drainBuildTimes(): Unit
     def timedPass(): Seq[(String, Double, Boolean)] =
       selected.map { case (name, fn) =>
@@ -176,6 +188,14 @@ object Bench {
     val chunkSize = sys.env.get("SPARK_GRAFT_CHUNK").map(_.toInt)
       .getOrElse(ChunkSize).max(1)
     val chunks = names.grouped(chunkSize).toSeq
+    // ONE eviction for the whole run: each product build is then paid by
+    // exactly one chunk's cold pass (the first consumer in alphabetical
+    // order), so value_cold sums to what a single cold pipeline run
+    // costs — no double-billing when a family spans chunks.
+    try graft.sources.ArtifactCache.evictAll(): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] product eviction failed: ${e.getMessage}")
+    }
     val merged = scala.collection.mutable.ArrayBuffer.empty[QueryTimes]
     val mergedProducts = scala.collection.mutable.Map.empty[String, Double]
     var forkBroken = false
@@ -202,7 +222,7 @@ object Bench {
           fallbackChunks += 1
           System.err.println(
             s"[bench] fork failed for chunk ${chunk.head}.. — in-process fallback")
-          val r = runShared(Some(chunk.toSet))
+          val r = runShared(Some(chunk.toSet), evictFirst = false)
           merged ++= r.queries
           mergedProducts ++= r.products
       }

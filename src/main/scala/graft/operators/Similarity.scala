@@ -152,8 +152,10 @@ object Similarity {
     * of two depth×nQueries-row frames and a per-query window over
     * ≤ 2·depth rows. The towers' ONLINE halves already exist as the
     * streaming BM25 scorer and the streaming ANN probe
-    * ([[graft.streaming.VectorStreams.knnProbeStream]]) — RRF fusion over
-    * their sink tables is the same rank-only post-step as here. */
+    * ([[graft.streaming.VectorStreams.knnProbeStream]]) — fusing their
+    * sink tables goes through the SAME [[rrfFuse]] core as this query
+    * (VectorStreamsSpec fuses a real streamed sink against the lexical
+    * tower and checks it against an independent fold). */
   def hybridRrf(s: SparkSession, d: String, nQueries: Int = HybridNq,
       depth: Int = HybridDepth, k: Int = HybridTopK): DataFrame = {
     val c = corpus(s, d)
@@ -184,6 +186,11 @@ object Similarity {
       indexDir: Option[String] = None): DataFrame = {
     // depth+1 from the index: the self-hit (cosine 1.0) occupies one
     // slot; after excluding it, a full `depth` of neighbors remains.
+    // The exact re-rank stage can return at most PqRerank rows per
+    // query, so a deeper tower than the shortlist would silently
+    // truncate — refuse instead.
+    require(depth + 1 <= PqRerank,
+      s"tower depth ${depth + 1} exceeds the ADC re-rank shortlist $PqRerank")
     val served = ivfPqServedTopK(s, d, nQueries = nQueries, k = depth + 1,
       indexDir = indexDir)
     val wSem = Window.partitionBy("qid").orderBy(asc("rn"))
@@ -210,6 +217,20 @@ object Similarity {
       .withColumn("r", row_number().over(wLex).cast("long"))
       .filter(col("r") <= depth)
       .select(col("qid"), col("cid"), col("r").as("r_lex"))
+    rrfFuse(lex, sem, k)
+  }
+
+  /** The RRF CORE, rank-only and source-agnostic: fuse a
+    * (qid, cid, r_lex) and a (qid, cid, r_sem) ranking (full-outer — a
+    * doc missing from one tower contributes 0 from that side) into the
+    * top-k per query by the integer-exact e4 RRF score. This is the
+    * whole post-step the hybrid family's ONLINE half needs: the
+    * streaming towers (the BM25 scorer, the ANN probe) maintain sink
+    * tables; ranking each sink per query and calling this fuses them
+    * exactly as the batch queries fuse — VectorStreamsSpec does it over
+    * a real streamed sink. Both rank columns must already be ≤ the
+    * caller's depth (see the half-way-rounding bound at [[hybridRrf]]). */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int): DataFrame = {
     def term(r: org.apache.spark.sql.Column) =
       when(r.isNotNull,
         round(lit(10000.0) / (lit(RrfK) + r)).cast("long")).otherwise(lit(0L))

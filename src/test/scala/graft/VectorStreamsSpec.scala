@@ -92,6 +92,68 @@ class VectorStreamsSpec extends AnyFunSuite {
     assert(tail === batch, "streamed probe + post-step diverged from batch")
   }
 
+  test("rrf fusion over a streamed ANN sink equals the independent rank fold") {
+    // The hybrid family's ONLINE claim, made code: the streaming ANN
+    // probe maintains a sink table; ranking it per query and fusing with
+    // the lexical tower through the SAME rrfFuse core the batch queries
+    // use must produce the RRF result an independent driver-side fold
+    // computes from the two rank tables. Rank-only fusion means the
+    // streamed tower needs no score calibration against the batch one.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = Paths.get("target", "test-scratch", "vecstream_fuse")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val sink = EventStreams.runToCompletion(
+      spark,
+      VectorStreams.knnProbeStream(spark, dir.toString, TestSpark.sf),
+      "t_fuseprobe", mode = "append") // (src, dst, band_idx, sim_e4)
+    // Semantic tower: dedup multi-band hits, rank per arriving query.
+    val wS = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    val sem = sink.filter(col("src") < Similarity.HybridNq)
+      .groupBy(col("src").as("qid"), col("dst").as("cid"))
+      .agg(max("sim_e4").as("sim_e4"))
+      .withColumn("r", row_number().over(wS).cast("long"))
+      .filter(col("r") <= Similarity.HybridDepth)
+      .select(col("qid"), col("cid"), col("r").as("r_sem"))
+    // Lexical tower: the shared pair product, the batch queries' own.
+    val jac = graft.operators.Dedup.jaccardPairsShared(spark, TestSpark.sf)
+    val wL = Window.partitionBy("qid").orderBy(desc("jac_e4"), asc("cid"))
+    val lex = jac.filter(col("d1") < Similarity.HybridNq)
+        .select(col("d1").as("qid"), col("d2").as("cid"), col("jac_e4"))
+      .unionAll(jac.filter(col("d2") < Similarity.HybridNq)
+        .select(col("d2").as("qid"), col("d1").as("cid"), col("jac_e4")))
+      .withColumn("r", row_number().over(wL).cast("long"))
+      .filter(col("r") <= Similarity.HybridDepth)
+      .select(col("qid"), col("cid"), col("r").as("r_lex"))
+    val fused = Similarity.rrfFuse(lex, sem, Similarity.HybridTopK)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(fused.nonEmpty)
+    // Independent fold over the two collected rank tables.
+    val lexM = lex.as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val semM = sem.as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    def term(r: Long) = math.round(10000.0 / (Similarity.RrfK + r))
+    val expected = (lexM.keySet ++ semM.keySet).toSeq
+      .map { case (q, c) =>
+        (q, c, lexM.getOrElse((q, c), 0L), semM.getOrElse((q, c), 0L),
+          lexM.get((q, c)).map(term).getOrElse(0L) +
+            semM.get((q, c)).map(term).getOrElse(0L))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._5, t._2)).take(Similarity.HybridTopK)
+          .zipWithIndex.map { case ((q, c, rl, rs, f), i) =>
+            (q, c, rl, rs, f, i + 1L)
+          }
+      }.toSet
+    assert(fused.toSet === expected,
+      "streamed-sink fusion diverged from the independent RRF fold")
+    spark.catalog.clearCache()
+  }
+
   test("the per-row encoder matches the batch argmin on a static frame too") {
     // Same encoder, batch frame in, no streaming machinery — pins that the
     // literal-array expressions are the load-bearing equality, not the

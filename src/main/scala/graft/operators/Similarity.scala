@@ -977,6 +977,30 @@ object Similarity {
     vdir.getAbsolutePath
   }
 
+  /** The REFRESH CRON shape: rebuild-and-swap ONLY when the live version
+    * under `baseDir` no longer matches the corpus identity and training
+    * knobs — i.e. the corpus file changed since the last build (the
+    * manifest is the staleness detector, the same one read-time
+    * validation uses). Returns the new version's directory when a swap
+    * happened, None when the index is already fresh. A scheduler calls
+    * this as often as it likes; training is paid only on a real corpus
+    * change — the missing half between the drift monitor ("something
+    * changed") and [[ivfPqSwapIndex]] ("replace the index safely"). */
+  def ivfPqSwapIfStale(s: SparkSession, d: String, baseDir: String,
+      nCells: Int = IvfCells, m: Int = PqM, kCents: Int = PqK,
+      ivfIters: Int = IvfKmeansIters, pqIters: Int = PqKmeansIters,
+      eta: Int = PqEta): Option[String] = {
+    val resolved = ivfPqResolveDir(baseDir)
+    val expected = ivfPqManifestKey(d, nCells, m, kCents, ivfIters,
+      pqIters, eta)
+    val fresh = resolved != baseDir &&
+      graft.sources.ArtifactCache.readManifest(new java.io.File(resolved))
+        .contains(expected)
+    if (fresh) None
+    else Some(ivfPqSwapIndex(s, d, baseDir, nCells, m, kCents, ivfIters,
+      pqIters, eta))
+  }
+
   /** Load the driver-sized model artifacts (coarse centroids, residual
     * codebook) back from a persisted index directory — the serving-side
     * inverse of [[ivfPqWriteIndex]]'s small tables. */

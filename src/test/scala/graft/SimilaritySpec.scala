@@ -239,6 +239,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfPqResolveDir(base) === v3)
   }
 
+  test("ivfPqSwapIfStale: no-op while fresh, rebuild + flip on corpus change") {
+    // The refresh-cron shape: a scheduler may call this every hour; the
+    // manifest is the staleness detector, so training is paid only when
+    // the corpus file actually changed.
+    val scratch = java.nio.file.Files.createTempDirectory("graft-stale-spec")
+    val corpus = scratch.resolve("corpus")
+    java.nio.file.Files.createDirectories(corpus)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(TestSpark.sf, "embeddings.parquet"),
+      corpus.resolve("embeddings.parquet"))
+    val base = scratch.resolve("idx").toString
+    val v1 = Similarity.ivfPqSwapIfStale(spark, corpus.toString, base)
+    assert(v1.isDefined, "first call must build (no live version yet)")
+    assert(Similarity.ivfPqSwapIfStale(spark, corpus.toString, base).isEmpty,
+      "second call must be a no-op while the corpus is unchanged")
+    assert(Similarity.ivfPqResolveDir(base) === v1.get)
+    // the corpus file changes (new drop) → stale → rebuild + flip
+    val f = corpus.resolve("embeddings.parquet")
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(f).toMillis + 1000L)): Unit
+    val v2 = Similarity.ivfPqSwapIfStale(spark, corpus.toString, base)
+    assert(v2.isDefined, "corpus change must trigger a rebuild")
+    assert(v2.get !== v1.get)
+    assert(Similarity.ivfPqResolveDir(base) === v2.get)
+  }
+
   test("hybrid served: semantic-tower ranks come from the persisted index") {
     // The tower swap made code: every non-zero r_sem in the fused output
     // must equal the doc's self-excluded rank in the SERVED index's

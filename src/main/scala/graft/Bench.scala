@@ -53,10 +53,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    therefore ISOLATED FLOORS — comparable across rounds regardless of
   *    how large the contract grows. `SPARK_GRAFT_ISOLATED=0` forces the
   *    legacy single-JVM mode; `SPARK_GRAFT_ONLY=a,b` (the dev loop) also
-  *    runs in-process. Fork-capability failure (no spawnable java) falls
-  *    the whole run back to the legacy mode; a chunk whose child CRASHES
-  *    (nonzero exit, timeout) falls back for that chunk alone — later
-  *    chunks still fork.
+  *    runs in-process. Fork-capability failure (the spawn itself throws,
+  *    TWICE — once can be a transient EAGAIN on this shared box) falls
+  *    the rest of the run back to the legacy mode; a chunk whose child
+  *    CRASHES (nonzero exit, timeout) falls back for that chunk alone —
+  *    later chunks still fork.
   */
 object Bench {
   /** Queries per child JVM. 12 ≈ the per-JVM query count of the rounds
@@ -119,6 +120,15 @@ object Bench {
     // Codegen/JIT warmup at the tiny SF (falls back to the target dir if the
     // warm dir is absent — then the warmup is a full untimed pass).
     val warm = if (new java.io.File(warmDir).exists()) warmDir else sfDir
+    // In a forked child the parent already evicted, so a target-SF warmup
+    // would BUILD the products untimed and pre-warm the cold pass —
+    // exactly the accounting gap the cold pass exists to close. Can't
+    // self-heal (re-evicting here double-bills families spanning chunks),
+    // so say it loudly instead of reporting silently-warm "cold" floors.
+    if (warm == sfDir && !evictFirst)
+      System.err.println("[bench] WARNING: warm dir absent in a forked " +
+        "child — warmup ran at the target SF, cold-pass build pricing " +
+        "for this chunk is unreliable")
     for ((name, fn) <- selected) {
       try execute(fn(spark, warm))
       catch { case e: Throwable =>
@@ -201,24 +211,27 @@ object Bench {
     var forkBroken = false
     var fallbackChunks = 0
     for (chunk <- chunks) {
-      val viaFork: ChildOutcome =
-        if (forkBroken) ForkUnavailable
+      // Any first failure gets one retry — a spawn can fail transiently
+      // too (EAGAIN under memory pressure on this shared box), so a
+      // single ForkUnavailable must not abandon isolation by itself.
+      val attempts: Seq[ChildOutcome] =
+        if (forkBroken) Seq(ForkUnavailable, ForkUnavailable)
         else runChild(chunk) match {
-          case ChildCrashed =>
+          case ok: ChildOk => Seq(ok)
+          case first =>
             System.err.println(s"[bench] retrying chunk ${chunk.head}..")
-            runChild(chunk)
-          case other => other
+            Seq(first, runChild(chunk))
         }
-      viaFork match {
+      attempts.last match {
         case ChildOk(r) =>
           merged ++= r.queries
           mergedProducts ++= r.products
-        case outcome =>
-          // ForkUnavailable (ProcessBuilder cannot start a java at all —
-          // structural, poisons every later chunk too) vs ChildCrashed
-          // (this chunk's queries killed the child twice — local): only
-          // the former abandons forking for the rest of the run.
-          if (outcome == ForkUnavailable) forkBroken = true
+        case _ =>
+          // Structural fork loss = the spawn itself failed TWICE
+          // (ProcessBuilder cannot start a java — poisons every later
+          // chunk). A child that started but crashed/hung twice is a
+          // chunk-local problem: later chunks still fork.
+          if (attempts.forall(_ == ForkUnavailable)) forkBroken = true
           fallbackChunks += 1
           System.err.println(
             s"[bench] fork failed for chunk ${chunk.head}.. — in-process fallback")

@@ -33,11 +33,14 @@ object Products {
         println(s"evicted $n director${if (n == 1) "y" else "ies"} of product '$name'")
       case "gc" :: rest =>
         def opt(flag: String): Option[Long] = rest.dropWhile(_ != flag) match {
-          case `flag` :: v :: _ => Some(v.toLong)
+          case `flag` :: v :: _ => v.toLongOption // None on garbage → caught below
           case _ => None
         }
+        // Shape AND value check: flags must pair with parseable numbers —
+        // a typo'd `--max-bytes 10GB` gets the usage line, not a stack
+        // trace.
         val known = rest.grouped(2).forall {
-          case Seq("--max-bytes" | "--max-age-days", _) => true
+          case Seq("--max-bytes" | "--max-age-days", v) => v.toLongOption.isDefined
           case _ => false
         }
         if (!known) {

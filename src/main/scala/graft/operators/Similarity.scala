@@ -969,10 +969,21 @@ object Similarity {
       new java.io.File(base, "CURRENT").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    // Retire everything older than the just-replaced version.
+    // Retire old versions. Concurrent swaps are last-writer-wins on the
+    // POINTER (schedule swaps non-overlapping for deterministic
+    // ownership), but the retire loop must be safe regardless: re-read
+    // CURRENT after the flip and never delete (a) whatever it points at
+    // now — a racing swap may have flipped it after us, (b) the version
+    // we replaced (in-flight readers), (c) our own build, (d) any
+    // `.tmp-*` sibling — that is a racer's build still being written.
+    val live = Option(new java.io.File(base, "CURRENT"))
+      .filter(_.isFile).map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
     Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("v-") &&
-        f.getName != version && !prev.contains(f.getName))
+        !f.getName.contains(".tmp-") &&
+        f.getName != version && !live.contains(f.getName) &&
+        !prev.contains(f.getName))
       .foreach(graft.sources.ArtifactCache.rmTree)
     vdir.getAbsolutePath
   }

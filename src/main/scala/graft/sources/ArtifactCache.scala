@@ -46,8 +46,12 @@ object ArtifactCache {
     * OWNER must be this user — a root planted by someone else is refused,
     * not trusted (shared-host hardening). */
   def root: File = {
+    // System property included so a session-less caller (the isolated
+    // bench PARENT evicting before any SparkSession exists) resolves the
+    // same root a -Dspark.graft.products.dir-configured child will.
     val configured = SparkSession.getActiveSession
       .flatMap(s => s.conf.getOption("spark.graft.products.dir"))
+      .orElse(sys.props.get("spark.graft.products.dir"))
       .orElse(sys.env.get("SPARK_GRAFT_PRODUCTS_DIR"))
     val dir = configured.map(new File(_)).getOrElse(
       new File(sys.props("java.io.tmpdir"),
@@ -234,15 +238,22 @@ object ArtifactCache {
     rows.toDF("product", "key", "dir", "bytes", "files", "modified_ms")
   }
 
-  /** Evict every published product whose name matches `product` (all
+  /** Evict every published product whose name is EXACTLY `product` (all
     * keys — a corpus change leaves stale keys behind; this is the
-    * cleanup). In-flight `.tmp-*` builds are never touched (their owner
-    * cleans or publishes them), and the next consumer simply rebuilds:
-    * eviction can never break correctness, only re-pay a build. Returns
-    * the number of directories removed. */
+    * cleanup). The name is parsed off the `<name>-<key>` directory the
+    * same way [[registry]] parses it (split at the LAST hyphen), so a
+    * product whose name is a hyphen-prefix of another ("two" vs
+    * "two-part") can never suffer collateral eviction. In-flight
+    * `.tmp-*` builds are never touched (their owner cleans or publishes
+    * them), and the next consumer simply rebuilds: eviction can never
+    * break correctness, only re-pay a build. Returns the number of
+    * directories removed. */
   def evict(product: String): Int = {
-    val victims = published().filter(f =>
-      f.getName == product || f.getName.startsWith(s"$product-"))
+    val victims = published().filter { f =>
+      val cut = f.getName.lastIndexOf('-')
+      f.getName == product ||
+        (cut > 0 && f.getName.substring(0, cut) == product)
+    }
     victims.foreach(rmTree)
     victims.length
   }

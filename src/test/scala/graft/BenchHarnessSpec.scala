@@ -148,6 +148,12 @@ class BenchHarnessSpec extends AnyFunSuite {
       assert(ArtifactCache.getOrBuild(spark, "two-part", f, Seq(1))(build()).count() === 2L)
       assert(ArtifactCache.registry(spark).collect()
         .exists(_.getString(0) == "two-part"), "hyphenated name mis-split")
+      // ...and eviction matches names EXACTLY: evicting a hyphen-prefix
+      // of it must not collect it as collateral
+      assert(ArtifactCache.evict("two") === 0,
+        "evict matched a product whose name merely starts with the target")
+      assert(ArtifactCache.registry(spark).collect()
+        .exists(_.getString(0) == "two-part"), "collateral eviction")
       // in-flight tmp builds never appear
       val tmp = ArtifactCache.newTmpDir(dir)
       java.nio.file.Files.createDirectories(tmp.toPath)

@@ -167,10 +167,12 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "source_contamination" -> ((s, d) => Pipeline.sourceContamination(s, d)),
     "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(s, d)),
+    "eval_decontaminate_fp" -> ((s, d) => Pipeline.decontaminateFp(s, d)),
     "decontaminate_semantic" -> ((s, d) => Pipeline.decontaminateSemantic(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "pack_sequences_global" -> ((s, d) => Pipeline.packSequencesGlobal(s, d)),
     "pack_sequences_bpe" -> ((s, d) => Pipeline.packSequencesBpe(s, d)),
+    "eval_pack_efficiency" -> ((s, d) => Pipeline.packEfficiency(s, d)),
     "chunk_documents" -> ((s, d) => Pipeline.chunkDocuments(s, d)),
     "sample_stratified" -> ((s, d) => Pipeline.sampleStratified(s, d)),
     "sample_stratified_capped" -> ((s, d) => Pipeline.sampleStratifiedCapped(s, d)),
@@ -326,6 +328,11 @@ object SparkEntry {
   // connected-components clustering both build on `jpairs`.
   private val NgramTailCtes =
     """eligible AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50), shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN eligible e ON s.sh = e.sh), cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), cm AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), jpairs AS (SELECT d1, d2, CAST(round(common * 10000.0 / (ca.n + cb.n - common)) AS BIGINT) AS jac_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id)"""
+
+  // The Bloom decontamination chain as shared CTEs ending in the per-doc
+  // frame `bdoc` — consumed by both decontaminate_bloom and its FP report.
+  private val BloomDocCtes =
+    s"""toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), sps AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents))), tsh AS (SELECT DISTINCT s.sh FROM sh s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split = 'test'), bp AS (SELECT h % 2097152 AS p FROM (SELECT unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b1#' || sh) + 1), i -> CAST(ascii(substr('b1#' || sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b2#' || sh) + 1), i -> CAST(ascii(substr('b2#' || sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295)]) AS h FROM tsh)), bits AS (SELECT p // 64 AS w, bit_or(CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << CAST(p % 64 AS INTEGER)) END) AS bits FROM bp GROUP BY 1), corp AS (SELECT s.doc_id, s.sh, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b1#' || s.sh) + 1), i -> CAST(ascii(substr('b1#' || s.sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 2097152 AS p1, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b2#' || s.sh) + 1), i -> CAST(ascii(substr('b2#' || s.sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 2097152 AS p2 FROM sh s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split <> 'test'), hit AS (SELECT c.doc_id, c.sh, CASE WHEN b1.bits IS NOT NULL AND ((b1.bits >> CAST(c.p1 % 64 AS INTEGER)) & 1) = 1 AND b2.bits IS NOT NULL AND ((b2.bits >> CAST(c.p2 % 64 AS INTEGER)) & 1) = 1 THEN 1 ELSE 0 END AS is_cand FROM corp c LEFT JOIN bits b1 ON c.p1 // 64 = b1.w LEFT JOIN bits b2 ON c.p2 // 64 = b2.w), agg AS (SELECT h.doc_id, CAST(sum(h.is_cand) AS BIGINT) AS n_candidates, CAST(sum(CASE WHEN h.is_cand = 1 AND t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared FROM hit h LEFT JOIN tsh t ON h.is_cand = 1 AND h.sh = t.sh GROUP BY h.doc_id), bdoc AS (SELECT p.doc_id, p.split, COALESCE(a.n_candidates, 0) AS n_candidates, COALESCE(a.n_shared, 0) AS n_shared, CAST(CASE WHEN COALESCE(a.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM sps p LEFT JOIN agg a ON p.doc_id = a.doc_id WHERE p.split <> 'test')"""
 
   private val NgramCtes = s"$ShingleCtes, $NgramTailCtes"
 
@@ -1179,12 +1186,23 @@ object SparkEntry {
     // candidates reach the exact verify join. Deterministic hashes ⇒ both
     // engines build bit-identical filters ⇒ hash-matched, fp included.
     "decontaminate_bloom" ->
-      s"""WITH toks AS (SELECT doc_id, text, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE ['#' || text] END) AS sh FROM toks)), sps AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 100 AS bucket FROM (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS s FROM documents))), tsh AS (SELECT DISTINCT s.sh FROM sh s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split = 'test'), bp AS (SELECT h % 2097152 AS p FROM (SELECT unnest([list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b1#' || sh) + 1), i -> CAST(ascii(substr('b1#' || sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295), list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b2#' || sh) + 1), i -> CAST(ascii(substr('b2#' || sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295)]) AS h FROM tsh)), bits AS (SELECT p // 64 AS w, bit_or(CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << CAST(p % 64 AS INTEGER)) END) AS bits FROM bp GROUP BY 1), corp AS (SELECT s.doc_id, s.sh, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b1#' || s.sh) + 1), i -> CAST(ascii(substr('b1#' || s.sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 2097152 AS p1, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length('b2#' || s.sh) + 1), i -> CAST(ascii(substr('b2#' || s.sh, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) % 2097152 AS p2 FROM sh s JOIN sps p ON s.doc_id = p.doc_id WHERE p.split <> 'test'), hit AS (SELECT c.doc_id, c.sh, CASE WHEN b1.bits IS NOT NULL AND ((b1.bits >> CAST(c.p1 % 64 AS INTEGER)) & 1) = 1 AND b2.bits IS NOT NULL AND ((b2.bits >> CAST(c.p2 % 64 AS INTEGER)) & 1) = 1 THEN 1 ELSE 0 END AS is_cand FROM corp c LEFT JOIN bits b1 ON c.p1 // 64 = b1.w LEFT JOIN bits b2 ON c.p2 // 64 = b2.w), agg AS (SELECT h.doc_id, CAST(sum(h.is_cand) AS BIGINT) AS n_candidates, CAST(sum(CASE WHEN h.is_cand = 1 AND t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared FROM hit h LEFT JOIN tsh t ON h.is_cand = 1 AND h.sh = t.sh GROUP BY h.doc_id) SELECT p.doc_id, p.split, COALESCE(a.n_candidates, 0) AS n_candidates, COALESCE(a.n_shared, 0) AS n_shared, CAST(CASE WHEN COALESCE(a.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated FROM sps p LEFT JOIN agg a ON p.doc_id = a.doc_id WHERE p.split <> 'test' ORDER BY p.doc_id""",
+      s"""WITH $BloomDocCtes SELECT doc_id, split, n_candidates, n_shared, contaminated FROM bdoc ORDER BY doc_id""",
+    // Bloom gate FP report: the per-doc bloom frame re-aggregated per split
+    // — flagged vs verified docs and shingles, pinned e4 precisions (0 when
+    // a denominator is empty). docs_fp = flagged - contaminated because the
+    // bitset cannot under-admit.
+    "eval_decontaminate_fp" ->
+      s"""WITH $BloomDocCtes SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN n_candidates > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged, CAST(sum(contaminated) AS BIGINT) AS docs_contaminated, CAST(sum(CASE WHEN n_candidates > 0 AND n_shared = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_fp, CAST(sum(n_candidates) AS BIGINT) AS shingles_cand, CAST(sum(n_shared) AS BIGINT) AS shingles_shared, CAST(CASE WHEN sum(CASE WHEN n_candidates > 0 THEN 1 ELSE 0 END) = 0 THEN 0 ELSE round(sum(contaminated) * 10000.0 / sum(CASE WHEN n_candidates > 0 THEN 1 ELSE 0 END)) END AS BIGINT) AS doc_precision_e4, CAST(CASE WHEN sum(n_candidates) = 0 THEN 0 ELSE round(sum(n_shared) * 10000.0 / sum(n_candidates)) END AS BIGINT) AS shingle_precision_e4 FROM bdoc GROUP BY split ORDER BY split""",
     // Concat-and-chunk packing per source shard; DuckDB's window sum widens
     // to HUGEINT, hence the explicit BIGINT casts. "offset" needs quoting
     // (reserved word).
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), o AS (SELECT doc_id, source, n_toks, CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, source, n_toks, "offset", CAST("offset" // 256 AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
+    // Packing-efficiency report: the pack_sequences window re-aggregated
+    // per source — concat-and-chunk's boundary-split docs and tail pad vs
+    // pad-per-doc's padding and truncation, pinned e4 ratios.
+    "eval_pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), o AS (SELECT doc_id, source, n_toks, CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t), f AS (SELECT source, n_toks, CASE WHEN n_toks > 0 AND "offset" // ${Pipeline.SeqLen} <> ("offset" + n_toks - 1) // ${Pipeline.SeqLen} THEN 1 ELSE 0 END AS is_split FROM o) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST((sum(n_toks) + ${Pipeline.SeqLen - 1}) // ${Pipeline.SeqLen} AS BIGINT) AS chunk_seqs, CAST((sum(n_toks) + ${Pipeline.SeqLen - 1}) // ${Pipeline.SeqLen} * ${Pipeline.SeqLen} - sum(n_toks) AS BIGINT) AS chunk_tail_pad, CAST(sum(is_split) AS BIGINT) AS chunk_split_docs, CAST(round(sum(is_split) * 10000.0 / count(*)) AS BIGINT) AS split_frac_e4, CAST(count(*) AS BIGINT) AS pad_seqs, CAST(count(*) * ${Pipeline.SeqLen} - sum(least(n_toks, ${Pipeline.SeqLen})) AS BIGINT) AS pad_pad_tokens, CAST(sum(greatest(n_toks - ${Pipeline.SeqLen}, 0)) AS BIGINT) AS pad_trunc_tokens, CAST(round((count(*) * ${Pipeline.SeqLen} - sum(least(n_toks, ${Pipeline.SeqLen}))) * 10000.0 / (count(*) * ${Pipeline.SeqLen})) AS BIGINT) AS pad_waste_e4 FROM f GROUP BY source ORDER BY source""",
     // Packing by the trained tokenizer's piece counts: the tokenize_bpe
     // chain's per-doc n_pieces feeds the identical per-source window.
     "pack_sequences_bpe" ->

@@ -660,6 +660,46 @@ object Pipeline {
       sh, evalSh, hit)
   }
 
+  def decontaminateFp(s: SparkSession, d: String): DataFrame =
+    decontaminateFpDf(Tables.documents(s, d))
+
+  /** Measured false-positive report for the Bloom decontamination gate —
+    * the number an operator checks before sizing the filter (Bloom 1970's
+    * tradeoff, measured rather than assumed): per split, how many documents
+    * and shingles the bitset flagged vs how many the exact verify stage
+    * confirmed. Bloom probes can only over-admit, so every truly
+    * contaminated doc is flagged (no false negatives by construction) and
+    * `docs_fp = docs_flagged - docs_contaminated`; the e4 precisions say
+    * what fraction of the exact-verify work the corpus actually needed —
+    * the knob that decides whether `BloomBits` is worth growing. All
+    * columns are exact integers / pinned e4 divisions, so the report
+    * hash-matches the oracle.
+    *
+    * Scale shape: composes [[decontaminateBloomDf]] (bitset broadcast +
+    * filtered verify join) with one split-count-sized aggregate — nothing
+    * new shuffles at corpus scale. */
+  def decontaminateFpDf(docs: DataFrame): DataFrame =
+    decontaminateBloomDf(docs)
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_candidates") > 0L).cast("long")).as("docs_flagged"),
+        sum("contaminated").as("docs_contaminated"),
+        sum((col("n_candidates") > 0L && col("n_shared") === 0L).cast("long"))
+          .as("docs_fp"),
+        sum("n_candidates").as("shingles_cand"),
+        sum("n_shared").as("shingles_shared"))
+      .select(col("split"), col("n_docs"), col("docs_flagged"),
+        col("docs_contaminated"), col("docs_fp"),
+        col("shingles_cand"), col("shingles_shared"),
+        when(col("docs_flagged") === 0L, 0L)
+          .otherwise(round(col("docs_contaminated") * lit(10000.0) /
+            col("docs_flagged")).cast("long")).as("doc_precision_e4"),
+        when(col("shingles_cand") === 0L, 0L)
+          .otherwise(round(col("shingles_shared") * lit(10000.0) /
+            col("shingles_cand")).cast("long")).as("shingle_precision_e4"))
+      .orderBy("split")
+
   /** Tokens per packed training sequence (the concat-and-chunk rule). */
   val SeqLen = 256L
 
@@ -735,6 +775,68 @@ object Pipeline {
         .select(col("doc_id"), col("n_toks"), col("offset"), col("seq_id"))
         .orderBy("doc_id"),
       base)
+  }
+
+  def packEfficiency(s: SparkSession, d: String): DataFrame =
+    packEfficiencyDf(Tables.documents(s, d))
+
+  /** Packing-efficiency report — the analysis a pipeline runs before
+    * choosing its packing strategy (Ding et al. 2024, "Fewer Truncations
+    * Improve Language Modeling"): per source, the cost of the two
+    * deterministic layouts this engine ships. Concat-and-chunk
+    * ([[packSequences]]) achieves the per-source sequence lower bound
+    * (`chunk_seqs = ceil(tokens / SeqLen)`) and pads only the final
+    * partial sequence (`chunk_tail_pad`), but SPLITS every document whose
+    * token span crosses a SeqLen boundary (`chunk_split_docs` — the
+    * truncation/attention-pollution cost the paper measures); pad-per-doc
+    * (one document per sequence, truncate at SeqLen) never splits but pays
+    * `pad_pad_tokens` of padding on short documents and drops
+    * `pad_trunc_tokens` from long ones. Counts and token sums are exact
+    * integers, ratios are the pinned e4 divisions, so the report
+    * hash-matches the oracle.
+    *
+    * Scale shape: the same one window per source shard as
+    * [[packSequences]] followed by a per-source aggregate — the output is
+    * source-count-sized and nothing new shuffles. */
+  def packEfficiencyDf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = SeqLen
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("offset", sum("n_toks").over(w) - col("n_toks"))
+      // A document is split iff its first and last token land in different
+      // sequences; empty documents occupy no span and never split.
+      // Non-negative offsets, so double-divide + long cast = floor (the
+      // packSequences rule).
+      .withColumn("is_split",
+        (col("n_toks") > 0L &&
+          (col("offset") / lit(L)).cast("long") =!=
+            ((col("offset") + col("n_toks") - lit(1L)) / lit(L)).cast("long"))
+          .cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("is_split").as("chunk_split_docs"),
+        sum(least(col("n_toks"), lit(L))).as("pad_kept_tokens"),
+        sum(greatest(col("n_toks") - lit(L), lit(0L))).as("pad_trunc_tokens"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        ((col("n_tokens") + lit(L - 1)) / lit(L)).cast("long").as("chunk_seqs"),
+        (((col("n_tokens") + lit(L - 1)) / lit(L)).cast("long") * L -
+          col("n_tokens")).as("chunk_tail_pad"),
+        col("chunk_split_docs"),
+        round(col("chunk_split_docs") * lit(10000.0) / col("n_docs"))
+          .cast("long").as("split_frac_e4"),
+        col("n_docs").as("pad_seqs"),
+        (col("n_docs") * L - col("pad_kept_tokens")).as("pad_pad_tokens"),
+        col("pad_trunc_tokens"),
+        round((col("n_docs") * L - col("pad_kept_tokens")) * lit(10000.0) /
+          (col("n_docs") * L)).cast("long").as("pad_waste_e4"))
+      .orderBy("source")
   }
 
   /** The two-phase distributed EXCLUSIVE prefix sum — the ONE

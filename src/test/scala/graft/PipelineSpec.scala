@@ -343,6 +343,57 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateFp: split aggregates reconcile with the per-doc bloom frame") {
+    val docs = sources.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text")
+    val perDoc = Pipeline.decontaminateBloomDf(docs)
+      .as[(Long, String, Long, Long, Long)].collect()
+    val report = Pipeline.decontaminateFpDf(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(report.map(_._1).toSeq.sorted === perDoc.map(_._2).distinct.toSeq.sorted)
+    for ((split, nDocs, flagged, cont, fp, shCand, shShared, docP, shP) <- report) {
+      val g = perDoc.filter(_._2 == split)
+      assert(nDocs === g.size.toLong)
+      assert(flagged === g.count(_._3 > 0).toLong, s"$split flagged")
+      assert(cont === g.count(_._5 == 1L).toLong, s"$split contaminated")
+      // The bitset cannot under-admit, so FP is exactly the flagged excess.
+      assert(fp === flagged - cont, s"$split fp identity")
+      assert(shCand === g.map(_._3).sum && shShared === g.map(_._4).sum)
+      assert(docP === (if (flagged == 0) 0L
+        else math.round(cont * 10000.0 / flagged)), s"$split doc precision")
+      assert(shP === (if (shCand == 0) 0L
+        else math.round(shShared * 10000.0 / shCand)), s"$split shingle precision")
+    }
+  }
+
+  test("packEfficiency: per-source report reconciles with the packSequences layout") {
+    val rows = Pipeline.packSequences(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val report = Pipeline.packEfficiency(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    val L = Pipeline.SeqLen
+    assert(report.map(_._1).toSeq.sorted === rows.map(_._2).distinct.sorted)
+    for ((src, nDocs, nToks, chunkSeqs, tailPad, splitDocs, splitE4,
+        padSeqs, padPad, padTrunc, wasteE4) <- report) {
+      val g = rows.filter(_._2 == src)
+      assert(nDocs === g.size.toLong && nToks === g.map(_._3).sum)
+      assert(chunkSeqs === (nToks + L - 1) / L, s"$src chunk lower bound")
+      assert(tailPad === chunkSeqs * L - nToks)
+      val expectSplit = g.count { case (_, _, n, off, _) =>
+        n > 0 && off / L != (off + n - 1) / L }.toLong
+      assert(splitDocs === expectSplit, s"$src boundary-crossing docs")
+      assert(splitE4 === math.round(splitDocs * 10000.0 / nDocs))
+      assert(padSeqs === nDocs)
+      assert(padPad === g.map(r => L - math.min(r._3, L)).sum, s"$src padding")
+      assert(padTrunc === g.map(r => math.max(r._3 - L, 0L)).sum)
+      assert(wasteE4 === math.round(padPad * 10000.0 / (padSeqs * L)))
+      // Chunking trades tail pad for splits; pad-per-doc trades pad for
+      // whole documents intact — both sides of the Ding et al. tradeoff.
+      assert(tailPad < L, s"$src tail pad is at most one partial sequence")
+    }
+  }
+
   test("packSequences: offsets are running token sums per source, seq boundaries at SeqLen") {
     val rows = Pipeline.packSequences(spark, TestSpark.sf)
       .as[(Long, String, Long, Long, Long)].collect().toSeq

@@ -394,6 +394,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("packEfficiencyDf: planted boundary cases (empty doc, exact fit, multi-sequence doc)") {
+    def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // s1 layout at SeqLen=256: 100 tokens (seq 0), an empty doc, 156 tokens
+    // ending exactly at position 255 (boundary-exact, NOT split), 600 tokens
+    // spanning seqs 1-3 (split), 100 tokens inside seq 3.
+    val docs = Seq(
+      (1L, "s1", txt(100)), (2L, "s1", ""), (3L, "s1", txt(156)),
+      (4L, "s1", txt(600)), (5L, "s1", txt(100)),
+      (9L, "s2", txt(256))).toDF("doc_id", "source", "text")
+    val got = Pipeline.packEfficiencyDf(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // n_docs 5, tokens 956, ceil(956/256)=4 seqs, tail 68, 1 split doc,
+    // pad-per-doc: 668 pad + 344 truncated, waste round(668e4/1280)=5219.
+    assert(got("s1") === (("s1", 5L, 956L, 4L, 68L, 1L, 2000L, 5L, 668L, 344L, 5219L)))
+    // 256 tokens fill one sequence exactly: no tail, no split, no padding.
+    assert(got("s2") === (("s2", 1L, 256L, 1L, 0L, 0L, 0L, 1L, 0L, 0L, 0L)))
+  }
+
   test("packSequences: offsets are running token sums per source, seq boundaries at SeqLen") {
     val rows = Pipeline.packSequences(spark, TestSpark.sf)
       .as[(Long, String, Long, Long, Long)].collect().toSeq

@@ -694,7 +694,7 @@ object Dedup extends org.apache.spark.internal.Logging {
   def jaccardPairsShared(s: SparkSession, d: String,
       maxDf: Long = MaxShingleDf): DataFrame =
     graft.sources.ArtifactCache.getOrBuild(s, "jacpairs",
-      new java.io.File(d, "documents.parquet"),
+      s"$d/documents.parquet",
       Seq(JacPairsBaseE4, maxDf, JacPairsVersion))(
       ngramJaccardPairsRaw(Tables.documents(s, d), JacPairsBaseE4, maxDf))
 
@@ -851,7 +851,7 @@ object Dedup extends org.apache.spark.internal.Logging {
   def clusterAssignmentsShared(s: SparkSession, d: String,
       minJacE4: Long = 100L): DataFrame =
     graft.sources.ArtifactCache.getOrBuild(s, "dedupcc",
-      new java.io.File(d, "documents.parquet"),
+      s"$d/documents.parquet",
       // The pair product's version and base are part of THIS key too:
       // the build consumes jacpairs, so a pair-construction change
       // must invalidate the assignment mechanically, not by a
@@ -1025,7 +1025,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     * hyperplanes, monotone score filter above [[EmbPairsBaseE4]]). */
   def embeddingPairsShared(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactCache.getOrBuild(s, "embpairs",
-      new java.io.File(d, "embeddings.parquet"),
+      s"$d/embeddings.parquet",
       Seq(EmbPairsBaseE4, EmbBands, EmbRowsPerBand, EmbPairsVersion))(
       embeddingPairsLshRaw(s, d, EmbPairsBaseE4))
 

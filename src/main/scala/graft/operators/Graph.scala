@@ -188,7 +188,7 @@ object Graph {
     * unchanged. */
   def coSupplyEdgesShared(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactCache.getOrBuild(s, "cosupply",
-      new java.io.File(d, "lineitem.parquet"),
+      s"$d/lineitem.parquet",
       Seq(TriEdgesPerNode, CoSupplyVersion))(coSupplyEdges(s, d))
 
   /** Algorithm version of the co-supply edge product — part of the cache

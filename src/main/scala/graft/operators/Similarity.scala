@@ -426,7 +426,7 @@ object Similarity {
   def kmeansAssignmentsShared(s: SparkSession, d: String,
       nCells: Int = IvfCells, iters: Int = IvfKmeansIters): DataFrame =
     graft.sources.ArtifactCache.getOrBuild(s, "kmassign",
-      new java.io.File(d, "embeddings.parquet"),
+      s"$d/embeddings.parquet",
       Seq(nCells, iters, KmAssignVersion))(
       kmeansClustersRaw(s, d, nCells, iters))
 
@@ -903,14 +903,15 @@ object Similarity {
       pqIters: Int = PqKmeansIters, eta: Int = PqEta): String = {
     val dir = ivfPqResolveDir(indexDir.getOrElse(
       ivfPqIndexDir(d, nCells, m, kCents, ivfIters, pqIters, eta)))
-    if (!new java.io.File(dir, "index").exists()) {
+    if (!graft.sources.ArtifactCache.exists(s"$dir/index")) {
       val t0 = System.nanoTime()
       ivfPqWriteIndex(s, d, dir, nCells, m, kCents, ivfIters, pqIters, eta,
         replace = false)
       graft.sources.ArtifactCache.recordBuild(
-        new java.io.File(dir).getName, (System.nanoTime() - t0) / 1e9)
+        graft.sources.ArtifactCache.baseName(dir),
+        (System.nanoTime() - t0) / 1e9)
     }
-    graft.sources.ArtifactCache.validateManifest(new java.io.File(dir),
+    graft.sources.ArtifactCache.validateManifest(dir,
       ivfPqManifestKey(d, nCells, m, kCents, ivfIters, pqIters, eta))
     dir
   }
@@ -921,11 +922,11 @@ object Similarity {
     * otherwise `dir` itself is the index. Readers resolve ONCE per query,
     * so a swap mid-query cannot tear one plan across two versions. */
   private[graft] def ivfPqResolveDir(dir: String): String = {
-    val cur = new java.io.File(dir, "CURRENT")
-    if (!cur.isFile) dir
-    else new java.io.File(dir, new String(
-      java.nio.file.Files.readAllBytes(cur.toPath), "UTF-8").trim)
-      .getAbsolutePath
+    import graft.sources.ArtifactCache
+    val cur = s"$dir/CURRENT"
+    if (!ArtifactCache.isFile(cur)) dir
+    else new org.apache.hadoop.fs.Path(dir,
+      ArtifactCache.readSmall(cur).trim).toString
   }
 
   /** The full (unhashed) identity a persisted index must prove at read
@@ -934,7 +935,7 @@ object Similarity {
   private def ivfPqManifestKey(d: String, nCells: Int, m: Int, kCents: Int,
       ivfIters: Int, pqIters: Int, eta: Int): String =
     graft.sources.ArtifactCache.keyString("ivfpq",
-      new java.io.File(d, "embeddings.parquet"),
+      s"$d/embeddings.parquet",
       Seq(nCells, m, kCents, ivfIters, pqIters, eta, IvfPqIndexVersion))
 
   /** REBUILD-UNDER-READERS: build a fresh index VERSION under `baseDir`
@@ -951,24 +952,20 @@ object Similarity {
       nCells: Int = IvfCells, m: Int = PqM, kCents: Int = PqK,
       ivfIters: Int = IvfKmeansIters, pqIters: Int = PqKmeansIters,
       eta: Int = PqEta): String = {
-    val base = new java.io.File(baseDir)
-    java.nio.file.Files.createDirectories(base.toPath): Unit
-    val prev = Option(new java.io.File(base, "CURRENT"))
-      .filter(_.isFile).map(f => new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+    import graft.sources.ArtifactCache
+    ArtifactCache.mkdirs(baseDir)
+    def pointer(): Option[String] = {
+      val cur = s"$baseDir/CURRENT"
+      if (ArtifactCache.isFile(cur)) Some(ArtifactCache.readSmall(cur).trim)
+      else None
+    }
+    val prev = pointer()
     val version = "v-" + java.lang.ProcessHandle.current().pid() + "-" +
       java.util.UUID.randomUUID().toString.take(8)
-    val vdir = new java.io.File(base, version)
-    ivfPqWriteIndex(s, d, vdir.getAbsolutePath, nCells, m, kCents,
-      ivfIters, pqIters, eta)
+    val vdir = new org.apache.hadoop.fs.Path(baseDir, version).toString
+    ivfPqWriteIndex(s, d, vdir, nCells, m, kCents, ivfIters, pqIters, eta)
     // Flip the pointer atomically: write-then-move, never a partial read.
-    val tmp = new java.io.File(base, "CURRENT.tmp-" +
-      java.util.UUID.randomUUID().toString.take(8))
-    java.nio.file.Files.write(tmp.toPath, version.getBytes("UTF-8")): Unit
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(base, "CURRENT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    ArtifactCache.writeFileAtomic(baseDir, "CURRENT", version)
     // Retire old versions. Concurrent swaps are last-writer-wins on the
     // POINTER (schedule swaps non-overlapping for deterministic
     // ownership), but the retire loop must be safe regardless: re-read
@@ -976,16 +973,13 @@ object Similarity {
     // now — a racing swap may have flipped it after us, (b) the version
     // we replaced (in-flight readers), (c) our own build, (d) any
     // `.tmp-*` sibling — that is a racer's build still being written.
-    val live = Option(new java.io.File(base, "CURRENT"))
-      .filter(_.isFile).map(f => new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
-    Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("v-") &&
-        !f.getName.contains(".tmp-") &&
-        f.getName != version && !live.contains(f.getName) &&
-        !prev.contains(f.getName))
-      .foreach(graft.sources.ArtifactCache.rmTree)
-    vdir.getAbsolutePath
+    val live = pointer()
+    ArtifactCache.listSubdirNames(baseDir)
+      .filter(n => n.startsWith("v-") && !n.contains(".tmp-") &&
+        n != version && !live.contains(n) && !prev.contains(n))
+      .foreach(n => ArtifactCache.rmTree(
+        new org.apache.hadoop.fs.Path(baseDir, n).toString))
+    vdir
   }
 
   /** The REFRESH CRON shape: rebuild-and-swap ONLY when the live version
@@ -1005,7 +999,7 @@ object Similarity {
     val expected = ivfPqManifestKey(d, nCells, m, kCents, ivfIters,
       pqIters, eta)
     val fresh = resolved != baseDir &&
-      graft.sources.ArtifactCache.readManifest(new java.io.File(resolved))
+      graft.sources.ArtifactCache.readManifest(resolved)
         .contains(expected)
     if (fresh) None
     else Some(ivfPqSwapIndex(s, d, baseDir, nCells, m, kCents, ivfIters,
@@ -1042,7 +1036,7 @@ object Similarity {
       kCents: Int = PqK, ivfIters: Int = IvfKmeansIters,
       pqIters: Int = PqKmeansIters, eta: Int = PqEta): String =
     graft.sources.ArtifactCache.path("ivfpq",
-      new java.io.File(d, "embeddings.parquet"),
+      s"$d/embeddings.parquet",
       Seq(nCells, m, kCents, ivfIters, pqIters, eta, IvfPqIndexVersion))
 
   /** BUILD-AND-PERSIST the trained IVF-PQ index — the production split's
@@ -1087,15 +1081,14 @@ object Similarity {
       } catch { case e: Throwable =>
         graft.sources.ArtifactCache.rmTree(tmp); throw e
       }
-      val fin = new java.io.File(dir)
       // Replace semantics (the default): this API REBUILDS an index in
       // place — coordinating against live readers is the caller's
       // deployment concern, as with any index swap. The build-on-miss
       // path (ensureIvfPqIndex) passes replace = false instead: losing a
       // concurrent cold-start race discards this copy and keeps the
       // winner's, so a just-published live index is never deleted.
-      if (replace) graft.sources.ArtifactCache.rmTree(fin)
-      graft.sources.ArtifactCache.publish(tmp, fin)
+      if (replace) graft.sources.ArtifactCache.rmTree(dir)
+      graft.sources.ArtifactCache.publish(tmp, dir)
     } finally
       // Release the model-sized corpus frames even when a write fails —
       // the library must not rely on the caller's clearCache hygiene.

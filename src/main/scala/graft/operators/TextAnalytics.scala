@@ -157,11 +157,11 @@ object TextAnalytics {
     * Planted-test Df variants keep training self-contained. */
   private[graft] def ensureBpeProduct(s: SparkSession, d: String,
       nMerges: Int = BpeMerges, batch: Int = BpeBatch): String = {
-    val srcFile = new java.io.File(d, "documents.parquet")
+    val srcFile = s"$d/documents.parquet"
     val params = Seq(nMerges, batch, BpeProductVersion)
     val key = graft.sources.ArtifactCache.keyString("bpe", srcFile, params)
     val dir = graft.sources.ArtifactCache.path("bpe", srcFile, params)
-    if (!new java.io.File(dir, "merges").exists()) {
+    if (!graft.sources.ArtifactCache.exists(s"$dir/merges")) {
       val t0 = System.nanoTime()
       import s.implicits._
       val (m, _, seg) = vocabTrainSeg(Tables.documents(s, d), nMerges, batch)
@@ -169,8 +169,8 @@ object TextAnalytics {
         val tmp = graft.sources.ArtifactCache.newTmpDir(dir)
         try {
           m.toDF("merge_rank", "lhs", "rhs", "merged", "pair_cnt")
-            .coalesce(1).write.parquet(tmp.getAbsolutePath + "/merges")
-          seg.write.parquet(tmp.getAbsolutePath + "/seg")
+            .coalesce(1).write.parquet(s"$tmp/merges")
+          seg.write.parquet(s"$tmp/seg")
           graft.sources.ArtifactCache.writeManifest(tmp, key)
         } catch { case e: Throwable =>
           graft.sources.ArtifactCache.rmTree(tmp); throw e
@@ -179,12 +179,13 @@ object TextAnalytics {
         // completed tmp build on disk and names it in the error
         // (ArtifactCache.publish's contract) — deleting it here would
         // destroy the recoverable copy the message points at.
-        graft.sources.ArtifactCache.publish(tmp, new java.io.File(dir))
+        graft.sources.ArtifactCache.publish(tmp, dir)
         graft.sources.ArtifactCache.recordBuild(
-          new java.io.File(dir).getName, (System.nanoTime() - t0) / 1e9)
+          graft.sources.ArtifactCache.baseName(dir),
+          (System.nanoTime() - t0) / 1e9)
       } finally org.apache.spark.sql.graft.Checkpoints.release(seg)
     }
-    graft.sources.ArtifactCache.validateManifest(new java.io.File(dir), key)
+    graft.sources.ArtifactCache.validateManifest(dir, key)
     dir
   }
 
@@ -1384,7 +1385,7 @@ object TextAnalytics {
     * so consumers' oracles are unchanged. */
   def lmScoresShared(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactCache.getOrBuild(s, "lmscore",
-      new java.io.File(d, "documents.parquet"), Seq(LmScoreVersion))(
+      s"$d/documents.parquet", Seq(LmScoreVersion))(
       lmScoreDf(Tables.documents(s, d)))
 
   /** Same, over any (doc_id, text) DataFrame (planted fluency tests). */

@@ -1,7 +1,10 @@
 package graft.sources
 
-import java.io.File
-import java.nio.file.{Files, Paths}
+import java.io.IOException
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
+import org.apache.hadoop.fs.permission.FsPermission
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -12,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * consumer's plan repeats the dominant cost.
   *
   * The cache key is the identity of the SOURCE file the product derives
-  * from (absolute path, byte size, mtime) plus every build parameter plus
+  * from (qualified path, byte size, mtime) plus every build parameter plus
   * a layout version — so a changed corpus, changed knobs, or changed code
   * can never silently serve a stale product; invalidation is structural,
   * not scheduled. Each published product carries a MANIFEST recording its
@@ -23,13 +26,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * LOCATION: products live under a single dedicated root, resolved (in
   * order) from the session conf `spark.graft.products.dir`, the env var
-  * `SPARK_GRAFT_PRODUCTS_DIR` — the cluster deployment story: point it
-  * at a warehouse/DFS path all executors can reach — and falling back to
-  * a PER-USER 0700 directory under the JVM temp dir (scratch, like
-  * Spark's own local dirs). The per-user name plus the ownership check
-  * in [[root]] means another local user on a shared host can neither
-  * pre-create nor read this user's cache. Listing and eviction only ever
-  * touch entries under this root, never sibling temp dirs.
+  * `SPARK_GRAFT_PRODUCTS_DIR` — the cluster deployment story — and
+  * falling back to a PER-USER 0700 directory under the JVM temp dir
+  * (scratch, like Spark's own local dirs). The per-user name plus the
+  * ownership check in [[root]] means another local user on a shared host
+  * can neither pre-create nor read this user's cache. Listing and
+  * eviction only ever touch entries under this root, never sibling dirs.
+  *
+  * FILESYSTEM: every path here goes through the Hadoop `FileSystem` API
+  * resolved from the active session's Hadoop configuration, so the root
+  * may be a local path, a `file://` URI, or any DFS the cluster mounts
+  * (`hdfs://nn/warehouse/graft`): executors read products through the
+  * same qualified paths the driver published them under — the layer is
+  * not tied to driver-local disk. A scheme-less root resolves against
+  * `fs.defaultFS`, which on a real cluster is exactly the warehouse
+  * filesystem. Crash-safe publication relies on atomic directory rename,
+  * which local disk, HDFS, and POSIX-complete DFS provide; raw object
+  * stores without atomic rename need an HDFS-semantics layer in front
+  * (their usual deployment) for the first-wins guarantee to hold.
   *
   * Publication is crash-safe: the build lands in a PRIVATE `<dir>.tmp-*`
   * and an atomic rename publishes it, so a killed build never leaves a
@@ -38,14 +52,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ArtifactCache {
 
   /** Bump to invalidate every cached product at once (layout changes).
-    * 2: dedicated per-user root + per-product manifests (round 11). */
-  private val CacheVersion = 2
+    * 2: dedicated per-user root + per-product manifests (round 11).
+    * 3: Hadoop-FileSystem product layer — keys carry the QUALIFIED
+    *    source path (round 11). */
+  private val CacheVersion = 3
 
-  /** The products root (see class doc for the resolution order). Created
-    * on first use with owner-only permissions; if it already exists its
-    * OWNER must be this user — a root planted by someone else is refused,
-    * not trusted (shared-host hardening). */
-  def root: File = {
+  /** The Hadoop configuration FS operations resolve against: the active
+    * session's (carries cluster `fs.defaultFS`, credentials); a plain
+    * `Configuration()` for session-less callers (the isolated bench
+    * parent evicting before any SparkSession exists — local FS there). */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  /** The products root (see class doc for the resolution order), as the
+    * raw configured string — every product path is `<root>/<name>-<key>`,
+    * so callers can compose and compare paths textually. Created on
+    * first use with owner-only permissions; if it already exists its
+    * OWNER must be this user — a root planted by someone else is
+    * refused, not trusted (shared-host hardening; filesystems that do
+    * not report ownership skip the check). */
+  def root: String = {
     // System property included so a session-less caller (the isolated
     // bench PARENT evicting before any SparkSession exists) resolves the
     // same root a -Dspark.graft.products.dir-configured child will.
@@ -53,32 +83,48 @@ object ArtifactCache {
       .flatMap(s => s.conf.getOption("spark.graft.products.dir"))
       .orElse(sys.props.get("spark.graft.products.dir"))
       .orElse(sys.env.get("SPARK_GRAFT_PRODUCTS_DIR"))
-    val dir = configured.map(new File(_)).getOrElse(
-      new File(sys.props("java.io.tmpdir"),
-        s"graft-cache-${sys.props.getOrElse("user.name", "anon")}"))
-    if (!dir.exists()) {
-      Files.createDirectories(dir.toPath)
-      try {
-        import java.nio.file.attribute.PosixFilePermissions
-        Files.setPosixFilePermissions(dir.toPath,
-          PosixFilePermissions.fromString("rwx------")): Unit
-      } catch { case _: UnsupportedOperationException => () } // non-POSIX FS
+    val raw = configured.getOrElse(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-cache-${sys.props.getOrElse("user.name", "anon")}")
+        .getAbsolutePath)
+    val p = new Path(raw)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) {
+      fs.mkdirs(p): Unit
+      try fs.setPermission(p,
+        new FsPermission(Integer.parseInt("700", 8).toShort))
+      catch { case _: UnsupportedOperationException => () } // object stores
     }
     try {
-      val owner = Files.getOwner(dir.toPath).getName
-      val me = sys.props.getOrElse("user.name", owner)
-      if (owner != me) throw new java.io.IOException(
-        s"products root $dir is owned by '$owner', not '$me' — refusing " +
+      val owner = fs.getFileStatus(p).getOwner
+      val me =
+        try org.apache.hadoop.security.UserGroupInformation
+          .getCurrentUser.getShortUserName
+        catch { case _: IOException => sys.props.getOrElse("user.name", owner) }
+      if (owner.nonEmpty && owner != me) throw new IOException(
+        s"products root $raw is owned by '$owner', not '$me' — refusing " +
           "to serve a cache this user does not own")
-    } catch { case _: UnsupportedOperationException => () }
-    dir
+    } catch { case _: UnsupportedOperationException => () } // no ownership
+    raw
   }
 
+  private def rootPath(): Path = new Path(root)
+
   /** Full, UNHASHED content key for product `name` — what the manifest
-    * records and read-time validation compares. */
-  def keyString(name: String, keyFile: File, params: Seq[Any]): String =
-    (Seq(name, keyFile.getAbsolutePath, keyFile.length,
-      keyFile.lastModified) ++ params :+ CacheVersion).mkString("|")
+    * records and read-time validation compares. The source's identity is
+    * its FS-qualified path plus size and mtime (both 0 for a path that
+    * does not exist yet, matching the pre-FS semantics — the build
+    * itself will fail loudly on a truly absent corpus). */
+  def keyString(name: String, keyFile: String, params: Seq[Any]): String = {
+    val p = new Path(keyFile)
+    val fs = fsOf(p)
+    val (len, mtime) =
+      if (fs.exists(p)) {
+        val st = fs.getFileStatus(p); (st.getLen, st.getModificationTime)
+      } else (0L, 0L)
+    (Seq(name, fs.makeQualified(p).toString, len, mtime) ++
+      params :+ CacheVersion).mkString("|")
+  }
 
   private def sha8(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -88,27 +134,85 @@ object ArtifactCache {
     * `keyFile` under `params`: `<root>/<name>-<16-hex-key>`. Touches the
     * filesystem only to read the key file's metadata and ensure the
     * root. */
-  def path(name: String, keyFile: File, params: Seq[Any]): String =
-    new File(root, s"$name-${sha8(keyString(name, keyFile, params))}")
-      .getAbsolutePath
+  def path(name: String, keyFile: String, params: Seq[Any]): String =
+    new Path(root, s"$name-${sha8(keyString(name, keyFile, params))}")
+      .toString
+
+  // ---- small FS helpers (shared with the persisted-index machinery,
+  //      which manages versioned directories outside getOrBuild) ----
+
+  def exists(p: String): Boolean = {
+    val pp = new Path(p); fsOf(pp).exists(pp)
+  }
+
+  def isFile(p: String): Boolean = {
+    val pp = new Path(p); val fs = fsOf(pp)
+    fs.exists(pp) && fs.getFileStatus(pp).isFile
+  }
+
+  def mkdirs(p: String): Unit = {
+    val pp = new Path(p); fsOf(pp).mkdirs(pp): Unit
+  }
+
+  /** Basename of a product/path string (the registry's product-dir
+    * name), FS-scheme agnostic. */
+  def baseName(p: String): String = new Path(p).getName
+
+  /** Read a SMALL control file (a manifest, a version pointer) fully. */
+  def readSmall(p: String): String = {
+    val pp = new Path(p); val fs = fsOf(pp)
+    val len = fs.getFileStatus(pp).getLen.toInt
+    val in = fs.open(pp)
+    try {
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      new String(buf, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Atomically (re)place the small control file `dir/name` with
+    * `content`: write-then-rename-with-overwrite, so a reader never sees
+    * a partial file — the version-pointer flip primitive. Atomic
+    * overwrite-rename is a `FileContext` operation (plain
+    * `FileSystem.rename` refuses an existing destination). */
+  def writeFileAtomic(dir: String, name: String, content: String): Unit = {
+    val d = new Path(dir)
+    val fs = fsOf(d)
+    fs.mkdirs(d): Unit
+    val qd = fs.makeQualified(d)
+    val tmp = new Path(qd,
+      name + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(qd.toUri, hadoopConf)
+    fc.rename(tmp, new Path(qd, name), Options.Rename.OVERWRITE)
+  }
+
+  /** Names of the immediate subdirectories of `dir` (empty if absent). */
+  def listSubdirNames(dir: String): Seq[String] = {
+    val d = new Path(dir); val fs = fsOf(d)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
 
   // ---- manifest: the read-time proof a directory IS the product ----
 
   private val ManifestName = "_GRAFT_MANIFEST"
 
   /** Record `key` as the manifest of the (still-private) build dir —
-    * called by builders after the tables land, before publish. */
-  def writeManifest(buildDir: File, key: String): Unit = {
-    Files.createDirectories(buildDir.toPath)
-    Files.write(new File(buildDir, ManifestName).toPath,
-      key.getBytes("UTF-8")): Unit
+    * called by builders after the tables land, before publish. The
+    * leading underscore keeps it out of Spark's input listing. */
+  def writeManifest(buildDir: String, key: String): Unit = {
+    val d = new Path(buildDir); val fs = fsOf(d)
+    fs.mkdirs(d): Unit
+    val out = fs.create(new Path(d, ManifestName), true)
+    try out.write(key.getBytes("UTF-8")) finally out.close()
   }
 
   /** The published manifest of `dir`, if one exists. */
-  def readManifest(dir: File): Option[String] = {
-    val f = new File(dir, ManifestName)
-    if (f.isFile) Some(new String(Files.readAllBytes(f.toPath), "UTF-8"))
-    else None
+  def readManifest(dir: String): Option[String] = {
+    val f = new Path(dir, ManifestName)
+    if (isFile(f.toString)) Some(readSmall(f.toString)) else None
   }
 
   /** Fail-loudly validation: `dir` must carry a manifest exactly equal to
@@ -116,42 +220,46 @@ object ArtifactCache {
     * mismatched one (hash collision, mislabeled/planted dir, stale
     * explicit location) refuses to serve — the caller's error, surfaced
     * at the first read instead of as silently wrong query results. */
-  def validateManifest(dir: File, key: String): Unit =
+  def validateManifest(dir: String, key: String): Unit =
     readManifest(dir) match {
       case Some(k) if k == key => ()
-      case Some(k) => throw new java.io.IOException(
+      case Some(k) => throw new IOException(
         s"product at $dir does not match the requested key\n  expected: " +
           s"$key\n  found:    $k\n(stale or mismatched product — evict or " +
           "rebuild it)")
-      case None => throw new java.io.IOException(
+      case None => throw new IOException(
         s"product at $dir carries no manifest — refusing to serve an " +
           "unverified directory (evict it to rebuild)")
     }
 
-  def rmTree(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
-    f.delete(): Unit
+  /** Recursively delete `p` (no-op if absent). */
+  def rmTree(p: String): Unit = {
+    val pp = new Path(p); val fs = fsOf(pp)
+    if (fs.exists(pp)) fs.delete(pp, true): Unit
   }
 
   /** A build directory PRIVATE to this builder: the unique suffix means
     * concurrent builders of the same key never write into each other's
     * in-flight part files (they each build a complete product and race
     * only on the atomic publish, where losing is harmless). */
-  def newTmpDir(dir: String): File =
-    new File(dir + ".tmp-" + java.lang.ProcessHandle.current().pid() +
-      "-" + java.util.UUID.randomUUID().toString.take(8))
+  def newTmpDir(dir: String): String =
+    dir + ".tmp-" + java.lang.ProcessHandle.current().pid() +
+      "-" + java.util.UUID.randomUUID().toString.take(8)
 
   /** Atomically publish `tmp` as `dir`. If another builder won the race
     * (`dir` appeared first), this builder's copy is discarded — the
     * published product is complete either way, and a live `dir` is NEVER
     * deleted out from under a concurrent reader. A GENUINE rename failure
-    * with no winner present (cross-mount path, permissions) keeps the
-    * built tmp copy on disk and names it in the error, so a
+    * with no winner present (cross-filesystem path, permissions) keeps
+    * the built tmp copy on disk and names it in the error, so a
     * minutes-long build is recoverable rather than destroyed. */
-  def publish(tmp: File, dir: File): Unit = {
-    if (!dir.exists() && tmp.renameTo(dir)) return
-    if (dir.exists()) rmTree(tmp) // lost the race: keep the winner's copy
-    else throw new java.io.IOException(
+  def publish(tmp: String, dir: String): Unit = {
+    val t = new Path(tmp); val d = new Path(dir); val fs = fsOf(d)
+    val renamed = !fs.exists(d) &&
+      (try fs.rename(t, d) catch { case _: IOException => false })
+    if (renamed) return
+    if (fs.exists(d)) rmTree(tmp) // lost the race: keep the winner's copy
+    else throw new IOException(
       s"could not publish artifact at $dir (completed build kept at $tmp)")
   }
 
@@ -179,40 +287,66 @@ object ArtifactCache {
     * first wins, losers discard their complete copy, every reader sees
     * one complete product. A build that THROWS cleans its own tmp dir.
     * Every hit validates the manifest (see [[validateManifest]]). */
-  def getOrBuild(s: SparkSession, name: String, keyFile: File,
+  def getOrBuild(s: SparkSession, name: String, keyFile: String,
       params: Seq[Any])(build: => DataFrame): DataFrame = {
     val key = keyString(name, keyFile, params)
     val dir = path(name, keyFile, params)
-    val fin = new File(dir)
-    if (!fin.exists()) {
+    if (!exists(dir)) {
+      autoGc(s)
       val t0 = System.nanoTime()
       val tmp = newTmpDir(dir)
       try {
-        build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        build.write.mode("overwrite").parquet(tmp)
         writeManifest(tmp, key)
       } catch { case e: Throwable => rmTree(tmp); throw e }
-      publish(tmp, fin)
-      recordBuild(fin.getName, (System.nanoTime() - t0) / 1e9)
+      publish(tmp, dir)
+      recordBuild(baseName(dir), (System.nanoTime() - t0) / 1e9)
     }
-    validateManifest(fin, key)
+    validateManifest(dir, key)
     s.read.parquet(dir)
   }
 
-  private def treeStats(f: File): (Long, Long) =
-    if (f.isFile) (f.length(), 1L)
-    else f.listFiles() match {
-      case null => (0L, 0L)
-      case kids => kids.foldLeft((0L, 0L)) { case ((b, n), k) =>
-        val (kb, kn) = treeStats(k); (b + kb, n + kn)
-      }
-    }
+  /** AUTOMATIC retention, run BEFORE each miss-path build when the
+    * session opts in: `spark.graft.products.gc.maxBytes` and/or
+    * `spark.graft.products.gc.maxAgeDays` apply the [[gc]] policy
+    * without a cron — the daily-corpus loop's unattended guard (every
+    * drop mints fresh keys; without retention the stale ones accumulate
+    * forever). Unset (the default) means no automatic eviction, same as
+    * before. Running pre-build means the product about to be published
+    * can never be its own gc victim; the cache may overshoot the byte
+    * budget by the newest build until the next miss (size the budget
+    * well above one build, as with any cache). As with manual [[gc]],
+    * eviction never breaks correctness — a consumer whose product
+    * vanished rebuilds. */
+  private def autoGc(s: SparkSession): Unit = {
+    val bytes = s.conf.getOption("spark.graft.products.gc.maxBytes")
+      .flatMap(_.toLongOption)
+    val ageDays = s.conf.getOption("spark.graft.products.gc.maxAgeDays")
+      .flatMap(_.toLongOption)
+    if (bytes.isDefined || ageDays.isDefined)
+      gc(maxBytes = bytes, maxAgeMs = ageDays.map(_ * 86400000L)): Unit
+  }
+
+  private def treeStats(fs: FileSystem, st: FileStatus): (Long, Long) = {
+    val cs = fs.getContentSummary(st.getPath)
+    (cs.getLength, cs.getFileCount)
+  }
 
   /** Published product dirs under [[root]] (in-flight `.tmp-*` excluded),
     * oldest-first — the raw listing [[registry]] and [[gc]] share. */
-  private def published(): Seq[File] =
-    Option(root.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && !f.getName.contains(".tmp-"))
-      .sortBy(f => (f.lastModified(), f.getName)).toSeq
+  private def published(): Seq[FileStatus] = {
+    val r = rootPath(); val fs = fsOf(r)
+    if (!fs.exists(r)) Seq.empty
+    else fs.listStatus(r)
+      .filter(st => st.isDirectory && !st.getPath.getName.contains(".tmp-"))
+      .sortBy(st => (st.getModificationTime, st.getPath.getName)).toSeq
+  }
+
+  /** The product dir string for a listed entry: `<root>/<basename>`, the
+    * same textual form [[path]] produces, so registry rows compare equal
+    * to key paths. */
+  private def dirString(st: FileStatus): String =
+    new Path(root, st.getPath.getName).toString
 
   /** The PRODUCT REGISTRY — what the build-once/consume-many layer has
     * materialized: one row per published product directory (name, key
@@ -221,19 +355,20 @@ object ArtifactCache {
     * indexes exist, how big, how stale) and the input to [[gc]].
     * Driver-side listing bounded by product COUNT, never data size.
     * Listing is confined to [[root]], so it can never see (and [[evict]]/
-    * [[gc]] can never delete) unrelated temp directories. */
+    * [[gc]] can never delete) unrelated directories. */
   def registry(s: SparkSession): DataFrame = {
     import s.implicits._
-    val rows = published().map { f =>
+    val r = rootPath(); val fs = fsOf(r)
+    val rows = published().map { st =>
       // <name>-<16-hex-key>: split at the LAST hyphen, so a product name
       // that itself contains hyphens parses whole.
-      val base = f.getName
+      val base = st.getPath.getName
       val cut = base.lastIndexOf('-')
       val (name, key) =
         if (cut > 0) (base.substring(0, cut), base.substring(cut + 1))
         else (base, "")
-      val (bytes, files) = treeStats(f)
-      (name, key, f.getAbsolutePath, bytes, files, f.lastModified())
+      val (bytes, files) = treeStats(fs, st)
+      (name, key, dirString(st), bytes, files, st.getModificationTime)
     }.sortBy(r => (r._1, r._2))
     rows.toDF("product", "key", "dir", "bytes", "files", "modified_ms")
   }
@@ -249,19 +384,20 @@ object ArtifactCache {
     * break correctness, only re-pay a build. Returns the number of
     * directories removed. */
   def evict(product: String): Int = {
-    val victims = published().filter { f =>
-      val cut = f.getName.lastIndexOf('-')
-      f.getName == product ||
-        (cut > 0 && f.getName.substring(0, cut) == product)
+    val victims = published().filter { st =>
+      val base = st.getPath.getName
+      val cut = base.lastIndexOf('-')
+      base == product ||
+        (cut > 0 && base.substring(0, cut) == product)
     }
-    victims.foreach(rmTree)
+    victims.foreach(st => rmTree(dirString(st)))
     victims.length
   }
 
   /** Evict EVERY published product (the bench's cold-pass reset). */
   def evictAll(): Int = {
     val victims = published()
-    victims.foreach(rmTree)
+    victims.foreach(st => rmTree(dirString(st)))
     victims.length
   }
 
@@ -278,9 +414,10 @@ object ArtifactCache {
     * [[evict]]: a consumer whose product vanished rebuilds. */
   def gc(maxBytes: Option[Long] = None, maxAgeMs: Option[Long] = None,
       now: Long = System.currentTimeMillis()): Seq[String] = {
-    val all = published().map(f => (f, treeStats(f)._1))
-    val (tooOld, fresh) = all.partition { case (f, _) =>
-      maxAgeMs.exists(a => now - f.lastModified() > a)
+    val r = rootPath(); val fs = fsOf(r)
+    val all = published().map(st => (st, treeStats(fs, st)._1))
+    val (tooOld, fresh) = all.partition { case (st, _) =>
+      maxAgeMs.exists(a => now - st.getModificationTime > a)
     }
     val overBudget = maxBytes match {
       case None => Seq.empty
@@ -292,7 +429,7 @@ object ArtifactCache {
         }
     }
     val victims = tooOld ++ overBudget
-    victims.foreach { case (f, _) => rmTree(f) }
-    victims.map(_._1.getAbsolutePath)
+    victims.foreach { case (st, _) => rmTree(dirString(st)) }
+    victims.map { case (st, _) => dirString(st) }
   }
 }

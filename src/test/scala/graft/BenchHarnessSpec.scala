@@ -21,7 +21,7 @@ class BenchHarnessSpec extends AnyFunSuite {
     try body(tmp)
     finally {
       spark.conf.unset("spark.graft.products.dir")
-      ArtifactCache.rmTree(tmp)
+      ArtifactCache.rmTree(tmp.getAbsolutePath)
     }
   }
 
@@ -63,18 +63,18 @@ class BenchHarnessSpec extends AnyFunSuite {
       val f = java.nio.file.Files.createTempFile("graft-ac-key", ".parquet").toFile
       var builds = 0
       def build() = { builds += 1; Seq((1L, 2L), (3L, 4L)).toDF("a", "b") }
-      val first = ArtifactCache.getOrBuild(spark, "acspec", f, Seq(1))(build()).count()
-      val second = ArtifactCache.getOrBuild(spark, "acspec", f, Seq(1))(build()).count()
+      val first = ArtifactCache.getOrBuild(spark, "acspec", f.getAbsolutePath, Seq(1))(build()).count()
+      val second = ArtifactCache.getOrBuild(spark, "acspec", f.getAbsolutePath, Seq(1))(build()).count()
       assert(first === 2L && second === 2L)
       assert(builds === 1, "second consumer rebuilt a published product")
       // the product landed under the configured root, nowhere else
-      assert(ArtifactCache.path("acspec", f, Seq(1))
+      assert(ArtifactCache.path("acspec", f.getAbsolutePath, Seq(1))
         .startsWith(root.getAbsolutePath), "location knob was ignored")
       // params and the key-file identity both move the content address
-      val p1 = ArtifactCache.path("t", f, Seq(1))
-      val p2 = ArtifactCache.path("t", f, Seq(2))
+      val p1 = ArtifactCache.path("t", f.getAbsolutePath, Seq(1))
+      val p2 = ArtifactCache.path("t", f.getAbsolutePath, Seq(2))
       assert(p1 != p2, "param change did not move the cache key")
-      assert(ArtifactCache.path("t", f, Seq(1)) === p1, "path is not a pure function")
+      assert(ArtifactCache.path("t", f.getAbsolutePath, Seq(1)) === p1, "path is not a pure function")
       // the miss was timed for the bench's products section; the hit was not
       val times = ArtifactCache.drainBuildTimes()
       assert(times.keys.exists(_.startsWith("acspec-")),
@@ -90,24 +90,24 @@ class BenchHarnessSpec extends AnyFunSuite {
       // A directory PLANTED at the expected path without a manifest must
       // refuse to serve (the shared-host attack: pre-created dir with
       // attacker parquet inside).
-      val dir = new java.io.File(ArtifactCache.path("planted", f, Seq(1)))
+      val dir = new java.io.File(ArtifactCache.path("planted", f.getAbsolutePath, Seq(1)))
       build().write.parquet(dir.getAbsolutePath) // no manifest
       val e = intercept[java.io.IOException] {
-        ArtifactCache.getOrBuild(spark, "planted", f, Seq(1))(build()).count()
+        ArtifactCache.getOrBuild(spark, "planted", f.getAbsolutePath, Seq(1))(build()).count()
       }
       assert(e.getMessage.contains("no manifest"))
       // A dir whose manifest names a DIFFERENT key (mislabeled/stale) also
       // refuses.
-      val dir2 = new java.io.File(ArtifactCache.path("mislabel", f, Seq(1)))
+      val dir2 = new java.io.File(ArtifactCache.path("mislabel", f.getAbsolutePath, Seq(1)))
       build().write.parquet(dir2.getAbsolutePath)
-      ArtifactCache.writeManifest(dir2, "some-other-key")
+      ArtifactCache.writeManifest(dir2.getAbsolutePath, "some-other-key")
       val e2 = intercept[java.io.IOException] {
-        ArtifactCache.getOrBuild(spark, "mislabel", f, Seq(1))(build()).count()
+        ArtifactCache.getOrBuild(spark, "mislabel", f.getAbsolutePath, Seq(1))(build()).count()
       }
       assert(e2.getMessage.contains("does not match"))
       // evicting the bad dir heals: the next consumer rebuilds cleanly
       assert(ArtifactCache.evict("mislabel") === 1)
-      assert(ArtifactCache.getOrBuild(spark, "mislabel", f, Seq(1))(build())
+      assert(ArtifactCache.getOrBuild(spark, "mislabel", f.getAbsolutePath, Seq(1))(build())
         .count() === 1L)
     }
   }
@@ -117,18 +117,18 @@ class BenchHarnessSpec extends AnyFunSuite {
     val dir = new java.io.File(tmpRoot.toFile, "product")
     // winner publishes first
     val w = ArtifactCache.newTmpDir(dir.toString)
-    Seq((1L, 10L)).toDF("a", "b").write.parquet(w.getAbsolutePath)
-    ArtifactCache.publish(w, dir)
+    Seq((1L, 10L)).toDF("a", "b").write.parquet(w)
+    ArtifactCache.publish(w, dir.toString)
     // loser built a complete private copy concurrently, publishes second
     val l = ArtifactCache.newTmpDir(dir.toString)
-    assert(l.getAbsolutePath != w.getAbsolutePath, "tmp dirs must be private")
-    Seq((2L, 20L)).toDF("a", "b").write.parquet(l.getAbsolutePath)
-    ArtifactCache.publish(l, dir) // must not throw, must not delete the winner
-    assert(!l.exists(), "loser's tmp copy was not cleaned up")
+    assert(l != w, "tmp dirs must be private")
+    Seq((2L, 20L)).toDF("a", "b").write.parquet(l)
+    ArtifactCache.publish(l, dir.toString) // must not throw, must not delete the winner
+    assert(!new java.io.File(l).exists(), "loser's tmp copy was not cleaned up")
     val rows = spark.read.parquet(dir.getAbsolutePath)
       .as[(Long, Long)].collect().toSeq
     assert(rows === Seq((1L, 10L)), "the winner's published product was disturbed")
-    ArtifactCache.rmTree(tmpRoot.toFile)
+    ArtifactCache.rmTree(tmpRoot.toString)
   }
 
   test("ArtifactCache: registry lists published products, evict forces a rebuild") {
@@ -136,8 +136,8 @@ class BenchHarnessSpec extends AnyFunSuite {
       val f = java.nio.file.Files.createTempFile("graft-reg-key", ".parquet").toFile
       var builds = 0
       def build() = { builds += 1; Seq((1L, 2L), (3L, 4L)).toDF("a", "b") }
-      assert(ArtifactCache.getOrBuild(spark, "regtest", f, Seq(1))(build()).count() === 2L)
-      val dir = ArtifactCache.path("regtest", f, Seq(1))
+      assert(ArtifactCache.getOrBuild(spark, "regtest", f.getAbsolutePath, Seq(1))(build()).count() === 2L)
+      val dir = ArtifactCache.path("regtest", f.getAbsolutePath, Seq(1))
       val row = ArtifactCache.registry(spark).collect()
         .find(_.getString(0) == "regtest")
       assert(row.isDefined, "published product missing from the registry")
@@ -145,7 +145,7 @@ class BenchHarnessSpec extends AnyFunSuite {
       assert(row.get.getLong(3) > 0L && row.get.getLong(4) > 0L,
         "registry must report real bytes and file counts")
       // a product name CONTAINING hyphens parses whole (last-hyphen split)
-      assert(ArtifactCache.getOrBuild(spark, "two-part", f, Seq(1))(build()).count() === 2L)
+      assert(ArtifactCache.getOrBuild(spark, "two-part", f.getAbsolutePath, Seq(1))(build()).count() === 2L)
       assert(ArtifactCache.registry(spark).collect()
         .exists(_.getString(0) == "two-part"), "hyphenated name mis-split")
       // ...and eviction matches names EXACTLY: evicting a hyphen-prefix
@@ -156,15 +156,78 @@ class BenchHarnessSpec extends AnyFunSuite {
         .exists(_.getString(0) == "two-part"), "collateral eviction")
       // in-flight tmp builds never appear
       val tmp = ArtifactCache.newTmpDir(dir)
-      java.nio.file.Files.createDirectories(tmp.toPath)
+      ArtifactCache.mkdirs(tmp)
       assert(!ArtifactCache.registry(spark).collect()
         .exists(_.getString(2).contains(".tmp-")), "in-flight build leaked into the registry")
       ArtifactCache.rmTree(tmp)
       // evict removes every key of the product; the next consumer rebuilds
       assert(ArtifactCache.evict("regtest") >= 1)
       assert(!ArtifactCache.registry(spark).collect().exists(_.getString(0) == "regtest"))
-      assert(ArtifactCache.getOrBuild(spark, "regtest", f, Seq(1))(build()).count() === 2L)
+      assert(ArtifactCache.getOrBuild(spark, "regtest", f.getAbsolutePath, Seq(1))(build()).count() === 2L)
       assert(builds === 3, "eviction must force exactly one rebuild")
+    }
+  }
+
+  test("ArtifactCache: a file:// URI root works end-to-end (Hadoop FS path)") {
+    // The cluster deployment story: the products root is any Hadoop
+    // FileSystem URI, not a driver-local java.io path. No DFS runs in
+    // this container, so the Hadoop path is proven through the scheme'd
+    // local FS — same API surface (qualify/list/rename/delete all go
+    // through FileSystem), different concrete FS on a cluster.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-uriroot")
+    spark.conf.set("spark.graft.products.dir", "file:" + tmp.toString)
+    try {
+      val f = java.nio.file.Files.createTempFile("graft-uri-key", ".parquet").toFile
+      var builds = 0
+      def build() = { builds += 1; Seq((7L, 8L)).toDF("a", "b") }
+      val got = ArtifactCache.getOrBuild(spark, "urispec", f.getAbsolutePath,
+        Seq(1))(build()).as[(Long, Long)].collect().toSeq
+      assert(got === Seq((7L, 8L)))
+      assert(ArtifactCache.getOrBuild(spark, "urispec", f.getAbsolutePath,
+        Seq(1))(build()).count() === 1L)
+      assert(builds === 1, "URI-rooted product was rebuilt on a hit")
+      // the product physically landed under the local dir the URI names
+      val kids = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+      assert(kids.exists(_.getName.startsWith("urispec-")),
+        s"no product dir under $tmp: ${kids.map(_.getName).toSeq}")
+      // registry and eviction resolve the same URI root
+      val row = ArtifactCache.registry(spark).collect()
+        .find(_.getString(0) == "urispec")
+      assert(row.isDefined, "URI-rooted product missing from the registry")
+      assert(row.get.getString(2).startsWith("file:"),
+        "registry dir lost the root's scheme")
+      assert(ArtifactCache.evict("urispec") === 1)
+      assert(!Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.startsWith("urispec-")), "evict missed the URI root")
+    } finally {
+      spark.conf.unset("spark.graft.products.dir")
+      ArtifactCache.rmTree(tmp.toString)
+    }
+  }
+
+  test("ArtifactCache: auto-gc conf trims stale products before a miss builds") {
+    withTempRoot { _ =>
+      val f = java.nio.file.Files.createTempFile("graft-agc-key", ".parquet").toFile
+      def build(n: Long) = Seq((n, n)).toDF("a", "b")
+      spark.conf.set("spark.graft.products.gc.maxBytes", "0")
+      try {
+        // first build: cache is empty pre-build, so nothing to trim
+        ArtifactCache.getOrBuild(spark, "agcA", f.getAbsolutePath, Seq(1))(
+          build(1)).count(): Unit
+        assert(ArtifactCache.registry(spark).collect()
+          .exists(_.getString(0) == "agcA"))
+        // second build's PRE-BUILD sweep evicts A (budget 0); B itself
+        // publishes after the sweep and survives
+        ArtifactCache.getOrBuild(spark, "agcB", f.getAbsolutePath, Seq(1))(
+          build(2)).count(): Unit
+        val names = ArtifactCache.registry(spark).collect()
+          .map(_.getString(0)).toSet
+        assert(!names.contains("agcA"), "auto-gc did not trim the stale product")
+        assert(names.contains("agcB"), "auto-gc evicted the product being built")
+        // a HIT never triggers the sweep: B re-reads fine under budget 0
+        assert(ArtifactCache.getOrBuild(spark, "agcB", f.getAbsolutePath,
+          Seq(1))(build(3)).count() === 1L)
+      } finally spark.conf.unset("spark.graft.products.gc.maxBytes")
     }
   }
 
@@ -174,13 +237,13 @@ class BenchHarnessSpec extends AnyFunSuite {
       def build(n: Long) = Seq((n, n)).toDF("a", "b")
       // three products, with distinct publish times planted via mtime
       for ((name, age) <- Seq(("old", 10L), ("mid", 5L), ("new", 1L))) {
-        ArtifactCache.getOrBuild(spark, name, f, Seq(1))(build(1)).count(): Unit
-        val d = new java.io.File(ArtifactCache.path(name, f, Seq(1)))
+        ArtifactCache.getOrBuild(spark, name, f.getAbsolutePath, Seq(1))(build(1)).count(): Unit
+        val d = new java.io.File(ArtifactCache.path(name, f.getAbsolutePath, Seq(1)))
         assert(d.setLastModified(System.currentTimeMillis() - age * 86400000L))
       }
       // an in-flight build must survive every gc
       val tmp = ArtifactCache.newTmpDir(new java.io.File(root, "wip").toString)
-      java.nio.file.Files.createDirectories(tmp.toPath)
+      ArtifactCache.mkdirs(tmp)
       // age policy alone: only `old` (10 d) exceeds 7 d
       val byAge = ArtifactCache.gc(maxAgeMs = Some(7L * 86400000L))
       assert(byAge.size === 1 && byAge.head.contains("old-"), s"got $byAge")
@@ -190,7 +253,7 @@ class BenchHarnessSpec extends AnyFunSuite {
       assert(bySize.size === 2, s"got $bySize")
       assert(bySize.head.contains("mid-") && bySize.last.contains("new-"),
         "size eviction must run oldest-first")
-      assert(tmp.exists(), "gc touched an in-flight build")
+      assert(new java.io.File(tmp).exists(), "gc touched an in-flight build")
       assert(ArtifactCache.registry(spark).collect().isEmpty)
       // no-op policies evict nothing
       assert(ArtifactCache.gc() === Seq.empty)

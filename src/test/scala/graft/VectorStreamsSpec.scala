@@ -48,7 +48,7 @@ class VectorStreamsSpec extends AnyFunSuite {
     // A leftover index from an OLDER layout (e.g. pre-manifest) correctly
     // refuses to serve (fail-loud validation) — start from a clean dir so
     // this test exercises the build-and-serve loop, not stale scratch.
-    graft.sources.ArtifactCache.rmTree(idxPath.toFile)
+    graft.sources.ArtifactCache.rmTree(idxPath.toString)
     val idxDir = idxPath.toAbsolutePath.toString
     val streamed = EventStreams.runToCompletion(
         spark,

@@ -543,6 +543,126 @@ object Events {
       .orderBy("band_id")
   }
 
+  // ---- Z-order data layout (multi-dimensional clustering) ----
+
+  /** Bits per dimension of the Morton (Z-order) key: 16+16 → a 32-bit
+    * key, plenty of curve resolution for any real file count (a 100 TB
+    * table cuts ~10⁵-10⁶ files ≪ 2³²). */
+  val ZorderBits = 16
+
+  /** log2 of the audited bucket (≈ file) count. */
+  val ZorderBucketsLog2 = 6
+
+  /** Z-ORDER LAYOUT AUDIT — the data-layout decision a 100 TB event
+    * table lives or dies by. Readers prune files by min/max column
+    * stats; a time-linear layout (the natural arrival order) gives
+    * tight `ts` ranges but every file spans ~the whole `user_id`
+    * domain, so a `user_id = X` query scans ALL files. Interleaving
+    * the bits of both dimensions into one Morton key (Z-order — the
+    * curve behind Delta/Iceberg `OPTIMIZE ZORDER BY`) and cutting
+    * files along that key bounds BOTH per-file spans at once, so both
+    * access patterns prune. This audit computes, per candidate file
+    * bucket under each layout, the row count and the min/max/span of
+    * both dimensions — exactly the footer stats a pruner would consult,
+    * as one hash-matchable table (`layout ∈ {zorder, linear}`).
+    *
+    * Everything is integer-exact so both engines agree bit-for-bit.
+    * Each dimension normalizes to [0, 2¹⁶) in two integer steps:
+    * scale DOWN by quotient `q = range div 65535 + 1` (overflow-safe —
+    * a one-step `(v-min)×65535` form overflows int64 once the µs time
+    * range exceeds ~4.5 days), then stretch the reduced code over the
+    * FULL 16 bits with `×65535 div (range div q)` (both factors
+    * ≤ 65535, so the product is ≤ 2³² — exact). The stretch matters:
+    * without it a dimension whose domain is small (150 users at test
+    * SF) occupies only the LOW key bits, the top-of-key bucket cut
+    * never sees it, and the "Z-order" degenerates to a time-only
+    * layout with full user spans — measured, not hypothetical. The
+    * 32-bit key is a 16-step `aggregate` fold over codegen'd
+    * shift/mask arithmetic (no UDF), and buckets are fixed-width key
+    * ranges (`zkey >> 26` for 64 buckets — NOT quantile sampling,
+    * which is nondeterministic).
+    * Scale shape: one tiny 4-value global aggregate broadcast back
+    * (the only "model"), then one (layout, bucket)-keyed map-side-
+    * combined rollup per layout over the column-pruned 3-column scan —
+    * ≤128 groups total, no other shuffle. The WRITE action this audit
+    * prices is [[zorderClustered]]. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame =
+    zorderLayoutDf(Tables.events(s, d))
+
+  /** Same over any events DataFrame with (event_id, user_id, ts_us);
+    * `bucketsLog2` is exposed so a planted test can audit at full key
+    * resolution (shift 0 → bucket = zkey, hand-checkable). */
+  def zorderLayoutDf(events: DataFrame,
+      bucketsLog2: Int = ZorderBucketsLog2): DataFrame = {
+    val maxCode = (1 << ZorderBits) - 1 // 65535
+    val nb = 1L << bucketsLog2
+    val shift = math.max(0, 2 * ZorderBits - bucketsLog2)
+    val e = events.select(col("event_id"),
+      col("user_id").as("u"), col("ts_us").as("t"))
+    val st = e.agg(min("u").as("minu"), max("u").as("maxu"),
+      min("t").as("mint"), max("t").as("maxt"))
+    val nrm = e.crossJoin(broadcast(st))
+      .withColumn("qu", expr(s"(maxu - minu) div $maxCode + 1"))
+      .withColumn("qt", expr(s"(maxt - mint) div $maxCode + 1"))
+      .select(col("u"), col("t"),
+        expr(s"((u - minu) div qu) * $maxCode div " +
+          "greatest(1L, (maxu - minu) div qu)").as("ua"),
+        expr(s"((t - mint) div qt) * $maxCode div " +
+          "greatest(1L, (maxt - mint) div qt)").as("ta"),
+        expr(s"(t - mint) div ((maxt - mint) div $nb + 1)").as("lb"))
+    val z = nrm.select(col("u"), col("t"),
+      expr(s"shiftright(aggregate(sequence(0, ${ZorderBits - 1}), 0L, " +
+        "(acc, i) -> acc + shiftleft(shiftright(ua, i) & 1, 2*i) " +
+        "+ shiftleft(shiftright(ta, i) & 1, 2*i + 1)), " +
+        s"$shift)").as("bucket"))
+    def audit(rows: DataFrame, layout: String) = rows
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("u").as("min_u"), max("u").as("max_u"),
+        min("t").as("min_t"), max("t").as("max_t"))
+      .select(lit(layout).as("layout"), col("bucket"), col("n"),
+        col("min_u"), col("max_u"),
+        (col("max_u") - col("min_u")).as("span_u"),
+        col("min_t"), col("max_t"),
+        (col("max_t") - col("min_t")).as("span_t"))
+    audit(z, "zorder")
+      .unionByName(audit(nrm.select(col("u"), col("t"),
+        col("lb").as("bucket")), "linear"))
+      .orderBy("layout", "bucket")
+  }
+
+  /** The WRITE side of [[zorderLayout]]: the events frame physically
+    * clustered for data skipping — range-partitioned on the Morton key
+    * (each output file owns one contiguous key range) and sorted within
+    * partitions, so every file's min/max footer stats are tight on BOTH
+    * `user_id` and `ts`. `repartitionByRange` samples boundaries, which
+    * is fine for a writer (the LAYOUT need not be deterministic, only
+    * the data); the deterministic fixed-width audit above is what the
+    * oracle checks. At 100 TB this is the compaction job's shape:
+    * one range shuffle, no global sort. */
+  def zorderClustered(events: DataFrame, nFiles: Int): DataFrame = {
+    val maxCode = (1 << ZorderBits) - 1
+    val st = events.agg(
+      min("user_id").as("minu"), max("user_id").as("maxu"),
+      min("ts_us").as("mint"), max("ts_us").as("maxt"))
+    events.crossJoin(broadcast(st))
+      .withColumn("qu", expr(s"(maxu - minu) div $maxCode + 1"))
+      .withColumn("qt", expr(s"(maxt - mint) div $maxCode + 1"))
+      .withColumn("ua",
+        expr(s"((user_id - minu) div qu) * $maxCode div " +
+          "greatest(1L, (maxu - minu) div qu)"))
+      .withColumn("ta",
+        expr(s"((ts_us - mint) div qt) * $maxCode div " +
+          "greatest(1L, (maxt - mint) div qt)"))
+      .withColumn("zkey",
+        expr(s"aggregate(sequence(0, ${ZorderBits - 1}), 0L, " +
+          "(acc, i) -> acc + shiftleft(shiftright(ua, i) & 1, 2*i) " +
+          "+ shiftleft(shiftright(ta, i) & 1, 2*i + 1))"))
+      .drop("minu", "maxu", "mint", "maxt", "qu", "qt", "ua", "ta")
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+  }
+
   /** Same over any events DataFrame with (user_id, event_id, ts_us). */
   def sessionizeDf(events: DataFrame): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")

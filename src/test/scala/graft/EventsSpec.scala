@@ -9,6 +9,62 @@ class EventsSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("zorder layout: full-resolution audit is the exact bit-interleave") {
+    // 4×4 grid of (user, time): both ranges are 3, so q = 1 and the
+    // stretch step maps v → v*65535 div 3 (0, 21845, 43690, 65535 —
+    // small domains must reach the TOP key bits, the property the
+    // sf-scale degeneration proved necessary); bucketsLog2 = 32 makes
+    // the bucket the raw Morton key — every row lands alone in the
+    // bucket the hand-computed interleave of the codes names.
+    val rows = for (u <- 0L to 3L; t <- 0L to 3L) yield (4 * u + t, u, t)
+    val events = rows.toDF("event_id", "user_id", "ts_us")
+    def code(v: Long): Long = v * 65535L / 3L
+    def morton(u: Long, t: Long): Long =
+      (0 until 16).map(i =>
+        (((u >> i) & 1L) << (2 * i)) | (((t >> i) & 1L) << (2 * i + 1))).sum
+    val got = graft.operators.Events.zorderLayoutDf(events, bucketsLog2 = 32)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val zExpected = rows.map { case (_, u, t) =>
+      ("zorder", morton(code(u), code(t)), 1L, u, u, 0L, t, t, 0L)
+    }.sortBy(_._2)
+    // linear layout: (maxt - mint) = 3 < 2^32 buckets → bucket = t,
+    // each holding every user (the full-span files zorder fixes).
+    val lExpected = (0L to 3L).map(t =>
+      ("linear", t, 4L, 0L, 3L, 3L, t, t, 0L))
+    assert(got === (lExpected ++ zExpected))
+  }
+
+  test("zorder clustered write: partition key ranges are disjoint and sorted") {
+    val rows = for (u <- 0L until 10L; t <- 0L until 10L)
+      yield (10 * u + t, u, t * 1000000L)
+    val events = rows.toDF("event_id", "user_id", "ts_us")
+    val clustered = graft.operators.Events.zorderClustered(events, 4)
+    val perPart = clustered
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        $"zkey")
+      .groupBy("pid")
+      .agg(org.apache.spark.sql.functions.min("zkey").as("lo"),
+        org.apache.spark.sql.functions.max("zkey").as("hi"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+      .orderBy("pid")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(perPart.map(_._4).sum === 100L)
+    assert(perPart.forall { case (_, lo, hi, _) =>
+      lo >= 0L && hi < (1L << 32) && lo <= hi })
+    // range partitioning: every partition's span sits strictly below
+    // the next one's — each output file owns one contiguous key range
+    for (Seq(a, b) <- perPart.sliding(2).toSeq if perPart.size > 1)
+      assert(a._3 <= b._2, s"overlapping key ranges: $a vs $b")
+    // rows inside a partition arrive key-sorted (tight footer stats)
+    val sortedWithin = clustered.select($"zkey")
+      .mapPartitions { it =>
+        val ks = it.map(_.getLong(0)).toSeq
+        Iterator.single(ks == ks.sorted)
+      }.collect()
+    assert(sortedWithin.forall(identity))
+  }
+
   test("funnel: stage timestamps respect strict event order per user") {
     val events = Seq(
       // user 1: full ordered funnel; second view/click later are ignored

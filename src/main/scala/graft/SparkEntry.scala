@@ -73,6 +73,7 @@ object SparkEntry {
     "events_anomaly" -> ((s, d) => Events.anomaly(s, d)),
     "events_anomaly_dense" -> ((s, d) => Events.anomalyDense(s, d)),
     "layout_zorder" -> ((s, d) => Events.zorderLayout(s, d)),
+    "eval_layout_skip" -> ((s, d) => Events.zorderSkipEval(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
     "join_asof_tolerance" -> ((s, d) => Events.asofJoinOrdersTolerance(s, d)),
@@ -818,6 +819,11 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(round(value * 100) AS BIGINT) AS v_c FROM events) SELECT user_id, event_id, ts_us, CAST(sum(v_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c FROM e ORDER BY user_id, ts_us, event_id""",
     "events_tumbling" ->
       """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events) SELECT hour_idx, event_type, count(*) AS cnt FROM e GROUP BY hour_idx, event_type ORDER BY hour_idx, event_type""",
+    // Layout skip eval: scan fraction of a user_id point query under
+    // each layout — a file bucket is scanned iff the probe lands in
+    // its [min_u, max_u] footer range (min/max pruning, measured).
+    "eval_layout_skip" ->
+      """WITH e AS (SELECT event_id, user_id AS u, epoch_us(ts) AS t FROM events), st AS (SELECT min(u) AS minu, max(u) AS maxu, min(t) AS mint, max(t) AS maxt, (max(u) - min(u)) // 65535 + 1 AS qu, (max(t) - min(t)) // 65535 + 1 AS qt FROM e), nrm AS (SELECT event_id, u, t, ((u - minu) // qu) * 65535 // greatest(1, (maxu - minu) // qu) AS ua, ((t - mint) // qt) * 65535 // greatest(1, (maxt - mint) // qt) AS ta, (t - mint) // ((maxt - mint) // 64 + 1) AS lb FROM e CROSS JOIN st), zk AS (SELECT nrm.event_id, CAST(sum((((nrm.ua >> s.i) & 1) << (2*s.i)) + (((nrm.ta >> s.i) & 1) << (2*s.i + 1))) AS BIGINT) >> 26 AS bucket FROM nrm CROSS JOIN generate_series(0, 15) s(i) GROUP BY nrm.event_id), a AS (SELECT 'zorder' AS layout, zk.bucket, nrm.u FROM zk JOIN nrm USING (event_id) UNION ALL SELECT 'linear' AS layout, lb AS bucket, u FROM nrm), aud AS (SELECT layout, bucket, min(u) AS min_u, max(u) AS max_u FROM a GROUP BY layout, bucket), p AS (SELECT DISTINCT user_id AS pu FROM events ORDER BY pu LIMIT 10) SELECT layout, count(DISTINCT bucket) AS n_buckets, count(DISTINCT pu) AS n_probes, CAST(sum(CASE WHEN pu BETWEEN min_u AND max_u THEN 1 ELSE 0 END) AS BIGINT) AS scanned, CAST(sum(CASE WHEN pu BETWEEN min_u AND max_u THEN 1 ELSE 0 END) AS BIGINT) * 10000 // (count(DISTINCT bucket) * count(DISTINCT pu)) AS scan_e4 FROM aud CROSS JOIN p GROUP BY layout ORDER BY layout""",
     // Z-order layout audit: per candidate file bucket under the Morton
     // layout vs the time-linear one, the min/max footer stats a pruner
     // consults. Dimension codes by the two-step exact normalization

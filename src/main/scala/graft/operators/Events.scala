@@ -631,6 +631,44 @@ object Events {
       .orderBy("layout", "bucket")
   }
 
+  /** How many probe users the skip eval prices a point query for. */
+  val ZorderSkipProbes = 10
+
+  /** LAYOUT SKIP EVAL — the audit's spans reduced to the one number an
+    * operator sizes storage by: for the [[ZorderSkipProbes]] lowest
+    * user ids (a deterministic probe set), what FRACTION of candidate
+    * files must a `user_id = X` point query scan under each layout?
+    * A file is scanned iff the probe falls inside its [min_u, max_u]
+    * footer range — exactly min/max pruning. Output: one row per
+    * layout with the bucket/probe counts, total scanned, and the e4
+    * scan fraction. The honest number (the audit's spans could in
+    * principle overlap pathologically; this measures the actual probe
+    * hit rate). Scale shape: the audit's ≤128-row bucket table
+    * cross-joined with a ≤10-row broadcast probe list — driver-free,
+    * constant-size. */
+  def zorderSkipEval(s: SparkSession, d: String): DataFrame =
+    zorderSkipEvalDf(Tables.events(s, d))
+
+  /** Same over any events DataFrame with (event_id, user_id, ts_us). */
+  def zorderSkipEvalDf(events: DataFrame,
+      bucketsLog2: Int = ZorderBucketsLog2,
+      nProbes: Int = ZorderSkipProbes): DataFrame = {
+    val audit = zorderLayoutDf(events, bucketsLog2)
+    val probes = events.select(col("user_id").as("pu"))
+      .distinct().orderBy("pu").limit(nProbes)
+    audit.crossJoin(broadcast(probes))
+      .groupBy("layout")
+      .agg(
+        countDistinct("bucket").as("n_buckets"),
+        countDistinct("pu").as("n_probes"),
+        sum(when(col("pu").between(col("min_u"), col("max_u")), 1L)
+          .otherwise(0L)).as("scanned"))
+      .select(col("layout"), col("n_buckets"), col("n_probes"),
+        col("scanned"),
+        expr("scanned * 10000 div (n_buckets * n_probes)").as("scan_e4"))
+      .orderBy("layout")
+  }
+
   /** The WRITE side of [[zorderLayout]]: the events frame physically
     * clustered for data skipping — range-partitioned on the Morton key
     * (each output file owns one contiguous key range) and sorted within

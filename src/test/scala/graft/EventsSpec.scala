@@ -35,6 +35,20 @@ class EventsSpec extends AnyFunSuite {
     assert(got === (lExpected ++ zExpected))
   }
 
+  test("zorder skip eval: point queries scan 1/4 of zorder buckets, all linear ones") {
+    // Same 4×4 grid at full key resolution: each zorder bucket holds
+    // exactly one (u, t) point, so a probe u hits the 4 buckets with
+    // min_u = max_u = u → 16/(16 buckets × 4 probes) = 2500 e4; every
+    // linear bucket spans all users → 10000 e4.
+    val rows = for (u <- 0L to 3L; t <- 0L to 3L) yield (4 * u + t, u, t)
+    val events = rows.toDF("event_id", "user_id", "ts_us")
+    val got = graft.operators.Events.zorderSkipEvalDf(events, bucketsLog2 = 32)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("linear", 4L, 4L, 16L, 10000L),
+      ("zorder", 16L, 4L, 16L, 2500L)))
+  }
+
   test("zorder clustered write: partition key ranges are disjoint and sorted") {
     val rows = for (u <- 0L until 10L; t <- 0L until 10L)
       yield (10 * u + t, u, t * 1000000L)

@@ -74,6 +74,7 @@ object SparkEntry {
     "events_anomaly_dense" -> ((s, d) => Events.anomalyDense(s, d)),
     "layout_zorder" -> ((s, d) => Events.zorderLayout(s, d)),
     "eval_layout_skip" -> ((s, d) => Events.zorderSkipEval(s, d)),
+    "layout_hilbert" -> ((s, d) => Events.hilbertLayout(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
     "join_asof_tolerance" -> ((s, d) => Events.asofJoinOrdersTolerance(s, d)),
@@ -819,6 +820,14 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(round(value * 100) AS BIGINT) AS v_c FROM events) SELECT user_id, event_id, ts_us, CAST(sum(v_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c FROM e ORDER BY user_id, ts_us, event_id""",
     "events_tumbling" ->
       """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events) SELECT hour_idx, event_type, count(*) AS cnt FROM e GROUP BY hour_idx, event_type ORDER BY hour_idx, event_type""",
+    // Hilbert layout audit: the zorder comparison extended with the
+    // stronger curve at a common 15-bit code. The Hilbert index is
+    // sequential per bit level, so the oracle folds a PACKED state
+    // (x | y<<16 | d<<32) through the classic xy2d step with
+    // list_reduce — the same packed fold the Spark side runs in its
+    // aggregate HOF, integer CASE/shift/mask only.
+    "layout_hilbert" ->
+      """WITH e AS (SELECT event_id, user_id AS u, epoch_us(ts) AS t FROM events), st AS (SELECT min(u) AS minu, max(u) AS maxu, min(t) AS mint, max(t) AS maxt, (max(u) - min(u)) // 32767 + 1 AS qu, (max(t) - min(t)) // 32767 + 1 AS qt FROM e), nrm AS (SELECT event_id, u, t, ((u - minu) // qu) * 32767 // greatest(1, (maxu - minu) // qu) AS ua, ((t - mint) // qt) * 32767 // greatest(1, (maxt - mint) // qt) AS ta, (t - mint) // ((maxt - mint) // 64 + 1) AS lb FROM e CROSS JOIN st), hk AS (SELECT event_id, (list_reduce(list_prepend(ua | (ta << 16), list_transform(generate_series(14, 0, -1), i -> CAST(i AS BIGINT))), (acc, i) -> (CASE WHEN ((((acc >> 16) & 32767) >> i) & 1) = 1 THEN (acc & 32767) WHEN (((acc & 32767) >> i) & 1) = 1 THEN 32767 - ((acc >> 16) & 32767) ELSE ((acc >> 16) & 32767) END) | ((CASE WHEN ((((acc >> 16) & 32767) >> i) & 1) = 1 THEN ((acc >> 16) & 32767) WHEN (((acc & 32767) >> i) & 1) = 1 THEN 32767 - (acc & 32767) ELSE (acc & 32767) END) << 16) | (((acc >> 32) + (xor(3 * (((acc & 32767) >> i) & 1), (((acc >> 16) & 32767) >> i) & 1) << (2*i))) << 32)) >> 56) AS bucket FROM nrm), zk AS (SELECT nrm.event_id, CAST(sum((((nrm.ua >> s.i) & 1) << (2*s.i)) + (((nrm.ta >> s.i) & 1) << (2*s.i + 1))) AS BIGINT) >> 24 AS bucket FROM nrm CROSS JOIN generate_series(0, 14) s(i) GROUP BY nrm.event_id), a AS (SELECT 'hilbert' AS layout, hk.bucket, nrm.u, nrm.t FROM hk JOIN nrm USING (event_id) UNION ALL SELECT 'linear' AS layout, lb AS bucket, u, t FROM nrm UNION ALL SELECT 'zorder' AS layout, zk.bucket, nrm.u, nrm.t FROM zk JOIN nrm USING (event_id)) SELECT layout, bucket, count(*) AS n, min(u) AS min_u, max(u) AS max_u, max(u) - min(u) AS span_u, min(t) AS min_t, max(t) AS max_t, max(t) - min(t) AS span_t FROM a GROUP BY layout, bucket ORDER BY layout, bucket""",
     // Layout skip eval: scan fraction of a user_id point query under
     // each layout — a file bucket is scanned iff the probe lands in
     // its [min_u, max_u] footer range (min/max pruning, measured).

@@ -615,8 +615,17 @@ object Events {
         "(acc, i) -> acc + shiftleft(shiftright(ua, i) & 1, 2*i) " +
         "+ shiftleft(shiftright(ta, i) & 1, 2*i + 1)), " +
         s"$shift)").as("bucket"))
-    def audit(rows: DataFrame, layout: String) = rows
-      .groupBy(col("bucket"))
+    layoutAudit(z, "zorder")
+      .unionByName(layoutAudit(nrm.select(col("u"), col("t"),
+        col("lb").as("bucket")), "linear"))
+      .orderBy("layout", "bucket")
+  }
+
+  /** Per-bucket footer-stat rollup shared by the layout audits: for a
+    * (bucket, u, t) frame, the count and min/max/span of both
+    * dimensions under the given layout label. */
+  private def layoutAudit(rows: DataFrame, layout: String): DataFrame =
+    rows.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min("u").as("min_u"), max("u").as("max_u"),
         min("t").as("min_t"), max("t").as("max_t"))
@@ -625,9 +634,88 @@ object Events {
         (col("max_u") - col("min_u")).as("span_u"),
         col("min_t"), col("max_t"),
         (col("max_t") - col("min_t")).as("span_t"))
-    audit(z, "zorder")
-      .unionByName(audit(nrm.select(col("u"), col("t"),
+
+  /** Bits per dimension of the Hilbert key: 15+15 → a 30-bit key.
+    * One bit fewer than Z-order so the fold's PACKED state
+    * (x | y<<16 | d<<32, d < 2³⁰) stays clear of the int64 sign bit —
+    * both engines then agree on every shift with no unsigned
+    * semantics in play. */
+  val HilbertBits = 15
+
+  /** HILBERT LAYOUT AUDIT — [[zorderLayout]]'s comparison extended
+    * with the stronger curve. Z-order's bit-interleave has long
+    * jumps (adjacent keys can be far apart in space), so bucket
+    * bounding boxes carry occasional outliers; the Hilbert curve
+    * visits cells in a path where consecutive keys are ALWAYS
+    * spatially adjacent — the curve behind Databricks liquid
+    * clustering — giving tighter worst-case per-file spans at the
+    * same bucket count. This audit prices hilbert vs zorder vs
+    * linear in one table at a common 15-bit-per-dimension code.
+    *
+    * The Hilbert index is inherently SEQUENTIAL per bit level (each
+    * level rotates/reflects the frame for the next), so unlike the
+    * independent-bit Morton sum it needs a true fold: state is ONE
+    * packed int64 (x in bits 0-14, y in 16-30, d in 32-61), each of
+    * the 15 steps unpacks with shift/mask, applies the classic xy2d
+    * quadrant step (d += 4^i·((3·rx) xor ry), then the conditional
+    * reflect-and-swap), and repacks — pure integer CASE/shift/mask
+    * arithmetic that Spark's `aggregate` HOF and the oracle's
+    * list_reduce both express exactly (no UDF; the packed form keeps
+    * the accumulator a plain BIGINT in both engines). Same audit
+    * shape and scale profile as [[zorderLayout]]. */
+  def hilbertLayout(s: SparkSession, d: String): DataFrame =
+    hilbertLayoutDf(Tables.events(s, d))
+
+  /** Same over any events DataFrame with (event_id, user_id, ts_us). */
+  def hilbertLayoutDf(events: DataFrame,
+      bucketsLog2: Int = ZorderBucketsLog2): DataFrame = {
+    val maxCode = (1 << HilbertBits) - 1 // 32767
+    val nb = 1L << bucketsLog2
+    val shift = math.max(0, 2 * HilbertBits - bucketsLog2)
+    val e = events.select(col("event_id"),
+      col("user_id").as("u"), col("ts_us").as("t"))
+    val st = e.agg(min("u").as("minu"), max("u").as("maxu"),
+      min("t").as("mint"), max("t").as("maxt"))
+    val nrm = e.crossJoin(broadcast(st))
+      .withColumn("qu", expr(s"(maxu - minu) div $maxCode + 1"))
+      .withColumn("qt", expr(s"(maxt - mint) div $maxCode + 1"))
+      .select(col("u"), col("t"),
+        expr(s"((u - minu) div qu) * $maxCode div " +
+          "greatest(1L, (maxu - minu) div qu)").as("ua"),
+        expr(s"((t - mint) div qt) * $maxCode div " +
+          "greatest(1L, (maxt - mint) div qt)").as("ta"),
+        expr(s"(t - mint) div ((maxt - mint) div $nb + 1)").as("lb"))
+    // the xy2d step over the packed state; rx/ry read bit i of the
+    // packed x/y, the CASE pair is rot()'s reflect-and-swap
+    val hilbertKey =
+      s"shiftright(aggregate(sequence(${HilbertBits - 1}, 0, -1), " +
+        "ua | shiftleft(ta, 16), (acc, i) -> " +
+        s"(CASE WHEN (shiftright(shiftright(acc, 16) & $maxCode, i) & 1) = 1 " +
+        s"THEN acc & $maxCode " +
+        s"WHEN (shiftright(acc & $maxCode, i) & 1) = 1 " +
+        s"THEN $maxCode - (shiftright(acc, 16) & $maxCode) " +
+        s"ELSE shiftright(acc, 16) & $maxCode END) | " +
+        s"shiftleft(CASE WHEN (shiftright(shiftright(acc, 16) & $maxCode, i) & 1) = 1 " +
+        s"THEN shiftright(acc, 16) & $maxCode " +
+        s"WHEN (shiftright(acc & $maxCode, i) & 1) = 1 " +
+        s"THEN $maxCode - (acc & $maxCode) " +
+        s"ELSE acc & $maxCode END, 16) | " +
+        "shiftleft(shiftright(acc, 32) + " +
+        s"shiftleft((3 * (shiftright(acc & $maxCode, i) & 1)) ^ " +
+        s"(shiftright(shiftright(acc, 16) & $maxCode, i) & 1), 2 * i), 32)" +
+        // d sits in bits 32+: one shift extracts the key AND cuts the
+        // fixed-width bucket range in the same move
+        s"), ${32 + shift})"
+    val h = nrm.select(col("u"), col("t"), expr(hilbertKey).as("bucket"))
+    val z = nrm.select(col("u"), col("t"),
+      expr(s"shiftright(aggregate(sequence(0, ${HilbertBits - 1}), 0L, " +
+        "(acc, i) -> acc + shiftleft(shiftright(ua, i) & 1, 2*i) " +
+        "+ shiftleft(shiftright(ta, i) & 1, 2*i + 1)), " +
+        s"$shift)").as("bucket"))
+    layoutAudit(h, "hilbert")
+      .unionByName(layoutAudit(nrm.select(col("u"), col("t"),
         col("lb").as("bucket")), "linear"))
+      .unionByName(layoutAudit(z, "zorder"))
       .orderBy("layout", "bucket")
   }
 

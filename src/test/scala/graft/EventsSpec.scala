@@ -35,6 +35,46 @@ class EventsSpec extends AnyFunSuite {
     assert(got === (lExpected ++ zExpected))
   }
 
+  test("hilbert layout: full-resolution audit matches the reference xy2d") {
+    // Same 4×4 grid; 15-bit codes v*32767 div 3; bucketsLog2 = 30 →
+    // shift 0, so the hilbert bucket IS the xy2d index and the zorder
+    // bucket the raw 15-bit interleave — both checked against plain
+    // Scala references.
+    val rows = for (u <- 0L to 3L; t <- 0L to 3L) yield (4 * u + t, u, t)
+    val events = rows.toDF("event_id", "user_id", "ts_us")
+    def code(v: Long): Long = v * 32767L / 3L
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 16384L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 32767L - x; y = 32767L - y }
+          val tmp = x; x = y; y = tmp
+        }
+        s /= 2
+      }
+      d
+    }
+    def morton(u: Long, t: Long): Long =
+      (0 until 15).map(i =>
+        (((u >> i) & 1L) << (2 * i)) | (((t >> i) & 1L) << (2 * i + 1))).sum
+    val got = graft.operators.Events.hilbertLayoutDf(events, bucketsLog2 = 30)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val hExpected = rows.map { case (_, u, t) =>
+      ("hilbert", xy2d(code(u), code(t)), 1L, u, u, 0L, t, t, 0L)
+    }.sortBy(_._2)
+    val lExpected = (0L to 3L).map(t =>
+      ("linear", t, 4L, 0L, 3L, 3L, t, t, 0L))
+    val zExpected = rows.map { case (_, u, t) =>
+      ("zorder", morton(code(u), code(t)), 1L, u, u, 0L, t, t, 0L)
+    }.sortBy(_._2)
+    assert(got === (hExpected ++ lExpected ++ zExpected))
+  }
+
   test("zorder skip eval: point queries scan 1/4 of zorder buckets, all linear ones") {
     // Same 4×4 grid at full key resolution: each zorder bucket holds
     // exactly one (u, t) point, so a probe u hits the 4 buckets with

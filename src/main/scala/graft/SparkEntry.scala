@@ -75,6 +75,7 @@ object SparkEntry {
     "layout_zorder" -> ((s, d) => Events.zorderLayout(s, d)),
     "eval_layout_skip" -> ((s, d) => Events.zorderSkipEval(s, d)),
     "layout_hilbert" -> ((s, d) => Events.hilbertLayout(s, d)),
+    "eval_layout_tradeoff" -> ((s, d) => Events.layoutTradeoffEval(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
     "join_asof_tolerance" -> ((s, d) => Events.asofJoinOrdersTolerance(s, d)),
@@ -828,6 +829,11 @@ object SparkEntry {
     // aggregate HOF, integer CASE/shift/mask only.
     "layout_hilbert" ->
       """WITH e AS (SELECT event_id, user_id AS u, epoch_us(ts) AS t FROM events), st AS (SELECT min(u) AS minu, max(u) AS maxu, min(t) AS mint, max(t) AS maxt, (max(u) - min(u)) // 32767 + 1 AS qu, (max(t) - min(t)) // 32767 + 1 AS qt FROM e), nrm AS (SELECT event_id, u, t, ((u - minu) // qu) * 32767 // greatest(1, (maxu - minu) // qu) AS ua, ((t - mint) // qt) * 32767 // greatest(1, (maxt - mint) // qt) AS ta, (t - mint) // ((maxt - mint) // 64 + 1) AS lb FROM e CROSS JOIN st), hk AS (SELECT event_id, (list_reduce(list_prepend(ua | (ta << 16), list_transform(generate_series(14, 0, -1), i -> CAST(i AS BIGINT))), (acc, i) -> (CASE WHEN ((((acc >> 16) & 32767) >> i) & 1) = 1 THEN (acc & 32767) WHEN (((acc & 32767) >> i) & 1) = 1 THEN 32767 - ((acc >> 16) & 32767) ELSE ((acc >> 16) & 32767) END) | ((CASE WHEN ((((acc >> 16) & 32767) >> i) & 1) = 1 THEN ((acc >> 16) & 32767) WHEN (((acc & 32767) >> i) & 1) = 1 THEN 32767 - (acc & 32767) ELSE (acc & 32767) END) << 16) | (((acc >> 32) + (xor(3 * (((acc & 32767) >> i) & 1), (((acc >> 16) & 32767) >> i) & 1) << (2*i))) << 32)) >> 56) AS bucket FROM nrm), zk AS (SELECT nrm.event_id, CAST(sum((((nrm.ua >> s.i) & 1) << (2*s.i)) + (((nrm.ta >> s.i) & 1) << (2*s.i + 1))) AS BIGINT) >> 24 AS bucket FROM nrm CROSS JOIN generate_series(0, 14) s(i) GROUP BY nrm.event_id), a AS (SELECT 'hilbert' AS layout, hk.bucket, nrm.u, nrm.t FROM hk JOIN nrm USING (event_id) UNION ALL SELECT 'linear' AS layout, lb AS bucket, u, t FROM nrm UNION ALL SELECT 'zorder' AS layout, zk.bucket, nrm.u, nrm.t FROM zk JOIN nrm USING (event_id)) SELECT layout, bucket, count(*) AS n, min(u) AS min_u, max(u) AS max_u, max(u) - min(u) AS span_u, min(t) AS min_t, max(t) AS max_t, max(t) - min(t) AS span_t FROM a GROUP BY layout, bucket ORDER BY layout, bucket""",
+    // Layout trade-off eval: scan fraction for BOTH query shapes
+    // (point-user probes, equal-spaced time-range windows) under all
+    // three layouts — the decision table, both sides of the trade.
+    "eval_layout_tradeoff" ->
+      """WITH e AS (SELECT event_id, user_id AS u, epoch_us(ts) AS t FROM events), st AS (SELECT min(u) AS minu, max(u) AS maxu, min(t) AS mint, max(t) AS maxt, (max(u) - min(u)) // 32767 + 1 AS qu, (max(t) - min(t)) // 32767 + 1 AS qt FROM e), nrm AS (SELECT event_id, u, t, ((u - minu) // qu) * 32767 // greatest(1, (maxu - minu) // qu) AS ua, ((t - mint) // qt) * 32767 // greatest(1, (maxt - mint) // qt) AS ta, (t - mint) // ((maxt - mint) // 64 + 1) AS lb FROM e CROSS JOIN st), hk AS (SELECT event_id, (list_reduce(list_prepend(ua | (ta << 16), list_transform(generate_series(14, 0, -1), i -> CAST(i AS BIGINT))), (acc, i) -> (CASE WHEN ((((acc >> 16) & 32767) >> i) & 1) = 1 THEN (acc & 32767) WHEN (((acc & 32767) >> i) & 1) = 1 THEN 32767 - ((acc >> 16) & 32767) ELSE ((acc >> 16) & 32767) END) | ((CASE WHEN ((((acc >> 16) & 32767) >> i) & 1) = 1 THEN ((acc >> 16) & 32767) WHEN (((acc & 32767) >> i) & 1) = 1 THEN 32767 - (acc & 32767) ELSE (acc & 32767) END) << 16) | (((acc >> 32) + (xor(3 * (((acc & 32767) >> i) & 1), (((acc >> 16) & 32767) >> i) & 1) << (2*i))) << 32)) >> 56) AS bucket FROM nrm), zk AS (SELECT nrm.event_id, CAST(sum((((nrm.ua >> s.i) & 1) << (2*s.i)) + (((nrm.ta >> s.i) & 1) << (2*s.i + 1))) AS BIGINT) >> 24 AS bucket FROM nrm CROSS JOIN generate_series(0, 14) s(i) GROUP BY nrm.event_id), a AS (SELECT 'hilbert' AS layout, hk.bucket, nrm.u, nrm.t FROM hk JOIN nrm USING (event_id) UNION ALL SELECT 'linear' AS layout, lb AS bucket, u, t FROM nrm UNION ALL SELECT 'zorder' AS layout, zk.bucket, nrm.u, nrm.t FROM zk JOIN nrm USING (event_id)), aud AS (SELECT layout, bucket, min(u) AS min_u, max(u) AS max_u, min(t) AS min_t, max(t) AS max_t FROM a GROUP BY layout, bucket), pu AS (SELECT DISTINCT user_id AS pv FROM events ORDER BY pv LIMIT 10), pt AS (SELECT DISTINCT mint + k * ((maxt - mint) // 10) AS ps, mint + k * ((maxt - mint) // 10) + ((maxt - mint) // 64) AS pe FROM st CROSS JOIN generate_series(0, 9) g(k)), r AS (SELECT layout, 'user_point' AS probe, count(DISTINCT bucket) AS n_buckets, count(DISTINCT pv) AS n_probes, CAST(sum(CASE WHEN pv BETWEEN min_u AND max_u THEN 1 ELSE 0 END) AS BIGINT) AS scanned FROM aud CROSS JOIN pu GROUP BY layout UNION ALL SELECT layout, 'time_range' AS probe, count(DISTINCT bucket) AS n_buckets, count(DISTINCT ps) AS n_probes, CAST(sum(CASE WHEN min_t <= pe AND max_t >= ps THEN 1 ELSE 0 END) AS BIGINT) AS scanned FROM aud CROSS JOIN pt GROUP BY layout) SELECT layout, probe, n_buckets, n_probes, scanned, scanned * 10000 // (n_buckets * n_probes) AS scan_e4 FROM r ORDER BY layout, probe""",
     // Layout skip eval: scan fraction of a user_id point query under
     // each layout — a file bucket is scanned iff the probe lands in
     // its [min_u, max_u] footer range (min/max pruning, measured).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns.cents
@@ -755,6 +755,56 @@ object Events {
         col("scanned"),
         expr("scanned * 10000 div (n_buckets * n_probes)").as("scan_e4"))
       .orderBy("layout")
+  }
+
+  /** LAYOUT TRADE-OFF EVAL — the full decision table: scan fraction
+    * under EVERY layout (hilbert, linear, zorder — [[hilbertLayout]]'s
+    * three-way audit) for BOTH query shapes (`user_point`: the ten
+    * lowest user ids; `time_range`: ten deterministic equal-spaced
+    * windows each 1/64 of the time range). A bucket is scanned iff the
+    * probe value lands in its [min_u, max_u] (point) or its
+    * [min_t, max_t] overlaps the window (range) — min/max pruning for
+    * each shape. This is the table a storage owner actually decides
+    * from: linear wins pure time scans, the curves win point-user
+    * lookups, and the e4 fractions quantify BOTH sides of that trade
+    * instead of advertising one. Constant-size: ≤192 audit rows × ≤20
+    * broadcast probes. */
+  def layoutTradeoffEval(s: SparkSession, d: String): DataFrame =
+    layoutTradeoffEvalDf(Tables.events(s, d))
+
+  /** Same over any events DataFrame with (event_id, user_id, ts_us). */
+  def layoutTradeoffEvalDf(events: DataFrame,
+      bucketsLog2: Int = ZorderBucketsLog2,
+      nProbes: Int = ZorderSkipProbes): DataFrame = {
+    val audit = hilbertLayoutDf(events, bucketsLog2)
+    val userProbes = events.select(col("user_id").as("pv"))
+      .distinct().orderBy("pv").limit(nProbes)
+    val timeProbes = events
+      .agg(min("ts_us").as("mint"), max("ts_us").as("maxt"))
+      .select(explode(sequence(lit(0), lit(nProbes - 1))).as("k"),
+        col("mint"), col("maxt"))
+      .select(
+        expr(s"mint + k * ((maxt - mint) div $nProbes)").as("ps"),
+        expr(s"mint + k * ((maxt - mint) div $nProbes) + " +
+          s"((maxt - mint) div ${1L << ZorderBucketsLog2})").as("pe"))
+      // a degenerate time range collapses probes onto the same window;
+      // dedup so `scanned` and `n_probes` count the same probe set
+      .distinct()
+    def rollup(probes: DataFrame, kind: String, scannedIf: Column,
+        probeId: String) =
+      audit.crossJoin(broadcast(probes))
+        .groupBy("layout")
+        .agg(countDistinct("bucket").as("n_buckets"),
+          countDistinct(probeId).as("n_probes"),
+          sum(when(scannedIf, 1L).otherwise(0L)).as("scanned"))
+        .select(col("layout"), lit(kind).as("probe"), col("n_buckets"),
+          col("n_probes"), col("scanned"),
+          expr("scanned * 10000 div (n_buckets * n_probes)").as("scan_e4"))
+    rollup(userProbes, "user_point",
+        col("pv").between(col("min_u"), col("max_u")), "pv")
+      .unionByName(rollup(timeProbes, "time_range",
+        col("min_t") <= col("pe") && col("max_t") >= col("ps"), "ps"))
+      .orderBy("layout", "probe")
   }
 
   /** The WRITE side of [[zorderLayout]]: the events frame physically

@@ -89,6 +89,27 @@ class EventsSpec extends AnyFunSuite {
       ("zorder", 16L, 4L, 16L, 2500L)))
   }
 
+  test("layout tradeoff eval: both probe shapes priced under all three layouts") {
+    // Same 4×4 grid at full resolution. user_point: curves scan 1/4,
+    // linear all. time_range: range is 3 so all ten windows collapse
+    // (dedup → ONE probe at [mint, mint]) — buckets holding t = 0 are
+    // scanned: 4/16 under each curve, 1/4 under linear → 2500 e4
+    // everywhere, with the probe dedup keeping scanned/n_probes
+    // consistent on the degenerate range.
+    val rows = for (u <- 0L to 3L; t <- 0L to 3L) yield (4 * u + t, u, t)
+    val events = rows.toDF("event_id", "user_id", "ts_us")
+    val got = graft.operators.Events
+      .layoutTradeoffEvalDf(events, bucketsLog2 = 30)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("hilbert", "time_range", 16L, 1L, 4L, 2500L),
+      ("hilbert", "user_point", 16L, 4L, 16L, 2500L),
+      ("linear", "time_range", 4L, 1L, 1L, 2500L),
+      ("linear", "user_point", 4L, 4L, 16L, 10000L),
+      ("zorder", "time_range", 16L, 1L, 4L, 2500L),
+      ("zorder", "user_point", 16L, 4L, 16L, 2500L)))
+  }
+
   test("zorder clustered write: partition key ranges are disjoint and sorted") {
     val rows = for (u <- 0L until 10L; t <- 0L until 10L)
       yield (10 * u + t, u, t * 1000000L)

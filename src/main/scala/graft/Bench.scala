@@ -26,8 +26,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    invocations — so a min-over-passes number alone can never show what
   *    a cold pipeline run costs (the round-10 measurement gap: every
   *    product BUILD had vanished from the artifact). The harness therefore
-  *    EVICTS every published product ONCE per run (the isolated parent
-  *    before its chunk sequence; the dev loop for itself), so each build
+  *    EVICTS the products derived from this run's own corpora ONCE per run
+  *    (the isolated parent before its chunk sequence; the dev loop for
+  *    itself; never other corpora's products on a shared root), so each build
   *    is paid by exactly one cold pass — the run's first consumer — and
   *    `value_cold` sums to what a single cold pipeline run costs. It
   *    reports THREE things: per-query `queries_cold` (pass A,
@@ -136,13 +137,16 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
-    // Cold reset: drop every published product so pass A prices the
-    // builds a cold pipeline run pays. Skipped in forked children (the
-    // isolated parent evicted once for the whole run). The warmup-era
-    // build timings (tiny-SF keys) are discarded unconditionally so only
-    // target-SF builds reach the products section.
+    // Cold reset: drop the products derived from THIS run's corpora so
+    // pass A prices the builds a cold pipeline run pays. Scoped to the
+    // bench's own source dirs — a run pointed at a shared warehouse root
+    // must never wipe products other corpora built (the evictAll hazard).
+    // Skipped in forked children (the isolated parent evicted once for
+    // the whole run). The warmup-era build timings (tiny-SF keys) are
+    // discarded unconditionally so only target-SF builds reach the
+    // products section.
     if (evictFirst)
-      try graft.sources.ArtifactCache.evictAll(): Unit
+      try graft.sources.ArtifactCache.evictDerivedFrom(Seq(sfDir, warm)): Unit
       catch { case e: Throwable =>
         System.err.println(s"[bench] product eviction failed: ${e.getMessage}")
       }
@@ -201,8 +205,11 @@ object Bench {
     // ONE eviction for the whole run: each product build is then paid by
     // exactly one chunk's cold pass (the first consumer in alphabetical
     // order), so value_cold sums to what a single cold pipeline run
-    // costs — no double-billing when a family spans chunks.
-    try graft.sources.ArtifactCache.evictAll(): Unit
+    // costs — no double-billing when a family spans chunks. Scoped to
+    // this run's own corpora (sf + warm dirs): a shared warehouse root
+    // keeps every product other corpora built.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    try graft.sources.ArtifactCache.evictDerivedFrom(Seq(sfDir, warmDir)): Unit
     catch { case e: Throwable =>
       System.err.println(s"[bench] product eviction failed: ${e.getMessage}")
     }

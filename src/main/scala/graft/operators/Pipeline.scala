@@ -709,24 +709,29 @@ object Pipeline {
     * offset, and seq_id = offset / SeqLen. Deterministic, so the packing is
     * reproducible run to run.
     *
-    * Scale shape: the running sum is a window per SOURCE shard (real
-    * pipelines pack per shard precisely so this parallelizes — shards
-    * distribute across executors and no global order is needed). A single
-    * GLOBAL packing order would need the two-phase distributed prefix sum
-    * (per-partition totals → broadcast offsets → per-partition scan);
-    * per-shard framing keeps it one window, and a hot shard is bounded by
-    * shard size, not corpus size. */
+    * Scale shape: the per-source running sum goes through the KEYED
+    * two-phase prefix sum ([[keyedExclusivePrefixSum]]), NOT a flat
+    * `Window.partitionBy(source)` — `source` has ~20 values, so a flat
+    * keyed window plans one task per source (a multi-TB single-task sort
+    * at 100 TB). Here a hot source spreads across as many range
+    * partitions as its row share and every stage is partition-parallel;
+    * the output is identical (offset = tokens in same-source smaller
+    * doc_ids), which is why the oracle can still state it as one flat
+    * keyed window. */
   def packSequences(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_toks"))
-      .withColumn("offset", sum("n_toks").over(w) - col("n_toks"))
-      // offsets are non-negative, so double-divide + long cast = floor
-      .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
-      .orderBy("doc_id")
+    val (p, base, _) = keyedExclusivePrefixSum(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_toks")),
+      Seq("source"), Seq("doc_id"), "n_toks")
+    graft.functions.Caching.releaseAfterAction(
+      p.withColumnRenamed("prefix", "offset")
+        // offsets are non-negative, so double-divide + long cast = floor
+        .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("offset"), col("seq_id"))
+        .orderBy("doc_id"),
+      base)
   }
 
   /** Sequence packing by the TRAINED tokenizer's piece counts — what a
@@ -735,19 +740,25 @@ object Pipeline {
     * the two diverge exactly where fertility > 1. Composes
     * [[TextAnalytics.tokenizeBpe]]'s per-document piece counts (the
     * learned-merge encode — train the vocab, encode the vocabulary table,
-    * broadcast counts onto occurrences) with the identical per-source
-    * running-sum window. At production scale the tokenizer trains once and
-    * the n_pieces column ships with the corpus; packing then costs the
-    * same one window as the word-count form. */
+    * broadcast counts onto occurrences) with the identical keyed
+    * two-phase prefix sum as [[packSequences]] (same scale argument: no
+    * one-task-per-source window). At production scale the tokenizer
+    * trains once and the n_pieces column ships with the corpus; packing
+    * then costs the same partition-parallel prefix sum as the word-count
+    * form. */
   def packSequencesBpe(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d).select(col("doc_id"), col("source"))
-      .join(TextAnalytics.tokenizeBpe(s, d).select("doc_id", "n_pieces"), "doc_id")
-      .withColumn("offset", sum("n_pieces").over(w) - col("n_pieces"))
-      .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
-      .orderBy("doc_id")
+    val (p, base, _) = keyedExclusivePrefixSum(
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(TextAnalytics.tokenizeBpe(s, d).select("doc_id", "n_pieces"),
+          "doc_id"),
+      Seq("source"), Seq("doc_id"), "n_pieces")
+    graft.functions.Caching.releaseAfterAction(
+      p.withColumnRenamed("prefix", "offset")
+        .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_pieces"),
+          col("offset"), col("seq_id"))
+        .orderBy("doc_id"),
+      base)
   }
 
   /** GLOBAL sequence packing — same concat-and-chunk rule as
@@ -795,18 +806,18 @@ object Pipeline {
     * integers, ratios are the pinned e4 divisions, so the report
     * hash-matches the oracle.
     *
-    * Scale shape: the same one window per source shard as
-    * [[packSequences]] followed by a per-source aggregate — the output is
+    * Scale shape: the same keyed two-phase prefix sum as
+    * [[packSequences]] (partition-parallel, never one task per source)
+    * followed by a per-source aggregate — the output is
     * source-count-sized and nothing new shuffles. */
   def packEfficiencyDf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val L = SeqLen
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_toks"))
-      .withColumn("offset", sum("n_toks").over(w) - col("n_toks"))
+    val (p, base, _) = keyedExclusivePrefixSum(
+      docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks")),
+      Seq("source"), Seq("doc_id"), "n_toks")
+    val report = p
+      .withColumnRenamed("prefix", "offset")
       // A document is split iff its first and last token land in different
       // sequences; empty documents occupy no span and never split.
       // Non-negative offsets, so double-divide + long cast = floor (the
@@ -837,6 +848,7 @@ object Pipeline {
         round((col("n_docs") * L - col("pad_kept_tokens")) * lit(10000.0) /
           (col("n_docs") * L)).cast("long").as("pad_waste_e4"))
       .orderBy("source")
+    graft.functions.Caching.releaseAfterAction(report, base)
   }
 
   /** The two-phase distributed EXCLUSIVE prefix sum — the ONE
@@ -857,23 +869,59 @@ object Pipeline {
     * `valueCol` (the collected partition totals' sum — a free N for
     * rank-fraction consumers like [[dataCurriculum]], no extra pass). */
   private def exclusivePrefixSum(df: DataFrame, orderCols: Seq[String],
-      valueCol: String): (DataFrame, DataFrame, Long) = {
+      valueCol: String): (DataFrame, DataFrame, Long) =
+    keyedExclusivePrefixSum(df, Nil, orderCols, valueCol)
+
+  /** KEYED form: prefix = Σ `valueCol` over rows with the SAME `keyCols`
+    * tuple and smaller `orderCols` — what a per-source running offset
+    * needs. A flat `Window.partitionBy(key)` would plan ONE task per key
+    * value (for a ~20-value `source` column that is a multi-TB
+    * single-task sort at 100 TB); here phase 1 range-partitions by
+    * (keys, order) — so a hot key spreads across as many partitions as
+    * its row share — and sums per (partition, key) GROUP. Range
+    * partitioning keeps each key on a contiguous partition run, so the
+    * collected totals are bounded by partitions + distinct keys, never
+    * data size. Phase 2 broadcasts each group's running base back and
+    * windows WITHIN (partition, key) groups only. Same partition-
+    * independent-output argument as the flat form. */
+  private def keyedExclusivePrefixSum(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], valueCol: String): (DataFrame, DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.repartitionByRange(orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val allCols = keyCols ++ orderCols
+    val base = df.repartitionByRange(allCols.map(col): _*)
+      .sortWithinPartitions(allCols.map(col): _*)
       .withColumn("pid", spark_partition_id().cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = base.groupBy("pid").agg(sum(valueCol).as("tot"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val bases = totals.map { case (pid, tot) => val b = acc; acc += tot; (pid, b) }
-    val baseDf = df.sparkSession.createDataFrame(bases.toSeq).toDF("pid", "base")
-    val w = Window.partitionBy("pid").orderBy(orderCols.map(col): _*)
+    val totals = base.groupBy(("pid" +: keyCols).map(col): _*)
+      .agg(sum(valueCol).as("tot")).collect()
+    val grand = totals.map(_.getAs[Long]("tot")).sum
+    // Per-(pid, key) exclusive base: within each key group (ONE group for
+    // the un-keyed form), running-sum the per-partition totals in pid
+    // order. Driver-side over the bounded totals list only.
+    val baseRows: Seq[Row] = totals
+      .groupBy(r => keyCols.map(k => r.getAs[Any](k)))
+      .valuesIterator.flatMap { group =>
+        var acc = 0L
+        group.sortBy(_.getAs[Long]("pid")).map { r =>
+          val b = acc; acc += r.getAs[Long]("tot")
+          Row.fromSeq((r.getAs[Long]("pid") +: keyCols.map(r.getAs[Any])) :+ b)
+        }
+      }.toSeq
+    val baseSchema = StructType(
+      StructField("pid", LongType, nullable = false) +:
+        keyCols.map(k => df.schema(k)) :+
+        StructField("base", LongType, nullable = false))
+    val baseDf = df.sparkSession.createDataFrame(baseRows.asJava, baseSchema)
+    val w = Window.partitionBy(("pid" +: keyCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    (base.join(broadcast(baseDf), "pid")
+    (base.join(broadcast(baseDf), "pid" +: keyCols)
       .withColumn("prefix", col("base") + sum(valueCol).over(w) - col(valueCol))
       .drop("pid", "base"),
-     base, acc)
+     base, grand)
   }
 
   /** Overlapping-chunk parameters: window length and stride in tokens. */

@@ -972,11 +972,23 @@ object Similarity {
     // CURRENT after the flip and never delete (a) whatever it points at
     // now — a racing swap may have flipped it after us, (b) the version
     // we replaced (in-flight readers), (c) our own build, (d) any
-    // `.tmp-*` sibling — that is a racer's build still being written.
+    // `.tmp-*` sibling — that is a racer's build still being written,
+    // (e) any version YOUNGER than the retire grace
+    // (`spark.graft.index.retireGraceMs`, default 1 h) — that is a
+    // racing swap's just-published build whose CALLER still holds the
+    // returned path (it flipped the pointer before us and lost, but its
+    // IndexBuild invocation may be about to read the dir it was handed);
+    // age, not pointer state, is what makes a loser's version safe to
+    // collect, on the standard assumption rebuild period ≫ grace.
+    val graceMs = s.conf.getOption("spark.graft.index.retireGraceMs")
+      .flatMap(_.toLongOption).getOrElse(3600000L)
+    val now = System.currentTimeMillis()
     val live = pointer()
     ArtifactCache.listSubdirNames(baseDir)
       .filter(n => n.startsWith("v-") && !n.contains(".tmp-") &&
         n != version && !live.contains(n) && !prev.contains(n))
+      .filter(n => now - ArtifactCache.modTimeMs(
+        new org.apache.hadoop.fs.Path(baseDir, n).toString) >= graceMs)
       .foreach(n => ArtifactCache.rmTree(
         new org.apache.hadoop.fs.Path(baseDir, n).toString))
     vdir
@@ -995,15 +1007,35 @@ object Similarity {
       nCells: Int = IvfCells, m: Int = PqM, kCents: Int = PqK,
       ivfIters: Int = IvfKmeansIters, pqIters: Int = PqKmeansIters,
       eta: Int = PqEta): Option[String] = {
+    import graft.sources.ArtifactCache
     val resolved = ivfPqResolveDir(baseDir)
     val expected = ivfPqManifestKey(d, nCells, m, kCents, ivfIters,
       pqIters, eta)
-    val fresh = resolved != baseDir &&
-      graft.sources.ArtifactCache.readManifest(resolved)
-        .contains(expected)
-    if (fresh) None
-    else Some(ivfPqSwapIndex(s, d, baseDir, nCells, m, kCents, ivfIters,
-      pqIters, eta))
+    // Freshness is the MANIFEST check alone: a valid IN-PLACE index
+    // (ivfPqWriteIndex straight at baseDir, resolved == baseDir) is just
+    // as fresh as a swap-managed version — the first cron call over a
+    // pre-swap deployment must not pay a full retrain for a layout
+    // difference.
+    if (ArtifactCache.readManifest(resolved).contains(expected)) None
+    else {
+      val hadInPlace = resolved == baseDir &&
+        ArtifactCache.readManifest(baseDir).isDefined
+      val vdir = ivfPqSwapIndex(s, d, baseDir, nCells, m, kCents, ivfIters,
+        pqIters, eta)
+      // Converting a pre-existing in-place layout to swap management:
+      // its artifacts sit NEXT to the v-* dirs, invisible to the retire
+      // loop — without this they orphan forever (and a stale in-place
+      // manifest could re-validate if CURRENT were ever lost). Readers
+      // mid-scan on the old in-place index are a conversion-time
+      // deployment concern, same as any replace=true rebuild.
+      if (hadInPlace) {
+        Seq("index", "centroids", "codebook").foreach(sub =>
+          ArtifactCache.rmTree(
+            new org.apache.hadoop.fs.Path(baseDir, sub).toString))
+        ArtifactCache.removeManifest(baseDir)
+      }
+      Some(vdir)
+    }
   }
 
   /** Load the driver-sized model artifacts (coarse centroids, residual

@@ -87,6 +87,10 @@ object ArtifactCache {
       new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-cache-${sys.props.getOrElse("user.name", "anon")}")
         .getAbsolutePath)
+    // Memoized per configured value: on HDFS every exists/mkdirs/status
+    // call below is a NameNode RPC, and root() runs per path()/listing
+    // row — verify once, re-verify only when the configuration changes.
+    if (verifiedRoot == raw) return raw
     val p = new Path(raw)
     val fs = fsOf(p)
     if (!fs.exists(p)) {
@@ -105,8 +109,13 @@ object ArtifactCache {
         s"products root $raw is owned by '$owner', not '$me' — refusing " +
           "to serve a cache this user does not own")
     } catch { case _: UnsupportedOperationException => () } // no ownership
+    verifiedRoot = raw
     raw
   }
+
+  /** The last create-and-ownership-verified root string (benign race:
+    * re-verification is idempotent). */
+  @volatile private var verifiedRoot: String = null
 
   private def rootPath(): Path = new Path(root)
 
@@ -157,6 +166,13 @@ object ArtifactCache {
   /** Basename of a product/path string (the registry's product-dir
     * name), FS-scheme agnostic. */
   def baseName(p: String): String = new Path(p).getName
+
+  /** Modification time of `p` in epoch ms (0 if absent) — the
+    * age signal retire/gc grace windows key on. */
+  def modTimeMs(p: String): Long = {
+    val pp = new Path(p); val fs = fsOf(pp)
+    if (fs.exists(pp)) fs.getFileStatus(pp).getModificationTime else 0L
+  }
 
   /** Read a SMALL control file (a manifest, a version pointer) fully. */
   def readSmall(p: String): String = {
@@ -214,6 +230,12 @@ object ArtifactCache {
     val f = new Path(dir, ManifestName)
     if (isFile(f.toString)) Some(readSmall(f.toString)) else None
   }
+
+  /** Remove `dir`'s manifest (no-op if absent) — the in-place→swap
+    * layout conversion's cleanup, so a retired in-place index can never
+    * re-validate. */
+  def removeManifest(dir: String): Unit =
+    rmTree(new Path(dir, ManifestName).toString)
 
   /** Fail-loudly validation: `dir` must carry a manifest exactly equal to
     * `key`. A missing manifest (pre-manifest layout, foreign dir) or a
@@ -291,7 +313,7 @@ object ArtifactCache {
       params: Seq[Any])(build: => DataFrame): DataFrame = {
     val key = keyString(name, keyFile, params)
     val dir = path(name, keyFile, params)
-    if (!exists(dir)) {
+    def buildIfAbsent(): Unit = if (!exists(dir)) {
       autoGc(s)
       val t0 = System.nanoTime()
       val tmp = newTmpDir(dir)
@@ -302,7 +324,18 @@ object ArtifactCache {
       publish(tmp, dir)
       recordBuild(baseName(dir), (System.nanoTime() - t0) / 1e9)
     }
-    validateManifest(dir, key)
+    buildIfAbsent()
+    try validateManifest(dir, key)
+    catch {
+      // The product VANISHED between the existence check and the read —
+      // a concurrent gc/evict got it. Eviction must never break
+      // correctness ("a consumer whose product vanished rebuilds"), so
+      // rebuild exactly once; a manifest MISMATCH on a dir that still
+      // exists stays a loud failure (stale/planted dir, never auto-fixed).
+      case _: IOException if !exists(dir) =>
+        buildIfAbsent()
+        validateManifest(dir, key)
+    }
     s.read.parquet(dir)
   }
 
@@ -323,8 +356,15 @@ object ArtifactCache {
       .flatMap(_.toLongOption)
     val ageDays = s.conf.getOption("spark.graft.products.gc.maxAgeDays")
       .flatMap(_.toLongOption)
+    // `spark.graft.products.gc.minAgeMs` overrides the grace floor
+    // (default 1 h) — products younger than this are never auto-evicted,
+    // so a concurrent consumer's just-published product cannot vanish
+    // between its publish and its first read.
+    val minAge = s.conf.getOption("spark.graft.products.gc.minAgeMs")
+      .flatMap(_.toLongOption).getOrElse(DefaultGcMinAgeMs)
     if (bytes.isDefined || ageDays.isDefined)
-      gc(maxBytes = bytes, maxAgeMs = ageDays.map(_ * 86400000L)): Unit
+      gc(maxBytes = bytes, maxAgeMs = ageDays.map(_ * 86400000L),
+        minAgeMs = minAge): Unit
   }
 
   private def treeStats(fs: FileSystem, st: FileStatus): (Long, Long) = {
@@ -394,36 +434,86 @@ object ArtifactCache {
     victims.length
   }
 
-  /** Evict EVERY published product (the bench's cold-pass reset). */
+  /** Evict EVERY published product. A deliberately blunt operator action
+    * (`Products` CLI territory) — automated callers like the bench use
+    * [[evictDerivedFrom]] so a run pointed at a shared warehouse root
+    * can never wipe products other corpora built. */
   def evictAll(): Int = {
     val victims = published()
     victims.foreach(st => rmTree(dirString(st)))
     victims.length
   }
 
+  /** Evict only products DERIVED FROM the given source directories: a
+    * product's manifest records the FS-qualified path of the file its
+    * key was computed from (see [[keyString]]); a product whose manifest
+    * source sits under one of `sourceDirs` is evicted, everything else —
+    * other corpora's products, manifest-less foreign dirs — is left
+    * alone. This is the bench's cold-pass reset: it must re-price ITS
+    * OWN corpus' builds without destroying a shared warehouse
+    * (`spark.graft.products.dir` may point at production). Works
+    * session-less (the isolated bench parent) — manifests are plain
+    * files. Returns the number of directories removed. */
+  def evictDerivedFrom(sourceDirs: Seq[String]): Int = {
+    val qualified = sourceDirs.map { d =>
+      val p = new Path(d); val fs = fsOf(p)
+      val q = fs.makeQualified(p).toString
+      if (q.endsWith("/")) q else q + "/"
+    }
+    val victims = published().filter { st =>
+      readManifest(dirString(st)).exists { m =>
+        // key format: name|<qualified source path>|len|mtime|params…
+        m.split('|') match {
+          case parts if parts.length >= 2 =>
+            qualified.exists(parts(1).startsWith)
+          case _ => false
+        }
+      }
+    }
+    victims.foreach(st => rmTree(dirString(st)))
+    victims.length
+  }
+
+  /** Products younger than this are NEVER gc victims by default (1 h) —
+    * the grace floor that keeps retention from deleting a product out
+    * from under the consumer that just built it or is still mid-scan on
+    * it (gc-during-read fails that reader's tasks — never wrong results,
+    * but a crashed query; the floor makes the window "older than an
+    * hour AND still being read", rebuild-period territory). */
+  val DefaultGcMinAgeMs: Long = 3600000L
+
   /** The eviction POLICY over the registry — what a daily-corpus loop
     * runs so stale keys (every corpus drop mints new ones) cannot grow
     * the cache unboundedly:
     *
-    *  - every product older than `maxAgeMs` is evicted;
-    *  - then, oldest-first, products are evicted until the remainder
-    *    fits `maxBytes`.
+    *  - products younger than `minAgeMs` are exempt (the grace floor —
+    *    see [[DefaultGcMinAgeMs]]), regardless of the byte budget;
+    *  - every remaining product older than `maxAgeMs` is evicted;
+    *  - then, oldest-first, products are evicted until the whole cache
+    *    (graced products included — they hold real bytes) fits
+    *    `maxBytes`.
     *
     * In-flight `.tmp-*` builds are never touched. Returns the evicted
     * directories (for the CLI report). Safe by the same argument as
     * [[evict]]: a consumer whose product vanished rebuilds. */
   def gc(maxBytes: Option[Long] = None, maxAgeMs: Option[Long] = None,
-      now: Long = System.currentTimeMillis()): Seq[String] = {
+      now: Long = System.currentTimeMillis(),
+      minAgeMs: Long = DefaultGcMinAgeMs): Seq[String] = {
     val r = rootPath(); val fs = fsOf(r)
     val all = published().map(st => (st, treeStats(fs, st)._1))
-    val (tooOld, fresh) = all.partition { case (st, _) =>
+    val (graced, eligible) = all.partition { case (st, _) =>
+      now - st.getModificationTime < minAgeMs
+    }
+    val (tooOld, fresh) = eligible.partition { case (st, _) =>
       maxAgeMs.exists(a => now - st.getModificationTime > a)
     }
     val overBudget = maxBytes match {
       case None => Seq.empty
       case Some(budget) =>
         // fresh is oldest-first; keep the newest products that fit.
-        var excess = fresh.map(_._2).sum - budget
+        // Graced bytes count against the budget but cannot be evicted,
+        // so the cache may exceed the budget by at most the graced set.
+        var excess = graced.map(_._2).sum + fresh.map(_._2).sum - budget
         fresh.takeWhile { case (_, b) =>
           val victim = excess > 0; if (victim) excess -= b; victim
         }

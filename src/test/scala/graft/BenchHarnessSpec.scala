@@ -210,6 +210,9 @@ class BenchHarnessSpec extends AnyFunSuite {
       val f = java.nio.file.Files.createTempFile("graft-agc-key", ".parquet").toFile
       def build(n: Long) = Seq((n, n)).toDF("a", "b")
       spark.conf.set("spark.graft.products.gc.maxBytes", "0")
+      // grace floor off: this test exercises the sweep mechanics with
+      // just-published products (the floor itself is tested below)
+      spark.conf.set("spark.graft.products.gc.minAgeMs", "0")
       try {
         // first build: cache is empty pre-build, so nothing to trim
         ArtifactCache.getOrBuild(spark, "agcA", f.getAbsolutePath, Seq(1))(
@@ -257,6 +260,74 @@ class BenchHarnessSpec extends AnyFunSuite {
       assert(ArtifactCache.registry(spark).collect().isEmpty)
       // no-op policies evict nothing
       assert(ArtifactCache.gc() === Seq.empty)
+    }
+  }
+
+  test("ArtifactCache.gc: grace floor — products younger than minAge are never victims") {
+    withTempRoot { _ =>
+      val f = java.nio.file.Files.createTempFile("graft-grace-key", ".parquet").toFile
+      def build(n: Long) = Seq((n, n)).toDF("a", "b")
+      for (name <- Seq("aged", "young")) {
+        ArtifactCache.getOrBuild(spark, name, f.getAbsolutePath, Seq(1))(build(1)).count(): Unit
+      }
+      val agedDir = new java.io.File(ArtifactCache.path("aged", f.getAbsolutePath, Seq(1)))
+      assert(agedDir.setLastModified(System.currentTimeMillis() - 2L * 3600000L))
+      // default 1 h floor: budget 0 may evict only the 2 h-old product —
+      // the just-published one is graced even though the budget says evict
+      val victims = ArtifactCache.gc(maxBytes = Some(0L))
+      assert(victims.size === 1 && victims.head.contains("aged-"), s"got $victims")
+      assert(ArtifactCache.registry(spark).collect().map(_.getString(0)).toSeq === Seq("young"))
+      // age policy respects the floor too: a fresh product never ages out
+      assert(ArtifactCache.gc(maxAgeMs = Some(0L)) === Seq.empty)
+      // explicit minAgeMs = 0 restores unconditional policy
+      assert(ArtifactCache.gc(maxBytes = Some(0L), minAgeMs = 0L).size === 1)
+    }
+  }
+
+  test("ArtifactCache.evictDerivedFrom: only products keyed from the given dirs fall") {
+    withTempRoot { _ =>
+      val dirA = java.nio.file.Files.createTempDirectory("graft-srcA").toFile
+      val dirB = java.nio.file.Files.createTempDirectory("graft-srcB").toFile
+      val fA = java.io.File.createTempFile("corpus", ".parquet", dirA)
+      val fB = java.io.File.createTempFile("corpus", ".parquet", dirB)
+      def build(n: Long) = Seq((n, n)).toDF("a", "b")
+      ArtifactCache.getOrBuild(spark, "prodA", fA.getAbsolutePath, Seq(1))(build(1)).count(): Unit
+      ArtifactCache.getOrBuild(spark, "prodB", fB.getAbsolutePath, Seq(1))(build(2)).count(): Unit
+      // a manifest-less foreign dir under the root must survive too
+      val foreign = new java.io.File(ArtifactCache.root, "foreign-0123456789abcdef")
+      assert(foreign.mkdirs())
+      assert(ArtifactCache.evictDerivedFrom(Seq(dirA.getAbsolutePath)) === 1)
+      val left = ArtifactCache.registry(spark).collect().map(_.getString(0)).toSet
+      assert(!left.contains("prodA"), "the bench-scoped product survived its eviction")
+      assert(left.contains("prodB"), "another corpus' product was wiped (the shared-root hazard)")
+      assert(foreign.exists(), "a manifest-less foreign dir was deleted")
+      ArtifactCache.rmTree(dirA.getAbsolutePath)
+      ArtifactCache.rmTree(dirB.getAbsolutePath)
+    }
+  }
+
+  test("getOrBuild: a vanished product rebuilds; a mismatched dir still fails loudly") {
+    withTempRoot { _ =>
+      val f = java.nio.file.Files.createTempFile("graft-rr-key", ".parquet").toFile
+      var builds = 0
+      def build() = { builds += 1; Seq((1L, 2L)).toDF("a", "b") }
+      ArtifactCache.getOrBuild(spark, "rrtest", f.getAbsolutePath, Seq(1))(build()).count(): Unit
+      assert(builds === 1)
+      val dir = ArtifactCache.path("rrtest", f.getAbsolutePath, Seq(1))
+      // eviction (concurrent gc's effect) ⇒ the next consumer rebuilds
+      ArtifactCache.rmTree(dir)
+      assert(ArtifactCache.getOrBuild(spark, "rrtest", f.getAbsolutePath,
+        Seq(1))(build()).count() === 1L)
+      assert(builds === 2, "a vanished product must rebuild, not fail")
+      // but a PRESENT dir with the wrong manifest is never auto-rebuilt:
+      // that is a stale/planted product, and silence would mask it
+      ArtifactCache.writeManifest(dir, "not|the|right|key")
+      val e = intercept[java.io.IOException] {
+        ArtifactCache.getOrBuild(spark, "rrtest", f.getAbsolutePath,
+          Seq(1))(build()).count()
+      }
+      assert(e.getMessage.contains("does not match"))
+      assert(builds === 2, "a mismatched manifest must not trigger a silent rebuild")
     }
   }
 }

@@ -313,6 +313,26 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pack_sequences family: keyed prefix sum — bases broadcast, no per-source window") {
+    // `source` has ~20 values: a flat Window.partitionBy(source) plans ONE
+    // task per source — a multi-TB single-task sort at 100 TB. The keyed
+    // two-phase prefix sum windows only within (pid, source) groups with
+    // the per-group bases broadcast, so every window spec in the plan must
+    // lead with pid and the base table must arrive by broadcast.
+    for (q <- Seq("pack_sequences", "pack_sequences_bpe", "eval_pack_efficiency")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString
+      df.count()
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: the per-(partition, source) base table must broadcast:\n${plan.take(2000)}")
+      assert(!plan.contains("windowspecdefinition(source#"),
+        s"$q: a window partitioned by source alone is one task per source:\n${plan.take(2000)}")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$q funnels through a single partition:\n${plan.take(2000)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("pack_sequences_global: no single-partition exchange — the prefix sum is two-phase") {
     // The whole point of the two-phase prefix sum is avoiding the
     // SinglePartition shuffle a flat `Window.orderBy(doc_id)` (no

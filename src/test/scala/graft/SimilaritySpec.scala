@@ -232,10 +232,19 @@ class SimilaritySpec extends AnyFunSuite {
     val trained = Similarity.ivfPqTrainedTopK(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(served === trained, "post-swap serving diverged from retraining")
-    // a third swap retires v1 (older than the new previous, v2)
+    // a racing swap's just-published version (fresh mtime, not pointed
+    // at) must survive the retire loop — its caller still holds the path
+    val racer = new java.io.File(base, "v-racer-just-published")
+    assert(racer.mkdirs())
+    // a third swap retires v1 (older than the new previous, v2) — but
+    // only once v1 is past the retire grace; age it out explicitly
+    assert(new java.io.File(v1).setLastModified(
+      System.currentTimeMillis() - 2L * 3600000L))
     val v3 = Similarity.ivfPqSwapIndex(spark, TestSpark.sf, base)
     assert(!new java.io.File(v1).exists(), "v1 outlived one rebuild cycle")
     assert(new java.io.File(v2, "index").exists(), "v2 must be the retained previous")
+    assert(racer.exists(), "a within-grace sibling version was retired " +
+      "(the overlapping-swap deletion race)")
     assert(Similarity.ivfPqResolveDir(base) === v3)
   }
 
@@ -264,6 +273,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(v2.isDefined, "corpus change must trigger a rebuild")
     assert(v2.get !== v1.get)
     assert(Similarity.ivfPqResolveDir(base) === v2.get)
+  }
+
+  test("ivfPqSwapIfStale: a valid in-place index is fresh; conversion cleans the old layout") {
+    // Pre-swap deployments built straight at baseDir (ivfPqWriteIndex, no
+    // CURRENT pointer). The cron must treat a key-matching in-place index
+    // as FRESH — not pay a retrain for a layout difference — and, when a
+    // real corpus change does trigger the first swap, the in-place
+    // artifacts must convert away (the retire loop only sees v-* dirs;
+    // without cleanup they orphan forever).
+    val scratch = java.nio.file.Files.createTempDirectory("graft-inplace-spec")
+    val corpus = scratch.resolve("corpus")
+    java.nio.file.Files.createDirectories(corpus)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(TestSpark.sf, "embeddings.parquet"),
+      corpus.resolve("embeddings.parquet"))
+    val base = scratch.resolve("idx").toString
+    Similarity.ivfPqWriteIndex(spark, corpus.toString, base)
+    assert(Similarity.ivfPqSwapIfStale(spark, corpus.toString, base).isEmpty,
+      "a key-matching in-place index retrained on the first cron call")
+    // corpus drop → stale → rebuild converts the dir to swap management
+    val f = corpus.resolve("embeddings.parquet")
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(f).toMillis + 1000L)): Unit
+    val v = Similarity.ivfPqSwapIfStale(spark, corpus.toString, base)
+    assert(v.isDefined, "corpus change must trigger the converting rebuild")
+    assert(Similarity.ivfPqResolveDir(base) === v.get)
+    assert(new java.io.File(v.get, "index").exists())
+    for (orphan <- Seq("index", "centroids", "codebook", "_GRAFT_MANIFEST"))
+      assert(!new java.io.File(base, orphan).exists(),
+        s"in-place '$orphan' orphaned under swap management")
+    // …and the converted deployment stays a no-op while fresh
+    assert(Similarity.ivfPqSwapIfStale(spark, corpus.toString, base).isEmpty)
   }
 
   test("hybrid served: semantic-tower ranks come from the persisted index") {

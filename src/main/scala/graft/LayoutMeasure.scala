@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MEASURED layout comparison on REAL written files — the end-to-end
+  * companion to the modeled bucket audits (`layout_zorder` /
+  * `layout_hilbert` / `eval_layout_*`): writes the events table under
+  * three physical layouts (time-linear, 2-D z-order, 3-D z-order with
+  * the event-type code as the third dimension), reads each directory
+  * back, derives per-FILE min/max from `input_file_name()`, and prices
+  * both query shapes (user-point, time-range) plus a type-point probe
+  * against the ACTUAL files — file sizing, row-group boundaries and the
+  * range partitioner's sampling included. The bucket audits model the
+  * curve; this measures the artifact, which is what a pruner sees.
+  *
+  *   runMain graft.LayoutMeasure <sfDir> <outDir> [nFiles]
+  *
+  * Prints one JSON line: per layout, the file count and the measured
+  * e4 scan fractions per probe shape. Not a declared contract query —
+  * the range partitioner SAMPLES boundaries, so file-level numbers are
+  * honest measurements rather than hash-stable values (the spec
+  * `EventsSpec."file-level audit"` pins the invariants; this main
+  * produces the quoted SCALE.md numbers).
+  */
+object LayoutMeasure {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val nFiles = if (args.length > 2) args(2).toInt else 32
+    val nProbes = graft.operators.Events.ZorderSkipProbes
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.sources.Sessions.local(cpus, logLevel = "ERROR")
+
+    // One source frame for all three writers: events plus the dense
+    // event-type code (so type-point pruning is measurable under every
+    // layout, clustered on it or not).
+    val e0 = graft.sources.Tables.events(spark, sfDir)
+    val codes = e0.select("event_type").distinct()
+      .withColumn("c",
+        (dense_rank().over(Window.orderBy("event_type")) - 1).cast("long"))
+    val events = e0.join(broadcast(codes), "event_type")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("c"))
+      .persist()
+    events.count(): Unit
+
+    new java.io.File(outDir).mkdirs()
+    def write(sub: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$sub")
+    write("linear",
+      events.repartitionByRange(nFiles, col("ts_us"))
+        .sortWithinPartitions("ts_us"))
+    write("zorder2",
+      graft.operators.Events.zorderClusteredN(
+        events, Seq("user_id", "ts_us"), nFiles))
+    write("zorder3",
+      graft.operators.Events.zorderClusteredN(
+        events, Seq("user_id", "ts_us", "c"), nFiles))
+
+    // Probe sets: the skip eval's deterministic shapes.
+    val userProbes = events.select(col("user_id").as("pv"))
+      .distinct().orderBy("pv").limit(nProbes)
+    val typeProbes = events.select(col("c").as("pv")).distinct()
+    val nb = 1L << graft.operators.Events.ZorderBucketsLog2
+    val timeProbes = events
+      .agg(min("ts_us").as("mint"), max("ts_us").as("maxt"))
+      .select(explode(sequence(lit(0), lit(nProbes - 1))).as("k"),
+        col("mint"), col("maxt"))
+      .select(
+        expr(s"mint + k * ((maxt - mint) div $nProbes)").as("ps"),
+        expr(s"mint + k * ((maxt - mint) div $nProbes) + " +
+          s"((maxt - mint) div $nb)").as("pe"))
+      .distinct()
+
+    def fracs(sub: String): (Long, Long, Long, Long) = {
+      val audit = graft.operators.Events.fileLayoutAuditDf(
+        spark.read.parquet(s"$outDir/$sub"),
+        Seq("user_id", "ts_us", "c")).persist()
+      val files = audit.count()
+      def e4(df: DataFrame) = df.collect().head.getAs[Long]("scan_e4")
+      val up = e4(graft.operators.Events
+        .fileSkipFractionDf(audit, userProbes, "user_id"))
+      val tp = e4(graft.operators.Events
+        .fileSkipFractionDf(audit, typeProbes, "c"))
+      val tr = e4(graft.operators.Events
+        .fileRangeScanFractionDf(audit, timeProbes, "ts_us"))
+      audit.unpersist(): Unit
+      (files, up, tr, tp)
+    }
+    val out = Seq("linear", "zorder2", "zorder3").map { sub =>
+      val (files, up, tr, tp) = fracs(sub)
+      s""""$sub":{"files":$files,"user_point_e4":$up,"time_range_e4":$tr,"type_point_e4":$tp}"""
+    }
+    println(s"""{"metric":"layout_measured","sf":"$sfDir","n_files":$nFiles,${out.mkString(",")}}""")
+    spark.stop()
+  }
+}

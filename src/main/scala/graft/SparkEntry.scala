@@ -75,6 +75,7 @@ object SparkEntry {
     "layout_zorder" -> ((s, d) => Events.zorderLayout(s, d)),
     "eval_layout_skip" -> ((s, d) => Events.zorderSkipEval(s, d)),
     "layout_hilbert" -> ((s, d) => Events.hilbertLayout(s, d)),
+    "layout_zorder_3d" -> ((s, d) => Events.zorderLayout3d(s, d)),
     "eval_layout_tradeoff" -> ((s, d) => Events.layoutTradeoffEval(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
@@ -848,6 +849,12 @@ object SparkEntry {
     // buckets as fixed-width key ranges (zkey >> 26 → 64).
     "layout_zorder" ->
       """WITH e AS (SELECT event_id, user_id AS u, epoch_us(ts) AS t FROM events), st AS (SELECT min(u) AS minu, max(u) AS maxu, min(t) AS mint, max(t) AS maxt, (max(u) - min(u)) // 65535 + 1 AS qu, (max(t) - min(t)) // 65535 + 1 AS qt FROM e), nrm AS (SELECT event_id, u, t, ((u - minu) // qu) * 65535 // greatest(1, (maxu - minu) // qu) AS ua, ((t - mint) // qt) * 65535 // greatest(1, (maxt - mint) // qt) AS ta, (t - mint) // ((maxt - mint) // 64 + 1) AS lb FROM e CROSS JOIN st), zk AS (SELECT nrm.event_id, CAST(sum((((nrm.ua >> s.i) & 1) << (2*s.i)) + (((nrm.ta >> s.i) & 1) << (2*s.i + 1))) AS BIGINT) >> 26 AS bucket FROM nrm CROSS JOIN generate_series(0, 15) s(i) GROUP BY nrm.event_id), a AS (SELECT 'zorder' AS layout, zk.bucket, nrm.u, nrm.t FROM zk JOIN nrm USING (event_id) UNION ALL SELECT 'linear' AS layout, lb AS bucket, u, t FROM nrm) SELECT layout, bucket, count(*) AS n, min(u) AS min_u, max(u) AS max_u, max(u) - min(u) AS span_u, min(t) AS min_t, max(t) AS max_t, max(t) - min(t) AS span_t FROM a GROUP BY layout, bucket ORDER BY layout, bucket""",
+    // 3-D z-order audit: event_type enters as its dense alphabetical
+    // code; 10 bits/dim, 30-bit key, bucket = key >> 24 (64 buckets).
+    // Same divide-first normalization and per-event bit-sum fold as the
+    // 2-D oracle, one more interleaved dimension.
+    "layout_zorder_3d" ->
+      """WITH e0 AS (SELECT event_id, user_id AS u, epoch_us(ts) AS t, event_type FROM events), cm AS (SELECT event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS c FROM (SELECT DISTINCT event_type FROM e0)), e AS (SELECT e0.event_id, e0.u, e0.t, cm.c FROM e0 JOIN cm USING (event_type)), st AS (SELECT min(u) AS minu, max(u) AS maxu, min(t) AS mint, max(t) AS maxt, min(c) AS minc, max(c) AS maxc, (max(u) - min(u)) // 1023 + 1 AS qu, (max(t) - min(t)) // 1023 + 1 AS qt, (max(c) - min(c)) // 1023 + 1 AS qc FROM e), nrm AS (SELECT event_id, u, t, c, ((u - minu) // qu) * 1023 // greatest(1, (maxu - minu) // qu) AS ua, ((t - mint) // qt) * 1023 // greatest(1, (maxt - mint) // qt) AS ta, ((c - minc) // qc) * 1023 // greatest(1, (maxc - minc) // qc) AS ca, (t - mint) // ((maxt - mint) // 64 + 1) AS lb FROM e CROSS JOIN st), zk AS (SELECT nrm.event_id, CAST(sum((((nrm.ua >> s.i) & 1) << (3*s.i)) + (((nrm.ta >> s.i) & 1) << (3*s.i + 1)) + (((nrm.ca >> s.i) & 1) << (3*s.i + 2))) AS BIGINT) >> 24 AS bucket FROM nrm CROSS JOIN generate_series(0, 9) s(i) GROUP BY nrm.event_id), a AS (SELECT 'zorder' AS layout, zk.bucket, nrm.u, nrm.t, nrm.c FROM zk JOIN nrm USING (event_id) UNION ALL SELECT 'linear' AS layout, lb AS bucket, u, t, c FROM nrm) SELECT layout, bucket, count(*) AS n, min(u) AS min_u, max(u) AS max_u, max(u) - min(u) AS span_u, min(t) AS min_t, max(t) AS max_t, max(t) - min(t) AS span_t, min(c) AS min_c, max(c) AS max_c, max(c) - min(c) AS span_c FROM a GROUP BY layout, bucket ORDER BY layout, bucket""",
     // A/B readout: variant by salted user hash (stable under growth),
     // per-arm users/converters/e4 rate (one pinned integer division).
     "events_experiment" ->

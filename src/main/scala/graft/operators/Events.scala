@@ -839,6 +839,158 @@ object Events {
       .sortWithinPartitions("zkey")
   }
 
+  // ---- N-column clustering (the `OPTIMIZE ZORDER BY (c1, …, cN)`
+  //      surface: Delta/Iceberg take any column list, and the events
+  //      table has a third pruning-worthy dimension sitting right there) ----
+
+  /** Morton-key SQL over pre-normalized code columns `c_<alias>` (each
+    * in [0, 2^bits)): bit i of dimension k lands at key bit n·i + k —
+    * the same codegen'd `aggregate` fold as the 2-D audits, shared by
+    * the N-D audit and the N-D clustered writer. */
+  private def mortonKeyExpr(aliases: Seq[String], bits: Int): String = {
+    val n = aliases.size
+    val bitSum = aliases.zipWithIndex.map { case (a, k) =>
+      s"shiftleft(shiftright(c_$a, i) & 1, $n*i + $k)" }.mkString(" + ")
+    s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc + $bitSum)"
+  }
+
+  /** The divide-first integer normalization of [[zorderLayoutDf]] for
+    * one dimension: scale down by quotient (overflow-safe), stretch over
+    * the full `maxCode` bits (small-domain dimensions must reach the top
+    * key bits — see the 2-D audit's docstring). */
+  private def dimCodeExpr(a: String, maxCode: Int): String =
+    s"((($a - mn_$a) div ((mx_$a - mn_$a) div $maxCode + 1)) * $maxCode) " +
+      s"div greatest(1L, (mx_$a - mn_$a) div ((mx_$a - mn_$a) div $maxCode + 1))"
+
+  /** Per-bucket rollup for N dims: count plus min/max/span of every
+    * dimension — [[layoutAudit]] generalized. */
+  private def auditN(rows: DataFrame, aliases: Seq[String],
+      layout: String): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: aliases.flatMap(a =>
+      Seq(min(a).as(s"min_$a"), max(a).as(s"max_$a")))
+    val sel = Seq(lit(layout).as("layout"), col("bucket"), col("n")) ++
+      aliases.flatMap(a => Seq(col(s"min_$a"), col(s"max_$a"),
+        (col(s"max_$a") - col(s"min_$a")).as(s"span_$a")))
+    rows.groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*).select(sel: _*)
+  }
+
+  /** N-DIMENSIONAL Z-ORDER AUDIT — [[zorderLayoutDf]] generalized to any
+    * list of long dimensions at bits-per-dim = 30/n (2 → 15, 3 → 10;
+    * the key stays ≤ 30 bits so every shift is sign-safe in both
+    * engines). Same integer-exact normalization, same fixed-width
+    * bucket cut, same per-bucket footer-stat rollup — now with
+    * min/max/span per DIMENSION — against a `linear` twin cut on
+    * `linearCut` (time, by convention). Scale shape identical to the
+    * 2-D audit: one 2n-value broadcast aggregate + one ≤2·2^bucketsLog2
+    * group map-side rollup per layout. */
+  def zorderLayoutNDf(rows: DataFrame, aliases: Seq[String],
+      bucketsLog2: Int = ZorderBucketsLog2,
+      linearCut: String = "t"): DataFrame = {
+    val n = aliases.size
+    val bits = 30 / n
+    val maxCode = (1 << bits) - 1
+    val nb = 1L << bucketsLog2
+    val shift = math.max(0, n * bits - bucketsLog2)
+    val e = rows.select(aliases.map(col): _*)
+    val aggs = aliases.flatMap(a => Seq(min(a).as(s"mn_$a"), max(a).as(s"mx_$a")))
+    val st = e.agg(aggs.head, aggs.tail: _*)
+    val nrm = e.crossJoin(broadcast(st)).select(
+      (aliases.map(col) ++ aliases.map(a =>
+        expr(dimCodeExpr(a, maxCode)).as(s"c_$a")) :+
+        expr(s"($linearCut - mn_$linearCut) div " +
+          s"((mx_$linearCut - mn_$linearCut) div $nb + 1)").as("lb")): _*)
+    val z = nrm.select((aliases.map(col) :+
+      expr(s"shiftright(${mortonKeyExpr(aliases, bits)}, $shift)")
+        .as("bucket")): _*)
+    auditN(z, aliases, "zorder")
+      .unionByName(auditN(nrm.withColumnRenamed("lb", "bucket"), aliases, "linear"))
+      .orderBy("layout", "bucket")
+  }
+
+  /** 3-D Z-ORDER AUDIT over (user_id, ts, event_type) — the third
+    * dimension the 2-D audits leave on the table: `event_type` enters
+    * as its dense alphabetical code (both engines compute the same
+    * ranks over the same tiny distinct set), so a `event_type = X`
+    * scan can prune on footer stats exactly like the user/time
+    * dimensions. 10 bits per dimension, same 64-bucket cut. */
+  def zorderLayout3d(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val codes = e.select("event_type").distinct()
+      .withColumn("c",
+        (dense_rank().over(Window.orderBy("event_type")) - 1).cast("long"))
+    val rows = e.join(broadcast(codes), "event_type")
+      .select(col("user_id").as("u"), col("ts_us").as("t"), col("c"))
+    zorderLayoutNDf(rows, Seq("u", "t", "c"))
+  }
+
+  /** N-column clustered WRITER — [[zorderClustered]] generalized to any
+    * long-dimension list at 30/n bits per dim: normalize each dim,
+    * interleave, range-partition on the key, sort within partitions.
+    * Keeps every input column (plus `zkey`); same one-range-shuffle
+    * compaction-job shape. */
+  def zorderClusteredN(events: DataFrame, dims: Seq[String],
+      nFiles: Int): DataFrame = {
+    val bits = 30 / dims.size
+    val maxCode = (1 << bits) - 1
+    val aggs = dims.flatMap(a => Seq(min(a).as(s"mn_$a"), max(a).as(s"mx_$a")))
+    val st = events.agg(aggs.head, aggs.tail: _*)
+    val coded = dims.foldLeft(events.crossJoin(broadcast(st))) { (df, a) =>
+      df.withColumn(s"c_$a", expr(dimCodeExpr(a, maxCode)))
+    }
+    coded
+      .withColumn("zkey", expr(mortonKeyExpr(dims, bits)))
+      .drop(dims.flatMap(a => Seq(s"mn_$a", s"mx_$a", s"c_$a")): _*)
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions("zkey")
+  }
+
+  /** FILE-LEVEL audit of a WRITTEN parquet directory: per actual file
+    * (`input_file_name()`), the row count and min/max/span of every
+    * dimension — the REAL footer stats a pruner consults. The bucket
+    * audits above MODEL the layout; this measures the artifact the
+    * writer produced, after file sizing, row-group boundaries and the
+    * range partitioner's sampling have had their say. Driver-free:
+    * one file-keyed map-side rollup, output is file-count-sized. */
+  def fileLayoutAuditDf(written: DataFrame, dims: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: dims.flatMap(a =>
+      Seq(min(a).as(s"min_$a"), max(a).as(s"max_$a")))
+    written
+      .withColumn("file", input_file_name())
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+      .select((Seq(col("file"), col("n")) ++ dims.flatMap(a =>
+        Seq(col(s"min_$a"), col(s"max_$a"),
+          (col(s"max_$a") - col(s"min_$a")).as(s"span_$a")))): _*)
+      .orderBy("file")
+  }
+
+  /** Measured scan fraction over a FILE audit: of the (file, probe)
+    * pairs, how many must a `dim = probe` point query scan under
+    * min/max pruning — the end-to-end number the bucket-level
+    * [[zorderSkipEvalDf]] models. `probes` must carry one `pv` column. */
+  def fileSkipFractionDf(fileAudit: DataFrame, probes: DataFrame,
+      dim: String): DataFrame =
+    fileAudit.crossJoin(broadcast(probes))
+      .agg(countDistinct("file").as("n_files"),
+        countDistinct("pv").as("n_probes"),
+        sum(when(col("pv").between(col(s"min_$dim"), col(s"max_$dim")), 1L)
+          .otherwise(0L)).as("scanned"))
+      .select(col("n_files"), col("n_probes"), col("scanned"),
+        expr("scanned * 10000 div (n_files * n_probes)").as("scan_e4"))
+
+  /** Measured time-RANGE scan fraction over a FILE audit: `probes` must
+    * carry (ps, pe) window bounds; a file is scanned iff its
+    * [min_dim, max_dim] overlaps the window. */
+  def fileRangeScanFractionDf(fileAudit: DataFrame, probes: DataFrame,
+      dim: String): DataFrame =
+    fileAudit.crossJoin(broadcast(probes))
+      .agg(countDistinct("file").as("n_files"),
+        countDistinct("ps").as("n_probes"),
+        sum(when(col(s"min_$dim") <= col("pe") &&
+          col(s"max_$dim") >= col("ps"), 1L).otherwise(0L)).as("scanned"))
+      .select(col("n_files"), col("n_probes"), col("scanned"),
+        expr("scanned * 10000 div (n_files * n_probes)").as("scan_e4"))
+
   /** Same over any events DataFrame with (user_id, event_id, ts_us). */
   def sessionizeDf(events: DataFrame): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")

@@ -140,6 +140,83 @@ class EventsSpec extends AnyFunSuite {
     assert(sortedWithin.forall(identity))
   }
 
+  test("3-D zorder audit: corner cells interleave to bucket = u + 2t + 4c") {
+    // Binary dims {0,1}³ normalize to codes {0, 1023} (all ten bits set),
+    // so at bucketsLog2 = 3 the bucket is the key's top three bits — the
+    // i = 9 interleave slot: bit 29 = c, 28 = t, 27 = u. Every corner
+    // lands alone in bucket u + 2t + 4c with zero spans; the hand-check
+    // that the N-D fold interleaves dimensions in declaration order.
+    val rows = for (u <- 0L to 1L; t <- 0L to 1L; c <- 0L to 1L)
+      yield (u, t, c)
+    val got = graft.operators.Events
+      .zorderLayoutNDf(rows.toDF("u", "t", "c"), Seq("u", "t", "c"),
+        bucketsLog2 = 3)
+      .where($"layout" === "zorder")
+      .select($"bucket", $"n", $"min_u", $"min_t", $"min_c",
+        $"span_u", $"span_t", $"span_c")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) === (0L to 7L))
+    for ((bucket, n, u, t, c, su, st, sc) <- got) {
+      assert(n === 1L)
+      assert(bucket === u + 2 * t + 4 * c, s"corner ($u,$t,$c) in bucket $bucket")
+      assert(su === 0L && st === 0L && sc === 0L)
+    }
+  }
+
+  test("3-D clustered write: disjoint key ranges, third dimension prunes") {
+    val rows = for (u <- 0L until 8L; t <- 0L until 8L; c <- 0L until 4L)
+      yield (u * 100 + t * 10 + c, u, t * 1000000L, c)
+    val events = rows.toDF("event_id", "user_id", "ts_us", "c")
+    val clustered = graft.operators.Events
+      .zorderClusteredN(events, Seq("user_id", "ts_us", "c"), 8)
+    val perPart = clustered
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"), $"zkey")
+      .groupBy("pid")
+      .agg(org.apache.spark.sql.functions.min("zkey").as("lo"),
+        org.apache.spark.sql.functions.max("zkey").as("hi"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+      .orderBy("pid")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(perPart.map(_._4).sum === 256L)
+    assert(perPart.forall { case (_, lo, hi, _) =>
+      lo >= 0L && hi < (1L << 30) && lo <= hi })
+    for (Seq(a, b) <- perPart.sliding(2).toSeq if perPart.size > 1)
+      assert(a._3 <= b._2, s"overlapping key ranges: $a vs $b")
+  }
+
+  test("file-level audit: measured per-file stats — clustering beats linear on the probe dim") {
+    // The model→measurement closure: WRITE both layouts, read the actual
+    // files back, and compare measured min/max pruning — file sizing and
+    // the range partitioner's sampling included.
+    val rows = for (u <- 0L until 32L; t <- 0L until 32L)
+      yield (32 * u + t, u, t * 1000000L)
+    val events = rows.toDF("event_id", "user_id", "ts_us")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-filelayout")
+    try {
+      graft.operators.Events.zorderClusteredN(events, Seq("user_id", "ts_us"), 8)
+        .write.mode("overwrite").parquet(scratch.resolve("z").toString)
+      events.repartitionByRange(8, $"ts_us").sortWithinPartitions("ts_us")
+        .write.mode("overwrite").parquet(scratch.resolve("lin").toString)
+      def audit(sub: String) = graft.operators.Events.fileLayoutAuditDf(
+        spark.read.parquet(scratch.resolve(sub).toString), Seq("user_id", "ts_us"))
+      val zAudit = audit("z").collect()
+      val lAudit = audit("lin").collect()
+      // every row lands in exactly one file under both layouts
+      assert(zAudit.map(_.getAs[Long]("n")).sum === 1024L)
+      assert(lAudit.map(_.getAs[Long]("n")).sum === 1024L)
+      val probes = (0L until 8L).toDF("pv")
+      def frac(a: org.apache.spark.sql.DataFrame) = graft.operators.Events
+        .fileSkipFractionDf(a, probes, "user_id")
+        .collect().head.getAs[Long]("scan_e4")
+      val (zf, lf) = (frac(audit("z")), frac(audit("lin")))
+      // time-linear files each span the FULL user domain (scan everything);
+      // the clustered files bound user spans, so measured pruning is real
+      assert(lf === 10000L, s"linear layout should measure no user pruning, got $lf")
+      assert(zf < 7500L, s"clustered layout measured no real file pruning: $zf e4")
+    } finally graft.sources.ArtifactCache.rmTree(scratch.toString)
+  }
+
   test("funnel: stage timestamps respect strict event order per user") {
     val events = Seq(
       // user 1: full ordered funnel; second view/click later are ignored

@@ -46,6 +46,29 @@ class ReportSpec extends AnyFunSuite {
     assert(parsed === expected)
   }
 
+  test("TextFixture: deterministic, fully tokenizer-visible corpus") {
+    // The reference-scale anchor corpus must be (a) reproducible — same
+    // args, byte-identical bytes, or the MB/s number is not — and
+    // (b) entirely \b[a-z]+\b-visible: a digit-bearing vocab word would
+    // silently vanish from the count (the w123 bug this pins).
+    val dir = java.nio.file.Files.createTempDirectory("graft-fixture")
+    try {
+      def gen(sub: String): Array[Byte] = {
+        graft.TextFixture.main(Array(dir.resolve(sub).toString, "20000", "2"))
+        val fs = new java.io.File(dir.resolve(sub).toString).listFiles.sorted
+        fs.flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+      }
+      val a = gen("a"); val b = gen("b")
+      assert(a.sameElements(b), "fixture is not deterministic")
+      val text = new String(a, "UTF-8")
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      assert(words.length > 1000)
+      val invisible = words.filterNot(_.matches("[a-z]+"))
+      assert(invisible.isEmpty,
+        s"tokenizer-invisible words: ${invisible.take(3).mkString(", ")}")
+    } finally graft.sources.ArtifactCache.rmTree(dir.toString)
+  }
+
   test("console top-k block carries rank, padded word, grouped count") {
     val counts = TextAnalytics.wordCounts(Tables.documents(spark, TestSpark.sf))
     val block = Report.formatTopK(counts, k = 5)

@@ -1339,7 +1339,17 @@ object Pipeline {
       admitted)
   }
 
-  /** Same, over any (doc_id, source) DataFrame (planted tests). */
+  /** Same, over any (doc_id, source) DataFrame (planted tests).
+    *
+    * SCALE NOTE: this is the declared AUDIT twin — it ranks the FULL
+    * corpus per source (`Window.partitionBy(source)`, one task per
+    * source value), which is test-scale-only by design: the audit's
+    * whole point is to expose every document's rank and keep flag for
+    * the oracle. The 100 TB path is [[dataMixTemperatureCappedDf]],
+    * whose hash-threshold pre-filter shrinks each source's window input
+    * to ~overAdmit × target before any ranking (PipelineSpec pins that
+    * both select the SAME kept set); deploy the capped form, read this
+    * one. */
   def dataMixTemperatureDf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import docs.sparkSession.implicits._

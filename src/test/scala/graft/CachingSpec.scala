@@ -13,6 +13,19 @@ class CachingSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  /** Cross-suite isolation for the GLOBAL zero-persistent-RDD
+    * assertions below: a prior suite in the same JVM may have
+    * CONSTRUCTED (without acting on) operators whose internal persists
+    * or checkpoint blocks `clearCache` cannot see — those are that
+    * suite's artifacts, not this suite's leaks. Drain everything
+    * already persisted before asserting, so these tests pass under any
+    * `testOnly` suite combination, not just the full-run order. */
+  private def drainForeignPersists(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(r =>
+      try r.unpersist(blocking = true) catch { case _: Throwable => () })
+  }
+
   private def awaitReleased(df: org.apache.spark.sql.DataFrame): Boolean = {
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
     while (df.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
@@ -58,6 +71,7 @@ class CachingSpec extends AnyFunSuite {
   }
 
   test("contract sweep: every caching operator self-releases after its action") {
+    drainForeignPersists()
     // One query per operator family that persists an internal intermediate
     // (the round-8 sweep extended the discipline repo-wide). Each runs its
     // terminal action; no cached RDD may survive the listener.
@@ -80,6 +94,7 @@ class CachingSpec extends AnyFunSuite {
   }
 
   test("materialize: pagerankConvergedDf survives TWO terminal actions") {
+    drainForeignPersists()
     // The round-9 verdict's missing contract: checkpoint-backed results are
     // single-use by default — a library consumer that needs several actions
     // opts into `materialize`, which re-checkpoints the result into its own
@@ -101,6 +116,7 @@ class CachingSpec extends AnyFunSuite {
   }
 
   test("operator-level: substringDup's window cache self-releases after its action") {
+    drainForeignPersists()
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")

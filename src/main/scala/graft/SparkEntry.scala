@@ -136,6 +136,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "eval_opq_allocation" -> ((s, d) => Similarity.opqAllocationEval(s, d)),
     "sim_pq_trained" -> ((s, d) => Similarity.pqTrainedTopK(s, d)),
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sim_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
@@ -711,6 +712,13 @@ object SparkEntry {
     // distances and centroid-id ties, ADC scoring = integer sum of the
     // query's e4 lookup table over the codes — every step pinned to the
     // identical op order on both engines.
+    // OPQ dimension-allocation eval: exact per-dim variance numerators in
+    // HUGEINT (n·Σx² − (Σx)² over e4 coords), snake assignment off one
+    // row_number window, per-layout imbalance as a scale-free e4 fraction,
+    // and the stub-codebook encode error with gathered (list ORDER BY d)
+    // sub-vectors — the natural layout's gather equals the slice form.
+    "eval_opq_allocation" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), nn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM n), el AS (SELECT vec_id, g.i AS d, vn[g.i + 1] AS x FROM nn CROSS JOIN generate_series(0, 63) g(i)), mom AS (SELECT d, CAST(count(*) AS HUGEINT) AS cnt, sum(CAST(round(x * 10000) AS HUGEINT)) AS sx, sum(CAST(round(x * 10000) AS HUGEINT) * CAST(round(x * 10000) AS HUGEINT)) AS sxx FROM el GROUP BY d), vr AS (SELECT d, cnt * sxx - sx * sx AS vnum FROM mom), rk AS (SELECT d, vnum, row_number() OVER (ORDER BY vnum DESC, d) - 1 AS r0 FROM vr), lay AS (SELECT 'natural' AS layout, d, vnum, d // 8 AS m FROM rk UNION ALL SELECT 'opq_snake' AS layout, d, vnum, CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8 ELSE 7 - (r0 % 8) END AS m FROM rk), imb AS (SELECT layout, CAST(CASE WHEN max(sv) <= 0 THEN 0 ELSE (max(sv) - min(sv)) * 10000 // max(sv) END AS BIGINT) AS var_imbalance_e4 FROM (SELECT layout, m, sum(vnum) AS sv FROM lay GROUP BY layout, m) GROUP BY layout), ps AS (SELECT l.layout, e.vec_id, l.m, list(e.x ORDER BY e.d) AS xm FROM el e JOIN lay l USING (d) GROUP BY l.layout, e.vec_id, l.m), cb AS (SELECT layout, vec_id AS j, m, xm AS cm FROM ps WHERE vec_id < 16), dist AS (SELECT s.layout, s.vec_id, s.m, CAST(round((list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm)) * 10000) AS BIGINT) AS d2_e4 FROM ps s JOIN cb c ON s.layout = c.layout AND s.m = c.m), enc AS (SELECT layout, vec_id, m, min(d2_e4) AS mn FROM dist GROUP BY layout, vec_id, m), err AS (SELECT layout, CAST(sum(mn) AS BIGINT) AS total_err_e4 FROM enc GROUP BY layout) SELECT i.layout, i.var_imbalance_e4, e.total_err_e4 FROM imb i JOIN err e USING (layout) ORDER BY layout""",
     "sim_pq_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), nn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM n), mm AS (SELECT unnest(range(8)) AS m), subs AS (SELECT vec_id, m, vn[m*8+1 : m*8+8] AS xm FROM nn CROSS JOIN mm), cb AS (SELECT vec_id AS j, m, xm AS cm FROM subs WHERE vec_id < 16), dist AS (SELECT s.vec_id, s.m, c.j, CAST(round((list_inner_product(s.xm, s.xm) - 2.0 * list_inner_product(s.xm, c.cm) + list_inner_product(c.cm, c.cm)) * 10000) AS BIGINT) AS d2_e4 FROM subs s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id, m, j FROM (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_e4, j) AS rn FROM dist) WHERE rn = 1), qtab AS (SELECT s.vec_id AS qid, s.m, c.j, CAST(round(list_inner_product(s.xm, c.cm) * 10000) AS BIGINT) AS t_e4 FROM subs s JOIN cb c ON s.m = c.m WHERE s.vec_id < 10), scored AS (SELECT q.qid, co.vec_id AS cid, CAST(sum(q.t_e4) AS BIGINT) AS approx_e4 FROM codes co JOIN qtab q ON co.m = q.m AND co.j = q.j GROUP BY q.qid, co.vec_id) SELECT qid, cid, approx_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, approx_e4, row_number() OVER (PARTITION BY qid ORDER BY approx_e4 DESC, cid) AS rn FROM scored) WHERE rn <= 5 ORDER BY qid, rn""",
     // Trained PQ: two unrolled per-subspace Lloyd iterations in the e4

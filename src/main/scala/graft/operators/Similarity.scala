@@ -551,6 +551,122 @@ object Similarity {
       c)
   }
 
+  // ---- OPQ, dimension-allocation variant (Ge et al. 2013, "Optimized
+  //      Product Quantization", CVPR). Full OPQ learns an orthonormal
+  //      rotation R by alternating SVD solves, which no integer-exact
+  //      oracle can reproduce; but a coordinate PERMUTATION is itself an
+  //      orthonormal transform, and the paper's parametric analysis says
+  //      what a good one does: balance variance across subspaces (its
+  //      eigenvalue-allocation criterion). Rank dimensions by exact
+  //      per-dim variance and deal them to subspaces in serpentine
+  //      ("snake") order — the closed-form balanced-partition heuristic,
+  //      reproducible in SQL with one window (no greedy state, no SVD). ----
+
+  /** Per-dimension EXACT variance numerators (n·Σx² − (Σx)² over the
+    * e4-quantized normalized coordinates) and the snake allocation:
+    * rank dims by (variance DESC, dim ASC); rank r lands in subspace
+    * r mod M on even rounds (r div M), M−1−(r mod M) on odd rounds.
+    * Decimal(38,0) sums keep the moments exact past the int64 bound
+    * (the events_anomaly precedent): at 10⁹ vectors n·Σx² ≤ ~10²⁶ ≪
+    * 10³⁸. One corpus pass, map-side-combined to Dim groups; the
+    * collected model is Dim rows. Returns (dim, varNum, subspace)
+    * sorted by dim. */
+  private[graft] def opqSnakeAllocation(cn: DataFrame, m: Int):
+      Seq[(Int, BigInt, Int)] = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val mom = cn.select(posexplode(col("vn"))).toDF("d", "x")
+      .select(col("d"), e4(col("x")).as("xe"))
+      .groupBy("d")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("xe").cast(dec)).as("sx"),
+        sum((col("xe") * col("xe")).cast(dec)).as("sxx"))
+      .select(col("d"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("vnum"))
+      .collect()
+      .map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger)))
+    val ranked = mom.sortBy { case (d, v) => (-v, d) }
+    ranked.zipWithIndex.map { case ((d, v), r) =>
+      val pos = r % m
+      (d, v, if ((r / m) % 2 == 0) pos else m - 1 - pos)
+    }.sortBy(_._1).toSeq
+  }
+
+  /** OPQ ALLOCATION EVAL — both PQ dimension layouts priced in one
+    * hash-matched table: `natural` (the contiguous slices [[pqTopK]]
+    * ships) vs `opq_snake` (the variance-balanced permutation). Per
+    * layout: `var_imbalance_e4` = (max − min)·10⁴ / max over the
+    * per-subspace variance-numerator sums (the quantity OPQ balances,
+    * as a scale-free e4 fraction) and `total_err_e4` = Σ over
+    * (vector, subspace) of the argmin encode d² against the stub
+    * codebook — the downstream quantization error the balance is meant
+    * to move. The decision table a deployment reads before paying for
+    * a permuted index layout.
+    *
+    * Scale shape: the allocation is a Dim-row driver model off one
+    * exact moments pass; each layout's error pass streams the corpus
+    * once against a broadcast codebook — the [[pqTopK]] shape, and the
+    * gathered sub-vectors are built by `element_at` projection (no
+    * explode/regroup shuffle of the corpus). */
+  def opqAllocationEval(s: SparkSession, d: String): DataFrame =
+    opqAllocationEvalDf(corpus(s, d))
+
+  /** Same over any (vec_id, v: array<double>) frame (planted tests). */
+  def opqAllocationEvalDf(c0: DataFrame, m: Int = PqM,
+      kCents: Int = PqK): DataFrame = {
+    val s = c0.sparkSession
+    import s.implicits._
+    val cn = c0
+      .withColumn("nrm", l2Norm(toDoubleArr(col("v"))))
+      .select(col("vec_id"),
+        transform(toDoubleArr(col("v")), x => x / col("nrm")).as("vn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val alloc = opqSnakeAllocation(cn, m)
+    val dim = alloc.size
+    val sub = dim / m
+    val natAsg = (0 until m).map(k =>
+      k -> (k * sub until (k + 1) * sub).toSeq).toMap
+    val snakeAsg = (0 until m).map(k =>
+      k -> alloc.filter(_._3 == k).map(_._1).sorted.toSeq).toMap
+    // gathered sub-vectors: subspace k = its dims ascending (the natural
+    // layout's gather equals pqTopK's contiguous slice)
+    def subVectorsBy(asg: Map[Int, Seq[Int]], idCol: String,
+        frame: DataFrame): DataFrame =
+      frame.select(col("vec_id").as(idCol), posexplode(
+          array((0 until m).map(k => array(asg(k).map(dd =>
+            element_at(col("vn"), dd + 1)): _*)): _*)))
+        .toDF(idCol, "m", "xm")
+    def errFor(layout: String, asg: Map[Int, Seq[Int]]): DataFrame = {
+      val subs = subVectorsBy(asg, "vec_id", cn)
+      val cb = subVectorsBy(asg, "j", cn.filter(col("vec_id") < kCents))
+        .select(col("j"), col("m"), col("xm").as("cm"))
+      subs.join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"),
+          e4(dotD(col("xm"), col("xm")) - lit(2.0) * dotD(col("xm"), col("cm"))
+            + dotD(col("cm"), col("cm"))).as("d2_e4"))
+        .groupBy("vec_id", "m")
+        .agg(min(col("d2_e4")).as("mn"))
+        .agg(sum("mn").as("total_err_e4"))
+        .select(lit(layout).as("layout"), col("total_err_e4"))
+    }
+    // scale-free imbalance off the driver model (exact BigInt arithmetic;
+    // all-constant corpora pin 0 rather than divide by zero)
+    def imbalanceE4(asg: Map[Int, Seq[Int]]): Long = {
+      val byV = alloc.map(t => t._1 -> t._2).toMap
+      val sums = (0 until m).map(k => asg(k).map(byV).sum)
+      if (sums.max <= 0) 0L
+      else ((sums.max - sums.min) * 10000 / sums.max).toLong
+    }
+    val imbDf = Seq(("natural", imbalanceE4(natAsg)),
+      ("opq_snake", imbalanceE4(snakeAsg))).toDF("layout", "var_imbalance_e4")
+    graft.functions.Caching.releaseAfterAction(
+      errFor("natural", natAsg).unionByName(errFor("opq_snake", snakeAsg))
+        .join(broadcast(imbDf), "layout")
+        .select(col("layout"), col("var_imbalance_e4"), col("total_err_e4"))
+        .orderBy("layout"),
+      cn)
+  }
+
   /** IVF-PQ composed — the production billion-vector index shape (FAISS
     * IndexIVFPQ): the coarse quantizer routes each query to its nProbe
     * nearest CELLS, and within probed cells candidates are scored by the

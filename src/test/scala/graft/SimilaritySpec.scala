@@ -100,6 +100,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"pqTopK recall vs brute dropped to $recall")
   }
 
+  test("opq allocation: snake balances front-loaded variance; natural cannot") {
+    // Variance concentrated in dims 0-3: the natural contiguous layout
+    // piles all of it into subspace 0 (imbalance → ~10000 e4), while the
+    // snake deal spreads the four hot dims one per subspace. The planted
+    // check that the permutation actually balances what it claims to.
+    val vecs = (0L until 8L).map { i =>
+      (i, (0 until 16).map(d =>
+        if (d < 4) (i + 1.0) * (d + 1) else 1.0).toArray)
+    }
+    val df = vecs.toDF("vec_id", "v")
+    val got = Similarity.opqAllocationEvalDf(df, m = 4, kCents = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq("natural", "opq_snake"))
+    val (nat, snake) = (got(0), got(1))
+    assert(snake._2 < nat._2,
+      s"snake imbalance ${snake._2} not below natural ${nat._2}")
+    assert(nat._3 >= 0L && snake._3 >= 0L)
+    // deterministic: a second evaluation reproduces both rows exactly
+    spark.catalog.clearCache()
+    val again = Similarity.opqAllocationEvalDf(df, m = 4, kCents = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(again === got)
+  }
+
   test("pq trained+rerank: full coverage, beats the plain-ADC stub's recall") {
     val pq = Similarity.pqTopK(spark, TestSpark.sf)
       .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()

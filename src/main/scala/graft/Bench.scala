@@ -81,6 +81,11 @@ object Bench {
 
   private def sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+  /** One resolution for the warmup corpus: the isolated parent's scoped
+    * eviction and the children's warmup must agree on it, or value_cold
+    * prices builds against a different corpus than the warmup touched. */
+  private def warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+
   def main(args: Array[String]): Unit = {
     // Dev-loop subsetting (SPARK_GRAFT_ONLY=q1,q2) and the forked children
     // (SPARK_GRAFT_FORKED=q1,q2) both run the classic in-process protocol;
@@ -108,7 +113,6 @@ object Bench {
 
   private def runShared(subset: Option[Set[String]],
       evictFirst: Boolean = true): RunResult = {
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
@@ -208,7 +212,6 @@ object Bench {
     // costs — no double-billing when a family spans chunks. Scoped to
     // this run's own corpora (sf + warm dirs): a shared warehouse root
     // keeps every product other corpora built.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     try graft.sources.ArtifactCache.evictDerivedFrom(Seq(sfDir, warmDir)): Unit
     catch { case e: Throwable =>
       System.err.println(s"[bench] product eviction failed: ${e.getMessage}")

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MEASURED layout comparison on REAL written files — the end-to-end
@@ -37,10 +36,8 @@ object LayoutMeasure {
     // event-type code (so type-point pruning is measurable under every
     // layout, clustered on it or not).
     val e0 = graft.sources.Tables.events(spark, sfDir)
-    val codes = e0.select("event_type").distinct()
-      .withColumn("c",
-        (dense_rank().over(Window.orderBy("event_type")) - 1).cast("long"))
-    val events = e0.join(broadcast(codes), "event_type")
+    val events = e0
+      .join(broadcast(graft.operators.Events.eventTypeCodes(e0)), "event_type")
       .select(col("event_id"), col("user_id"), col("ts_us"), col("c"))
       .persist()
     events.count(): Unit

@@ -915,13 +915,20 @@ object Events {
     * dimensions. 10 bits per dimension, same 64-bucket cut. */
   def zorderLayout3d(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
-    val codes = e.select("event_type").distinct()
-      .withColumn("c",
-        (dense_rank().over(Window.orderBy("event_type")) - 1).cast("long"))
-    val rows = e.join(broadcast(codes), "event_type")
+    val rows = e.join(broadcast(eventTypeCodes(e)), "event_type")
       .select(col("user_id").as("u"), col("ts_us").as("t"), col("c"))
     zorderLayoutNDf(rows, Seq("u", "t", "c"))
   }
+
+  /** Dense alphabetical code `c` per event_type — the ONE definition the
+    * 3-D audit and the measured-layout tool (`graft.LayoutMeasure`)
+    * share, so the clustering dimension cannot drift between the
+    * hash-matched model and the measurement. Tiny distinct set; the
+    * single-partition rank window is over a handful of rows. */
+  def eventTypeCodes(events: DataFrame): DataFrame =
+    events.select("event_type").distinct()
+      .withColumn("c",
+        (dense_rank().over(Window.orderBy("event_type")) - 1).cast("long"))
 
   /** N-column clustered WRITER — [[zorderClustered]] generalized to any
     * long-dimension list at 30/n bits per dim: normalize each dim,
@@ -973,23 +980,30 @@ object Events {
     fileAudit.crossJoin(broadcast(probes))
       .agg(countDistinct("file").as("n_files"),
         countDistinct("pv").as("n_probes"),
-        sum(when(col("pv").between(col(s"min_$dim"), col(s"max_$dim")), 1L)
-          .otherwise(0L)).as("scanned"))
+        coalesce(sum(when(col("pv").between(col(s"min_$dim"), col(s"max_$dim")),
+          1L).otherwise(0L)), lit(0L)).as("scanned"))
       .select(col("n_files"), col("n_probes"), col("scanned"),
-        expr("scanned * 10000 div (n_files * n_probes)").as("scan_e4"))
+        when(col("n_files") * col("n_probes") === 0L, 0L)
+          .otherwise(expr("scanned * 10000 div (n_files * n_probes)"))
+          .as("scan_e4"))
 
   /** Measured time-RANGE scan fraction over a FILE audit: `probes` must
     * carry (ps, pe) window bounds; a file is scanned iff its
-    * [min_dim, max_dim] overlaps the window. */
+    * [min_dim, max_dim] overlaps the window. The probe identity is the
+    * (ps, pe) PAIR — two windows sharing a start are two probes, so the
+    * fraction can never exceed 10000 e4. */
   def fileRangeScanFractionDf(fileAudit: DataFrame, probes: DataFrame,
       dim: String): DataFrame =
     fileAudit.crossJoin(broadcast(probes))
       .agg(countDistinct("file").as("n_files"),
-        countDistinct("ps").as("n_probes"),
-        sum(when(col(s"min_$dim") <= col("pe") &&
-          col(s"max_$dim") >= col("ps"), 1L).otherwise(0L)).as("scanned"))
+        countDistinct(col("ps"), col("pe")).as("n_probes"),
+        coalesce(sum(when(col(s"min_$dim") <= col("pe") &&
+          col(s"max_$dim") >= col("ps"), 1L).otherwise(0L)), lit(0L))
+          .as("scanned"))
       .select(col("n_files"), col("n_probes"), col("scanned"),
-        expr("scanned * 10000 div (n_files * n_probes)").as("scan_e4"))
+        when(col("n_files") * col("n_probes") === 0L, 0L)
+          .otherwise(expr("scanned * 10000 div (n_files * n_probes)"))
+          .as("scan_e4"))
 
   /** Same over any events DataFrame with (user_id, event_id, ts_us). */
   def sessionizeDf(events: DataFrame): DataFrame = {

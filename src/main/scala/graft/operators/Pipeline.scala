@@ -891,10 +891,20 @@ object Pipeline {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     val allCols = keyCols ++ orderCols
+    // localCheckpoint, NOT persist: the broadcast base table is keyed by
+    // the pids of THIS materialization. A plain persist's release
+    // contract ("recompute transparently") is silently WRONG here — the
+    // range exchange reseeds its boundary sampling on recompute, rows
+    // can land in different pids, and the stale collected bases then
+    // drop or misplace them (found by the round-12 null-group spec).
+    // Truncating lineage freezes the pids for every later action; after
+    // release the result is single-use (a reuse fails LOUDLY on missing
+    // checkpoint blocks — Caching's documented checkpoint contract —
+    // instead of returning wrong offsets).
     val base = df.repartitionByRange(allCols.map(col): _*)
       .sortWithinPartitions(allCols.map(col): _*)
       .withColumn("pid", spark_partition_id().cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val totals = base.groupBy(("pid" +: keyCols).map(col): _*)
       .agg(sum(valueCol).as("tot")).collect()
     val grand = totals.map(_.getAs[Long]("tot")).sum
@@ -914,13 +924,21 @@ object Pipeline {
       StructField("pid", LongType, nullable = false) +:
         keyCols.map(k => df.schema(k)) :+
         StructField("base", LongType, nullable = false))
+    // Null-SAFE key equality on the join back: a NULL key is its own
+    // group under Window.partitionBy (the semantics the flat form had),
+    // so the base join must not silently drop those rows the way a
+    // plain equi-join would.
     val baseDf = df.sparkSession.createDataFrame(baseRows.asJava, baseSchema)
+      .toDF((("__pid" +: keyCols.map("__k_" + _)) :+ "base"): _*)
+    val joinCond = keyCols.foldLeft(col("pid") === col("__pid")) {
+      (c, k) => c && (col(k) <=> col("__k_" + k))
+    }
     val w = Window.partitionBy(("pid" +: keyCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    (base.join(broadcast(baseDf), "pid" +: keyCols)
+    (base.join(broadcast(baseDf), joinCond)
       .withColumn("prefix", col("base") + sum(valueCol).over(w) - col(valueCol))
-      .drop("pid", "base"),
+      .drop(("pid" +: "__pid" +: "base" +: keyCols.map("__k_" + _)): _*),
      base, grand)
   }
 

@@ -230,7 +230,10 @@ class BenchHarnessSpec extends AnyFunSuite {
         // a HIT never triggers the sweep: B re-reads fine under budget 0
         assert(ArtifactCache.getOrBuild(spark, "agcB", f.getAbsolutePath,
           Seq(1))(build(3)).count() === 1L)
-      } finally spark.conf.unset("spark.graft.products.gc.maxBytes")
+      } finally {
+        spark.conf.unset("spark.graft.products.gc.maxBytes")
+        spark.conf.unset("spark.graft.products.gc.minAgeMs")
+      }
     }
   }
 

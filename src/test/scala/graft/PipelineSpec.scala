@@ -394,6 +394,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("packEfficiencyDf: a NULL source is its own group, never dropped") {
+    // The flat Window.partitionBy(source) treated NULL as its own
+    // partition; the keyed prefix sum's base join must be null-SAFE or
+    // those rows silently vanish (caught in the round-12 review pass).
+    val docs = Seq(
+      (1L, "src", "alpha beta"),
+      (2L, null.asInstanceOf[String], "gamma delta epsilon"),
+      (3L, "src", "zeta")).toDF("doc_id", "source", "text")
+    // ONE action: prefix-sum results are checkpoint-backed single-use
+    // (see keyedExclusivePrefixSum's pid-staleness note).
+    val rows = Pipeline.packEfficiencyDf(docs).collect()
+    assert(rows.length === 2, "expected the src group AND the NULL group")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 3L,
+      "the null-source document was dropped")
+  }
+
   test("packEfficiencyDf: planted boundary cases (empty doc, exact fit, multi-sequence doc)") {
     def txt(n: Int) = Seq.fill(n)("w").mkString(" ")
     // s1 layout at SeqLen=256: 100 tokens (seq 0), an empty doc, 156 tokens

@@ -9,7 +9,9 @@ import graft.sources.ArtifactCache
   *   runMain graft.Products                 # list published products
   *   runMain graft.Products evict <name>    # drop every key of <name>
   *   runMain graft.Products gc [--max-bytes N] [--max-age-days D]
+  *                             [--min-age-hours H]
   *                                          # age/size policy over the cache
+  *                                          # (grace floor default 1 h)
   *
   * Companion to [[IndexBuild]] (build the big one on a schedule) and the
   * in-library consumers (every family's first consumer builds on miss):
@@ -40,17 +42,23 @@ object Products {
         // a typo'd `--max-bytes 10GB` gets the usage line, not a stack
         // trace.
         val known = rest.grouped(2).forall {
-          case Seq("--max-bytes" | "--max-age-days", v) => v.toLongOption.isDefined
+          case Seq("--max-bytes" | "--max-age-days" | "--min-age-hours", v) =>
+            v.toLongOption.isDefined
           case _ => false
         }
         if (!known) {
           System.err.println(
-            s"usage: Products gc [--max-bytes N] [--max-age-days D] (got: ${rest.mkString(" ")})")
+            s"usage: Products gc [--max-bytes N] [--max-age-days D] " +
+              s"[--min-age-hours H] (got: ${rest.mkString(" ")})")
           sys.exit(2)
         }
         val evicted = ArtifactCache.gc(
           maxBytes = opt("--max-bytes"),
-          maxAgeMs = opt("--max-age-days").map(_ * 86400000L))
+          maxAgeMs = opt("--max-age-days").map(_ * 86400000L),
+          // grace floor override (default 1 h): products younger than
+          // this are never victims, whatever the budget says
+          minAgeMs = opt("--min-age-hours").map(_ * 3600000L)
+            .getOrElse(ArtifactCache.DefaultGcMinAgeMs))
         evicted.foreach(d => println(s"evicted $d"))
         println(s"gc evicted ${evicted.size} director${if (evicted.size == 1) "y" else "ies"}")
       case Nil =>

@@ -76,6 +76,7 @@ object SparkEntry {
     "eval_layout_skip" -> ((s, d) => Events.zorderSkipEval(s, d)),
     "layout_hilbert" -> ((s, d) => Events.hilbertLayout(s, d)),
     "layout_zorder_3d" -> ((s, d) => Events.zorderLayout3d(s, d)),
+    "eval_layout_skip_3d" -> ((s, d) => Events.layoutSkip3dEval(s, d)),
     "eval_layout_tradeoff" -> ((s, d) => Events.layoutTradeoffEval(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
@@ -863,6 +864,12 @@ object SparkEntry {
     // 2-D oracle, one more interleaved dimension.
     "layout_zorder_3d" ->
       """WITH e0 AS (SELECT event_id, user_id AS u, epoch_us(ts) AS t, event_type FROM events), cm AS (SELECT event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS c FROM (SELECT DISTINCT event_type FROM e0)), e AS (SELECT e0.event_id, e0.u, e0.t, cm.c FROM e0 JOIN cm USING (event_type)), st AS (SELECT min(u) AS minu, max(u) AS maxu, min(t) AS mint, max(t) AS maxt, min(c) AS minc, max(c) AS maxc, (max(u) - min(u)) // 1023 + 1 AS qu, (max(t) - min(t)) // 1023 + 1 AS qt, (max(c) - min(c)) // 1023 + 1 AS qc FROM e), nrm AS (SELECT event_id, u, t, c, ((u - minu) // qu) * 1023 // greatest(1, (maxu - minu) // qu) AS ua, ((t - mint) // qt) * 1023 // greatest(1, (maxt - mint) // qt) AS ta, ((c - minc) // qc) * 1023 // greatest(1, (maxc - minc) // qc) AS ca, (t - mint) // ((maxt - mint) // 64 + 1) AS lb FROM e CROSS JOIN st), zk AS (SELECT nrm.event_id, CAST(sum((((nrm.ua >> s.i) & 1) << (3*s.i)) + (((nrm.ta >> s.i) & 1) << (3*s.i + 1)) + (((nrm.ca >> s.i) & 1) << (3*s.i + 2))) AS BIGINT) >> 24 AS bucket FROM nrm CROSS JOIN generate_series(0, 9) s(i) GROUP BY nrm.event_id), a AS (SELECT 'zorder' AS layout, zk.bucket, nrm.u, nrm.t, nrm.c FROM zk JOIN nrm USING (event_id) UNION ALL SELECT 'linear' AS layout, lb AS bucket, u, t, c FROM nrm) SELECT layout, bucket, count(*) AS n, min(u) AS min_u, max(u) AS max_u, max(u) - min(u) AS span_u, min(t) AS min_t, max(t) AS max_t, max(t) - min(t) AS span_t, min(c) AS min_c, max(c) AS max_c, max(c) - min(c) AS span_c FROM a GROUP BY layout, bucket ORDER BY layout, bucket""",
+    // 3-D skip eval: the 3-D audit's CTE chain reduced to scan fractions
+    // for all three probe shapes (user-point / time-range / type-point)
+    // under zorder vs linear — the modeled twin of LayoutMeasure's
+    // measured table. Time probes dedup by ps (pe is ps-functional).
+    "eval_layout_skip_3d" ->
+      """WITH e0 AS (SELECT event_id, user_id AS u, epoch_us(ts) AS t, event_type FROM events), cm AS (SELECT event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS c FROM (SELECT DISTINCT event_type FROM e0)), e AS (SELECT e0.event_id, e0.u, e0.t, cm.c FROM e0 JOIN cm USING (event_type)), st AS (SELECT min(u) AS minu, max(u) AS maxu, min(t) AS mint, max(t) AS maxt, min(c) AS minc, max(c) AS maxc, (max(u) - min(u)) // 1023 + 1 AS qu, (max(t) - min(t)) // 1023 + 1 AS qt, (max(c) - min(c)) // 1023 + 1 AS qc FROM e), nrm AS (SELECT event_id, u, t, c, ((u - minu) // qu) * 1023 // greatest(1, (maxu - minu) // qu) AS ua, ((t - mint) // qt) * 1023 // greatest(1, (maxt - mint) // qt) AS ta, ((c - minc) // qc) * 1023 // greatest(1, (maxc - minc) // qc) AS ca, (t - mint) // ((maxt - mint) // 64 + 1) AS lb FROM e CROSS JOIN st), zk AS (SELECT nrm.event_id, CAST(sum((((nrm.ua >> s.i) & 1) << (3*s.i)) + (((nrm.ta >> s.i) & 1) << (3*s.i + 1)) + (((nrm.ca >> s.i) & 1) << (3*s.i + 2))) AS BIGINT) >> 24 AS bucket FROM nrm CROSS JOIN generate_series(0, 9) s(i) GROUP BY nrm.event_id), a AS (SELECT 'zorder' AS layout, zk.bucket, nrm.u, nrm.t, nrm.c FROM zk JOIN nrm USING (event_id) UNION ALL SELECT 'linear' AS layout, lb AS bucket, u, t, c FROM nrm), aud AS (SELECT layout, bucket, min(u) AS min_u, max(u) AS max_u, min(t) AS min_t, max(t) AS max_t, min(c) AS min_c, max(c) AS max_c FROM a GROUP BY layout, bucket), up AS (SELECT u AS pv FROM (SELECT DISTINCT u FROM e) ORDER BY u LIMIT 10), tp AS (SELECT DISTINCT c AS pv FROM e), tr AS (SELECT mint + k * ((maxt - mint) // 10) AS ps, mint + k * ((maxt - mint) // 10) + ((maxt - mint) // 64) AS pe FROM st CROSS JOIN generate_series(0, 9) s(k) GROUP BY 1, 2), r1 AS (SELECT layout, 'user_point' AS probe, count(DISTINCT bucket) AS n_buckets, count(DISTINCT pv) AS n_probes, CAST(sum(CASE WHEN pv BETWEEN min_u AND max_u THEN 1 ELSE 0 END) AS BIGINT) AS scanned FROM aud CROSS JOIN up GROUP BY layout), r2 AS (SELECT layout, 'time_range' AS probe, count(DISTINCT bucket) AS n_buckets, count(DISTINCT ps) AS n_probes, CAST(sum(CASE WHEN min_t <= pe AND max_t >= ps THEN 1 ELSE 0 END) AS BIGINT) AS scanned FROM aud CROSS JOIN tr GROUP BY layout), r3 AS (SELECT layout, 'type_point' AS probe, count(DISTINCT bucket) AS n_buckets, count(DISTINCT pv) AS n_probes, CAST(sum(CASE WHEN pv BETWEEN min_c AND max_c THEN 1 ELSE 0 END) AS BIGINT) AS scanned FROM aud CROSS JOIN tp GROUP BY layout) SELECT layout, probe, n_buckets, n_probes, scanned, scanned * 10000 // (n_buckets * n_probes) AS scan_e4 FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3) ORDER BY layout, probe""",
     // A/B readout: variant by salted user hash (stable under growth),
     // per-arm users/converters/e4 rate (one pinned integer division).
     "events_experiment" ->

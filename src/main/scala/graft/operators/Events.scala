@@ -930,6 +930,65 @@ object Events {
       .withColumn("c",
         (dense_rank().over(Window.orderBy("event_type")) - 1).cast("long"))
 
+  /** 3-D LAYOUT SKIP EVAL — [[layoutTradeoffEvalDf]]'s decision table
+    * extended with the third dimension: the [[zorderLayout3d]] audit
+    * reduced to scan fractions for user-point, time-range AND
+    * type-point probes under the 3-D curve vs time-linear. This is the
+    * MODELED twin of `graft.LayoutMeasure`'s measured three-probe
+    * table, hash-matched — what the 3-D key buys (type-point pruning
+    * neither 2-D layout has) and what it costs (point/range dilution at
+    * 10 bits per dimension), as one 6-row result. Constant-size: the
+    * ≤128-row audit (persisted across its three rollups — one corpus
+    * scan, not three) × ≤10/≤10/type-count broadcast probes. */
+  def layoutSkip3dEval(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val codes = eventTypeCodes(e)
+    val rows = e.join(broadcast(codes), "event_type")
+      .select(col("user_id").as("u"), col("ts_us").as("t"), col("c"))
+    val audit = zorderLayoutNDf(rows, Seq("u", "t", "c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nProbes = ZorderSkipProbes
+    val nb = 1L << ZorderBucketsLog2
+    val userProbes = rows.select(col("u").as("pv"))
+      .distinct().orderBy("pv").limit(nProbes)
+    val typeProbes = codes.select(col("c").as("pv"))
+    val timeProbes = rows.agg(min("t").as("mint"), max("t").as("maxt"))
+      .select(explode(sequence(lit(0), lit(nProbes - 1))).as("k"),
+        col("mint"), col("maxt"))
+      .select(
+        expr(s"mint + k * ((maxt - mint) div $nProbes)").as("ps"),
+        expr(s"mint + k * ((maxt - mint) div $nProbes) + " +
+          s"((maxt - mint) div $nb)").as("pe"))
+      .distinct()
+    def pointRollup(probes: DataFrame, kind: String, dim: String) =
+      audit.crossJoin(broadcast(probes)).groupBy("layout")
+        .agg(countDistinct("bucket").as("n_buckets"),
+          countDistinct("pv").as("n_probes"),
+          sum(when(col("pv").between(col(s"min_$dim"), col(s"max_$dim")), 1L)
+            .otherwise(0L)).as("scanned"))
+        .select(col("layout"), lit(kind).as("probe"), col("n_buckets"),
+          col("n_probes"), col("scanned"),
+          expr("scanned * 10000 div (n_buckets * n_probes)").as("scan_e4"))
+    val rangeRollup =
+      audit.crossJoin(broadcast(timeProbes)).groupBy("layout")
+        .agg(countDistinct("bucket").as("n_buckets"),
+          // probe identity is the (ps, pe) PAIR (the fraction can never
+          // exceed 10000 e4); pe is ps-functional here so the oracle's
+          // count(DISTINCT ps) agrees
+          countDistinct(col("ps"), col("pe")).as("n_probes"),
+          sum(when(col("min_t") <= col("pe") && col("max_t") >= col("ps"), 1L)
+            .otherwise(0L)).as("scanned"))
+        .select(col("layout"), lit("time_range").as("probe"),
+          col("n_buckets"), col("n_probes"), col("scanned"),
+          expr("scanned * 10000 div (n_buckets * n_probes)").as("scan_e4"))
+    graft.functions.Caching.releaseAfterAction(
+      pointRollup(userProbes, "user_point", "u")
+        .unionByName(rangeRollup)
+        .unionByName(pointRollup(typeProbes, "type_point", "c"))
+        .orderBy("layout", "probe"),
+      audit)
+  }
+
   /** N-column clustered WRITER — [[zorderClustered]] generalized to any
     * long-dimension list at 30/n bits per dim: normalize each dim,
     * interleave, range-partition on the key, sort within partitions.

@@ -943,8 +943,11 @@ object Events {
   def layoutSkip3dEval(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val codes = eventTypeCodes(e)
+    // rows feeds the audit AND both data-derived probe sets — persist so
+    // the events scan + type-code join runs once, not four times
     val rows = e.join(broadcast(codes), "event_type")
       .select(col("user_id").as("u"), col("ts_us").as("t"), col("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val audit = zorderLayoutNDf(rows, Seq("u", "t", "c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nProbes = ZorderSkipProbes
@@ -986,7 +989,7 @@ object Events {
         .unionByName(rangeRollup)
         .unionByName(pointRollup(typeProbes, "type_point", "c"))
         .orderBy("layout", "probe"),
-      audit)
+      audit, rows)
   }
 
   /** N-column clustered WRITER — [[zorderClustered]] generalized to any

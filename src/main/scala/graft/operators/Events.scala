@@ -642,6 +642,34 @@ object Events {
     * semantics in play. */
   val HilbertBits = 15
 
+  /** The xy2d Hilbert fold over pre-normalized `ua`/`ta` code columns
+    * (each in [0, 2^[[HilbertBits]])): state is ONE packed int64 (x in
+    * bits 0-14, y in 16-30, d in 32-61); each step unpacks with
+    * shift/mask, applies the classic quadrant step, and repacks. The
+    * final shiftright by `32 + extraShift` extracts d AND cuts the
+    * bucket range in one move (`extraShift = 0` yields the raw 30-bit
+    * key — the clustered writer's form). Shared by the audit and
+    * [[hilbertClustered]]. */
+  private def hilbertKeyExpr(extraShift: Int): String = {
+    val maxCode = (1 << HilbertBits) - 1
+    s"shiftright(aggregate(sequence(${HilbertBits - 1}, 0, -1), " +
+      "ua | shiftleft(ta, 16), (acc, i) -> " +
+      s"(CASE WHEN (shiftright(shiftright(acc, 16) & $maxCode, i) & 1) = 1 " +
+      s"THEN acc & $maxCode " +
+      s"WHEN (shiftright(acc & $maxCode, i) & 1) = 1 " +
+      s"THEN $maxCode - (shiftright(acc, 16) & $maxCode) " +
+      s"ELSE shiftright(acc, 16) & $maxCode END) | " +
+      s"shiftleft(CASE WHEN (shiftright(shiftright(acc, 16) & $maxCode, i) & 1) = 1 " +
+      s"THEN shiftright(acc, 16) & $maxCode " +
+      s"WHEN (shiftright(acc & $maxCode, i) & 1) = 1 " +
+      s"THEN $maxCode - (acc & $maxCode) " +
+      s"ELSE acc & $maxCode END, 16) | " +
+      "shiftleft(shiftright(acc, 32) + " +
+      s"shiftleft((3 * (shiftright(acc & $maxCode, i) & 1)) ^ " +
+      s"(shiftright(shiftright(acc, 16) & $maxCode, i) & 1), 2 * i), 32)" +
+      s"), ${32 + extraShift})"
+  }
+
   /** HILBERT LAYOUT AUDIT — [[zorderLayout]]'s comparison extended
     * with the stronger curve. Z-order's bit-interleave has long
     * jumps (adjacent keys can be far apart in space), so bucket
@@ -687,26 +715,8 @@ object Events {
         expr(s"(t - mint) div ((maxt - mint) div $nb + 1)").as("lb"))
     // the xy2d step over the packed state; rx/ry read bit i of the
     // packed x/y, the CASE pair is rot()'s reflect-and-swap
-    val hilbertKey =
-      s"shiftright(aggregate(sequence(${HilbertBits - 1}, 0, -1), " +
-        "ua | shiftleft(ta, 16), (acc, i) -> " +
-        s"(CASE WHEN (shiftright(shiftright(acc, 16) & $maxCode, i) & 1) = 1 " +
-        s"THEN acc & $maxCode " +
-        s"WHEN (shiftright(acc & $maxCode, i) & 1) = 1 " +
-        s"THEN $maxCode - (shiftright(acc, 16) & $maxCode) " +
-        s"ELSE shiftright(acc, 16) & $maxCode END) | " +
-        s"shiftleft(CASE WHEN (shiftright(shiftright(acc, 16) & $maxCode, i) & 1) = 1 " +
-        s"THEN shiftright(acc, 16) & $maxCode " +
-        s"WHEN (shiftright(acc & $maxCode, i) & 1) = 1 " +
-        s"THEN $maxCode - (acc & $maxCode) " +
-        s"ELSE acc & $maxCode END, 16) | " +
-        "shiftleft(shiftright(acc, 32) + " +
-        s"shiftleft((3 * (shiftright(acc & $maxCode, i) & 1)) ^ " +
-        s"(shiftright(shiftright(acc, 16) & $maxCode, i) & 1), 2 * i), 32)" +
-        // d sits in bits 32+: one shift extracts the key AND cuts the
-        // fixed-width bucket range in the same move
-        s"), ${32 + shift})"
-    val h = nrm.select(col("u"), col("t"), expr(hilbertKey).as("bucket"))
+    val h = nrm.select(col("u"), col("t"),
+      expr(hilbertKeyExpr(shift)).as("bucket"))
     val z = nrm.select(col("u"), col("t"),
       expr(s"shiftright(aggregate(sequence(0, ${HilbertBits - 1}), 0L, " +
         "(acc, i) -> acc + shiftleft(shiftright(ua, i) & 1, 2*i) " +
@@ -837,6 +847,34 @@ object Events {
       .drop("minu", "maxu", "mint", "maxt", "qu", "qt", "ua", "ta")
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
+  }
+
+  /** The WRITE side of [[hilbertLayout]] — [[zorderClustered]]'s twin on
+    * the stronger curve: normalize to 15-bit codes, fold the Hilbert
+    * key, range-partition on it and sort within partitions. Hilbert's
+    * key-ADJACENCY (consecutive keys are always spatially adjacent) is
+    * precisely a WRITER's property: a compaction job that merges
+    * neighboring key ranges merges spatially adjacent data, which
+    * Morton's long jumps cannot promise. Same one-range-shuffle
+    * compaction shape as the z-order writer. */
+  def hilbertClustered(events: DataFrame, nFiles: Int): DataFrame = {
+    val maxCode = (1 << HilbertBits) - 1
+    val st = events.agg(
+      min("user_id").as("minu"), max("user_id").as("maxu"),
+      min("ts_us").as("mint"), max("ts_us").as("maxt"))
+    events.crossJoin(broadcast(st))
+      .withColumn("qu", expr(s"(maxu - minu) div $maxCode + 1"))
+      .withColumn("qt", expr(s"(maxt - mint) div $maxCode + 1"))
+      .withColumn("ua",
+        expr(s"((user_id - minu) div qu) * $maxCode div " +
+          "greatest(1L, (maxu - minu) div qu)"))
+      .withColumn("ta",
+        expr(s"((ts_us - mint) div qt) * $maxCode div " +
+          "greatest(1L, (maxt - mint) div qt)"))
+      .withColumn("hkey", expr(hilbertKeyExpr(0)))
+      .drop("minu", "maxu", "mint", "maxt", "qu", "qt", "ua", "ta")
+      .repartitionByRange(nFiles, col("hkey"))
+      .sortWithinPartitions("hkey")
   }
 
   // ---- N-column clustering (the `OPTIMIZE ZORDER BY (c1, …, cN)`

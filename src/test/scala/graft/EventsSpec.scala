@@ -140,6 +140,37 @@ class EventsSpec extends AnyFunSuite {
     assert(sortedWithin.forall(identity))
   }
 
+  test("hilbert clustered write: disjoint sorted key ranges, keys in [0, 2^30)") {
+    val rows = for (u <- 0L until 10L; t <- 0L until 10L)
+      yield (10 * u + t, u, t * 1000000L)
+    val events = rows.toDF("event_id", "user_id", "ts_us")
+    val clustered = graft.operators.Events.hilbertClustered(events, 4)
+    val perPart = clustered
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"),
+        $"hkey")
+      .groupBy("pid")
+      .agg(org.apache.spark.sql.functions.min("hkey").as("lo"),
+        org.apache.spark.sql.functions.max("hkey").as("hi"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+      .orderBy("pid")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(perPart.map(_._4).sum === 100L)
+    assert(perPart.forall { case (_, lo, hi, _) =>
+      lo >= 0L && hi < (1L << 30) && lo <= hi })
+    for (Seq(a, b) <- perPart.sliding(2).toSeq if perPart.size > 1)
+      assert(a._3 <= b._2, s"overlapping key ranges: $a vs $b")
+    // the writer's key agrees with the audit's curve: at full resolution
+    // the audit buckets ARE hilbert keys, and every written key must be
+    // one of them
+    val auditKeys = graft.operators.Events
+      .hilbertLayoutDf(events, bucketsLog2 = 30)
+      .where($"layout" === "hilbert")
+      .select($"bucket").as[Long].collect().toSet
+    val written = clustered.select($"hkey").as[Long].collect().toSet
+    assert(written.subsetOf(auditKeys),
+      "writer keys diverge from the audited hilbert curve")
+  }
+
   test("3-D zorder audit: corner cells interleave to bucket = u + 2t + 4c") {
     // Binary dims {0,1}³ normalize to codes {0, 1023} (all ten bits set),
     // so at bucketsLog2 = 3 the bucket is the key's top three bits — the

@@ -1288,7 +1288,11 @@ object Pipeline {
     * DERIVED per-source targets: admit h ≤ overAdmit·target_s·P/n_s (a
     * consistent prefix of the sample order, so no kept row is lost while
     * the threshold over-admits), rank only the admitted ~overAdmit·target
-    * rows per source, emit the kept sample. The same under-admission
+    * rows per source, emit the kept sample. Unlike the constant-cap
+    * stratified sampler, the admitted set here is corpus-FRACTION-sized
+    * (targets sum to budget = n_total/2), so the post-filter rank itself
+    * runs through [[keyedExclusivePrefixSum]] — partition-parallel, never
+    * one task per source. The same under-admission
     * guard THROWS rather than ship a silently truncated mix. Emits only
     * kept rows — what production ships; kept set equals
     * [[dataMixTemperatureDf]]'s (PipelineSpec asserts it). */
@@ -1347,14 +1351,25 @@ object Pipeline {
         short.map(r => s"${r.get(0)}(n=${r.get(1)}, target=${r.get(2)}, admitted=${r.get(3)})")
           .mkString(", ") +
         " — re-run with a higher over-admit factor")
-    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    // Final rank through the KEYED two-phase prefix sum, NOT a flat
+    // Window.partitionBy(source): the admitted set is ~overAdmit × target
+    // per source and targets sum to budget = n_total / 2, so its input is
+    // corpus-FRACTION-sized — a flat per-source window would sort multiple
+    // TB in ONE task per source at 100 TB (the exact defect class the pack
+    // family fixed). rn = keyed prefix count of 1s + 1 over the same
+    // (h, doc_id) order — identical output, partition-parallel plan.
+    val (ranked, ckpt, _) = keyedExclusivePrefixSum(
+      admitted.withColumn("one", lit(1L)),
+      Seq("source"), Seq("h", "doc_id"), "one")
+    admitted.unpersist() // the prefix sum's localCheckpoint is eager — the
+    // admitted cache has served its two consumers (short check + checkpoint)
     graft.functions.Caching.releaseAfterAction(
-      admitted
-        .withColumn("rn", row_number().over(w).cast("long"))
+      ranked
+        .withColumn("rn", col("prefix") + lit(1L))
         .filter(col("rn") <= col("target"))
         .select(col("doc_id"), col("source"), col("rn"))
         .orderBy("doc_id"),
-      admitted)
+      ckpt)
   }
 
   /** Same, over any (doc_id, source) DataFrame (planted tests).

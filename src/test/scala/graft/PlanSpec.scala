@@ -319,7 +319,11 @@ class PlanSpec extends AnyFunSuite {
     // two-phase prefix sum windows only within (pid, source) groups with
     // the per-group bases broadcast, so every window spec in the plan must
     // lead with pid and the base table must arrive by broadcast.
-    for (q <- Seq("pack_sequences", "pack_sequences_bpe", "eval_pack_efficiency")) {
+    // data_mix_temperature_capped joins this family in round 13: its
+    // admitted set is corpus-fraction-sized (targets sum to n_total/2), so
+    // its rank must be the keyed prefix sum too, not a per-source window.
+    for (q <- Seq("pack_sequences", "pack_sequences_bpe", "eval_pack_efficiency",
+        "data_mix_temperature_capped")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
       val plan = df.queryExecution.executedPlan.toString
       df.count()

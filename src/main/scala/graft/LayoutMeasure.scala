@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** MEASURED layout comparison on REAL written files — the end-to-end
   * companion to the modeled bucket audits (`layout_zorder` /
   * `layout_hilbert` / `eval_layout_*`): writes the events table under
-  * three physical layouts (time-linear, 2-D z-order, 3-D z-order with
-  * the event-type code as the third dimension), reads each directory
-  * back, derives per-FILE min/max from `input_file_name()`, and prices
+  * four physical layouts (time-linear, 2-D z-order, 3-D z-order with
+  * the event-type code as the third dimension, 2-D Hilbert), reads each
+  * directory back, derives per-FILE min/max from `input_file_name()`, and prices
   * both query shapes (user-point, time-range) plus a type-point probe
   * against the ACTUAL files — file sizing, row-group boundaries and the
   * range partitioner's sampling included. The bucket audits model the
@@ -42,7 +42,11 @@ object LayoutMeasure {
       .persist()
     events.count(): Unit
 
-    new java.io.File(outDir).mkdirs()
+    // Hadoop FS, not java.io.File: the out dir may live on a DFS — the
+    // same posture as the product layer (local paths resolve identically).
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(outPath): Unit
     def write(sub: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$sub")
     write("linear",
@@ -54,6 +58,12 @@ object LayoutMeasure {
     write("zorder3",
       graft.operators.Events.zorderClusteredN(
         events, Seq("user_id", "ts_us", "c"), nFiles))
+    // The Hilbert writer clusters the same 2-D (user, time) pair on the
+    // stronger curve — its claimed edge (key-adjacency → tighter per-file
+    // time spans for range scans) is exactly what the measured time-range
+    // probe tests, so it gets a measured row, not just the modeled audit.
+    write("hilbert",
+      graft.operators.Events.hilbertClustered(events, nFiles))
 
     // Probe sets: the skip eval's deterministic shapes.
     val userProbes = events.select(col("user_id").as("pv"))
@@ -85,7 +95,7 @@ object LayoutMeasure {
       audit.unpersist(): Unit
       (files, up, tr, tp)
     }
-    val out = Seq("linear", "zorder2", "zorder3").map { sub =>
+    val out = Seq("linear", "zorder2", "zorder3", "hilbert").map { sub =>
       val (files, up, tr, tp) = fracs(sub)
       s""""$sub":{"files":$files,"user_point_e4":$up,"time_range_e4":$tr,"type_point_e4":$tp}"""
     }

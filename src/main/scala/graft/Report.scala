@@ -76,8 +76,13 @@ object Report {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
+    // Hadoop FS, not java.io.File: the corpus dir may live on a DFS — the
+    // same posture as the product layer (local paths resolve identically).
+    val docsPath = new org.apache.hadoop.fs.Path(s"$in/documents.parquet")
+    val docsExist = docsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(docsPath)
     val counts =
-      if (new java.io.File(s"$in/documents.parquet").exists())
+      if (docsExist)
         TextAnalytics.wordCounts(Tables.documents(spark, in))
       else wordcountTextDir(spark, in)
     counts.cache()

@@ -925,6 +925,11 @@ object Events {
       bucketsLog2: Int = ZorderBucketsLog2,
       linearCut: String = "t"): DataFrame = {
     val n = aliases.size
+    // >30 dims would give bits = 0 → maxCode = 0, and the normalization's
+    // `div 0` evaluates to NULL under Spark SQL — every row would silently
+    // land in one null bucket. Fail loudly instead.
+    require(n >= 1 && 30 / n >= 1,
+      s"zorder audit needs 1..30 dimensions, got $n")
     val bits = 30 / n
     val maxCode = (1 << bits) - 1
     val nb = 1L << bucketsLog2
@@ -1037,6 +1042,10 @@ object Events {
     * compaction-job shape. */
   def zorderClusteredN(events: DataFrame, dims: Seq[String],
       nFiles: Int): DataFrame = {
+    // Same loud guard as the N-D audit: >30 dims → bits = 0 → div-by-zero
+    // NULL codes → every row in one null zkey file.
+    require(dims.nonEmpty && 30 / dims.size >= 1,
+      s"zorder writer needs 1..30 dimensions, got ${dims.size}")
     val bits = 30 / dims.size
     val maxCode = (1 << bits) - 1
     val aggs = dims.flatMap(a => Seq(min(a).as(s"mn_$a"), max(a).as(s"mx_$a")))

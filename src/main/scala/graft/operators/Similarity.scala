@@ -623,6 +623,12 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val alloc = opqSnakeAllocation(cn, m)
     val dim = alloc.size
+    // When dim % m != 0 the natural layout's contiguous slices would cover
+    // only m*(dim/m) dimensions while the snake assignment covers all of
+    // them — the two total_err_e4 values would encode different dimension
+    // subsets and the comparison would be meaningless. Guard loudly.
+    require(dim % m == 0,
+      s"opq allocation eval needs dim % m == 0, got dim=$dim m=$m")
     val sub = dim / m
     val natAsg = (0 until m).map(k =>
       k -> (k * sub until (k + 1) * sub).toSeq).toMap
@@ -1125,6 +1131,20 @@ object Similarity {
       eta: Int = PqEta): Option[String] = {
     import graft.sources.ArtifactCache
     val resolved = ivfPqResolveDir(baseDir)
+    // IDEMPOTENT conversion cleanup: once CURRENT exists (resolved is a
+    // v-* version), any in-place artifacts still sitting next to it are
+    // leftovers of a conversion that crashed between the pointer flip
+    // and its cleanup — unreachable (CURRENT wins resolution) yet
+    // permanent, because the fresh version makes every later call return
+    // None before the hadInPlace branch below. Finish the cleanup on
+    // EVERY call, not only on the converting rebuild.
+    if (resolved != baseDir) {
+      Seq("index", "centroids", "codebook")
+        .map(sub => new org.apache.hadoop.fs.Path(baseDir, sub).toString)
+        .filter(ArtifactCache.exists)
+        .foreach(ArtifactCache.rmTree)
+      ArtifactCache.removeManifest(baseDir)
+    }
     val expected = ivfPqManifestKey(d, nCells, m, kCents, ivfIters,
       pqIters, eta)
     // Freshness is the MANIFEST check alone: a valid IN-PLACE index

@@ -117,6 +117,12 @@ object ArtifactCache {
     * re-verification is idempotent). */
   @volatile private var verifiedRoot: String = null
 
+  /** Drop the memoized root verification — called when an FS operation
+    * under the root FAILS, so the next [[root]] call re-runs the
+    * create-and-ownership check instead of serving a root that may have
+    * been externally deleted or re-owned for the process lifetime. */
+  private def invalidateRoot(): Unit = verifiedRoot = null
+
   private def rootPath(): Path = new Path(root)
 
   /** Full, UNHASHED content key for product `name` — what the manifest
@@ -125,6 +131,11 @@ object ArtifactCache {
     * does not exist yet, matching the pre-FS semantics — the build
     * itself will fail loudly on a truly absent corpus). */
   def keyString(name: String, keyFile: String, params: Seq[Any]): String = {
+    // The manifest key is '|'-joined and consumers ([[evictDerivedFrom]])
+    // parse the source path back out of field 1 — a '|' in the product
+    // name would shift every field. No current name contains one; keep it
+    // that way loudly rather than silently mis-scope a future eviction.
+    require(!name.contains('|'), s"product name must not contain '|': $name")
     val p = new Path(keyFile)
     val fs = fsOf(p)
     val (len, mtime) =
@@ -281,8 +292,12 @@ object ArtifactCache {
       (try fs.rename(t, d) catch { case _: IOException => false })
     if (renamed) return
     if (fs.exists(d)) rmTree(tmp) // lost the race: keep the winner's copy
-    else throw new IOException(
-      s"could not publish artifact at $dir (completed build kept at $tmp)")
+    else {
+      invalidateRoot() // a no-winner rename failure smells like root
+      // trouble (deleted/re-owned) — re-verify on the next call
+      throw new IOException(
+        s"could not publish artifact at $dir (completed build kept at $tmp)")
+    }
   }
 
   /** Build seconds recorded by [[getOrBuild]] misses (and by the IVF-PQ
@@ -320,7 +335,11 @@ object ArtifactCache {
       try {
         build.write.mode("overwrite").parquet(tmp)
         writeManifest(tmp, key)
-      } catch { case e: Throwable => rmTree(tmp); throw e }
+      } catch { case e: Throwable =>
+        invalidateRoot() // the failed write may mean a vanished/re-owned
+        // root — the next root() re-verifies instead of trusting the memo
+        rmTree(tmp); throw e
+      }
       publish(tmp, dir)
       recordBuild(baseName(dir), (System.nanoTime() - t0) / 1e9)
     }
@@ -457,15 +476,18 @@ object ArtifactCache {
   def evictDerivedFrom(sourceDirs: Seq[String]): Int = {
     val qualified = sourceDirs.map { d =>
       val p = new Path(d); val fs = fsOf(p)
-      val q = fs.makeQualified(p).toString
-      if (q.endsWith("/")) q else q + "/"
+      fs.makeQualified(p).toString.stripSuffix("/")
     }
     val victims = published().filter { st =>
       readManifest(dirString(st)).exists { m =>
         // key format: name|<qualified source path>|len|mtime|params…
+        // ([[keyString]] rejects '|' in names, so field 1 IS the path).
+        // Match the dir itself OR anything under it — a product whose
+        // keyFile is the source dir (no trailing component) must not
+        // escape the bench's cold reset.
         m.split('|') match {
           case parts if parts.length >= 2 =>
-            qualified.exists(parts(1).startsWith)
+            qualified.exists(q => parts(1) == q || parts(1).startsWith(q + "/"))
           case _ => false
         }
       }

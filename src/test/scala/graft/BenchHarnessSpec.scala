@@ -296,12 +296,17 @@ class BenchHarnessSpec extends AnyFunSuite {
       def build(n: Long) = Seq((n, n)).toDF("a", "b")
       ArtifactCache.getOrBuild(spark, "prodA", fA.getAbsolutePath, Seq(1))(build(1)).count(): Unit
       ArtifactCache.getOrBuild(spark, "prodB", fB.getAbsolutePath, Seq(1))(build(2)).count(): Unit
+      // a product whose keyFile IS the source dir itself (no trailing
+      // component) must fall under the same scope — exact-dir match
+      ArtifactCache.getOrBuild(spark, "prodDir", dirA.getAbsolutePath, Seq(1))(build(3)).count(): Unit
       // a manifest-less foreign dir under the root must survive too
       val foreign = new java.io.File(ArtifactCache.root, "foreign-0123456789abcdef")
       assert(foreign.mkdirs())
-      assert(ArtifactCache.evictDerivedFrom(Seq(dirA.getAbsolutePath)) === 1)
+      assert(ArtifactCache.evictDerivedFrom(Seq(dirA.getAbsolutePath)) === 2)
       val left = ArtifactCache.registry(spark).collect().map(_.getString(0)).toSet
       assert(!left.contains("prodA"), "the bench-scoped product survived its eviction")
+      assert(!left.contains("prodDir"),
+        "a product keyed by the source dir ITSELF escaped scoped eviction")
       assert(left.contains("prodB"), "another corpus' product was wiped (the shared-root hazard)")
       assert(foreign.exists(), "a manifest-less foreign dir was deleted")
       ArtifactCache.rmTree(dirA.getAbsolutePath)
@@ -331,6 +336,38 @@ class BenchHarnessSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("does not match"))
       assert(builds === 2, "a mismatched manifest must not trigger a silent rebuild")
+    }
+  }
+
+  test("getOrBuild: a second session publishing the same missing key first — loser converges") {
+    // Two SESSIONS miss the same key concurrently: both build complete
+    // private copies and race on publish-by-rename. The interleave is
+    // reproduced exactly by nesting a full getOrBuild (the "other
+    // session") inside this session's build thunk — i.e. in the window
+    // between this session's existence check and its publish. The loser
+    // must converge on the winner's published product: discard its copy,
+    // validate the winner's manifest, read the winner's rows — never
+    // corrupt the dir or fail a reader.
+    withTempRoot { root =>
+      val f = java.nio.file.Files.createTempFile("graft-xrace-key", ".parquet").toFile
+      var innerBuilds = 0
+      val out = ArtifactCache.getOrBuild(spark, "xrace", f.getAbsolutePath, Seq(1)) {
+        // the other session wins the race while we are "still building"
+        ArtifactCache.getOrBuild(spark, "xrace", f.getAbsolutePath, Seq(1)) {
+          innerBuilds += 1; Seq((1L, 10L)).toDF("a", "b")
+        }.count(): Unit
+        Seq((2L, 20L)).toDF("a", "b") // our complete copy — loses the publish
+      }
+      assert(innerBuilds === 1)
+      assert(out.as[(Long, Long)].collect().toSeq === Seq((1L, 10L)),
+        "the losing session must read the WINNER's product, not its own")
+      // the loser's tmp copy was discarded — no .tmp-* litter under the root
+      assert(!root.listFiles().exists(_.getName.contains(".tmp-")),
+        "losing publish left its tmp build behind")
+      // a later consumer reads the winner's copy with zero rebuilds
+      assert(ArtifactCache.getOrBuild(spark, "xrace", f.getAbsolutePath, Seq(1)) {
+        fail("the converged product must serve without a rebuild")
+      }.as[(Long, Long)].collect().toSeq === Seq((1L, 10L)))
     }
   }
 }

@@ -195,6 +195,25 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("N-D zorder: >30 dimensions fail loudly, never a silent null bucket") {
+    // bits = 30/n; at n > 30 that is 0 → maxCode = 0 and the SQL
+    // normalization's `div 0` would NULL every code — one null bucket
+    // instead of a layout. Both the audit and the writer must refuse.
+    val dims = (0 until 31).map(i => s"d$i")
+    val row = spark.range(1).selectExpr(dims.map(d => s"id as $d"): _*)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Events.zorderLayoutNDf(row, dims)
+    }
+    assert(e1.getMessage.contains("1..30"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Events.zorderClusteredN(row, dims, 4)
+    }
+    assert(e2.getMessage.contains("1..30"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Events.zorderClusteredN(row, Nil, 4)
+    }: Unit
+  }
+
   test("3-D clustered write: disjoint key ranges, third dimension prunes") {
     val rows = for (u <- 0L until 8L; t <- 0L until 8L; c <- 0L until 4L)
       yield (u * 100 + t * 10 + c, u, t * 1000000L, c)

@@ -122,6 +122,15 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Similarity.opqAllocationEvalDf(df, m = 4, kCents = 2)
       .as[(String, Long, Long)].collect().toSeq
     assert(again === got)
+    // dim % m != 0 would encode DIFFERENT dimension subsets under the two
+    // layouts (natural's contiguous slices drop the tail dims) — the
+    // comparison must refuse, not mislead
+    val ragged = (0L until 4L).map(i => (i, (0 until 10).map(_.toDouble).toArray))
+      .toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.opqAllocationEvalDf(ragged, m = 4, kCents = 2)
+    }
+    assert(e.getMessage.contains("dim % m"))
   }
 
   test("pq trained+rerank: full coverage, beats the plain-ADC stub's recall") {
@@ -330,6 +339,35 @@ class SimilaritySpec extends AnyFunSuite {
         s"in-place '$orphan' orphaned under swap management")
     // …and the converted deployment stays a no-op while fresh
     assert(Similarity.ivfPqSwapIfStale(spark, corpus.toString, base).isEmpty)
+  }
+
+  test("ivfPqSwapIfStale: a conversion crashed after the CURRENT flip still cleans up") {
+    // The crash window: ivfPqSwapIndex flipped CURRENT, then the process
+    // died before the in-place cleanup. The fresh v-* version resolves
+    // and matches, so every later cron call returns None — without an
+    // idempotent cleanup the in-place index/centroids/codebook would
+    // orphan FOREVER. Reproduce the window by swapping directly (which
+    // never touches in-place artifacts), then assert the next IfStale
+    // call finishes the cleanup even though it is a freshness no-op.
+    val scratch = java.nio.file.Files.createTempDirectory("graft-crashconv-spec")
+    val corpus = scratch.resolve("corpus")
+    java.nio.file.Files.createDirectories(corpus)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(TestSpark.sf, "embeddings.parquet"),
+      corpus.resolve("embeddings.parquet"))
+    val base = scratch.resolve("idx").toString
+    Similarity.ivfPqWriteIndex(spark, corpus.toString, base) // pre-swap layout
+    val v = Similarity.ivfPqSwapIndex(spark, corpus.toString, base) // flip, "crash"
+    assert(new java.io.File(base, "index").exists(),
+      "precondition: the crash window must leave the in-place artifacts")
+    assert(Similarity.ivfPqSwapIfStale(spark, corpus.toString, base).isEmpty,
+      "the fresh swapped version must stay a freshness no-op")
+    for (orphan <- Seq("index", "centroids", "codebook", "_GRAFT_MANIFEST"))
+      assert(!new java.io.File(base, orphan).exists(),
+        s"in-place '$orphan' orphaned by the crashed conversion")
+    assert(Similarity.ivfPqResolveDir(base) === v, "cleanup disturbed CURRENT")
+    assert(spark.read.parquet(v + "/index").count() > 0L,
+      "cleanup disturbed the live version")
   }
 
   test("hybrid served: semantic-tower ranks come from the persisted index") {

@@ -246,6 +246,8 @@ class EventsSpec extends AnyFunSuite {
     try {
       graft.operators.Events.zorderClusteredN(events, Seq("user_id", "ts_us"), 8)
         .write.mode("overwrite").parquet(scratch.resolve("z").toString)
+      graft.operators.Events.hilbertClustered(events, 8)
+        .write.mode("overwrite").parquet(scratch.resolve("h").toString)
       events.repartitionByRange(8, $"ts_us").sortWithinPartitions("ts_us")
         .write.mode("overwrite").parquet(scratch.resolve("lin").toString)
       def audit(sub: String) = graft.operators.Events.fileLayoutAuditDf(
@@ -259,11 +261,17 @@ class EventsSpec extends AnyFunSuite {
       def frac(a: org.apache.spark.sql.DataFrame) = graft.operators.Events
         .fileSkipFractionDf(a, probes, "user_id")
         .collect().head.getAs[Long]("scan_e4")
-      val (zf, lf) = (frac(audit("z")), frac(audit("lin")))
+      val hAudit = audit("h").collect()
+      assert(hAudit.map(_.getAs[Long]("n")).sum === 1024L)
+      val (zf, lf, hf) = (frac(audit("z")), frac(audit("lin")), frac(audit("h")))
       // time-linear files each span the FULL user domain (scan everything);
       // the clustered files bound user spans, so measured pruning is real
       assert(lf === 10000L, s"linear layout should measure no user pruning, got $lf")
       assert(zf < 7500L, s"clustered layout measured no real file pruning: $zf e4")
+      // the hilbert writer is the z-order writer's twin on the stronger
+      // curve: its files must bound user spans too, measured on the
+      // ACTUAL parquet artifact, not just the modeled buckets
+      assert(hf < 7500L, s"hilbert layout measured no real file pruning: $hf e4")
     } finally graft.sources.ArtifactCache.rmTree(scratch.toString)
   }
 

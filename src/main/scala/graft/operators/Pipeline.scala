@@ -898,9 +898,12 @@ object Pipeline {
     // can land in different pids, and the stale collected bases then
     // drop or misplace them (found by the round-12 null-group spec).
     // Truncating lineage freezes the pids for every later action; after
-    // release the result is single-use (a reuse fails LOUDLY on missing
-    // checkpoint blocks — Caching's documented checkpoint contract —
-    // instead of returning wrong offsets).
+    // release the result is single-use. Measured Spark 4.1 semantics
+    // (pinned by PipelineSpec's single-use-contract test): re-acting on
+    // the SAME Dataset serves byte-identical rows from its materialized
+    // AQE shuffle stages, and any FRESH execution over the released
+    // checkpoint fails LOUDLY (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) —
+    // there is no silent recompute path that could return wrong offsets.
     val base = df.repartitionByRange(allCols.map(col): _*)
       .sortWithinPartitions(allCols.map(col): _*)
       .withColumn("pid", spark_partition_id().cast("long"))

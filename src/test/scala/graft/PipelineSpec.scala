@@ -568,6 +568,49 @@ class PipelineSpec extends AnyFunSuite {
       "piece counts never diverge from word counts — vacuous composition")
   }
 
+  test("prefix-sum single-use contract: no silent recompute path exists after release") {
+    // The keyed prefix sum's base is localCheckpoint'ed (lineage
+    // TRUNCATED) and released by the first terminal action on the result
+    // (Caching's single-use contract). The one silent-wrong-rows hazard
+    // the in-code comment at keyedExclusivePrefixSum describes — a
+    // recompute reseeding the range boundaries so rows land in different
+    // pids than the collected bases — is impossible because a recompute
+    // over the released checkpoint fails loudly. Measured Spark 4.1
+    // behavior, pinned here both ways (the round-12 flake hunt):
+    //  1. re-acting on the SAME Dataset reuses its QueryExecution's
+    //     already-materialized AQE shuffle stages — rows come back
+    //     byte-identical without touching the checkpoint;
+    //  2. a FRESH QueryExecution over the released plan must recompute
+    //     the checkpoint RDD and throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    // Neither path can return different rows.
+    val out = Pipeline.packSequences(spark, TestSpark.sf)
+    val first = out.collect().toSeq
+    assert(first.nonEmpty)
+    // wait until the async listener has dropped the checkpoint blocks
+    val ckptIds = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    assert(ckptIds.nonEmpty, "prefix-sum result no longer checkpoint-backed?")
+    val deadline = System.currentTimeMillis() + 15000L
+    def stillPersisted = spark.sparkContext.getPersistentRDDs.keySet
+      .exists(ckptIds.contains)
+    while (stillPersisted && System.currentTimeMillis() < deadline)
+      Thread.sleep(50L)
+    assert(!stillPersisted,
+      "checkpoint blocks never released after the terminal action")
+    // path 1: same-Dataset reuse serves the identical materialized result
+    assert(out.collect().toSeq === first,
+      "same-Dataset reuse diverged from the first action's rows")
+    // path 2: a fresh execution over the released checkpoint fails LOUDLY
+    val t = intercept[Throwable] {
+      out.filter(org.apache.spark.sql.functions.lit(true)).collect()
+    }
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.toLowerCase.contains("checkpoint"),
+      s"fresh execution failed for an unexpected reason: $chain")
+  }
+
   test("temperature capped: same kept set as the audit view; guard throws on starvation") {
     val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
       (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")

@@ -9,9 +9,15 @@ import graft.sources.ArtifactCache
   *   runMain graft.Products                 # list published products
   *   runMain graft.Products evict <name>    # drop every key of <name>
   *   runMain graft.Products gc [--max-bytes N] [--max-age-days D]
-  *                             [--min-age-hours H]
+  *                             [--min-age-hours H] [--tmp-age-hours T]
   *                                          # age/size policy over the cache
-  *                                          # (grace floor default 1 h)
+  *                                          # (grace floor default 1 h);
+  *                                          # --tmp-age-hours also reaps
+  *                                          # crashed builds' .tmp-* dirs
+  *   runMain graft.Products verify          # manifest sweep: per product,
+  *                                          # ok / no_manifest /
+  *                                          # name_mismatch / hash_mismatch,
+  *                                          # plus any orphaned tmp dirs
   *
   * Companion to [[IndexBuild]] (build the big one on a schedule) and the
   * in-library consumers (every family's first consumer builds on miss):
@@ -42,14 +48,14 @@ object Products {
         // a typo'd `--max-bytes 10GB` gets the usage line, not a stack
         // trace.
         val known = rest.grouped(2).forall {
-          case Seq("--max-bytes" | "--max-age-days" | "--min-age-hours", v) =>
-            v.toLongOption.isDefined
+          case Seq("--max-bytes" | "--max-age-days" | "--min-age-hours" |
+            "--tmp-age-hours", v) => v.toLongOption.isDefined
           case _ => false
         }
         if (!known) {
           System.err.println(
             s"usage: Products gc [--max-bytes N] [--max-age-days D] " +
-              s"[--min-age-hours H] (got: ${rest.mkString(" ")})")
+              s"[--min-age-hours H] [--tmp-age-hours T] (got: ${rest.mkString(" ")})")
           sys.exit(2)
         }
         val evicted = ArtifactCache.gc(
@@ -60,7 +66,25 @@ object Products {
           minAgeMs = opt("--min-age-hours").map(_ * 3600000L)
             .getOrElse(ArtifactCache.DefaultGcMinAgeMs))
         evicted.foreach(d => println(s"evicted $d"))
-        println(s"gc evicted ${evicted.size} director${if (evicted.size == 1) "y" else "ies"}")
+        // crashed builds' tmp dirs: reaped only on explicit opt-in (age
+        // must exceed the longest legitimate build, which only the
+        // operator knows)
+        val tmps = opt("--tmp-age-hours").map(h =>
+          ArtifactCache.gcTmp(h * 3600000L)).getOrElse(Seq.empty)
+        tmps.foreach(d => println(s"reaped stale tmp $d"))
+        println(s"gc evicted ${evicted.size} director${if (evicted.size == 1) "y" else "ies"}" +
+          (if (tmps.nonEmpty) s", reaped ${tmps.size} stale tmp build(s)" else ""))
+      case "verify" :: Nil =>
+        val statuses = ArtifactCache.verifyProducts()
+        if (statuses.isEmpty) println("no published products")
+        statuses.foreach { case (dir, status) => println(f"$status%-28s $dir") }
+        val bad = statuses.count(_._2 != "ok")
+        // report (never touch) in-flight tmp dirs so an operator sees
+        // crashed builds before they accumulate; 0-age = list them all
+        val tmps = ArtifactCache.staleTmpDirs(0L)
+        tmps.foreach(d => println(s"tmp-in-flight                $d"))
+        println(s"${statuses.size} product(s), $bad problem(s), ${tmps.size} tmp dir(s)")
+        if (bad > 0) sys.exit(1)
       case Nil =>
         val rows = ArtifactCache.registry(spark).collect()
         if (rows.isEmpty) println("no published products")
@@ -73,7 +97,9 @@ object Products {
         }
       case other =>
         System.err.println(
-          s"usage: Products [evict <name> | gc [--max-bytes N] [--max-age-days D]] (got: ${other.mkString(" ")})")
+          s"usage: Products [evict <name> | verify | gc [--max-bytes N] " +
+            s"[--max-age-days D] [--min-age-hours H] [--tmp-age-hours T]] " +
+            s"(got: ${other.mkString(" ")})")
         sys.exit(2)
     }
     spark.stop()

@@ -496,6 +496,68 @@ object ArtifactCache {
     victims.length
   }
 
+  /** MANIFEST SWEEP over every published product — the ops health check
+    * (`Products verify`). Per directory, one status:
+    *
+    *  - `ok`: manifest present, its recorded product name matches the
+    *    directory prefix AND its key re-hashes to the directory's key
+    *    suffix — the dir IS what its name claims;
+    *  - `no_manifest`: a pre-manifest or foreign directory — consumers
+    *    will refuse it ([[validateManifest]]); evict to rebuild;
+    *  - `name_mismatch` / `hash_mismatch`: the manifest belongs to a
+    *    DIFFERENT product/key than the directory name claims (renamed or
+    *    planted dir, or bit-rot in the manifest) — the loud-failure case
+    *    surfaced proactively instead of at some consumer's first read.
+    *
+    * Listing-bounded driver work, read-only. */
+  def verifyProducts(): Seq[(String, String)] =
+    published().map { st =>
+      val base = st.getPath.getName
+      val cut = base.lastIndexOf('-')
+      val (name, keyHash) =
+        if (cut > 0) (base.substring(0, cut), base.substring(cut + 1))
+        else (base, "")
+      val status = readManifest(dirString(st)) match {
+        case None => "no_manifest"
+        case Some(m) =>
+          val mName = m.split('|').headOption.getOrElse("")
+          if (mName != name) s"name_mismatch(manifest=$mName)"
+          else if (sha8(m) != keyHash) "hash_mismatch"
+          else "ok"
+      }
+      (dirString(st), status)
+    }
+
+  /** In-flight `.tmp-*` build dirs under [[root]] older than `ageMs` —
+    * the leftovers of KILLED builds. A live builder cleans its tmp on
+    * failure and publish discards it on a lost race, but a kill between
+    * tmp creation and either path orphans the dir forever: [[gc]] and
+    * [[evict]] deliberately never touch tmp dirs ("their owner cleans
+    * them"), so without this sweep crashed builds grow the root
+    * unboundedly. Age is the liveness proxy (the standard cross-host
+    * rule — the embedded pid is only meaningful on the builder's own
+    * host); pick an age well above the longest legitimate build. */
+  def staleTmpDirs(ageMs: Long,
+      now: Long = System.currentTimeMillis()): Seq[String] = {
+    val r = rootPath(); val fs = fsOf(r)
+    if (!fs.exists(r)) Seq.empty
+    else fs.listStatus(r)
+      .filter(st => st.isDirectory && st.getPath.getName.contains(".tmp-") &&
+        now - st.getModificationTime > ageMs)
+      .map(st => new Path(root, st.getPath.getName).toString).toSeq
+  }
+
+  /** Remove every stale tmp dir ([[staleTmpDirs]]); returns the removed
+    * paths. Safe: a dir old enough to qualify has no live owner to
+    * publish it, and a published product never has `.tmp-` in its
+    * name. */
+  def gcTmp(ageMs: Long,
+      now: Long = System.currentTimeMillis()): Seq[String] = {
+    val victims = staleTmpDirs(ageMs, now)
+    victims.foreach(rmTree)
+    victims
+  }
+
   /** Products younger than this are NEVER gc victims by default (1 h) —
     * the grace floor that keeps retention from deleting a product out
     * from under the consumer that just built it or is still mid-scan on

@@ -339,6 +339,50 @@ class BenchHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("verifyProducts + gcTmp: manifest sweep statuses and crashed-build reaping") {
+    withTempRoot { root =>
+      val f = java.nio.file.Files.createTempFile("graft-vrfy-key", ".parquet").toFile
+      def build() = Seq((1L, 2L)).toDF("a", "b")
+      // a healthy product → ok
+      ArtifactCache.getOrBuild(spark, "healthy", f.getAbsolutePath, Seq(1))(build()).count(): Unit
+      // a manifest-less foreign dir → no_manifest
+      assert(new java.io.File(root, "foreign-0123456789abcdef").mkdirs())
+      // a planted dir whose manifest names another product → name_mismatch
+      val planted = new java.io.File(root, "planted-fedcba9876543210")
+      build().write.parquet(planted.getAbsolutePath)
+      ArtifactCache.writeManifest(planted.getAbsolutePath,
+        "other|/x/y.parquet|1|2|3")
+      // a dir whose manifest key no longer hashes to its name → hash_mismatch
+      val rotten = new java.io.File(root, "rotten-0000000000000000")
+      build().write.parquet(rotten.getAbsolutePath)
+      ArtifactCache.writeManifest(rotten.getAbsolutePath,
+        "rotten|/x/y.parquet|1|2|3")
+      val byDir = ArtifactCache.verifyProducts().toMap
+        .map { case (d, s) => ArtifactCache.baseName(d) -> s }
+      assert(byDir.exists { case (d, s) => d.startsWith("healthy-") && s == "ok" },
+        s"healthy product not ok: $byDir")
+      assert(byDir("foreign-0123456789abcdef") === "no_manifest")
+      assert(byDir("planted-fedcba9876543210").startsWith("name_mismatch"))
+      assert(byDir("rotten-0000000000000000") === "hash_mismatch")
+      // tmp reaping: an old crashed build falls, a fresh in-flight one survives
+      val oldTmp = ArtifactCache.newTmpDir(new java.io.File(root, "dead-key").toString)
+      val newTmp = ArtifactCache.newTmpDir(new java.io.File(root, "live-key").toString)
+      ArtifactCache.mkdirs(oldTmp); ArtifactCache.mkdirs(newTmp)
+      assert(new java.io.File(oldTmp).setLastModified(
+        System.currentTimeMillis() - 48L * 3600000L))
+      val reaped = ArtifactCache.gcTmp(24L * 3600000L)
+      assert(reaped.map(ArtifactCache.baseName) ===
+        Seq(ArtifactCache.baseName(oldTmp)), s"wrong tmp reaped: $reaped")
+      assert(!new java.io.File(oldTmp).exists())
+      assert(new java.io.File(newTmp).exists(),
+        "a live in-flight build was reaped")
+      // gc itself still never touches tmp dirs, stale or not
+      assert(ArtifactCache.gc(maxBytes = Some(0L), minAgeMs = 0L)
+        .forall(!_.contains(".tmp-")))
+      assert(new java.io.File(newTmp).exists())
+    }
+  }
+
   test("getOrBuild: a second session publishing the same missing key first — loser converges") {
     // Two SESSIONS miss the same key concurrently: both build complete
     // private copies and race on publish-by-rename. The interleave is

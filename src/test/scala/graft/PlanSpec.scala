@@ -295,6 +295,35 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"queries planning CartesianProduct: $offenders")
   }
 
+  test("contract-wide sweep: no query windows over an unpartitioned (single-task) spec") {
+    // The other classic silent scale killer: a window with an EMPTY
+    // partitionSpec requires AllTuples — Spark plans it as Exchange
+    // SinglePartition and ONE task processes the window's entire input.
+    // (`Exchange SinglePartition` per se is fine under scalar aggregates,
+    // whose input is one partial row per upstream partition; and a
+    // terminal global orderBy range-partitions, so neither is flagged.)
+    // The LOGICAL plan is the robust place to catch it: physical
+    // traversal sees either pre-EnsureRequirements trees (no exchanges
+    // yet) or AQE/codegen wrappers. Documented allowlist: operators whose
+    // unpartitioned window input is CONSTANT-bounded, never data-sized.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val allow: Map[String, String] = Map(
+      // the type-code rank (Events.eventTypeCodes): dense_rank over the
+      // DISTINCT'd handful of event types — |event types|-sized input,
+      // documented at the definition site
+      "eval_layout_skip_3d" -> "type-code rank over distinct event types",
+      "layout_zorder_3d" -> "type-code rank over distinct event types")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, TestSpark.sf).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w.windowExpressions.map(_.name)
+      }.flatten
+      spark.catalog.clearCache()
+      if (bad.nonEmpty && !allow.contains(name)) Some(s"$name($bad)") else None
+    }
+    assert(offenders.isEmpty,
+      s"queries windowing over an unpartitioned spec: $offenders")
+  }
+
   test("sample_stratified_capped: the per-stratum counts broadcast into the threshold filter") {
     val df = SparkEntry.queries("sample_stratified_capped")(spark, TestSpark.sf)
     df.count()

@@ -171,6 +171,7 @@ object SparkEntry {
     "data_mix_epochs" -> ((s, d) => Pipeline.dataMixEpochs(s, d)),
     "data_mix_temperature" -> ((s, d) => Pipeline.dataMixTemperature(s, d)),
     "data_mix_temperature_capped" -> ((s, d) => Pipeline.dataMixTemperatureCapped(s, d)),
+    "eval_mix_temperature" -> ((s, d) => Pipeline.dataMixTemperatureSweep(s, d)),
     "decontaminate" -> ((s, d) => Pipeline.decontaminate(s, d)),
     "source_contamination" -> ((s, d) => Pipeline.sourceContamination(s, d)),
     "decontaminate_bloom" -> ((s, d) => Pipeline.decontaminateBloom(s, d)),
@@ -239,6 +240,14 @@ object SparkEntry {
     s"""p0 AS (SELECT doc_id, $carry, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1), i -> CAST(ascii(substr(s, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS h0 FROM (SELECT doc_id, $carry, '$salt' || CAST(doc_id AS VARCHAR) AS s FROM documents)), p1 AS (SELECT doc_id, $carry, (xor(h0 >> 16, h0) * 73244475) & 4294967295 AS x1 FROM p0), p2 AS (SELECT doc_id, $carry, (xor(x1 >> 16, x1) * 73244475) & 4294967295 AS x2 FROM p1), h AS (SELECT doc_id, $carry, xor(x2 >> 16, x2) % 1000000007 AS hh FROM p2)"""
 
   private val StratHashCtes = orderHashCtes("strat:", "lang")
+
+  // One largest-remainder allocation chain of the temperature sweep
+  // (eval_mix_temperature): weight expression `wExpr` over the shared
+  // source-count CTE `c`, labeled tau_e1 = `tau`. Ends with
+  // t<tau>(tau_e1, source, n_source, w, target, budget, ntot) — the
+  // exact integer rule Pipeline.temperatureTargetsW runs.
+  private def tempSweepChain(tau: Int, wExpr: String): String =
+    s"""c$tau AS (SELECT source, n_source, CAST($wExpr AS BIGINT) AS w FROM c), tot$tau AS (SELECT CAST(sum(w) AS BIGINT) AS wsum, CAST(sum(n_source) AS BIGINT) AS ntot FROM c$tau), t0$tau AS (SELECT source, n_source, w, ((ntot // 2) * w) // wsum AS base, ((ntot // 2) * w) % wsum AS rem, ntot // 2 AS budget, ntot FROM c$tau CROSS JOIN tot$tau), lo$tau AS (SELECT CAST(max(budget) - sum(base) AS BIGINT) AS leftover FROM t0$tau), t$tau AS (SELECT CAST($tau AS BIGINT) AS tau_e1, source, n_source, w, least(n_source, base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover THEN 1 ELSE 0 END) AS target, budget, ntot FROM t0$tau CROSS JOIN lo$tau)"""
 
   // Shared packed-offset CTEs over the shuffled training order (tokenize,
   // exclusive prefix window on (hh, doc_id)) — data_pack_shuffled and
@@ -584,6 +593,11 @@ object SparkEntry {
     // order, so the capped plan computes the identical kept set.
     "data_mix_temperature_capped" ->
       s"""WITH ${orderHashCtes("tmix:", "source")}, c AS (SELECT source, count(*) AS n_source, CAST(floor(sqrt(count(*))) AS BIGINT) AS sw FROM h GROUP BY source), tot AS (SELECT CAST(sum(sw) AS BIGINT) AS wsum, CAST(sum(n_source) AS BIGINT) AS ntot FROM c), t0 AS (SELECT source, n_source, ((ntot // 2) * sw) // wsum AS base, ((ntot // 2) * sw) % wsum AS rem, ntot // 2 AS budget FROM c CROSS JOIN tot), lo AS (SELECT CAST(max(budget) - sum(base) AS BIGINT) AS leftover FROM t0), t AS (SELECT source, n_source, least(n_source, base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover THEN 1 ELSE 0 END) AS target FROM t0 CROSS JOIN lo), r AS (SELECT h.doc_id, h.source, t.target, row_number() OVER (PARTITION BY h.source ORDER BY h.hh, h.doc_id) AS rn FROM h JOIN t ON h.source = t.source) SELECT doc_id, source, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= target ORDER BY doc_id""",
+    // The τ-sweep decision table: the SAME largest-remainder allocator
+    // at three temperatures (weight = n^τ as exact integers), shares as
+    // pinned e4 divisions.
+    "eval_mix_temperature" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source), ${tempSweepChain(0, "1")}, ${tempSweepChain(5, "floor(sqrt(n_source))")}, ${tempSweepChain(10, "n_source")} SELECT tau_e1, source, n_source, CAST(w AS BIGINT) AS weight, CAST(target AS BIGINT) AS target, CAST(n_source * 10000 // ntot AS BIGINT) AS raw_share_e4, CAST(CASE WHEN budget = 0 THEN 0 ELSE target * 10000 // budget END AS BIGINT) AS mix_share_e4, CAST(target * 10000 // n_source AS BIGINT) AS epochs_e4 FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t5 UNION ALL SELECT * FROM t10) ORDER BY tau_e1, source""",
     "corpus_stats" ->
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(len(regexp_extract_all(lower(text), '$Tok'))) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY lang ORDER BY lang""",
     // Drift monitor: top words by relative-frequency shift between the

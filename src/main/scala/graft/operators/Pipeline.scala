@@ -1310,19 +1310,69 @@ object Pipeline {
     * aggregate" both mix variants already paid for. */
   private def temperatureTargets(
       counts: Array[(String, Long)]): (Seq[(String, Long, Long)], Long) = {
+    val (rows, budget) = temperatureTargetsW(counts,
+      n => math.floor(math.sqrt(n.toDouble)).toLong)
+    (rows.map { case (src, n, _, target) => (src, n, target) }, budget)
+  }
+
+  /** The same largest-remainder allocation under ANY integer weight
+    * function — the generalization the τ-sweep eval needs (τ = 1 →
+    * weight n, τ = 0.5 → floor(sqrt(n)), τ = 0 → 1). Returns
+    * (source, n_source, weight, target) plus the budget. */
+  private def temperatureTargetsW(counts: Array[(String, Long)],
+      weight: Long => Long): (Seq[(String, Long, Long, Long)], Long) = {
     val ntot = counts.map(_._2).sum
     val budget = ntot / 2
-    val ws = counts.map { case (src, n) =>
-      (src, n, math.floor(math.sqrt(n.toDouble)).toLong) }
+    val ws = counts.map { case (src, n) => (src, n, weight(n)) }
     val wsum = ws.map(_._3).sum
     val alloc = ws.map { case (src, n, sw) =>
-      (src, n, budget * sw / wsum, budget * sw % wsum) }
-    val leftover = (budget - alloc.map(_._3).sum).toInt
-    val bumped = alloc.sortBy { case (src, _, _, rem) => (-rem, src) }
+      (src, n, sw, budget * sw / wsum, budget * sw % wsum) }
+    val leftover = (budget - alloc.map(_._4).sum).toInt
+    val bumped = alloc.sortBy { case (src, _, _, _, rem) => (-rem, src) }
       .take(leftover).map(_._1).toSet
-    (alloc.map { case (src, n, base, _) =>
-      (src, n, math.min(n, base + (if (bumped(src)) 1L else 0L))) }.toSeq,
+    (alloc.map { case (src, n, sw, base, _) =>
+      (src, n, sw, math.min(n, base + (if (bumped(src)) 1L else 0L))) }.toSeq,
       budget)
+  }
+
+  /** TEMPERATURE-SWEEP DECISION TABLE (`eval_mix_temperature`) — the
+    * report read BEFORE choosing a mixing temperature: for
+    * τ ∈ {1.0, 0.5, 0.0} (weight = n^τ as exact integers: n,
+    * floor(sqrt(n)), 1), the largest-remainder allocation of the same
+    * half-corpus budget, with per-source shares as pinned e4 integers:
+    * `raw_share_e4` (the source's share of the corpus), `mix_share_e4`
+    * (its share of the mixed sample — equals raw at τ = 1, uniform at
+    * τ = 0), and `epochs_e4` (target/n — the effective sampling rate;
+    * rates > 10000 would mean upsampling, which the min(n, ·) cap
+    * forbids). Every number is the exact arithmetic
+    * [[dataMixTemperatureDf]] ships under τ = 0.5 — the eval does not
+    * model the operator, it RUNS the operator's allocator three times.
+    *
+    * Scale shape: ONE registry-sized groupBy count; everything after is
+    * driver arithmetic over |sources| rows × 3 temperatures. */
+  def dataMixTemperatureSweep(s: SparkSession, d: String): DataFrame =
+    dataMixTemperatureSweepDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, source) DataFrame (planted tests). */
+  def dataMixTemperatureSweepDf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ntot = counts.map(_._2).sum
+    val rows = for {
+      (tauE1, wf) <- Seq(
+        (0L, (_: Long) => 1L),
+        (5L, (n: Long) => math.floor(math.sqrt(n.toDouble)).toLong),
+        (10L, (n: Long) => n))
+      (targets, budget) = temperatureTargetsW(counts, wf)
+      (src, n, w, target) <- targets
+    } yield (tauE1, src, n, w, target,
+      n * 10000L / ntot,
+      if (budget == 0L) 0L else target * 10000L / budget,
+      target * 10000L / n)
+    rows.toDF("tau_e1", "source", "n_source", "weight", "target",
+        "raw_share_e4", "mix_share_e4", "epochs_e4")
+      .orderBy("tau_e1", "source")
   }
 
   /** Same, over any (doc_id, source) DataFrame (planted tests). */

@@ -568,6 +568,38 @@ class PipelineSpec extends AnyFunSuite {
       "piece counts never diverge from word counts — vacuous composition")
   }
 
+  test("temperature sweep: hand-checked allocation at all three temperatures") {
+    // Skewed sources a×64, b×16, c×4 (ntot 84, budget 42) — the planted
+    // shape where the three temperatures genuinely differ:
+    //  τ=1  (weight n):          proportional — mix shares equal raw;
+    //  τ=.5 (weight floor(√n)):  flattened (8/4/2 of wsum 14 → 24/12/6,
+    //                            c capped to its 4 docs);
+    //  τ=0  (weight 1):          uniform 14 each, c again capped to 4 —
+    //                            the min(n, ·) rule forbids upsampling.
+    val docs = ((1 to 64).map(i => (i.toLong, "a")) ++
+      (65 to 80).map(i => (i.toLong, "b")) ++
+      (81 to 84).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val got = Pipeline.dataMixTemperatureSweepDf(docs)
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val expect = Seq(
+      (0L, "a", 64L, 1L, 14L, 7619L, 3333L, 2187L),
+      (0L, "b", 16L, 1L, 14L, 1904L, 3333L, 8750L),
+      (0L, "c", 4L, 1L, 4L, 476L, 952L, 10000L),
+      (5L, "a", 64L, 8L, 24L, 7619L, 5714L, 3750L),
+      (5L, "b", 16L, 4L, 12L, 1904L, 2857L, 7500L),
+      (5L, "c", 4L, 2L, 4L, 476L, 952L, 10000L),
+      (10L, "a", 64L, 64L, 32L, 7619L, 7619L, 5000L),
+      (10L, "b", 16L, 16L, 8L, 1904L, 1904L, 5000L),
+      (10L, "c", 4L, 4L, 2L, 476L, 476L, 5000L))
+    assert(got === expect)
+    // τ=0.5's targets are EXACTLY the shipped operator's: the eval runs
+    // the allocator, it does not model it
+    val shipped = Pipeline.dataMixTemperatureDf(docs)
+      .select("source", "target").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(got.filter(_._1 == 5L).map(t => t._2 -> t._5).toMap === shipped)
+  }
+
   test("prefix-sum single-use contract: no silent recompute path exists after release") {
     // The keyed prefix sum's base is localCheckpoint'ed (lineage
     // TRUNCATED) and released by the first terminal action on the result

@@ -28,17 +28,13 @@ object LayoutMeasure {
     val sfDir = args(0)
     val outDir = args(1)
     val nFiles = if (args.length > 2) args(2).toInt else 32
-    val nProbes = graft.operators.Events.ZorderSkipProbes
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.sources.Sessions.local(cpus, logLevel = "ERROR")
 
-    // One source frame for all three writers: events plus the dense
-    // event-type code (so type-point pruning is measurable under every
-    // layout, clustered on it or not).
-    val e0 = graft.sources.Tables.events(spark, sfDir)
-    val events = e0
-      .join(broadcast(graft.operators.Events.eventTypeCodes(e0)), "event_type")
-      .select(col("event_id"), col("user_id"), col("ts_us"), col("c"))
+    // One source frame for all writers (the builder LayoutRowGroups
+    // shares, so the two tools' numbers stay comparable).
+    val events = graft.operators.Events
+      .layoutMeasureSource(graft.sources.Tables.events(spark, sfDir))
       .persist()
     events.count(): Unit
 
@@ -65,20 +61,10 @@ object LayoutMeasure {
     write("hilbert",
       graft.operators.Events.hilbertClustered(events, nFiles))
 
-    // Probe sets: the skip eval's deterministic shapes.
-    val userProbes = events.select(col("user_id").as("pv"))
-      .distinct().orderBy("pv").limit(nProbes)
+    // Probe sets: the skip eval's deterministic shapes (shared builders).
+    val userProbes = graft.operators.Events.layoutUserProbes(events)
     val typeProbes = events.select(col("c").as("pv")).distinct()
-    val nb = 1L << graft.operators.Events.ZorderBucketsLog2
-    val timeProbes = events
-      .agg(min("ts_us").as("mint"), max("ts_us").as("maxt"))
-      .select(explode(sequence(lit(0), lit(nProbes - 1))).as("k"),
-        col("mint"), col("maxt"))
-      .select(
-        expr(s"mint + k * ((maxt - mint) div $nProbes)").as("ps"),
-        expr(s"mint + k * ((maxt - mint) div $nProbes) + " +
-          s"((maxt - mint) div $nb)").as("pe"))
-      .distinct()
+    val timeProbes = graft.operators.Events.layoutTimeProbes(events)
 
     def fracs(sub: String): (Long, Long, Long, Long) = {
       val audit = graft.operators.Events.fileLayoutAuditDf(

@@ -38,15 +38,13 @@ object LayoutRowGroups {
     val outDir = args(1)
     val nFiles = if (args.length > 2) args(2).toInt else 4
     val blockBytes = if (args.length > 3) args(3).toInt else 64 * 1024
-    val nProbes = graft.operators.Events.ZorderSkipProbes
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.sources.Sessions.local(cpus, logLevel = "ERROR")
     val conf = spark.sparkContext.hadoopConfiguration
 
-    val e0 = graft.sources.Tables.events(spark, sfDir)
-    val events = e0
-      .join(broadcast(graft.operators.Events.eventTypeCodes(e0)), "event_type")
-      .select(col("event_id"), col("user_id"), col("ts_us"), col("c"))
+    // Source frame: the SAME builder LayoutMeasure uses.
+    val events = graft.operators.Events
+      .layoutMeasureSource(graft.sources.Tables.events(spark, sfDir))
       .persist()
     events.count(): Unit
 
@@ -106,19 +104,9 @@ object LayoutRowGroups {
       spark.createDataFrame(rows.toSeq.asJava, schema)
     }
 
-    // Probes: identical shapes to LayoutMeasure's.
-    val userProbes = events.select(col("user_id").as("pv"))
-      .distinct().orderBy("pv").limit(nProbes)
-    val nb = 1L << graft.operators.Events.ZorderBucketsLog2
-    val timeProbes = events
-      .agg(min("ts_us").as("mint"), max("ts_us").as("maxt"))
-      .select(explode(sequence(lit(0), lit(nProbes - 1))).as("k"),
-        col("mint"), col("maxt"))
-      .select(
-        expr(s"mint + k * ((maxt - mint) div $nProbes)").as("ps"),
-        expr(s"mint + k * ((maxt - mint) div $nProbes) + " +
-          s"((maxt - mint) div $nb)").as("pe"))
-      .distinct()
+    // Probes: LayoutMeasure's shapes by construction — shared builders.
+    val userProbes = graft.operators.Events.layoutUserProbes(events)
+    val timeProbes = graft.operators.Events.layoutTimeProbes(events)
 
     def fracs(audit: DataFrame): (Long, Long, Long) = {
       val a = audit.persist()

@@ -15,7 +15,7 @@ import graft.sources.ArtifactCache
   *                                          # --tmp-age-hours also reaps
   *                                          # crashed builds' .tmp-* dirs
   *   runMain graft.Products verify          # manifest sweep: per product,
-  *                                          # ok / no_manifest /
+  *                                          # ok / ok_swap / no_manifest /
   *                                          # name_mismatch / hash_mismatch,
   *                                          # plus any orphaned tmp dirs
   *
@@ -58,13 +58,19 @@ object Products {
               s"[--min-age-hours H] [--tmp-age-hours T] (got: ${rest.mkString(" ")})")
           sys.exit(2)
         }
-        val evicted = ArtifactCache.gc(
-          maxBytes = opt("--max-bytes"),
-          maxAgeMs = opt("--max-age-days").map(_ * 86400000L),
-          // grace floor override (default 1 h): products younger than
-          // this are never victims, whatever the budget says
-          minAgeMs = opt("--min-age-hours").map(_ * 3600000L)
-            .getOrElse(ArtifactCache.DefaultGcMinAgeMs))
+        // run the registry policy only when an eviction bound is present:
+        // a tmp-only invocation must not pay a full content-summary walk
+        // of every product for a guaranteed-empty eviction
+        val evicted =
+          if (opt("--max-bytes").isEmpty && opt("--max-age-days").isEmpty)
+            Seq.empty[String]
+          else ArtifactCache.gc(
+            maxBytes = opt("--max-bytes"),
+            maxAgeMs = opt("--max-age-days").map(_ * 86400000L),
+            // grace floor override (default 1 h): products younger than
+            // this are never victims, whatever the budget says
+            minAgeMs = opt("--min-age-hours").map(_ * 3600000L)
+              .getOrElse(ArtifactCache.DefaultGcMinAgeMs))
         evicted.foreach(d => println(s"evicted $d"))
         // crashed builds' tmp dirs: reaped only on explicit opt-in (age
         // must exceed the longest legitimate build, which only the
@@ -78,7 +84,9 @@ object Products {
         val statuses = ArtifactCache.verifyProducts()
         if (statuses.isEmpty) println("no published products")
         statuses.foreach { case (dir, status) => println(f"$status%-28s $dir") }
-        val bad = statuses.count(_._2 != "ok")
+        // ok_swap = healthy swap-managed index dir (versioned manifest
+        // under CURRENT) — not a problem
+        val bad = statuses.count(s => s._2 != "ok" && s._2 != "ok_swap")
         // report (never touch) in-flight tmp dirs so an operator sees
         // crashed builds before they accumulate; 0-age = list them all
         val tmps = ArtifactCache.staleTmpDirs(0L)

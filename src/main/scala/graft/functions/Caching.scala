@@ -39,6 +39,12 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * One contract limit remains for checkpoint-backed results: the FIRST
   * action on the result releases the checkpoint, so such results are
   * single-use — run one terminal action (write/collect), not several.
+  * Measured Spark 4.1 semantics of a violation (pinned by
+  * PipelineSpec's single-use-contract test): re-acting on the SAME
+  * Dataset serves byte-identical rows from its materialized AQE
+  * shuffle stages, and a FRESH execution over the released plan fails
+  * loudly (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) — a violation can never
+  * return silently different rows.
   * The callback runs on the listener bus thread; `unpersist(blocking =
   * false)` and listener self-removal are both thread-safe.
   */

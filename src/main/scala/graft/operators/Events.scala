@@ -973,6 +973,41 @@ object Events {
       .withColumn("c",
         (dense_rank().over(Window.orderBy("event_type")) - 1).cast("long"))
 
+  // ---- the measured-layout tools' SHARED source frame and probe sets
+  //      (graft.LayoutMeasure, graft.LayoutRowGroups): one definition,
+  //      so the row-group-granularity numbers stay comparable to the
+  //      file-granularity numbers they are read against ----
+
+  /** Source frame for the layout measurement tools: events plus the
+    * dense type code, so type-point pruning is measurable under every
+    * layout, clustered on it or not. */
+  def layoutMeasureSource(e0: DataFrame): DataFrame =
+    e0.join(broadcast(eventTypeCodes(e0)), "event_type")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("c"))
+
+  /** The [[ZorderSkipProbes]] lowest distinct user ids, as the `pv`
+    * column [[fileSkipFractionDf]] expects. */
+  def layoutUserProbes(events: DataFrame): DataFrame =
+    events.select(col("user_id").as("pv"))
+      .distinct().orderBy("pv").limit(ZorderSkipProbes)
+
+  /** [[ZorderSkipProbes]] evenly-spaced time windows of one
+    * 2^[[ZorderBucketsLog2]]-th of the range each, as the (ps, pe)
+    * columns [[fileRangeScanFractionDf]] expects. */
+  def layoutTimeProbes(events: DataFrame): DataFrame = {
+    val nProbes = ZorderSkipProbes
+    val nb = 1L << ZorderBucketsLog2
+    events
+      .agg(min("ts_us").as("mint"), max("ts_us").as("maxt"))
+      .select(explode(sequence(lit(0), lit(nProbes - 1))).as("k"),
+        col("mint"), col("maxt"))
+      .select(
+        expr(s"mint + k * ((maxt - mint) div $nProbes)").as("ps"),
+        expr(s"mint + k * ((maxt - mint) div $nProbes) + " +
+          s"((maxt - mint) div $nb)").as("pe"))
+      .distinct()
+  }
+
   /** 3-D LAYOUT SKIP EVAL — [[layoutTradeoffEvalDf]]'s decision table
     * extended with the third dimension: the [[zorderLayout3d]] audit
     * reduced to scan fractions for user-point, time-range AND

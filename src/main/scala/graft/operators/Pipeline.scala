@@ -1325,8 +1325,15 @@ object Pipeline {
     val budget = ntot / 2
     val ws = counts.map { case (src, n) => (src, n, weight(n)) }
     val wsum = ws.map(_._3).sum
+    // budget * sw through BigInt: under the τ=1 sweep (weight = n) the
+    // product reaches ~n_total²/2, past Long at ~4.3e9 documents — a
+    // silent wrap would ship negative targets. The quotient (≤ budget)
+    // and remainder (< wsum ≤ n_total) both fit Long again; driver
+    // arithmetic over registry-sized input, so BigInt costs nothing.
     val alloc = ws.map { case (src, n, sw) =>
-      (src, n, sw, budget * sw / wsum, budget * sw % wsum) }
+      val prod = BigInt(budget) * BigInt(sw)
+      (src, n, sw, (prod / wsum).toLong, (prod % wsum).toLong) }
+    // leftover < |sources| by the largest-remainder identity — Int-safe
     val leftover = (budget - alloc.map(_._4).sum).toInt
     val bumped = alloc.sortBy { case (src, _, _, _, rem) => (-rem, src) }
       .take(leftover).map(_._1).toSet

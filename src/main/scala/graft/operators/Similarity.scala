@@ -1137,13 +1137,24 @@ object Similarity {
     // and its cleanup — unreachable (CURRENT wins resolution) yet
     // permanent, because the fresh version makes every later call return
     // None before the hadInPlace branch below. Finish the cleanup on
-    // EVERY call, not only on the converting rebuild.
+    // EVERY call, not only on the converting rebuild — but gate it on
+    // the SAME retire grace that protects retired v-* versions: a reader
+    // that resolved baseDir just before the crashed conversion's flip
+    // may still be mid-scan on the in-place artifacts, and age is what
+    // makes them safe to collect (rebuild period ≫ grace, as with the
+    // version retire loop). The manifest goes only once all three
+    // artifact dirs are gone, keeping the sweep idempotent across calls.
     if (resolved != baseDir) {
-      Seq("index", "centroids", "codebook")
+      val graceMs = s.conf.getOption("spark.graft.index.retireGraceMs")
+        .flatMap(_.toLongOption).getOrElse(3600000L)
+      val now = System.currentTimeMillis()
+      val inPlace = Seq("index", "centroids", "codebook")
         .map(sub => new org.apache.hadoop.fs.Path(baseDir, sub).toString)
-        .filter(ArtifactCache.exists)
+      inPlace.filter(ArtifactCache.exists)
+        .filter(p => now - ArtifactCache.modTimeMs(p) >= graceMs)
         .foreach(ArtifactCache.rmTree)
-      ArtifactCache.removeManifest(baseDir)
+      if (!inPlace.exists(ArtifactCache.exists))
+        ArtifactCache.removeManifest(baseDir)
     }
     val expected = ivfPqManifestKey(d, nCells, m, kCents, ivfIters,
       pqIters, eta)

@@ -407,6 +407,16 @@ object ArtifactCache {
   private def dirString(st: FileStatus): String =
     new Path(root, st.getPath.getName).toString
 
+  /** Parse a product directory basename `<name>-<16-hex-key>` into
+    * (name, keyHash) at the LAST hyphen (so hyphenated product names
+    * parse whole) — the ONE split rule [[registry]], [[evict]] and
+    * [[verifyProducts]] share. */
+  private def parseProductDir(base: String): (String, String) = {
+    val cut = base.lastIndexOf('-')
+    if (cut > 0) (base.substring(0, cut), base.substring(cut + 1))
+    else (base, "")
+  }
+
   /** The PRODUCT REGISTRY — what the build-once/consume-many layer has
     * materialized: one row per published product directory (name, key
     * hash, bytes, file count, publish mtime), in-flight `.tmp-*` builds
@@ -419,13 +429,7 @@ object ArtifactCache {
     import s.implicits._
     val r = rootPath(); val fs = fsOf(r)
     val rows = published().map { st =>
-      // <name>-<16-hex-key>: split at the LAST hyphen, so a product name
-      // that itself contains hyphens parses whole.
-      val base = st.getPath.getName
-      val cut = base.lastIndexOf('-')
-      val (name, key) =
-        if (cut > 0) (base.substring(0, cut), base.substring(cut + 1))
-        else (base, "")
+      val (name, key) = parseProductDir(st.getPath.getName)
       val (bytes, files) = treeStats(fs, st)
       (name, key, dirString(st), bytes, files, st.getModificationTime)
     }.sortBy(r => (r._1, r._2))
@@ -445,9 +449,7 @@ object ArtifactCache {
   def evict(product: String): Int = {
     val victims = published().filter { st =>
       val base = st.getPath.getName
-      val cut = base.lastIndexOf('-')
-      base == product ||
-        (cut > 0 && base.substring(0, cut) == product)
+      base == product || parseProductDir(base)._1 == product
     }
     victims.foreach(st => rmTree(dirString(st)))
     victims.length
@@ -502,6 +504,12 @@ object ArtifactCache {
     *  - `ok`: manifest present, its recorded product name matches the
     *    directory prefix AND its key re-hashes to the directory's key
     *    suffix — the dir IS what its name claims;
+    *  - `ok_swap`: a SWAP-MANAGED dir (IndexBuild --swap): no top-level
+    *    manifest BY DESIGN — a `CURRENT` pointer resolves to a versioned
+    *    subdir carrying its own manifest, whose product name matches the
+    *    directory prefix. The key hash is deliberately NOT compared: a
+    *    refresh cron legitimately rebuilds newer corpus keys inside the
+    *    same base dir;
     *  - `no_manifest`: a pre-manifest or foreign directory — consumers
     *    will refuse it ([[validateManifest]]); evict to rebuild;
     *  - `name_mismatch` / `hash_mismatch`: the manifest belongs to a
@@ -512,20 +520,27 @@ object ArtifactCache {
     * Listing-bounded driver work, read-only. */
   def verifyProducts(): Seq[(String, String)] =
     published().map { st =>
-      val base = st.getPath.getName
-      val cut = base.lastIndexOf('-')
-      val (name, keyHash) =
-        if (cut > 0) (base.substring(0, cut), base.substring(cut + 1))
-        else (base, "")
-      val status = readManifest(dirString(st)) match {
-        case None => "no_manifest"
+      val dir = dirString(st)
+      val (name, keyHash) = parseProductDir(st.getPath.getName)
+      def manifestName(m: String) = m.split('|').headOption.getOrElse("")
+      val status = readManifest(dir) match {
+        case None =>
+          val cur = new Path(dir, "CURRENT").toString
+          if (!isFile(cur)) "no_manifest"
+          else {
+            val v = new Path(dir, readSmall(cur).trim).toString
+            readManifest(v) match {
+              case Some(m) if manifestName(m) == name => "ok_swap"
+              case Some(m) => s"name_mismatch(current=${manifestName(m)})"
+              case None => "no_manifest(current)"
+            }
+          }
         case Some(m) =>
-          val mName = m.split('|').headOption.getOrElse("")
-          if (mName != name) s"name_mismatch(manifest=$mName)"
+          if (manifestName(m) != name) s"name_mismatch(manifest=${manifestName(m)})"
           else if (sha8(m) != keyHash) "hash_mismatch"
           else "ok"
       }
-      (dirString(st), status)
+      (dir, status)
     }
 
   /** In-flight `.tmp-*` build dirs under [[root]] older than `ageMs` —

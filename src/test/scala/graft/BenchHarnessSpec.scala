@@ -357,6 +357,16 @@ class BenchHarnessSpec extends AnyFunSuite {
       build().write.parquet(rotten.getAbsolutePath)
       ArtifactCache.writeManifest(rotten.getAbsolutePath,
         "rotten|/x/y.parquet|1|2|3")
+      // a SWAP-MANAGED index dir: no top-level manifest by design —
+      // CURRENT resolves to a versioned subdir carrying its own manifest
+      // whose name matches the product prefix (key hash deliberately
+      // uncompared: refresh crons rebuild newer corpus keys in place)
+      val swap = new java.io.File(root, "swapidx-1111111111111111")
+      val vdir = new java.io.File(swap, "v-test-1")
+      build().write.parquet(vdir.getAbsolutePath)
+      ArtifactCache.writeManifest(vdir.getAbsolutePath,
+        "swapidx|/x/emb.parquet|1|2|3")
+      ArtifactCache.writeFileAtomic(swap.getAbsolutePath, "CURRENT", "v-test-1")
       val byDir = ArtifactCache.verifyProducts().toMap
         .map { case (d, s) => ArtifactCache.baseName(d) -> s }
       assert(byDir.exists { case (d, s) => d.startsWith("healthy-") && s == "ok" },
@@ -364,6 +374,8 @@ class BenchHarnessSpec extends AnyFunSuite {
       assert(byDir("foreign-0123456789abcdef") === "no_manifest")
       assert(byDir("planted-fedcba9876543210").startsWith("name_mismatch"))
       assert(byDir("rotten-0000000000000000") === "hash_mismatch")
+      assert(byDir("swapidx-1111111111111111") === "ok_swap",
+        "a healthy swap-managed dir must not read as a problem")
       // tmp reaping: an old crashed build falls, a fresh in-flight one survives
       val oldTmp = ArtifactCache.newTmpDir(new java.io.File(root, "dead-key").toString)
       val newTmp = ArtifactCache.newTmpDir(new java.io.File(root, "live-key").toString)

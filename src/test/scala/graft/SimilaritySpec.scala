@@ -360,6 +360,17 @@ class SimilaritySpec extends AnyFunSuite {
     val v = Similarity.ivfPqSwapIndex(spark, corpus.toString, base) // flip, "crash"
     assert(new java.io.File(base, "index").exists(),
       "precondition: the crash window must leave the in-place artifacts")
+    // within the retire grace the sweep must NOT collect — a reader that
+    // resolved baseDir just before the flip may still be mid-scan
+    assert(Similarity.ivfPqSwapIfStale(spark, corpus.toString, base).isEmpty,
+      "the fresh swapped version must stay a freshness no-op")
+    assert(new java.io.File(base, "index").exists(),
+      "in-place artifacts collected INSIDE the retire grace (mid-scan reader hazard)")
+    // age the artifacts past the grace → the next cron call finishes the
+    // crashed conversion's cleanup, still as a freshness no-op
+    for (orphan <- Seq("index", "centroids", "codebook"))
+      assert(new java.io.File(base, orphan).setLastModified(
+        System.currentTimeMillis() - 2L * 3600000L))
     assert(Similarity.ivfPqSwapIfStale(spark, corpus.toString, base).isEmpty,
       "the fresh swapped version must stay a freshness no-op")
     for (orphan <- Seq("index", "centroids", "codebook", "_GRAFT_MANIFEST"))

@@ -60,6 +60,9 @@ object LayoutRowGroups {
     write("zorder2",
       graft.operators.Events.zorderClusteredN(
         events, Seq("user_id", "ts_us"), nFiles))
+    write("zorder3",
+      graft.operators.Events.zorderClusteredN(
+        events, Seq("user_id", "ts_us", "c"), nFiles))
     write("hilbert",
       graft.operators.Events.hilbertClustered(events, nFiles))
 
@@ -119,7 +122,7 @@ object LayoutRowGroups {
       a.unpersist(): Unit
       (units, up, tr)
     }
-    val out = Seq("linear", "zorder2", "hilbert").map { sub =>
+    val out = Seq("linear", "zorder2", "zorder3", "hilbert").map { sub =>
       val (nf, fUp, fTr) = fracs(graft.operators.Events.fileLayoutAuditDf(
         spark.read.parquet(s"$outDir/$sub"), dims))
       val (nrg, rgUp, rgTr) = fracs(rowGroupAudit(sub))

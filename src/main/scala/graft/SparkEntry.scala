@@ -178,6 +178,7 @@ object SparkEntry {
     "eval_decontaminate_fp" -> ((s, d) => Pipeline.decontaminateFp(s, d)),
     "decontaminate_semantic" -> ((s, d) => Pipeline.decontaminateSemantic(s, d)),
     "pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
+    "pack_sequences_incremental" -> ((s, d) => Pipeline.packSequencesIncremental(s, d)),
     "pack_sequences_global" -> ((s, d) => Pipeline.packSequencesGlobal(s, d)),
     "pack_sequences_bpe" -> ((s, d) => Pipeline.packSequencesBpe(s, d)),
     "eval_pack_efficiency" -> ((s, d) => Pipeline.packEfficiency(s, d)),
@@ -1265,6 +1266,12 @@ object SparkEntry {
     // (reserved word).
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), o AS (SELECT doc_id, source, n_toks, CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, source, n_toks, "offset", CAST("offset" // 256 AS BIGINT) AS seq_id FROM o ORDER BY doc_id""",
+    // Incremental packing: the oracle IS the correctness statement —
+    // appending the batch (doc_id > 0.9·max) onto persisted per-source
+    // totals must equal RE-PACKING the whole corpus and keeping the
+    // batch rows, i.e. pack_sequences' flat window restricted to the cut.
+    "pack_sequences_incremental" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n_toks FROM documents), cut AS (SELECT max(doc_id) * 9 // 10 AS c FROM t), o AS (SELECT doc_id, source, n_toks, CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS BIGINT) AS "offset" FROM t) SELECT doc_id, source, n_toks, "offset", CAST("offset" // 256 AS BIGINT) AS seq_id FROM o CROSS JOIN cut WHERE doc_id > c ORDER BY doc_id""",
     // Packing-efficiency report: the pack_sequences window re-aggregated
     // per source — concat-and-chunk's boundary-split docs and tail pad vs
     // pad-per-doc's padding and truncation, pinned e4 ratios.

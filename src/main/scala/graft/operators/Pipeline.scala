@@ -761,6 +761,51 @@ object Pipeline {
       base)
   }
 
+  /** INCREMENTAL sequence packing — the daily-append shape: a new crawl
+    * batch (here the newest ~10 % of doc ids, `doc_id > 0.9·max`) is
+    * packed WITHOUT re-packing the shipped corpus. The decomposition:
+    * within each source the corpus's docs all sort before the batch's,
+    * so a batch doc's offset = the corpus's per-source TOKEN TOTAL plus
+    * the batch-local keyed prefix sum — and the result is byte-identical
+    * to re-running [[packSequences]] over the union and keeping the
+    * batch rows, which is exactly what the oracle states (one flat keyed
+    * window over ALL documents, restricted to the batch). A source
+    * appearing for the first time in the batch starts at offset 0.
+    *
+    * Scale shape: the prefix sum runs over the BATCH alone (a day of
+    * crawl, not years of archive); the corpus contributes one
+    * source-count-sized totals aggregate — which at production scale is
+    * a persisted per-source token-total product maintained per append
+    * (the same build-once/consume-many layer the indexes use), so
+    * appending costs O(batch), never O(corpus). */
+  def packSequencesIncremental(s: SparkSession, d: String): DataFrame =
+    packSequencesIncrementalDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, source, text) DataFrame (planted tests). */
+  def packSequencesIncrementalDf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val maxId = toks.agg(max("doc_id")).head().get(0)
+    if (maxId == null) // empty corpus: nothing to append
+      return toks.select(col("doc_id"), col("source"), col("n_toks"),
+        col("n_toks").as("offset"), col("n_toks").as("seq_id")).limit(0)
+    val cut = maxId.asInstanceOf[Long] * 9L / 10L
+    // Per-source corpus token totals: the persisted-product stand-in —
+    // source-count-sized output, broadcast back onto the batch.
+    val corpusTotals = toks.filter(col("doc_id") <= cut)
+      .groupBy("source").agg(sum("n_toks").as("base_toks"))
+    val (p, ckpt, _) = keyedExclusivePrefixSum(
+      toks.filter(col("doc_id") > cut), Seq("source"), Seq("doc_id"), "n_toks")
+    graft.functions.Caching.releaseAfterAction(
+      p.join(broadcast(corpusTotals), Seq("source"), "left")
+        .withColumn("offset", coalesce(col("base_toks"), lit(0L)) + col("prefix"))
+        .withColumn("seq_id", (col("offset") / lit(SeqLen)).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          col("offset"), col("seq_id"))
+        .orderBy("doc_id"),
+      ckpt)
+  }
+
   /** GLOBAL sequence packing — same concat-and-chunk rule as
     * [[packSequences]] but over ONE corpus-wide doc_id order, implemented
     * with the two-phase distributed prefix sum (the shape the per-shard

@@ -568,6 +568,28 @@ class PipelineSpec extends AnyFunSuite {
       "piece counts never diverge from word counts — vacuous composition")
   }
 
+  test("incremental packing: appending equals repacking; a new source starts at 0") {
+    // 20 docs → cut = 18: batch = {19, 20} per the 0.9·max rule.
+    // Corpus: docs 1..18 of source a, one token each (total 18). Batch:
+    // doc 19 (a, 2 tokens — offset = corpus total 18) and doc 20 of a
+    // NEW source b (3 tokens — no corpus total, offset 0). The batch's
+    // intra-batch prefix sits on top of the corpus base.
+    val docs = ((1L to 18L).map(i => (i, "a", "w")) ++ Seq(
+      (19L, "a", "x y"), (20L, "b", "x y z"))).toDF("doc_id", "source", "text")
+    val inc = Pipeline.packSequencesIncrementalDf(docs)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(inc === Seq((19L, "a", 2L, 18L, 0L), (20L, "b", 3L, 0L, 0L)))
+    // ...and a second batch doc of the SAME source stacks on both the
+    // corpus total and the earlier batch doc (21 docs → cut still 18)
+    val docs2 = ((1L to 18L).map(i => (i, "a", "w")) ++ Seq(
+      (19L, "a", "x y"), (20L, "a", "x y z"), (21L, "a", "q"))
+      ).toDF("doc_id", "source", "text")
+    val inc2 = Pipeline.packSequencesIncrementalDf(docs2)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(inc2 === Seq((19L, "a", 2L, 18L, 0L), (20L, "a", 3L, 20L, 0L),
+      (21L, "a", 1L, 23L, 0L)))
+  }
+
   test("temperature sweep: hand-checked allocation at all three temperatures") {
     // Skewed sources a×64, b×16, c×4 (ntot 84, budget 42) — the planted
     // shape where the three temperatures genuinely differ:

@@ -352,7 +352,7 @@ class PlanSpec extends AnyFunSuite {
     // admitted set is corpus-fraction-sized (targets sum to n_total/2), so
     // its rank must be the keyed prefix sum too, not a per-source window.
     for (q <- Seq("pack_sequences", "pack_sequences_bpe", "eval_pack_efficiency",
-        "data_mix_temperature_capped")) {
+        "data_mix_temperature_capped", "pack_sequences_incremental")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
       val plan = df.queryExecution.executedPlan.toString
       df.count()

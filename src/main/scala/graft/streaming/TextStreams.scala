@@ -434,6 +434,49 @@ object TextStreams {
     * MEMORY BOUND: the sort buffers one source's slice of ONE micro-batch
     * (3 longs per doc) on its state worker — bounded by the trigger size
     * (`maxFilesPerTrigger`), never by the corpus. */
+  /** STREAMING PACKING — the continuous form of
+    * [[graft.operators.Pipeline.packSequencesIncremental]]: documents
+    * arriving at intake are assigned their training-sequence offset the
+    * moment they land, against a per-source running TOKEN TOTAL kept in
+    * state (O(sources) longs — the state IS the persisted per-source
+    * total the batch append reads as a product; here it survives across
+    * triggers instead of across jobs). Each document emits exactly once
+    * with its offset (the total before it) and seq_id.
+    *
+    * Same ordering semantics as [[budgetAdmissionStream]] (stated, not
+    * assumed): offsets are order-of-ARRIVAL across triggers — the intake
+    * rule — with rows re-ordered by doc_id within each micro-batch, so a
+    * doc_id-ordered replay reproduces the batch [[Pipeline.packSequences]]
+    * layout byte-for-byte, and an arbitrary feed gets the arrival-order
+    * packing. MEMORY BOUND: one source's slice of one micro-batch
+    * (3 longs per doc), bounded by `maxFilesPerTrigger`, never the
+    * corpus. */
+  def packOffsetsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): Dataset[PackOffset] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    documentStream(spark, path, maxFilesPerTrigger)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, PackOffset](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val batch = rows.toArray
+          scala.util.Sorting.quickSort(batch)(Ordering.by(_._2))
+          val out = batch.map { case (_, id, n) =>
+            val off = total; total += n
+            // offsets are non-negative: Long division = the batch floor
+            PackOffset(src, id, n, off, off / Pipeline.SeqLen)
+          }
+          state.update(total)
+          out.iterator
+      }
+  }
+
   def budgetAdmissionStream(spark: SparkSession, path: String,
       sharePerSource: Long, maxFilesPerTrigger: Int = 0): Dataset[BudgetAdmit] = {
     import spark.implicits._
@@ -469,3 +512,7 @@ case class NearDupPair(d1: Long, d2: Long, hamming: Long)
 /** Output row of [[TextStreams.budgetAdmissionStream]]. */
 case class BudgetAdmit(source: String, doc_id: Long, n_toks: Long,
   admitted: Long, used_after: Long)
+
+/** Output row of [[TextStreams.packOffsetsStream]]. */
+case class PackOffset(source: String, doc_id: Long, n_toks: Long,
+  offset: Long, seq_id: Long)

@@ -306,6 +306,29 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed("the") === 3L)
   }
 
+  test("streaming packing offsets equal the batch pack_sequences layout") {
+    // A doc_id-ordered replay (one parquet drop) must reproduce the
+    // batch packing byte-for-byte: the stream's per-source state is the
+    // running token total the batch window computes.
+    val dir = Paths.get("target", "test-scratch", "docstream_pack")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.packOffsetsStream(spark, dir.toString).toDF(),
+        "t_pack", mode = "update")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.length === streamed.map(r => (r._1, r._2)).distinct.length,
+      "a document was packed more than once")
+    val batch = graft.operators.Pipeline.packSequences(spark, TestSpark.sf)
+      .select("source", "doc_id", "n_toks", "offset", "seq_id")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(streamed.toSet === batch.toSet,
+      "streamed packing diverged from the batch layout")
+  }
+
   test("streaming budget admission matches the batch per-source greedy fold") {
     val dir = Paths.get("target", "test-scratch", "docstream_budget")
     Files.createDirectories(dir)

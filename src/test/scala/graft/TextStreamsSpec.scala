@@ -329,6 +329,47 @@ class TextStreamsSpec extends AnyFunSuite {
       "streamed packing diverged from the batch layout")
   }
 
+  test("streaming packing state survives a restart: run 2 continues run 1's totals") {
+    // The production claim behind the twin: the per-source running token
+    // total lives in CHECKPOINTED state, so a stopped-and-restarted job
+    // keeps packing where it left off — the streaming equivalent of
+    // pack_sequences_incremental's persisted-totals append, across JOBS.
+    val dir = Paths.get("target", "test-scratch", "docstream_pack_restart")
+    val ck = Paths.get("target", "test-scratch", "docstream_pack_ck")
+    for (d <- Seq(dir, ck) if Files.exists(d))
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    Files.createDirectories(dir)
+    def drop(rows: Seq[(Long, String, String, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    def run(): Seq[(String, Long, Long, Long, Long)] = {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long)]
+      val q = TextStreams.packOffsetsStream(spark, dir.toString).toDF()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf ++= df.as[(String, Long, Long, Long, Long)].collect()
+          ()
+        }
+        .option("checkpointLocation", ck.toString)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.toSeq
+    }
+    drop(Seq((1L, "w w", "en", "a", 3L), (2L, "w", "en", "b", 1L)))
+    assert(run().sortBy(_._2) === Seq(
+      ("a", 1L, 2L, 0L, 0L), ("b", 2L, 1L, 0L, 0L)))
+    // second drop lands AFTER the first job terminated; the restarted job
+    // must resume the totals (a at 2, b at 1), not restart them at 0
+    drop(Seq((3L, "x y z", "en", "a", 5L), (4L, "q", "en", "b", 1L)))
+    assert(run().sortBy(_._2) === Seq(
+      ("a", 3L, 3L, 2L, 0L), ("b", 4L, 1L, 1L, 0L)),
+      "restart lost the per-source running totals")
+  }
+
   test("streaming budget admission matches the batch per-source greedy fold") {
     val dir = Paths.get("target", "test-scratch", "docstream_budget")
     Files.createDirectories(dir)

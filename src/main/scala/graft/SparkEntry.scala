@@ -104,6 +104,7 @@ object SparkEntry {
     "tokenize_wordpiece_learned" -> ((s, d) => TextAnalytics.tokenizeWordpieceLearned(s, d)),
     "vocab_train" -> ((s, d) => TextAnalytics.vocabTrain(s, d)),
     "tokenize_bpe" -> ((s, d) => TextAnalytics.tokenizeBpe(s, d)),
+    "eval_tokenizer_fertility" -> ((s, d) => TextAnalytics.tokenizerFertilityEval(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalytics.lmScore(s, d)),
     "text_ccnet_bucket" -> ((s, d) => TextAnalytics.ccnetBucket(s, d)),
     "data_selection_dsir" -> ((s, d) => TextAnalytics.dsirScore(s, d)),
@@ -129,11 +130,15 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairsQuery(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_editdist" -> ((s, d) => Dedup.editDistPairs(s, d)),
     "eval_dedup_pr" -> ((s, d) => Dedup.sketchPr(s, d)),
     "eval_simhash_pr" -> ((s, d) => Dedup.simhashPr(s, d)),
     // — LLM-pipeline: similarity search —
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "sim_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(s, d)),
+    "eval_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "sim_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
@@ -145,6 +150,7 @@ object SparkEntry {
     "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "search_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),
     "search_hybrid_served" -> ((s, d) => Similarity.hybridRrfServed(s, d)),
     "embedding_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "sample_cluster_balanced" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
@@ -288,8 +294,15 @@ object SparkEntry {
   /** Shared tail of the two wordpiece-fertility oracles: greedy
     * longest-match segmentation of every distinct word against `vocab`
     * (recursive walk; no match → 1-char step), then the per-doc rollup. */
+  // The greedy longest-match walk CTEs (per-distinct-word piece counts
+  // under whatever `vocab(piece)` CTE precedes them) — ends with
+  // np(word, n_pieces). Shared by both per-doc fertility tails and the
+  // per-source tokenizer-selection eval.
+  private val WordpieceWalkCtes =
+    s"""toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), occ AS (SELECT doc_id, unnest(w) AS word FROM toks), dw AS (SELECT DISTINCT word FROM occ), pos AS (SELECT word, unnest(range(1, length(word) + 1)) AS p FROM dw), mt AS (SELECT s.word, s.p, max(length(v.piece)) AS mstep FROM pos s JOIN vocab v ON substr(s.word, CAST(s.p AS INTEGER), length(v.piece)) = v.piece GROUP BY s.word, s.p), steps AS (SELECT pos.word, pos.p, COALESCE(mt.mstep, 1) AS step FROM pos LEFT JOIN mt ON pos.word = mt.word AND pos.p = mt.p), walk AS (SELECT word, CAST(1 AS BIGINT) AS p FROM dw UNION ALL SELECT w.word, w.p + s.step FROM walk w JOIN steps s ON s.word = w.word AND s.p = w.p WHERE w.p <= length(w.word)), np AS (SELECT word, count(*) AS n_pieces FROM walk WHERE p <= length(word) GROUP BY word)"""
+
   private val WordpieceTail =
-    s"""toks AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), occ AS (SELECT doc_id, unnest(w) AS word FROM toks), dw AS (SELECT DISTINCT word FROM occ), pos AS (SELECT word, unnest(range(1, length(word) + 1)) AS p FROM dw), mt AS (SELECT s.word, s.p, max(length(v.piece)) AS mstep FROM pos s JOIN vocab v ON substr(s.word, CAST(s.p AS INTEGER), length(v.piece)) = v.piece GROUP BY s.word, s.p), steps AS (SELECT pos.word, pos.p, COALESCE(mt.mstep, 1) AS step FROM pos LEFT JOIN mt ON pos.word = mt.word AND pos.p = mt.p), walk AS (SELECT word, CAST(1 AS BIGINT) AS p FROM dw UNION ALL SELECT w.word, w.p + s.step FROM walk w JOIN steps s ON s.word = w.word AND s.p = w.p WHERE w.p <= length(w.word)), np AS (SELECT word, count(*) AS n_pieces FROM walk WHERE p <= length(word) GROUP BY word), pd AS (SELECT o.doc_id, count(*) AS n_words, CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces FROM occ o JOIN np ON o.word = np.word GROUP BY o.doc_id) SELECT d.doc_id, COALESCE(pd.n_words, 0) AS n_words, COALESCE(pd.n_pieces, 0) AS n_pieces, CAST(CASE WHEN pd.n_words IS NULL THEN 0 ELSE round(pd.n_pieces * 10000.0 / pd.n_words) END AS BIGINT) AS fertility_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id"""
+    s"""$WordpieceWalkCtes, pd AS (SELECT o.doc_id, count(*) AS n_words, CAST(sum(np.n_pieces) AS BIGINT) AS n_pieces FROM occ o JOIN np ON o.word = np.word GROUP BY o.doc_id) SELECT d.doc_id, COALESCE(pd.n_words, 0) AS n_words, COALESCE(pd.n_pieces, 0) AS n_pieces, CAST(CASE WHEN pd.n_words IS NULL THEN 0 ELSE round(pd.n_pieces * 10000.0 / pd.n_words) END AS BIGINT) AS fertility_e4 FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id"""
 
   // SimHash in portable SQL: the 64-bit fingerprint draws bits 0-31 from the
   // 32-bit polynomial token hash (the text_fingerprint list_reduce twin) and
@@ -316,6 +329,13 @@ object SparkEntry {
     s"""${p}toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$Tok')) AS w FROM documents), ${p}tw AS (SELECT doc_id, w, 's2#' || w AS w2 FROM ${p}toks), ${p}th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS ha, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(w2) + 1), i -> CAST(ascii(substr(w2, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS hb FROM ${p}tw), ${p}bitsum AS (SELECT doc_id, j, sum(((CASE WHEN j < 32 THEN ha >> j ELSE hb >> (j - 32) END) & 1) * 2 - 1) AS sgn FROM ${p}th, range(0, 64) t(j) GROUP BY doc_id, j), ${p}fp AS (SELECT doc_id, CAST(bit_or(CASE WHEN sgn <= 0 THEN 0 WHEN j = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << j) END) AS BIGINT) AS simhash FROM ${p}bitsum GROUP BY doc_id), ${p}fpall AS (SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash FROM documents d LEFT JOIN ${p}fp f ON d.doc_id = f.doc_id)"""
 
   private val SimhashCtes = "WITH " + simhashChain("")
+
+  // The simhash band-collision candidate pairs with their Hamming verify
+  // (≤ 3) — ends with ham(d1, d2, hamming). dedup_simhash_pairs and the
+  // edit-distance verify stage read the same candidate set by
+  // construction.
+  private val SimhashPairCtes =
+    s"""$SimhashCtes, bands AS (SELECT doc_id, b AS band_idx, (simhash >> (b * 16)) & 65535 AS band_bits FROM fpall, range(0, 4) t(b)), cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id), ham AS (SELECT d1, d2, hamming FROM (SELECT d1, d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cand JOIN fpall x ON d1 = x.doc_id JOIN fpall y ON d2 = y.doc_id) WHERE hamming <= 3)"""
 
   // MinHash in portable SQL: distinct 3-shingles (with the short-doc
   // whole-text fallback), the 32-bit polynomial shingle hash, K=32
@@ -366,6 +386,40 @@ object SparkEntry {
   // Ends with brk(qid, cid, sim_e4, rn).
   private val BruteTopkCtes =
     """bq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), bc AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), bs AS (SELECT qid, cid, list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim FROM bc, bq), brk AS (SELECT qid, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_e4, row_number() OVER (PARTITION BY qid ORDER BY CAST(round(sim * 10000) AS BIGINT) DESC, cid) AS rn FROM bs)"""
+
+  // Shared SQ8 scalar-quantization CTEs: per-dimension min/step model,
+  // integer codes, asymmetric decode, broadcast-query scoring, per-query
+  // ranking — ends with sqrk(qid, cid, sim_e4, rn). sim_sq_topk and the
+  // SQ recall evaluation read the same quantized index by construction.
+  // Arithmetic parity with the Spark side: step = (max-min)/255.0 and
+  // decode = min + code*step are the same two IEEE ops in the same
+  // order; codes round a single correctly-rounded divide.
+  private val SqTopkCtes =
+    """sqn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), sqd AS (SELECT t.k, min(v[t.k]) AS mn, max(v[t.k]) AS mx FROM sqn, range(1, 65) t(k) GROUP BY t.k), sqmm AS (SELECT list(mn ORDER BY k) AS mns, list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END ORDER BY k) AS steps FROM sqd), sqc AS (SELECT vec_id, list_transform(range(1, 65), i -> CASE WHEN steps[i] > 0 THEN CAST(round((v[i] - mns[i]) / steps[i]) AS BIGINT) ELSE 0 END) AS q FROM sqn, sqmm), sqdec AS (SELECT vec_id AS cid, list_transform(range(1, 65), i -> mns[i] + q[i] * steps[i]) AS dv FROM sqc, sqmm), sqdn AS (SELECT cid, dv, sqrt(list_inner_product(dv, dv)) AS dnrm FROM sqdec), sqq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS qn FROM embeddings WHERE vec_id < 10), sqs AS (SELECT q.qid, c.cid, CAST(round(list_inner_product(c.dv, q.qv) / (c.dnrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM sqdn c, sqq q), sqrk AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM sqs)"""
+
+  // Unrolled greedy MMR rounds (λ = 1/2 → doubled integer scores):
+  // relevance tower top-`depth` per query (self excluded), candidate
+  // pair similarities, then per round the penalty = max similarity to
+  // the selected-so-far set, argmax(sim − penalty) with cid tiebreak.
+  // AS MATERIALIZED on the accumulators: each round references the
+  // previous accumulator twice (penalty + remaining) — inlined, the
+  // chain re-expands its prefix exponentially.
+  private def mmrCtes(nq: Int, depth: Int, k: Int): String = {
+    def cos(a: String, b: String) =
+      s"CAST(round(list_inner_product($a.v, $b.v) / ($a.nrm * $b.nrm) * 10000) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"mnn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)"
+    sb ++= s", mq AS (SELECT vec_id, v, nrm FROM mnn WHERE vec_id < $nq)"
+    sb ++= s", mc AS MATERIALIZED (SELECT qid, cid, sim_e4 FROM (SELECT q.vec_id AS qid, c.vec_id AS cid, ${cos("c", "q")} AS sim_e4, row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("c", "q")} DESC, c.vec_id) AS rn FROM mnn c, mq q WHERE c.vec_id <> q.vec_id) WHERE rn <= $depth)"
+    sb ++= s", mps AS MATERIALIZED (SELECT a.qid, a.cid AS pd, b.cid AS ps, ${cos("x", "y")} AS ds_e4 FROM mc a JOIN mc b ON a.qid = b.qid AND a.cid <> b.cid JOIN mnn x ON a.cid = x.vec_id JOIN mnn y ON b.cid = y.vec_id)"
+    sb ++= ", macc1 AS MATERIALIZED (SELECT qid, cid, sim_e4, sim_e4 AS mmr2x_e4, CAST(1 AS BIGINT) AS pick FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS r FROM mc) WHERE r = 1)"
+    for (i <- 2 to k) {
+      sb ++= s", mpen$i AS (SELECT p.qid, p.pd AS cid, max(p.ds_e4) AS pen FROM mps p JOIN macc${i - 1} s ON p.qid = s.qid AND p.ps = s.cid GROUP BY p.qid, p.pd)"
+      sb ++= s", msel$i AS (SELECT qid, cid, sim_e4, mmr2x_e4, CAST($i AS BIGINT) AS pick FROM (SELECT r.qid, r.cid, r.sim_e4, r.sim_e4 - p.pen AS mmr2x_e4, row_number() OVER (PARTITION BY r.qid ORDER BY r.sim_e4 - p.pen DESC, r.cid) AS rr FROM mc r JOIN mpen$i p ON r.qid = p.qid AND r.cid = p.cid WHERE NOT EXISTS (SELECT 1 FROM macc${i - 1} s WHERE s.qid = r.qid AND s.cid = r.cid)) WHERE rr = 1)"
+      sb ++= s", macc$i AS MATERIALIZED (SELECT * FROM macc${i - 1} UNION ALL SELECT * FROM msel$i)"
+    }
+    sb.toString
+  }
 
   // Shared LSH top-k CTE chain (8 bands × 4 sign-projection bits, query
   // band keys, exact-cosine verify, per-query ranking) — ends with
@@ -685,6 +739,20 @@ object SparkEntry {
       s"""$MinhashCtes, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT d1, d2, est_jac_e4 FROM (SELECT c.d1, c.d2, CAST(round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) * 10000.0 / 32) AS BIGINT) AS est_jac_e4 FROM cand c JOIN mins ma ON ma.doc_id = c.d1 JOIN mins mb ON mb.doc_id = c.d2 AND mb.i = ma.i GROUP BY c.d1, c.d2) WHERE est_jac_e4 >= 5000 ORDER BY d1, d2""",
     "sim_lsh_topk" ->
       s"""WITH $LshTopkCtes SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM lshr WHERE rn <= 5 ORDER BY qid, rn""",
+    // Range (radius) search over the same LSH candidate chain: threshold
+    // tail instead of rank tail — every verified candidate at cosine
+    // ≥ 0.30, however many there are.
+    "sim_range_search" ->
+      s"""WITH $LshTopkCtes SELECT qid, cid, sim_e4 FROM lsc WHERE sim_e4 >= ${graft.operators.Similarity.RangeThrE4} ORDER BY qid, sim_e4 DESC, cid""",
+    // SQ8 scalar-quantized top-k: per-dimension min/step model, one-byte
+    // codes, asymmetric decode (query full-precision), exact ranking over
+    // the decoded corpus.
+    "sim_sq_topk" ->
+      s"""WITH $SqTopkCtes SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM sqrk WHERE rn <= 5 ORDER BY qid, rn""",
+    // SQ8 recall@5 against the exact baseline — the compression-quality
+    // monitor; denominator is the per-query brute row count.
+    "eval_sq_recall" ->
+      s"""WITH $BruteTopkCtes, $SqTopkCtes, bsel AS (SELECT qid, cid FROM brk WHERE rn <= 5), ssel AS (SELECT qid, cid FROM sqrk WHERE rn <= 5), hsel AS (SELECT b.qid, CASE WHEN s.cid IS NULL THEN 0 ELSE 1 END AS hit FROM bsel b LEFT JOIN ssel s ON b.qid = s.qid AND b.cid = s.cid) SELECT qid, CAST(sum(hit) AS BIGINT) AS hits, CAST(round(sum(hit) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 FROM hsel GROUP BY qid ORDER BY qid""",
     // Retrieval recall@5 as a query: the brute baseline's top-5 LEFT
     // JOINed against the LSH index's top-5, hits counted per query, one
     // pinned division for the e4 recall. The denominator is the per-query
@@ -817,7 +885,13 @@ object SparkEntry {
     "dedup_simhash" ->
       s"""$SimhashCtes SELECT doc_id, simhash FROM fpall ORDER BY doc_id""",
     "dedup_simhash_pairs" ->
-      s"""$SimhashCtes, bands AS (SELECT doc_id, b AS band_idx, (simhash >> (b * 16)) & 65535 AS band_bits FROM fpall, range(0, 4) t(b)), cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id) SELECT d1, d2, hamming FROM (SELECT d1, d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cand JOIN fpall x ON d1 = x.doc_id JOIN fpall y ON d2 = y.doc_id) WHERE hamming <= 3 ORDER BY d1, d2""",
+      s"""$SimhashPairCtes SELECT d1, d2, hamming FROM ham ORDER BY d1, d2""",
+    // Edit-distance verify stage on the SAME simhash candidate set: both
+    // engines run textbook unit-cost Levenshtein (ASCII corpus, so char
+    // and codepoint distances coincide); greatest(len, 1) pins the
+    // two-empty-texts pair to similarity 10000 instead of 0/0.
+    "dedup_editdist" ->
+      s"""$SimhashPairCtes, ed AS (SELECT h.d1, h.d2, h.hamming, CAST(levenshtein(x.text, y.text) AS BIGINT) AS editdist, CAST(greatest(length(x.text), length(y.text), 1) AS BIGINT) AS glen FROM ham h JOIN documents x ON h.d1 = x.doc_id JOIN documents y ON h.d2 = y.doc_id) SELECT d1, d2, hamming, editdist, CAST(round((1.0 - CAST(editdist AS DOUBLE) / glen) * 10000) AS BIGINT) AS sim_e4, CAST(CASE WHEN round((1.0 - CAST(editdist AS DOUBLE) / glen) * 10000) >= ${graft.operators.Dedup.EditDupSimE4} THEN 1 ELSE 0 END AS BIGINT) AS dup FROM ed ORDER BY d1, d2""",
     // Incremental near-dup: the oracle checks the Hamming balls DIRECTLY
     // (batch × corpus quadratic is fine at oracle scale); the Spark side's
     // band join has exact pigeonhole recall for maxHamming < bands, so the
@@ -1190,6 +1264,13 @@ object SparkEntry {
     // case exists at this depth), top 10 per query kept.
     "search_hybrid_rrf" ->
       s"""WITH $NgramCtes, hbq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5), hbs AS (SELECT q.qid, c.vec_id AS cid, CAST(round(list_inner_product(CAST(c.embedding AS DOUBLE[]), q.qv) / (sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) * sqrt(list_inner_product(q.qv, q.qv))) * 10000) AS BIGINT) AS sim_e4 FROM embeddings c, hbq q WHERE c.vec_id <> q.qid), hsem AS (SELECT qid, cid, r FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS r FROM hbs) WHERE r <= 20), hlex0 AS (SELECT d1 AS qid, d2 AS cid, jac_e4 FROM jpairs WHERE jac_e4 >= 100 AND d1 < 5 UNION ALL SELECT d2 AS qid, d1 AS cid, jac_e4 FROM jpairs WHERE jac_e4 >= 100 AND d2 < 5), hlex AS (SELECT qid, cid, r FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY jac_e4 DESC, cid) AS r FROM hlex0) WHERE r <= 20), hf AS (SELECT COALESCE(l.qid, s.qid) AS qid, COALESCE(l.cid, s.cid) AS cid, l.r AS rl, s.r AS rs FROM hlex l FULL OUTER JOIN hsem s ON l.qid = s.qid AND l.cid = s.cid), hr AS (SELECT qid, cid, CAST(COALESCE(rl, 0) AS BIGINT) AS r_lex, CAST(COALESCE(rs, 0) AS BIGINT) AS r_sem, CAST(CASE WHEN rl IS NULL THEN 0 ELSE round(10000.0 / (60 + rl)) END + CASE WHEN rs IS NULL THEN 0 ELSE round(10000.0 / (60 + rs)) END AS BIGINT) AS rrf_e4 FROM hf) SELECT qid, cid, r_lex, r_sem, rrf_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_e4 DESC, cid) AS rn FROM hr) WHERE rn <= 10 ORDER BY qid, rn""",
+    // Greedy MMR diversification at λ = 1/2: unrolled per-round CTEs —
+    // doubled integer scores (sim_e4 − max selected-similarity), cid
+    // tiebreak, round 1 = pure relevance.
+    "search_mmr" -> {
+      import graft.operators.Similarity.{MmrNq, MmrDepth, MmrK}
+      s"""WITH ${mmrCtes(MmrNq, MmrDepth, MmrK)} SELECT qid, cid, sim_e4, mmr2x_e4, pick FROM macc$MmrK ORDER BY qid, pick"""
+    },
     // The tower swap proved end-to-end: hybrid RRF whose semantic tower
     // is the SERVED IVF-PQ index (probe + ADC + re-rank over the persisted
     // artifacts) instead of exact cosine; lexical tower and fusion tail
@@ -1220,6 +1301,12 @@ object SparkEntry {
       s"WITH RECURSIVE ${bpeCtes(TextAnalytics.BpeMerges)}, vocab(piece) AS (SELECT DISTINCT merged FROM bpe_merges), $WordpieceTail",
     "vocab_train" ->
       s"WITH ${bpeCtes(TextAnalytics.BpeMerges)} SELECT merge_rank, lhs, rhs, merged, pair_cnt FROM bpe_merges ORDER BY merge_rank",
+    // Tokenizer-selection decision table: per source, fertility under BOTH
+    // inference rules over the SAME learned symbols — true BPE merge-order
+    // replay (the seg table) vs greedy longest-match (the walk CTEs) —
+    // plus their delta. One vocabulary definition feeds both.
+    "eval_tokenizer_fertility" ->
+      s"""WITH RECURSIVE ${bpeCtes(TextAnalytics.BpeMerges, finalSeg = true)}, vocab(piece) AS (SELECT DISTINCT merged FROM bpe_merges), $WordpieceWalkCtes, bnp AS (SELECT word, CAST(len(pieces) AS BIGINT) AS bpe_p FROM seg${TextAnalytics.BpeMerges}), osrc AS (SELECT o.word, d.source FROM occ o JOIN documents d ON o.doc_id = d.doc_id), ps AS (SELECT s.source, count(*) AS n_words, CAST(sum(b.bpe_p) AS BIGINT) AS bpe_pieces, CAST(sum(np.n_pieces) AS BIGINT) AS wp_pieces FROM osrc s JOIN bnp b ON s.word = b.word JOIN np ON s.word = np.word GROUP BY s.source), nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), ft AS (SELECT nd.source, nd.n_docs, COALESCE(ps.n_words, 0) AS n_words, COALESCE(ps.bpe_pieces, 0) AS bpe_pieces, COALESCE(ps.wp_pieces, 0) AS wp_pieces, CAST(CASE WHEN COALESCE(ps.n_words, 0) = 0 THEN 0 ELSE round(ps.bpe_pieces * 10000.0 / ps.n_words) END AS BIGINT) AS bpe_fertility_e4, CAST(CASE WHEN COALESCE(ps.n_words, 0) = 0 THEN 0 ELSE round(ps.wp_pieces * 10000.0 / ps.n_words) END AS BIGINT) AS wp_fertility_e4 FROM nd LEFT JOIN ps ON nd.source = ps.source) SELECT source, n_docs, n_words, bpe_pieces, wp_pieces, bpe_fertility_e4, wp_fertility_e4, bpe_fertility_e4 - wp_fertility_e4 AS delta_e4 FROM ft ORDER BY source""",
     // True BPE inference: the chain's final segmentation table (merges
     // applied in rank order) rolled up per doc — NOT the greedy
     // longest-match walk the two wordpiece oracles share.

@@ -1665,6 +1665,23 @@ object Similarity {
 
   def lshTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
       bands: Int = 8, rows: Int = 4): DataFrame = {
+    val (scored, caches) = lshScored(s, d, nQueries, bands, rows)
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    graft.functions.Caching.releaseAfterAction(
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn"),
+      caches: _*)
+  }
+
+  /** The LSH probe shared by [[lshTopK]] (rank tail) and [[rangeSearch]]
+    * (threshold tail): band-key candidates for the broadcast query set,
+    * exact-cosine-verified. Returns the scored (qid, cid, sim_e4) frame
+    * plus the persisted intermediates the caller releases after its
+    * terminal action. */
+  private def lshScored(s: SparkSession, d: String, nQueries: Int,
+      bands: Int, rows: Int): (DataFrame, Seq[DataFrame]) = {
     // The normed corpus feeds the key computation, the candidate join-back,
     // and the query-vector projection; the banded keys (bands×rows sign
     // projections per vector) feed both sides of the candidate join. Persist
@@ -1686,12 +1703,254 @@ object Similarity {
       .join(broadcast(q), "qid")
       .select(col("qid"), col("cid"),
         e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    (scored, Seq(c, keys))
+  }
+
+  /** Default radius for [[rangeSearch]]: cosine ≥ 0.30. On the synthetic
+    * corpus this admits the planted-neighbor mass (self at 1.0, true
+    * near-dups ≥ 0.5, background pairs ~0) without flooding the result
+    * with noise rows. */
+  val RangeThrE4 = 3000L
+
+  /** RANGE (radius) SEARCH — every corpus vector within a similarity
+    * RADIUS of each query, the other half of the ANN API surface: top-k
+    * answers "the best k whatever their quality", range answers "all
+    * neighbors at least this similar, however many there are" — the
+    * form dedup gating, recommendation fan-out caps, and
+    * near-duplicate audits actually consume. Approximate by the same
+    * contract as [[lshTopK]]: candidates come from the banded
+    * sign-projection buckets (a miss in every band is a miss here —
+    * recall is the bands/rows knob), each candidate exact-cosine
+    * verified, then THRESHOLDED instead of ranked. The oracle computes
+    * the same LSH candidates, so the result hash-matches end to end.
+    *
+    * Scale shape: identical to [[lshTopK]] minus the window — the
+    * threshold tail is a pure filter, so the result needs no per-query
+    * sort at all until the final presentation ORDER BY. Result size is
+    * data-dependent (that is the point of range queries); a pathological
+    * radius (θ ≈ 0) degrades to the candidate set, which the band
+    * structure itself bounds. */
+  def rangeSearch(s: SparkSession, d: String, nQueries: Int = 10,
+      thrE4: Long = RangeThrE4, bands: Int = 8, rows: Int = 4): DataFrame = {
+    val (scored, caches) = lshScored(s, d, nQueries, bands, rows)
+    graft.functions.Caching.releaseAfterAction(
+      scored.filter(col("sim_e4") >= thrE4)
+        .orderBy(asc("qid"), desc("sim_e4"), asc("cid")),
+      caches: _*)
+  }
+
+  /** Quantization levels per dimension for the SQ8 index: codes live in
+    * [0, 255] — one byte per dimension, a 4× memory cut vs float32 (8×
+    * vs the double math the exact path runs in). */
+  val SqLevels = 255L
+
+  /** Per-dimension (min, step) scalar-quantization model: one tiny
+    * aggregate over the corpus (64 result rows — the trained-operator
+    * collect shape), step = (max − min) / 255 with constant dimensions
+    * pinned to step 0 (code 0, decode = min). */
+  private def sqModel(c: DataFrame): (Seq[Double], Seq[Double]) = {
+    val stats = c.select(posexplode(col("v")).as(Seq("k", "x")))
+      .groupBy("k").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("k").collect()
+    val mns = stats.map(_.getAs[Double]("mn")).toSeq
+    val steps = stats.map { r =>
+      val mn = r.getAs[Double]("mn"); val mx = r.getAs[Double]("mx")
+      if (mx > mn) (mx - mn) / SqLevels.toDouble else 0.0
+    }.toSeq
+    (mns, steps)
+  }
+
+  /** SCALAR-QUANTIZED (SQ8) TOP-K — the memory-reduction path FAISS
+    * calls ScalarQuantizer: each corpus vector compresses to one byte
+    * per dimension (code = round((x − min_d)/step_d), step_d =
+    * (max_d − min_d)/255 from a per-dimension min/max pass), and search
+    * runs ASYMMETRIC — the query stays full-precision, the database side
+    * is decoded from its codes (decode = min_d + code·step_d). Unlike PQ
+    * there is no codebook training: the model is 2×64 doubles, so
+    * index build is one scan + one tiny aggregate — the right first
+    * stop when embeddings don't fit memory but recall must stay near 1.
+    *
+    * Determinism: codes are exact integers on both engines (one
+    * correctly-rounded double divide each), decode is the same two IEEE
+    * ops in the same order, so the ranking hash-matches the oracle.
+    *
+    * Scale shape: the min/max model is a 64-row collect (broadcast back
+    * as literals); the scored scan is the same broadcast-queries linear
+    * pass as [[bruteTopK]] but over the 4×-smaller code table — and at
+    * 100 TB the codes column feeds the SAME banded-LSH or IVF candidate
+    * machinery ([[lshTopK]], [[ivfTopK]]) with this decode as its verify
+    * arm; the brute tail here is the test-scale verifier, fenced exactly
+    * like [[bruteTopK]]. */
+  def sqTopK(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame =
+    sqTopKDf(Tables.embeddings(s, d), nQueries, k)
+
+  /** Same, over any (vec_id, embedding: array<float|double>) DataFrame
+    * (planted tests). */
+  def sqTopKDf(embeddings: DataFrame, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val c = embeddings
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (mns, steps) = sqModel(c)
+    val mnsL = typedlit(mns); val stepsL = typedlit(steps)
+    // code_i = round((x_i − mn_i)/step_i) — exact 0..255 integers; the
+    // codes frame IS the index (1 byte/dim at rest; long here because
+    // Spark SQL has no unsigned byte and the arithmetic domain is what
+    // the oracle checks).
+    val codes = c.select(col("vec_id"),
+      transform(col("v"), (x, i) =>
+        when(element_at(stepsL, i + 1) > 0d,
+          round((x - element_at(mnsL, i + 1)) / element_at(stepsL, i + 1))
+            .cast("long"))
+          .otherwise(lit(0L))).as("q"))
+    // Asymmetric distance: decode the database side only.
+    val dec = codes.select(col("vec_id").as("cid"),
+        transform(col("q"), (qc, i) =>
+          element_at(mnsL, i + 1) +
+            qc.cast("double") * element_at(stepsL, i + 1)).as("dv"))
+      .withColumn("dnrm", l2Norm(col("dv")))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), l2Norm(col("v")).as("qn"))
+    val scored = dec.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"),
+        e4(dotD(col("dv"), col("qv")) / (col("dnrm") * col("qn"))).as("sim_e4"))
     val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
     graft.functions.Caching.releaseAfterAction(
       scored
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= k)
         .orderBy("qid", "rn"),
-      c, keys)
+      c)
+  }
+
+  /** MMR candidate depth and result size: re-rank the top 20 by pure
+    * relevance down to 5 diversified picks for 5 queries — presentation-
+    * layer sizes by design (see the scale note on [[mmrTopK]]). */
+  val MmrNq = 5
+  val MmrDepth = 20
+  val MmrK = 5
+
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein 1998,
+    * SIGIR) at λ = 1/2 — the standard diversification pass between
+    * retrieval and presentation in RAG and search stacks: a relevance
+    * tower hands over its top `depth` candidates, and picks are made
+    * GREEDILY, each round taking the candidate maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) over the already-selected
+    * set S (round 1 has S = ∅, so it is the pure-relevance argmax —
+    * max over the empty set reads as 0, the conventional treatment).
+    * Near-duplicate candidates stop crowding the answer: the second
+    * copy's penalty is its similarity to the first, which for a
+    * paraphrase is ~its own relevance.
+    *
+    * Determinism: at λ = 1/2 the argmax is invariant under doubling, so
+    * the emitted score is mmr2x = sim_qd_e4 − max_ds_e4 — exact integer
+    * arithmetic end to end, ties to the smaller cid; the greedy chain
+    * hash-matches the oracle's unrolled per-round CTEs.
+    *
+    * Scale shape: the relevance tower is the PLUGGABLE part (exact
+    * cosine here, self excluded — swap in [[lshTopK]] or the served
+    * IVF-PQ index at 100 TB; the re-rank only sees (qid, cid, sim)
+    * triples). Everything after the tower is presentation-sized by
+    * construction: candidates are nQueries×depth rows, the pair-
+    * similarity table depth² per query, and each greedy round is one
+    * bounded join + one per-query argmax over ≤ depth rows — k unrolled
+    * declarative rounds, the [[graft.operators.Graph]] fixed-rounds
+    * shape, nothing corpus-scale past the first scan. */
+  def mmrTopK(s: SparkSession, d: String, nQueries: Int = MmrNq,
+      depth: Int = MmrDepth, k: Int = MmrK): DataFrame =
+    mmrTopKDf(Tables.embeddings(s, d), nQueries, depth, k)
+
+  /** Same, over any (vec_id, embedding: array<float|double>) DataFrame
+    * (planted tests). */
+  def mmrTopKDf(embeddings: DataFrame, nQueries: Int = MmrNq,
+      depth: Int = MmrDepth, k: Int = MmrK): DataFrame = {
+    val c = embeddings
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    val cands = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= depth)
+      .drop("rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Pairwise candidate similarities (depth² per query, both directions —
+    // the greedy penalty lookup). Selected ⊆ candidates, so every
+    // remaining candidate meets every selected one here.
+    val pairs = cands.select(col("qid"), col("cid").as("pd"))
+      .join(cands.select(col("qid"), col("cid").as("ps")), Seq("qid"))
+      .filter(col("pd") =!= col("ps"))
+      .join(c.select(col("vec_id").as("pd"), col("v").as("dv"), col("nrm").as("dn")), "pd")
+      .join(c.select(col("vec_id").as("ps"), col("v").as("sv"), col("nrm").as("sn")), "ps")
+      .select(col("qid"), col("pd"), col("ps"),
+        e4(dotD(col("dv"), col("sv")) / (col("dn") * col("sn"))).as("ds_e4"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Round 1: pure relevance (empty-set penalty 0 ⇒ mmr2x = sim).
+    // Each round's accumulator is an EAGER localCheckpoint: round i+1
+    // consumes `selected` twice (penalty join + remaining anti-join), so
+    // a lineage chain re-expands its whole prefix per reference — the
+    // 2^k plan blowup vocabTrainDf documents (measured: 224 s at
+    // sf0.001 chained vs ~2 s truncated). The checkpointed state is
+    // nQueries×round rows — presentation-sized, the loop's whole point.
+    var selected = cands
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1).drop("r")
+      .select(col("qid"), col("cid"), col("sim_e4"),
+        col("sim_e4").as("mmr2x_e4"), lit(1L).as("pick"))
+      .localCheckpoint(true)
+    val rounds = scala.collection.mutable.ArrayBuffer(selected)
+    for (i <- 2 to k) {
+      val remaining = cands
+        .join(selected.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+      val pen = pairs
+        .join(selected.select(col("qid"), col("cid").as("ps")), Seq("qid", "ps"))
+        .groupBy(col("qid"), col("pd").as("cid"))
+        .agg(max("ds_e4").as("pen"))
+      val wi = Window.partitionBy("qid").orderBy(desc("mmr2x_e4"), asc("cid"))
+      val pick = remaining.join(pen, Seq("qid", "cid"))
+        .select(col("qid"), col("cid"), col("sim_e4"),
+          (col("sim_e4") - col("pen")).as("mmr2x_e4"))
+        .withColumn("r", row_number().over(wi))
+        .filter(col("r") === 1).drop("r")
+        .withColumn("pick", lit(i.toLong))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+      rounds += selected
+    }
+    // The final checkpoint IS the result's data; the intermediate round
+    // states are dead the moment the next round materialized — free
+    // their blocks now, release the shared inputs after the action.
+    rounds.dropRight(1).foreach(org.apache.spark.sql.graft.Checkpoints.release)
+    graft.functions.Caching.releaseAfterAction(
+      selected.orderBy("qid", "pick"), c, cands, pairs)
+  }
+
+  /** COMPRESSION-QUALITY MONITOR — per-query recall@k of the SQ8 index
+    * against the exact baseline, [[retrievalRecall]]'s composition with
+    * the quantized scan as the candidate side: the number that says
+    * whether one byte per dimension is losslessly rankable on THIS
+    * corpus (SQ8's pitch vs PQ is recall ≈ 1 at 4× memory — this query
+    * is where that pitch gets checked instead of assumed). Denominator
+    * is the per-query brute row count, matching the other recall
+    * monitors. */
+  def sqRecall(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val brute = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+    val sq = sqTopK(s, d, nQueries, k)
+      .select(col("qid").as("sq"), col("cid").as("sc"))
+    brute
+      .join(sq, col("qid") === col("sq") && col("cid") === col("sc"), "left")
+      .groupBy("qid")
+      .agg(sum(when(col("sc").isNotNull, 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("n_brute"))
+      .select(col("qid"), col("hits"),
+        round(col("hits") * lit(10000.0) / col("n_brute")).cast("long")
+          .as("recall_e4"))
+      .orderBy("qid")
   }
 }

@@ -442,6 +442,76 @@ object TextAnalytics {
       bpeFertilityFrom(docs, seg), seg)
   }
 
+  /** TOKENIZER-SELECTION DECISION TABLE (`eval_tokenizer_fertility`) —
+    * the report a tokenizer team reads when choosing an ENCODER for the
+    * learned symbol inventory: per crawl source, corpus-weighted
+    * fertility (pieces per word, e4) under BOTH inference rules over the
+    * SAME trained vocabulary — true BPE merge-order replay
+    * ([[tokenizeBpe]]'s semantics) vs greedy longest-match
+    * ([[tokenizeWordpieceLearned]]'s) — plus their per-source delta.
+    * Merge-order can split where longest-match would not (a long symbol
+    * is only reachable if its build-up chain fires), so the delta is
+    * ≥ 0 pointwise and varies BY SOURCE: a source whose vocabulary the
+    * merges were trained on sits near 0, a drifted source pays more —
+    * the same per-source lens [[vocabCoverage]] gives OOV rates.
+    *
+    * Scale shape: both encoders segment the VOCABULARY, not the corpus —
+    * the BPE side reads the persisted `seg/` product, the wordpiece side
+    * runs the native greedy expression over the same distinct-word
+    * table — and one (word → counts) broadcast joins back onto the
+    * occurrence stream already grouped by source. One corpus-sized
+    * shuffle total (the occurrence group-by), registry-sized output. */
+  def tokenizerFertilityEval(spark: SparkSession, dir: String): DataFrame = {
+    val prod = ensureBpeProduct(spark, dir)
+    val seg = spark.read.parquet(prod + "/seg")
+    val learned = spark.read.parquet(prod + "/merges")
+      .select("merged").collect().map(_.getString(0)).toSeq.distinct
+    fertilityEvalCore(Tables.documents(spark, dir), seg, learned)
+  }
+
+  /** Same, over any (doc_id, text, source) DataFrame (planted tests —
+    * trains self-contained). */
+  def tokenizerFertilityEvalDf(docs: DataFrame, nMerges: Int = BpeMerges,
+      batch: Int = BpeBatch): DataFrame = {
+    val (m, _, seg) = vocabTrainSeg(docs, nMerges, batch)
+    graft.functions.Caching.releaseAfterAction(
+      fertilityEvalCore(docs, seg, m.map(_._4).distinct), seg)
+  }
+
+  private def fertilityEvalCore(docs: DataFrame, seg: DataFrame,
+      vocab: Seq[String]): DataFrame = {
+    // One per-word table carries BOTH encodes: the stored BPE pieces and
+    // the greedy walk over the identical learned symbols (single chars
+    // need no vocab entry — both segmenters 1-char-step on miss).
+    val np = seg.select(col("word"),
+      size(col("pieces")).cast("long").as("bpe_p"),
+      size(org.apache.spark.sql.graft.StringExprs
+        .wordPieces(col("word"), vocab)).cast("long").as("wp_p"))
+    val perSrc = docTokensText(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .join(broadcast(np), "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("bpe_p").as("bpe_pieces"), sum("wp_p").as("wp_pieces"))
+    def fert(p: Column, w: Column): Column =
+      when(w === 0L, lit(0L))
+        .otherwise(round(p * lit(10000.0) / w).cast("long"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(perSrc, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("bpe_pieces"), lit(0L)).as("bpe_pieces"),
+        coalesce(col("wp_pieces"), lit(0L)).as("wp_pieces"),
+        fert(coalesce(col("bpe_pieces"), lit(0L)),
+          coalesce(col("n_words"), lit(0L))).as("bpe_fertility_e4"),
+        fert(coalesce(col("wp_pieces"), lit(0L)),
+          coalesce(col("n_words"), lit(0L))).as("wp_fertility_e4"))
+      .withColumn("delta_e4",
+        col("bpe_fertility_e4") - col("wp_fertility_e4"))
+      .orderBy("source")
+  }
+
   /** The fertility-join core over a supplied (word, cnt, pieces)
     * segmentation table — shared by the self-contained Df path and the
     * shared-product query path. */

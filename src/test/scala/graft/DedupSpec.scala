@@ -374,6 +374,47 @@ class DedupSpec extends AnyFunSuite {
     assert(fps(1L) === fps(2L) && fps(2L) === fps(3L) && fps(1L) != fps(4L))
   }
 
+  test("editdist verify: exact distances on candidates, dup verdicts, empty-pair guard") {
+    // Independent ground truth: textbook unit-cost DP over the planted texts.
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length).toLong
+    }
+    val out = Dedup.editDistPairsDf(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // verify stage runs on EXACTLY the fingerprint's candidate set
+    val cand = Dedup.simhashPairsDf(docs)
+      .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(out.map(t => (t._1, t._2, t._3)).toSet === cand,
+      "editdist pairs must be the simhash candidate set, verified")
+    val texts = docs.as[(Long, String)].collect().toMap
+    for ((d1, d2, _, ed, simE4, dup) <- out) {
+      val expected = lev(texts(d1), texts(d2))
+      assert(ed === expected, s"editdist($d1,$d2)")
+      val glen = math.max(math.max(texts(d1).length, texts(d2).length), 1)
+      assert(simE4 === math.round((1.0 - ed.toDouble / glen) * 10000))
+      assert(dup === (if (simE4 >= Dedup.EditDupSimE4) 1L else 0L))
+    }
+    // identical short docs: distance 0, similarity 10000, duplicate
+    val twin = out.find(t => t._1 == 4L && t._2 == 5L).get
+    assert(twin._4 === 0L && twin._5 === 10000L && twin._6 === 1L)
+    // two empty texts: identical (lev 0) but len 0 — the max(len, 1)
+    // guard must score them 10000, not divide by zero
+    val empties = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    val e = Dedup.editDistPairsDf(empties)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(e.toSeq === Seq((1L, 2L, 0L, 0L, 10000L, 1L)))
+  }
+
   test("sketch PR evaluation: counts consistent, twins always scored a hit") {
     // Planted corpus: an identical twin pair (Jaccard 1.0 — the sketch
     // cannot miss it: every band key agrees and all 32 signature minima

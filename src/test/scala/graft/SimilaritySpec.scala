@@ -490,6 +490,126 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).sum.toDouble / (10 * 5) >= 0.5)
   }
 
+  test("sq8: full coverage, self-match, near-exact recall vs brute") {
+    val sq = Similarity.sqTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    assert(sq.map(_._1).distinct.length === 10)
+    val top = sq.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    for (q <- 0L until 10L)
+      assert(top(q) === q, s"sq rank-1 for query $q is not itself")
+    // SQ8's pitch is recall ≈ 1 at 4× memory — measured 1.0 on this corpus
+    // (deterministic model, so this is a fixed number per corpus); 0.9 is
+    // margin against corpus regeneration.
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val sqSet = sq.map(t => (t._1, t._2)).toSet
+    val recall = bruteSet.count(sqSet.contains).toDouble / bruteSet.size
+    assert(recall >= 0.9, s"sqTopK recall vs brute dropped to $recall")
+  }
+
+  test("sq recall query equals the spec-level overlap; planted grid decodes exactly") {
+    val got = Similarity.sqRecall(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect() // (qid, hits, recall_e4)
+    assert(got.length === 10)
+    val sq = Similarity.sqTopK(spark, TestSpark.sf)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    for ((qid, hits, re4) <- got) {
+      val b = brute.filter(_._1 == qid).map(_._2).toSet
+      val s = sq.filter(_._1 == qid).map(_._2).toSet
+      assert(hits === b.count(s.contains).toLong,
+        s"query $qid hit count disagrees with the quantized overlap")
+      assert(re4 === math.round(hits * 10000.0 / 5))
+    }
+    // Planted grid corpus: dim 1 is CONSTANT (step 0 — decode = min, no
+    // NaN), dims 2-4 take only the grid endpoints {0, 1} (codes 0/255
+    // decode exactly), so the quantized ranking is bit-exact cosine:
+    // query 0 = (2,1,0,0); twin 1 ties at 10000 (cid asc), 2 and 3 score
+    // 4/5 = 0.8 exactly and tie-break by cid.
+    val emb = Seq(
+      (0L, Seq(2.0, 1.0, 0.0, 0.0)),
+      (1L, Seq(2.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(2.0, 0.0, 1.0, 0.0)),
+      (3L, Seq(2.0, 0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sqTopKDf(emb, nQueries = 1, k = 4)
+      .select("qid", "cid", "sim_e4", "rn")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 0L, 10000L, 1L), (0L, 1L, 10000L, 2L),
+      (0L, 2L, 8000L, 3L), (0L, 3L, 8000L, 4L)))
+  }
+
+  test("range search: thresholded, self-pairs present, consistent with the lsh ranking") {
+    val rs = Similarity.rangeSearch(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect() // (qid, cid, sim_e4)
+    assert(rs.forall(_._3 >= Similarity.RangeThrE4),
+      "a row below the radius escaped the threshold")
+    val rsSet = rs.toSet
+    for (q <- 0L until 10L)
+      assert(rsSet.contains((q, q, 10000L)), s"self pair missing for query $q")
+    // Same candidate chain as lshTopK by construction: every top-5 row at
+    // or above the radius must appear in the range result.
+    val lshRows = Similarity.lshTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "sim_e4").as[(Long, Long, Long)].collect()
+    for (r <- lshRows if r._3 >= Similarity.RangeThrE4)
+      assert(rsSet.contains(r), s"lsh row $r missing from the range result")
+    // presentation order: qid asc, then similarity desc, cid asc
+    assert(rs.sortBy(t => (t._1, -t._3, t._2)).toSeq === rs.toSeq)
+  }
+
+  test("mmr re-rank: greedy argmax reproduced independently on the corpus") {
+    val out = Similarity.mmrTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long)].collect() // (qid,cid,sim,mmr2x,pick)
+    assert(out.length === Similarity.MmrNq * Similarity.MmrK)
+    // Independent reimplementation over the collected corpus: exact-cosine
+    // candidates (self excluded, e4, cid tiebreak), then the greedy loop.
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .as[(Long, Seq[Double])].collect().toMap
+    def simE4(a: Seq[Double], b: Seq[Double]): Long = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.iterator.zip(y.iterator).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+      math.round(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 10000)
+    }
+    for (q <- 0L until Similarity.MmrNq.toLong) {
+      val cands = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, simE4(vecs(c), vecs(q))))
+        .sortBy { case (c, s) => (-s, c) }.take(Similarity.MmrDepth)
+      var selected = Vector.empty[(Long, Long, Long)] // (cid, sim, mmr2x)
+      for (_ <- 1 to Similarity.MmrK) {
+        val rem = cands.filterNot(c => selected.exists(_._1 == c._1))
+        val scored = rem.map { case (c, s) =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(p => simE4(vecs(c), vecs(p._1))).max
+          (c, s, s - pen)
+        }
+        val best = scored.minBy { case (c, _, m) => (-m, c) }
+        selected :+= best
+      }
+      val got = out.filter(_._1 == q).sortBy(_._5)
+        .map(t => (t._2, t._3, t._4)).toVector
+      assert(got === selected, s"greedy chain diverged for query $q")
+    }
+  }
+
+  test("mmr re-rank: a near-duplicate of the first pick is demoted below a diverse doc") {
+    // q = (1,0,0); 1 and 2 are identical (sim(q,·) = 9806, mutual 10000);
+    // 3 mirrors across q (same relevance 9806, mutual 9231). Pure
+    // relevance would return (1, 2) first; MMR must pick the duplicate
+    // LAST: 1 (tie → smaller cid), then 3 (575 = 9806 − 9231), then 2
+    // (−194 = 9806 − 10000).
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.2, 0.0)),
+      (2L, Seq(1.0, 0.2, 0.0)),
+      (3L, Seq(1.0, -0.2, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopKDf(emb, nQueries = 1, depth = 3, k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 1L, 9806L, 9806L, 1L),
+      (0L, 3L, 9806L, 575L, 2L),
+      (0L, 2L, 9806L, -194L, 3L)))
+  }
+
   test("kmeans clusters: full coverage, sizes consistent, non-degenerate") {
     val out = Similarity.kmeansClusters(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long)].collect() // (vec_id, cluster_id, sim_e4, cluster_size)

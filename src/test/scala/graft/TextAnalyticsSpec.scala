@@ -60,6 +60,26 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (3L, 1L, 2L, 20000L)))
   }
 
+  test("tokenizer fertility eval: per-source BPE-vs-greedy decision table") {
+    // The "bpe inference" fixture above, re-cut by source: srcA's words
+    // encode identically under both rules (fertility 10000/10000, delta
+    // 0); srcB is the divergence case (merge-order 3 pieces vs greedy 2
+    // → 30000 vs 20000, delta 10000); srcC has no [a-z]+ tokens at all
+    // (zeros, no division blow-up).
+    val docs = Seq(
+      (1L, "ba ba ba ba", "srcA"),
+      (2L, "ab ab", "srcA"),
+      (3L, "abab", "srcB"),
+      (4L, "123", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalytics.tokenizerFertilityEvalDf(docs, nMerges = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("srcA", 2L, 6L, 6L, 6L, 10000L, 10000L, 0L),
+      ("srcB", 1L, 1L, 3L, 2L, 30000L, 20000L, 10000L),
+      ("srcC", 1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("dsir: target-vs-source importance ratios, hand-computed on a planted corpus") {
     // d1 (7 tokens, stopwords present) is the only quality-ok doc → the
     // target corpus. Every d1 word: c_t = c_s = 1, so ratio =

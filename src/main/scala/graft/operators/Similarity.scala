@@ -1744,6 +1744,38 @@ object Similarity {
     * vs the double math the exact path runs in). */
   val SqLevels = 255L
 
+  /** Per-dimension (min, step) scalar-quantization model for a corpus
+    * dir — the trained artifact the streaming encode twin broadcasts
+    * (literals, like the IVF-PQ codebook). */
+  private[graft] def sqModelFor(s: SparkSession, d: String): (Seq[Double], Seq[Double]) =
+    sqModel(Tables.embeddings(s, d)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v")))
+
+  /** The SQ8 code column — ONE definition shared by the batch index
+    * ([[sqTopKDf]]) and the streaming ingest twin
+    * ([[graft.streaming.VectorStreams.sqEncodeStream]]), so online
+    * encode can never drift from the offline build. code_i =
+    * round((x_i − mn_i)/step_i), exact 0..255 integers. */
+  private[graft] def sqCodesCol(v: Column, mns: Seq[Double],
+      steps: Seq[Double]): Column = {
+    val mnsL = typedlit(mns); val stepsL = typedlit(steps)
+    transform(v, (x, i) =>
+      when(element_at(stepsL, i + 1) > 0d,
+        round((x - element_at(mnsL, i + 1)) / element_at(stepsL, i + 1))
+          .cast("long"))
+        .otherwise(lit(0L)))
+  }
+
+  /** The SQ8 decode column (decode_i = mn_i + code_i·step_i) — the
+    * asymmetric-search database side, shared for the same reason. */
+  private[graft] def sqDecodeCol(q: Column, mns: Seq[Double],
+      steps: Seq[Double]): Column = {
+    val mnsL = typedlit(mns); val stepsL = typedlit(steps)
+    transform(q, (qc, i) =>
+      element_at(mnsL, i + 1) +
+        qc.cast("double") * element_at(stepsL, i + 1))
+  }
+
   /** Per-dimension (min, step) scalar-quantization model: one tiny
     * aggregate over the corpus (64 result rows — the trained-operator
     * collect shape), step = (max − min) / 255 with constant dimensions
@@ -1793,22 +1825,15 @@ object Similarity {
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (mns, steps) = sqModel(c)
-    val mnsL = typedlit(mns); val stepsL = typedlit(steps)
     // code_i = round((x_i − mn_i)/step_i) — exact 0..255 integers; the
     // codes frame IS the index (1 byte/dim at rest; long here because
     // Spark SQL has no unsigned byte and the arithmetic domain is what
     // the oracle checks).
     val codes = c.select(col("vec_id"),
-      transform(col("v"), (x, i) =>
-        when(element_at(stepsL, i + 1) > 0d,
-          round((x - element_at(mnsL, i + 1)) / element_at(stepsL, i + 1))
-            .cast("long"))
-          .otherwise(lit(0L))).as("q"))
+      sqCodesCol(col("v"), mns, steps).as("q"))
     // Asymmetric distance: decode the database side only.
     val dec = codes.select(col("vec_id").as("cid"),
-        transform(col("q"), (qc, i) =>
-          element_at(mnsL, i + 1) +
-            qc.cast("double") * element_at(stepsL, i + 1)).as("dv"))
+        sqDecodeCol(col("q"), mns, steps).as("dv"))
       .withColumn("dnrm", l2Norm(col("dv")))
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), l2Norm(col("v")).as("qn"))

@@ -90,6 +90,30 @@ object VectorStreams {
       cents, cb)
   }
 
+  /** Streaming SQ8 index ingest — the twenty-sixth twin, the scalar-
+    * quantization sibling of [[ivfPqIngestStream]]: the per-dimension
+    * min/step model is learned BATCH-side on the static corpus (one tiny
+    * aggregate, [[Similarity.sqModelFor]]) and every ARRIVING vector
+    * encodes to its one-byte codes per row through the SAME
+    * [[Similarity.sqCodesCol]] expression the batch index runs — online
+    * ingest can never drift from the offline build because there is one
+    * code definition, not two (VectorStreamsSpec replays the corpus and
+    * asserts the codes against an independent recompute).
+    *
+    * Scale posture: the model is 2×Dim doubles riding as codegen
+    * literals — NO streaming state, no shuffle, no per-batch driver
+    * work; micro-batches append straight to the code-table sink.
+    * Re-fitting the model on corpus drift (rare — min/max move slowly)
+    * swaps the literals, the same versioning story as the IVF-PQ
+    * codebook. */
+  def sqEncodeStream(spark: SparkSession, path: String, staticDir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val (mns, steps) = Similarity.sqModelFor(spark, staticDir)
+    embeddingStream(spark, path, maxFilesPerTrigger)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .select(col("vec_id"), Similarity.sqCodesCol(col("v"), mns, steps).as("q"))
+  }
+
   /** Streaming ANN PROBE — the serving side of the k-NN graph/LSH query
     * family ([[Similarity.knnGraph]]/[[Similarity.lshTopK]]) run online:
     * each ARRIVING vector computes its banded sign-projection keys per row

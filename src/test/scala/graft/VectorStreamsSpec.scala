@@ -64,6 +64,43 @@ class VectorStreamsSpec extends AnyFunSuite {
       "served-ingest rows diverge from the batch index build")
   }
 
+  test("streaming sq8 encode matches an independent recompute; codes reconstruct") {
+    val dir = Paths.get("target", "test-scratch", "vecstream_sq")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark,
+        VectorStreams.sqEncodeStream(spark, dir.toString, TestSpark.sf),
+        "t_vecingest_sq", mode = "append")
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    // Independent model + encode recompute over the collected corpus —
+    // NOT the shared column expression, so a drift in either side fails.
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val dim = vecs.head._2.length
+    val mns = (0 until dim).map(i => vecs.map(_._2(i)).min)
+    val mxs = (0 until dim).map(i => vecs.map(_._2(i)).max)
+    val steps = (0 until dim).map(i =>
+      if (mxs(i) > mns(i)) (mxs(i) - mns(i)) / 255.0 else 0.0)
+    val expected = vecs.map { case (id, v) =>
+      (id, v.indices.map(i =>
+        if (steps(i) > 0) math.round((v(i) - mns(i)) / steps(i)) else 0L).toSeq)
+    }
+    assert(streamed.length === expected.length)
+    assert(streamed.toSeq === expected.toSeq,
+      "streamed SQ8 codes diverge from the independent encode")
+    // codes are genuine one-byte integers and reconstruct within step/2
+    assert(streamed.forall(_._2.forall(c => c >= 0L && c <= 255L)))
+    for (((id, q), (_, v)) <- streamed.zip(vecs); i <- 0 until dim) {
+      val dec = mns(i) + q(i) * steps(i)
+      assert(math.abs(dec - v(i)) <= steps(i) / 2 + 1e-12,
+        s"vec $id dim $i reconstructs outside the quantization bound")
+    }
+  }
+
   test("streaming knn probe + ranking tail equals the batch knn graph") {
     val dir = Paths.get("target", "test-scratch", "vecstream_knn")
     Files.createDirectories(dir)

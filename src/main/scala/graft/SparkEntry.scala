@@ -151,6 +151,7 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "search_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),
+    "eval_mmr_diversity" -> ((s, d) => Similarity.mmrDiversityEval(s, d)),
     "search_hybrid_served" -> ((s, d) => Similarity.hybridRrfServed(s, d)),
     "embedding_kmeans" -> ((s, d) => Similarity.kmeansClusters(s, d)),
     "sample_cluster_balanced" -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
@@ -1270,6 +1271,14 @@ object SparkEntry {
     "search_mmr" -> {
       import graft.operators.Similarity.{MmrNq, MmrDepth, MmrK}
       s"""WITH ${mmrCtes(MmrNq, MmrDepth, MmrK)} SELECT qid, cid, sim_e4, mmr2x_e4, pick FROM macc$MmrK ORDER BY qid, pick"""
+    },
+    // MMR diversity evaluation: mean relevance + intra-list similarity of
+    // the plain top-k vs the MMR picks, both lists' pairwise sims drawn
+    // from the greedy loop's own candidate-pair table; pinned one-divide
+    // e4 means.
+    "eval_mmr_diversity" -> {
+      import graft.operators.Similarity.{MmrNq, MmrDepth, MmrK}
+      s"""WITH ${mmrCtes(MmrNq, MmrDepth, MmrK)}, drel AS (SELECT qid, cid, sim_e4 FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS r FROM mc) WHERE r <= $MmrK), dr1 AS (SELECT qid, CAST(round(sum(sim_e4) * 1.0 / count(*)) AS BIGINT) AS rel_sim_e4 FROM drel GROUP BY qid), dm1 AS (SELECT qid, CAST(round(sum(sim_e4) * 1.0 / count(*)) AS BIGINT) AS mmr_sim_e4 FROM macc$MmrK GROUP BY qid), dr2 AS (SELECT a.qid, CAST(round(sum(p.ds_e4) * 1.0 / count(*)) AS BIGINT) AS rel_ils_e4 FROM drel a JOIN drel b ON a.qid = b.qid AND a.cid <> b.cid JOIN mps p ON p.qid = a.qid AND p.pd = a.cid AND p.ps = b.cid GROUP BY a.qid), dm2 AS (SELECT a.qid, CAST(round(sum(p.ds_e4) * 1.0 / count(*)) AS BIGINT) AS mmr_ils_e4 FROM macc$MmrK a JOIN macc$MmrK b ON a.qid = b.qid AND a.cid <> b.cid JOIN mps p ON p.qid = a.qid AND p.pd = a.cid AND p.ps = b.cid GROUP BY a.qid) SELECT dr1.qid, rel_sim_e4, mmr_sim_e4, rel_ils_e4, mmr_ils_e4, rel_ils_e4 - mmr_ils_e4 AS ils_drop_e4 FROM dr1 JOIN dm1 ON dr1.qid = dm1.qid JOIN dr2 ON dr1.qid = dr2.qid JOIN dm2 ON dr1.qid = dm2.qid ORDER BY dr1.qid"""
     },
     // The tower swap proved end-to-end: hybrid RRF whose semantic tower
     // is the SERVED IVF-PQ index (probe + ADC + re-rank over the persisted

@@ -1890,6 +1890,17 @@ object Similarity {
     * (planted tests). */
   def mmrTopKDf(embeddings: DataFrame, nQueries: Int = MmrNq,
       depth: Int = MmrDepth, k: Int = MmrK): DataFrame = {
+    val (selected, _, caches) = mmrCore(embeddings, nQueries, depth, k)
+    graft.functions.Caching.releaseAfterAction(
+      selected.orderBy("qid", "pick"), caches: _*)
+  }
+
+  /** The MMR build shared by the query and its diversity evaluation:
+    * returns the selected picks, the candidate-pair similarity table
+    * (the ILS evidence), and the persisted inputs the caller releases
+    * after its terminal action. */
+  private def mmrCore(embeddings: DataFrame, nQueries: Int,
+      depth: Int, k: Int): (DataFrame, (DataFrame, DataFrame), Seq[DataFrame]) = {
     val c = embeddings
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
@@ -1951,8 +1962,52 @@ object Similarity {
     // states are dead the moment the next round materialized — free
     // their blocks now, release the shared inputs after the action.
     rounds.dropRight(1).foreach(org.apache.spark.sql.graft.Checkpoints.release)
+    (selected, (cands, pairs), Seq(c, cands, pairs))
+  }
+
+  /** DIVERSIFICATION EVALUATION (`eval_mmr_diversity`) — the table read
+    * before turning [[mmrTopK]] on: per query, the mean relevance and
+    * the INTRA-LIST SIMILARITY (mean pairwise cosine among the returned
+    * k — the standard redundancy metric) of the plain relevance top-k
+    * vs the MMR picks, plus the ILS drop MMR bought. The trade is
+    * explicit: `rel_sim ≥ mmr_sim` by construction (MMR never beats
+    * pure relevance on relevance), and a positive `ils_drop_e4` is the
+    * diversity actually purchased — per query, so a corpus whose
+    * candidates are already diverse shows drop ≈ 0 and MMR can be left
+    * off. Means are pinned one-divide e4 integers; both lists draw
+    * their pairwise similarities from the SAME candidate-pair table the
+    * greedy loop used, so the whole report hash-matches the oracle. */
+  def mmrDiversityEval(s: SparkSession, d: String, nQueries: Int = MmrNq,
+      depth: Int = MmrDepth, k: Int = MmrK): DataFrame =
+    mmrDiversityEvalDf(Tables.embeddings(s, d), nQueries, depth, k)
+
+  /** Same, over any (vec_id, embedding: array<float|double>) DataFrame
+    * (planted tests). */
+  def mmrDiversityEvalDf(embeddings: DataFrame, nQueries: Int = MmrNq,
+      depth: Int = MmrDepth, k: Int = MmrK): DataFrame = {
+    val (selected, (cands, pairs), caches) =
+      mmrCore(embeddings, nQueries, depth, k)
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    val rel = cands.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k).drop("r")
+    def meanE4(list: DataFrame, out: String): DataFrame =
+      list.groupBy("qid")
+        .agg(round(sum("sim_e4") * lit(1.0) / count(lit(1))).cast("long").as(out))
+    def ilsE4(list: DataFrame, out: String): DataFrame =
+      list.select(col("qid"), col("cid").as("pd"))
+        .join(list.select(col("qid"), col("cid").as("ps")), Seq("qid"))
+        .filter(col("pd") =!= col("ps"))
+        .join(pairs, Seq("qid", "pd", "ps"))
+        .groupBy("qid")
+        .agg(round(sum("ds_e4") * lit(1.0) / count(lit(1))).cast("long").as(out))
     graft.functions.Caching.releaseAfterAction(
-      selected.orderBy("qid", "pick"), c, cands, pairs)
+      meanE4(rel, "rel_sim_e4")
+        .join(meanE4(selected, "mmr_sim_e4"), "qid")
+        .join(ilsE4(rel, "rel_ils_e4"), "qid")
+        .join(ilsE4(selected, "mmr_ils_e4"), "qid")
+        .withColumn("ils_drop_e4", col("rel_ils_e4") - col("mmr_ils_e4"))
+        .orderBy("qid"),
+      caches: _*)
   }
 
   /** COMPRESSION-QUALITY MONITOR — per-query recall@k of the SQ8 index

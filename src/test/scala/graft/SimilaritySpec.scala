@@ -610,6 +610,31 @@ class SimilaritySpec extends AnyFunSuite {
       (0L, 2L, 9806L, -194L, 3L)))
   }
 
+  test("mmr diversity eval: planted trade exact; relevance never improves under MMR") {
+    // The demotion fixture at k = 2 < depth: plain top-2 = the twin pair
+    // (ILS 10000), MMR swaps the duplicate for the mirror (ILS 9231) at
+    // equal mean relevance — the diversity purchase is exactly 769.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.2, 0.0)),
+      (2L, Seq(1.0, 0.2, 0.0)),
+      (3L, Seq(1.0, -0.2, 0.0))
+    ).toDF("vec_id", "embedding")
+    val planted = Similarity.mmrDiversityEvalDf(emb, nQueries = 1, depth = 3, k = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(planted === Seq((0L, 9806L, 9806L, 10000L, 9231L, 769L)))
+    // corpus: full coverage, and the trade's two invariants — MMR can
+    // never beat plain top-k on mean relevance, and the drop column is
+    // exactly the ILS difference
+    val got = Similarity.mmrDiversityEval(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === Similarity.MmrNq)
+    for ((_, relSim, mmrSim, relIls, mmrIls, drop) <- got) {
+      assert(relSim >= mmrSim, "MMR improved mean relevance — impossible")
+      assert(drop === relIls - mmrIls)
+    }
+  }
+
   test("kmeans clusters: full coverage, sizes consistent, non-degenerate") {
     val out = Similarity.kmeansClusters(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long)].collect() // (vec_id, cluster_id, sim_e4, cluster_size)

@@ -6,6 +6,18 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = graft.sources.Sessions.local("32", logLevel = "ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    if (args.length > 1 && args(1) == "time") {
+      // Repeat-time one query in a warm JVM: where did the floor go?
+      val name = args(2)
+      val q = SparkEntry.queries(name)
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        q(spark, d).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        println(f"[scratch] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "explain") {
       args.drop(2).headOption.flatMap(SparkEntry.queries.get) match {
         case Some(q) => q(spark, d).explain("formatted")

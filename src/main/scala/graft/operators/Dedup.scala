@@ -370,6 +370,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     val scored = pairs
       .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
       .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      // Explicit fan-out BEFORE the DP: the verify stage is CPU-bound
+      // (O(len²) per pair) but only ~KBs per pair, so AQE's byte-based
+      // partition coalescing sees a "tiny" stage and serializes it onto
+      // one task — measured 55 s single-task vs ~3 s spread at sf0.1.
+      // An explicit numPartitions pins the exchange against coalescing;
+      // pair count per task, not bytes, is the right unit here.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("d1"), col("d2"), col("hamming"),
         levenshtein(col("t1"), col("t2")).cast("long").as("editdist"),
         // max(len, 1): two empty texts are identical (lev 0) and must

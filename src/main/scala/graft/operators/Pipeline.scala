@@ -929,7 +929,7 @@ object Pipeline {
     * data size. Phase 2 broadcasts each group's running base back and
     * windows WITHIN (partition, key) groups only. Same partition-
     * independent-output argument as the flat form. */
-  private def keyedExclusivePrefixSum(df: DataFrame, keyCols: Seq[String],
+  private[operators] def keyedExclusivePrefixSum(df: DataFrame, keyCols: Seq[String],
       orderCols: Seq[String], valueCol: String): (DataFrame, DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.Row

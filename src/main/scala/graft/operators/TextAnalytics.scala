@@ -1519,19 +1519,43 @@ object TextAnalytics {
   def ccnetBucketDf(docs: DataFrame): DataFrame =
     ccnetBucketFrom(docs, lmScoreDf(docs))
 
-  /** The per-language bucketing core over a supplied score table. */
+  /** The per-language bucketing core over a supplied score table.
+    *
+    * The tile is NOT a flat `Window.partitionBy(lang)` — for a
+    * handful-of-values language key that plans ONE task ranking a
+    * corpus-fraction per language at 100 TB (the defect class the pack
+    * family and the capped temperature mix were rewired out of).
+    * Instead: per-language rank via the keyed two-phase prefix sum
+    * (partition-parallel), per-language counts as a registry-sized
+    * collected aggregate, and the exact ntile identity
+    * `ntile(k) = ((rank − 1) · k) div n + 1` (extras to the first
+    * tiles, same as the window function) — so the oracle stays the
+    * plain `ntile(3) OVER (PARTITION BY lang ...)` and the output is
+    * hash-identical. */
   private def ccnetBucketFrom(docs: DataFrame, scores: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang")
-      .orderBy(desc("lm_mean_e4"), asc("doc_id"))
-    docs.select("doc_id", "lang")
+    val session = docs.sparkSession
+    import session.implicits._
+    val scored = docs.select("doc_id", "lang")
       .join(scores.select("doc_id", "lm_mean_e4"), "doc_id")
-      .withColumn("tile", ntile(3).over(w))
       .select(col("doc_id"), col("lang"), col("lm_mean_e4"),
-        when(col("tile") === 1, "head")
-          .when(col("tile") === 2, "middle")
-          .otherwise("tail").as("bucket"))
-      .orderBy("doc_id")
+        (-col("lm_mean_e4")).as("neg"), lit(1L).as("one"))
+    val (ranked, ckpt, _) = graft.operators.Pipeline
+      .keyedExclusivePrefixSum(scored, Seq("lang"), Seq("neg", "doc_id"), "one")
+    // Per-language sizes: language-registry-sized, collected BEFORE the
+    // release listener registers (actions on the checkpoint are cheap
+    // and byte-stable until release).
+    val counts = ranked.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val nDf = counts.toDF("lang", "n_lang")
+    graft.functions.Caching.releaseAfterAction(
+      ranked.join(broadcast(nDf), Seq("lang"))
+        .withColumn("tile", expr("((prefix * 3) div n_lang) + 1"))
+        .select(col("doc_id"), col("lang"), col("lm_mean_e4"),
+          when(col("tile") === 1, "head")
+            .when(col("tile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id"),
+      ckpt)
   }
 
   /** Phrase-mining constants (Mikolov et al. 2013 §4, arXiv:1310.4546):

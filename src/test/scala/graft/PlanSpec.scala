@@ -366,6 +366,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnet bucketing: keyed prefix sum — no per-language window, no funnel") {
+    // Same family, language key: the per-language ntile(3) is computed as
+    // ((rank − 1) · 3) div n + 1 over the keyed prefix sum, so the plan
+    // must carry no lang-only window and no single-partition exchange.
+    for (q <- Seq("text_ccnet_bucket", "corpus_clean_ccnet")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString
+      df.count()
+      assert(!plan.contains("windowspecdefinition(lang#"),
+        s"$q: a window partitioned by lang alone is one task per language:\n${plan.take(2000)}")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$q funnels through a single partition:\n${plan.take(2000)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("pack_sequences_global: no single-partition exchange — the prefix sum is two-phase") {
     // The whole point of the two-phase prefix sum is avoiding the
     // SinglePartition shuffle a flat `Window.orderBy(doc_id)` (no

@@ -46,6 +46,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "graph_components" -> ((s, d) => Graph.componentsQuery(s, d)),
+    "graph_kcore" -> ((s, d) => Graph.kcoreQuery(s, d)),
     "join_salted" -> ((s, d) => Relational.joinSalted(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
@@ -236,6 +237,22 @@ object SparkEntry {
     }
     sb ++= ", bpe_merges AS (" + (1 to n).map(k =>
       s"SELECT CAST($k AS BIGINT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_cnt FROM m$k").mkString(" UNION ALL ") + ")"
+    sb.toString
+  }
+
+  // Unrolled k-core peeling rounds over the co-supply `edges` CTE:
+  // kd0 = raw degree, then per round ka_i (survivors at ≥ k) and kd_i
+  // (degree restricted to survivors). AS MATERIALIZED on both: each
+  // ka_i is referenced twice (both join sides) — inlined, the chain
+  // re-expands its prefix exponentially.
+  private def kcoreCtes(k: Long, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "kund AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges)"
+    sb ++= ", kd0 AS MATERIALIZED (SELECT u, count(*) AS dg FROM kund GROUP BY u)"
+    for (i <- 1 to rounds) {
+      sb ++= s", ka$i AS MATERIALIZED (SELECT u FROM kd${i - 1} WHERE dg >= $k)"
+      sb ++= s", kd$i AS MATERIALIZED (SELECT e.u, count(*) AS dg FROM kund e JOIN ka$i x ON e.u = x.u JOIN ka$i y ON e.v = y.u GROUP BY e.u)"
+    }
     sb.toString
   }
 
@@ -721,6 +738,11 @@ object SparkEntry {
     // isolated suppliers appear as singleton components.
     "graph_components" ->
       s"""WITH RECURSIVE $CoSupplyCtes, bedges AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), reach AS (SELECT a, b FROM bedges UNION SELECT r.a, e.b FROM reach r JOIN bedges e ON r.b = e.a), mn AS (SELECT a, min(b) AS m FROM reach GROUP BY a), lab AS (SELECT s.s_suppkey, CAST(CASE WHEN m.m IS NOT NULL AND m.m < s.s_suppkey THEN m.m ELSE s.s_suppkey END AS BIGINT) AS component_id FROM supplier s LEFT JOIN mn m ON s.s_suppkey = m.a), sz AS (SELECT component_id, count(*) AS component_size FROM lab GROUP BY component_id) SELECT l.s_suppkey, l.component_id, sz.component_size FROM lab l JOIN sz ON l.component_id = sz.component_id ORDER BY l.s_suppkey""",
+    // k-core peeling unrolled to a fixed depth ≥ the oracle-scale fixpoint
+    // round count (extra rounds are no-ops on a fixpoint); the engine
+    // side loops to the measured fixpoint, so the two agree row for row.
+    "graph_kcore" ->
+      s"""WITH $CoSupplyCtes, ${kcoreCtes(graft.operators.Graph.KCoreK, 8)} SELECT d.u AS s_suppkey, CAST(d.dg AS BIGINT) AS degree, CAST(CASE WHEN f.u IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core, CAST(COALESCE(f.dg, 0) AS BIGINT) AS core_deg FROM kd0 d LEFT JOIN kd8 f ON d.u = f.u ORDER BY s_suppkey""",
     "dedup_minhash" ->
       s"""$MinhashCtes SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""",
     // Sketch-quality evaluation: MinHash-LSH pairs (est >= 5000) scored

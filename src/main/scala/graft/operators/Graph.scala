@@ -260,6 +260,83 @@ object Graph {
       labeled, comp)
   }
 
+  /** k-core threshold: on the budget-thresholded co-supply graph (average
+    * degree pinned at [[TriEdgesPerNode]] by construction), k at the
+    * average degree is the interesting cut — the dense trading core
+    * survives, the periphery peels (at sf0.1: 824 of 1000 suppliers,
+    * nine peeling rounds). */
+  val KCoreK = 25L
+
+  /** Peeling-round hard cap — peeling converges in at most "graph
+    * degeneracy" rounds in practice (single digits on co-occurrence
+    * graphs); a graph that hasn't stabilized by here indicates a
+    * construction bug, so fail loudly rather than ship a non-fixpoint. */
+  val KCoreMaxRounds = 64
+
+  /** K-CORE DECOMPOSITION at k = [[KCoreK]] — the density filter
+    * community/fraud pipelines run after CC: the k-core is the maximal
+    * subgraph where every node keeps ≥ k neighbors INSIDE the subgraph,
+    * computed by iterative peeling (drop degree-< k nodes, recompute,
+    * repeat to fixpoint). Unlike a plain degree filter, peeling CASCADES:
+    * a node can start above k and still fall out when its periphery
+    * peels away — exactly the "dense ring vs hangers-on" distinction a
+    * spam/collusion audit needs. Output per supplier in the graph: raw
+    * degree, the in-core verdict, and the core-internal degree
+    * (0 outside).
+    *
+    * Scale shape: each round is one self-equi-join of the undirected
+    * edge list against the shrinking survivor set plus a map-side-
+    * combined degree count — never a window, never a driver
+    * materialization beyond the per-round convergence SCALAR (the
+    * [[pagerankConvergedDf]] loop shape); survivor sets are eager
+    * localCheckpoints so round plans stay O(1) (the repo-wide iterative-
+    * lineage rule). The survivor set shrinks monotonically, so equal
+    * counts across a round proves the fixpoint. Oracle: the peeling
+    * rounds unrolled as degree/filter CTE pairs (fixed unroll ≥ the
+    * fixpoint round count; extra rounds are no-ops on a fixpoint, so
+    * the converged engine result hash-matches the fixed-depth SQL). */
+  def kcoreQuery(s: SparkSession, d: String): DataFrame =
+    kcoreDf(coSupplyEdgesShared(s, d), KCoreK)
+      .withColumnRenamed("node", "s_suppkey").orderBy("s_suppkey")
+
+  /** Same, over any canonical undirected edge list (a, b), a < b
+    * (planted tests). */
+  def kcoreDf(edges: DataFrame, k: Long = KCoreK): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d0 = und.groupBy("u").agg(count(lit(1)).as("degree"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def degreeOver(alive: DataFrame): DataFrame =
+      und.join(alive.select(col("u")), "u")
+        .join(alive.select(col("u").as("v")), "v")
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+    var alive = d0.filter(col("degree") >= k).select("u").localCheckpoint(true)
+    var aliveCount = alive.count()
+    var converged = false
+    var rounds = 0
+    val states = scala.collection.mutable.ArrayBuffer(alive)
+    while (!converged && rounds < KCoreMaxRounds) {
+      val next = degreeOver(alive).filter(col("dg") >= k).select("u")
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      // survivor sets shrink monotonically, so equal counts = same set
+      converged = nextCount == aliveCount
+      alive = next; aliveCount = nextCount; rounds += 1
+      states += alive
+    }
+    require(converged, s"k-core peeling did not stabilize within " +
+      s"$KCoreMaxRounds rounds — inspect the edge construction")
+    states.dropRight(1).foreach(org.apache.spark.sql.graft.Checkpoints.release)
+    val coreDeg = degreeOver(alive)
+    graft.functions.Caching.releaseAfterAction(
+      d0.join(coreDeg.withColumnRenamed("dg", "core_deg"), Seq("u"), "left")
+        .select(col("u").as("node"), col("degree"),
+          col("core_deg").isNotNull.cast("long").as("in_core"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg")),
+      und, d0)
+  }
+
   /** Triangle core over any canonical undirected edge list (a, b) with
     * a < b, no duplicates. Returns (node, n_tri) for nodes in ≥ 1
     * triangle, unordered. */

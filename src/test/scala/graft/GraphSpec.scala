@@ -108,6 +108,30 @@ class GraphSpec extends AnyFunSuite {
       "a co-supply edge crossed a component boundary")
   }
 
+  test("kcore: peeling cascades on a planted graph; wrapper core is internally k-dense") {
+    // Clique {1,2,3,4} (6 edges) + node 5 on {1,2,6} + pendant 6 on 5.
+    // k = 3: round 1 drops 6 (degree 1); 5 then has only {1,2} inside and
+    // CASCADES out in round 2 even though its raw degree was 3 — the
+    // distinction a plain degree filter misses. Core = the clique.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Graph.kcoreDf(edges, k = 3L)
+      .orderBy("node").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 4L, 1L, 3L), (2L, 4L, 1L, 3L), (3L, 3L, 1L, 3L),
+      (4L, 3L, 1L, 3L), (5L, 3L, 0L, 0L), (6L, 1L, 0L, 0L)))
+    // Corpus wrapper: fixpoint invariants — every in-core node keeps
+    // >= k neighbors INSIDE the core (one more peel drops nothing), and
+    // out-of-core nodes report core_deg 0.
+    val out = Graph.kcoreQuery(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    for ((_, deg, inCore, coreDeg) <- out) {
+      if (inCore == 1L) assert(coreDeg >= Graph.KCoreK && coreDeg <= deg)
+      else assert(coreDeg === 0L)
+    }
+  }
+
   test("pagerank trade network: keys partition into customers and suppliers, mass sane") {
     val out = Graph.pagerank(spark, TestSpark.sf)
       .as[(Long, String, Long, Long)].collect()

@@ -108,6 +108,7 @@ object SparkEntry {
     "eval_tokenizer_fertility" -> ((s, d) => TextAnalytics.tokenizerFertilityEval(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalytics.lmScore(s, d)),
     "text_ccnet_bucket" -> ((s, d) => TextAnalytics.ccnetBucket(s, d)),
+    "text_quality_calibrated" -> ((s, d) => TextAnalytics.qualityCalibrated(s, d)),
     "data_selection_dsir" -> ((s, d) => TextAnalytics.dsirScore(s, d)),
     "text_phrases_pmi" -> ((s, d) => TextAnalytics.phrases(s, d)),
     "text_clean" -> ((s, d) => TextAnalytics.textClean(s, d)),
@@ -1056,6 +1057,11 @@ object SparkEntry {
     // assignment, so both engines agree including remainder handling.
     "text_ccnet_bucket" ->
       s"""WITH $LmCtes, lm AS (SELECT d.doc_id, d.lang, CAST(CASE WHEN s.n_bigrams IS NULL THEN 0 ELSE round(s.lm_score_e4 * 1.0 / s.n_bigrams) END AS BIGINT) AS lm_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id), tiled AS (SELECT doc_id, lang, lm_mean_e4, ntile(3) OVER (PARTITION BY lang ORDER BY lm_mean_e4 DESC, doc_id) AS tile FROM lm) SELECT doc_id, lang, lm_mean_e4, CASE WHEN tile = 1 THEN 'head' WHEN tile = 2 THEN 'middle' ELSE 'tail' END AS bucket FROM tiled ORDER BY doc_id""",
+    // Per-source percentile calibration of the shared LM-fluency score:
+    // rank within source (score desc, doc_id), pct = (rank-1)e4/(n-1)
+    // (single-doc sources pin to 0), keep = each source's top half.
+    "text_quality_calibrated" ->
+      s"""WITH $LmCtes, lm AS (SELECT d.doc_id, d.source, CAST(CASE WHEN s.n_bigrams IS NULL THEN 0 ELSE round(s.lm_score_e4 * 1.0 / s.n_bigrams) END AS BIGINT) AS lm_mean_e4 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id), rk AS (SELECT doc_id, source, lm_mean_e4, CAST(row_number() OVER (PARTITION BY source ORDER BY lm_mean_e4 DESC, doc_id) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source FROM lm) SELECT doc_id, source, lm_mean_e4, rn, CAST(CASE WHEN n_source = 1 THEN 0 ELSE round((rn - 1) * 10000.0 / (n_source - 1)) END AS BIGINT) AS pct_e4, CAST(CASE WHEN (CASE WHEN n_source = 1 THEN 0 ELSE round((rn - 1) * 10000.0 / (n_source - 1)) END) <= ${graft.operators.TextAnalytics.CalibKeepE4} THEN 1 ELSE 0 END AS BIGINT) AS keep FROM rk ORDER BY doc_id""",
     // Discounted normalized PMI (Mikolov 2013 phrase score), one pinned
     // double expression over exact integer counts — multiplication order
     // mirrors the Spark column exactly: ((1e4·(c_ab−δ))·N)/(c_a·c_b).

@@ -1558,6 +1558,61 @@ object TextAnalytics {
       ckpt)
   }
 
+  /** Calibrated-gate keep threshold: keep each source's top half by
+    * percentile (pct_e4 ≤ 5000 with 0 = the source's best document). */
+  val CalibKeepE4 = 5000L
+
+  /** PER-SOURCE SCORE CALIBRATION (`text_quality_calibrated`) — the
+    * normalization step a cross-source quality gate needs: raw fluency
+    * scores are NOT comparable across crawl sources (a clean source's
+    * median outranks a noisy source's best), so a single global
+    * threshold silently empties noisy sources and rubber-stamps clean
+    * ones. Percentile-normalizing WITHIN each source — pct_e4 =
+    * round((rank − 1)·10⁴/(n_source − 1)), 0 = the source's best —
+    * makes one threshold mean the same thing everywhere; the emitted
+    * `keep` at [[CalibKeepE4]] is "every source's top half", the
+    * equal-treatment sibling of [[ccnetBucket]]'s per-language thirds.
+    *
+    * Scale shape: the per-source rank is the keyed two-phase prefix sum
+    * (partition-parallel — a flat source window would be one task per
+    * source; the exact rewire the ccnet buckets got), per-source counts
+    * are a registry-sized collected aggregate, and the score is the
+    * SHARED LM-fluency product — no new corpus scan. */
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame =
+    qualityCalibratedFrom(Tables.documents(spark, dir),
+      lmScoresShared(spark, dir))
+
+  /** Same, over any (doc_id, text, source) DataFrame (planted tests —
+    * computes its own scores instead of the shared product). */
+  def qualityCalibratedDf(docs: DataFrame): DataFrame =
+    qualityCalibratedFrom(docs, lmScoreDf(docs))
+
+  private def qualityCalibratedFrom(docs: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val scored = docs.select("doc_id", "source")
+      .join(scores.select("doc_id", "lm_mean_e4"), "doc_id")
+      .select(col("doc_id"), col("source"), col("lm_mean_e4"),
+        (-col("lm_mean_e4")).as("neg"), lit(1L).as("one"))
+    val (ranked, ckpt, _) = graft.operators.Pipeline
+      .keyedExclusivePrefixSum(scored, Seq("source"), Seq("neg", "doc_id"), "one")
+    val counts = ranked.groupBy("source").agg(count(lit(1)).as("n_source"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val nDf = counts.toDF("source", "n_source")
+    graft.functions.Caching.releaseAfterAction(
+      ranked.join(broadcast(nDf), Seq("source"))
+        .select(col("doc_id"), col("source"), col("lm_mean_e4"),
+          (col("prefix") + 1L).as("rn"),
+          // single-doc source: its one document is its own best — pct 0
+          when(col("n_source") === 1L, lit(0L))
+            .otherwise(round(col("prefix") * lit(10000.0) /
+              (col("n_source") - 1L)).cast("long")).as("pct_e4"))
+        .withColumn("keep", (col("pct_e4") <= CalibKeepE4).cast("long"))
+        .orderBy("doc_id"),
+      ckpt)
+  }
+
   /** Phrase-mining constants (Mikolov et al. 2013 §4, arXiv:1310.4546):
     * the discount δ that suppresses phrases built from rare co-occurrences,
     * and the reported phrase budget. */

@@ -351,8 +351,11 @@ class PlanSpec extends AnyFunSuite {
     // data_mix_temperature_capped joins this family in round 13: its
     // admitted set is corpus-fraction-sized (targets sum to n_total/2), so
     // its rank must be the keyed prefix sum too, not a per-source window.
+    // text_quality_calibrated joins too: its per-source percentile rank
+    // rides the same keyed prefix sum (round 13).
     for (q <- Seq("pack_sequences", "pack_sequences_bpe", "eval_pack_efficiency",
-        "data_mix_temperature_capped", "pack_sequences_incremental")) {
+        "data_mix_temperature_capped", "pack_sequences_incremental",
+        "text_quality_calibrated")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
       val plan = df.queryExecution.executedPlan.toString
       df.count()

@@ -80,6 +80,33 @@ class TextAnalyticsSpec extends AnyFunSuite {
       ("srcC", 1L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("quality calibration: per-source percentiles exact, single-doc source pins to 0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "sA"),
+      (2L, "dog lazy the over jumps fox brown quick the", "sA"),
+      (3L, "completely different text about query planning", "sA"),
+      (4L, "lonely single document here", "sB")
+    ).toDF("doc_id", "text", "source")
+    val scores = TextAnalytics.lmScoreDf(docs)
+      .select("doc_id", "lm_mean_e4").as[(Long, Long)].collect().toMap
+    val got = TextAnalytics.qualityCalibratedDf(docs)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    assert(got.length === 4)
+    // independent recompute of source sA's ranking and percentiles
+    val sA = Seq(1L, 2L, 3L).sortBy(d => (-scores(d), d))
+    for ((d, i) <- sA.zipWithIndex) {
+      val row = got.find(_._1 == d).get
+      assert(row._3 === scores(d))
+      assert(row._4 === i + 1L, s"rank of doc $d")
+      val pct = math.round(i * 10000.0 / 2)
+      assert(row._5 === pct, s"pct of doc $d")
+      assert(row._6 === (if (pct <= TextAnalytics.CalibKeepE4) 1L else 0L))
+    }
+    // a single-doc source is its own best: pct 0, kept
+    val b = got.find(_._1 == 4L).get
+    assert(b._4 === 1L && b._5 === 0L && b._6 === 1L)
+  }
+
   test("dsir: target-vs-source importance ratios, hand-computed on a planted corpus") {
     // d1 (7 tokens, stopwords present) is the only quality-ok doc → the
     // target corpus. Every d1 word: c_t = c_s = 1, so ratio =

@@ -179,6 +179,26 @@ object VectorStreams {
         e4(dotD(col("v"), col("dv")) / (col("nrm") * col("dn"))).as("sim_e4"))
   }
 
+  /** Streaming RANGE ALERT — the twenty-seventh twin, the online half of
+    * the batch radius query ([[Similarity.rangeSearch]]): every ARRIVING
+    * vector that lands within the similarity radius of a static-corpus
+    * vector emits an alert row (src, dst, sim_e4) — the "a near-duplicate
+    * of existing content just arrived" intake gate, run per row at
+    * ingest instead of per audit batch. Same construction as the probe
+    * ([[knnProbeStream]]'s band match + exact-cosine verify — ONE
+    * banding definition corpus-wide), thresholded instead of ranked, so
+    * like the batch twin it needs no per-query state at all: no
+    * watermark, no aggregation, a pure stream-static join + filter.
+    * A pair that agrees on several bands emits per agreeing band; the
+    * sink dedups (the probe family's contract — VectorStreamsSpec
+    * applies it and matches the batch radius result exactly). */
+  def rangeAlertStream(spark: SparkSession, path: String, staticDir: String,
+      thrE4: Long = Similarity.RangeThrE4, bands: Int = 8, rows: Int = 4,
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    knnProbeStream(spark, path, staticDir, bands, rows, maxFilesPerTrigger)
+      .filter(col("sim_e4") >= thrE4)
+      .select(col("src"), col("dst"), col("sim_e4"))
+
   /** Stateless per-row IVF-PQ encode of (vec_id, embedding) rows against
     * driver-held artifacts: normalized e4 quantization, coarse argmax,
     * exact residual, per-subspace anisotropic argmin — all as literal-array

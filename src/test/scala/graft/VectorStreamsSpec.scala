@@ -101,6 +101,30 @@ class VectorStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming range alert + dedup tail equals the batch radius query") {
+    val dir = Paths.get("target", "test-scratch", "vecstream_range")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark,
+        VectorStreams.rangeAlertStream(spark, dir.toString, TestSpark.sf),
+        "t_rangealert", mode = "append")
+      .as[(Long, Long, Long)].collect()
+    // sink-side dedup (a pair alerts once per agreeing band), then
+    // restrict to the batch twin's query ids: the replayed corpus must
+    // reproduce the batch radius result minus the self-pairs the probe
+    // excludes by contract.
+    val got = streamed.toSet.filter(_._1 < 10L)
+    val batch = graft.operators.Similarity.rangeSearch(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+      .filter(t => t._1 != t._2).toSet
+    assert(got === batch,
+      "streamed range alerts diverge from the batch radius query")
+    assert(streamed.forall(_._3 >= graft.operators.Similarity.RangeThrE4))
+  }
+
   test("streaming knn probe + ranking tail equals the batch knn graph") {
     val dir = Paths.get("target", "test-scratch", "vecstream_knn")
     Files.createDirectories(dir)

@@ -137,11 +137,13 @@ object SparkEntry {
     "eval_simhash_pr" -> ((s, d) => Dedup.simhashPr(s, d)),
     // — LLM-pipeline: similarity search —
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
+    "eval_embedding_health" -> ((s, d) => Similarity.embeddingHealth(s, d)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(s, d)),
     "eval_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "eval_ivf_nprobe" -> ((s, d) => Similarity.ivfNprobeEval(s, d)),
     "sim_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "eval_opq_allocation" -> ((s, d) => Similarity.opqAllocationEval(s, d)),
@@ -863,6 +865,21 @@ object SparkEntry {
     },
     "sim_ivf_topk" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), asgn AS (SELECT vec_id, cell_id FROM (SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY CAST(round(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM n, cents c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), probes AS (SELECT qid, cell_id FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, cents c) WHERE rn <= 4), cand AS (SELECT DISTINCT p.qid, a.vec_id AS cid FROM probes p JOIN asgn a ON p.cell_id = a.cell_id), s AS (SELECT cd.qid, cd.cid, CAST(round(list_inner_product(x.v, y.qv) / (x.nrm * y.qn) * 10000) AS BIGINT) AS sim_e4 FROM cand cd JOIN n x ON cd.cid = x.vec_id JOIN q y ON cd.qid = y.qid), r AS (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM s) SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5 ORDER BY qid, rn""",
+    // Pre-index corpus health: e6-integer per-dim sums, the integer sum
+    // vector AS the mean direction (cosine is scale-invariant), e4 norms
+    // and mean-cosine anisotropy with pinned divisions, dead dims by
+    // min = max spread. center_ratio's 100 = the e6/e4 scale factors and
+    // the two 1/n factors cancelling.
+    "eval_embedding_health" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), el AS (SELECT t.d, CAST(round(v[t.d + 1] * 1000000) AS BIGINT) AS x6 FROM n, range(0, 64) t(d)), sums AS (SELECT d, sum(x6) AS sx, min(x6) AS mn, max(x6) AS mx FROM el GROUP BY d), mv AS (SELECT list(CAST(sx AS DOUBLE) ORDER BY d) AS m FROM sums), dd AS (SELECT CAST(sum(CASE WHEN mn = mx THEN 1 ELSE 0 END) AS BIGINT) AS dead_dims FROM sums), pc AS (SELECT CAST(round(n.nrm * 10000) AS BIGINT) AS nrm_e4, CAST(round(list_inner_product(n.v, mv.m) / (n.nrm * sqrt(list_inner_product(mv.m, mv.m))) * 10000) AS BIGINT) AS cos_e4 FROM n, mv) SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(64 AS BIGINT) AS dim, min(nrm_e4) AS norm_min_e4, max(nrm_e4) AS norm_max_e4, CAST(round(sum(nrm_e4) * 1.0 / count(*)) AS BIGINT) AS norm_mean_e4, CAST(round(sum(cos_e4) * 1.0 / count(*)) AS BIGINT) AS aniso_e4, CAST(round((SELECT sqrt(list_inner_product(m, m)) FROM mv) * 100.0 / sum(nrm_e4)) AS BIGINT) AS center_ratio_e4, (SELECT dead_dims FROM dd) AS dead_dims FROM pc""",
+    // nprobe sweep: the IVF oracle's chain with the probe window ranked to
+    // the sweep's max depth; each candidate keeps the probe rank at which
+    // it first appears (its cell's rank — one cell per vector), is scored
+    // once, and is fanned out to every sweep setting ≥ that rank. recall
+    // denominator = total brute rows (matching the recall monitors); scan
+    // denominator = queries × corpus.
+    "eval_ivf_nprobe" ->
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16), asgn AS (SELECT vec_id, cell_id FROM (SELECT n.vec_id, c.cell_id, row_number() OVER (PARTITION BY n.vec_id ORDER BY CAST(round(list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM n, cents c) WHERE rn = 1), q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), prk AS (SELECT qid, cell_id, CAST(rn AS BIGINT) AS pr FROM (SELECT q.qid, c.cell_id, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.cv) / (q.qn * c.cnrm) * 10000) AS BIGINT) DESC, c.cell_id) AS rn FROM q, cents c) WHERE rn <= 8), sc AS (SELECT cd.qid, cd.cid, cd.pr, CAST(round(list_inner_product(x.v, y.qv) / (x.nrm * y.qn) * 10000) AS BIGINT) AS sim_e4 FROM (SELECT p.qid, a.vec_id AS cid, p.pr FROM prk p JOIN asgn a ON p.cell_id = a.cell_id) cd JOIN n x ON cd.cid = x.vec_id JOIN q y ON cd.qid = y.qid), np AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe), ex AS (SELECT np.nprobe, s.qid, s.cid, s.sim_e4 FROM sc s JOIN np ON s.pr <= np.nprobe), sel AS (SELECT nprobe, qid, cid FROM (SELECT nprobe, qid, cid, row_number() OVER (PARTITION BY nprobe, qid ORDER BY sim_e4 DESC, cid) AS rn FROM ex) WHERE rn <= 5), $BruteTopkCtes, br AS (SELECT qid, cid FROM brk WHERE rn <= 5), hv AS (SELECT np.nprobe, CASE WHEN s.cid IS NULL THEN 0 ELSE 1 END AS hit FROM br b CROSS JOIN np LEFT JOIN sel s ON s.nprobe = np.nprobe AND s.qid = b.qid AND s.cid = b.cid), ha AS (SELECT nprobe, CAST(sum(hit) AS BIGINT) AS hits, CAST(round(sum(hit) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 FROM hv GROUP BY nprobe), cc AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS cand_rows FROM ex GROUP BY nprobe), dn AS (SELECT (SELECT count(*) FROM n) AS n_corpus, (SELECT count(*) FROM q) AS n_q) SELECT h.nprobe, h.hits, h.recall_e4, c.cand_rows, CAST(round(c.cand_rows * 10000.0 / (d.n_q * d.n_corpus)) AS BIGINT) AS scan_e4 FROM ha h JOIN cc c USING (nprobe) CROSS JOIN dn d ORDER BY h.nprobe""",
     // IVF-PQ composed: the IVF oracle's cells/probes/candidates routed into
     // the PQ oracle's codes/ADC, then the exact re-rank of the shortlist —
     // every stage verbatim from its standalone oracle.

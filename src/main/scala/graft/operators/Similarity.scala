@@ -2033,4 +2033,144 @@ object Similarity {
           .as("recall_e4"))
       .orderBy("qid")
   }
+
+  /** The nprobe values the serving sweep prices (ascending; max bounds the
+    * one probe-rank window the sweep computes). */
+  val NprobeSweep: Seq[Long] = Seq(1L, 2L, 4L, 8L)
+
+  /** SERVING-CONFIG DECISION TABLE — recall@k AND candidate-scan cost of
+    * the IVF index at every nprobe in [[NprobeSweep]], in one pass. This
+    * is THE knob an IVF deployment tunes (FAISS's `nprobe`): more probed
+    * cells buy recall linearly in scan cost, and the right setting is a
+    * measured trade, not a guess. One row per nprobe:
+    *   - `hits` / `recall_e4` — top-k overlap with the exact baseline,
+    *     summed over queries (denominator = total brute rows, matching
+    *     the other recall monitors);
+    *   - `cand_rows` / `scan_e4` — exact-scored candidates and their
+    *     fraction of (queries × corpus), the per-query scan cost the
+    *     probe setting purchases.
+    * Cost shape: the corpus is assigned ONCE, each candidate is scored
+    * ONCE (at its minimal probe depth — a vector lives in one cell, so
+    * its entry depth is the cell's probe rank), and only then fanned out
+    * to the |sweep| per-nprobe rankings — the sweep costs one extra
+    * column, not |sweep| index scans. At 100 TB this runs as a sampled
+    * offline job on the served index; the per-(nprobe, qid) rank windows
+    * are bounded by cell occupancy × nprobe like the IVF query itself. */
+  def ivfNprobeEval(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = IvfCells,
+      sweep: Seq[Long] = NprobeSweep): DataFrame = {
+    val maxP = sweep.max.toInt
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = c.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    // Probe ranking once, to the sweep's maximum depth.
+    val wProbe = Window.partitionBy("qid").orderBy(desc("csim_e4"), asc("cell_id"))
+    val probeRanks = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cell_id"),
+        e4(dotD(col("qv"), col("cv")) / (col("qn") * col("cnrm"))).as("csim_e4"))
+      .withColumn("pr", row_number().over(wProbe).cast("long"))
+      .filter(col("pr") <= maxP)
+      .select("qid", "cell_id", "pr")
+    // Each candidate carries the probe depth at which it first appears
+    // (one row per (qid, cid): a vector is assigned to exactly one cell).
+    val cand = assignCells(c, cents).join(broadcast(probeRanks), "cell_id")
+      .select(col("qid"), col("vec_id").as("cid"), col("pr"))
+    val scored = cand
+      .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), col("pr"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    // Fan the scored candidates out to every sweep setting that reaches
+    // their entry depth, then rank per (nprobe, qid).
+    val expanded = scored
+      .withColumn("nprobe", explode(typedlit(sweep)))
+      .filter(col("pr") <= col("nprobe"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wSel = Window.partitionBy("nprobe", "qid").orderBy(desc("sim_e4"), asc("cid"))
+    val sel = expanded
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= k)
+      .select(col("nprobe"), col("qid"), col("cid"), lit(1L).as("hit"))
+    val bruteNp = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+      .withColumn("nprobe", explode(typedlit(sweep)))
+    val hits = bruteNp.join(sel, Seq("nprobe", "qid", "cid"), "left")
+      .groupBy("nprobe")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("n_brute"))
+    val candCounts = expanded.groupBy("nprobe").agg(count(lit(1)).as("cand_rows"))
+    val denom = c.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(q.agg(count(lit(1)).as("n_q")))
+    graft.functions.Caching.releaseAfterAction(
+      hits.join(candCounts, Seq("nprobe"))
+        .crossJoin(broadcast(denom))
+        .select(col("nprobe"), col("hits"),
+          round(col("hits") * lit(10000.0) / col("n_brute")).cast("long")
+            .as("recall_e4"),
+          col("cand_rows"),
+          round(col("cand_rows") * lit(10000.0) / (col("n_q") * col("n_corpus")))
+            .cast("long").as("scan_e4"))
+        .orderBy("nprobe"),
+      c, expanded)
+  }
+
+  /** PRE-INDEX CORPUS DIAGNOSTIC — the health numbers an ANN deployment
+    * reads BEFORE picking its compression and centering settings, one
+    * summary row:
+    *   - `norm_min/max/mean_e4` — the L2-norm spread. A wide spread says
+    *     cosine and dot-product rankings will disagree and SQ8's global
+    *     per-dimension [min, max] grid wastes resolution on outliers.
+    *   - `aniso_e4` — mean cosine of every vector to the corpus mean
+    *     direction (Ethayarajh 2019's anisotropy measure, "How Contextual
+    *     are Contextualized Word Representations?", EMNLP). Near 1 means
+    *     embeddings share a dominant direction and mean-centering before
+    *     PQ/OPQ buys real quantization error back.
+    *   - `center_ratio_e4` — ‖mean vector‖ / mean ‖v‖, the companion
+    *     magnitude form (0 for a centered corpus, →1 for a collapsed one).
+    *   - `dead_dims` — dimensions with zero spread (min = max over the
+    *     corpus): pure codebook waste for PQ sub-spaces, and the first
+    *     thing the OPQ allocation eval would route around.
+    * Determinism: components quantize to e6 integers before the per-dim
+    * sums (exact, order-independent — the trained-IVF recipe), the mean
+    * DIRECTION is the integer sum vector itself (cosine is scale-
+    * invariant, so no divide-back), and all reported moments are integer
+    * sums with one pinned division. Scale shape: one corpus pass for the
+    * 64 per-dim sums (bounded collect: Dim rows), one broadcast-literal
+    * pass for the per-vector cosines — no shuffle wider than 64 groups. */
+  def embeddingHealth(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val sums = c
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .select(col("d"), round(col("x") * lit(1000000)).cast("long").as("x6"))
+      .groupBy("d")
+      .agg(sum("x6").as("sx"), min("x6").as("mn"), max("x6").as("mx"))
+      .orderBy("d")
+      .collect()
+    val meanDir = sums.map(_.getAs[Long]("sx").toDouble).toSeq
+    val deadDims = sums.count(r => r.getAs[Long]("mn") == r.getAs[Long]("mx"))
+    val mv = typedlit(meanDir)
+    val perVec = c.select(
+      e4(col("nrm")).as("nrm_e4"),
+      e4(dotD(col("v"), mv) / (col("nrm") * l2Norm(mv))).as("cos_e4"))
+    graft.functions.Caching.releaseAfterAction(
+      perVec.agg(
+          count(lit(1)).as("n_vectors"),
+          min("nrm_e4").as("norm_min_e4"),
+          max("nrm_e4").as("norm_max_e4"),
+          round(sum("nrm_e4") * lit(1.0) / count(lit(1))).cast("long")
+            .as("norm_mean_e4"),
+          round(sum("cos_e4") * lit(1.0) / count(lit(1))).cast("long")
+            .as("aniso_e4"),
+          // ‖Σv‖/(1e6·n) over (Σ‖v‖_e4)/(1e4·n) — the n and scale factors
+          // cancel to the 100 below; numerator reuses the e6 sum vector.
+          round(l2Norm(mv) * lit(100.0) / sum("nrm_e4")).cast("long")
+            .as("center_ratio_e4"))
+        .select(col("n_vectors"), lit(Dim.toLong).as("dim"),
+          col("norm_min_e4"), col("norm_max_e4"), col("norm_mean_e4"),
+          col("aniso_e4"), col("center_ratio_e4"),
+          lit(deadDims.toLong).as("dead_dims")),
+      c)
+  }
 }

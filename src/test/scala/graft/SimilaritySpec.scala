@@ -47,6 +47,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivfTopK recall vs brute dropped to $recall")
   }
 
+  test("nprobe sweep: monotone recall and scan cost, consistent with ivfTopK") {
+    val rows = Similarity.ivfNprobeEval(spark, TestSpark.sf)
+      .select("nprobe", "hits", "recall_e4", "cand_rows", "scan_e4")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    // Probing more cells can only ADD candidates: hits and scan cost are
+    // both non-decreasing in nprobe (recall curve shape is structural).
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._4 <= b._4 && a._5 <= b._5 },
+      s"non-monotone sweep: ${rows.mkString(", ")}")
+    // The nprobe=4 row IS ivfTopK's configuration: its hits must equal
+    // the recall the ivf gate measures on the same (qid, cid) sets.
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val ivfSet = ivf.map(t => (t._1, t._2)).toSet
+    val hitsAt4 = rows.find(_._1 == 4L).get._2
+    assert(hitsAt4 === bruteSet.count(ivfSet.contains).toLong,
+      "sweep row nprobe=4 disagrees with ivfTopK's measured hits")
+    // Scan fraction stays a fraction, and probing 1 cell of 16 scans
+    // strictly less than probing 8.
+    assert(rows.forall(r => r._5 >= 0 && r._5 <= 10000))
+    assert(rows.head._4 < rows.last._4)
+  }
+
+  test("embedding health: every field matches an independent exact recompute") {
+    val row = Similarity.embeddingHealth(spark, TestSpark.sf).collect().head
+    // Independent recompute in plain Scala, mirroring the pinned op order:
+    // e6 integer component sums, integer sum vector as the mean direction,
+    // e4 norms/cosines, one division per reported mean.
+    val vecs = spark.read.parquet(TestSpark.sf + "/embeddings.parquet")
+      .selectExpr("cast(embedding as array<double>) as v")
+      .as[Seq[Double]].collect().map(_.toArray)
+    def r(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val dim = vecs.head.length
+    val sx = Array.tabulate(dim)(d => vecs.map(v => r(v(d) * 1e6)).sum)
+    val dead = (0 until dim).count { d =>
+      val c6 = vecs.map(v => r(v(d) * 1e6)); c6.min == c6.max
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val m = sx.map(_.toDouble)
+    val mn = math.sqrt(dot(m, m))
+    val nrmE4 = vecs.map(v => r(math.sqrt(dot(v, v)) * 10000))
+    val cosE4 = vecs.map(v => r(dot(v, m) / (math.sqrt(dot(v, v)) * mn) * 10000))
+    assert(row.getAs[Long]("n_vectors") === vecs.length.toLong)
+    assert(row.getAs[Long]("dim") === dim.toLong)
+    assert(row.getAs[Long]("norm_min_e4") === nrmE4.min)
+    assert(row.getAs[Long]("norm_max_e4") === nrmE4.max)
+    assert(row.getAs[Long]("norm_mean_e4") === r(nrmE4.sum * 1.0 / vecs.length))
+    assert(row.getAs[Long]("aniso_e4") === r(cosE4.sum * 1.0 / vecs.length))
+    assert(row.getAs[Long]("center_ratio_e4") === r(mn * 100.0 / nrmE4.sum))
+    assert(row.getAs[Long]("dead_dims") === dead.toLong)
+    // Sanity on the semantics: a random-ish corpus is not collapsed.
+    assert(row.getAs[Long]("dead_dims") === 0L)
+    assert(row.getAs[Long]("center_ratio_e4") <= 10000L)
+  }
+
   test("ivfpq: full coverage, self-match, recall within the probed-cell ceiling") {
     val out = Similarity.ivfPqTopK(spark, TestSpark.sf)
       .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()

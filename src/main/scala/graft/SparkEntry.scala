@@ -135,6 +135,7 @@ object SparkEntry {
     "dedup_editdist" -> ((s, d) => Dedup.editDistPairs(s, d)),
     "eval_dedup_pr" -> ((s, d) => Dedup.sketchPr(s, d)),
     "eval_simhash_pr" -> ((s, d) => Dedup.simhashPr(s, d)),
+    "eval_minhash_bands" -> ((s, d) => Dedup.minhashBandsPr(s, d)),
     // — LLM-pipeline: similarity search —
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "eval_embedding_health" -> ((s, d) => Similarity.embeddingHealth(s, d)),
@@ -761,6 +762,13 @@ object SparkEntry {
     // `toks` cannot collide with the shingle kit's in one WITH.
     "eval_simhash_pr" ->
       s"""WITH $ShingleCtes, $NgramTailCtes, ${simhashChain("sx")}, sbands AS (SELECT doc_id, b AS band_idx, (simhash >> (b * 16)) & 65535 AS band_bits FROM sxfpall, range(0, 4) t(b)), scand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM sbands a JOIN sbands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id), sp AS (SELECT d1, d2 FROM (SELECT d1, d2, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM scand JOIN sxfpall x ON d1 = x.doc_id JOIN sxfpall y ON d2 = y.doc_id) WHERE hamming <= 3), ex AS (SELECT d1, d2 FROM jpairs WHERE jac_e4 >= ${graft.operators.Dedup.NearDupJacE4}), u AS (SELECT CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END AS exf, CASE WHEN m.d1 IS NOT NULL THEN 1 ELSE 0 END AS prf FROM ex e FULL JOIN sp m ON e.d1 = m.d1 AND e.d2 = m.d2) SELECT CAST(COALESCE(sum(exf), 0) AS BIGINT) AS n_exact, CAST(COALESCE(sum(prf), 0) AS BIGINT) AS n_pred, CAST(COALESCE(sum(exf * prf), 0) AS BIGINT) AS n_hit, CAST(CASE WHEN COALESCE(sum(prf), 0) = 0 THEN 0 ELSE round(sum(exf * prf) * 10000.0 / sum(prf)) END AS BIGINT) AS precision_e4, CAST(CASE WHEN COALESCE(sum(exf), 0) = 0 THEN 0 ELSE round(sum(exf * prf) * 10000.0 / sum(exf)) END AS BIGINT) AS recall_e4 FROM u ORDER BY n_exact""",
+    // Band-geometry sweep: the same 32 minima re-banded at every
+    // (bands × rows) split, candidates per geometry from one
+    // (bands, band_idx, band_key)-keyed self-join, PR'd against the
+    // decision-grade exact truth (jac >= 8000). The cfg LEFT JOIN at the
+    // end guarantees all four rows even for an empty geometry.
+    "eval_minhash_bands" ->
+      s"""WITH $ShingleCtes, $MinhashTailCtes, $NgramTailCtes, cfg AS (SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band FROM (VALUES (2, 16), (4, 8), (8, 4), (16, 2)) t(b, r)), bx AS (SELECT c.bands, c.rows_per_band, m.doc_id, m.i // c.rows_per_band AS band_idx, string_agg(CAST(m.m AS VARCHAR), '_' ORDER BY m.i) AS band_key FROM mins m CROSS JOIN cfg c GROUP BY c.bands, c.rows_per_band, m.doc_id, m.i // c.rows_per_band), cd AS (SELECT DISTINCT a.bands, a.rows_per_band, a.doc_id AS d1, x.doc_id AS d2 FROM bx a JOIN bx x ON a.bands = x.bands AND a.band_idx = x.band_idx AND a.band_key = x.band_key AND a.doc_id < x.doc_id), ex AS (SELECT c.bands, c.rows_per_band, j.d1, j.d2 FROM jpairs j CROSS JOIN cfg c WHERE j.jac_e4 >= ${graft.operators.Dedup.NearDupJacE4}), u AS (SELECT COALESCE(e.bands, m.bands) AS bands, COALESCE(e.rows_per_band, m.rows_per_band) AS rows_per_band, CASE WHEN e.d1 IS NOT NULL THEN 1 ELSE 0 END AS exf, CASE WHEN m.d1 IS NOT NULL THEN 1 ELSE 0 END AS prf FROM ex e FULL JOIN cd m ON e.bands = m.bands AND e.rows_per_band = m.rows_per_band AND e.d1 = m.d1 AND e.d2 = m.d2), ag AS (SELECT bands, rows_per_band, CAST(sum(exf) AS BIGINT) AS n_exact, CAST(sum(prf) AS BIGINT) AS n_pred, CAST(sum(exf * prf) AS BIGINT) AS n_hit FROM u GROUP BY bands, rows_per_band) SELECT c.bands, c.rows_per_band, COALESCE(a.n_exact, 0) AS n_exact, COALESCE(a.n_pred, 0) AS n_pred, COALESCE(a.n_hit, 0) AS n_hit, CAST(CASE WHEN COALESCE(a.n_pred, 0) = 0 THEN 0 ELSE round(a.n_hit * 10000.0 / a.n_pred) END AS BIGINT) AS precision_e4, CAST(CASE WHEN COALESCE(a.n_exact, 0) = 0 THEN 0 ELSE round(a.n_hit * 10000.0 / a.n_exact) END AS BIGINT) AS recall_e4 FROM cfg c LEFT JOIN ag a ON c.bands = a.bands AND c.rows_per_band = a.rows_per_band ORDER BY c.bands""",
     "dedup_minhash_pairs" ->
       s"""$MinhashCtes, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT d1, d2, est_jac_e4 FROM (SELECT c.d1, c.d2, CAST(round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) * 10000.0 / 32) AS BIGINT) AS est_jac_e4 FROM cand c JOIN mins ma ON ma.doc_id = c.d1 JOIN mins mb ON mb.doc_id = c.d2 AND mb.i = ma.i GROUP BY c.d1, c.d2) WHERE est_jac_e4 >= 5000 ORDER BY d1, d2""",
     "sim_lsh_topk" ->

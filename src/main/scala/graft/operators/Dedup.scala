@@ -1148,6 +1148,95 @@ object Dedup extends org.apache.spark.internal.Logging {
         minhashPairs(Tables.documents(s, d), thrE4))
     else sketchPrDf(Tables.documents(s, d), thrE4)
 
+  /** Band geometries the MinHash sweep prices: (bands, rowsPerBand), each
+    * covering the same K = 32 signature. */
+  val BandSweep: Seq[(Int, Int)] = Seq((2, 16), (4, 8), (8, 4), (16, 2))
+
+  /** BAND-GEOMETRY DECISION TABLE — precision/recall of the MinHash
+    * CANDIDATE stage at every (bands × rows) split of the K = 32
+    * signature, against the decision-grade exact-Jaccard ground truth
+    * ([[NearDupJacE4]]). This is THE MinHash tuning knob (the S-curve
+    * P(candidate) = 1 − (1 − j^r)^b, Leskovec/Rajaraman/Ullman, "Mining
+    * of Massive Datasets" ch. 3): more bands of fewer rows slide the
+    * curve left (recall up, precision down), and the right geometry is a
+    * measured trade on THIS corpus, not a formula guess. One row per
+    * geometry — n_pred is the BUCKETING's candidate volume (the stage the
+    * geometry controls; the downstream estimate filter is geometry-
+    * independent), so the table reads as candidates-paid vs truth-found.
+    * Cost shape: signatures compute ONCE (persisted), each geometry adds
+    * one band-explode over them, and all four band joins run as a single
+    * equi-join keyed (bands, band_idx, band_key). At 100 TB the wide
+    * geometries' buckets grow like the corpus' duplicate clusters — the
+    * sweep runs sampled offline, like every PR evaluation in this family. */
+  def minhashBandsPr(s: SparkSession, d: String,
+      thrE4: Long = NearDupJacE4): DataFrame = {
+    require(thrE4 >= JacPairsBaseE4,
+      s"shared-product ground truth starts at $JacPairsBaseE4")
+    minhashBandsPrCore(exactTruthShared(s, d, thrE4),
+      Tables.documents(s, d))
+  }
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def minhashBandsPrDf(docs: DataFrame,
+      thrE4: Long = NearDupJacE4): DataFrame =
+    minhashBandsPrCore(ngramJaccardPairsRaw(docs, thrE4), docs)
+
+  private def minhashBandsPrCore(exactPairs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // One band frame per geometry, tagged and unioned — the join below
+    // runs once over all four, keyed by (bands, band_idx, band_key).
+    val bandsAll = BandSweep.map { case (b, r) =>
+      val arr = array((0 until b).map { i =>
+        struct(lit(i.toLong).as("band_idx"),
+          concat_ws("_", slice(col("sig"), i * r + 1, r).cast("array<string>"))
+            .as("band_key"))
+      }: _*)
+      sigs.select(col("doc_id"), explode(arr).as("bb"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("doc_id"), col("bb.band_idx").as("band_idx"),
+          col("bb.band_key").as("band_key"))
+    }.reduce(_ unionAll _)
+    val cand = bandsAll.as("a").join(bandsAll.as("b"),
+        col("a.bands") === col("b.bands") &&
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.bands").as("bands"),
+        col("a.rows_per_band").as("rows_per_band"),
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .withColumn("pr", lit(1L))
+    val cfg = docs.sparkSession.range(1)
+      .select(explode(typedlit(BandSweep.map { case (b, r) =>
+        (b.toLong, r.toLong) })).as("c"))
+      .select(col("c._1").as("bands"), col("c._2").as("rows_per_band"))
+    val exact = exactPairs.select(col("d1"), col("d2"), lit(1L).as("ex"))
+      .crossJoin(broadcast(cfg))
+    val agg = exact
+      .join(cand, Seq("bands", "rows_per_band", "d1", "d2"), "full_outer")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("ex"), lit(0L)).as("ex"),
+        coalesce(col("pr"), lit(0L)).as("pr"))
+      .groupBy("bands", "rows_per_band")
+      .agg(sum("ex").as("n_exact"), sum("pr").as("n_pred"),
+        sum(col("ex") * col("pr")).as("n_hit"))
+    graft.functions.Caching.releaseAfterAction(
+      broadcast(cfg).join(agg, Seq("bands", "rows_per_band"), "left")
+        .select(col("bands"), col("rows_per_band"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          when(coalesce(col("n_pred"), lit(0L)) === 0L, lit(0L))
+            .otherwise(round(col("n_hit") * lit(10000.0) / col("n_pred"))
+              .cast("long")).as("precision_e4"),
+          when(coalesce(col("n_exact"), lit(0L)) === 0L, lit(0L))
+            .otherwise(round(col("n_hit") * lit(10000.0) / col("n_exact"))
+              .cast("long")).as("recall_e4"))
+        .orderBy("bands"),
+      sigs)
+  }
+
   /** The evaluation ground truth from the SHARED pair product: exact
     * pairs at `thrE4`, a monotone filter of the stored table — the same
     * rows [[ngramJaccardPairsRaw]] computes self-contained. */

@@ -450,4 +450,38 @@ class DedupSpec extends AnyFunSuite {
     val z2 = Dedup.simhashPrDf(empty).as[(Long, Long, Long, Long, Long)].collect()
     assert(z2.toSeq === Seq((0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("band-geometry sweep: S-curve monotonicity, twins found everywhere") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val half = ((1 to 20).map(i => s"tok$i") ++ (1 to 20).map(i => s"alt$i")).mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),            // twins: every geometry catches them
+      (3L, half),
+      (4L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashBandsPrDf(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq ===
+      Dedup.BandSweep.map { case (b, r) => (b.toLong, r.toLong) })
+    // Ground truth is geometry-independent: one n_exact everywhere.
+    assert(rows.map(_._3).distinct.length === 1)
+    assert(rows.head._3 >= 1L, "the twin pair must be in the exact truth")
+    // The S-curve direction: more bands of fewer rows can only ADD
+    // candidate pairs (a (2b, r/2) geometry's keys are refinements —
+    // agreement on a 16-row band implies agreement on both 8-row halves).
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 <= b._4 },
+      s"candidate volume not monotone in bands: ${rows.mkString(", ")}")
+    assert(rows.sliding(2).forall { case Array(a, b) => a._5 <= b._5 },
+      "hits not monotone in bands")
+    // Twins agree on all 32 minima — every geometry must predict them.
+    assert(rows.forall(_._4 >= 1L))
+    assert(rows.forall(r => r._6 >= 0L && r._6 <= 10000L &&
+      r._7 >= 0L && r._7 <= 10000L))
+    // Empty corpus: all four geometry rows survive, zeroed.
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val z = Dedup.minhashBandsPrDf(empty)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(z.map(r => (r._3, r._4, r._5, r._6, r._7)).forall(_ == ((0L, 0L, 0L, 0L, 0L))))
+    assert(z.length === 4)
+  }
 }

@@ -2139,21 +2139,43 @@ object Similarity {
     * sums with one pinned division. Scale shape: one corpus pass for the
     * 64 per-dim sums (bounded collect: Dim rows), one broadcast-literal
     * pass for the per-vector cosines — no shuffle wider than 64 groups. */
-  def embeddingHealth(s: SparkSession, d: String): DataFrame = {
-    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-    val sums = c
+  /** The batch-trained health baseline: the corpus' e6-integer per-dim
+    * SUM vector (the mean direction — cosine is scale-invariant, so the
+    * un-divided sums serve directly) and its dead-dim count. One corpus
+    * pass, Dim-row bounded collect. Shared by [[embeddingHealth]] and the
+    * streaming intake monitor, so the baseline cannot drift between them. */
+  def meanDirection(df: DataFrame): (Seq[Double], Long) = {
+    val sums = df
       .select(posexplode(col("v")).as(Seq("d", "x")))
       .select(col("d"), round(col("x") * lit(1000000)).cast("long").as("x6"))
       .groupBy("d")
       .agg(sum("x6").as("sx"), min("x6").as("mn"), max("x6").as("mx"))
       .orderBy("d")
       .collect()
-    val meanDir = sums.map(_.getAs[Long]("sx").toDouble).toSeq
-    val deadDims = sums.count(r => r.getAs[Long]("mn") == r.getAs[Long]("mx"))
+    (sums.map(_.getAs[Long]("sx").toDouble).toSeq,
+      sums.count(r => r.getAs[Long]("mn") == r.getAs[Long]("mx")).toLong)
+  }
+
+  /** [[meanDirection]] over a corpus directory — the form the streaming
+    * twin trains its baseline from. */
+  def meanDirection(s: SparkSession, d: String): (Seq[Double], Long) =
+    meanDirection(corpus(s, d))
+
+  /** Per-vector health scores against a mean direction: e4 norm and e4
+    * cosine to the (sum-vector) baseline — the SAME two expressions on a
+    * static frame and on the intake stream. */
+  def healthScoreCols(df: DataFrame, meanDir: Seq[Double]): DataFrame = {
     val mv = typedlit(meanDir)
-    val perVec = c.select(
+    df.select(col("vec_id"),
       e4(col("nrm")).as("nrm_e4"),
       e4(dotD(col("v"), mv) / (col("nrm") * l2Norm(mv))).as("cos_e4"))
+  }
+
+  def embeddingHealth(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val (meanDir, deadDims) = meanDirection(c)
+    val mv = typedlit(meanDir)
+    val perVec = healthScoreCols(c, meanDir)
     graft.functions.Caching.releaseAfterAction(
       perVec.agg(
           count(lit(1)).as("n_vectors"),

@@ -199,6 +199,31 @@ object VectorStreams {
       .filter(col("sim_e4") >= thrE4)
       .select(col("src"), col("dst"), col("sim_e4"))
 
+  /** Streaming EMBEDDING-HEALTH scores — the twenty-eighth twin, the
+    * online half of the pre-index diagnostic
+    * ([[Similarity.embeddingHealth]]): the corpus mean DIRECTION trains
+    * batch-side ([[Similarity.meanDirection]] — one static pass, a
+    * Dim-row collect), and every ARRIVING vector scores statelessly
+    * against it: (vec_id, nrm_e4, cos_e4) through the SAME two
+    * expressions the batch diagnostic aggregates ONE definition, so the
+    * monitor cannot drift from the report. This is the intake gate that
+    * catches an upstream ENCODER change — a model swap shifts the norm
+    * distribution and the cosine-to-baseline population within one
+    * micro-batch, long before index recall visibly decays. Per-row
+    * column work against a Dim-double literal: no state, no watermark,
+    * no shuffle; any window/alert policy aggregates the sink
+    * (VectorStreamsSpec replays the corpus and matches the batch health
+    * row field-for-field from these scores). */
+  def healthScoreStream(spark: SparkSession, path: String, staticDir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val (meanDir, _) = Similarity.meanDirection(spark, staticDir)
+    Similarity.healthScoreCols(
+      embeddingStream(spark, path, maxFilesPerTrigger)
+        .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+        .withColumn("nrm", l2Norm(col("v"))),
+      meanDir)
+  }
+
   /** Stateless per-row IVF-PQ encode of (vec_id, embedding) rows against
     * driver-held artifacts: normalized e4 quantization, coarse argmax,
     * exact residual, per-subspace anisotropic argmin — all as literal-array

@@ -125,6 +125,34 @@ class VectorStreamsSpec extends AnyFunSuite {
     assert(streamed.forall(_._3 >= graft.operators.Similarity.RangeThrE4))
   }
 
+  test("streaming health scores aggregate to the batch health row exactly") {
+    val dir = Paths.get("target", "test-scratch", "vecstream_health")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark,
+        VectorStreams.healthScoreStream(spark, dir.toString, TestSpark.sf),
+        "t_health", mode = "append")
+      .as[(Long, Long, Long)].collect() // (vec_id, nrm_e4, cos_e4)
+    def r(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val batch = Similarity.embeddingHealth(spark, TestSpark.sf).collect().head
+    // The replayed per-vector scores must REAGGREGATE to the batch
+    // diagnostic field-for-field — the monitor and the report are the
+    // same numbers by construction, not approximately.
+    assert(streamed.length.toLong === batch.getAs[Long]("n_vectors"))
+    assert(streamed.map(_._2).min === batch.getAs[Long]("norm_min_e4"))
+    assert(streamed.map(_._2).max === batch.getAs[Long]("norm_max_e4"))
+    assert(r(streamed.map(_._2).sum * 1.0 / streamed.length) ===
+      batch.getAs[Long]("norm_mean_e4"))
+    assert(r(streamed.map(_._3).sum * 1.0 / streamed.length) ===
+      batch.getAs[Long]("aniso_e4"))
+    // every vector scored exactly once
+    assert(streamed.map(_._1).distinct.length === streamed.length)
+  }
+
   test("streaming knn probe + ranking tail equals the batch knn graph") {
     val dir = Paths.get("target", "test-scratch", "vecstream_knn")
     Files.createDirectories(dir)

@@ -47,6 +47,7 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "graph_components" -> ((s, d) => Graph.componentsQuery(s, d)),
     "graph_kcore" -> ((s, d) => Graph.kcoreQuery(s, d)),
+    "graph_lpa" -> ((s, d) => Graph.lpaQuery(s, d)),
     "join_salted" -> ((s, d) => Relational.joinSalted(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
@@ -249,6 +250,23 @@ object SparkEntry {
   // (degree restricted to survivors). AS MATERIALIZED on both: each
   // ka_i is referenced twice (both join sides) — inlined, the chain
   // re-expands its prefix exponentially.
+  // Unrolled synchronous label-propagation rounds over the co-supply
+  // edges: per round, count each node's neighbor labels and take the
+  // smallest among the most frequent (row_number by (count desc, label
+  // asc) — the SQL twin of the Scala side's min-struct argmax). Round
+  // count must equal Graph.LpaRounds exactly: synchronous LPA is not
+  // fixpoint-stable, so extra rounds are not no-ops.
+  private def lpaCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "pund AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges)"
+    sb ++= ", pl0 AS MATERIALIZED (SELECT DISTINCT u, u AS lbl FROM pund)"
+    for (i <- 1 to rounds) {
+      sb ++= s", pc$i AS (SELECT e.u, l.lbl, count(*) AS c FROM pund e JOIN pl${i - 1} l ON e.v = l.u GROUP BY e.u, l.lbl)"
+      sb ++= s", pl$i AS MATERIALIZED (SELECT u, lbl FROM (SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn FROM pc$i) WHERE rn = 1)"
+    }
+    sb.toString
+  }
+
   private def kcoreCtes(k: Long, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= "kund AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges)"
@@ -747,6 +765,8 @@ object SparkEntry {
     // side loops to the measured fixpoint, so the two agree row for row.
     "graph_kcore" ->
       s"""WITH $CoSupplyCtes, ${kcoreCtes(graft.operators.Graph.KCoreK, 8)} SELECT d.u AS s_suppkey, CAST(d.dg AS BIGINT) AS degree, CAST(CASE WHEN f.u IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core, CAST(COALESCE(f.dg, 0) AS BIGINT) AS core_deg FROM kd0 d LEFT JOIN kd8 f ON d.u = f.u ORDER BY s_suppkey""",
+    "graph_lpa" ->
+      s"""WITH $CoSupplyCtes, ${lpaCtes(graft.operators.Graph.LpaRounds)}, psz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize FROM pl${graft.operators.Graph.LpaRounds} GROUP BY lbl) SELECT l.u AS s_suppkey, l.lbl AS community, s.csize FROM pl${graft.operators.Graph.LpaRounds} l JOIN psz s ON l.lbl = s.lbl ORDER BY s_suppkey""",
     "dedup_minhash" ->
       s"""$MinhashCtes SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""",
     // Sketch-quality evaluation: MinHash-LSH pairs (est >= 5000) scored

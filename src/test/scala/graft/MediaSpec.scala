@@ -29,6 +29,35 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.sampleBytes(b, 4, 1).toSeq === Seq[Byte](1, 5, 9))
   }
 
+  test("frame sampling: planted payload yields exact frames; binary bytes unsigned") {
+    // 300 bytes with values crossing 127 (the signed-byte trap): frames at
+    // offsets 0 (64 bytes) and 256 (44-byte tail).
+    val bytes = Array.tabulate(300)(i => ((i * 7) % 256).toByte)
+    val media = Seq((7L, bytes), (8L, Array.emptyByteArray))
+      .toDF("doc_id", "media")
+    val got = Media.frameSampleDf(media)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def stats(off: Int, len: Int): (Long, Long) = {
+      var e = 0L; var h = 0L
+      for (i <- off until off + len) {
+        val b = (bytes(i) & 0xff).toLong; e += b; h = (h * 31L + b) & 0xffffffffL
+      }
+      (e, h)
+    }
+    val (e0, h0) = stats(0, 64)
+    val (e1, h1) = stats(256, 44)
+    assert(got === Seq(
+      (7L, 0L, 0L, 64L, e0, h0),
+      (7L, 1L, 256L, 44L, e1, h1)))
+    // empty payload: zero frames — doc 8 absent entirely
+    assert(!got.exists(_._1 == 8L))
+    // unsigned-read sanity: a payload of 0xFF bytes has energy 255·len
+    val ff = Seq((9L, Array.fill(10)(0xff.toByte))).toDF("doc_id", "media")
+    val g2 = Media.frameSampleDf(ff)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g2.map(r => (r._4, r._5)) === Seq((10L, 2550L)))
+  }
+
   test("resizeStub: nearest-neighbor grid downsample, short payload zero-padded") {
     // 4×2 grid [0..7] → 2×1: rows sampled at y=0, cols at x∈{0,2} → [0, 2]
     val b = Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)

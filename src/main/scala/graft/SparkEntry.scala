@@ -42,6 +42,7 @@ object SparkEntry {
     "join_anti" -> ((s, d) => Relational.joinAnti(s, d)),
     "join_outer" -> ((s, d) => Relational.joinOuter(s, d)),
     "pivot_status" -> ((s, d) => Relational.pivotStatus(s, d)),
+    "unpivot_status" -> ((s, d) => Relational.unpivotStatus(s, d)),
     "supplier_revenue" -> ((s, d) => Relational.supplierRevenue(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangles(s, d)),
@@ -974,6 +975,11 @@ object SparkEntry {
       """WITH oc AS (SELECT o_custkey, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c FROM orders GROUP BY o_custkey) SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders, COALESCE(spend_c, 0) AS spend_c FROM customer LEFT JOIN oc ON c_custkey = o_custkey ORDER BY c_custkey""",
     "pivot_status" ->
       """SELECT o_orderpriority, CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F", CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O", CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P" FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Unpivot = the pivot's long form INCLUDING the zero-filled cells
+    // (the semantics a direct groupBy would lose): every priority ×
+    // status combination, count coalesced to 0.
+    "unpivot_status" ->
+      """WITH st AS (SELECT unnest(['F', 'O', 'P']) AS o_orderstatus), pr AS (SELECT DISTINCT o_orderpriority FROM orders), c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders GROUP BY 1, 2) SELECT p.o_orderpriority, s.o_orderstatus, CAST(COALESCE(c.n, 0) AS BIGINT) AS n FROM pr p CROSS JOIN st s LEFT JOIN c ON p.o_orderpriority = c.o_orderpriority AND s.o_orderstatus = c.o_orderstatus ORDER BY p.o_orderpriority, s.o_orderstatus""",
     "window_range_frame" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day, CAST(round(o_totalprice * 100) AS BIGINT) AS total_c FROM orders) SELECT o_custkey, o_orderkey, day, CAST(sum(total_c) OVER (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_c FROM o ORDER BY o_custkey, day, o_orderkey""",
     "agg_quantiles" ->

@@ -285,6 +285,20 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** UNPIVOT (melt): the wide [[pivotStatus]] table back to long form —
+    * the reshape every metrics pipeline needs between storage layouts.
+    * Deliberately NOT a plain groupBy twin: the pivot zero-FILLS missing
+    * (priority, status) cells, so the melted table carries a row for
+    * every combination including the empty ones — the semantic unpivot
+    * preserves and a direct aggregate loses. Runs on Spark's native
+    * `Dataset.unpivot` (the Expand operator — one pass, no join, no
+    * shuffle beyond the upstream pivot's). */
+  def unpivotStatus(s: SparkSession, d: String): DataFrame =
+    pivotStatus(s, d)
+      .unpivot(Array(col("o_orderpriority")),
+        OrderStatuses.map(col).toArray, "o_orderstatus", "n")
+      .orderBy("o_orderpriority", "o_orderstatus")
+
   /** RANGE-frame window: per customer, each order's spend plus all spend in
     * the preceding 30 days (frame bounds by VALUE distance on an integer
     * day column, not row offsets — peers with the same day aggregate

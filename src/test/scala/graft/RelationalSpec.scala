@@ -11,6 +11,25 @@ class RelationalSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("unpivot is the pivot's exact long form, zero cells included") {
+    val wide = Relational.pivotStatus(spark, TestSpark.sf).collect()
+    val long = Relational.unpivotStatus(spark, TestSpark.sf)
+      .as[(String, String, Long)].collect().toSeq
+    // Shape: every priority × status cell exists exactly once.
+    assert(long.length === wide.length * Relational.OrderStatuses.length)
+    assert(long.map(r => (r._1, r._2)).distinct.length === long.length)
+    // Value round-trip: each long row equals its wide cell (including the
+    // coalesced zeros a direct groupBy would drop).
+    val cells = wide.flatMap { r =>
+      Relational.OrderStatuses.map(st =>
+        (r.getAs[String]("o_orderpriority"), st) -> r.getAs[Long](st))
+    }.toMap
+    assert(long.forall { case (p, st, n) => cells((p, st)) == n })
+    // Totals conserved: the melt moves cells, never counts.
+    val total = Tables.orders(spark, TestSpark.sf).count()
+    assert(long.map(_._3).sum === total)
+  }
+
   test("salted join equals the plain join") {
     val orders = Tables.orders(spark, TestSpark.sf)
       .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_totalprice"))

@@ -105,6 +105,7 @@ object SparkEntry {
     "text_diversity" -> ((s, d) => TextAnalytics.diversity(s, d)),
     "tokenize_wordpiece" -> ((s, d) => TextAnalytics.tokenizeWordpiece(s, d)),
     "tokenize_wordpiece_learned" -> ((s, d) => TextAnalytics.tokenizeWordpieceLearned(s, d)),
+    "tokenize_unigram" -> ((s, d) => TextAnalytics.tokenizeUnigram(s, d)),
     "vocab_train" -> ((s, d) => TextAnalytics.vocabTrain(s, d)),
     "tokenize_bpe" -> ((s, d) => TextAnalytics.tokenizeBpe(s, d)),
     "eval_tokenizer_fertility" -> ((s, d) => TextAnalytics.tokenizerFertilityEval(s, d)),
@@ -1396,6 +1397,25 @@ object SparkEntry {
     // single chars need no vocab entry, both segmenters 1-char-step on miss.
     "tokenize_wordpiece_learned" ->
       s"WITH RECURSIVE ${bpeCtes(TextAnalytics.BpeMerges)}, vocab(piece) AS (SELECT DISTINCT merged FROM bpe_merges), $WordpieceTail",
+    // Unigram/Viterbi DP segmentation over the SAME learned symbols:
+    // per distinct word, maximize total piece score (= pair count at
+    // merge time; singles always legal at 0), ties to fewer pieces. The
+    // (score, pieces) pair packs into one BIGINT key k = score·2^20 +
+    // (2^20−1−pieces), so the whole DP transition is k(j) + sc·2^20 − 1
+    // and the recursive CTE carries ONE growing best-key list per word
+    // (position p's row computes prefix p from the carried ks[1..p]).
+    // first-wins on duplicate merged strings = min merge_rank.
+    "tokenize_unigram" ->
+      (s"WITH RECURSIVE ${bpeCtes(TextAnalytics.BpeMerges)}, " +
+      "vocab2 AS (SELECT piece, score FROM (SELECT merged AS piece, pair_cnt AS score, row_number() OVER (PARTITION BY merged ORDER BY merge_rank) AS rn FROM bpe_merges) WHERE rn = 1), " +
+      s"uocc AS (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents), " +
+      "uwc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM uocc GROUP BY word), " +
+      "vstats AS (SELECT COALESCE(max(length(piece)), 1) AS ml FROM vocab2), " +
+      "vmap AS (SELECT map(list(piece ORDER BY piece), list(score ORDER BY piece)) AS vm FROM vocab2), " +
+      "udp AS (SELECT word, 1 AS p, [CAST(1048575 AS BIGINT)] AS ks FROM uwc " +
+      "UNION ALL SELECT d.word, d.p + 1, list_append(d.ks, list_max(list_filter(list_transform(range(greatest(0, d.p - v.ml), CAST(d.p AS BIGINT)), j -> CASE WHEN d.p - j = 1 THEN d.ks[CAST(j AS INTEGER) + 1] - 1 WHEN len(map_extract(m.vm, substr(d.word, CAST(j AS INTEGER) + 1, CAST(d.p - j AS INTEGER)))) > 0 THEN d.ks[CAST(j AS INTEGER) + 1] + map_extract(m.vm, substr(d.word, CAST(j AS INTEGER) + 1, CAST(d.p - j AS INTEGER)))[1] * 1048576 - 1 ELSE NULL END), x -> x IS NOT NULL))) FROM udp d, vmap m, vstats v WHERE d.p <= length(d.word)), " +
+      "ufin AS (SELECT word, ks[-1] AS k FROM udp WHERE p = length(word) + 1) " +
+      "SELECT w.word, w.cnt, CAST(u.k // 1048576 AS BIGINT) AS best_score, CAST(1048575 - (u.k % 1048576) AS BIGINT) AS n_pieces FROM uwc w JOIN ufin u USING (word) ORDER BY w.word"),
     "vocab_train" ->
       s"WITH ${bpeCtes(TextAnalytics.BpeMerges)} SELECT merge_rank, lhs, rhs, merged, pair_cnt FROM bpe_merges ORDER BY merge_rank",
     // Tokenizer-selection decision table: per source, fertility under BOTH

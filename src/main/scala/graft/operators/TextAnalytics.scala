@@ -378,6 +378,42 @@ object TextAnalytics {
     tokenizeWordpieceDf(Tables.documents(spark, dir), learned)
   }
 
+  /** The THIRD segmentation paradigm over the same learned symbols —
+    * optimal (unigram/Viterbi) DP segmentation next to BPE merge-order
+    * ([[tokenizeBpe]]) and greedy longest-match
+    * ([[tokenizeWordpieceLearned]]): per distinct corpus word, the split
+    * into learned pieces + single characters that MAXIMIZES total piece
+    * score (score = the piece's pair count at merge time; ties → fewer
+    * pieces), reported as the optimum's VALUE (word, cnt, best_score,
+    * n_pieces) — unique even where several splits achieve it, so the
+    * query is deterministic with no path tie-break rules. This is where
+    * greedy's myopia shows: "abc" under {ab: 5, bc: 100} greedy-cuts
+    * ab|c (score 5) while the DP finds a|bc (score 100) — exactly the
+    * difference SentencePiece's Viterbi buys over WordPiece's walk
+    * (Kudo 2018), expressed with integer scores so both engines agree
+    * bit-for-bit. Scale shape: training reads the persisted BPE product;
+    * segmentation is one native-expression pass over DISTINCT words
+    * (vocabulary-sized, not corpus-sized). */
+  def tokenizeUnigram(spark: SparkSession, dir: String): DataFrame = {
+    val merges = vocabTrain(spark, dir)
+      .select("merged", "pair_cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    tokenizeUnigramDf(Tables.documents(spark, dir), merges)
+  }
+
+  /** Same, over any (doc_id, text) DataFrame and any scored vocab
+    * (planted tests). `scored` in merge order — the first occurrence of a
+    * duplicate piece wins, matching the oracle's min-merge-rank rule. */
+  def tokenizeUnigramDf(docs: DataFrame,
+      scored: Seq[(String, Long)]): DataFrame =
+    wordCountsText(docs, "text")
+      .withColumn("dp", org.apache.spark.sql.graft.StringExprs
+        .unigramDp(col("word"), scored.map(_._1), scored.map(_._2)))
+      .select(col("word"), col("cnt"),
+        element_at(col("dp"), 1).as("best_score"),
+        element_at(col("dp"), 2).as("n_pieces"))
+      .orderBy("word")
+
   /** Same, over any (doc_id, text) DataFrame and any vocab (planted tests). */
   def tokenizeWordpieceDf(docs: DataFrame,
       vocab: Seq[String] = WordPieceVocab): DataFrame = {

@@ -660,4 +660,71 @@ object StringExprs {
   /** Column wrapper: greedy longest-match subword pieces of a token. */
   def wordPieces(word: Column, vocab: Seq[String]): Column =
     ExpressionUtils.column(WordPieces(ExpressionUtils.expression(word), vocab))
+
+  /** Column wrapper: optimal-segmentation [best_score, n_pieces] of a token
+    * (the unigram/Viterbi DP over integer piece scores). */
+  def unigramDp(word: Column, vocab: Seq[String], scores: Seq[Long]): Column =
+    ExpressionUtils.column(UnigramDp(ExpressionUtils.expression(word), vocab, scores))
+}
+
+/** OPTIMAL segmentation score — the unigram-LM/Viterbi counterpart of
+  * [[WordPieces]]' greedy walk (Kudo 2018, "Subword Regularization", ACL —
+  * the SentencePiece segmentation shape, with integer frequency scores in
+  * place of log-probabilities so the DP is exactly portable): over all ways
+  * to split the word into vocabulary pieces and single characters, maximize
+  * the total piece score; ties prefer FEWER pieces. Single characters are
+  * always available at score 0 (the same every-word-segments guarantee as
+  * the greedy walk), so the DP never dead-ends. Returns
+  * [best_score, n_pieces] — the VALUE of the optimum, which is unique even
+  * where several splits achieve it, keeping the result deterministic
+  * without path tie-break rules. An empty vocabulary degrades to
+  * all-singles (score 0, one piece per char). Duplicate vocab strings: the
+  * FIRST occurrence's score wins (mirrors the oracle's min-merge-rank
+  * rule). O(len · maxPieceLen) per word, evaluated per DISTINCT word like
+  * the greedy walk. */
+case class UnigramDp(child: Expression, vocab: Seq[String], scores: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(vocab.length == scores.length, "vocab and scores must align")
+  require(scores.forall(_ >= 0L), "piece scores must be non-negative")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "unigram_dp"
+
+  // first occurrence wins on duplicate pieces
+  @transient private lazy val smap: Map[String, Long] =
+    vocab.zip(scores).reverse.toMap
+  @transient private lazy val maxLen: Int =
+    if (vocab.isEmpty) 1 else math.max(vocab.map(_.length).max, 1)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val bs = new Array[Long](n + 1) // best score for prefix length i
+    val bp = new Array[Long](n + 1) // piece count at that best
+    var p = 1
+    while (p <= n) {
+      var bestS = -1L
+      var bestP = 0L
+      var j = math.max(0, p - maxLen)
+      while (j < p) {
+        val sc: Long =
+          if (p - j == 1) 0L else smap.getOrElse(s.substring(j, p), -1L)
+        if (sc >= 0L) {
+          val cs = bs(j) + sc
+          val cp = bp(j) + 1L
+          if (cs > bestS || (cs == bestS && cp < bestP)) {
+            bestS = cs; bestP = cp
+          }
+        }
+        j += 1
+      }
+      bs(p) = bestS; bp(p) = bestP
+      p += 1
+    }
+    new GenericArrayData(Array(bs(n), bp(n)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramDp =
+    copy(child = newChild)
 }

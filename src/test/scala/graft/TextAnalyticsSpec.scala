@@ -447,6 +447,60 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(stats === Seq((1L, 3L, 8L, 26667L), (2L, 0L, 0L, 0L)))
   }
 
+  test("unigram dp: beats greedy's myopia on the planted case, optimal on random words") {
+    import org.apache.spark.sql.functions.col
+    def dp(words: Seq[String], scored: Seq[(String, Long)]) =
+      words.toDF("word")
+        .select(col("word"), org.apache.spark.sql.graft.StringExprs
+          .unigramDp(col("word"), scored.map(_._1), scored.map(_._2)).as("d"))
+        .as[(String, Seq[Long])].collect().toMap
+    // The canonical myopia case: greedy cuts ab|c (score 5); the DP finds
+    // a|bc (score 100, same piece count).
+    val planted = dp(Seq("abc", "abab", "zzz", "a"),
+      Seq(("ab", 5L), ("bc", 100L)))
+    assert(planted("abc") === Seq(100L, 2L))
+    assert(planted("abab") === Seq(10L, 2L))
+    assert(planted("zzz") === Seq(0L, 3L)) // no vocab hit: all singles
+    assert(planted("a") === Seq(0L, 1L))
+    // Duplicate piece: FIRST score wins (the min-merge-rank rule).
+    assert(dp(Seq("xy"), Seq(("xy", 7L), ("xy", 9L)))("xy") === Seq(7L, 1L))
+    // Empty vocab degrades to all singles.
+    assert(dp(Seq("abc"), Seq.empty)("abc") === Seq(0L, 3L))
+    // Optimality vs exhaustive search on seeded random words: the DP's
+    // (score, -pieces) equals the brute-force best over ALL segmentations.
+    val rnd = new scala.util.Random(7)
+    def randWord(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val scored = (1 to 25).map(_ => randWord(2 + rnd.nextInt(3)))
+      .distinct.map(p => p -> (1L + rnd.nextInt(50)))
+    val smap = scored.reverse.toMap
+    val words = (1 to 80).map(_ => randWord(1 + rnd.nextInt(9))).distinct
+    def brute(w: String): (Long, Long) = {
+      if (w.isEmpty) return (0L, 0L)
+      val splits = (1 to w.length).flatMap { l =>
+        val piece = w.take(l)
+        val sc = if (l == 1) Some(0L) else smap.get(piece)
+        sc.map { v => val (rs, rp) = brute(w.drop(l)); (v + rs, rp + 1L) }
+      }
+      splits.maxBy { case (s, p) => (s, -p) }
+    }
+    val got = dp(words, scored)
+    for (w <- words) {
+      val (bs, bp) = brute(w)
+      assert(got(w) === Seq(bs, bp), s"dp differs from exhaustive best on '$w'")
+    }
+    // Semantic relation to greedy: the DP score is never below the score
+    // of the greedy walk's pieces (greedy is one of the DP's options).
+    val greedy = words.toDF("word")
+      .select(col("word"), org.apache.spark.sql.graft.StringExprs
+        .wordPieces(col("word"), scored.map(_._1)).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- words) {
+      val gScore = greedy(w).map(p =>
+        if (p.length == 1) 0L else smap.getOrElse(p, 0L)).sum
+      assert(got(w).head >= gScore, s"dp below greedy on '$w'")
+    }
+  }
+
   test("wordpiece: coverage and greediness invariants hold on seeded random words") {
     import org.apache.spark.sql.functions.col
     // Dense 3-letter alphabet so vocab hits are frequent; fixed seed keeps

@@ -253,6 +253,18 @@ object SparkEntry {
   // (degree restricted to survivors). AS MATERIALIZED on both: each
   // ka_i is referenced twice (both join sides) — inlined, the chain
   // re-expands its prefix exponentially.
+  // The unigram/Viterbi DP as reusable CTEs over `bpe_merges` scores and
+  // any `words(word)` universe — shared by tokenize_unigram and the
+  // three-way fertility eval so the DP cannot drift between them. Ends
+  // with ${px}fin(word, k) where k = best_score·2^20 + (2^20−1−pieces).
+  private def unigramDpCtes(words: String, px: String): String =
+    s"${px}v2 AS (SELECT piece, score FROM (SELECT merged AS piece, pair_cnt AS score, row_number() OVER (PARTITION BY merged ORDER BY merge_rank) AS rn FROM bpe_merges) WHERE rn = 1), " +
+    s"${px}vs AS (SELECT COALESCE(max(length(piece)), 1) AS ml FROM ${px}v2), " +
+    s"${px}vm AS (SELECT map(list(piece ORDER BY piece), list(score ORDER BY piece)) AS vm FROM ${px}v2), " +
+    s"${px}dp AS (SELECT word, 1 AS p, [CAST(1048575 AS BIGINT)] AS ks FROM $words " +
+    s"UNION ALL SELECT d.word, d.p + 1, list_append(d.ks, list_max(list_filter(list_transform(range(greatest(0, d.p - v.ml), CAST(d.p AS BIGINT)), j -> CASE WHEN d.p - j = 1 THEN d.ks[CAST(j AS INTEGER) + 1] - 1 WHEN len(map_extract(m.vm, substr(d.word, CAST(j AS INTEGER) + 1, CAST(d.p - j AS INTEGER)))) > 0 THEN d.ks[CAST(j AS INTEGER) + 1] + map_extract(m.vm, substr(d.word, CAST(j AS INTEGER) + 1, CAST(d.p - j AS INTEGER)))[1] * 1048576 - 1 ELSE NULL END), x -> x IS NOT NULL))) FROM ${px}dp d, ${px}vm m, ${px}vs v WHERE d.p <= length(d.word)), " +
+    s"${px}fin AS (SELECT word, ks[-1] AS k FROM ${px}dp WHERE p = length(word) + 1)"
+
   // Unrolled synchronous label-propagation rounds over the co-supply
   // edges: per round, count each node's neighbor labels and take the
   // smallest among the most frequent (row_number by (count desc, label
@@ -1407,14 +1419,9 @@ object SparkEntry {
     // first-wins on duplicate merged strings = min merge_rank.
     "tokenize_unigram" ->
       (s"WITH RECURSIVE ${bpeCtes(TextAnalytics.BpeMerges)}, " +
-      "vocab2 AS (SELECT piece, score FROM (SELECT merged AS piece, pair_cnt AS score, row_number() OVER (PARTITION BY merged ORDER BY merge_rank) AS rn FROM bpe_merges) WHERE rn = 1), " +
       s"uocc AS (SELECT unnest(regexp_extract_all(lower(text), '$Tok')) AS word FROM documents), " +
       "uwc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM uocc GROUP BY word), " +
-      "vstats AS (SELECT COALESCE(max(length(piece)), 1) AS ml FROM vocab2), " +
-      "vmap AS (SELECT map(list(piece ORDER BY piece), list(score ORDER BY piece)) AS vm FROM vocab2), " +
-      "udp AS (SELECT word, 1 AS p, [CAST(1048575 AS BIGINT)] AS ks FROM uwc " +
-      "UNION ALL SELECT d.word, d.p + 1, list_append(d.ks, list_max(list_filter(list_transform(range(greatest(0, d.p - v.ml), CAST(d.p AS BIGINT)), j -> CASE WHEN d.p - j = 1 THEN d.ks[CAST(j AS INTEGER) + 1] - 1 WHEN len(map_extract(m.vm, substr(d.word, CAST(j AS INTEGER) + 1, CAST(d.p - j AS INTEGER)))) > 0 THEN d.ks[CAST(j AS INTEGER) + 1] + map_extract(m.vm, substr(d.word, CAST(j AS INTEGER) + 1, CAST(d.p - j AS INTEGER)))[1] * 1048576 - 1 ELSE NULL END), x -> x IS NOT NULL))) FROM udp d, vmap m, vstats v WHERE d.p <= length(d.word)), " +
-      "ufin AS (SELECT word, ks[-1] AS k FROM udp WHERE p = length(word) + 1) " +
+      unigramDpCtes("uwc", "u") + " " +
       "SELECT w.word, w.cnt, CAST(u.k // 1048576 AS BIGINT) AS best_score, CAST(1048575 - (u.k % 1048576) AS BIGINT) AS n_pieces FROM uwc w JOIN ufin u USING (word) ORDER BY w.word"),
     "vocab_train" ->
       s"WITH ${bpeCtes(TextAnalytics.BpeMerges)} SELECT merge_rank, lhs, rhs, merged, pair_cnt FROM bpe_merges ORDER BY merge_rank",
@@ -1423,7 +1430,7 @@ object SparkEntry {
     // replay (the seg table) vs greedy longest-match (the walk CTEs) —
     // plus their delta. One vocabulary definition feeds both.
     "eval_tokenizer_fertility" ->
-      s"""WITH RECURSIVE ${bpeCtes(TextAnalytics.BpeMerges, finalSeg = true)}, vocab(piece) AS (SELECT DISTINCT merged FROM bpe_merges), $WordpieceWalkCtes, bnp AS (SELECT word, CAST(len(pieces) AS BIGINT) AS bpe_p FROM seg${TextAnalytics.BpeMerges}), osrc AS (SELECT o.word, d.source FROM occ o JOIN documents d ON o.doc_id = d.doc_id), ps AS (SELECT s.source, count(*) AS n_words, CAST(sum(b.bpe_p) AS BIGINT) AS bpe_pieces, CAST(sum(np.n_pieces) AS BIGINT) AS wp_pieces FROM osrc s JOIN bnp b ON s.word = b.word JOIN np ON s.word = np.word GROUP BY s.source), nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), ft AS (SELECT nd.source, nd.n_docs, COALESCE(ps.n_words, 0) AS n_words, COALESCE(ps.bpe_pieces, 0) AS bpe_pieces, COALESCE(ps.wp_pieces, 0) AS wp_pieces, CAST(CASE WHEN COALESCE(ps.n_words, 0) = 0 THEN 0 ELSE round(ps.bpe_pieces * 10000.0 / ps.n_words) END AS BIGINT) AS bpe_fertility_e4, CAST(CASE WHEN COALESCE(ps.n_words, 0) = 0 THEN 0 ELSE round(ps.wp_pieces * 10000.0 / ps.n_words) END AS BIGINT) AS wp_fertility_e4 FROM nd LEFT JOIN ps ON nd.source = ps.source) SELECT source, n_docs, n_words, bpe_pieces, wp_pieces, bpe_fertility_e4, wp_fertility_e4, bpe_fertility_e4 - wp_fertility_e4 AS delta_e4 FROM ft ORDER BY source""",
+      s"""WITH RECURSIVE ${bpeCtes(TextAnalytics.BpeMerges, finalSeg = true)}, vocab(piece) AS (SELECT DISTINCT merged FROM bpe_merges), $WordpieceWalkCtes, ${unigramDpCtes("dw", "f")}, fnp AS (SELECT word, CAST(1048575 - (k % 1048576) AS BIGINT) AS dp_p FROM ffin), bnp AS (SELECT word, CAST(len(pieces) AS BIGINT) AS bpe_p FROM seg${TextAnalytics.BpeMerges}), osrc AS (SELECT o.word, d.source FROM occ o JOIN documents d ON o.doc_id = d.doc_id), ps AS (SELECT s.source, count(*) AS n_words, CAST(sum(b.bpe_p) AS BIGINT) AS bpe_pieces, CAST(sum(np.n_pieces) AS BIGINT) AS wp_pieces, CAST(sum(f.dp_p) AS BIGINT) AS dp_pieces FROM osrc s JOIN bnp b ON s.word = b.word JOIN np ON s.word = np.word JOIN fnp f ON s.word = f.word GROUP BY s.source), nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), ft AS (SELECT nd.source, nd.n_docs, COALESCE(ps.n_words, 0) AS n_words, COALESCE(ps.bpe_pieces, 0) AS bpe_pieces, COALESCE(ps.wp_pieces, 0) AS wp_pieces, COALESCE(ps.dp_pieces, 0) AS dp_pieces, CAST(CASE WHEN COALESCE(ps.n_words, 0) = 0 THEN 0 ELSE round(ps.bpe_pieces * 10000.0 / ps.n_words) END AS BIGINT) AS bpe_fertility_e4, CAST(CASE WHEN COALESCE(ps.n_words, 0) = 0 THEN 0 ELSE round(ps.wp_pieces * 10000.0 / ps.n_words) END AS BIGINT) AS wp_fertility_e4, CAST(CASE WHEN COALESCE(ps.n_words, 0) = 0 THEN 0 ELSE round(ps.dp_pieces * 10000.0 / ps.n_words) END AS BIGINT) AS dp_fertility_e4 FROM nd LEFT JOIN ps ON nd.source = ps.source) SELECT source, n_docs, n_words, bpe_pieces, wp_pieces, dp_pieces, bpe_fertility_e4, wp_fertility_e4, dp_fertility_e4, bpe_fertility_e4 - wp_fertility_e4 AS delta_e4, wp_fertility_e4 - dp_fertility_e4 AS dp_delta_e4 FROM ft ORDER BY source""",
     // True BPE inference: the chain's final segmentation table (merges
     // applied in rank order) rolled up per doc — NOT the greedy
     // longest-match walk the two wordpiece oracles share.

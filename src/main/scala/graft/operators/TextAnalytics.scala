@@ -500,9 +500,10 @@ object TextAnalytics {
   def tokenizerFertilityEval(spark: SparkSession, dir: String): DataFrame = {
     val prod = ensureBpeProduct(spark, dir)
     val seg = spark.read.parquet(prod + "/seg")
-    val learned = spark.read.parquet(prod + "/merges")
-      .select("merged").collect().map(_.getString(0)).toSeq.distinct
-    fertilityEvalCore(Tables.documents(spark, dir), seg, learned)
+    val scored = spark.read.parquet(prod + "/merges")
+      .orderBy("merge_rank").select("merged", "pair_cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    fertilityEvalCore(Tables.documents(spark, dir), seg, scored)
   }
 
   /** Same, over any (doc_id, text, source) DataFrame (planted tests —
@@ -511,25 +512,31 @@ object TextAnalytics {
       batch: Int = BpeBatch): DataFrame = {
     val (m, _, seg) = vocabTrainSeg(docs, nMerges, batch)
     graft.functions.Caching.releaseAfterAction(
-      fertilityEvalCore(docs, seg, m.map(_._4).distinct), seg)
+      fertilityEvalCore(docs, seg, m.map(t => (t._4, t._5))), seg)
   }
 
   private def fertilityEvalCore(docs: DataFrame, seg: DataFrame,
-      vocab: Seq[String]): DataFrame = {
-    // One per-word table carries BOTH encodes: the stored BPE pieces and
-    // the greedy walk over the identical learned symbols (single chars
-    // need no vocab entry — both segmenters 1-char-step on miss).
+      scored: Seq[(String, Long)]): DataFrame = {
+    val vocab = scored.map(_._1).distinct
+    // One per-word table carries all THREE encodes of the identical
+    // learned symbols: the stored BPE merge-order pieces, the greedy
+    // longest-match walk, and the optimal (unigram/Viterbi) DP count
+    // (single chars need no vocab entry — all three 1-char-step on miss).
     val np = seg.select(col("word"),
       size(col("pieces")).cast("long").as("bpe_p"),
       size(org.apache.spark.sql.graft.StringExprs
-        .wordPieces(col("word"), vocab)).cast("long").as("wp_p"))
+        .wordPieces(col("word"), vocab)).cast("long").as("wp_p"),
+      element_at(org.apache.spark.sql.graft.StringExprs
+        .unigramDp(col("word"), scored.map(_._1), scored.map(_._2)), 2)
+        .as("dp_p"))
     val perSrc = docTokensText(docs)
       .select(col("doc_id"), explode(col("toks")).as("word"))
       .join(docs.select("doc_id", "source"), "doc_id")
       .join(broadcast(np), "word")
       .groupBy("source")
       .agg(count(lit(1)).as("n_words"),
-        sum("bpe_p").as("bpe_pieces"), sum("wp_p").as("wp_pieces"))
+        sum("bpe_p").as("bpe_pieces"), sum("wp_p").as("wp_pieces"),
+        sum("dp_p").as("dp_pieces"))
     def fert(p: Column, w: Column): Column =
       when(w === 0L, lit(0L))
         .otherwise(round(p * lit(10000.0) / w).cast("long"))
@@ -539,12 +546,17 @@ object TextAnalytics {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("bpe_pieces"), lit(0L)).as("bpe_pieces"),
         coalesce(col("wp_pieces"), lit(0L)).as("wp_pieces"),
+        coalesce(col("dp_pieces"), lit(0L)).as("dp_pieces"),
         fert(coalesce(col("bpe_pieces"), lit(0L)),
           coalesce(col("n_words"), lit(0L))).as("bpe_fertility_e4"),
         fert(coalesce(col("wp_pieces"), lit(0L)),
-          coalesce(col("n_words"), lit(0L))).as("wp_fertility_e4"))
+          coalesce(col("n_words"), lit(0L))).as("wp_fertility_e4"),
+        fert(coalesce(col("dp_pieces"), lit(0L)),
+          coalesce(col("n_words"), lit(0L))).as("dp_fertility_e4"))
       .withColumn("delta_e4",
         col("bpe_fertility_e4") - col("wp_fertility_e4"))
+      .withColumn("dp_delta_e4",
+        col("wp_fertility_e4") - col("dp_fertility_e4"))
       .orderBy("source")
   }
 

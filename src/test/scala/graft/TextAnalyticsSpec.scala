@@ -60,7 +60,7 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (3L, 1L, 2L, 20000L)))
   }
 
-  test("tokenizer fertility eval: per-source BPE-vs-greedy decision table") {
+  test("tokenizer fertility eval: per-source three-paradigm decision table") {
     // The "bpe inference" fixture above, re-cut by source: srcA's words
     // encode identically under both rules (fertility 10000/10000, delta
     // 0); srcB is the divergence case (merge-order 3 pieces vs greedy 2
@@ -72,12 +72,18 @@ class TextAnalyticsSpec extends AnyFunSuite {
       (3L, "abab", "srcB"),
       (4L, "123", "srcC")
     ).toDF("doc_id", "text", "source")
+    // Three-paradigm table: merges are [(ba, 5), (ab, 2)]. srcB's "abab":
+    // merge-order gives a|ba|b (3 pieces), greedy gives ab|ab (2), and
+    // the score-maximizing DP also picks a|ba|b (score 5 beats ab|ab's
+    // 4) — the DP optimizes SCORE, not piece count, hence dp_delta
+    // −10000: the honest cost of frequency-weighted scores on this vocab.
     val got = TextAnalytics.tokenizerFertilityEvalDf(docs, nMerges = 2)
-      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
     assert(got === Seq(
-      ("srcA", 2L, 6L, 6L, 6L, 10000L, 10000L, 0L),
-      ("srcB", 1L, 1L, 3L, 2L, 30000L, 20000L, 10000L),
-      ("srcC", 1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+      ("srcA", 2L, 6L, 6L, 6L, 6L, 10000L, 10000L, 10000L, 0L, 0L),
+      ("srcB", 1L, 1L, 3L, 2L, 3L, 30000L, 20000L, 30000L, 10000L, -10000L),
+      ("srcC", 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
   test("quality calibration: per-source percentiles exact, single-doc source pins to 0") {

@@ -40,7 +40,12 @@ object Media {
     * text stand in for an encoded payload; metadata is derived, typed, and
     * deterministic. */
   def mediaTable(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    mediaTableDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text, n_chars) DataFrame — static or
+    * streaming (the payload construction is per-row column work). */
+  def mediaTableDf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("media"),
       struct(
@@ -98,6 +103,13 @@ object Media {
   /** Same, over any (doc_id, media: binary) DataFrame (planted tests and
     * streams — the flatMap is stateless). */
   def frameSampleDf(media: DataFrame, stride: Int = FrameStride,
+      flen: Int = FrameLen): DataFrame =
+    frameSampleRaw(media, stride, flen).orderBy("doc_id", "frame_idx")
+
+  /** Unordered frame rows — the reusable core (stateless mapPartitions:
+    * works identically on a streaming frame, where the query wrapper's
+    * terminal sort would be illegal). */
+  private[graft] def frameSampleRaw(media: DataFrame, stride: Int = FrameStride,
       flen: Int = FrameLen): DataFrame = {
     require(stride > 0 && flen > 0 && flen <= stride)
     val outSchema = StructType(Seq(
@@ -125,7 +137,6 @@ object Media {
           }
         }
       }(enc)
-      .orderBy("doc_id", "frame_idx")
   }
 
   /** STUB resize: nearest-neighbor downsample of a w×h byte grid to

@@ -294,6 +294,23 @@ object TextStreams {
       graft.multimodal.Media.ppmTableDf(
         documentStream(spark, path, maxFilesPerTrigger)))
 
+  /** Streaming FRAME EXTRACTION — the twenty-ninth twin, the continuous
+    * form of the batch frame sampler ([[graft.multimodal.Media
+    * .frameSampleQuery]]): arriving media payloads flatMap into their
+    * per-frame rows (one 64-byte frame per 256-byte window, energy +
+    * rolling checksum) through the ONE [[graft.multimodal.Media
+    * .frameSampleRaw]] implementation, so batch and stream cannot frame
+    * differently. This is the video-ingest shape: demux-at-arrival,
+    * frame rows appended straight to the table the frame-level dedup
+    * and scene heuristics read. Stateless mapPartitions — no state, no
+    * watermark, no shuffle; TextStreamsSpec replays the corpus and
+    * matches the batch media_frames rows exactly. */
+  def frameStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    graft.multimodal.Media.frameSampleRaw(
+      graft.multimodal.Media.mediaTableDf(
+        documentStream(spark, path, maxFilesPerTrigger)))
+
   /** Streaming copy-detection probe — the winnowing family's daily-crawl
     * shape (the eleventh twin): arriving documents fingerprint STATELESSLY
     * with the exact batch selector ([[Dedup.winnowingFingerprints]] — one

@@ -170,6 +170,22 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming frame extraction equals the batch media_frames rows") {
+    val dir = Paths.get("target", "test-scratch", "docstream_frames")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.frameStream(spark, dir.toString), "t_frames",
+        mode = "append")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.multimodal.Media.frameSampleQuery(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming bm25 equals an independent model and contains the batch top-k") {
     val dir = Paths.get("target", "test-scratch", "docstream_bm25")
     Files.createDirectories(dir)

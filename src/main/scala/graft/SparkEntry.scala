@@ -49,6 +49,7 @@ object SparkEntry {
     "graph_components" -> ((s, d) => Graph.componentsQuery(s, d)),
     "graph_kcore" -> ((s, d) => Graph.kcoreQuery(s, d)),
     "graph_lpa" -> ((s, d) => Graph.lpaQuery(s, d)),
+    "eval_graph_modularity" -> ((s, d) => Graph.modularityEval(s, d)),
     "join_salted" -> ((s, d) => Relational.joinSalted(s, d)),
     "agg_rollup" -> ((s, d) => Relational.aggRollup(s, d)),
     "agg_cube" -> ((s, d) => Relational.aggCube(s, d)),
@@ -782,6 +783,29 @@ object SparkEntry {
       s"""WITH $CoSupplyCtes, ${kcoreCtes(graft.operators.Graph.KCoreK, 8)} SELECT d.u AS s_suppkey, CAST(d.dg AS BIGINT) AS degree, CAST(CASE WHEN f.u IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core, CAST(COALESCE(f.dg, 0) AS BIGINT) AS core_deg FROM kd0 d LEFT JOIN kd8 f ON d.u = f.u ORDER BY s_suppkey""",
     "graph_lpa" ->
       s"""WITH $CoSupplyCtes, ${lpaCtes(graft.operators.Graph.LpaRounds)}, psz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize FROM pl${graft.operators.Graph.LpaRounds} GROUP BY lbl) SELECT l.u AS s_suppkey, l.lbl AS community, s.csize FROM pl${graft.operators.Graph.LpaRounds} l JOIN psz s ON l.lbl = s.lbl ORDER BY s_suppkey""",
+    // Newman–Girvan modularity of both partitionings over the co-supply
+    // graph, exact integers: Q_e4 = round((4m·intra − Σd_c²)·1e4/(4m²)).
+    // Component labels via the same transitive-closure min-label the
+    // graph_components oracle uses; LPA labels via the shared unrolled
+    // rounds. One branch of aggregates per method, UNION ALL'd.
+    "eval_graph_modularity" -> {
+      def branch(lab: String, method: String, px: String) =
+        s"${px}dc AS (SELECT l.lbl, sum(g.deg) AS d_c FROM $lab l JOIN gdeg g ON l.u = g.u GROUP BY l.lbl), " +
+        s"${px}ag AS (SELECT CAST(count(*) AS BIGINT) AS n_communities, CAST(sum(d_c * d_c) AS BIGINT) AS sum_d2 FROM ${px}dc), " +
+        s"${px}in AS (SELECT CAST(count(*) AS BIGINT) AS intra_edges FROM edges e JOIN $lab x ON e.a = x.u JOIN $lab y ON e.b = y.u WHERE x.lbl = y.lbl), " +
+        s"${px}row AS (SELECT '$method' AS method, (SELECT CAST(count(*) AS BIGINT) FROM $lab) AS n_nodes, a.n_communities, i.intra_edges, CAST(CASE WHEN mm.m = 0 THEN 0 ELSE round((4 * mm.m * i.intra_edges - a.sum_d2) * 10000.0 / (4 * mm.m * mm.m)) END AS BIGINT) AS modularity_e4 FROM ${px}ag a, ${px}in i, gm mm)"
+      s"WITH RECURSIVE $CoSupplyCtes, ${lpaCtes(graft.operators.Graph.LpaRounds)}, " +
+      "gm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges), " +
+      "gund AS (SELECT a AS u FROM edges UNION ALL SELECT b AS u FROM edges), " +
+      "gdeg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM gund GROUP BY u), " +
+      "gbe AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges), " +
+      "greach AS (SELECT a, b FROM gbe UNION SELECT r.a, e.b FROM greach r JOIN gbe e ON r.b = e.a), " +
+      "gmn AS (SELECT a, min(b) AS mb FROM greach GROUP BY a), " +
+      "clab AS (SELECT d.u, CAST(CASE WHEN n.mb IS NOT NULL AND n.mb < d.u THEN n.mb ELSE d.u END AS BIGINT) AS lbl FROM (SELECT DISTINCT u FROM gund) d LEFT JOIN gmn n ON d.u = n.a), " +
+      s"llab AS (SELECT u, lbl FROM pl${graft.operators.Graph.LpaRounds}), " +
+      branch("clab", "components", "c") + ", " + branch("llab", "lpa", "l") + " " +
+      "SELECT * FROM crow UNION ALL SELECT * FROM lrow ORDER BY method"
+    },
     "dedup_minhash" ->
       s"""$MinhashCtes SELECT doc_id, band_idx, band_key FROM bands ORDER BY doc_id, band_idx""",
     // Sketch-quality evaluation: MinHash-LSH pairs (est >= 5000) scored

@@ -391,6 +391,58 @@ object Graph {
       und)
   }
 
+  /** COMMUNITY-QUALITY DECISION TABLE — Newman–Girvan modularity
+    * (Newman & Girvan 2004, "Finding and evaluating community structure
+    * in networks", Phys. Rev. E) of BOTH partitionings the engine
+    * produces on the shared co-supply graph: connected components (the
+    * coarsest — every reachable pair together) and LPA communities. One
+    * row per method with Q in EXACT integer arithmetic: Q = (4m·intra −
+    * Σ_c d_c²) / (4m²), one pinned e4 division at the end — so the
+    * quality number that decides between partitionings hash-matches.
+    * LPA communities refine components, so their intra-edge count can
+    * only drop; modularity tells whether the split was worth it (the
+    * degree-balance term). Scale shape per method: one deg join + one
+    * community aggregate + one edge⋈label⋈label count — all edge-sized. */
+  def modularityEval(s: SparkSession, d: String): DataFrame = {
+    val edges = coSupplyEdgesShared(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("a").as("u"))
+      .unionAll(edges.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp = graft.operators.Dedup.components(
+      edges.select(col("a").as("d1"), col("b").as("d2")))
+    val compLabels = deg.select(col("u"))
+      .join(comp.withColumnRenamed("id", "u"), Seq("u"), "left")
+      .select(col("u"), coalesce(col("label"), col("u")).as("lbl"))
+    val lpaLabels = lpaDf(edges)
+      .select(col("node").as("u"), col("community").as("lbl"))
+    def score(labels: DataFrame, method: String): DataFrame = {
+      val dc = deg.join(labels, "u").groupBy("lbl").agg(sum("deg").as("d_c"))
+      val sums = dc.agg(count(lit(1)).as("n_communities"),
+        sum(col("d_c") * col("d_c")).as("sum_d2"))
+      val intra = edges
+        .join(labels.select(col("u").as("a"), col("lbl").as("la")), "a")
+        .join(labels.select(col("u").as("b"), col("lbl").as("lb")), "b")
+        .filter(col("la") === col("lb"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val m = edges.agg(count(lit(1)).as("m"))
+      labels.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(sums).crossJoin(intra).crossJoin(m)
+        .select(lit(method).as("method"), col("n_nodes"),
+          col("n_communities"), col("intra_edges"),
+          when(col("m") === 0L, lit(0L))
+            .otherwise(round(
+              (lit(4L) * col("m") * col("intra_edges") - col("sum_d2")) *
+                lit(10000.0) / (lit(4L) * col("m") * col("m")))
+              .cast("long")).as("modularity_e4"))
+    }
+    graft.functions.Caching.releaseAfterAction(
+      score(compLabels, "components").unionAll(score(lpaLabels, "lpa"))
+        .orderBy("method"),
+      edges, deg, comp)
+  }
+
   /** Triangle core over any canonical undirected edge list (a, b) with
     * a < b, no duplicates. Returns (node, n_tri) for nodes in ≥ 1
     * triangle, unordered. */

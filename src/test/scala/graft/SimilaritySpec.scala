@@ -70,6 +70,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.head._4 < rows.last._4)
   }
 
+  test("lsh planes sweep: geometry trade is monotone, production point consistent") {
+    val rows = Similarity.lshPlanesEval(spark, TestSpark.sf)
+      .select("bands", "bits_per_band", "hits", "recall_e4", "cand_rows", "scan_e4")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq ===
+      Similarity.LshPlaneSweep.map { case (b, r) => (b.toLong, r.toLong) })
+    // More bands of fewer bits: agreement on an 8-bit band implies
+    // agreement on both its 4-bit halves, so candidates (and hence the
+    // per-geometry hit ceiling) are monotone in band count.
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._5 <= b._5 && a._3 <= b._3 },
+      s"non-monotone geometry sweep: ${rows.mkString(", ")}")
+    // The (8, 4) row IS lshTopK's configuration: same hits as the gate's.
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val lshSet = lsh.map(t => (t._1, t._2)).toSet
+    assert(rows.find(r => r._1 == 8L).get._3 ===
+      bruteSet.count(lshSet.contains).toLong,
+      "sweep row (8,4) disagrees with lshTopK's measured hits")
+    assert(rows.forall(r => r._6 >= 0 && r._6 <= 10000))
+  }
+
   test("embedding health: every field matches an independent exact recompute") {
     val row = Similarity.embeddingHealth(spark, TestSpark.sf).collect().head
     // Independent recompute in plain Scala, mirroring the pinned op order:

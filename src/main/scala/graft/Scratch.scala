@@ -27,6 +27,18 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "beam") {
+      import org.apache.spark.sql.Row
+      val brute = graft.operators.Similarity.bruteTopK(spark, d)
+        .select("qid", "cid").collect().map { case Row(q: Long, c: Long) => (q, c) }.toSet
+      for (beam <- Seq(8, 16, 32); rounds <- Seq(3, 4, 6)) {
+        val g = graft.operators.Similarity.graphTopK(spark, d, beam = beam, rounds = rounds)
+          .select("qid", "cid").collect().map { case Row(q: Long, c: Long) => (q, c) }.toSet
+        spark.catalog.clearCache()
+        println(f"[scratch] beam=$beam rounds=$rounds recall@5=${brute.count(g.contains).toDouble / brute.size}%.3f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "pq-eta") {
       import org.apache.spark.sql.Row
       val brute = graft.operators.Similarity.bruteTopK(spark, d)

@@ -2034,6 +2034,73 @@ object Similarity {
       .orderBy("qid")
   }
 
+  // Graph-ANN beam-search knobs: fixed entry point, beam width, and
+  // round count — FIXED on both engines (best-first search has no
+  // fixpoint; the walk IS its schedule). Chosen by the measured sweep
+  // (Scratch beam mode, sf0.001): rounds dominate recall (the walk must
+  // cross the graph's diameter from ONE fixed entry — exactly what
+  // HNSW's upper layers shortcut), beam widening past 16 buys little.
+  val GraphEntry = 0L
+  val GraphBeam = 16
+  val GraphRounds = 6
+
+  /** GRAPH-BASED ANN SEARCH — the fourth index paradigm next to the
+    * hash-bucketed (LSH), cell-partitioned (IVF), and compressed (PQ/SQ)
+    * paths: a deterministic best-first BEAM SEARCH over the kNN graph
+    * (the single-layer core of HNSW, Malkov & Yashunin 2018 — the upper
+    * layers only pick a better entry point). Every query starts at the
+    * fixed entry vector; each round expands the beam's out-neighbors
+    * along the graph's kept edges, exact-scores the union, and keeps the
+    * top-[[GraphBeam]] by (sim desc, cid); after [[GraphRounds]] rounds
+    * the beam's top-k is the answer. Per-query work is rounds × beam ×
+    * [[KnnK]] scored candidates — INDEPENDENT of corpus size once the
+    * graph exists, which is the paradigm's pitch (the graph build is the
+    * scale cost, and it is the already-shipped banded [[knnGraph]]).
+    * Greedy walks can stall in local optima — recall vs brute is gated
+    * in SimilaritySpec, not assumed. Fully deterministic: fixed entry,
+    * fixed rounds, e4 scores with cid ties — hash-matches the
+    * unrolled-round oracle over the SAME graph CTEs as sim_knn_graph. */
+  def graphTopK(s: SparkSession, d: String, nQueries: Int = 10, k: Int = 5,
+      beam: Int = GraphBeam, rounds: Int = GraphRounds): DataFrame = {
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = knnGraph(s, d).select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    def scoreOf(cands: DataFrame): DataFrame = cands
+      .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    // Each round reads the previous beam TWICE (expansion + union), so
+    // the beam is checkpointed per round — without it the declarative
+    // plan doubles per round (measured: rounds ≥ 8 ran minutes instead
+    // of seconds). Same O(1)-plan recipe as the k-core/LPA loops.
+    var beamDf = scoreOf(q.select(col("qid")).withColumn("cid", lit(GraphEntry)))
+      .localCheckpoint(true)
+    val states = scala.collection.mutable.ArrayBuffer(beamDf)
+    for (_ <- 1 to rounds) {
+      val nbrs = beamDf.select(col("qid"), col("cid").as("src"))
+        .join(edges, "src")
+        .select(col("qid"), col("dst").as("cid"))
+      val cands = beamDf.select("qid", "cid").unionAll(nbrs).distinct()
+      beamDf = scoreOf(cands)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select("qid", "cid", "sim_e4")
+        .localCheckpoint(true)
+      states += beamDf
+    }
+    states.dropRight(1).foreach(org.apache.spark.sql.graft.Checkpoints.release)
+    graft.functions.Caching.releaseAfterAction(
+      beamDf
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn"),
+      c, edges)
+  }
+
   /** The nprobe values the serving sweep prices (ascending; max bounds the
     * one probe-rank window the sweep computes). */
   val NprobeSweep: Seq[Long] = Seq(1L, 2L, 4L, 8L)

@@ -70,6 +70,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.head._4 < rows.last._4)
   }
 
+  test("graph beam search: deterministic walk, results reachable, recall reported") {
+    val out = Similarity.graphTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    // Full query coverage with ranked rows (the entry vector guarantees
+    // every beam is non-empty from round 0).
+    assert(out.map(_._1).distinct.length === 10)
+    assert(out.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong) })
+    // Every result lies within GraphRounds hops of the entry point along
+    // the kNN graph's kept edges — the walk cannot teleport.
+    val edges = Similarity.knnGraph(spark, TestSpark.sf)
+      .select("src", "dst").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var reach = Set(Similarity.GraphEntry)
+    for (_ <- 1 to Similarity.GraphRounds)
+      reach = reach ++ reach.flatMap(n => edges.getOrElse(n, Set.empty))
+    assert(out.forall(r => reach.contains(r._2)),
+      "a beam result is not reachable within the round budget")
+    // Determinism: a rerun is bit-identical (fixed entry, rounds, ties).
+    val again = Similarity.graphTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    assert(again.toSeq === out.toSeq)
+    // Recall vs brute: REPORTED and floor-gated loosely — a greedy walk
+    // from one fixed entry on a tiny sparse graph is structurally allowed
+    // to stall; the number here documents what this configuration buys.
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val gSet = out.map(t => (t._1, t._2)).toSet
+    val recall = bruteSet.count(gSet.contains).toDouble / bruteSet.size
+    info(s"graph beam recall@5 vs brute = $recall")
+    assert(recall >= 0.4, s"graph beam recall collapsed to $recall")
+  }
+
   test("lsh planes sweep: geometry trade is monotone, production point consistent") {
     val rows = Similarity.lshPlanesEval(spark, TestSpark.sf)
       .select("bands", "bits_per_band", "hits", "recall_e4", "cand_rows", "scan_e4")

@@ -160,6 +160,7 @@ object SparkEntry {
     "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
+    "eval_graph_recall" -> ((s, d) => Similarity.graphRecall(s, d)),
     "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "search_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),
     "eval_mmr_diversity" -> ((s, d) => Similarity.mmrDiversityEval(s, d)),
@@ -262,6 +263,27 @@ object SparkEntry {
   // beam search read the same graph by construction.
   private val KnnGraphCtes =
     s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 4 AS band_idx, sum(bit * (1 << (j % 4))) AS band_key FROM proj GROUP BY vec_id, j // 4), elig AS (SELECT band_idx, band_key FROM keys GROUP BY band_idx, band_key HAVING count(*) <= ${graft.operators.Similarity.KnnBucketCap}), ck AS (SELECT k.vec_id, k.band_idx, k.band_key FROM keys k JOIN elig e ON k.band_idx = e.band_idx AND k.band_key = e.band_key), half AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ck a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id), cand AS (SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half), s AS (SELECT c.src, c.dst, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id), r AS (SELECT src, dst, sim_e4, row_number() OVER (PARTITION BY src ORDER BY sim_e4 DESC, dst) AS rn FROM s)"""
+
+  // Unrolled graph-ANN beam rounds over the shared kNN-graph CTEs (needs
+  // n and r in scope): fixed entry, per-round out-neighbor expansion +
+  // exact re-score + top-GraphBeam keep. Ends with gb{GraphRounds}(qid,
+  // cid, sim_e4). sim_graph_topk and its recall monitor walk identically.
+  private val GraphBeamCtes: String = {
+    val beam = graft.operators.Similarity.GraphBeam
+    val rounds = graft.operators.Similarity.GraphRounds
+    val entry = graft.operators.Similarity.GraphEntry
+    val sb = new StringBuilder
+    sb ++= "gq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), "
+    sb ++= s"ge AS (SELECT src, dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK}), "
+    sb ++= s"gb0 AS (SELECT q.qid, CAST($entry AS BIGINT) AS cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gq q JOIN n x ON x.vec_id = $entry), "
+    for (i <- 1 to rounds) {
+      sb ++= s"gx$i AS (SELECT DISTINCT qid, cid FROM (SELECT b.qid, e.dst AS cid FROM gb${i - 1} b JOIN ge e ON b.cid = e.src UNION ALL SELECT qid, cid FROM gb${i - 1})), "
+      sb ++= s"gs$i AS (SELECT x.qid, x.cid, CAST(round(list_inner_product(cv.v, q.qv) / (cv.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gx$i x JOIN n cv ON x.cid = cv.vec_id JOIN gq q ON x.qid = q.qid), "
+      sb ++= s"gb$i AS MATERIALIZED (SELECT qid, cid, sim_e4 FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gs$i) WHERE rn <= $beam)"
+      sb ++= (if (i < rounds) ", " else "")
+    }
+    sb.toString
+  }
 
   // The unigram/Viterbi DP as reusable CTEs over `bpe_merges` scores and
   // any `words(word)` universe — shared by tokenize_unigram and the
@@ -899,23 +921,17 @@ object SparkEntry {
     // out-neighbors, exact-scores the union, keeps top-BEAM by
     // (sim desc, cid). Rounds and widths match the engine constants
     // exactly (beam search has no fixpoint to hide behind).
-    "sim_graph_topk" -> {
-      val beam = graft.operators.Similarity.GraphBeam
-      val rounds = graft.operators.Similarity.GraphRounds
-      val sb = new StringBuilder
-      sb ++= s"WITH $KnnGraphCtes, "
-      sb ++= s"gq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), "
-      sb ++= s"ge AS (SELECT src, dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK}), "
-      sb ++= s"gb0 AS (SELECT q.qid, CAST(${graft.operators.Similarity.GraphEntry} AS BIGINT) AS cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gq q JOIN n x ON x.vec_id = ${graft.operators.Similarity.GraphEntry}), "
-      for (i <- 1 to rounds) {
-        sb ++= s"gx$i AS (SELECT DISTINCT qid, cid FROM (SELECT b.qid, e.dst AS cid FROM gb${i - 1} b JOIN ge e ON b.cid = e.src UNION ALL SELECT qid, cid FROM gb${i - 1})), "
-        sb ++= s"gs$i AS (SELECT x.qid, x.cid, CAST(round(list_inner_product(cv.v, q.qv) / (cv.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gx$i x JOIN n cv ON x.cid = cv.vec_id JOIN gq q ON x.qid = q.qid), "
-        sb ++= s"gb$i AS (SELECT qid, cid, sim_e4 FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gs$i) WHERE rn <= $beam), "
-      }
-      sb.setLength(sb.length - 2)
-      sb ++= s" SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb$rounds) WHERE rn <= 5 ORDER BY qid, rn"
-      sb.toString
-    },
+    "sim_graph_topk" ->
+      (s"WITH $KnnGraphCtes, $GraphBeamCtes " +
+      s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.GraphRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
+    // The graph index's recall monitor: the beam search's top-5 LEFT
+    // JOINed against brute top-5 per query — the same evaluation core as
+    // the other index families' monitors.
+    "eval_graph_recall" ->
+      (s"WITH $KnnGraphCtes, $GraphBeamCtes, $BruteTopkCtes, " +
+      s"gsel AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.GraphRounds}) WHERE rn <= 5), " +
+      "gbr AS (SELECT qid, cid FROM brk WHERE rn <= 5) " +
+      "SELECT b.qid, CAST(sum(CASE WHEN s.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, CAST(round(sum(CASE WHEN s.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 FROM gbr b LEFT JOIN gsel s ON b.qid = s.qid AND b.cid = s.cid GROUP BY b.qid ORDER BY b.qid"),
     // IVF: deterministic coarse quantizer (first-16 vectors as centroids),
     // e4-rounded cosine for ALL ordering decisions (assignment, probing,
     // final rank) with id tie-breaks — so even this approximate ANN path

@@ -2101,6 +2101,28 @@ object Similarity {
       c, edges)
   }
 
+  /** Recall monitor for the graph index — [[sqRecall]]'s shape over the
+    * beam search: per-query recall@k of [[graphTopK]] against the exact
+    * baseline. Every index family ships one (LSH:
+    * eval_retrieval_recall; IVF: the nprobe sweep; IVF-PQ:
+    * eval_ann_recall_served; SQ8: eval_sq_recall) — this is the number
+    * to re-run after a graph rebuild or an entry/beam/round change. */
+  def graphRecall(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val brute = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+    val g = graphTopK(s, d, nQueries, k)
+      .select(col("qid").as("gq"), col("cid").as("gc"))
+    brute
+      .join(g, col("qid") === col("gq") && col("cid") === col("gc"), "left")
+      .groupBy("qid")
+      .agg(sum(when(col("gc").isNotNull, 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("n_brute"))
+      .select(col("qid"), col("hits"),
+        round(col("hits") * lit(10000.0) / col("n_brute")).cast("long")
+          .as("recall_e4"))
+      .orderBy("qid")
+  }
+
   /** The nprobe values the serving sweep prices (ascending; max bounds the
     * one probe-rank window the sweep computes). */
   val NprobeSweep: Seq[Long] = Seq(1L, 2L, 4L, 8L)

@@ -100,6 +100,13 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = bruteSet.count(gSet.contains).toDouble / bruteSet.size
     info(s"graph beam recall@5 vs brute = $recall")
     assert(recall >= 0.4, s"graph beam recall collapsed to $recall")
+    // The recall-monitor query reports the same overlap, per query.
+    val monitored = Similarity.graphRecall(spark, TestSpark.sf)
+      .select("qid", "hits").as[(Long, Long)].collect().toMap
+    val byQ = brute.map(t => (t._1, t._2)).groupBy(_._1).view
+      .mapValues(_.count(p => gSet.contains(p)).toLong).toMap
+    assert(monitored === byQ,
+      "eval_graph_recall disagrees with the spec-level overlap")
   }
 
   test("lsh planes sweep: geometry trade is monotone, production point consistent") {

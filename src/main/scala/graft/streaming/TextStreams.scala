@@ -245,6 +245,37 @@ object TextStreams {
           .as("fertility_e4"))
   }
 
+  /** Streaming OPTIMAL-segmentation fertility — the thirtieth twin:
+    * [[fertilityStream]]'s shape with the unigram/Viterbi DP
+    * ([[org.apache.spark.sql.graft.UnigramDp]]) in place of the greedy
+    * walk, scores = the batch-learned merge pair counts. The two streams
+    * together are the online A/B of the encoder decision the batch
+    * three-way fertility eval prices: run both at intake, diff the
+    * per-doc fertilities. Stateless per-row column work (the DP runs
+    * per occurrence — the same stream-vs-batch trade as the greedy twin,
+    * whose batch side segments only distinct words);
+    * TextStreamsSpec replays the corpus and matches an independent
+    * per-word-DP + occurrence-join recompute exactly. */
+  def dpFertilityStream(spark: SparkSession, path: String,
+      staticDocs: DataFrame, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val scored = graft.operators.TextAnalytics.vocabTrainDf(staticDocs)
+      .orderBy("merge_rank").select("merged", "pair_cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vocab = scored.map(_._1)
+    val weights = scored.map(_._2)
+    documentStream(spark, path, maxFilesPerTrigger)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc +
+          element_at(org.apache.spark.sql.graft.StringExprs
+            .unigramDp(t, vocab, weights), 2)).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        when(col("n_words") === 0L, lit(0L))
+          .otherwise(round(col("n_pieces") * lit(10000.0) / col("n_words")).cast("long"))
+          .as("fertility_e4"))
+  }
+
   /** Streaming BM25 scoring — the retrieval scorer DEPLOYED online: the
     * corpus-side model (query-term dfs, N, avgdl — 8 rows + 2 scalars,
     * [[graft.operators.TextAnalytics.bm25Stats]]) trains batch-side, and

@@ -130,6 +130,46 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming dp fertility equals the per-word DP joined to occurrences") {
+    val dir = Paths.get("target", "test-scratch", "docstream_dpfert")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val staticDocs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.dpFertilityStream(spark, dir.toString, staticDocs),
+        "t_dpfert", mode = "append")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, w, p, f) => id -> ((w, p, f)) }.toMap
+    // Independent recompute: the batch per-WORD DP (tokenize_unigram's
+    // engine path) joined back to per-doc occurrences in plain Scala.
+    val scored = graft.operators.TextAnalytics.vocabTrainDf(staticDocs)
+      .orderBy("merge_rank").select("merged", "pair_cnt")
+      .as[(String, Long)].collect().toSeq
+    val perWord = graft.operators.TextAnalytics
+      .tokenizeUnigramDf(staticDocs, scored)
+      .select("word", "n_pieces").as[(String, Long)].collect().toMap
+    // word extraction via the engine tokenizer (word-boundary semantics
+    // are TokenizerSpec's subject, not this spec's)
+    val docs = staticDocs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.Fns.tokens(
+          org.apache.spark.sql.functions.col("text")).as("w"))
+      .as[(Long, Seq[String])].collect()
+    assert(streamed.nonEmpty && streamed.size === docs.length)
+    for ((id, words) <- docs) {
+      val pieces = words.map(perWord).sum
+      val (w, p, f) = streamed(id)
+      assert(w === words.length.toLong, s"doc $id word count")
+      assert(p === pieces, s"doc $id piece count")
+      val expF = if (words.isEmpty) 0L
+        else BigDecimal(pieces * 10000.0 / words.length)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(f === expF, s"doc $id fertility")
+    }
+  }
+
   test("streaming winnowing probe evidence equals the batch fingerprint join") {
     val dir = Paths.get("target", "test-scratch", "docstream_winnow")
     Files.createDirectories(dir)

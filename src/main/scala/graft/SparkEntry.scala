@@ -161,6 +161,7 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "eval_graph_recall" -> ((s, d) => Similarity.graphRecall(s, d)),
+    "eval_graph_beam" -> ((s, d) => Similarity.graphBeamEval(s, d)),
     "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "search_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),
     "eval_mmr_diversity" -> ((s, d) => Similarity.mmrDiversityEval(s, d)),
@@ -924,6 +925,22 @@ object SparkEntry {
     "sim_graph_topk" ->
       (s"WITH $KnnGraphCtes, $GraphBeamCtes " +
       s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.GraphRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
+    // Round-budget sweep: the SAME walk's prefixes priced at rounds
+    // 2/4/6 — per budget, the beam state's top-5 hits vs brute and the
+    // cumulative distinct scored candidates (gx1..gxR).
+    "eval_graph_beam" -> {
+      val budgets = graft.operators.Similarity.BeamSweep
+      val rowsSql = budgets.map { r =>
+        s"gsel$r AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb$r) WHERE rn <= 5), " +
+        s"ghit$r AS (SELECT CAST(sum(CASE WHEN s.cid IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n_brute FROM gbr b LEFT JOIN gsel$r s ON b.qid = s.qid AND b.cid = s.cid), " +
+        s"gsc$r AS (SELECT CAST(count(*) AS BIGINT) AS scored_rows FROM (SELECT DISTINCT qid, cid FROM (${(1 to r).map(i => s"SELECT qid, cid FROM gx$i").mkString(" UNION ALL ")}))), " +
+        s"grow$r AS (SELECT CAST($r AS BIGINT) AS rounds, h.hits, CAST(round(h.hits * 10000.0 / h.n_brute) AS BIGINT) AS recall_e4, s.scored_rows FROM ghit$r h, gsc$r s)"
+      }.mkString(", ")
+      s"WITH $KnnGraphCtes, $GraphBeamCtes, $BruteTopkCtes, " +
+      "gbr AS (SELECT qid, cid FROM brk WHERE rn <= 5), " + rowsSql + " " +
+      budgets.map(r => s"SELECT * FROM grow$r").mkString(" UNION ALL ") +
+      " ORDER BY rounds"
+    },
     // The graph index's recall monitor: the beam search's top-5 LEFT
     // JOINed against brute top-5 per query — the same evaluation core as
     // the other index families' monitors.

@@ -2101,6 +2101,76 @@ object Similarity {
       c, edges)
   }
 
+  /** The round budgets the beam sweep prices (ascending; max sets the
+    * walk length — every shorter budget is a prefix of the same walk). */
+  val BeamSweep: Seq[Int] = Seq(2, 4, 6)
+
+  /** GRAPH-SEARCH BUDGET DECISION TABLE — recall@k AND cumulative scored
+    * candidates at every round budget in [[BeamSweep]], the graph path's
+    * knob table next to [[ivfNprobeEval]] (nprobe), `minhashBandsPr`
+    * (band geometry), and [[lshPlanesEval]] (plane geometry): rounds are
+    * the efSearch-like budget a graph deployment tunes, recall is what
+    * the budget buys, and scored_rows is what it costs. ONE walk runs to
+    * the sweep's maximum; each budget's row reads the walk's state at
+    * that prefix (a shorter budget IS a prefix of the same deterministic
+    * walk), so the table costs one search, not |sweep|. */
+  def graphBeamEval(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, beam: Int = GraphBeam,
+      sweep: Seq[Int] = BeamSweep): DataFrame = {
+    require(sweep.nonEmpty && sweep == sweep.sorted, "sweep must ascend")
+    val rounds = sweep.max
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = knnGraph(s, d).select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    def scoreOf(cands: DataFrame): DataFrame = cands
+      .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e4"), asc("cid"))
+    val brute = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+    var beamDf = scoreOf(q.select(col("qid")).withColumn("cid", lit(GraphEntry)))
+      .localCheckpoint(true)
+    val states = scala.collection.mutable.ArrayBuffer(beamDf)
+    val candsSeen = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val rowFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val nbrs = beamDf.select(col("qid"), col("cid").as("src"))
+        .join(edges, "src")
+        .select(col("qid"), col("dst").as("cid"))
+      val cand = beamDf.select("qid", "cid").unionAll(nbrs).distinct()
+      candsSeen += cand
+      beamDf = scoreOf(cand)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select("qid", "cid", "sim_e4")
+        .localCheckpoint(true)
+      states += beamDf
+      if (sweep.contains(r)) {
+        val sel = beamDf
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col("qid"), col("cid"), lit(1L).as("hit"))
+        val hits = brute.join(sel, Seq("qid", "cid"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+            count(lit(1)).as("n_brute"))
+        val scanned = candsSeen.reduce(_ unionAll _)
+          .select("qid", "cid").distinct()
+          .agg(count(lit(1)).as("scored_rows"))
+        rowFrames += hits.crossJoin(scanned)
+          .select(lit(r.toLong).as("rounds"), col("hits"),
+            round(col("hits") * lit(10000.0) / col("n_brute")).cast("long")
+              .as("recall_e4"),
+            col("scored_rows"))
+      }
+    }
+    graft.functions.Caching.releaseAfterAction(
+      rowFrames.reduce(_ unionAll _).orderBy("rounds"),
+      (Seq(c, edges) ++ states): _*)
+  }
+
   /** Recall monitor for the graph index — [[sqRecall]]'s shape over the
     * beam search: per-query recall@k of [[graphTopK]] against the exact
     * baseline. Every index family ships one (LSH:

@@ -109,6 +109,23 @@ class SimilaritySpec extends AnyFunSuite {
       "eval_graph_recall disagrees with the spec-level overlap")
   }
 
+  test("graph beam sweep: prefix rows monotone, max budget equals the search") {
+    val rows = Similarity.graphBeamEval(spark, TestSpark.sf)
+      .select("rounds", "hits", "recall_e4", "scored_rows")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Similarity.BeamSweep.map(_.toLong))
+    // Longer budgets are prefixes of one walk: the scored set only grows.
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 <= b._4 },
+      s"scored candidates shrank between budgets: ${rows.mkString(", ")}")
+    // The max-budget row IS graphTopK's configuration.
+    val g = Similarity.graphTopK(spark, TestSpark.sf)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    assert(rows.last._2 === bruteSet.count(g.contains).toLong,
+      "max-budget row disagrees with sim_graph_topk's measured hits")
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= 10000))
+  }
+
   test("lsh planes sweep: geometry trade is monotone, production point consistent") {
     val rows = Similarity.lshPlanesEval(spark, TestSpark.sf)
       .select("bands", "bits_per_band", "hits", "recall_e4", "cand_rows", "scan_e4")

@@ -84,6 +84,7 @@ object SparkEntry {
     "eval_layout_tradeoff" -> ((s, d) => Events.layoutTradeoffEval(s, d)),
     "join_asof" -> ((s, d) => Events.asofJoinOrders(s, d)),
     "join_asof_fwd" -> ((s, d) => Events.asofJoinOrdersFwd(s, d)),
+    "join_asof_nearest" -> ((s, d) => Events.asofJoinOrdersNearest(s, d)),
     "join_asof_tolerance" -> ((s, d) => Events.asofJoinOrdersTolerance(s, d)),
     "join_range" -> ((s, d) => Events.rangeJoinBands(s, d)),
     // — LLM-pipeline: text analysis —
@@ -1196,6 +1197,11 @@ object SparkEntry {
     // smallest order time at-or-after each event.
     "join_asof_fwd" ->
       """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) SELECT e.event_id, e.user_id, e.t AS ts_us, COALESCE(o.o_orderkey, -1) AS next_orderkey, COALESCE(o.t, -1) AS next_us FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t <= o.t ORDER BY event_id""",
+    // Nearest as-of: both native ASOF directions composed, then the
+    // row-local distance choice with backward winning ties — the same
+    // decision the engine's two carry windows make.
+    "join_asof_nearest" ->
+      """WITH o AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t, max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events), bk AS (SELECT e.event_id, o.o_orderkey AS pk, o.t AS pu FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t >= o.t), fw AS (SELECT e.event_id, o.o_orderkey AS nk, o.t AS nu FROM e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.t <= o.t) SELECT e.event_id, e.user_id, e.t AS ts_us, CASE WHEN b.pu IS NOT NULL AND (f.nu IS NULL OR e.t - b.pu <= f.nu - e.t) THEN b.pk ELSE COALESCE(f.nk, -1) END AS nearest_orderkey, CASE WHEN b.pu IS NOT NULL AND (f.nu IS NULL OR e.t - b.pu <= f.nu - e.t) THEN b.pu ELSE COALESCE(f.nu, -1) END AS nearest_us FROM e JOIN bk b ON e.event_id = b.event_id JOIN fw f ON e.event_id = f.event_id ORDER BY e.event_id""",
     "join_range" ->
       """WITH bands(band_id, lo, hi) AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0.0, 1.0), (CAST(1 AS BIGINT), 1.0, 4.0), (CAST(2 AS BIGINT), 4.0, 16.0), (CAST(3 AS BIGINT), 16.0, 64.0), (CAST(4 AS BIGINT), 64.0, 128.0), (CAST(5 AS BIGINT), 128.0, 256.0), (CAST(6 AS BIGINT), 256.0, 1024.0))) SELECT band_id, count(*) AS cnt, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi GROUP BY band_id ORDER BY band_id""",
     "text_ngrams" ->

@@ -514,6 +514,47 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of join — the third merge_asof direction (pandas
+    * `direction='nearest'`): for every event, the order whose timestamp
+    * is CLOSEST in either direction on the same key, ties to the
+    * backward (at-or-before) match. Composed as the backward and forward
+    * carries over ONE unioned timeline — the two windows share the
+    * user_id partitioning, so Catalyst plans one shuffle with two sorts,
+    * not two joins — followed by a pure row-local distance choice.
+    * No-match only when the key has no orders at all (-1 sentinels). */
+  def asofJoinOrdersNearest(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val oTagged = o.select(col("user_id"), col("t"),
+      lit(null).cast("long").as("event_id"), col("o_orderkey"), lit(0).as("tag"))
+    val eTagged = Tables.events(s, d).select(col("user_id"), col("ts_us").as("t"),
+      col("event_id"), lit(null).cast("long").as("o_orderkey"), lit(1).as("tag"))
+    val wB = Window.partitionBy("user_id").orderBy(asc("t"), asc("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id").orderBy(desc("t"), asc("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = oTagged.unionByName(eTagged)
+      .withColumn("prev_key", last("o_orderkey", ignoreNulls = true).over(wB))
+      .withColumn("prev_us",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(wB))
+      .withColumn("next_key", last("o_orderkey", ignoreNulls = true).over(wF))
+      .withColumn("next_us",
+        last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(wF))
+      .filter(col("tag") === 1)
+    // Row-local nearest: backward wins ties; a missing side loses.
+    val backWins = col("prev_us").isNotNull &&
+      (col("next_us").isNull ||
+        (col("t") - col("prev_us")) <= (col("next_us") - col("t")))
+    merged.select(col("event_id"), col("user_id"), col("t").as("ts_us"),
+        when(backWins, col("prev_key"))
+          .otherwise(coalesce(col("next_key"), lit(-1L))).as("nearest_orderkey"),
+        when(backWins, col("prev_us"))
+          .otherwise(coalesce(col("next_us"), lit(-1L))).as("nearest_us"))
+      .orderBy("event_id")
+  }
+
   /** Range join — events matched to value bands on `lo <= value < hi`.
     * The band dim here is tiny (7 rows) so the right plan IS the broadcast
     * nested-loop with the range predicate; Catalyst picks it because the

@@ -499,4 +499,30 @@ class EventsSpec extends AnyFunSuite {
     ).map { case (w, t, c) => (w, w * q, t, c) }
     assert(got === expected)
   }
+
+  test("nearest as-of is the row-wise best of the two directional joins") {
+    val back = Events.asofJoinOrders(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    val fwd = Events.asofJoinOrdersFwd(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    val got = Events.asofJoinOrdersNearest(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length === back.size)
+    for ((eid, _, ts, nk, nu) <- got) {
+      val (pk, pu) = back(eid)
+      val (fk, fu) = fwd(eid)
+      // the independent decision rule: backward wins ties and missing
+      // sides lose; sentinel only when both directions are sentinels
+      val expected =
+        if (pu >= 0 && (fu < 0 || ts - pu <= fu - ts)) (pk, pu)
+        else if (fu >= 0) (fk, fu)
+        else (-1L, -1L)
+      assert((nk, nu) === expected, s"event $eid nearest mismatch")
+      // nearest is at least as close as either direction
+      if (nu >= 0 && pu >= 0) assert(math.abs(ts - nu) <= ts - pu)
+      if (nu >= 0 && fu >= 0) assert(math.abs(ts - nu) <= fu - ts)
+    }
+  }
 }

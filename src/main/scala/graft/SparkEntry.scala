@@ -68,6 +68,7 @@ object SparkEntry {
     "events_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
     "events_sliding" -> ((s, d) => Events.slidingCounts(s, d)),
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "events_sessionize_native" -> ((s, d) => Events.sessionizeNative(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_funnel_windowed" -> ((s, d) => Events.funnelWindowed(s, d)),
     "events_attribution" -> ((s, d) => Events.attribution(s, d)),
@@ -1153,6 +1154,12 @@ object SparkEntry {
       """WITH e AS (SELECT epoch_us(ts) // 900000000 AS slide_idx, event_type FROM events), x AS (SELECT slide_idx - k AS win_idx, event_type FROM e CROSS JOIN range(0, 4) t(k) WHERE slide_idx - k >= 0) SELECT win_idx, CAST(win_idx * 900000000 AS BIGINT) AS win_start_us, event_type, count(*) AS cnt FROM x GROUP BY win_idx, event_type ORDER BY win_idx, event_type""",
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, event_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM l) SELECT user_id, session_id, count(*) AS n_events, CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // Native session_window twin: the operator merges on INCLUSIVE
+    // overlap (an exact 30:00 gap still merges — verified by planted
+    // test, same split rule as the lag form's strict >), with its window
+    // output (start = first event, end = last event + gap).
+    "events_sessionize_native" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM l) SELECT user_id, CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) + 1800000000 AS BIGINT) AS end_us, CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
     // Ordered first-touch funnel: each stage's min is constrained to land
     // strictly after the previous stage's min — same CTE chain shape as
     // the Spark side's keyed aggregates.

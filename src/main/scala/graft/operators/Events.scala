@@ -1191,6 +1191,31 @@ object Events {
           .as("scan_e4"))
 
   /** Same over any events DataFrame with (user_id, event_id, ts_us). */
+  /** Sessionization through Spark's NATIVE `session_window` operator —
+    * the same 30-minute-gap semantics as [[sessionize]], expressed as the
+    * built-in merging-window aggregate instead of the lag+cumsum
+    * composition (the operator a Structured Streaming session pipeline
+    * would use verbatim; here it runs in batch). Boundary semantics
+    * pinned by planted test: the operator merges on INCLUSIVE overlap —
+    * a gap of exactly 30:00.000000 still merges — which is the SAME
+    * split rule as the lag form's strict `>`, so the two sessionizers
+    * partition identically everywhere. Output carries the operator's
+    * window: start = first event, end = last event + gap. */
+  def sessionizeNative(s: SparkSession, d: String): DataFrame =
+    sessionizeNativeDf(Tables.events(s, d))
+
+  /** Same, over any (user_id, ts_us) frame (planted tests). */
+  def sessionizeNativeDf(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(timestamp_micros(col("ts_us")), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
   def sessionizeDf(events: DataFrame): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -500,6 +500,46 @@ class EventsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("native session_window: planted sessions exact, inclusive at the gap boundary") {
+    val gap = 1800000000L // 30 min in µs
+    val events = Seq(
+      // user 1: exactly-gap pair MERGES (inclusive overlap — pinned here;
+      // an exceeding gap splits), so all three land in one session
+      (1L, 0L), (1L, gap), (1L, gap + 5L),
+      // user 1: beyond the gap from the previous event — a new session
+      (1L, gap + 5L + gap + 1L),
+      // user 2: one merged session (all gaps < 30 min)
+      (2L, 100L), (2L, 100L + gap - 1L)
+    ).toDF("user_id", "ts_us")
+    val got = Events.sessionizeNativeDf(events)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, gap + 5L + gap, 3L),
+      (1L, gap + 5L + gap + 1L, gap + 5L + gap + 1L + gap, 1L),
+      (2L, 100L, 100L + gap - 1L + gap, 2L)))
+    // Corpus-level consistency with the lag+cumsum form: the inclusive
+    // merge equals the lag form's strict-> split, so the partitions are
+    // identical — assert event conservation and per-user session counts.
+    val native = Events.sessionizeNative(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val lagged = Events.sessionize(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(native.map(_._4).sum === lagged.map(_._3).sum,
+      "the two sessionizers disagree on total event count")
+    val nCounts = native.groupBy(_._1).view.mapValues(_.length).toMap
+    val lCounts = lagged.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(nCounts === lCounts,
+      "per-user session counts diverge between the two sessionizers")
+    // start_us of native sessions = min event times; windows don't overlap
+    for ((u, rows) <- native.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 <= b._2
+        case _ => true
+      }, s"user $u native session windows overlap")
+    }
+  }
+
   test("nearest as-of is the row-wise best of the two directional joins") {
     val back = Events.asofJoinOrders(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long, Long)].collect()

@@ -160,7 +160,7 @@ object SparkEntry {
     "sim_ivfpq_trained" -> ((s, d) => Similarity.ivfPqTrainedTopK(s, d)),
     "sim_ivfpq_index" -> ((s, d) => Similarity.ivfPqServedCodes(s, d)),
     "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
-    "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "sim_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "eval_graph_recall" -> ((s, d) => Similarity.graphRecall(s, d)),
     "eval_graph_beam" -> ((s, d) => Similarity.graphBeamEval(s, d)),

@@ -268,7 +268,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("media_phash_pairs / sim_knn_graph: band self-joins stay equi-joins on cached keys") {
-    for (q <- Seq("media_phash_pairs", "sim_knn_graph")) {
+    for (q <- Seq("media_phash_pairs")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
       val plan = df.queryExecution.executedPlan.toString
       df.count()
@@ -278,6 +278,28 @@ class PlanSpec extends AnyFunSuite {
         s"$q: the shared key/fingerprint frame is no longer persisted:\n${plan.take(2000)}")
       spark.catalog.clearCache()
     }
+    // The knn-graph BUILD keeps the same invariants (persisted key frame,
+    // equi-join banding) — asserted on the build function, because the
+    // QUERY now serves from the stored product...
+    val build = graft.operators.Similarity.knnGraphDf(
+      graft.sources.Tables.embeddings(spark, TestSpark.sf))
+    val bplan = build.queryExecution.executedPlan.toString
+    build.count()
+    assert(!bplan.contains("CartesianProduct") && !bplan.contains("BroadcastNestedLoopJoin"),
+      s"knn build degenerated to a product join:\n${bplan.take(2000)}")
+    assert(bplan.contains("InMemoryTableScan"),
+      s"knn build no longer persists its key frame:\n${bplan.take(2000)}")
+    spark.catalog.clearCache()
+    // ...and the served query's plan is a stored-table scan: no banding
+    // self-join, no all-pairs anything — the product IS the point.
+    val served = SparkEntry.queries("sim_knn_graph")(spark, TestSpark.sf)
+    val splan = served.queryExecution.executedPlan.toString
+    served.count()
+    assert(splan.contains("Scan parquet"),
+      s"sim_knn_graph no longer reads the stored product:\n${splan.take(2000)}")
+    assert(!splan.contains("SortMergeJoin") && !splan.contains("BroadcastHashJoin"),
+      s"sim_knn_graph re-joins at query time instead of scanning:\n${splan.take(2000)}")
+    spark.catalog.clearCache()
   }
 
   test("contract-wide sweep: no query plans a CartesianProduct") {

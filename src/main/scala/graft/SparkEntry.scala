@@ -99,6 +99,7 @@ object SparkEntry {
     "text_gopher_rep" -> ((s, d) => TextAnalytics.gopherRepetition(s, d)),
     "text_quality_trained" -> ((s, d) => TextAnalytics.qualityTrained(s, d)),
     "text_tokens" -> ((s, d) => TextAnalytics.tokenStats(s, d)),
+    "text_length_bands" -> ((s, d) => TextAnalytics.lengthBands(s, d)),
     "text_length_filter" -> ((s, d) => TextAnalytics.lengthFilter(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalytics.fingerprint(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalytics.tfIdf(s, d)),
@@ -1302,6 +1303,15 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '$Tok') AS w FROM documents), lab AS (SELECT doc_id, CAST(CASE WHEN len(w) >= 5 AND len(list_filter(w, x -> list_contains(['the','a','and','of','is','to','in'], x))) > 0 THEN 1 ELSE 0 END AS BIGINT) AS ok FROM t), occ AS (SELECT doc_id, unnest(w) AS word FROM t), tf AS (SELECT doc_id, word, count(*) AS tf FROM occ GROUP BY 1, 2), tfl AS (SELECT tf.doc_id, tf.word, tf.tf, lab.ok FROM tf JOIN lab ON tf.doc_id = lab.doc_id), tot AS (SELECT sum(CASE WHEN ok = 1 THEN tf ELSE 0 END) AS n_ok, sum(CASE WHEN ok = 0 THEN tf ELSE 0 END) AS n_bad, count(DISTINCT word) AS v FROM tfl), model AS (SELECT word, CAST(round(10000.0 * (sum(CASE WHEN ok = 1 THEN tf ELSE 0 END) + 1) * CAST(t2.n_bad + t2.v AS DOUBLE) / ((sum(CASE WHEN ok = 0 THEN tf ELSE 0 END) + 1) * CAST(t2.n_ok + t2.v AS DOUBLE))) AS BIGINT) AS w_e4 FROM tfl, tot t2 GROUP BY word, t2.n_ok, t2.n_bad, t2.v), sc AS (SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_toks, CAST(sum(f.tf * m.w_e4) AS BIGINT) AS score_e4 FROM tfl f JOIN model m ON f.word = m.word GROUP BY f.doc_id) SELECT d.doc_id, lab.ok, COALESCE(sc.n_toks, 0) AS n_toks, COALESCE(sc.score_e4, 0) AS score_e4, CAST(CASE WHEN sc.n_toks IS NULL THEN 0 ELSE round(sc.score_e4 / sc.n_toks) END AS BIGINT) AS mean_e4, CAST(CASE WHEN sc.n_toks IS NOT NULL AND round(sc.score_e4 / sc.n_toks) > 10000 THEN 1 ELSE 0 END AS BIGINT) AS pred_ok FROM documents d JOIN lab ON d.doc_id = lab.doc_id LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS re_tokens, CAST(len(regexp_extract_all(lower(text), '[a-z]+|[^a-z ]')) AS BIGINT) AS piece_tokens, CAST(length(text) AS BIGINT) AS text_len FROM documents ORDER BY doc_id""",
+    // Context-length planning table: fixed token-length bands per source
+    // (band_lo = largest edge <= n, descending CASE generated from the
+    // same LengthBands constant the engine folds), per-band doc/token
+    // mass with a pinned per-source e4 share.
+    "text_length_bands" -> {
+      val cases = graft.operators.TextAnalytics.LengthBands.tail.reverse
+        .map(e => s"WHEN n >= $e THEN $e").mkString(" ")
+      s"""WITH d AS (SELECT source, CAST(len(regexp_extract_all(lower(text), '$Tok')) AS BIGINT) AS n FROM documents), b AS (SELECT source, CAST(CASE $cases ELSE ${graft.operators.TextAnalytics.LengthBands.head} END AS BIGINT) AS band_lo, n FROM d), g AS (SELECT source, band_lo, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens FROM b GROUP BY source, band_lo), t AS (SELECT source, sum(tokens) AS st FROM g GROUP BY source) SELECT g.source, g.band_lo, g.n_docs, g.tokens, CAST(CASE WHEN t.st = 0 THEN 0 ELSE round(g.tokens * 10000.0 / t.st) END AS BIGINT) AS share_e4 FROM g JOIN t ON g.source = t.source ORDER BY g.source, g.band_lo"""
+    },
     // Corpus-relative length trim: exact discrete percentiles over BIGINT
     // token counts, one 2-value aggregate cross-joined back.
     "text_length_filter" ->

@@ -1318,6 +1318,41 @@ object TextAnalytics {
         length(col("text")).cast("long").as("text_len"))
       .orderBy("doc_id")
 
+  /** Length-band edges (token counts): [0,16) [16,64) [64,256) [256,1024)
+    * [1024,∞) — the bands a SeqLen/packing decision reads. */
+  val LengthBands: Seq[Long] = Seq(0L, 16L, 64L, 256L, 1024L)
+
+  /** CONTEXT-LENGTH PLANNING TABLE — per (source, token-length band):
+    * document count, token mass, and each band's share of the source's
+    * tokens (pinned e4). This is the input to the SeqLen/packing choice
+    * the pack family executes: a corpus whose mass sits in [16,64) wastes
+    * most of a 1024-token window under pad-per-doc and pays boundary
+    * splits under concat-and-chunk — `eval_pack_efficiency` prices the
+    * strategies; this table says WHY, per crawl source. Token counts use
+    * the corpus-standard tokenizer (`re_tokens`). One scan + one
+    * (source, band) aggregate; band count is fixed, so the group space
+    * is sources × 5 at any corpus size. */
+  def lengthBands(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    // largest band edge ≤ n: each ascending edge wraps the accumulated
+    // chain, so the final expression tests the highest edge first
+    val bandLo = LengthBands.tail.foldLeft(lit(LengthBands.head): Column) {
+      (acc, e) => when(n >= e, lit(e)).otherwise(acc)
+    }
+    val perBand = Tables.documents(spark, dir)
+      .select(col("source"), bandLo.as("band_lo"), n.as("n_tokens"))
+      .groupBy("source", "band_lo")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    val perSrc = perBand.groupBy("source")
+      .agg(sum("tokens").as("src_tokens"))
+    perBand.join(perSrc, "source")
+      .select(col("source"), col("band_lo"), col("n_docs"), col("tokens"),
+        when(col("src_tokens") === 0L, lit(0L))
+          .otherwise(round(col("tokens") * lit(10000.0) / col("src_tokens"))
+            .cast("long")).as("share_e4"))
+      .orderBy("source", "band_lo")
+  }
+
   /** Document fingerprint: 32-bit polynomial rolling hash of the full text
     * (deterministic, engine-portable — see Fns.polyHash). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =

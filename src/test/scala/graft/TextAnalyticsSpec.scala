@@ -453,6 +453,35 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(stats === Seq((1L, 3L, 8L, 26667L), (2L, 0L, 0L, 0L)))
   }
 
+  test("length bands: planted docs land in their bands, shares sum per source") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (1 to 5).map(_ => "w").mkString(" "), "sA"),    // 5 tokens → band 0
+      (2L, (1 to 16).map(_ => "w").mkString(" "), "sA"),   // exactly 16 → band 16
+      (3L, (1 to 100).map(_ => "w").mkString(" "), "sA"),  // → band 64
+      (4L, (1 to 2000).map(_ => "w").mkString(" "), "sB"), // → band 1024
+      (5L, "", "sC")                                        // zero tokens → band 0
+    ).toDF("doc_id", "text", "source")
+    // reuse the engine fold via a temp dir? simpler: write and read is
+    // heavyweight — call the banding logic through a parquet round-trip.
+    val dir = java.nio.file.Files.createTempDirectory("lenbands").toString
+    docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = TextAnalytics.lengthBands(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("sA", 0L, 1L, 5L, 413L),     // 5 of 121 tokens
+      ("sA", 16L, 1L, 16L, 1322L),  // boundary doc: exactly 16 → band 16
+      ("sA", 64L, 1L, 100L, 8264L),
+      ("sB", 1024L, 1L, 2000L, 10000L),
+      ("sC", 0L, 1L, 0L, 0L)))      // zero-token source: share pins to 0
+    // shares sum to ~10000 per non-empty source (rounding ±1 per band)
+    for ((src, rows) <- got.groupBy(_._1) if rows.map(_._4).sum > 0)
+      assert(math.abs(rows.map(_._5).sum - 10000L) <= rows.length,
+        s"source $src shares do not sum to one")
+  }
+
   test("unigram dp: beats greedy's myopia on the planted case, optimal on random words") {
     import org.apache.spark.sql.functions.col
     def dp(words: Seq[String], scored: Seq[(String, Long)]) =

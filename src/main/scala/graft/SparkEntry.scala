@@ -163,6 +163,7 @@ object SparkEntry {
     "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
+    "sim_graph_layered" -> ((s, d) => Similarity.graphLayeredTopK(s, d)),
     "eval_graph_recall" -> ((s, d) => Similarity.graphRecall(s, d)),
     "eval_graph_beam" -> ((s, d) => Similarity.graphBeamEval(s, d)),
     "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
@@ -272,14 +273,14 @@ object SparkEntry {
   // n and r in scope): fixed entry, per-round out-neighbor expansion +
   // exact re-score + top-GraphBeam keep. Ends with gb{GraphRounds}(qid,
   // cid, sim_e4). sim_graph_topk and its recall monitor walk identically.
-  private val GraphBeamCtes: String = {
+  private def graphBeamCtes(gb0Sql: String, rounds: Int,
+      extra: String = ""): String = {
     val beam = graft.operators.Similarity.GraphBeam
-    val rounds = graft.operators.Similarity.GraphRounds
-    val entry = graft.operators.Similarity.GraphEntry
     val sb = new StringBuilder
     sb ++= "gq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), "
     sb ++= s"ge AS (SELECT src, dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK}), "
-    sb ++= s"gb0 AS (SELECT q.qid, CAST($entry AS BIGINT) AS cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gq q JOIN n x ON x.vec_id = $entry), "
+    if (extra.nonEmpty) sb ++= extra + ", "
+    sb ++= s"gb0 AS ($gb0Sql), "
     for (i <- 1 to rounds) {
       sb ++= s"gx$i AS (SELECT DISTINCT qid, cid FROM (SELECT b.qid, e.dst AS cid FROM gb${i - 1} b JOIN ge e ON b.cid = e.src UNION ALL SELECT qid, cid FROM gb${i - 1})), "
       sb ++= s"gs$i AS (SELECT x.qid, x.cid, CAST(round(list_inner_product(cv.v, q.qv) / (cv.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gx$i x JOIN n cv ON x.cid = cv.vec_id JOIN gq q ON x.qid = q.qid), "
@@ -288,6 +289,19 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  private val GraphBeamCtes: String = graphBeamCtes(
+    s"SELECT q.qid, CAST(${graft.operators.Similarity.GraphEntry} AS BIGINT) AS cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gq q JOIN n x ON x.vec_id = ${graft.operators.Similarity.GraphEntry}",
+    graft.operators.Similarity.GraphRounds)
+
+  // Layered entry: per-query argmax over the deterministic coarse layer
+  // (vec_id ≡ 0 mod CoarseMod), then the same beam rounds from there.
+  private val GraphLayeredCtes: String = graphBeamCtes(
+    "SELECT e.qid, e.cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gent e JOIN n x ON e.cid = x.vec_id JOIN gq q ON e.qid = q.qid",
+    graft.operators.Similarity.LayeredRounds,
+    extra =
+      s"gcoarse AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % ${graft.operators.Similarity.CoarseMod} = 0), " +
+      "gent AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm) * 10000) AS BIGINT) DESC, c.vec_id) AS rn FROM gq q, gcoarse c) WHERE rn = 1)")
 
   // The unigram/Viterbi DP as reusable CTEs over `bpe_merges` scores and
   // any `words(word)` universe — shared by tokenize_unigram and the
@@ -928,6 +942,13 @@ object SparkEntry {
     "sim_graph_topk" ->
       (s"WITH $KnnGraphCtes, $GraphBeamCtes " +
       s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.GraphRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
+    // Layered: entry per query = argmax over the coarse layer, then the
+    // same beam rounds from there — measured to buy recall at equal
+    // rounds (the banded graph lacks the long-range links that would
+    // let the better entry also cut rounds; see the engine docstring).
+    "sim_graph_layered" ->
+      (s"WITH $KnnGraphCtes, $GraphLayeredCtes " +
+      s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.LayeredRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
     // Round-budget sweep: the SAME walk's prefixes priced at rounds
     // 2/4/6 — per budget, the beam state's top-5 hits vs brute and the
     // cumulative distinct scored candidates (gx1..gxR).

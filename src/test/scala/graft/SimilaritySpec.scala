@@ -109,6 +109,32 @@ class SimilaritySpec extends AnyFunSuite {
       "eval_graph_recall disagrees with the spec-level overlap")
   }
 
+  test("layered graph search: coarse entry buys recall at equal rounds") {
+    val layered = Similarity.graphLayeredTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    assert(layered.map(_._1).distinct.length === 10)
+    // determinism
+    val again = Similarity.graphLayeredTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
+    assert(again.toSeq === layered.toSeq)
+    // The hierarchy pitch, measured honestly: at EQUAL rounds the coarse
+    // entry buys recall (0.64 → 0.70 on this corpus) — it does NOT buy
+    // fewer rounds here, because the banded kNN build lacks HNSW's
+    // long-range links (the Scratch sweep shows rounds still dominate).
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val fixedSet = Similarity.graphTopK(spark, TestSpark.sf)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .map(t => (t._1, t._2)).toSet
+    val layeredSet = layered.map(t => (t._1, t._2)).toSet
+    val rFixed = bruteSet.count(fixedSet.contains).toDouble / bruteSet.size
+    val rLayered = bruteSet.count(layeredSet.contains).toDouble / bruteSet.size
+    info(s"recall@5: fixed-entry($rFixed, ${Similarity.GraphRounds} rounds) " +
+      s"vs layered($rLayered, ${Similarity.LayeredRounds} rounds)")
+    assert(rLayered >= rFixed,
+      s"layered entry lost recall: $rLayered < $rFixed")
+    assert(rLayered >= 0.6, s"layered recall collapsed to $rLayered")
+  }
+
   test("graph beam sweep: prefix rows monotone, max budget equals the search") {
     val rows = Similarity.graphBeamEval(spark, TestSpark.sf)
       .select("rounds", "hits", "recall_e4", "scored_rows")

@@ -1040,21 +1040,26 @@ object Pipeline {
     * rows are emitted with their rank and a kept flag so the drop decision
     * is auditable, corpus_clean-style.
     *
-    * Scale note: rank-within-group is one shuffle on the stratum key. With
-    * heavily skewed strata, replace the full window with a per-partition
-    * top-K heap + merge (the TakeOrderedAndProject shape, applied per key)
-    * or pre-filter by hash threshold ≈ cap/|stratum| before ranking — the
-    * hash order makes that threshold a consistent-sample cut, so the
-    * pre-filter loses no kept rows as long as the threshold over-admits. */
+    * Scale shape: the per-stratum rank is the KEYED two-phase prefix sum
+    * (rn = keyed prefix count of 1s + 1 over the (h, doc_id) order) — a
+    * flat `Window.partitionBy(lang)` would plan ONE task per language, a
+    * multi-TB single-task sort on a hot stratum at 100 TB. The full-rank
+    * output is the audit view; [[sampleStratifiedCapped]] additionally
+    * shrinks each stratum's rank input to ~2·cap rows by the
+    * hash-threshold pre-filter and is the form to deploy when only the
+    * kept sample is wanted. */
   def sampleStratified(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), stratHash.as("h"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("lang"), col("rn"),
-        (col("rn") <= StratCap).cast("long").as("kept"))
-      .orderBy("doc_id")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), stratHash.as("h"), lit(1L).as("one"))
+    val (ranked, ckpt, _) = keyedExclusivePrefixSum(
+      base, Seq("lang"), Seq("h", "doc_id"), "one")
+    graft.functions.Caching.releaseAfterAction(
+      ranked
+        .withColumn("rn", col("prefix") + lit(1L))
+        .select(col("doc_id"), col("lang"), col("rn"),
+          (col("rn") <= StratCap).cast("long").as("kept"))
+        .orderBy("doc_id"),
+      ckpt)
   }
 
   /** Hash modulus for the stratified-sampling order (polyHash range). */
@@ -1479,17 +1484,20 @@ object Pipeline {
 
   /** Same, over any (doc_id, source) DataFrame (planted tests).
     *
-    * SCALE NOTE: this is the declared AUDIT twin — it ranks the FULL
-    * corpus per source (`Window.partitionBy(source)`, one task per
-    * source value), which is test-scale-only by design: the audit's
-    * whole point is to expose every document's rank and keep flag for
-    * the oracle. The 100 TB path is [[dataMixTemperatureCappedDf]],
-    * whose hash-threshold pre-filter shrinks each source's window input
-    * to ~overAdmit × target before any ranking (PipelineSpec pins that
-    * both select the SAME kept set); deploy the capped form, read this
-    * one. */
+    * This is the declared AUDIT twin — it ranks the FULL corpus per
+    * source, exposing every document's rank and keep flag for the
+    * oracle. Since round 14 the full rank rides the same KEYED two-phase
+    * prefix sum as the capped form (rn = keyed prefix count of 1s + 1
+    * over the (h, doc_id) order — the `text_quality_calibrated` pattern,
+    * identical output, partition-parallel plan), so even the audit view
+    * carries no per-source flat window: a ~20-value `source` column
+    * under `Window.partitionBy(source)` would be one multi-TB task per
+    * source at 100 TB. [[dataMixTemperatureCappedDf]] remains the form
+    * to deploy when only the kept mix is wanted — its hash-threshold
+    * pre-filter shrinks each source's rank input to ~overAdmit × target
+    * before ranking (PipelineSpec pins that both select the SAME kept
+    * set). */
   def dataMixTemperatureDf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import docs.sparkSession.implicits._
     val base = docs.select(col("doc_id"), col("source"), orderHash("tmix:").as("h"))
     val counts = base.groupBy("source").agg(count(lit(1)).as("n_source"))
@@ -1499,11 +1507,15 @@ object Pipeline {
         col("h").as("target"), lit(0L).as("rn"), lit(0L).as("kept")).limit(0)
     val (targetRows, _) = temperatureTargets(counts)
     val targets = targetRows.toDF("source", "n_source", "target")
-    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
-    base.join(broadcast(targets), "source")
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("source"), col("n_source"), col("target"),
-        col("rn"), (col("rn") <= col("target")).cast("long").as("kept"))
-      .orderBy("doc_id")
+    val (ranked, ckpt, _) = keyedExclusivePrefixSum(
+      base.withColumn("one", lit(1L)), Seq("source"), Seq("h", "doc_id"), "one")
+    graft.functions.Caching.releaseAfterAction(
+      ranked
+        .withColumn("rn", col("prefix") + lit(1L))
+        .join(broadcast(targets), "source")
+        .select(col("doc_id"), col("source"), col("n_source"), col("target"),
+          col("rn"), (col("rn") <= col("target")).cast("long").as("kept"))
+        .orderBy("doc_id"),
+      ckpt)
   }
 }

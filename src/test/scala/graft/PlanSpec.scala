@@ -374,10 +374,13 @@ class PlanSpec extends AnyFunSuite {
     // admitted set is corpus-fraction-sized (targets sum to n_total/2), so
     // its rank must be the keyed prefix sum too, not a per-source window.
     // text_quality_calibrated joins too: its per-source percentile rank
-    // rides the same keyed prefix sum (round 13).
+    // rides the same keyed prefix sum (round 13). Round 14 retires the
+    // audit-twin exemption: data_mix_temperature's FULL-corpus rank rides
+    // the same machinery, so the repo's no-flat-source-window claim holds
+    // with no footnote.
     for (q <- Seq("pack_sequences", "pack_sequences_bpe", "eval_pack_efficiency",
         "data_mix_temperature_capped", "pack_sequences_incremental",
-        "text_quality_calibrated")) {
+        "text_quality_calibrated", "data_mix_temperature")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
       val plan = df.queryExecution.executedPlan.toString
       df.count()
@@ -395,7 +398,9 @@ class PlanSpec extends AnyFunSuite {
     // Same family, language key: the per-language ntile(3) is computed as
     // ((rank − 1) · 3) div n + 1 over the keyed prefix sum, so the plan
     // must carry no lang-only window and no single-partition exchange.
-    for (q <- Seq("text_ccnet_bucket", "corpus_clean_ccnet")) {
+    // sample_stratified joins in round 14 (audit-twin exemption retired):
+    // its full per-stratum rank is the keyed prefix sum on lang.
+    for (q <- Seq("text_ccnet_bucket", "corpus_clean_ccnet", "sample_stratified")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
       val plan = df.queryExecution.executedPlan.toString
       df.count()

@@ -234,30 +234,53 @@ object Graph {
       e0.filter(col("cnt") >= thr).select("a", "b"), e0)
   }
 
+  /** Algorithm version of the component-label product — bump whenever the
+    * CC engine or the supplier labeling rule changes, so a code change can
+    * never silently serve stale labels from a previous build. */
+  private val CcLabelsVersion = 1
+
+  /** COMPONENT LABELS as a BUILD-ONCE PRODUCT — the round-13 verdict's
+    * amortization item: the CC fixpoint (the graph family's iterative
+    * engine) used to re-run inside BOTH [[componentsQuery]] and
+    * [[modularityEval]]. The supplier-dim-complete (s_suppkey,
+    * component_id) labeling now publishes once per corpus through the
+    * content-addressed cache (keyed on the lineitem identity + the edge
+    * budget + both algorithm versions, the cosupply/knngraph pattern) and
+    * every consumer scans the stored labels. Identical rows to the inline
+    * computation by construction, so consumers' oracles are unchanged. */
+  def componentLabelsShared(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactCache.getOrBuild(s, "cclabels",
+      s"$d/lineitem.parquet",
+      Seq(TriEdgesPerNode, CoSupplyVersion, CcLabelsVersion)) {
+      val comp = graft.operators.Dedup.components(
+        coSupplyEdgesShared(s, d).select(col("a").as("d1"), col("b").as("d2")))
+      graft.functions.Caching.releaseAfterAction(
+        supplier(s, d).select(col("s_suppkey"))
+          .join(comp.withColumnRenamed("id", "s_suppkey"), Seq("s_suppkey"), "left")
+          .select(col("s_suppkey"),
+            coalesce(col("label"), col("s_suppkey")).as("component_id")),
+        comp)
+    }
+
   /** CONNECTED COMPONENTS of the co-supply graph — trading communities:
     * every supplier labeled with the smallest supplier key reachable
     * through the thresholded co-supply relation, plus the community size.
     * Isolated suppliers are their own singleton component (the LEFT join
-    * against the full supplier dim). The fixpoint engine is the dedup
-    * family's [[Dedup.components]] — min-label propagation with pointer
-    * jumping, checkpointed rounds, logarithmic in component diameter —
-    * applied to a second domain: one CC implementation, every consumer.
-    * Hash-matched against a recursive-CTE transitive closure. */
+    * against the full supplier dim, inside the product build). The
+    * fixpoint engine is the dedup family's [[Dedup.components]] — min-label
+    * propagation with pointer jumping, checkpointed rounds, logarithmic in
+    * component diameter — applied to a second domain: one CC
+    * implementation, every consumer. Since round 14 the labeling is served
+    * from the [[componentLabelsShared]] product; this query adds only the
+    * label-sized size aggregate. Hash-matched against a recursive-CTE
+    * transitive closure. */
   def componentsQuery(s: SparkSession, d: String): DataFrame = {
-    val comp = graft.operators.Dedup.components(
-      coSupplyEdgesShared(s, d).select(col("a").as("d1"), col("b").as("d2")))
-    val labeled = supplier(s, d).select(col("s_suppkey"))
-      .join(comp.withColumnRenamed("id", "s_suppkey"), Seq("s_suppkey"), "left")
-      .select(col("s_suppkey"),
-        coalesce(col("label"), col("s_suppkey")).as("component_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labeled = componentLabelsShared(s, d)
     val sizes = labeled.groupBy("component_id")
       .agg(count(lit(1)).as("component_size"))
-    graft.functions.Caching.releaseAfterAction(
-      labeled.join(sizes, "component_id")
-        .select(col("s_suppkey"), col("component_id"), col("component_size"))
-        .orderBy("s_suppkey"),
-      labeled, comp)
+    labeled.join(sizes, "component_id")
+      .select(col("s_suppkey"), col("component_id"), col("component_size"))
+      .orderBy("s_suppkey")
   }
 
   /** k-core threshold: on the budget-thresholded co-supply graph (average
@@ -354,9 +377,29 @@ object Graph {
     * Rounds are fixed at [[LpaRounds]] on both engines (synchronous LPA
     * can oscillate, so "run to convergence" is not portable).
     * Output: (s_suppkey, community, csize). */
-  def lpaQuery(s: SparkSession, d: String): DataFrame =
-    lpaDf(coSupplyEdgesShared(s, d))
-      .withColumnRenamed("node", "s_suppkey").orderBy("s_suppkey")
+  def lpaQuery(s: SparkSession, d: String): DataFrame = {
+    val labels = lpaLabelsShared(s, d)
+    val sizes = labels.groupBy("community").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "community")
+      .select(col("node").as("s_suppkey"), col("community"), col("csize"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Algorithm version of the LPA-label product — bump whenever the
+    * propagation rule or round count semantics change. */
+  private val LpaLabelsVersion = 1
+
+  /** LPA LABELS as a BUILD-ONCE PRODUCT — same amortization as
+    * [[componentLabelsShared]]: the fixed-round synchronous propagation
+    * used to re-run inside both [[lpaQuery]] and [[modularityEval]]. The
+    * (node, community) table publishes once per corpus (keyed on the
+    * lineitem identity + edge budget + round count + versions); community
+    * sizes are a label-sized aggregate each consumer derives. */
+  def lpaLabelsShared(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactCache.getOrBuild(s, "lpalabels",
+      s"$d/lineitem.parquet",
+      Seq(TriEdgesPerNode, CoSupplyVersion, LpaRounds, LpaLabelsVersion))(
+      lpaDf(coSupplyEdgesShared(s, d)).select("node", "community"))
 
   /** Same, over any canonical undirected edge list (a, b), a < b
     * (planted tests). Scale shape per round: one edge⋈label join keyed on
@@ -402,7 +445,14 @@ object Graph {
     * LPA communities refine components, so their intra-edge count can
     * only drop; modularity tells whether the split was worth it (the
     * degree-balance term). Scale shape per method: one deg join + one
-    * community aggregate + one edge⋈label⋈label count — all edge-sized. */
+    * community aggregate + one edge⋈label⋈label count — all edge-sized.
+    * Since round 14 both labelings are SERVED from their build-once
+    * products ([[componentLabelsShared]], [[lpaLabelsShared]]) instead of
+    * re-running the two iterative engines inline — the eval prices the
+    * quality comparison, not the label computation it shares with
+    * [[componentsQuery]]/[[lpaQuery]]. Graph nodes are a subset of the
+    * supplier dim, so the inner join against the dim-complete component
+    * labels restricts to exactly the old left-join-coalesce labeling. */
   def modularityEval(s: SparkSession, d: String): DataFrame = {
     val edges = coSupplyEdgesShared(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -410,12 +460,10 @@ object Graph {
       .unionAll(edges.select(col("b").as("u")))
       .groupBy("u").agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val comp = graft.operators.Dedup.components(
-      edges.select(col("a").as("d1"), col("b").as("d2")))
     val compLabels = deg.select(col("u"))
-      .join(comp.withColumnRenamed("id", "u"), Seq("u"), "left")
-      .select(col("u"), coalesce(col("label"), col("u")).as("lbl"))
-    val lpaLabels = lpaDf(edges)
+      .join(componentLabelsShared(s, d)
+        .select(col("s_suppkey").as("u"), col("component_id").as("lbl")), "u")
+    val lpaLabels = lpaLabelsShared(s, d)
       .select(col("node").as("u"), col("community").as("lbl"))
     def score(labels: DataFrame, method: String): DataFrame = {
       val dc = deg.join(labels, "u").groupBy("lbl").agg(sum("deg").as("d_c"))
@@ -440,7 +488,7 @@ object Graph {
     graft.functions.Caching.releaseAfterAction(
       score(compLabels, "components").unionAll(score(lpaLabels, "lpa"))
         .orderBy("method"),
-      edges, deg, comp)
+      edges, deg)
   }
 
   /** Triangle core over any canonical undirected edge list (a, b) with

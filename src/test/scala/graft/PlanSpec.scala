@@ -141,6 +141,25 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("graph labelings served from products: consumers never re-run the engines") {
+    // CC labels and LPA labels are build-once content-addressed products
+    // (round 14): graph_components / graph_lpa / eval_graph_modularity must
+    // plan as stored-table scans plus label-sized aggregates. A checkpointed
+    // state ("Scan ExistingRDD") in a consumer plan means an iterative
+    // engine (the CC fixpoint or the LPA rounds) leaked back into query
+    // time — the exact recompute the product layer exists to amortize.
+    for (q <- Seq("graph_components", "graph_lpa", "eval_graph_modularity")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString
+      df.count()
+      assert(plan.contains("Scan parquet"),
+        s"$q no longer reads the stored label product:\n${plan.take(2000)}")
+      assert(!plan.contains("Scan ExistingRDD"),
+        s"$q re-runs an iterative engine at query time:\n${plan.take(2000)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("graph_pagerank: the edge list persists and every round broadcasts ranks") {
     val df = SparkEntry.queries("graph_pagerank")(spark, TestSpark.sf)
     val plan = df.queryExecution.executedPlan.toString // pre-action: see above

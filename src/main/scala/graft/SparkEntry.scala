@@ -269,16 +269,32 @@ object SparkEntry {
   private val KnnGraphCtes =
     s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 4 AS band_idx, sum(bit * (1 << (j % 4))) AS band_key FROM proj GROUP BY vec_id, j // 4), elig AS (SELECT band_idx, band_key FROM keys GROUP BY band_idx, band_key HAVING count(*) <= ${graft.operators.Similarity.KnnBucketCap}), ck AS (SELECT k.vec_id, k.band_idx, k.band_key FROM keys k JOIN elig e ON k.band_idx = e.band_idx AND k.band_key = e.band_key), half AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ck a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id), cand AS (SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half), s AS (SELECT c.src, c.dst, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id), r AS (SELECT src, dst, sim_e4, row_number() OVER (PARTITION BY src ORDER BY sim_e4 DESC, dst) AS rn FROM s)"""
 
-  // Unrolled graph-ANN beam rounds over the shared kNN-graph CTEs (needs
-  // n and r in scope): fixed entry, per-round out-neighbor expansion +
-  // exact re-score + top-GraphBeam keep. Ends with gb{GraphRounds}(qid,
-  // cid, sim_e4). sim_graph_topk and its recall monitor walk identically.
+  // The NAVIGABLE graph's edge set over the shared kNN-graph CTEs (needs
+  // n and r in scope) — the round-14 build the beam walks consume: the
+  // banded kNN edges ∪ per-node up-links to the nearest coarse-layer
+  // node ∪ capped down-links (each coarse node's NavDownCap best
+  // members) ∪ the coarse-coarse highway (NavHighwayK nearest). Ends
+  // with ge(src, dst), the set the engine's navgraph product stores.
+  private val NavGraphCtes: String = {
+    val sim = (x: String, y: String) =>
+      s"CAST(round(list_inner_product($x.v, $y.v) / ($x.nrm * $y.nrm) * 10000) AS BIGINT)"
+    s"gcoarse AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % ${graft.operators.Similarity.CoarseMod} = 0), " +
+    s"gup AS (SELECT vec_id AS src, cc AS dst, cs FROM (SELECT x.vec_id, c.vec_id AS cc, ${sim("x", "c")} AS cs, row_number() OVER (PARTITION BY x.vec_id ORDER BY ${sim("x", "c")} DESC, c.vec_id) AS rn FROM n x, gcoarse c WHERE x.vec_id <> c.vec_id) WHERE rn = 1), " +
+    s"gdown AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY cs DESC, src) AS rn FROM gup) WHERE rn <= ${graft.operators.Similarity.NavDownCap}), " +
+    s"ghw AS (SELECT a AS src, b AS dst FROM (SELECT x.vec_id AS a, y.vec_id AS b, row_number() OVER (PARTITION BY x.vec_id ORDER BY ${sim("x", "y")} DESC, y.vec_id) AS rn FROM gcoarse x, gcoarse y WHERE x.vec_id <> y.vec_id) WHERE rn <= ${graft.operators.Similarity.NavHighwayK}), " +
+    s"ge AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} UNION ALL SELECT dst AS src, src AS dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} UNION ALL SELECT src, dst FROM gup UNION ALL SELECT src, dst FROM gdown UNION ALL SELECT src, dst FROM ghw) WHERE src <> dst)"
+  }
+
+  // Unrolled graph-ANN beam rounds over the shared kNN-graph + navigable
+  // edge CTEs (needs n, r, and ge in scope): fixed entry, per-round
+  // out-neighbor expansion + exact re-score + top-GraphBeam keep. Ends
+  // with gb{GraphRounds}(qid, cid, sim_e4). sim_graph_topk and its
+  // recall monitor walk identically.
   private def graphBeamCtes(gb0Sql: String, rounds: Int,
       extra: String = ""): String = {
     val beam = graft.operators.Similarity.GraphBeam
     val sb = new StringBuilder
     sb ++= "gq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), "
-    sb ++= s"ge AS (SELECT src, dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK}), "
     if (extra.nonEmpty) sb ++= extra + ", "
     sb ++= s"gb0 AS ($gb0Sql), "
     for (i <- 1 to rounds) {
@@ -295,12 +311,12 @@ object SparkEntry {
     graft.operators.Similarity.GraphRounds)
 
   // Layered entry: per-query argmax over the deterministic coarse layer
-  // (vec_id ≡ 0 mod CoarseMod), then the same beam rounds from there.
+  // (gcoarse, defined by NavGraphCtes), then the same beam rounds from
+  // there.
   private val GraphLayeredCtes: String = graphBeamCtes(
     "SELECT e.qid, e.cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gent e JOIN n x ON e.cid = x.vec_id JOIN gq q ON e.qid = q.qid",
     graft.operators.Similarity.LayeredRounds,
     extra =
-      s"gcoarse AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % ${graft.operators.Similarity.CoarseMod} = 0), " +
       "gent AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm) * 10000) AS BIGINT) DESC, c.vec_id) AS rn FROM gq q, gcoarse c) WHERE rn = 1)")
 
   // The unigram/Viterbi DP as reusable CTEs over `bpe_merges` scores and
@@ -940,14 +956,14 @@ object SparkEntry {
     // (sim desc, cid). Rounds and widths match the engine constants
     // exactly (beam search has no fixpoint to hide behind).
     "sim_graph_topk" ->
-      (s"WITH $KnnGraphCtes, $GraphBeamCtes " +
+      (s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphBeamCtes " +
       s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.GraphRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
     // Layered: entry per query = argmax over the coarse layer, then the
     // same beam rounds from there — measured to buy recall at equal
     // rounds (the banded graph lacks the long-range links that would
     // let the better entry also cut rounds; see the engine docstring).
     "sim_graph_layered" ->
-      (s"WITH $KnnGraphCtes, $GraphLayeredCtes " +
+      (s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphLayeredCtes " +
       s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.LayeredRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
     // Round-budget sweep: the SAME walk's prefixes priced at rounds
     // 2/4/6 — per budget, the beam state's top-5 hits vs brute and the
@@ -960,7 +976,7 @@ object SparkEntry {
         s"gsc$r AS (SELECT CAST(count(*) AS BIGINT) AS scored_rows FROM (SELECT DISTINCT qid, cid FROM (${(1 to r).map(i => s"SELECT qid, cid FROM gx$i").mkString(" UNION ALL ")}))), " +
         s"grow$r AS (SELECT CAST($r AS BIGINT) AS rounds, h.hits, CAST(round(h.hits * 10000.0 / h.n_brute) AS BIGINT) AS recall_e4, s.scored_rows FROM ghit$r h, gsc$r s)"
       }.mkString(", ")
-      s"WITH $KnnGraphCtes, $GraphBeamCtes, $BruteTopkCtes, " +
+      s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphBeamCtes, $BruteTopkCtes, " +
       "gbr AS (SELECT qid, cid FROM brk WHERE rn <= 5), " + rowsSql + " " +
       budgets.map(r => s"SELECT * FROM grow$r").mkString(" UNION ALL ") +
       " ORDER BY rounds"
@@ -969,7 +985,7 @@ object SparkEntry {
     // JOINed against brute top-5 per query — the same evaluation core as
     // the other index families' monitors.
     "eval_graph_recall" ->
-      (s"WITH $KnnGraphCtes, $GraphBeamCtes, $BruteTopkCtes, " +
+      (s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphBeamCtes, $BruteTopkCtes, " +
       s"gsel AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.GraphRounds}) WHERE rn <= 5), " +
       "gbr AS (SELECT qid, cid FROM brk WHERE rn <= 5) " +
       "SELECT b.qid, CAST(sum(CASE WHEN s.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, CAST(round(sum(CASE WHEN s.cid IS NOT NULL THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 FROM gbr b LEFT JOIN gsel s ON b.qid = s.qid AND b.cid = s.cid GROUP BY b.qid ORDER BY b.qid"),

@@ -79,8 +79,9 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.groupBy(_._1).forall { case (_, rows) =>
       rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong) })
     // Every result lies within GraphRounds hops of the entry point along
-    // the kNN graph's kept edges — the walk cannot teleport.
-    val edges = Similarity.knnGraph(spark, TestSpark.sf)
+    // the NAVIGABLE graph's kept edges (round 14: the walk consumes the
+    // navgraph product, not the raw kNN edges) — the walk cannot teleport.
+    val edges = Similarity.navGraphShared(spark, TestSpark.sf)
       .select("src", "dst").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     var reach = Set(Similarity.GraphEntry)
@@ -92,14 +93,14 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Similarity.graphTopK(spark, TestSpark.sf)
       .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
     assert(again.toSeq === out.toSeq)
-    // Recall vs brute: REPORTED and floor-gated loosely — a greedy walk
-    // from one fixed entry on a tiny sparse graph is structurally allowed
-    // to stall; the number here documents what this configuration buys.
+    // Recall vs brute: the navigable build's up/down/highway links are
+    // exactly what buys this floor (0.70 on the raw kNN graph at sf0.01,
+    // 0.88 navigable — the round-13 verdict's acceptance bar was 0.85).
     val bruteSet = brute.map(t => (t._1, t._2)).toSet
     val gSet = out.map(t => (t._1, t._2)).toSet
     val recall = bruteSet.count(gSet.contains).toDouble / bruteSet.size
     info(s"graph beam recall@5 vs brute = $recall")
-    assert(recall >= 0.4, s"graph beam recall collapsed to $recall")
+    assert(recall >= 0.7, s"graph beam recall collapsed to $recall")
     // The recall-monitor query reports the same overlap, per query.
     val monitored = Similarity.graphRecall(spark, TestSpark.sf)
       .select("qid", "hits").as[(Long, Long)].collect().toMap
@@ -117,10 +118,12 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Similarity.graphLayeredTopK(spark, TestSpark.sf)
       .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
     assert(again.toSeq === layered.toSeq)
-    // The hierarchy pitch, measured honestly: at EQUAL rounds the coarse
-    // entry buys recall (0.64 → 0.70 on this corpus) — it does NOT buy
-    // fewer rounds here, because the banded kNN build lacks HNSW's
-    // long-range links (the Scratch sweep shows rounds still dominate).
+    // The hierarchy pitch, closed in round 14: on the raw banded graph
+    // the coarse entry bought recall at equal rounds but never fewer
+    // rounds (the r13 negative finding); on the NAVIGABLE build the
+    // layered walk converges at LayeredRounds = 4 < GraphRounds = 6 and
+    // still matches-or-beats the fixed-entry walk — the entry quality
+    // now converts into a shorter walk, the HNSW claim.
     val bruteSet = brute.map(t => (t._1, t._2)).toSet
     val fixedSet = Similarity.graphTopK(spark, TestSpark.sf)
       .select("qid", "cid").as[(Long, Long)].collect()
@@ -131,8 +134,8 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"recall@5: fixed-entry($rFixed, ${Similarity.GraphRounds} rounds) " +
       s"vs layered($rLayered, ${Similarity.LayeredRounds} rounds)")
     assert(rLayered >= rFixed,
-      s"layered entry lost recall: $rLayered < $rFixed")
-    assert(rLayered >= 0.6, s"layered recall collapsed to $rLayered")
+      s"layered entry lost recall: $rLayered < $rFixed at fewer rounds")
+    assert(rLayered >= 0.7, s"layered recall collapsed to $rLayered")
   }
 
   test("graph beam sweep: prefix rows monotone, max budget equals the search") {

@@ -694,12 +694,21 @@ case class UnigramDp(child: Expression, vocab: Seq[String], scores: Seq[Long])
   // first occurrence wins on duplicate pieces
   @transient private lazy val smap: Map[String, Long] =
     vocab.zip(scores).reverse.toMap
+  // Piece length measured in CODE POINTS, matching the DP's indexing
+  // below and the oracle's len()/substr() semantics.
   @transient private lazy val maxLen: Int =
-    if (vocab.isEmpty) 1 else math.max(vocab.map(_.length).max, 1)
+    if (vocab.isEmpty) 1
+    else math.max(vocab.map(v => v.codePointCount(0, v.length)).max, 1)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // Index by CODE POINTS, not UTF-16 code units: DuckDB's len/substr
+    // count code points, so a non-BMP character (a surrogate pair in
+    // Java) must be ONE DP cell on both engines — s.length/substring
+    // would make it two here and desync the oracle (latent on the
+    // ASCII-only tokenizer output, but the expression shouldn't carry
+    // that assumption).
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
     val bs = new Array[Long](n + 1) // best score for prefix length i
     val bp = new Array[Long](n + 1) // piece count at that best
     var p = 1
@@ -709,7 +718,8 @@ case class UnigramDp(child: Expression, vocab: Seq[String], scores: Seq[Long])
       var j = math.max(0, p - maxLen)
       while (j < p) {
         val sc: Long =
-          if (p - j == 1) 0L else smap.getOrElse(s.substring(j, p), -1L)
+          if (p - j == 1) 0L
+          else smap.getOrElse(new String(cps, j, p - j), -1L)
         if (sc >= 0L) {
           val cs = bs(j) + sc
           val cp = bp(j) + 1L

@@ -501,6 +501,15 @@ class TextAnalyticsSpec extends AnyFunSuite {
     assert(dp(Seq("xy"), Seq(("xy", 7L), ("xy", 9L)))("xy") === Seq(7L, 1L))
     // Empty vocab degrades to all singles.
     assert(dp(Seq("abc"), Seq.empty)("abc") === Seq(0L, 3L))
+    // Code-POINT indexing (the round-13 advice): a non-BMP character —
+    // one code point, TWO UTF-16 code units — is ONE single-char DP cell
+    // (DuckDB's len/substr semantics), and a vocab piece containing one
+    // matches across it. Code-unit indexing would see 4 cells for "🙂a"
+    // + fail the piece lookup at the surrogate boundary.
+    val emoji = new String(Character.toChars(0x1F642)) // 🙂, non-BMP
+    assert(dp(Seq(emoji + "a"), Seq.empty)(emoji + "a") === Seq(0L, 2L))
+    assert(dp(Seq(emoji + "a", "b" + emoji), Seq((emoji + "a", 11L)))
+      .apply(emoji + "a") === Seq(11L, 1L))
     // Optimality vs exhaustive search on seeded random words: the DP's
     // (score, -pieces) equals the brute-force best over ALL segmentations.
     val rnd = new scala.util.Random(7)

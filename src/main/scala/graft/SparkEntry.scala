@@ -126,6 +126,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_incremental_neardup" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Dedup.semanticClusters(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDup(s, d)),
@@ -162,8 +163,10 @@ object SparkEntry {
     "sim_ivfpq_index" -> ((s, d) => Similarity.ivfPqServedCodes(s, d)),
     "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
+    "sim_nav_graph" -> ((s, d) => Similarity.navGraphQuery(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "sim_graph_layered" -> ((s, d) => Similarity.graphLayeredTopK(s, d)),
+    "eval_graph_connectivity" -> ((s, d) => Similarity.graphConnectivityEval(s, d)),
     "eval_graph_recall" -> ((s, d) => Similarity.graphRecall(s, d)),
     "eval_graph_beam" -> ((s, d) => Similarity.graphBeamEval(s, d)),
     "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
@@ -282,7 +285,8 @@ object SparkEntry {
     s"gup AS (SELECT vec_id AS src, cc AS dst, cs FROM (SELECT x.vec_id, c.vec_id AS cc, ${sim("x", "c")} AS cs, row_number() OVER (PARTITION BY x.vec_id ORDER BY ${sim("x", "c")} DESC, c.vec_id) AS rn FROM n x, gcoarse c WHERE x.vec_id <> c.vec_id) WHERE rn = 1), " +
     s"gdown AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY cs DESC, src) AS rn FROM gup) WHERE rn <= ${graft.operators.Similarity.NavDownCap}), " +
     s"ghw AS (SELECT a AS src, b AS dst FROM (SELECT x.vec_id AS a, y.vec_id AS b, row_number() OVER (PARTITION BY x.vec_id ORDER BY ${sim("x", "y")} DESC, y.vec_id) AS rn FROM gcoarse x, gcoarse y WHERE x.vec_id <> y.vec_id) WHERE rn <= ${graft.operators.Similarity.NavHighwayK}), " +
-    s"ge AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} UNION ALL SELECT dst AS src, src AS dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} UNION ALL SELECT src, dst FROM gup UNION ALL SELECT src, dst FROM gdown UNION ALL SELECT src, dst FROM ghw) WHERE src <> dst)"
+    s"gmir AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY sim_e4 DESC, src) AS mrn FROM r WHERE rn <= ${graft.operators.Similarity.KnnK}) WHERE mrn <= ${graft.operators.Similarity.NavMirrorCap}), " +
+    s"ge AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} UNION ALL SELECT src, dst FROM gmir UNION ALL SELECT src, dst FROM gup UNION ALL SELECT src, dst FROM gdown UNION ALL SELECT src, dst FROM ghw) WHERE src <> dst)"
   }
 
   // Unrolled graph-ANN beam rounds over the shared kNN-graph + navigable
@@ -950,6 +954,26 @@ object SparkEntry {
     // so the twin stays faithful at any scale.
     "sim_knn_graph" ->
       s"""WITH $KnnGraphCtes SELECT src, dst, sim_e4, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} ORDER BY src, rn""",
+    // The navigable edge set itself — the exact (src, dst) union the
+    // walks traverse, pinned as a declared query so an engine/oracle
+    // drift in ANY link class (kNN, mirror, up, down, highway) fails
+    // here before it shows as a recall regression.
+    "sim_nav_graph" ->
+      s"""WITH $KnnGraphCtes, $NavGraphCtes SELECT src, dst FROM ge ORDER BY src, dst""",
+    // Navigability audit: unrolled frontier expansions from the fixed
+    // entry over the shared navigable edges; AS MATERIALIZED per hop —
+    // each rc_i feeds both the next hop and its count row.
+    "eval_graph_connectivity" -> {
+      val hops = graft.operators.Similarity.GraphRounds
+      val entry = graft.operators.Similarity.GraphEntry
+      val chain = (1 to hops).map { h =>
+        s"rc$h AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT node FROM rc${h - 1} UNION ALL SELECT e.dst AS node FROM rc${h - 1} r JOIN ge e ON r.node = e.src))"
+      }.mkString(", ")
+      val rows = (1 to hops).map { h =>
+        s"SELECT CAST($h AS BIGINT) AS hops, (SELECT CAST(count(*) AS BIGINT) FROM rc$h) AS n_reachable, CAST(round((SELECT count(*) FROM rc$h) * 10000.0 / (SELECT count(*) FROM embeddings)) AS BIGINT) AS frac_e4"
+      }.mkString(" UNION ALL ")
+      s"WITH $KnnGraphCtes, $NavGraphCtes, rc0 AS (SELECT CAST($entry AS BIGINT) AS node), $chain $rows ORDER BY hops"
+    },
     // Graph-ANN beam search: fixed-entry, fixed-round best-first walk
     // over the kNN graph's kept edges — each round expands the beam's
     // out-neighbors, exact-scores the union, keeps top-BEAM by
@@ -1433,6 +1457,11 @@ object SparkEntry {
       s"""WITH $PhashCtes, hp AS (SELECT d.doc_id, COALESCE(ph.phash, 0) AS phash FROM d LEFT JOIN ph ON d.doc_id = ph.doc_id) SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming FROM hp a JOIN hp b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY d1, d2""",
     "dedup_ngram_jaccard" ->
       s"""WITH $NgramCtes SELECT d1, d2, jac_e4 FROM jpairs WHERE jac_e4 >= 100 ORDER BY d1, d2""",
+    // Asymmetric containment over the SAME overlap core (cm/cnt CTEs):
+    // common/na and common/nb, kept where either side clears the 0.8
+    // bar — the quoted/embedded-document form Jaccard misses.
+    "dedup_containment" ->
+      s"""WITH $NgramCtes SELECT d1, d2, CAST(round(common * 10000.0 / ca.n) AS BIGINT) AS cont1_e4, CAST(round(common * 10000.0 / cb.n) AS BIGINT) AS cont2_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id WHERE greatest(round(common * 10000.0 / ca.n), round(common * 10000.0 / cb.n)) >= ${graft.operators.Dedup.ContainmentThrE4} ORDER BY d1, d2""",
     // Winnowing (Schleimer et al. 2003): ORDERED 3-gram hash sequence →
     // min per sliding window of WinnowW → distinct selected values are the
     // fingerprints; pairs share ≥ WinnowMinShared under the same df cap as

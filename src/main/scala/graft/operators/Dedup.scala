@@ -785,6 +785,22 @@ object Dedup extends org.apache.spark.internal.Logging {
     * modalities. Input: a (doc_id, sh) frame, distinct per doc. */
   def jaccardPairsFromShingles(shinglesDf: DataFrame, minJacE4: Long,
       maxDf: Long = MaxShingleDf): DataFrame = {
+    val (ov, sh) = pairOverlapFromShingles(shinglesDf, maxDf)
+    graft.functions.Caching.releaseAfterAction(
+      ov.select(
+          col("d1"), col("d2"),
+          round(col("common") * lit(10000.0) / (col("na") + col("nb") - col("common"))).cast("long").as("jac_e4"))
+        .filter(col("jac_e4") >= minJacE4),
+      sh)
+  }
+
+  /** Pair overlap counts over any (doc_id, sh) frame — the core the
+    * Jaccard and CONTAINMENT scorers share: (d1, d2, common, na, nb)
+    * with d1 < d2, `common` counted over df-capped shingles, na/nb the
+    * raw per-doc distinct-shingle counts. Returns the overlap frame plus
+    * the persisted shingle cache the caller releases. */
+  private def pairOverlapFromShingles(shinglesDf: DataFrame,
+      maxDf: Long): (DataFrame, DataFrame) = {
     // `sh` feeds two consumers (per-doc counts, the pair groups); persist it
     // so the upstream scan→shingle pipeline runs once instead of twice;
     // released after the caller's terminal action.
@@ -809,14 +825,49 @@ object Dedup extends org.apache.spark.internal.Logging {
         org.apache.spark.sql.graft.AggExprs.longPairs(col("ids"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
     val common = pairs.groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+    (common
+      .join(counts.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n").as("nb")), "d2"),
+     sh)
+  }
+
+  /** Decision-grade containment threshold: 80 % of the smaller side's
+    * shingles shared — the "one document quotes/contains the other" bar. */
+  val ContainmentThrE4 = 8000L
+
+  /** ASYMMETRIC CONTAINMENT pairs (`dedup_containment`) — the dedup form
+    * symmetric Jaccard structurally misses: when a short document is
+    * embedded in a much longer one (a quoted article, a page plus
+    * boilerplate, a truncated re-crawl), |A∩B|/|A| is high while
+    * |A∩B|/|A∪B| shrinks with the length ratio (jac ≈ na/nb at full
+    * containment), so a Jaccard gate tuned for near-identical pairs
+    * never fires (Broder 1997 distinguishes exactly these two
+    * resemblance measures). Emits both directions — cont1_e4 = common/na
+    * (how much of d1 lives inside d2), cont2_e4 = common/nb — for pairs
+    * where EITHER side clears [[ContainmentThrE4]]; the consumer drops
+    * whichever side is contained.
+    *
+    * Scale shape: identical to the Jaccard kit (one definition of the
+    * overlap core, [[pairOverlapFromShingles]]): df-capped bounded-state
+    * pair generation, never a corpus self-join; the score tail is two
+    * pinned divisions over exact integers, so it hash-matches. */
+  def containmentPairs(s: SparkSession, d: String,
+      minContE4: Long = ContainmentThrE4,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    containmentPairsDf(Tables.documents(s, d), minContE4, maxDf)
+
+  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  def containmentPairsDf(docs: DataFrame,
+      minContE4: Long = ContainmentThrE4,
+      maxDf: Long = MaxShingleDf): DataFrame = {
+    val (ov, sh) = pairOverlapFromShingles(shingles(docs), maxDf)
     graft.functions.Caching.releaseAfterAction(
-      common
-        .join(counts.select(col("doc_id").as("d1"), col("n").as("na")), "d1")
-        .join(counts.select(col("doc_id").as("d2"), col("n").as("nb")), "d2")
-        .select(
+      ov.select(
           col("d1"), col("d2"),
-          round(col("common") * lit(10000.0) / (col("na") + col("nb") - col("common"))).cast("long").as("jac_e4"))
-        .filter(col("jac_e4") >= minJacE4),
+          round(col("common") * lit(10000.0) / col("na")).cast("long").as("cont1_e4"),
+          round(col("common") * lit(10000.0) / col("nb")).cast("long").as("cont2_e4"))
+        .filter(greatest(col("cont1_e4"), col("cont2_e4")) >= minContE4)
+        .orderBy("d1", "d2"),
       sh)
   }
 

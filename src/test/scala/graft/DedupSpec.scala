@@ -66,6 +66,41 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment: an embedded document fires where the Jaccard gate cannot") {
+    // d1 = a short article; d2 = the SAME article wrapped in ~7x of
+    // unrelated boilerplate. Every d1 shingle appears in d2, so
+    // containment(d1 in d2) = 1.0 — while Jaccard ≈ n1/n2 is far below
+    // the 0.8 decision bar. d3 is unrelated.
+    // Letter-only tokens (digits make a word invisible to \b[a-z]+\b):
+    // the article is 26 distinct doubled letters, the filler 80 distinct
+    // x-suffixed digraphs — disjoint vocabularies by construction.
+    val article = (0 until 26)
+      .map(i => s"${('a' + i).toChar}${('a' + i).toChar}").mkString(" ")
+    val filler = (0 until 80)
+      .map(i => s"${('a' + i % 26).toChar}${('a' + (i / 26) % 26).toChar}x")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, article),
+      (2L, filler + " " + article),
+      (3L, "completely different text about other things entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsDf(docs)
+      .select("d1", "d2", "cont1_e4", "cont2_e4")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)),
+      s"expected exactly the embedded pair, got ${got.mkString(", ")}")
+    val (_, _, c1, c2) = got.head
+    assert(c1 === 10000L, s"full containment of d1 in d2 expected, got $c1")
+    assert(c2 < 8000L, "the long side must NOT read as contained")
+    // The same pair is invisible to the decision-grade Jaccard gate —
+    // the reason this operator exists.
+    val jac = Dedup.ngramJaccardPairsDf(docs, minJacE4 = 100L)
+      .select("d1", "d2", "jac_e4").as[(Long, Long, Long)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(jac((1L, 2L)) < 8000L,
+      "planted pair unexpectedly clears the Jaccard bar — plant more filler")
+  }
+
   test("bounded collect + pair expansion equal the unbounded collect_list form") {
     // The single-shuffle jaccard shape must agree with the two-shuffle
     // formulation it replaced: df-filter-then-collect_list + nested

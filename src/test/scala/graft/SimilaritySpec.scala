@@ -138,6 +138,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rLayered >= 0.7, s"layered recall collapsed to $rLayered")
   }
 
+  test("navigable graph: out-degree bounds hold per class, edges are a clean set") {
+    val edges = Similarity.navGraphShared(spark, TestSpark.sf)
+      .select("src", "dst").as[(Long, Long)].collect()
+    // A set: no self-loops, no duplicate (src, dst).
+    assert(edges.forall { case (s, d) => s != d }, "self-loop in the nav graph")
+    assert(edges.length === edges.distinct.length, "duplicate nav edge")
+    // The constant out-degree bounds the build promises — the property
+    // that keeps a beam expansion step corpus-size-independent: regular
+    // nodes ≤ KnnK + NavMirrorCap + 1 (up-link), coarse nodes add the
+    // down-links and the highway.
+    val regularCap = Similarity.KnnK + Similarity.NavMirrorCap + 1
+    val coarseCap = regularCap + Similarity.NavDownCap + Similarity.NavHighwayK
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    for ((node, deg) <- outDeg) {
+      val cap = if (node % Similarity.CoarseMod == 0) coarseCap else regularCap
+      assert(deg <= cap, s"node $node out-degree $deg exceeds class cap $cap")
+    }
+    // The raw kNN edges are a subset (the nav build only ADDS links).
+    val knn = Similarity.knnGraph(spark, TestSpark.sf)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(knn.subsetOf(edges.toSet), "a kNN edge is missing from the nav graph")
+  }
+
+  test("connectivity audit: reachable set grows monotonically and covers the corpus") {
+    val rows = Similarity.graphConnectivityEval(spark, TestSpark.sf)
+      .select("hops", "n_reachable", "frac_e4")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to Similarity.GraphRounds.toLong))
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 <= b._2 },
+      s"reachable set shrank: ${rows.mkString(", ")}")
+    // The navigability the build buys: full coverage within the walk's
+    // round budget (this is exactly why beam recall jumped in round 14 —
+    // at sf0.01 the raw kNN graph reached far less).
+    assert(rows.last._3 === 10000L,
+      s"entry cannot reach the whole corpus in ${Similarity.GraphRounds} hops: ${rows.last}")
+    // Fractions are consistent with the counts against the corpus size.
+    val n = graft.sources.Tables.embeddings(spark, TestSpark.sf).count()
+    for ((_, cnt, frac) <- rows)
+      assert(frac === math.round(cnt * 10000.0 / n))
+  }
+
   test("graph beam sweep: prefix rows monotone, max budget equals the search") {
     val rows = Similarity.graphBeamEval(spark, TestSpark.sf)
       .select("rounds", "hits", "recall_e4", "scored_rows")

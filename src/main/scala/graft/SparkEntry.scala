@@ -180,6 +180,7 @@ object SparkEntry {
     "embedding_centroids" -> ((s, d) => Similarity.embeddingCentroids(s, d)),
     // — LLM-pipeline: multimodal —
     "multimodal_features" -> ((s, d) => Media.ppmFeaturesQuery(s, d)),
+    "media_thumbnail" -> ((s, d) => Media.thumbnailQuery(s, d)),
     "media_frames" -> ((s, d) => Media.frameSampleQuery(s, d)),
     "media_dedup" -> ((s, d) => Media.mediaDedup(s, d)),
     "media_neardup" -> ((s, d) => Media.mediaNearDup(s, d)),
@@ -1435,6 +1436,14 @@ object SparkEntry {
     // byte i = text byte i mod len, channel c = raster index 3p + c).
     "multimodal_features" ->
       """WITH d AS (SELECT doc_id, CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t, length(CASE WHEN length(text) = 0 THEN ' ' ELSE text END) AS len, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents) SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS r_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p+1) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS g_sum, CAST(list_sum(list_transform(range(0, w*h), p -> ascii(substr(t, CAST((3*p+2) % len AS INTEGER) + 1, 1)))) AS BIGINT) AS b_sum FROM d ORDER BY doc_id""",
+    // Thumbnail resize: per-channel box means on the phash block geometry
+    // (floor(x·tw/w)), floor-division means, rolling checksum of the thumb
+    // raster row-major r,g,b — all integers, so even the RESIZE output is
+    // pinned byte-exactly (via its checksum) against the oracle.
+    "media_thumbnail" -> {
+      val g = graft.multimodal.Media.ThumbGrid
+      s"""WITH d AS (SELECT doc_id, CASE WHEN length(text) = 0 THEN ' ' ELSE text END AS t, length(CASE WHEN length(text) = 0 THEN ' ' ELSE text END) AS len, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents), dd AS (SELECT doc_id, t, len, w, h, LEAST(w, $g) AS tw, LEAST(h, $g) AS th FROM d), px AS (SELECT doc_id, t, len, w, h, tw, th, unnest(range(0, w*h)) AS p FROM dd), bl AS (SELECT doc_id, w, h, tw, th, ((p // w) * th // h) * tw + (p % w) * tw // w AS idx, CAST(ascii(substr(t, CAST((3*p) % len AS INTEGER) + 1, 1)) AS BIGINT) AS r, CAST(ascii(substr(t, CAST((3*p+1) % len AS INTEGER) + 1, 1)) AS BIGINT) AS g, CAST(ascii(substr(t, CAST((3*p+2) % len AS INTEGER) + 1, 1)) AS BIGINT) AS b FROM px), bm AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h, any_value(tw) AS tw, any_value(th) AS th, idx, CAST(sum(r) // count(*) AS BIGINT) AS rm, CAST(sum(g) // count(*) AS BIGINT) AS gm, CAST(sum(b) // count(*) AS BIGINT) AS bm FROM bl GROUP BY doc_id, idx) SELECT doc_id, CAST(any_value(w) AS BIGINT) AS width, CAST(any_value(h) AS BIGINT) AS height, CAST(any_value(tw) AS BIGINT) AS thumb_w, CAST(any_value(th) AS BIGINT) AS thumb_h, list_reduce(list_prepend(CAST(0 AS BIGINT), flatten(list([rm, gm, bm] ORDER BY idx))), (acc, c) -> (acc * 31 + c) & 4294967295) AS checksum FROM bm GROUP BY doc_id ORDER BY doc_id"""
+    },
     // Frame sampling: one 64-byte frame per 256-byte window of the raw
     // media payload (= the text bytes; ASCII ⇒ byte = code point, the
     // media family's standing byte model). Frame count = ceil(len/256)

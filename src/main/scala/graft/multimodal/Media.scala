@@ -442,6 +442,95 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** Thumbnail side: the P6 raster box-downsamples onto at most this many
+    * blocks per axis (images smaller than the grid keep their own size —
+    * every output pixel then averages ≥ 1 source pixel). */
+  val ThumbGrid = 8
+
+  /** REAL thumbnail RESIZE of a P6 image — the preprocessing step every
+    * multimodal training pipeline runs before feature extraction: box-
+    * filter each channel onto a min(w,[[ThumbGrid]]) × min(h,[[ThumbGrid]])
+    * grid with the SAME floor(x·tw/w) block assignment as [[phashPpm]]
+    * (one block geometry, two consumers), per-block channel mean by
+    * integer floor division, and emit the new P6 payload plus a rolling
+    * checksum of the thumb raster (the corpus-standard (h·31+b) & 2³²−1
+    * fold, row-major r,g,b). ALL-INTEGER, so the resize — unlike every
+    * float resampler — is exactly reproducible in the DuckDB oracle; the
+    * checksum PINS the produced bytes without shipping binary through the
+    * hash gate. Returns (w, h, tw, th, thumbBytes, checksum). */
+  def thumbnailPpm(bytes: Array[Byte],
+      grid: Int = ThumbGrid): (Int, Int, Int, Int, Array[Byte], Long) = {
+    val (w, h, pos) = ppmHeader(bytes)
+    val tw = math.min(w, grid)
+    val th = math.min(h, grid)
+    val rs = new Array[Long](tw * th)
+    val gs = new Array[Long](tw * th)
+    val bs = new Array[Long](tw * th)
+    val cnt = new Array[Long](tw * th)
+    var p = 0
+    while (p < w * h) {
+      val y = p / w
+      val x = p - y * w
+      val idx = ((y.toLong * th / h) * tw + x.toLong * tw / w).toInt
+      rs(idx) += bytes(pos + 3 * p) & 0xff
+      gs(idx) += bytes(pos + 3 * p + 1) & 0xff
+      bs(idx) += bytes(pos + 3 * p + 2) & 0xff
+      cnt(idx) += 1
+      p += 1
+    }
+    val header = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * tw * th)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var chk = 0L
+    var i = 0
+    while (i < tw * th) {
+      // tw ≤ w and th ≤ h ⇒ every block holds ≥ 1 pixel (cnt > 0)
+      val rm = rs(i) / cnt(i); val gm = gs(i) / cnt(i); val bm = bs(i) / cnt(i)
+      out(header.length + 3 * i) = rm.toByte
+      out(header.length + 3 * i + 1) = gm.toByte
+      out(header.length + 3 * i + 2) = bm.toByte
+      chk = (chk * 31 + rm) & 0xffffffffL
+      chk = (chk * 31 + gm) & 0xffffffffL
+      chk = (chk * 31 + bm) & 0xffffffffL
+      i += 1
+    }
+    (w, h, tw, th, out, chk)
+  }
+
+  /** Driver-contract query (`media_thumbnail`): resize the whole P6
+    * corpus, emit source/thumb dimensions and the raster checksum. The
+    * thumbnail BYTES are produced (and spec-checked as valid P6 that
+    * re-decodes), but the declared columns carry the checksum — the
+    * integer pin of the payload — so the oracle compares pure integers.
+    * Partition-batched decode like the other codec queries; zero shuffle
+    * before the terminal sort. */
+  def thumbnailQuery(s: SparkSession, d: String): DataFrame =
+    thumbnailRaw(ppmTable(s, d))
+      .select("doc_id", "width", "height", "thumb_w", "thumb_h", "checksum")
+      .orderBy("doc_id")
+
+  /** Unordered full form incl. the thumb payload (specs re-decode it). */
+  private[graft] def thumbnailRaw(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("thumb_w", LongType),
+      StructField("thumb_h", LongType),
+      StructField("thumb", org.apache.spark.sql.types.BinaryType),
+      StructField("checksum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, tw, th, thumb, chk) =
+            thumbnailPpm(r.getAs[Array[Byte]]("media"))
+          Row(r.getAs[Long]("doc_id"), w.toLong, h.toLong, tw.toLong,
+            th.toLong, thumb, chk)
+        }
+      }(enc)
+  }
+
   /** Per-image perceptual hash over the decoded P6 corpus — the pixel-level
     * fingerprint table production writes next to the media store (the
     * byte-level [[mediaDedup]]/[[mediaNearDup]] miss re-encodes; this tier

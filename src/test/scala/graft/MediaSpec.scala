@@ -94,6 +94,40 @@ class MediaSpec extends AnyFunSuite {
     assert(huge.getMessage.contains("truncated"))
   }
 
+  test("thumbnail: valid P6 out, exact block means, golden checksum, uniform stays uniform") {
+    // 4×2 image with two distinct 2×2-ish halves under an 8-grid → since
+    // w,h < grid the thumb keeps the source size (every block = 1 pixel:
+    // the resize is the identity and the checksum folds the raw raster).
+    val px = (1 to 24).map(_.toByte).toArray
+    val img = "P6\n4 2\n255\n".getBytes("UTF-8") ++ px
+    val (w, h, tw, th, thumb, chk) = Media.thumbnailPpm(img)
+    assert((w, h, tw, th) === ((4, 2, 4, 2)))
+    // The thumb is a VALID P6 the real decoder accepts, with the identity
+    // raster (blocks of one pixel reproduce their pixel exactly).
+    val (dw, dh, rs, gs, bs) = Media.decodePpm(thumb)
+    assert((dw, dh) === ((4, 2)))
+    assert((rs, gs, bs) === ((1L + 4 + 7 + 10 + 13 + 16 + 19 + 22),
+      (2L + 5 + 8 + 11 + 14 + 17 + 20 + 23), (3L + 6 + 9 + 12 + 15 + 18 + 21 + 24)))
+    var expChk = 0L
+    px.foreach(b => expChk = (expChk * 31 + (b & 0xff)) & 0xffffffffL)
+    assert(chk === expChk)
+    // A 16×16 uniform image box-filters to an 8×8 uniform thumb whose
+    // every byte is the source value (means of a constant are exact).
+    val uni = "P6\n16 16\n255\n".getBytes("UTF-8") ++
+      Array.fill[Byte](16 * 16 * 3)(100)
+    val (_, _, utw, uth, uthumb, _) = Media.thumbnailPpm(uni)
+    assert((utw, uth) === ((8, 8)))
+    val (udw, udh, urs, ugs, ubs) = Media.decodePpm(uthumb)
+    assert((udw, udh) === ((8, 8)))
+    assert(urs === 64L * 100 && ugs === 64L * 100 && ubs === 64L * 100)
+    // Downsampled means are floor averages: a 2×1 → 1×1 (grid 1) thumb of
+    // pixels (10,20,30) and (13,21,31) is exactly ((11),(20),(30)).
+    val two = "P6\n2 1\n255\n".getBytes("UTF-8") ++
+      Array[Byte](10, 20, 30, 13, 21, 31)
+    val (_, _, _, _, t1, _) = Media.thumbnailPpm(two, grid = 1)
+    assert(Media.decodePpm(t1) === ((1, 1, 11L, 20L, 30L)))
+  }
+
   test("ppm features: real decode round-trips the construction, oracle-shaped") {
     // The query's sums must equal an independent in-JVM reconstruction
     // from the raw text (byte i of the raster = text byte i mod len).

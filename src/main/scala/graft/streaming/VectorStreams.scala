@@ -276,4 +276,103 @@ object VectorStreams {
     withR.select(col("vec_id") +: col("cell_id") +:
       (0 until m).map(i => codeFor(i).as(s"c$i")): _*)
   }
+
+  /** Streaming GRAPH-ANN PROBE — the THIRTY-FIRST twin, the online
+    * serving form of [[Similarity.graphTopK]] and the last index family
+    * to get one (IVF-PQ has ingest, LSH the probe, SQ8 the encoder):
+    * every ARRIVING query vector runs the SAME deterministic best-first
+    * beam walk over the SAME navigable-graph product, per row, with no
+    * streaming state.
+    *
+    * Deployment shape — deliberately HNSW's own: graph indexes serve
+    * from RAM-RESIDENT replicas (the walk is pointer-chasing; a
+    * distributed join per round would put a shuffle inside every hop),
+    * so the nav edges and the corpus vectors load once driver-side and
+    * broadcast (sf0.1: ~33 K edges + 5 K × 64 doubles ≈ 3 MB). At
+    * 100 TB the replica holds SQ8 codes instead of raw doubles and the
+    * graph is sharded — the standard memory/recall trade, versioned
+    * like the IVF-PQ codebook.
+    *
+    * Parity is BIT-exact, not approximate: the per-row walk replays the
+    * batch loop's schedule (entry → expand out-neighbors → exact
+    * re-score → top-beam by (sim desc, cid), fixed rounds) with the
+    * identical arithmetic — sequential dot, one divide, ×10⁴, HALF_UP
+    * round (Spark's `round` semantics, NOT Math.round, which differs on
+    * negative halves) — so a replayed corpus query returns the batch
+    * rows verbatim (VectorStreamsSpec asserts it). */
+  def graphProbeStream(spark: SparkSession, path: String, staticDir: String,
+      k: Int = 5, beam: Int = Similarity.GraphBeam,
+      rounds: Int = Similarity.GraphRounds,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    val adj: Map[Long, Array[Long]] =
+      Similarity.navGraphShared(spark, staticDir)
+        .select("src", "dst").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).sorted }
+    val vecs: Map[Long, (Array[Double], Double)] =
+      graft.sources.Tables.embeddings(spark, staticDir)
+        .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+        .as[(Long, Array[Double])].collect()
+        .map { case (id, v) =>
+          id -> (v, math.sqrt(GraphProbe.dot(v, v)))
+        }.toMap
+    val badj = spark.sparkContext.broadcast(adj)
+    val bvec = spark.sparkContext.broadcast(vecs)
+    val entry = Similarity.GraphEntry
+    embeddingStream(spark, path, maxFilesPerTrigger)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val adjM = badj.value
+        val vecM = bvec.value
+        it.flatMap { case (qid, qv) =>
+          GraphProbe.walk(qid, qv, entry, beam, rounds, k, adjM, vecM)
+        }
+      }
+      .toDF()
+  }
 }
+
+/** The per-row beam walk behind [[VectorStreams.graphProbeStream]] —
+  * plain-Scala replica of the batch loop's schedule and arithmetic. */
+private[streaming] object GraphProbe {
+
+  def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** sim_e4 with Spark's `round` semantics: HALF_UP via BigDecimal —
+    * Math.round floors negative halves and would desync the oracle. */
+  private def simE4(qv: Array[Double], qn: Double,
+      cv: Array[Double], cn: Double): Long =
+    java.math.BigDecimal.valueOf(dot(qv, cv) / (qn * cn) * 10000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  def walk(qid: Long, qv: Array[Double], entry: Long, beam: Int,
+      rounds: Int, k: Int, adj: Map[Long, Array[Long]],
+      vecs: Map[Long, (Array[Double], Double)]): Iterator[GraphProbeHit] = {
+    val qn = math.sqrt(dot(qv, qv))
+    def score(cid: Long): (Long, Long) = {
+      val (cv, cn) = vecs(cid)
+      (simE4(qv, qn, cv, cn), cid)
+    }
+    // (sim desc, cid asc) — the batch window's exact order.
+    val ord = Ordering.by[(Long, Long), (Long, Long)] { case (s, c) => (-s, c) }
+    var beamSet: Array[(Long, Long)] = Array(score(entry))
+    for (_ <- 1 to rounds) {
+      val cands = (beamSet.map(_._2) ++
+        beamSet.flatMap { case (_, c) => adj.getOrElse(c, Array.empty[Long]) })
+        .distinct
+      beamSet = cands.map(score).sorted(ord).take(beam)
+    }
+    beamSet.take(k).iterator.zipWithIndex.map { case ((s, c), i) =>
+      GraphProbeHit(qid, c, s, i + 1L)
+    }
+  }
+}
+
+/** Output row of [[VectorStreams.graphProbeStream]]. */
+case class GraphProbeHit(qid: Long, cid: Long, sim_e4: Long, rn: Long)

@@ -181,6 +181,35 @@ class VectorStreamsSpec extends AnyFunSuite {
     assert(tail === batch, "streamed probe + post-step diverged from batch")
   }
 
+  test("streaming graph probe equals the batch beam search verbatim") {
+    // The 31st twin: arriving query vectors walk the RAM-resident
+    // navigable-graph replica per row. Replaying the corpus, the rows for
+    // the batch query set (vec_id < 10) must equal sim_graph_topk's
+    // output BIT-identically — same entry, same schedule, same HALF_UP
+    // e4 scores, same (sim desc, cid) ties.
+    val dir = Paths.get("target", "test-scratch", "vecstream_graph")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark,
+        VectorStreams.graphProbeStream(spark, dir.toString, TestSpark.sf),
+        "t_graphprobe", mode = "append")
+      .as[(Long, Long, Long, Long)].collect()
+    // Every replayed vector got a full ranked answer.
+    val n = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").count()
+    assert(streamed.map(_._1).distinct.length.toLong === n)
+    assert(streamed.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._4).sorted.toSeq == (1L to rs.length.toLong) })
+    val batch = Similarity.graphTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "sim_e4", "rn")
+      .as[(Long, Long, Long, Long)].collect()
+    val streamedQ = streamed.filter(_._1 < 10).sortBy(r => (r._1, r._4))
+    assert(streamedQ.toSeq === batch.sortBy(r => (r._1, r._4)).toSeq,
+      "online walk diverged from the batch beam search")
+  }
+
   test("rrf fusion over a streamed ANN sink equals the independent rank fold") {
     // The hybrid family's ONLINE claim, made code: the streaming ANN
     // probe maintains a sink table; ranking it per query and fusing with

@@ -69,6 +69,8 @@ object SparkEntry {
     "events_sliding" -> ((s, d) => Events.slidingCounts(s, d)),
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "events_sessionize_native" -> ((s, d) => Events.sessionizeNative(s, d)),
+    "join_interval_overlap" -> ((s, d) => Events.intervalOverlap(s, d)),
+    "events_value_histogram" -> ((s, d) => Events.valueHistogram(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_funnel_windowed" -> ((s, d) => Events.funnelWindowed(s, d)),
     "events_attribution" -> ((s, d) => Events.attribution(s, d)),
@@ -1217,6 +1219,17 @@ object SparkEntry {
       """WITH e AS (SELECT epoch_us(ts) // 900000000 AS slide_idx, event_type FROM events), x AS (SELECT slide_idx - k AS win_idx, event_type FROM e CROSS JOIN range(0, 4) t(k) WHERE slide_idx - k >= 0) SELECT win_idx, CAST(win_idx * 900000000 AS BIGINT) AS win_start_us, event_type, count(*) AS cnt FROM x GROUP BY win_idx, event_type ORDER BY win_idx, event_type""",
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, event_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM l) SELECT user_id, session_id, count(*) AS n_events, CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // Interval overlap join: the shared sessionize CTEs (intervals A) x
+    // the top-K busiest hours (intervals B, exact integer counts with
+    // hour ties) on s < hr+1h AND e >= hr.
+    "join_interval_overlap" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, event_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM l), sess AS (SELECT user_id, session_id, CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us FROM s GROUP BY user_id, session_id), busy AS (SELECT hour_us, n_events_hour FROM (SELECT CAST(ts_us - ts_us % 3600000000 AS BIGINT) AS hour_us, count(*) AS n_events_hour FROM e GROUP BY 1) ORDER BY n_events_hour DESC, hour_us LIMIT ${graft.operators.Events.BusyHoursK}) SELECT sess.user_id, sess.session_id, sess.start_us, sess.end_us, busy.hour_us, CAST(busy.n_events_hour AS BIGINT) AS n_events_hour FROM sess JOIN busy ON sess.start_us < busy.hour_us + 3600000000 AND sess.end_us >= busy.hour_us ORDER BY user_id, session_id, hour_us""",
+    // Per-type value histogram: integer cents, width = (hi-lo+bins) div
+    // bins, bin = (v-lo) div width — all-integer equal-width binning.
+    "events_value_histogram" -> {
+      val b = graft.operators.Events.HistBins
+      s"""WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events), bd AS (SELECT event_type, min(v) AS lo, max(v) AS hi, (max(v) - min(v) + $b) // $b AS w FROM c GROUP BY event_type) SELECT c.event_type, CAST((c.v - bd.lo) // bd.w AS BIGINT) AS bin, CAST(bd.lo + ((c.v - bd.lo) // bd.w) * bd.w AS BIGINT) AS lo_e2, CAST(bd.lo + ((c.v - bd.lo) // bd.w + 1) * bd.w AS BIGINT) AS hi_e2, count(*) AS n FROM c JOIN bd USING (event_type) GROUP BY 1, 2, 3, 4 ORDER BY event_type, bin"""
+    },
     // Native session_window twin: the operator merges on INCLUSIVE
     // overlap (an exact 30:00 gap still merges — verified by planted
     // test, same split rule as the lag form's strict >), with its window

@@ -1232,4 +1232,83 @@ object Events {
         max("ts_us").as("end_us"))
       .orderBy("user_id", "session_id")
   }
+
+  /** How many of the corpus's busiest hours the interval join carries. */
+  val BusyHoursK = 5
+
+  /** INTERVAL OVERLAP JOIN (`join_interval_overlap`) — the join shape
+    * the relational family still lacked: two INTERVAL sets matched on
+    * overlap, not key equality (the incident-correlation question —
+    * "which user sessions ran during the site's hottest hours" — and
+    * the same shape as feature-window ⋈ outage-window correlation).
+    * Intervals A are the 30-min-gap sessions ([[sessionizeDf]] — one
+    * definition with `events_sessionize`); intervals B are the
+    * top-[[BusyHoursK]] busiest hours (count desc, hour asc — exact
+    * integers) as [hour, hour+1h) windows. A closed session [s, e]
+    * overlaps iff s < hour+1h AND e ≥ hour.
+    *
+    * Scale shape: the interval join's small side is TakeOrdered-bounded
+    * (K rows) and broadcast, so the plan is a BroadcastNestedLoop over
+    * K — the classic bounded-dimension range join. When BOTH interval
+    * sets are corpus-sized, the standard recipe is binning each
+    * interval to its covering hours and equi-joining on the bin (the
+    * `events_sliding` explode shape) — documented here, not needed for
+    * a K-row side. */
+  def intervalOverlap(s: SparkSession, d: String): DataFrame =
+    intervalOverlapDf(Tables.events(s, d))
+
+  /** Same, over any (user_id, event_id, ts_us) frame (planted tests). */
+  def intervalOverlapDf(events: DataFrame): DataFrame = {
+    val sessions = sessionizeDf(events)
+    val busy = events
+      .select((col("ts_us") - (col("ts_us") % HourUs)).as("hour_us"))
+      .groupBy("hour_us").agg(count(lit(1)).as("n_events_hour"))
+      .orderBy(desc("n_events_hour"), asc("hour_us"))
+      .limit(BusyHoursK)
+    sessions.join(broadcast(busy),
+        col("start_us") < col("hour_us") + lit(HourUs) &&
+          col("end_us") >= col("hour_us"))
+      .select(col("user_id"), col("session_id"), col("start_us"),
+        col("end_us"), col("hour_us"), col("n_events_hour"))
+      .orderBy("user_id", "session_id", "hour_us")
+  }
+
+  /** Fixed bin count for the value histogram. */
+  val HistBins = 10L
+
+  /** PER-TYPE VALUE HISTOGRAM (`events_value_histogram`) — the
+    * distribution profile `data_profile`'s min/max/avg moments cannot
+    * show (bimodality, heavy tails — what you look at before choosing
+    * an anomaly threshold): [[HistBins]] equal-width bins per
+    * event_type over integer-cent values. ALL-INTEGER binning: width =
+    * (hi − lo + bins) div bins (so every value lands in [0, bins)), bin
+    * = (v − lo) div width — both engines floor non-negative integers,
+    * so the histogram hash-matches (rule R2: cents first, then
+    * arithmetic). Empty bins are absent (the sparse contract,
+    * `events_anomaly`'s sibling; the dense zero-filled form is one
+    * calendar join away, as there).
+    *
+    * Scale shape: one map-side-combined (type, bin) count over a narrow
+    * projection plus a type-sized bounds aggregate broadcast back —
+    * the wordcount profile. */
+  def valueHistogram(s: SparkSession, d: String): DataFrame =
+    valueHistogramDf(Tables.events(s, d))
+
+  /** Same, over any (event_type, value) frame (planted tests). */
+  def valueHistogramDf(events: DataFrame): DataFrame = {
+    val cents = events.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("v"))
+    val bounds = cents.groupBy("event_type")
+      .agg(min("v").as("lo"), max("v").as("hi"))
+      .withColumn("w",
+        expr(s"(hi - lo + $HistBins) div $HistBins"))
+    cents.join(broadcast(bounds), "event_type")
+      .withColumn("bin", expr("(v - lo) div w"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo") + col("bin") * col("w")).as("lo_e2"),
+        min(col("lo") + (col("bin") + lit(1L)) * col("w")).as("hi_e2"))
+      .select("event_type", "bin", "lo_e2", "hi_e2", "n")
+      .orderBy("event_type", "bin")
+  }
 }

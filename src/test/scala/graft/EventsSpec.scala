@@ -540,6 +540,65 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval overlap: planted sessions match exactly the hours they span") {
+    val hr = 3600000000L
+    // Busiest hours by construction: hour 0 (4 events) and hour 2
+    // (3 events); hour 5 has 1. K = 5 admits all three occupied hours.
+    val events = Seq(
+      // user 1: one session inside hour 0 only
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      // user 2: a session spanning hour 0 into hour 2? no — gap > 30 min
+      // splits; give user 2 one session fully inside hour 2
+      (2L, 4L, 2 * hr + 5L), (2L, 5L, 2 * hr + 10L), (2L, 6L, 2 * hr + 15L),
+      // user 3: a LONG session touching hours 0 and... events 25 min apart
+      // chained from hour 0 end into hour 1 start — overlaps hours 0 and 1,
+      // but hour 1 has fewer events than the cap admits anyway (K = 5).
+      (3L, 7L, hr - 100L), (3L, 8L, hr + 100L),
+      // filler to make hour 0 busiest
+      (4L, 9L, 500L),
+      // a lone event in hour 5
+      (5L, 10L, 5 * hr + 1L)
+    ).toDF("user_id", "event_id", "ts_us")
+    val got = Events.intervalOverlapDf(events)
+      .select("user_id", "session_id", "hour_us")
+      .as[(Long, Long, Long)].collect().toSet
+    // All 5 occupied-hour windows are admitted (≤ K distinct hours), so
+    // the expected pairs are exactly each session × the hours it spans.
+    assert(got === Set(
+      (1L, 0L, 0L),
+      (2L, 0L, 2 * hr),
+      (3L, 0L, 0L), (3L, 0L, hr), // the cross-boundary session hits both
+      (4L, 0L, 0L),
+      (5L, 0L, 5 * hr)))
+    // Corpus smoke: every emitted pair satisfies the overlap predicate.
+    val corpus = Events.intervalOverlap(spark, TestSpark.sf)
+      .select("start_us", "end_us", "hour_us")
+      .as[(Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall { case (s, e, h) => s < h + hr && e >= h },
+      "an emitted pair violates the overlap predicate")
+  }
+
+  test("value histogram: bins cover, counts conserve, widths equal and aligned") {
+    val rows = Events.valueHistogram(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val total = graft.sources.Tables.events(spark, TestSpark.sf).count()
+    assert(rows.map(_._5).sum === total, "histogram loses or double-counts rows")
+    for ((t, group) <- rows.groupBy(_._1)) {
+      val w = group.head._4 - group.head._3
+      assert(group.forall(r => r._4 - r._3 === w), s"$t: unequal bin widths")
+      assert(group.forall(r => r._2 >= 0 && r._2 < Events.HistBins),
+        s"$t: bin index out of range")
+      assert(group.forall(r => r._3 === group.map(_._3).min + r._2 * w),
+        s"$t: bin bounds not aligned to the grid")
+    }
+    // Planted: constant values collapse to one bin of width 1.
+    val const = Seq(("x", 2.0), ("x", 2.0), ("x", 2.0)).toDF("event_type", "value")
+    val g = Events.valueHistogramDf(const)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(g === Seq(("x", 0L, 200L, 201L, 3L)))
+  }
+
   test("nearest as-of is the row-wise best of the two directional joins") {
     val back = Events.asofJoinOrders(spark, TestSpark.sf)
       .as[(Long, Long, Long, Long, Long)].collect()

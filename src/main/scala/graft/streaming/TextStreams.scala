@@ -342,6 +342,23 @@ object TextStreams {
       graft.multimodal.Media.mediaTableDf(
         documentStream(spark, path, maxFilesPerTrigger)))
 
+  /** Streaming THUMBNAIL — the thirty-second twin, the continuous form
+    * of the batch resize ([[graft.multimodal.Media.thumbnailQuery]]):
+    * arriving media payloads box-filter to their thumbnails through the
+    * ONE [[graft.multimodal.Media.thumbnailRaw]] codec path (same block
+    * geometry, same floor-division means, same checksum fold), so batch
+    * and stream cannot resize differently. This is the media-ingest
+    * shape: derive-at-arrival, thumb rows (payload + checksum) appended
+    * straight to the serving table the preview/feature tiers read.
+    * Stateless mapPartitions — no state, no watermark, no shuffle;
+    * TextStreamsSpec replays the corpus and matches the batch
+    * media_thumbnail rows exactly. */
+  def thumbnailStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    graft.multimodal.Media.thumbnailRaw(
+      graft.multimodal.Media.ppmTableDf(
+        documentStream(spark, path, maxFilesPerTrigger)))
+
   /** Streaming copy-detection probe — the winnowing family's daily-crawl
     * shape (the eleventh twin): arriving documents fingerprint STATELESSLY
     * with the exact batch selector ([[Dedup.winnowingFingerprints]] — one

@@ -226,6 +226,36 @@ class TextStreamsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming thumbnail equals the batch media_thumbnail rows") {
+    val dir = Paths.get("target", "test-scratch", "docstream_thumb")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "documents.parquet"),
+      dir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark, TextStreams.thumbnailStream(spark, dir.toString), "t_thumb",
+        mode = "append")
+      .select("doc_id", "width", "height", "thumb_w", "thumb_h", "checksum")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.multimodal.Media.thumbnailQuery(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+    // The streamed PAYLOADS are valid P6 the real decoder accepts and
+    // they re-fold to the declared checksum — the bytes themselves twin,
+    // not just the integer summary.
+    val payloads = spark.table("t_thumb")
+      .select("thumb", "checksum").as[(Array[Byte], Long)].collect()
+    for ((thumb, chk) <- payloads.take(20)) {
+      val (tw2, th2, _, _, _) = graft.multimodal.Media.decodePpm(thumb)
+      assert(tw2 >= 1 && th2 >= 1)
+      var c = 0L
+      thumb.drop(thumb.length - 3 * tw2 * th2)
+        .foreach(b => c = (c * 31 + (b & 0xff)) & 0xffffffffL)
+      assert(c === chk, "payload does not re-fold to its checksum")
+    }
+  }
+
   test("streaming bm25 equals an independent model and contains the batch top-k") {
     val dir = Paths.get("target", "test-scratch", "docstream_bm25")
     Files.createDirectories(dir)

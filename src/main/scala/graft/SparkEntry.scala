@@ -63,6 +63,7 @@ object SparkEntry {
     // — windows & events —
     "window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "window_suite" -> ((s, d) => Relational.windowSuite(s, d)),
+    "window_distribution" -> ((s, d) => Relational.windowDistribution(s, d)),
     "window_running" -> ((s, d) => Relational.windowRunning(s, d)),
     "window_range_frame" -> ((s, d) => Relational.windowRangeFrame(s, d)),
     "events_tumbling" -> ((s, d) => Events.tumblingCounts(s, d)),
@@ -1164,6 +1165,12 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "window_suite" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_c FROM orders) SELECT o_custkey, o_orderkey, total_c, CAST(rank() OVER w AS BIGINT) AS rnk, CAST(dense_rank() OVER w AS BIGINT) AS drnk, lag(total_c, 1) OVER w AS prev_c, lead(total_c, 1) OVER w AS next_c FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY total_c DESC, o_orderkey) ORDER BY o_custkey, rnk, o_orderkey""",
+    // Distribution windows: percent_rank/cume_dist are one double divide
+    // in the same op order on both engines (singleton partitions give
+    // 0.0/1.0 identically — verified), e4-rounded; nth_value(2) under
+    // the default running frame is NULL until the second row.
+    "window_distribution" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_c FROM orders) SELECT o_custkey, o_orderkey, total_c, CAST(round(percent_rank() OVER w * 10000) AS BIGINT) AS pr_e4, CAST(round(cume_dist() OVER w * 10000) AS BIGINT) AS cd_e4, first_value(total_c) OVER w AS best_c, nth_value(total_c, 2) OVER w AS second_c FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY total_c DESC, o_orderkey) ORDER BY o_custkey, o_orderkey""",
     "agg_cube" ->
       """SELECT CAST(grouping(o_orderstatus) AS BIGINT) AS g_s, CAST(grouping(o_orderpriority) AS BIGINT) AS g_p, o_orderstatus, o_orderpriority, count(*) AS cnt, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "window_running" ->

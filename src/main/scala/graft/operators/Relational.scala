@@ -213,6 +213,32 @@ object Relational {
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }
 
+  /** DISTRIBUTION window functions (`window_distribution`) — the family's
+    * remaining built-ins: percent_rank ((rank−1)/(n−1), 0 on singleton
+    * partitions — verified identical on both engines), cume_dist
+    * (rows ≤ current / n), and the value-positional first/nth over the
+    * same per-customer total order as [[windowSuite]]. Both fractions are
+    * one double division in the same op order, e4-rounded (rule R2's
+    * pinned-float treatment); nth_value(2) under the default
+    * running frame is NULL until the second row on both engines (the
+    * unique orderkey tiebreak makes RANGE ≡ ROWS — no tie ambiguity).
+    * Same scale shape as every ranking window here: one shuffle + sort
+    * on the high-cardinality customer key. */
+  def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("total_c"), asc("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_c"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("total_c"),
+        round(percent_rank().over(w) * 10000).cast("long").as("pr_e4"),
+        round(cume_dist().over(w) * 10000).cast("long").as("cd_e4"),
+        first("total_c").over(w).as("best_c"),
+        nth_value(col("total_c"), 2).over(w).as("second_c"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Top-3 orders per customer: row_number with deterministic tie-break. */
   def windowRank(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))

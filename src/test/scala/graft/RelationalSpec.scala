@@ -30,6 +30,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(long.map(_._3).sum === total)
   }
 
+  test("window distribution: fractions bounded, positional values consistent") {
+    val rows = graft.operators.Relational.windowDistribution(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 >= 0 && r._4 <= 10000), "percent_rank out of [0,1]")
+    assert(rows.forall(r => r._5 > 0 && r._5 <= 10000), "cume_dist out of (0,1]")
+    for ((cust, rs) <- rows.groupBy(_._1)) {
+      val best = rs.map(_._3).max
+      assert(rs.forall(_._6 === best), s"customer $cust: best_c is not the max total")
+      // The running frame: exactly the top-ranked row (and only it) has a
+      // NULL second_c; everyone else sees the partition's second value.
+      val byRank = rs.sortBy(r => (-r._3, r._2))
+      assert(byRank.head._7.isEmpty, s"customer $cust: rank-1 row has a second_c")
+      if (rs.length > 1) {
+        val second = byRank(1)._3
+        assert(byRank.tail.forall(_._7.contains(second)),
+          s"customer $cust: second_c is not the second-ranked total")
+      }
+      // cume_dist of the last row is exactly 1.
+      assert(byRank.last._5 === 10000L)
+    }
+  }
+
   test("salted join equals the plain join") {
     val orders = Tables.orders(spark, TestSpark.sf)
       .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_totalprice"))

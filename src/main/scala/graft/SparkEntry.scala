@@ -193,6 +193,7 @@ object SparkEntry {
     "corpus_clean" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "corpus_clean_ccnet" -> ((s, d) => Pipeline.cleanCorpusCcnet(s, d)),
     "corpus_clean_neardup" -> ((s, d) => Pipeline.cleanCorpusNearDup(s, d)),
+    "corpus_clean_containment" -> ((s, d) => Pipeline.cleanCorpusContainment(s, d)),
     "corpus_clean_spans" -> ((s, d) => Pipeline.cleanCorpusSpans(s, d)),
     "corpus_clean_c4" -> ((s, d) => Pipeline.c4Clean(s, d)),
     "corpus_stats" -> ((s, d) => Pipeline.corpusStats(s, d)),
@@ -1491,6 +1492,14 @@ object SparkEntry {
     // bar — the quoted/embedded-document form Jaccard misses.
     "dedup_containment" ->
       s"""WITH $NgramCtes SELECT d1, d2, CAST(round(common * 10000.0 / ca.n) AS BIGINT) AS cont1_e4, CAST(round(common * 10000.0 / cb.n) AS BIGINT) AS cont2_e4 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id WHERE greatest(round(common * 10000.0 / ca.n), round(common * 10000.0 / cb.n)) >= ${graft.operators.Dedup.ContainmentThrE4} ORDER BY d1, d2""",
+    // Containment clean gate: drop the CONTAINED side of each qualifying
+    // pair (mutual containment keeps min id), intersected with the
+    // exact-min survivor (the df-cap escape), conjoined with the shared
+    // quality/lang flag CTEs.
+    "corpus_clean_containment" -> {
+      val thr = graft.operators.Dedup.ContainmentThrE4
+      s"""WITH $NgramCtes, cpr AS (SELECT d1, d2, round(common * 10000.0 / ca.n) AS c1, round(common * 10000.0 / cb.n) AS c2 FROM cm JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id WHERE greatest(round(common * 10000.0 / ca.n), round(common * 10000.0 / cb.n)) >= $thr), cdrop AS (SELECT DISTINCT CASE WHEN c1 >= $thr AND c2 < $thr THEN d1 ELSE d2 END AS doc_id FROM cpr), $cleanFlagCtes SELECT d.doc_id, CAST(CASE WHEN dr.doc_id IS NULL AND xs.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_survivor, f.quality_ok, f.lang_match, CAST(CASE WHEN dr.doc_id IS NULL AND xs.doc_id IS NOT NULL AND f.quality_ok = 1 AND f.lang_match = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM documents d JOIN flags f ON d.doc_id = f.doc_id LEFT JOIN cdrop dr ON d.doc_id = dr.doc_id LEFT JOIN surv xs ON d.doc_id = xs.doc_id ORDER BY d.doc_id"""
+    },
     // Winnowing (Schleimer et al. 2003): ORDERED 3-gram hash sequence →
     // min per sliding window of WinnowW → distinct selected values are the
     // fingerprints; pairs share ≥ WinnowMinShared under the same df cap as

@@ -130,6 +130,42 @@ object Pipeline {
     gate(qualityLangFlags(docs), survivors)
   }
 
+  /** Clean gate with CONTAINMENT dedup (`corpus_clean_containment`) — the
+    * nested-document drop rule Jaccard clustering structurally misses
+    * (see [[Dedup.containmentPairsDf]]): a document ≥ 80 %-contained in
+    * another is dropped — quoted articles, page-plus-boilerplate wraps,
+    * truncated re-crawls — keeping the CONTAINER. Mutually-contained
+    * pairs (near-identical docs) keep the min doc_id (the corpus
+    * survivor rule); containment of identical texts subsumes exact dedup
+    * except past the shingle df cap, so the exact-min gate still
+    * intersects (the [[cleanCorpusNearDupFrom]] composition). Flags
+    * exposed per document, corpus_clean-style: at 100 TB you audit WHY a
+    * document falls out before you drop it.
+    *
+    * Scale shape: the containment pair scan (the Jaccard kit's df-capped
+    * bounded-state core) + one anti join + the shared gate scan. */
+  def cleanCorpusContainment(s: SparkSession, d: String): DataFrame =
+    cleanCorpusContainmentDf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text, lang) DataFrame (planted tests). */
+  def cleanCorpusContainmentDf(docs: DataFrame): DataFrame = {
+    val thr = Dedup.ContainmentThrE4
+    // For every qualifying pair (d1 < d2): only d1 contained → drop d1;
+    // only d2 contained → drop d2; mutual → drop d2 (min-id survives).
+    val dropped = Dedup.containmentPairsDf(docs)
+      .select(
+        when(col("cont1_e4") >= thr && col("cont2_e4") < thr, col("d1"))
+          .otherwise(col("d2")).as("doc_id"))
+      .distinct()
+    val exactMin = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val survivors = docs.select("doc_id")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(exactMin, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("is_survivor"))
+    gate(qualityLangFlags(docs), survivors)
+  }
+
   /** The decision frame with CCNet's perplexity gate added: alongside the
     * exact-dedup survivor, quality, and language gates, a document must not
     * sit in its language's TAIL third of the corpus-LM score distribution

@@ -206,6 +206,42 @@ class PipelineSpec extends AnyFunSuite {
       s"expected one survivor per text, got ${kept.toSeq.sorted.mkString(",")}")
   }
 
+  test("cleanCorpusContainment: the contained doc drops, the container keeps") {
+    // Doc 1 = an article; doc 2 = the SAME article wrapped in ~3x of other
+    // prose (all lowercase letter words with stopwords, so the quality and
+    // en-lang gates pass for every doc). Containment(1 in 2) = 1.0 while
+    // the pair's Jaccard sits far below 0.8 — the nested-document case the
+    // near-dup cluster gate ships both sides of. Docs 3,4 are identical
+    // (mutual containment): min id survives. Doc 5 is unrelated.
+    val article = "the quick brown fox jumps over the lazy dog and is a " +
+      "friend of every creature in the wide green valley of the old river"
+    val filler = (0 until 60)
+      .map(i => s"${('a' + i % 26).toChar}${('a' + (i / 26) % 26).toChar}x")
+      .mkString(" ")
+    val twin = "the optimizer of a catalyst engine is a tree and a rule set"
+    val docs = Seq(
+      (1L, article, "en"),
+      (2L, s"the story begins $filler and then $article", "en"),
+      (3L, twin, "en"),
+      (4L, twin, "en"),
+      (5L, "a completely different and unrelated note about the weather is here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = Pipeline.cleanCorpusContainmentDf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L)._2 === 0L, "the contained article must drop")
+    assert(rows(2L)._2 === 1L && rows(2L)._5 === 1L, "the container must keep")
+    assert(rows(3L)._2 === 1L && rows(3L)._5 === 1L, "mutual pair: min id survives")
+    assert(rows(4L)._2 === 0L, "mutual pair: non-min drops")
+    assert(rows(5L)._2 === 1L && rows(5L)._5 === 1L, "unrelated doc survives")
+    // Sanity: the near-dup cluster gate would NOT have linked the nested
+    // pair (jac < 0.8) — the reason this gate exists.
+    val jac = Dedup.ngramJaccardPairsDf(docs.select("doc_id", "text"), minJacE4 = 100L)
+      .select("d1", "d2", "jac_e4").as[(Long, Long, Long)].collect()
+      .collect { case (1L, 2L, j) => j }
+    assert(jac.forall(_ < 8000L), "fixture lost its asymmetry — add filler")
+  }
+
   test("cleanCorpusSpans: boilerplate-span doc dropped, diluted sibling survives") {
     // 20-token boilerplate block shared by docs 1 and 2. Doc 1 adds only a
     // 2-token tail: 16 of its 18 windows are the shared spans → dup_e4 =

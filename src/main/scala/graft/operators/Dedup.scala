@@ -856,8 +856,19 @@ object Dedup extends org.apache.spark.internal.Logging {
       maxDf: Long = MaxShingleDf): DataFrame =
     containmentPairsDf(Tables.documents(s, d), minContE4, maxDf)
 
-  /** Same, over any (doc_id, text) DataFrame (planted tests). */
+  /** Same, over any (doc_id, text) DataFrame (planted tests). Query-
+    * contract wrapper — adds the terminal sort; internal consumers
+    * ([[graft.operators.Pipeline.cleanCorpusContainmentDf]]'s drop set)
+    * use the unordered Raw form, the [[ngramJaccardPairsRaw]] rule. */
   def containmentPairsDf(docs: DataFrame,
+      minContE4: Long = ContainmentThrE4,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    containmentPairsRaw(docs, minContE4, maxDf).orderBy("d1", "d2")
+
+  /** Unordered containment pairs — the reusable building block (a global
+    * range-sort feeding a consumer that re-shuffles by key anyway is
+    * wasted work at any scale, the Jaccard kit's Raw/Df rule). */
+  def containmentPairsRaw(docs: DataFrame,
       minContE4: Long = ContainmentThrE4,
       maxDf: Long = MaxShingleDf): DataFrame = {
     val (ov, sh) = pairOverlapFromShingles(shingles(docs), maxDf)
@@ -866,8 +877,7 @@ object Dedup extends org.apache.spark.internal.Logging {
           col("d1"), col("d2"),
           round(col("common") * lit(10000.0) / col("na")).cast("long").as("cont1_e4"),
           round(col("common") * lit(10000.0) / col("nb")).cast("long").as("cont2_e4"))
-        .filter(greatest(col("cont1_e4"), col("cont2_e4")) >= minContE4)
-        .orderBy("d1", "d2"),
+        .filter(greatest(col("cont1_e4"), col("cont2_e4")) >= minContE4),
       sh)
   }
 

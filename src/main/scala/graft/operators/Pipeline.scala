@@ -152,7 +152,8 @@ object Pipeline {
     val thr = Dedup.ContainmentThrE4
     // For every qualifying pair (d1 < d2): only d1 contained → drop d1;
     // only d2 contained → drop d2; mutual → drop d2 (min-id survives).
-    val dropped = Dedup.containmentPairsDf(docs)
+    // Raw (unordered) pairs: the distinct re-shuffles by id anyway.
+    val dropped = Dedup.containmentPairsRaw(docs)
       .select(
         when(col("cont1_e4") >= thr && col("cont2_e4") < thr, col("d1"))
           .otherwise(col("d2")).as("doc_id"))

@@ -2112,8 +2112,8 @@ object Similarity {
   def navGraphShared(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactCache.getOrBuild(s, "navgraph",
       s"$d/embeddings.parquet",
-      Seq(KnnK, CoarseMod, NavHighwayK, NavDownCap, KnnGraphVersion,
-        NavGraphVersion))(navGraphBuild(s, d))
+      Seq(KnnK, CoarseMod, NavHighwayK, NavDownCap, NavMirrorCap,
+        KnnGraphVersion, NavGraphVersion))(navGraphBuild(s, d))
 
   private def navGraphBuild(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
@@ -2360,7 +2360,8 @@ object Similarity {
   def graphBeamEval(s: SparkSession, d: String, nQueries: Int = 10,
       k: Int = 5, beam: Int = GraphBeam,
       sweep: Seq[Int] = BeamSweep): DataFrame = {
-    require(sweep.nonEmpty && sweep == sweep.sorted, "sweep must ascend")
+    require(sweep.nonEmpty && sweep == sweep.sorted && sweep.head >= 1,
+      "sweep must ascend over round budgets >= 1")
     // ONE walk — literally [[graphTopK]]'s loop via [[graphWalk]], so a
     // budget row is a prefix of the same deterministic walk by shared
     // code, not by a hand-copied loop kept in sync (the round-13 advice).

@@ -851,10 +851,34 @@ object Dedup extends org.apache.spark.internal.Logging {
     * overlap core, [[pairOverlapFromShingles]]): df-capped bounded-state
     * pair generation, never a corpus self-join; the score tail is two
     * pinned divisions over exact integers, so it hash-matches. */
+  /** Algorithm version of the containment pair product — cache-key
+    * component; bump whenever the overlap/score construction changes. */
+  private val ContPairsVersion = 1
+
+  /** The containment pair table as a BUILD-ONCE PRODUCT — two consumers
+    * compute the identical df-capped shingle-overlap scan (the family's
+    * dominant cost, ~1.2 M pair records at sf0.1): the pair query itself
+    * and [[graft.operators.Pipeline.cleanCorpusContainment]]'s drop set.
+    * First consumer builds and publishes (keyed on the documents file +
+    * threshold + df cap + version, the jacpairs pattern); the rest scan
+    * (d1, d2, cont1_e4, cont2_e4). It cannot share the jacpairs product:
+    * containment keeps pairs below that product's 0.01-Jaccard floor
+    * (a short doc fully inside a long one has jac ≈ na/nb → 0). */
+  def containmentPairsShared(s: SparkSession, d: String,
+      maxDf: Long = MaxShingleDf): DataFrame =
+    graft.sources.ArtifactCache.getOrBuild(s, "contpairs",
+      s"$d/documents.parquet",
+      Seq(ContainmentThrE4, maxDf, ContPairsVersion))(
+      containmentPairsRaw(Tables.documents(s, d), ContainmentThrE4, maxDf))
+
   def containmentPairs(s: SparkSession, d: String,
       minContE4: Long = ContainmentThrE4,
       maxDf: Long = MaxShingleDf): DataFrame =
-    containmentPairsDf(Tables.documents(s, d), minContE4, maxDf)
+    if (minContE4 >= ContainmentThrE4)
+      containmentPairsShared(s, d, maxDf)
+        .filter(greatest(col("cont1_e4"), col("cont2_e4")) >= minContE4)
+        .orderBy("d1", "d2")
+    else containmentPairsDf(Tables.documents(s, d), minContE4, maxDf)
 
   /** Same, over any (doc_id, text) DataFrame (planted tests). Query-
     * contract wrapper — adds the terminal sort; internal consumers

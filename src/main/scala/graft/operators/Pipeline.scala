@@ -145,15 +145,22 @@ object Pipeline {
     * Scale shape: the containment pair scan (the Jaccard kit's df-capped
     * bounded-state core) + one anti join + the shared gate scan. */
   def cleanCorpusContainment(s: SparkSession, d: String): DataFrame =
-    cleanCorpusContainmentDf(Tables.documents(s, d))
+    cleanCorpusContainmentFrom(Tables.documents(s, d),
+      Dedup.containmentPairsShared(s, d))
 
-  /** Same, over any (doc_id, text, lang) DataFrame (planted tests). */
-  def cleanCorpusContainmentDf(docs: DataFrame): DataFrame = {
+  /** Same, over any (doc_id, text, lang) DataFrame (planted tests —
+    * computes its own pairs instead of the shared product). */
+  def cleanCorpusContainmentDf(docs: DataFrame): DataFrame =
+    cleanCorpusContainmentFrom(docs, Dedup.containmentPairsRaw(docs))
+
+  /** The gate over a supplied containment pair frame. */
+  private def cleanCorpusContainmentFrom(docs: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val thr = Dedup.ContainmentThrE4
     // For every qualifying pair (d1 < d2): only d1 contained → drop d1;
     // only d2 contained → drop d2; mutual → drop d2 (min-id survives).
     // Raw (unordered) pairs: the distinct re-shuffles by id anyway.
-    val dropped = Dedup.containmentPairsRaw(docs)
+    val dropped = pairs
       .select(
         when(col("cont1_e4") >= thr && col("cont2_e4") < thr, col("d1"))
           .otherwise(col("d2")).as("doc_id"))

@@ -118,6 +118,11 @@ object StreamBench {
         () => TextStreams.cleanStream(spark, docDir, maxFilesPerTrigger = fpt)),
       ("ivfpq_ingest_served", "append",
         () => VectorStreams.ivfPqIngestStreamServed(spark, vecDir, sfDir,
+          maxFilesPerTrigger = fpt)),
+      // The graph-ANN SERVING twin: rows/sec here is queries-per-second
+      // answered against the RAM-resident navigable-graph replica.
+      ("graph_probe", "append",
+        () => VectorStreams.graphProbeStream(spark, vecDir, sfDir,
           maxFilesPerTrigger = fpt)))
 
     val results = twins.map { case (name, mode, mk) =>

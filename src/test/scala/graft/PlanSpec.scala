@@ -141,6 +141,23 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("containment pairs served from the product: consumers never re-run the overlap scan") {
+    // dedup_containment and corpus_clean_containment scan the stored
+    // contpairs table; a `longpairs` generator (the bounded-state pair
+    // expansion) in a consumer plan means the df-capped shingle-overlap
+    // scan — the family's dominant cost — leaked back into query time.
+    for (q <- Seq("dedup_containment", "corpus_clean_containment")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      df.count()
+      assert(plan.contains("scan parquet"),
+        s"$q no longer reads the stored pair product:\n${plan.take(2000)}")
+      assert(!plan.contains("longpairs"),
+        s"$q re-runs the shingle-overlap pair scan at query time:\n${plan.take(2000)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("graph labelings served from products: consumers never re-run the engines") {
     // CC labels and LPA labels are build-once content-addressed products
     // (round 14): graph_components / graph_lpa / eval_graph_modularity must

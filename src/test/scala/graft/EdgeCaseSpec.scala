@@ -209,4 +209,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(plan("z")._2 === 0L && plan("z")._4 === 0L && plan("z")._6 === 0L)
     assert(plan("w")._4 === 1L && plan("w")._5 === 2L && plan("w")._6 === 5L)
   }
+
+  test("round-14 operators handle empty and degenerate inputs") {
+    import graft.operators.Events
+    // Containment pairs and the clean gate on an empty corpus: empty
+    // frames, not an NPE in the overlap core or the survivor anti join.
+    assert(Dedup.containmentPairsDf(emptyDocs.select("doc_id", "text"))
+      .count() === 0L)
+    assert(Pipeline.cleanCorpusContainmentDf(emptyDocs).count() === 0L)
+    // A single document: no pairs, the doc survives and keeps.
+    val one = Seq((1L, "the cat sat on the mat and ran home", "en"))
+      .toDF("doc_id", "text", "lang")
+    val g = Pipeline.cleanCorpusContainmentDf(one)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(g.toSeq === Seq((1L, 1L, 1L, 1L, 1L)))
+    // Histogram and interval join on empty event frames: empty, defined.
+    val emptyTyped = Seq.empty[(String, Double)].toDF("event_type", "value")
+    assert(Events.valueHistogramDf(emptyTyped).count() === 0L)
+    val emptyEv = Seq.empty[(Long, Long, Long)]
+      .toDF("user_id", "event_id", "ts_us")
+    assert(Events.intervalOverlapDf(emptyEv).count() === 0L)
+    // Thumbnail of a 1×1 image (the empty-doc PPM): identity, checksum of
+    // the single pixel.
+    val px = Array[Byte](32, 32, 32)
+    val img = "P6\n1 1\n255\n".getBytes("UTF-8") ++ px
+    val (w, h, tw, th, thumb, chk) = graft.multimodal.Media.thumbnailPpm(img)
+    assert((w, h, tw, th) === ((1, 1, 1, 1)))
+    assert(graft.multimodal.Media.decodePpm(thumb) === ((1, 1, 32L, 32L, 32L)))
+    var c = 0L; px.foreach(b => c = (c * 31 + (b & 0xff)) & 0xffffffffL)
+    assert(chk === c)
+    // The beam walk on a query set of one (nQueries = 1): full coverage.
+    val probe = graft.operators.Similarity
+      .graphTopK(spark, TestSpark.sf, nQueries = 1)
+      .select("qid").distinct().as[Long].collect()
+    assert(probe.toSeq === Seq(0L))
+  }
 }

@@ -104,7 +104,12 @@ object Bench {
       // before the chunk sequence, so each product build is paid exactly
       // once across the run (a family spanning chunks stays warm after
       // its first chunk — the true cold-pipeline semantics).
-      println(jsonLine(runShared(subset, evictFirst = forked.isEmpty)))
+      val r = runShared(subset, evictFirst = forked.isEmpty)
+      println(jsonLine(r))
+      // The dev loop gets the compact tail line too; a forked child must
+      // NOT print it — the parent parses the child's FIRST {"metric" line
+      // and a second one would only add ambiguity.
+      if (forked.isEmpty) println(compactLine(r))
       if (forked.nonEmpty) sys.exit(0) // plain-java child: don't wait on stragglers
     }
   }
@@ -194,6 +199,20 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"queries":$qs,"queries_cold":$colds,"products":$prods,"failed":$failed,"sf":"$sfDir"$extra}"""
   }
 
+  /** Compact summary printed as the FINAL stdout line (after the full
+    * [[jsonLine]]): the full line grew past what a tail-only stdout
+    * capture keeps (the driver's round-14 artifact recorded `parsed:
+    * null` because the line's HEAD — where "metric" and "value" live —
+    * was cut), so the headline totals also go out small and last. A
+    * reader that keeps whole stdout still prefers the first, full
+    * line. */
+  private def compactLine(r: RunResult): String = {
+    val total = r.queries.collect { case q if q.ok => q.best }.sum
+    val totalCold = r.queries.collect { case q if q.cold > 0 => q.cold }.sum
+    val nFailed = r.queries.count(!_.ok)
+    s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"n_queries":${r.queries.length},"n_failed":$nFailed,"n_products":${r.products.size},"sf":"$sfDir"}"""
+  }
+
   // ---- isolated mode: fork one child JVM per query chunk, merge ----
 
   private sealed trait ChildOutcome
@@ -257,8 +276,10 @@ object Bench {
       if (fallbackChunks == chunks.length) "shared-fallback"
       else if (fallbackChunks > 0) "isolated+fallback"
       else "isolated"
-    println(jsonLine(RunResult(merged.toSeq, mergedProducts.toMap),
+    val result = RunResult(merged.toSeq, mergedProducts.toMap)
+    println(jsonLine(result,
       s""","mode":"$mode","reps":2,"chunk_size":$chunkSize,"fallback_chunks":$fallbackChunks"""))
+    println(compactLine(result))
   }
 
   /** Fork one child JVM running this main over `chunk` (same classpath and

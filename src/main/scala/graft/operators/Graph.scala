@@ -247,11 +247,16 @@ object Graph {
     * content-addressed cache (keyed on the lineitem identity + the edge
     * budget + both algorithm versions, the cosupply/knngraph pattern) and
     * every consumer scans the stored labels. Identical rows to the inline
-    * computation by construction, so consumers' oracles are unchanged. */
+    * computation by construction, so consumers' oracles are unchanged.
+    * The build reads TWO sources — lineitem (edges) and the supplier dim
+    * (the left-join completion) — so the supplier file's identity rides
+    * in the param list: a supplier change that leaves lineitem untouched
+    * must rebuild, not serve stale labels. */
   def componentLabelsShared(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactCache.getOrBuild(s, "cclabels",
       s"$d/lineitem.parquet",
-      Seq(TriEdgesPerNode, CoSupplyVersion, CcLabelsVersion)) {
+      Seq(TriEdgesPerNode, CoSupplyVersion, CcLabelsVersion,
+        graft.sources.ArtifactCache.fileIdentity(s"$d/supplier.parquet"))) {
       val comp = graft.operators.Dedup.components(
         coSupplyEdgesShared(s, d).select(col("a").as("d1"), col("b").as("d2")))
       graft.functions.Caching.releaseAfterAction(
@@ -450,9 +455,12 @@ object Graph {
     * products ([[componentLabelsShared]], [[lpaLabelsShared]]) instead of
     * re-running the two iterative engines inline — the eval prices the
     * quality comparison, not the label computation it shares with
-    * [[componentsQuery]]/[[lpaQuery]]. Graph nodes are a subset of the
-    * supplier dim, so the inner join against the dim-complete component
-    * labels restricts to exactly the old left-join-coalesce labeling. */
+    * [[componentsQuery]]/[[lpaQuery]]. The component labeling keeps the
+    * defensive LEFT-join-coalesce(u) form over the dim-complete product:
+    * under TPC-H referential integrity every edge endpoint is in the
+    * supplier dim so it costs nothing, but on a dirty corpus an
+    * unlabeled endpoint self-labels instead of silently dropping out of
+    * the modularity score. */
   def modularityEval(s: SparkSession, d: String): DataFrame = {
     val edges = coSupplyEdgesShared(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -462,7 +470,9 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val compLabels = deg.select(col("u"))
       .join(componentLabelsShared(s, d)
-        .select(col("s_suppkey").as("u"), col("component_id").as("lbl")), "u")
+          .select(col("s_suppkey").as("u"), col("component_id").as("lbl")),
+        Seq("u"), "left")
+      .select(col("u"), coalesce(col("lbl"), col("u")).as("lbl"))
     val lpaLabels = lpaLabelsShared(s, d)
       .select(col("node").as("u"), col("community").as("lbl"))
     def score(labels: DataFrame, method: String): DataFrame = {

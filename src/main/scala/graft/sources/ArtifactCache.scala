@@ -146,6 +146,24 @@ object ArtifactCache {
       params :+ CacheVersion).mkString("|")
   }
 
+  /** Identity token (qualified path + size + mtime) for an AUXILIARY
+    * input file, to be passed as an extra `params` entry when a build
+    * reads more than one source: `keyFile` carries only the primary
+    * source's identity, so a second input changing underneath would
+    * otherwise serve a stale product silently — against the layer's
+    * "never serve stale" standard. '#'-joined (not '|') so it stays one
+    * param field in the manifest key. Absent files key as 0/0, matching
+    * [[keyString]]'s pre-FS semantics. */
+  def fileIdentity(file: String): String = {
+    val p = new Path(file)
+    val fs = fsOf(p)
+    val (len, mtime) =
+      if (fs.exists(p)) {
+        val st = fs.getFileStatus(p); (st.getLen, st.getModificationTime)
+      } else (0L, 0L)
+    s"${fs.makeQualified(p)}#$len#$mtime"
+  }
+
   private def sha8(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString

@@ -1,6 +1,7 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
+import java.util.Locale
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
@@ -22,6 +23,21 @@ import org.apache.spark.sql.streaming.Trigger
   *     (0 for the stateless encode twins: their whole pitch is that
   *     artifacts ride as literals, not state).
   *
+  * Two further sections (round 15):
+  *
+  *   - `sustained` — the two SERVING probes (the RAM-replica paths,
+  *     where heap/state creep would hide in an 8-trigger run) replayed
+  *     over [[SustainFiles]] single-file triggers; reports the mean
+  *     per-trigger latency of the FIRST and SECOND half separately plus
+  *     the max state bytes seen at any trigger — a flat h1→h2 trend is
+  *     the no-creep claim, measured.
+  *   - `recovery` — one stateful twin (the packing twin, whose restart
+  *     parity is spec-proven in TextStreamsSpec) killed mid-replay and
+  *     resumed from its checkpoint: `recovery_sec` is the wall clock of
+  *     the resumed run to completion — the number an on-call reader
+  *     needs for "how long until the intake path catches up after a
+  *     restart".
+  *
   * METHODOLOGY. The corpus is staged once, repartitioned into
   * [[StageFiles]] parquet files, and each twin streams it with
   * `maxFilesPerTrigger` = [[FilesPerTrigger]] under Trigger.AvailableNow
@@ -32,11 +48,29 @@ import org.apache.spark.sql.streaming.Trigger
   * separate that startup from the steady state. This is a single-node
   * local[N] measurement — the artifact's value is ROUND-OVER-ROUND
   * comparability and twin-vs-twin ranking, not absolute cluster rates.
+  *
+  * Progress accounting reads `q.recentProgress`, which retains only the
+  * last `spark.sql.streaming.numRecentProgressUpdates` entries — the
+  * session pins that knob to [[ProgressRetention]] and [[measure]]
+  * fails loudly if a run ever produces that many triggers, so the
+  * counters can never silently undercount. All JSON numbers format
+  * under Locale.ROOT: the artifact must stay valid JSON under any
+  * default locale.
   */
 object StreamBench {
 
   val StageFiles = 16
   val FilesPerTrigger = 2
+
+  /** Trigger count for the sustained serving-probe replay — ≥ 64 data
+    * triggers ([[SustainFiles]] files at one file per trigger), enough
+    * runway for heap/state creep in the RAM-replica path to show as an
+    * h1→h2 latency trend. */
+  val SustainFiles = 64
+
+  /** Progress-retention pin (see class doc): far above any run here
+    * ([[SustainFiles]] is the largest trigger count), loud if hit. */
+  val ProgressRetention = 4096
 
   private def deleteTree(f: java.io.File): Unit = {
     val kids = f.listFiles()
@@ -44,8 +78,43 @@ object StreamBench {
     f.delete(): Unit
   }
 
+  /** Locale-pinned decimal formatting — the JSON artifact must not pick
+    * up a comma decimal separator from the platform default locale. */
+  private def fmt(x: Double, decimals: Int): String =
+    String.format(Locale.ROOT, s"%.${decimals}f", Double.box(x))
+
   private case class Run(rows: Long, wallSec: Double, triggers: Int,
-      trigMeanMs: Double, trigMaxMs: Long, stateRows: Long, stateBytes: Long)
+      trigMs: Seq[Long], stateRows: Long, stateBytes: Long,
+      stateBytesMax: Long) {
+    def trigMeanMs: Double =
+      if (trigMs.isEmpty) 0.0 else trigMs.sum.toDouble / trigMs.length
+    def trigMaxMs: Long = if (trigMs.isEmpty) 0L else trigMs.max
+  }
+
+  private def collectRun(q: org.apache.spark.sql.streaming.StreamingQuery,
+      wall: Double): Run = {
+    val all = q.recentProgress
+    require(all.length < ProgressRetention,
+      s"progress retention hit (${all.length} >= $ProgressRetention): " +
+        "raise ProgressRetention or the counters below undercount")
+    val prog = all.filter(_.numInputRows > 0)
+    // durationMs is a plain java.util.Map — guard the key, a trigger
+    // that reported no triggerExecution must not NPE the whole bench.
+    val trig = prog.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue()))
+    val states = all.toSeq.map(_.stateOperators)
+    val lastState = states.lastOption
+    Run(
+      rows = prog.map(_.numInputRows).sum,
+      wallSec = wall,
+      triggers = prog.length,
+      trigMs = trig.toSeq,
+      stateRows = lastState.map(_.map(_.numRowsTotal).sum).getOrElse(0L),
+      stateBytes = lastState.map(_.map(_.memoryUsedBytes).sum).getOrElse(0L),
+      stateBytesMax =
+        if (states.isEmpty) 0L
+        else states.map(_.map(_.memoryUsedBytes).sum).max)
+  }
 
   private def measure(spark: SparkSession, name: String, df: DataFrame,
       mode: String): Run = {
@@ -59,24 +128,58 @@ object StreamBench {
       .start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
-    val prog = q.recentProgress.filter(_.numInputRows > 0)
-    val trig = prog.map(_.durationMs.get("triggerExecution").longValue())
-    val lastState = q.recentProgress.lastOption.map(_.stateOperators)
+    val run = collectRun(q, wall)
     q.stop()
     deleteTree(new java.io.File(ckpt))
-    Run(
-      rows = prog.map(_.numInputRows).sum,
-      wallSec = wall,
-      triggers = prog.length,
-      trigMeanMs = if (trig.isEmpty) 0.0 else trig.sum.toDouble / trig.length,
-      trigMaxMs = if (trig.isEmpty) 0L else trig.max,
-      stateRows = lastState.map(_.map(_.numRowsTotal).sum).getOrElse(0L),
-      stateBytes = lastState.map(_.map(_.memoryUsedBytes).sum).getOrElse(0L))
+    run
   }
+
+  /** Kill-and-resume measurement: run `mk()` against `ckpt`, stop it
+    * after `stopAfterTriggers` data triggers (AvailableNow would finish
+    * the replay otherwise), then start a SECOND query on the SAME
+    * checkpoint and time it to completion — the recovery wall clock.
+    * Returns (rows before stop, resumed run). */
+  private def measureRecovery(spark: SparkSession, name: String,
+      mk: () => DataFrame, mode: String, stopAfterTriggers: Int):
+      (Long, Run) = {
+    val ckpt = Files.createTempDirectory(s"graft-sb-rec-$name").toString
+    val q1 = mk().writeStream.format("noop").outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    // Poll committed data triggers; a fast box may finish the replay
+    // before the stop lands — then recovery measures pure resume
+    // overhead (reported rows_before tells the reader which happened).
+    while (q1.isActive &&
+        q1.recentProgress.count(_.numInputRows > 0) < stopAfterTriggers)
+      Thread.sleep(50)
+    q1.stop()
+    q1.awaitTermination()
+    val rowsBefore =
+      q1.recentProgress.filter(_.numInputRows > 0).map(_.numInputRows).sum
+    val t0 = System.nanoTime()
+    val q2 = mk().writeStream.format("noop").outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val run = collectRun(q2, wall)
+    q2.stop()
+    deleteTree(new java.io.File(ckpt))
+    (rowsBefore, run)
+  }
+
+  private def runJson(r: Run): String =
+    s""""rows":${r.rows},"wall_sec":${fmt(r.wallSec, 3)},""" +
+      s""""rows_per_sec":${fmt(r.rows / math.max(r.wallSec, 1e-9), 1)},""" +
+      s""""triggers":${r.triggers},"trig_mean_ms":${math.round(r.trigMeanMs)},""" +
+      s""""trig_max_ms":${r.trigMaxMs},"state_rows":${r.stateRows},""" +
+      s""""state_bytes":${r.stateBytes}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.sources.Sessions.localFromEnv()
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      ProgressRetention.toString)
     import graft.streaming.{TextStreams, VectorStreams}
 
     // Stage each table once as a multi-file stream directory so
@@ -84,10 +187,13 @@ object StreamBench {
     val stage = Files.createTempDirectory("graft-streambench").toString
     val docDir = s"$stage/documents"
     val vecDir = s"$stage/embeddings"
+    val vecDirSustain = s"$stage/embeddings_sustain"
     spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(StageFiles).write.parquet(docDir)
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .repartition(StageFiles).write.parquet(vecDir)
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .repartition(SustainFiles).write.parquet(vecDirSustain)
     // Budget share: half the corpus's mean per-source token mass, so the
     // admission twin exercises BOTH outcomes (admits then rejects).
     val share = {
@@ -128,21 +234,59 @@ object StreamBench {
     val results = twins.map { case (name, mode, mk) =>
       val r = measure(spark, name, mk(), mode)
       System.err.println(s"[streambench] $name: ${r.rows} rows in " +
-        f"${r.wallSec}%.1f s (${r.rows / r.wallSec}%.0f rows/s), " +
+        s"${fmt(r.wallSec, 1)} s (${fmt(r.rows / r.wallSec, 0)} rows/s), " +
         s"state ${r.stateRows} rows / ${r.stateBytes} B")
       name -> r
     }
 
-    val per = results.map { case (n, r) =>
-      f""""$n":{"rows":${r.rows},"wall_sec":${r.wallSec}%.3f,""" +
-        f""""rows_per_sec":${r.rows / math.max(r.wallSec, 1e-9)}%.1f,""" +
-        s""""triggers":${r.triggers},"trig_mean_ms":${math.round(r.trigMeanMs)},""" +
-        s""""trig_max_ms":${r.trigMaxMs},"state_rows":${r.stateRows},""" +
-        s""""state_bytes":${r.stateBytes}}"""
+    // Sustained serving-probe replay: one file per trigger over the
+    // SustainFiles staging — ≥ 64 data triggers through the RAM-replica
+    // paths, halves compared for latency/state creep.
+    val sustain: Seq[(String, Run)] = Seq(
+      ("ivfpq_ingest_served",
+        () => VectorStreams.ivfPqIngestStreamServed(spark, vecDirSustain,
+          sfDir, maxFilesPerTrigger = 1)),
+      ("graph_probe",
+        () => VectorStreams.graphProbeStream(spark, vecDirSustain, sfDir,
+          maxFilesPerTrigger = 1))
+    ).map { case (name, mk) =>
+      val r = measure(spark, name, mk(), "append")
+      val (h1, h2) = r.trigMs.splitAt(r.trigMs.length / 2)
+      def mean(xs: Seq[Long]) =
+        if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.length
+      System.err.println(s"[streambench] sustained $name: ${r.triggers} " +
+        s"triggers, h1 ${fmt(mean(h1), 0)} ms -> h2 ${fmt(mean(h2), 0)} ms, " +
+        s"state max ${r.stateBytesMax} B")
+      name -> r
+    }
+
+    // Measured restart-recovery on the packing twin (restart parity is
+    // spec-proven; this is the TIME).
+    val (recRowsBefore, rec) = measureRecovery(spark, "pack_offsets",
+      () => TextStreams.packOffsetsStream(spark, docDir,
+        maxFilesPerTrigger = 1).toDF(),
+      "update", stopAfterTriggers = StageFiles / 2)
+    System.err.println(s"[streambench] recovery pack_offsets: " +
+      s"$recRowsBefore rows before kill, resumed ${rec.rows} rows in " +
+      s"${fmt(rec.wallSec, 1)} s")
+
+    val per = results.map { case (n, r) => s""""$n":{${runJson(r)}}""" }
+      .mkString(",")
+    val sus = sustain.map { case (n, r) =>
+      val (h1, h2) = r.trigMs.splitAt(r.trigMs.length / 2)
+      def mean(xs: Seq[Long]) =
+        if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.length
+      s""""$n":{${runJson(r)},"trig_mean_ms_h1":${math.round(mean(h1))},""" +
+        s""""trig_mean_ms_h2":${math.round(mean(h2))},""" +
+        s""""state_bytes_max":${r.stateBytesMax}}"""
     }.mkString(",")
     println(s"""{"metric":"stream_twins","unit":"rows_per_sec",""" +
       s""""sf":"$sfDir","stage_files":$StageFiles,""" +
-      s""""files_per_trigger":$FilesPerTrigger,"twins":{$per}}""")
+      s""""files_per_trigger":$FilesPerTrigger,"twins":{$per},""" +
+      s""""sustained":{$sus},""" +
+      s""""recovery":{"pack_offsets":{"rows_before_kill":$recRowsBefore,""" +
+      s""""rows_resumed":${rec.rows},"recovery_sec":${fmt(rec.wallSec, 3)},""" +
+      s""""triggers_resumed":${rec.triggers}}}}""")
     deleteTree(new java.io.File(stage))
     spark.stop()
   }

@@ -37,9 +37,21 @@ object Audit {
         }
       }
     })
+    // BUILD probes: product builds are not declared queries (consumers
+    // scan the stored artifact), but their shuffle volume is exactly what
+    // the 100 TB posture claims bound — auditable here by name.
+    val builders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map(
+        "build_navgraph" -> ((s, dir) =>
+          graft.operators.Similarity.navGraphBuild(s, dir)),
+        "build_knngraph" -> ((s, dir) =>
+          graft.operators.Similarity.knnGraphDf(
+            graft.sources.Tables.embeddings(s, dir))))
+    def queryOf(name: String) =
+      builders.getOrElse(name, SparkEntry.queries(name))
     for (name <- names) {
       // Warm once so codegen/footer costs don't add stages to the audit run.
-      SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
+      queryOf(name)(spark, d).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       // Listener events post asynchronously (the bus drain API is
       // private[spark]); settle BEFORE zeroing as well as after the measured
@@ -47,7 +59,7 @@ object Audit {
       // and inflate the measured numbers.
       Thread.sleep(1000)
       shuffle.set(0); shuffleRecs.set(0)
-      SparkEntry.queries(name)(spark, d).write.format("noop").mode("overwrite").save()
+      queryOf(name)(spark, d).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       Thread.sleep(1000)
       println(f"[audit] $name%-24s shuffleWrite=${shuffle.get / 1024.0}%10.1f KB  (${shuffleRecs.get}%,d records)")

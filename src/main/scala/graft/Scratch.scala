@@ -70,6 +70,20 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "navplan") {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val build = graft.operators.Similarity.navGraphBuild(spark, d)
+      val plan = build.queryExecution.executedPlan.toString
+      plan.linesIterator.zipWithIndex.foreach { case (l, i) =>
+        if (l.contains("BroadcastExchange"))
+          println(s"[scratch] L$i: ${l.trim.take(200)}")
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/navplan.txt"),
+        plan.getBytes("UTF-8"))
+      println(s"[scratch] plan dumped, " +
+        s"${"BroadcastExchange".r.findAllIn(plan).length} broadcasts")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "bpe-passes") {
       val docs = graft.sources.Tables.documents(spark, d)
       for (b <- Seq(1, 8)) {

@@ -71,6 +71,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "events_sessionize_native" -> ((s, d) => Events.sessionizeNative(s, d)),
     "join_interval_overlap" -> ((s, d) => Events.intervalOverlap(s, d)),
+    "join_interval_allpairs" -> ((s, d) => Events.intervalAllPairs(s, d)),
     "events_value_histogram" -> ((s, d) => Events.valueHistogram(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_funnel_windowed" -> ((s, d) => Events.funnelWindowed(s, d)),
@@ -278,18 +279,26 @@ object SparkEntry {
     s"""n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), planes AS (SELECT j, list_transform(range(0, 64), k -> CAST((1103515245 * (j * 64 + k + 1) + 12345) % 1000003 AS DOUBLE) / 1000003.0 - 0.5) AS p FROM range(0, 32) t(j)), proj AS (SELECT vec_id, j, CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * p[i])), (a, x) -> a + x) > 0 THEN 1 ELSE 0 END AS bit FROM n, planes), keys AS (SELECT vec_id, j // 4 AS band_idx, sum(bit * (1 << (j % 4))) AS band_key FROM proj GROUP BY vec_id, j // 4), elig AS (SELECT band_idx, band_key FROM keys GROUP BY band_idx, band_key HAVING count(*) <= ${graft.operators.Similarity.KnnBucketCap}), ck AS (SELECT k.vec_id, k.band_idx, k.band_key FROM keys k JOIN elig e ON k.band_idx = e.band_idx AND k.band_key = e.band_key), half AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ck a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id), cand AS (SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half), s AS (SELECT c.src, c.dst, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM cand c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id), r AS (SELECT src, dst, sim_e4, row_number() OVER (PARTITION BY src ORDER BY sim_e4 DESC, dst) AS rn FROM s)"""
 
   // The NAVIGABLE graph's edge set over the shared kNN-graph CTEs (needs
-  // n and r in scope) — the round-14 build the beam walks consume: the
-  // banded kNN edges ∪ per-node up-links to the nearest coarse-layer
-  // node ∪ capped down-links (each coarse node's NavDownCap best
-  // members) ∪ the coarse-coarse highway (NavHighwayK nearest). Ends
-  // with ge(src, dst), the set the engine's navgraph product stores.
+  // n, ck and r in scope) — the round-15 BANDED build the beam walks
+  // consume: the banded kNN edges ∪ per-node up-links to the nearest
+  // coarse-layer node AMONG BAND-BUCKET MATES (the same ck candidate
+  // chain one level up; bucket-miss vectors fall back to the entry's
+  // cell) ∪ capped down-links (each coarse node's NavDownCap best
+  // members) ∪ the coarse-coarse highway (NavHighwayK nearest among
+  // coarse bucket-mates). Ends with ge(src, dst), the set the engine's
+  // navgraph product stores.
   private val NavGraphCtes: String = {
     val sim = (x: String, y: String) =>
       s"CAST(round(list_inner_product($x.v, $y.v) / ($x.nrm * $y.nrm) * 10000) AS BIGINT)"
-    s"gcoarse AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % ${graft.operators.Similarity.CoarseMod} = 0), " +
-    s"gup AS (SELECT vec_id AS src, cc AS dst, cs FROM (SELECT x.vec_id, c.vec_id AS cc, ${sim("x", "c")} AS cs, row_number() OVER (PARTITION BY x.vec_id ORDER BY ${sim("x", "c")} DESC, c.vec_id) AS rn FROM n x, gcoarse c WHERE x.vec_id <> c.vec_id) WHERE rn = 1), " +
+    val coarseMod = graft.operators.Similarity.CoarseMod
+    val entry = graft.operators.Similarity.GraphEntry
+    s"gcoarse AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % $coarseMod = 0), " +
+    s"gupc AS (SELECT DISTINCT a.vec_id, b.vec_id AS cc FROM ck a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id), " +
+    s"gupb AS (SELECT vec_id AS src, cc AS dst, cs FROM (SELECT g.vec_id, g.cc, ${sim("x", "c")} AS cs, row_number() OVER (PARTITION BY g.vec_id ORDER BY ${sim("x", "c")} DESC, g.cc) AS rn FROM gupc g JOIN n x ON g.vec_id = x.vec_id JOIN n c ON g.cc = c.vec_id) WHERE rn = 1), " +
+    s"gup AS (SELECT src, dst, cs FROM gupb UNION ALL SELECT x.vec_id AS src, CAST($entry AS BIGINT) AS dst, ${sim("x", "e")} AS cs FROM n x JOIN n e ON e.vec_id = $entry WHERE x.vec_id <> $entry AND NOT EXISTS (SELECT 1 FROM gupb u WHERE u.src = x.vec_id)), " +
     s"gdown AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY cs DESC, src) AS rn FROM gup) WHERE rn <= ${graft.operators.Similarity.NavDownCap}), " +
-    s"ghw AS (SELECT a AS src, b AS dst FROM (SELECT x.vec_id AS a, y.vec_id AS b, row_number() OVER (PARTITION BY x.vec_id ORDER BY ${sim("x", "y")} DESC, y.vec_id) AS rn FROM gcoarse x, gcoarse y WHERE x.vec_id <> y.vec_id) WHERE rn <= ${graft.operators.Similarity.NavHighwayK}), " +
+    s"ghwc AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b FROM ck a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id % $coarseMod = 0 AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id), " +
+    s"ghw AS (SELECT a AS src, b AS dst FROM (SELECT h.a, h.b, row_number() OVER (PARTITION BY h.a ORDER BY ${sim("x", "y")} DESC, h.b) AS rn FROM ghwc h JOIN n x ON h.a = x.vec_id JOIN n y ON h.b = y.vec_id) WHERE rn <= ${graft.operators.Similarity.NavHighwayK}), " +
     s"gmir AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY sim_e4 DESC, src) AS mrn FROM r WHERE rn <= ${graft.operators.Similarity.KnnK}) WHERE mrn <= ${graft.operators.Similarity.NavMirrorCap}), " +
     s"ge AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} UNION ALL SELECT src, dst FROM gmir UNION ALL SELECT src, dst FROM gup UNION ALL SELECT src, dst FROM gdown UNION ALL SELECT src, dst FROM ghw) WHERE src <> dst)"
   }
@@ -319,14 +328,15 @@ object SparkEntry {
     s"SELECT q.qid, CAST(${graft.operators.Similarity.GraphEntry} AS BIGINT) AS cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gq q JOIN n x ON x.vec_id = ${graft.operators.Similarity.GraphEntry}",
     graft.operators.Similarity.GraphRounds)
 
-  // Layered entry: per-query argmax over the deterministic coarse layer
-  // (gcoarse, defined by NavGraphCtes), then the same beam rounds from
-  // there.
+  // Layered entry: per-query best-LayeredEntryK over the deterministic
+  // coarse layer (gcoarse, defined by NavGraphCtes) — HNSW's ef > 1
+  // descent, covering the cell-boundary misses of the banded build —
+  // then the same beam rounds from there.
   private val GraphLayeredCtes: String = graphBeamCtes(
     "SELECT e.qid, e.cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gent e JOIN n x ON e.cid = x.vec_id JOIN gq q ON e.qid = q.qid",
     graft.operators.Similarity.LayeredRounds,
     extra =
-      "gent AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm) * 10000) AS BIGINT) DESC, c.vec_id) AS rn FROM gq q, gcoarse c) WHERE rn = 1)")
+      s"gent AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm) * 10000) AS BIGINT) DESC, c.vec_id) AS rn FROM gq q, gcoarse c) WHERE rn <= ${graft.operators.Similarity.LayeredEntryK})")
 
   // The unigram/Viterbi DP as reusable CTEs over `bpe_merges` scores and
   // any `words(word)` universe — shared by tokenize_unigram and the
@@ -1232,6 +1242,11 @@ object SparkEntry {
     // hour ties) on s < hr+1h AND e >= hr.
     "join_interval_overlap" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, event_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM l), sess AS (SELECT user_id, session_id, CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us FROM s GROUP BY user_id, session_id), busy AS (SELECT hour_us, n_events_hour FROM (SELECT CAST(ts_us - ts_us % 3600000000 AS BIGINT) AS hour_us, count(*) AS n_events_hour FROM e GROUP BY 1) ORDER BY n_events_hour DESC, hour_us LIMIT ${graft.operators.Events.BusyHoursK}) SELECT sess.user_id, sess.session_id, sess.start_us, sess.end_us, busy.hour_us, CAST(busy.n_events_hour AS BIGINT) AS n_events_hour FROM sess JOIN busy ON sess.start_us < busy.hour_us + 3600000000 AND sess.end_us >= busy.hour_us ORDER BY user_id, session_id, hour_us""",
+    // Corpus x corpus interval join: bin each session to its covering
+    // hours, equi-join on the bin, verify real overlap, distinct the
+    // boundary-straddling double hits.
+    "join_interval_allpairs" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), l AS (SELECT user_id, event_id, ts_us, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, event_id, ts_us, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM l), sess AS (SELECT user_id, session_id, CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us FROM s GROUP BY user_id, session_id), binned AS (SELECT user_id, session_id, start_us, end_us, unnest(range(start_us // 3600000000, end_us // 3600000000 + 1)) AS bin FROM sess) SELECT DISTINCT a.user_id AS user_a, a.session_id AS session_a, b.user_id AS user_b, b.session_id AS session_b, greatest(a.start_us, b.start_us) AS ov_start_us, least(a.end_us, b.end_us) AS ov_end_us, least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS overlap_us FROM binned a JOIN binned b ON a.bin = b.bin AND (a.user_id < b.user_id OR (a.user_id = b.user_id AND a.session_id < b.session_id)) AND a.start_us <= b.end_us AND b.start_us <= a.end_us ORDER BY user_a, session_a, user_b, session_b""",
     // Per-type value histogram: integer cents, width = (hi-lo+bins) div
     // bins, bin = (v-lo) div width — all-integer equal-width binning.
     "events_value_histogram" -> {

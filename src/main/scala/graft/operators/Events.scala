@@ -1273,6 +1273,64 @@ object Events {
       .orderBy("user_id", "session_id", "hour_us")
   }
 
+  /** CORPUS × CORPUS INTERVAL JOIN (`join_interval_allpairs`) — the
+    * missing half of [[intervalOverlap]]: there the small side was
+    * TakeOrdered-bounded (K busiest hours, broadcast); here BOTH
+    * interval sets are corpus-sized (every session ⋈ every session — the
+    * concurrency question: which sessions ran at the same time), so the
+    * standard bin-and-equi-join recipe documented there becomes code:
+    * explode each session to its covering HOUR bins, equi-join on the
+    * bin, keep the pairs that actually overlap (bin-mates need the real
+    * predicate: two sessions can share an hour without overlapping),
+    * and de-duplicate — a pair whose overlap straddles a bin boundary
+    * hits in every shared bin and must come out once (the planted spec
+    * case). Pairs are canonical ((user, session) lexicographic) and
+    * closed-interval overlap [s,e] is s_a ≤ e_b AND s_b ≤ e_a, with the
+    * overlap window reported.
+    *
+    * Scale shape: bins-per-session is bounded by session span / 1 h
+    * (sessions are 30-min-gap-bounded runs, so spans are small
+    * multiples of an hour); the join is a SHUFFLE EQUI-JOIN on the bin
+    * — never a corpus-sized broadcast or a product join. Per-bin work
+    * is concurrency², which IS the output being asked for: an hour with
+    * C concurrent sessions contributes up to C(C−1)/2 overlapping
+    * pairs. A skew-hostile deployment caps per-bin fan-out the same way
+    * the dedup family df-caps shingles (drop-the-bucket), traded
+    * explicitly — not silently — against pair completeness. */
+  def intervalAllPairs(s: SparkSession, d: String): DataFrame =
+    intervalAllPairsDf(Tables.events(s, d))
+
+  /** Same, over any (user_id, event_id, ts_us) frame (planted tests). */
+  def intervalAllPairsDf(events: DataFrame): DataFrame = {
+    val sess = sessionizeDf(events)
+      .select(col("user_id"), col("session_id"), col("start_us"),
+        col("end_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val binned = sess.withColumn("bin",
+      explode(sequence(expr(s"start_us div $HourUs"),
+        expr(s"end_us div $HourUs"))))
+    val a = binned.select(col("bin").as("bin_a"), col("user_id").as("user_a"),
+      col("session_id").as("session_a"), col("start_us").as("sa"),
+      col("end_us").as("ea"))
+    val b = binned.select(col("bin").as("bin_b"), col("user_id").as("user_b"),
+      col("session_id").as("session_b"), col("start_us").as("sb"),
+      col("end_us").as("eb"))
+    val pairs = a.join(b,
+        col("bin_a") === col("bin_b") &&
+          (col("user_a") < col("user_b") ||
+            (col("user_a") === col("user_b") &&
+              col("session_a") < col("session_b"))) &&
+          col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select(col("user_a"), col("session_a"), col("user_b"),
+        col("session_b"),
+        greatest(col("sa"), col("sb")).as("ov_start_us"),
+        least(col("ea"), col("eb")).as("ov_end_us"))
+      .distinct()
+      .withColumn("overlap_us", col("ov_end_us") - col("ov_start_us"))
+    graft.functions.Caching.releaseAfterAction(
+      pairs.orderBy("user_a", "session_a", "user_b", "session_b"), sess)
+  }
+
   /** Fixed bin count for the value histogram. */
   val HistBins = 10L
 

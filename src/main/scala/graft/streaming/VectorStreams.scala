@@ -305,8 +305,38 @@ object VectorStreams {
       rounds: Int = Similarity.GraphRounds,
       maxFilesPerTrigger: Int = 0): DataFrame = {
     import spark.implicits._
+    // REPLICA-SIZE GUARD — the loud-failure standard every other
+    // artifact path here has (manifest validation, under-admit
+    // requires): the replica is RAM-resident BY DESIGN, so a corpus
+    // past driver memory must fail with the deployment answer in the
+    // message, not as an opaque OOM mid-collect. The estimate is the
+    // replica's own arithmetic: one 8-byte long per edge, dim doubles +
+    // map-entry overhead per vector — computed from three cheap
+    // distributed aggregates BEFORE anything is collected. Bound is
+    // `spark.graft.serving.maxReplicaBytes`, defaulting to a quarter of
+    // driver heap (the replica shares the driver with Spark itself).
+    val edgesDf = Similarity.navGraphShared(spark, staticDir)
+    val embDf = graft.sources.Tables.embeddings(spark, staticDir)
+    val nEdges = edgesDf.count()
+    val (nVecs, dim) = {
+      val r = embDf.select(count(lit(1)),
+        max(size(col("embedding")))).head()
+      (r.getLong(0), r.getInt(1).toLong)
+    }
+    val estBytes = nEdges * 8L + nVecs * (dim * 8L + 64L)
+    val maxReplicaBytes = spark.conf
+      .getOption("spark.graft.serving.maxReplicaBytes")
+      .map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory / 4)
+    require(estBytes <= maxReplicaBytes,
+      s"graph-serving replica estimate ${estBytes} B ($nVecs vectors x " +
+        s"dim $dim + $nEdges edges) exceeds " +
+        s"spark.graft.serving.maxReplicaBytes=$maxReplicaBytes B: shard " +
+        "the graph across serving replicas or store SQ8 codes instead " +
+        "of raw doubles (the standard memory/recall trade) before " +
+        "serving this corpus from one RAM replica")
     val adj: Map[Long, Array[Long]] =
-      Similarity.navGraphShared(spark, staticDir)
+      edgesDf
         .select("src", "dst").as[(Long, Long)].collect()
         .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).sorted }
     val vecs: Map[Long, (Array[Double], Double)] =

@@ -579,6 +579,42 @@ class EventsSpec extends AnyFunSuite {
       "an emitted pair violates the overlap predicate")
   }
 
+  test("interval all-pairs: boundary-straddling pair emitted once, bin-mates need real overlap") {
+    val hr = 3600000000L
+    val events = Seq(
+      // user 1: a session straddling the hour-0/hour-1 boundary
+      // [hr-200, hr+200] (two events 400 µs apart across the boundary)
+      (1L, 1L, hr - 200L), (1L, 2L, hr + 200L),
+      // user 2: overlaps user 1 across the SAME boundary [hr-100, hr+100]
+      // — the pair shares BOTH bins 0 and 1 and must come out ONCE
+      (2L, 3L, hr - 100L), (2L, 4L, hr + 100L),
+      // user 3: inside hour 0 but BEFORE user 1 starts — shares bin 0
+      // with users 1 and 2 yet overlaps NEITHER (bin-mates, no overlap)
+      (3L, 5L, 10L), (3L, 6L, 20L),
+      // user 4: inside hour 1, strictly after both end — same: no pair
+      (4L, 7L, hr + 1000L), (4L, 8L, hr + 2000L)
+    ).toDF("user_id", "event_id", "ts_us")
+    val got = Events.intervalAllPairsDf(events)
+      .select("user_a", "session_a", "user_b", "session_b", "ov_start_us",
+        "ov_end_us", "overlap_us")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // Exactly ONE pair: (1,0)×(2,0), overlap [hr-100, hr+100], despite
+    // hitting in two shared hour bins.
+    assert(got === Seq((1L, 0L, 2L, 0L, hr - 100L, hr + 100L, 200L)),
+      s"expected the single straddling pair once, got $got")
+    // Corpus smoke: canonical ordering and a non-negative overlap on
+    // every emitted pair.
+    val corpus = Events.intervalAllPairs(spark, TestSpark.sf)
+      .select("user_a", "session_a", "user_b", "session_b", "overlap_us")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall { case (ua, sa, ub, sb, ov) =>
+      (ua < ub || (ua == ub && sa < sb)) && ov >= 0 })
+    // No duplicate pairs survived the bin explosion.
+    val keys = corpus.map(r => (r._1, r._2, r._3, r._4))
+    assert(keys.distinct.length == keys.length, "duplicate pair emitted")
+  }
+
   test("value histogram: bins cover, counts conserve, widths equal and aligned") {
     val rows = Events.valueHistogram(spark, TestSpark.sf)
       .as[(String, Long, Long, Long, Long)].collect()

@@ -338,6 +338,40 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("navgraph BUILD: no broadcast of a non-constant-bounded frame") {
+    // The round-14 weak spot: the up-link stage used to crossJoin a
+    // broadcast of the COARSE LAYER (n/32 rows — corpus-proportional, a
+    // broadcast that cannot ship at 100 TB) and the highway was
+    // (n/32)^2 brute. The v4 build routes both through the banded
+    // sign-projection candidate chain, so with size-based auto-broadcast
+    // disabled the ONLY broadcast left in the build plan must be the
+    // 1-row entry-vector frame of the bucket-miss fallback. Asserted
+    // with autoBroadcastJoinThreshold = -1: any surviving
+    // BroadcastExchange then comes from an explicit hint, and exactly
+    // one (constant-bounded) hint is allowed.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val build = graft.operators.Similarity.navGraphBuild(spark, TestSpark.sf)
+      val plan = build.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"navgraph build plans a CartesianProduct:\n${plan.take(2000)}")
+      // Count DISTINCT broadcast nodes: a reused subtree (the up-link
+      // frame feeds both the union and the down-link window) prints the
+      // same BroadcastExchange plan_id more than once.
+      val broadcastIds = """BroadcastExchange .*\[plan_id=(\d+)\]""".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet
+      assert(broadcastIds.size <= 1,
+        s"navgraph build broadcasts ${broadcastIds.size} distinct frames " +
+          s"— only the 1-row entry fallback is constant-bounded:\n${plan.take(3000)}")
+      assert(plan.contains("InMemoryTableScan"),
+        "navgraph build no longer persists its banded key frame")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("contract-wide sweep: no query plans a CartesianProduct") {
     // Every cross join in the library carries a broadcast-sized side (one-row
     // cut points, centroid tables, query sets) and must plan as

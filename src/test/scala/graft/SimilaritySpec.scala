@@ -118,12 +118,16 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Similarity.graphLayeredTopK(spark, TestSpark.sf)
       .select("qid", "cid", "rn").as[(Long, Long, Long)].collect()
     assert(again.toSeq === layered.toSeq)
-    // The hierarchy pitch, closed in round 14: on the raw banded graph
-    // the coarse entry bought recall at equal rounds but never fewer
-    // rounds (the r13 negative finding); on the NAVIGABLE build the
-    // layered walk converges at LayeredRounds = 4 < GraphRounds = 6 and
-    // still matches-or-beats the fixed-entry walk — the entry quality
-    // now converts into a shorter walk, the HNSW claim.
+    // The hierarchy pitch, closed in round 14 and re-measured for the
+    // round-15 BANDED build: the layered walk at LayeredRounds = 4 <
+    // GraphRounds = 6 reaches the fixed-entry walk's recall to within
+    // ONE brute hit (10 queries × k = 5 → one hit = 0.02) — the entry
+    // quality converts into a 1/3-shorter walk at effectively equal
+    // recall. Sharp ≥ held on the r14 EXACT build; on the banded build
+    // the two deterministic walks differ by walk-path luck of a couple
+    // hits in either direction (measured across all three corpora), so
+    // the pin is the claim with one hit of tolerance plus an absolute
+    // floor, not sharp dominance.
     val bruteSet = brute.map(t => (t._1, t._2)).toSet
     val fixedSet = Similarity.graphTopK(spark, TestSpark.sf)
       .select("qid", "cid").as[(Long, Long)].collect()
@@ -133,9 +137,10 @@ class SimilaritySpec extends AnyFunSuite {
     val rLayered = bruteSet.count(layeredSet.contains).toDouble / bruteSet.size
     info(s"recall@5: fixed-entry($rFixed, ${Similarity.GraphRounds} rounds) " +
       s"vs layered($rLayered, ${Similarity.LayeredRounds} rounds)")
-    assert(rLayered >= rFixed,
-      s"layered entry lost recall: $rLayered < $rFixed at fewer rounds")
-    assert(rLayered >= 0.7, s"layered recall collapsed to $rLayered")
+    assert(rLayered >= rFixed - 0.02 - 1e-9,
+      s"layered entry lost recall: $rLayered < $rFixed - one hit, " +
+        "at fewer rounds")
+    assert(rLayered >= 0.85, s"layered recall collapsed to $rLayered")
   }
 
   test("navigable graph: out-degree bounds hold per class, edges are a clean set") {

@@ -210,6 +210,29 @@ class VectorStreamsSpec extends AnyFunSuite {
       "online walk diverged from the batch beam search")
   }
 
+  test("graph probe refuses a replica past the configured byte bound, loudly") {
+    // The serving replica is RAM-resident by design; a corpus past
+    // driver memory must fail at stream CONSTRUCTION with the sharding
+    // answer in the message, not as an opaque OOM mid-collect. Planted
+    // over-bound: any positive corpus estimate exceeds a 1-byte bound.
+    val dir = Paths.get("target", "test-scratch", "vecstream_graph_guard")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.graft.serving.maxReplicaBytes", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        VectorStreams.graphProbeStream(spark, dir.toString, TestSpark.sf)
+      }
+      assert(e.getMessage.contains("maxReplicaBytes") &&
+        e.getMessage.contains("shard"),
+        s"guard message must name the knob and the remedy: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.serving.maxReplicaBytes")
+    // Under the default (driver-heap-derived) bound the same corpus
+    // constructs fine — the parity test above covers the walk itself.
+  }
+
   test("rrf fusion over a streamed ANN sink equals the independent rank fold") {
     // The hybrid family's ONLINE claim, made code: the streaming ANN
     // probe maintains a sink table; ranking it per query and fusing with

@@ -168,6 +168,7 @@ object SparkEntry {
     "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
     "sim_nav_graph" -> ((s, d) => Similarity.navGraphQuery(s, d)),
+    "sim_nav_insert" -> ((s, d) => Similarity.navInsert(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "sim_graph_layered" -> ((s, d) => Similarity.graphLayeredTopK(s, d)),
     "eval_graph_connectivity" -> ((s, d) => Similarity.graphConnectivityEval(s, d)),
@@ -975,6 +976,16 @@ object SparkEntry {
     // here before it shows as a recall regression.
     "sim_nav_graph" ->
       s"""WITH $KnnGraphCtes, $NavGraphCtes SELECT src, dst FROM ge ORDER BY src, dst""",
+    // Incremental insert delta: the last NavInsertBatch vec_ids play
+    // arrivals; same banded candidate rule as the build, every class
+    // capped, additive down/mirror reconciled by the next rebuild.
+    "sim_nav_insert" -> {
+      val sim = "CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT)"
+      val k = graft.operators.Similarity.KnnK
+      val coarseMod = graft.operators.Similarity.CoarseMod
+      val entry = graft.operators.Similarity.GraphEntry
+      s"""WITH $KnnGraphCtes, icut AS (SELECT max(vec_id) - ${graft.operators.Similarity.NavInsertBatch} + 1 AS cut FROM n), ick AS (SELECT k.vec_id, k.band_idx, k.band_key FROM ck k, icut WHERE k.vec_id >= icut.cut), iknnc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ick a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id <> b.vec_id), iknn AS (SELECT src, dst, sim_e4, row_number() OVER (PARTITION BY src ORDER BY sim_e4 DESC, dst) AS rn FROM (SELECT c.src, c.dst, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM iknnc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id)), iknne AS (SELECT src, dst, sim_e4 FROM iknn WHERE rn <= $k), imir AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY sim_e4 DESC, src) AS mrn FROM iknne) WHERE mrn <= ${graft.operators.Similarity.NavMirrorCap}), iupc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ick a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id), iupb AS (SELECT src, dst, cs FROM (SELECT c.src, c.dst, $sim AS cs, row_number() OVER (PARTITION BY c.src ORDER BY $sim DESC, c.dst) AS rn FROM iupc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id) WHERE rn = 1), iup AS (SELECT src, dst, cs FROM iupb UNION ALL SELECT x.vec_id AS src, CAST($entry AS BIGINT) AS dst, $sim AS cs FROM n x JOIN n y ON y.vec_id = $entry, icut WHERE x.vec_id >= icut.cut AND x.vec_id <> $entry AND NOT EXISTS (SELECT 1 FROM iupb u WHERE u.src = x.vec_id)), idown AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY cs DESC, src) AS rn FROM iup) WHERE rn <= ${graft.operators.Similarity.NavDownCap}), ihwc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ick a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id % $coarseMod = 0 AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id), ihw AS (SELECT src, dst FROM (SELECT c.src, c.dst, row_number() OVER (PARTITION BY c.src ORDER BY $sim DESC, c.dst) AS rn FROM ihwc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id) WHERE rn <= ${graft.operators.Similarity.NavHighwayK}) SELECT DISTINCT src, dst, edge_class FROM (SELECT src, dst, 'knn' AS edge_class FROM iknne UNION ALL SELECT src, dst, 'mirror' AS edge_class FROM imir UNION ALL SELECT src, dst, 'up' AS edge_class FROM iup UNION ALL SELECT src, dst, 'down' AS edge_class FROM idown UNION ALL SELECT src, dst, 'hw' AS edge_class FROM ihw) WHERE src <> dst ORDER BY src, dst, edge_class"""
+    },
     // Navigability audit: unrolled frontier expansions from the fixed
     // entry over the shared navigable edges; AS MATERIALIZED per hop —
     // each rc_i feeds both the next hop and its count row.

@@ -2226,6 +2226,142 @@ object Similarity {
   def navGraphQuery(s: SparkSession, d: String): DataFrame =
     navGraphShared(s, d).orderBy("src", "dst")
 
+  /** Arrival-batch size for [[navInsert]]: the last 50 vec_ids play the
+    * role of newly-ingested vectors. */
+  val NavInsertBatch = 50L
+
+  /** INCREMENTAL GRAPH-INDEX INSERT (`sim_nav_insert`) — the index-
+    * MAINTENANCE operator every graph-ANN deployment needs between
+    * rebuilds (HNSW §4 INSERT, Malkov & Yashunin 2018, batch form): for
+    * an arriving batch (the last [[NavInsertBatch]] vec_ids stand in
+    * for new ingest) emit the DELTA edge set that attaches them to the
+    * navigable graph so they are immediately searchable AND reachable:
+    *
+    *   - `knn`: each arrival → its top-[[KnnK]] banded bucket-mates
+    *     (base corpus AND fellow arrivals — the rebuilt graph's own
+    *     candidate rule);
+    *   - `mirror`: per destination, the best [[NavMirrorCap]] arrival
+    *     in-edges reversed — the bidirectional-connect step that makes
+    *     an arrival REACHABLE, not just searching;
+    *   - `up`: each arrival → its nearest coarse bucket-mate (entry-
+    *     cell fallback for bucket misses, as in the build);
+    *   - `down`: each coarse node → its best [[NavDownCap]] NEW
+    *     assignees (additive: the stored down list is untouched);
+    *   - `hw`: an arrival that lands ON the coarse stride joins the
+    *     highway with its [[NavHighwayK]] nearest coarse bucket-mates.
+    *
+    * Additive deltas can leave a node's TOTAL out-degree above the
+    * rebuild's cap until the next product rebuild compacts them — the
+    * standard delta-then-compact maintenance contract (the IndexBuild
+    * swap is the compaction); every DELTA class is itself capped, so
+    * degree grows by at most a constant per batch.
+    *
+    * Scale shape: candidate volume is the arrivals' band buckets only —
+    * Σ occ_batch·occ ≤ cap · |batch| · bands pairs, INDEPENDENT of
+    * corpus size. The banded key registry is re-derived here because
+    * the products store edges, not keys (one linear key scan, the same
+    * class as any query's corpus scan); a live deployment maintains the
+    * key registry incrementally and pays only the batch side. */
+  def navInsert(s: SparkSession, d: String,
+      batch: Long = NavInsertBatch): DataFrame =
+    navInsertDf(Tables.embeddings(s, d), batch)
+
+  /** Same, over any (vec_id, embedding) frame (planted tests). */
+  def navInsertDf(embeddings: DataFrame,
+      batch: Long = NavInsertBatch): DataFrame = {
+    val c = embeddings
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cut = c.agg(max("vec_id")).head().getLong(0) - batch + 1L
+    val keys = bandedKeys(c.select("vec_id", "v"), 8, 4)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eligible = keys.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= KnnBucketCap)
+      .select("band_idx", "band_key")
+    val ck = keys.join(eligible, Seq("band_idx", "band_key"))
+    val ckNew = ck.filter(col("vec_id") >= cut)
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(c.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")), "src")
+      .join(c.select(col("vec_id").as("dst"), col("v").as("dv"),
+        col("nrm").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        e4(dotD(col("sv"), col("dv")) / (col("sn") * col("dn"))).as("sim_e4"))
+    // knn: arrivals against every bucket-mate (base and batch alike).
+    val knnCand = ckNew.select(col("vec_id").as("src"), col("band_idx"),
+        col("band_key"))
+      .join(ck.select(col("vec_id").as("dst"), col("band_idx"),
+        col("band_key")), Seq("band_idx", "band_key"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val wSrc = Window.partitionBy("src").orderBy(desc("sim_e4"), asc("dst"))
+    val knnNew = scored(knnCand)
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= KnnK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wMir = Window.partitionBy("dst").orderBy(desc("sim_e4"), asc("src"))
+    val mirror = knnNew
+      .withColumn("mrn", row_number().over(wMir))
+      .filter(col("mrn") <= NavMirrorCap)
+      .select(col("dst").as("src"), col("src").as("dst"),
+        lit("mirror").as("edge_class"))
+    // up: nearest coarse bucket-mate, entry-cell fallback (the build's
+    // rule, restricted to the arrivals).
+    val upCand = ckNew.select(col("vec_id").as("src"), col("band_idx"),
+        col("band_key"))
+      .join(ck.filter(col("vec_id") % CoarseMod === 0)
+          .select(col("vec_id").as("dst"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val upBest = scored(upCand)
+      .groupBy("src")
+      .agg(min(struct(negate(col("sim_e4")).as("ns"), col("dst").as("dst")))
+        .as("m"))
+      .select(col("src"), col("m.dst").as("dst"),
+        negate(col("m.ns")).as("cs"))
+    val entryVec = c.filter(col("vec_id") === GraphEntry)
+      .select(col("v").as("ev"), col("nrm").as("en"))
+    val upMiss = c.filter(col("vec_id") >= cut)
+      .join(upBest.select(col("src").as("vec_id")), Seq("vec_id"),
+        "left_anti")
+      .filter(col("vec_id") =!= GraphEntry)
+      .crossJoin(broadcast(entryVec))
+      .select(col("vec_id").as("src"), lit(GraphEntry).as("dst"),
+        e4(dotD(col("v"), col("ev")) / (col("nrm") * col("en"))).as("cs"))
+    val up = upBest.unionAll(upMiss).persist(StorageLevel.MEMORY_AND_DISK)
+    val wDown = Window.partitionBy("dst").orderBy(desc("cs"), asc("src"))
+    val down = up
+      .withColumn("rn", row_number().over(wDown))
+      .filter(col("rn") <= NavDownCap)
+      .select(col("dst").as("src"), col("src").as("dst"),
+        lit("down").as("edge_class"))
+    // hw: arrivals on the coarse stride join the highway.
+    val hwCand = ckNew.filter(col("vec_id") % CoarseMod === 0)
+      .select(col("vec_id").as("src"), col("band_idx"), col("band_key"))
+      .join(ck.filter(col("vec_id") % CoarseMod === 0)
+          .select(col("vec_id").as("dst"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val hw = scored(hwCand)
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= NavHighwayK)
+      .select(col("src"), col("dst"), lit("hw").as("edge_class"))
+    graft.functions.Caching.releaseAfterAction(
+      knnNew.select(col("src"), col("dst"), lit("knn").as("edge_class"))
+        .unionAll(mirror)
+        .unionAll(up.select(col("src"), col("dst"),
+          lit("up").as("edge_class")))
+        .unionAll(down).unionAll(hw)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .orderBy("src", "dst", "edge_class"),
+      c, keys, knnNew, up)
+  }
+
   /** NAVIGABILITY AUDIT (`eval_graph_connectivity`) — the structural
     * number behind the recall jump: how much of the corpus is reachable
     * from the fixed entry within each hop budget. On the raw banded kNN

@@ -166,6 +166,85 @@ class SimilaritySpec extends AnyFunSuite {
     assert(knn.subsetOf(edges.toSet), "a kNN edge is missing from the nav graph")
   }
 
+  test("nav insert: arrivals attach searchable AND reachable, every delta class capped") {
+    val delta = Similarity.navInsert(spark, TestSpark.sf)
+      .select("src", "dst", "edge_class")
+      .as[(Long, Long, String)].collect()
+    val maxId = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+    val cut = maxId - Similarity.NavInsertBatch + 1
+    val arrivals = (cut to maxId).toSet
+    // Determinism.
+    val again = Similarity.navInsert(spark, TestSpark.sf)
+      .select("src", "dst", "edge_class")
+      .as[(Long, Long, String)].collect()
+    assert(again.toSeq === delta.toSeq)
+    // Every arrival searches (>= 1 knn out-edge) and routes (exactly 1
+    // up-link), and every delta class honors its cap.
+    val byClass = delta.groupBy(_._3)
+    val knnDeg = byClass("knn").groupBy(_._1).view.mapValues(_.length)
+    assert(arrivals.forall(a => knnDeg.getOrElse(a, 0) >= 1),
+      "an arrival has no knn out-edge")
+    assert(knnDeg.forall(_._2 <= Similarity.KnnK))
+    val upDeg = byClass("up").groupBy(_._1).view.mapValues(_.length).toMap
+    assert(arrivals.filter(_ != Similarity.GraphEntry)
+        .forall(a => upDeg.getOrElse(a, 0) == 1),
+      "an arrival is missing its single up-link")
+    assert(byClass("mirror").groupBy(_._1).forall(_._2.length <=
+      Similarity.NavMirrorCap))
+    assert(byClass("down").groupBy(_._1).forall(_._2.length <=
+      Similarity.NavDownCap))
+    assert(byClass.get("hw").forall(_.groupBy(_._1).forall(_._2.length <=
+      Similarity.NavHighwayK)))
+    // REACHABILITY — the bidirectional-connect claim: from the fixed
+    // entry, over the base graph (the stored edges among pre-cut nodes)
+    // plus the delta, every arrival is reachable. BFS driver-side: the
+    // test corpus is 500 nodes.
+    val base = Similarity.navGraphShared(spark, TestSpark.sf)
+      .select("src", "dst").as[(Long, Long)].collect()
+      .filter { case (s, d) => s < cut && d < cut }
+    val adj = (base ++ delta.map(t => (t._1, t._2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var reach = Set(Similarity.GraphEntry)
+    var frontier = reach
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+        .diff(reach)
+      reach ++= next
+      frontier = next
+    }
+    val unreached = arrivals.diff(reach)
+    assert(unreached.isEmpty,
+      s"arrivals unreachable after insert: ${unreached.toSeq.sorted.take(5)}")
+  }
+
+  test("nav insert: a planted near-duplicate arrival attaches to its twin both ways") {
+    import org.apache.spark.sql.functions.{col, when}
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val maxId = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .head().getLong(0)
+    val twinOf = 7L
+    // Overwrite the newest arrival's embedding with vector 7's — an
+    // exact duplicate arriving at ingest.
+    val twinVec = emb.filter(col("vec_id") === twinOf)
+      .head().getSeq[Float](1)
+    val planted = emb.withColumn("embedding",
+      when(col("vec_id") === maxId,
+        org.apache.spark.sql.functions.typedlit(twinVec))
+        .otherwise(col("embedding")))
+    val delta = Similarity.navInsertDf(planted)
+      .select("src", "dst", "edge_class")
+      .as[(Long, Long, String)].collect()
+    // The twin is the arrival's rank-1 knn edge (cosine 1.0, minimal
+    // dst tie) and the mirror step points back — both directions, the
+    // insert's whole point.
+    assert(delta.contains((maxId, twinOf, "knn")),
+      "arrival did not link to its planted twin")
+    assert(delta.contains((twinOf, maxId, "mirror")),
+      "planted twin did not mirror back to the arrival")
+  }
+
   test("connectivity audit: reachable set grows monotonically and covers the corpus") {
     val rows = Similarity.graphConnectivityEval(spark, TestSpark.sf)
       .select("hops", "n_reachable", "frac_e4")

@@ -169,6 +169,7 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
     "sim_nav_graph" -> ((s, d) => Similarity.navGraphQuery(s, d)),
     "sim_nav_insert" -> ((s, d) => Similarity.navInsert(s, d)),
+    "eval_nav_insert" -> ((s, d) => Similarity.evalNavInsert(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "sim_graph_layered" -> ((s, d) => Similarity.graphLayeredTopK(s, d)),
     "eval_graph_connectivity" -> ((s, d) => Similarity.graphConnectivityEval(s, d)),
@@ -304,22 +305,47 @@ object SparkEntry {
     s"ge AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM r WHERE rn <= ${graft.operators.Similarity.KnnK} UNION ALL SELECT src, dst FROM gmir UNION ALL SELECT src, dst FROM gup UNION ALL SELECT src, dst FROM gdown UNION ALL SELECT src, dst FROM ghw) WHERE src <> dst)"
   }
 
+  // The incremental-insert DELTA over the shared kNN-graph CTEs (needs
+  // n and ck in scope) — the last NavInsertBatch vec_ids play arrivals;
+  // ends with iall(src, dst, edge_class) plus icut(cut) for consumers.
+  private val NavInsertCtes: String = {
+    val sim = "CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT)"
+    val k = graft.operators.Similarity.KnnK
+    val coarseMod = graft.operators.Similarity.CoarseMod
+    val entry = graft.operators.Similarity.GraphEntry
+    s"icut AS (SELECT max(vec_id) - ${graft.operators.Similarity.NavInsertBatch} + 1 AS cut FROM n), " +
+    "ick AS (SELECT k.vec_id, k.band_idx, k.band_key FROM ck k, icut WHERE k.vec_id >= icut.cut), " +
+    "iknnc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ick a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id <> b.vec_id), " +
+    "iknn AS (SELECT src, dst, sim_e4, row_number() OVER (PARTITION BY src ORDER BY sim_e4 DESC, dst) AS rn FROM (SELECT c.src, c.dst, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM iknnc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id)), " +
+    s"iknne AS (SELECT src, dst, sim_e4 FROM iknn WHERE rn <= $k), " +
+    s"imir AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY sim_e4 DESC, src) AS mrn FROM iknne) WHERE mrn <= ${graft.operators.Similarity.NavMirrorCap}), " +
+    s"iupc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ick a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id), " +
+    s"iupb AS (SELECT src, dst, cs FROM (SELECT c.src, c.dst, $sim AS cs, row_number() OVER (PARTITION BY c.src ORDER BY $sim DESC, c.dst) AS rn FROM iupc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id) WHERE rn = 1), " +
+    s"iup AS (SELECT src, dst, cs FROM iupb UNION ALL SELECT x.vec_id AS src, CAST($entry AS BIGINT) AS dst, $sim AS cs FROM n x JOIN n y ON y.vec_id = $entry, icut WHERE x.vec_id >= icut.cut AND x.vec_id <> $entry AND NOT EXISTS (SELECT 1 FROM iupb u WHERE u.src = x.vec_id)), " +
+    s"idown AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY cs DESC, src) AS rn FROM iup) WHERE rn <= ${graft.operators.Similarity.NavDownCap}), " +
+    s"ihwc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ick a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id % $coarseMod = 0 AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id), " +
+    s"ihw AS (SELECT src, dst FROM (SELECT c.src, c.dst, row_number() OVER (PARTITION BY c.src ORDER BY $sim DESC, c.dst) AS rn FROM ihwc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id) WHERE rn <= ${graft.operators.Similarity.NavHighwayK}), " +
+    "iall AS (SELECT src, dst, 'knn' AS edge_class FROM iknne UNION ALL SELECT src, dst, 'mirror' AS edge_class FROM imir UNION ALL SELECT src, dst, 'up' AS edge_class FROM iup UNION ALL SELECT src, dst, 'down' AS edge_class FROM idown UNION ALL SELECT src, dst, 'hw' AS edge_class FROM ihw)"
+  }
+
   // Unrolled graph-ANN beam rounds over the shared kNN-graph + navigable
   // edge CTEs (needs n, r, and ge in scope): fixed entry, per-round
   // out-neighbor expansion + exact re-score + top-GraphBeam keep. Ends
   // with gb{GraphRounds}(qid, cid, sim_e4). sim_graph_topk and its
   // recall monitor walk identically.
   private def graphBeamCtes(gb0Sql: String, rounds: Int,
-      extra: String = ""): String = {
+      extra: String = "", prefix: String = "",
+      edgeCte: String = "ge"): String = {
     val beam = graft.operators.Similarity.GraphBeam
+    val p = prefix
     val sb = new StringBuilder
-    sb ++= "gq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), "
+    sb ++= s"${p}gq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), "
     if (extra.nonEmpty) sb ++= extra + ", "
-    sb ++= s"gb0 AS ($gb0Sql), "
+    sb ++= s"${p}gb0 AS ($gb0Sql), "
     for (i <- 1 to rounds) {
-      sb ++= s"gx$i AS (SELECT DISTINCT qid, cid FROM (SELECT b.qid, e.dst AS cid FROM gb${i - 1} b JOIN ge e ON b.cid = e.src UNION ALL SELECT qid, cid FROM gb${i - 1})), "
-      sb ++= s"gs$i AS (SELECT x.qid, x.cid, CAST(round(list_inner_product(cv.v, q.qv) / (cv.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gx$i x JOIN n cv ON x.cid = cv.vec_id JOIN gq q ON x.qid = q.qid), "
-      sb ++= s"gb$i AS MATERIALIZED (SELECT qid, cid, sim_e4 FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gs$i) WHERE rn <= $beam)"
+      sb ++= s"${p}gx$i AS (SELECT DISTINCT qid, cid FROM (SELECT b.qid, e.dst AS cid FROM ${p}gb${i - 1} b JOIN $edgeCte e ON b.cid = e.src UNION ALL SELECT qid, cid FROM ${p}gb${i - 1})), "
+      sb ++= s"${p}gs$i AS (SELECT x.qid, x.cid, CAST(round(list_inner_product(cv.v, q.qv) / (cv.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM ${p}gx$i x JOIN n cv ON x.cid = cv.vec_id JOIN ${p}gq q ON x.qid = q.qid), "
+      sb ++= s"${p}gb$i AS MATERIALIZED (SELECT qid, cid, sim_e4 FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ${p}gs$i) WHERE rn <= $beam)"
       sb ++= (if (i < rounds) ", " else "")
     }
     sb.toString
@@ -979,12 +1005,25 @@ object SparkEntry {
     // Incremental insert delta: the last NavInsertBatch vec_ids play
     // arrivals; same banded candidate rule as the build, every class
     // capped, additive down/mirror reconciled by the next rebuild.
-    "sim_nav_insert" -> {
-      val sim = "CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT)"
-      val k = graft.operators.Similarity.KnnK
-      val coarseMod = graft.operators.Similarity.CoarseMod
+    "sim_nav_insert" ->
+      s"""WITH $KnnGraphCtes, $NavInsertCtes SELECT DISTINCT src, dst, edge_class FROM iall WHERE src <> dst ORDER BY src, dst, edge_class""",
+    // Insert-quality decision table: the same fixed-entry walk over the
+    // base graph (stored edges with arrival-touching edges removed) and
+    // over base + delta, each scored against brute over the FULL corpus
+    // — the recall delta is attributable to the insert alone.
+    "eval_nav_insert" -> {
       val entry = graft.operators.Similarity.GraphEntry
-      s"""WITH $KnnGraphCtes, icut AS (SELECT max(vec_id) - ${graft.operators.Similarity.NavInsertBatch} + 1 AS cut FROM n), ick AS (SELECT k.vec_id, k.band_idx, k.band_key FROM ck k, icut WHERE k.vec_id >= icut.cut), iknnc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ick a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id <> b.vec_id), iknn AS (SELECT src, dst, sim_e4, row_number() OVER (PARTITION BY src ORDER BY sim_e4 DESC, dst) AS rn FROM (SELECT c.src, c.dst, CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT) AS sim_e4 FROM iknnc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id)), iknne AS (SELECT src, dst, sim_e4 FROM iknn WHERE rn <= $k), imir AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY sim_e4 DESC, src) AS mrn FROM iknne) WHERE mrn <= ${graft.operators.Similarity.NavMirrorCap}), iupc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ick a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id), iupb AS (SELECT src, dst, cs FROM (SELECT c.src, c.dst, $sim AS cs, row_number() OVER (PARTITION BY c.src ORDER BY $sim DESC, c.dst) AS rn FROM iupc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id) WHERE rn = 1), iup AS (SELECT src, dst, cs FROM iupb UNION ALL SELECT x.vec_id AS src, CAST($entry AS BIGINT) AS dst, $sim AS cs FROM n x JOIN n y ON y.vec_id = $entry, icut WHERE x.vec_id >= icut.cut AND x.vec_id <> $entry AND NOT EXISTS (SELECT 1 FROM iupb u WHERE u.src = x.vec_id)), idown AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY cs DESC, src) AS rn FROM iup) WHERE rn <= ${graft.operators.Similarity.NavDownCap}), ihwc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ick a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id % $coarseMod = 0 AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id), ihw AS (SELECT src, dst FROM (SELECT c.src, c.dst, row_number() OVER (PARTITION BY c.src ORDER BY $sim DESC, c.dst) AS rn FROM ihwc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id) WHERE rn <= ${graft.operators.Similarity.NavHighwayK}) SELECT DISTINCT src, dst, edge_class FROM (SELECT src, dst, 'knn' AS edge_class FROM iknne UNION ALL SELECT src, dst, 'mirror' AS edge_class FROM imir UNION ALL SELECT src, dst, 'up' AS edge_class FROM iup UNION ALL SELECT src, dst, 'down' AS edge_class FROM idown UNION ALL SELECT src, dst, 'hw' AS edge_class FROM ihw) WHERE src <> dst ORDER BY src, dst, edge_class"""
+      val k = 5
+      def entrySql(p: String) =
+        s"SELECT q.qid, CAST($entry AS BIGINT) AS cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM ${p}gq q JOIN n x ON x.vec_id = $entry"
+      val rounds = graft.operators.Similarity.GraphRounds
+      val baseWalk = graphBeamCtes(entrySql("b_"), rounds, prefix = "b_",
+        edgeCte = "ibase")
+      val postWalk = graphBeamCtes(entrySql("p_"), rounds, prefix = "p_",
+        edgeCte = "ipost")
+      def rowSql(label: String, p: String, edge: String) =
+        s"SELECT '$label' AS graph_state, CAST(sum(hit) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n_brute, CAST(round(sum(hit) * 10000.0 / count(*)) AS BIGINT) AS recall_e4, (SELECT count(*) FROM $edge) AS n_edges FROM (SELECT CASE WHEN s.cid IS NULL THEN 0 ELSE 1 END AS hit FROM (SELECT qid, cid FROM brk WHERE rn <= $k) b LEFT JOIN (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ${p}gb$rounds) WHERE rn <= $k) s ON b.qid = s.qid AND b.cid = s.cid)"
+      s"""WITH $KnnGraphCtes, $NavGraphCtes, $NavInsertCtes, $BruteTopkCtes, idelta AS (SELECT DISTINCT src, dst FROM iall WHERE src <> dst), ibase AS (SELECT g.src, g.dst FROM ge g, icut WHERE g.src < icut.cut AND g.dst < icut.cut), ipost AS (SELECT src, dst FROM ibase UNION SELECT src, dst FROM idelta), $baseWalk, $postWalk SELECT * FROM (${rowSql("base", "b_", "ibase")} UNION ALL ${rowSql("post_insert", "p_", "ipost")}) ORDER BY graph_state"""
     },
     // Navigability audit: unrolled frontier expansions from the fixed
     // entry over the shared navigable edges; AS MATERIALIZED per hop —

@@ -2362,6 +2362,59 @@ object Similarity {
       c, keys, knnNew, up)
   }
 
+  /** INSERT-QUALITY DECISION TABLE (`eval_nav_insert`) — the number
+    * that proves the [[navInsert]] delta WORKS: the standard 10-query
+    * beam search run over (a) the BASE graph — the stored navigable
+    * edges with every arrival-touching edge removed, the index state
+    * before the batch — and (b) base ∪ delta, each scored against the
+    * exact brute top-k over the FULL corpus (arrivals included as
+    * candidates). On the base graph the arrivals are invisible — a
+    * brute hit that IS an arrival cannot be found, capping recall; on
+    * the post-insert graph the delta's knn + mirror edges make them
+    * searchable and reachable, and recall returns to the full-build
+    * level. One row per graph state: (graph_state, hits, n_brute,
+    * recall_e4, n_edges). Same walk (shared [[graphWalk]] loop, fixed
+    * entry, [[GraphRounds]] rounds, beam [[GraphBeam]]) — the ONLY
+    * difference between the rows is the edge set, so the recall delta
+    * is attributable to the insert alone. */
+  def evalNavInsert(s: SparkSession, d: String,
+      batch: Long = NavInsertBatch, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val cut = corpus(s, d).agg(max("vec_id")).head().getLong(0) - batch + 1L
+    val stored = navGraphShared(s, d).select("src", "dst")
+    val base = stored.filter(col("src") < cut && col("dst") < cut)
+    val post = base.unionAll(navInsert(s, d, batch).select("src", "dst"))
+      .distinct()
+    val brute = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def row(label: String, edges: DataFrame): DataFrame = {
+      val walk = graphWalk(s, d, nQueries, GraphBeam, GraphRounds,
+        Some(edges)) { (q, _) =>
+        q.select(col("qid")).withColumn("cid", lit(GraphEntry))
+      }
+      walk.states.dropRight(1)
+        .foreach(org.apache.spark.sql.graft.Checkpoints.release)
+      val sel = walk.states.last
+        .withColumn("rn", row_number().over(walk.w))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      val hits = brute.join(sel, Seq("qid", "cid"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("n_brute"))
+      val res = hits.crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .select(lit(label).as("graph_state"), col("hits"), col("n_brute"),
+          round(col("hits") * lit(10000.0) / col("n_brute")).cast("long")
+            .as("recall_e4"),
+          col("n_edges"))
+      graft.functions.Caching.releaseAfterAction(res,
+        walk.caches :+ walk.states.last: _*)
+    }
+    graft.functions.Caching.releaseAfterAction(
+      row("base", base).unionAll(row("post_insert", post))
+        .orderBy("graph_state"),
+      brute)
+  }
+
   /** NAVIGABILITY AUDIT (`eval_graph_connectivity`) — the structural
     * number behind the recall jump: how much of the corpus is reachable
     * from the fixed entry within each hop budget. On the raw banded kNN
@@ -2511,10 +2564,12 @@ object Similarity {
     * seconds). Same O(1)-plan recipe as the k-core/LPA loops. Every
     * per-round state is returned ALIVE; callers release what they keep. */
   private def graphWalk(s: SparkSession, d: String, nQueries: Int,
-      beam: Int, rounds: Int)(
+      beam: Int, rounds: Int,
+      edgesOverride: Option[DataFrame] = None)(
       entries: (DataFrame, DataFrame) => DataFrame): GraphWalkTrace = {
     val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = navGraphShared(s, d).select(col("src"), col("dst"))
+    val edges = edgesOverride.getOrElse(navGraphShared(s, d))
+      .select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))

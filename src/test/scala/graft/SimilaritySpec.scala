@@ -218,6 +218,21 @@ class SimilaritySpec extends AnyFunSuite {
       s"arrivals unreachable after insert: ${unreached.toSeq.sorted.take(5)}")
   }
 
+  test("nav insert eval: the delta recovers the recall the missing arrivals cost") {
+    val rows = Similarity.evalNavInsert(spark, TestSpark.sf)
+      .select("graph_state", "recall_e4", "n_edges")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("base", "post_insert"))
+    val Array(base, post) = rows
+    // The insert can only ADD edges and candidates — recall must not
+    // drop, and on this corpus strictly improves (arrivals appear in
+    // the brute top-k and are invisible to the base graph).
+    assert(post._3 > base._3, "the delta added no edges")
+    assert(post._2 >= base._2,
+      s"post-insert recall ${post._2} fell below base ${base._2}")
+    info(s"recall_e4 base=${base._2} post_insert=${post._2}")
+  }
+
   test("nav insert: a planted near-duplicate arrival attaches to its twin both ways") {
     import org.apache.spark.sql.functions.{col, when}
     val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")

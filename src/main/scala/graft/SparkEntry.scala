@@ -168,7 +168,8 @@ object SparkEntry {
     "sim_ivfpq_served" -> ((s, d) => Similarity.ivfPqServedTopK(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
     "sim_nav_graph" -> ((s, d) => Similarity.navGraphQuery(s, d)),
-    "sim_nav_insert" -> ((s, d) => Similarity.navInsert(s, d)),
+    "sim_nav_insert" -> ((s, d) =>
+      Similarity.navInsert(s, d).orderBy("src", "dst", "edge_class")),
     "eval_nav_insert" -> ((s, d) => Similarity.evalNavInsert(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "sim_graph_layered" -> ((s, d) => Similarity.graphLayeredTopK(s, d)),

@@ -118,7 +118,13 @@ object Bench {
 
   private def runShared(subset: Option[Set[String]],
       evictFirst: Boolean = true): RunResult = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the box's cores (capped at the contract's local[32]),
+    // not a hard-coded "4": forked children inherit the parent env, so a
+    // run without SPARK_GRAFT_CPUS used to time every chunk at local[4]
+    // — CPU-bound verify stages (dedup_editdist's Levenshtein) measured
+    // 4.5× their local[32] floors, silently incomparable across rounds.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
     val spark = graft.sources.Sessions.local(cpus)

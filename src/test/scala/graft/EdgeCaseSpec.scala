@@ -244,4 +244,36 @@ class EdgeCaseSpec extends AnyFunSuite {
       .select("qid").distinct().as[Long].collect()
     assert(probe.toSeq === Seq(0L))
   }
+
+  test("round-15 operators handle empty and degenerate inputs") {
+    import graft.operators.{Events, Similarity}
+    // All-pairs interval join: empty events and a single lone event —
+    // no pairs, defined schema, no NPE in the bin explosion.
+    val emptyEv = Seq.empty[(Long, Long, Long)]
+      .toDF("user_id", "event_id", "ts_us")
+    assert(Events.intervalAllPairsDf(emptyEv).count() === 0L)
+    val lone = Seq((1L, 1L, 42L)).toDF("user_id", "event_id", "ts_us")
+    assert(Events.intervalAllPairsDf(lone).count() === 0L)
+    // Two sessions touching at EXACTLY one microsecond: a zero-length
+    // overlap is still an overlap under closed intervals, overlap_us = 0.
+    val touch = Seq((1L, 1L, 100L), (2L, 2L, 100L))
+      .toDF("user_id", "event_id", "ts_us")
+    val t = Events.intervalAllPairsDf(touch)
+      .select("user_a", "user_b", "overlap_us")
+      .as[(Long, Long, Long)].collect()
+    assert(t.toSeq === Seq((1L, 2L, 0L)))
+    // Insert with batch >= corpus: EVERY vector is an arrival — the
+    // delta must still produce a defined, self-loop-free edge set with
+    // one up-link per non-entry vector (all-arrival cold start).
+    val tiny = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .filter($"vec_id" < 40)
+    val delta = Similarity.navInsertDf(tiny, batch = 1000L)
+      .select("src", "dst", "edge_class")
+      .as[(Long, Long, String)].collect()
+    assert(delta.nonEmpty)
+    assert(delta.forall { case (s0, d0, _) => s0 != d0 })
+    val ups = delta.filter(_._3 == "up").groupBy(_._1).view.mapValues(_.length)
+    assert((0L until 40L).filter(_ != Similarity.GraphEntry)
+      .forall(v => ups.getOrElse(v, 0) == 1))
+  }
 }

@@ -72,9 +72,15 @@ object Bench {
     ok: Boolean)
 
   /** One protocol run's outcome: per-query times plus the product builds
-    * the cold pass paid (dir basename → build seconds). */
+    * the cold pass paid (dir basename → build seconds). The headline
+    * totals are defined HERE, once — the full [[jsonLine]] and the
+    * compact tail line must agree by construction, not by parallel
+    * copies of the success predicates. */
   final case class RunResult(queries: Seq[QueryTimes],
-    products: Map[String, Double])
+    products: Map[String, Double]) {
+    def totalWarm: Double = queries.collect { case q if q.ok => q.best }.sum
+    def totalCold: Double = queries.collect { case q if q.cold > 0 => q.cold }.sum
+  }
 
   private def execute(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -200,9 +206,7 @@ object Bench {
     val prods = flatObj(r.products.toSeq.sortBy(_._1))
     val failed = r.queries.collect { case q if !q.ok => "\"" + q.name + "\"" }
       .mkString("[", ",", "]")
-    val total = r.queries.collect { case q if q.ok => q.best }.sum
-    val totalCold = r.queries.collect { case q if q.cold > 0 => q.cold }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"queries":$qs,"queries_cold":$colds,"products":$prods,"failed":$failed,"sf":"$sfDir"$extra}"""
+    s"""{"metric":"total","value":${r.totalWarm},"unit":"sec","value_cold":${r.totalCold},"queries":$qs,"queries_cold":$colds,"products":$prods,"failed":$failed,"sf":"$sfDir"$extra}"""
   }
 
   /** Compact summary printed as the FINAL stdout line (after the full
@@ -213,10 +217,8 @@ object Bench {
     * reader that keeps whole stdout still prefers the first, full
     * line. */
   private def compactLine(r: RunResult): String = {
-    val total = r.queries.collect { case q if q.ok => q.best }.sum
-    val totalCold = r.queries.collect { case q if q.cold > 0 => q.cold }.sum
     val nFailed = r.queries.count(!_.ok)
-    s"""{"metric":"total","value":$total,"unit":"sec","value_cold":$totalCold,"n_queries":${r.queries.length},"n_failed":$nFailed,"n_products":${r.products.size},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r.totalWarm},"unit":"sec","value_cold":${r.totalCold},"n_queries":${r.queries.length},"n_failed":$nFailed,"n_products":${r.products.size},"sf":"$sfDir"}"""
   }
 
   // ---- isolated mode: fork one child JVM per query chunk, merge ----

@@ -2126,8 +2126,13 @@ object Similarity {
   def navGraphShared(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactCache.getOrBuild(s, "navgraph",
       s"$d/embeddings.parquet",
+      // KnnBucketCap joined the key in v4: the banded up/highway stages
+      // consume it DIRECTLY (eligibility rule), so a cap change must
+      // rebuild this product too, not just the knngraph it consumes —
+      // the same silent-staleness class the NavMirrorCap omission was
+      // (r14, commit 697318f).
       Seq(KnnK, CoarseMod, NavHighwayK, NavDownCap, NavMirrorCap,
-        KnnGraphVersion, NavGraphVersion))(navGraphBuild(s, d))
+        KnnBucketCap, KnnGraphVersion, NavGraphVersion))(navGraphBuild(s, d))
 
   // private[graft] so PlanSpec can pin the BUILD's plan shape (no
   // broadcast of a non-constant-bounded frame) without a product write.
@@ -2230,6 +2235,9 @@ object Similarity {
     * role of newly-ingested vectors. */
   val NavInsertBatch = 50L
 
+  /** On-disk layout version of the insert-delta product. */
+  private val NavInsertVersion = 1
+
   /** INCREMENTAL GRAPH-INDEX INSERT (`sim_nav_insert`) — the index-
     * MAINTENANCE operator every graph-ANN deployment needs between
     * rebuilds (HNSW §4 INSERT, Malkov & Yashunin 2018, batch form): for
@@ -2261,15 +2269,14 @@ object Similarity {
     * corpus size. The banded key registry is re-derived here because
     * the products store edges, not keys (one linear key scan, the same
     * class as any query's corpus scan); a live deployment maintains the
-    * key registry incrementally and pays only the batch side. */
-  /** On-disk layout version of the insert-delta product. */
-  private val NavInsertVersion = 1
-
-  /** The insert DELTA as a BUILD-ONCE PRODUCT — the same amortization
-    * as every other index artifact: the banded delta computation runs
-    * once per (corpus, batch) and both consumers (`sim_nav_insert` and
-    * [[evalNavInsert]]'s post-insert walk) scan the stored edges.
-    * Identical rows to [[navInsertDf]] by construction. */
+    * key registry incrementally and pays only the batch side.
+    *
+    * Served as a BUILD-ONCE PRODUCT (`navdelta`) — the same
+    * amortization as every other index artifact: the banded delta
+    * computation runs once per (corpus, batch) and both consumers
+    * (`sim_nav_insert` and [[evalNavInsert]]'s post-insert walk) scan
+    * the stored edges. Identical rows to [[navInsertDf]] by
+    * construction. */
   def navInsert(s: SparkSession, d: String,
       batch: Long = NavInsertBatch): DataFrame =
     graft.sources.ArtifactCache.getOrBuild(s, "navdelta",
@@ -2606,12 +2613,10 @@ object Similarity {
     * seconds). Same O(1)-plan recipe as the k-core/LPA loops. Every
     * per-round state is returned ALIVE; callers release what they keep. */
   private def graphWalk(s: SparkSession, d: String, nQueries: Int,
-      beam: Int, rounds: Int,
-      edgesOverride: Option[DataFrame] = None)(
+      beam: Int, rounds: Int)(
       entries: (DataFrame, DataFrame) => DataFrame): GraphWalkTrace = {
     val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = edgesOverride.getOrElse(navGraphShared(s, d))
-      .select(col("src"), col("dst"))
+    val edges = navGraphShared(s, d).select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))

@@ -321,7 +321,9 @@ object VectorStreams {
     val (nVecs, dim) = {
       val r = embDf.select(count(lit(1)),
         max(size(col("embedding")))).head()
-      (r.getLong(0), r.getInt(1).toLong)
+      // max() over zero rows is null — an empty corpus estimates to 0
+      // bytes and builds the (empty) replica, as it did pre-guard.
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getInt(1).toLong)
     }
     val estBytes = nEdges * 8L + nVecs * (dim * 8L + 64L)
     val maxReplicaBytes = spark.conf

@@ -173,6 +173,8 @@ object SparkEntry {
     "eval_nav_insert" -> ((s, d) => Similarity.evalNavInsert(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "sim_graph_layered" -> ((s, d) => Similarity.graphLayeredTopK(s, d)),
+    "sim_graph_layered_banded" ->
+      ((s, d) => Similarity.graphLayeredBandedTopK(s, d)),
     "eval_graph_connectivity" -> ((s, d) => Similarity.graphConnectivityEval(s, d)),
     "eval_graph_recall" -> ((s, d) => Similarity.graphRecall(s, d)),
     "eval_graph_beam" -> ((s, d) => Similarity.graphBeamEval(s, d)),
@@ -365,6 +367,20 @@ object SparkEntry {
     graft.operators.Similarity.LayeredRounds,
     extra =
       s"gent AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm) * 10000) AS BIGINT) DESC, c.vec_id) AS rn FROM gq q, gcoarse c) WHERE rn <= ${graft.operators.Similarity.LayeredEntryK})")
+
+  // Banded-entry layered walk: entry candidates from the query's coarse
+  // bucket-mates (the raw `keys` CTE — pre-eligibility, both sides
+  // layer-/query-sized), exact-scored, top-LayeredEntryK, fixed-entry
+  // fallback on a full band miss; then the same beam rounds.
+  private val GraphLayeredBandedCtes: String = graphBeamCtes(
+    "SELECT e.qid, e.cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM gent e JOIN n x ON e.cid = x.vec_id JOIN gq q ON e.qid = q.qid",
+    graft.operators.Similarity.LayeredRounds,
+    extra =
+      s"gbq AS (SELECT vec_id AS qid, band_idx, band_key FROM keys WHERE vec_id < 10), " +
+      s"gbc AS (SELECT vec_id AS cc, band_idx, band_key FROM keys WHERE vec_id % ${graft.operators.Similarity.CoarseMod} = 0), " +
+      "gbcand AS (SELECT DISTINCT q.qid, c.cc FROM gbq q JOIN gbc c ON q.band_idx = c.band_idx AND q.band_key = c.band_key AND q.qid <> c.cc), " +
+      s"gbent0 AS (SELECT qid, cc AS cid FROM (SELECT g.qid, g.cc, row_number() OVER (PARTITION BY g.qid ORDER BY CAST(round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm) * 10000) AS BIGINT) DESC, g.cc) AS rn FROM gbcand g JOIN gq q ON g.qid = q.qid JOIN n c ON g.cc = c.vec_id) WHERE rn <= ${graft.operators.Similarity.LayeredEntryK}), " +
+      s"gent AS (SELECT qid, cid FROM gbent0 UNION ALL SELECT q.qid, CAST(${graft.operators.Similarity.GraphEntry} AS BIGINT) AS cid FROM gq q WHERE NOT EXISTS (SELECT 1 FROM gbent0 e WHERE e.qid = q.qid))")
 
   // The unigram/Viterbi DP as reusable CTEs over `bpe_merges` scores and
   // any `words(word)` universe — shared by tokenize_unigram and the
@@ -1054,6 +1070,12 @@ object SparkEntry {
     // let the better entry also cut rounds; see the engine docstring).
     "sim_graph_layered" ->
       (s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphLayeredCtes " +
+      s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.LayeredRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
+    // Banded-entry layered search: entry candidates are the query's
+    // coarse bucket-mates (keys, pre-eligibility — no cap on a
+    // layer-sized side), fixed-entry fallback for full band misses.
+    "sim_graph_layered_banded" ->
+      (s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphLayeredBandedCtes " +
       s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.LayeredRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
     // Round-budget sweep: the SAME walk's prefixes priced at rounds
     // 2/4/6 — per budget, the beam state's top-5 hits vs brute and the

@@ -2592,6 +2592,52 @@ object Similarity {
         .select(col("qid"), col("cc").as("cid"))
     }
 
+  /** LAYERED search with a BANDED entry (`sim_graph_layered_banded`) —
+    * the 100 TB serving form of [[graphLayeredTopK]]: that operator's
+    * entry selection exact-scans the coarse layer per query (n /
+    * [[CoarseMod]] dots — corpus-proportional serving work, the
+    * documented 2-layer trade), while here the query's entry candidates
+    * are its banded BUCKET-MATES among the coarse nodes (the same
+    * sign-projection chain as the v4 build's up-links, at query time),
+    * scored exactly and kept to the best [[LayeredEntryK]]; a query
+    * whose every band misses the coarse layer falls back to the fixed
+    * [[GraphEntry]], deterministically. Per-query entry work is then
+    * bucket-bounded — INDEPENDENT of corpus size, like the walk itself —
+    * so the whole serving path runs at 100 TB without a linear scan per
+    * query. At test scale the banded entry occasionally picks a
+    * second-best cell (the assignment-agreement trade measured on the
+    * build); the walk's rounds absorb it — recall gated in the spec.
+    * In production the coarse key registry is a maintained artifact;
+    * here it derives from the corpus scan like every build input. */
+  def graphLayeredBandedTopK(s: SparkSession, d: String,
+      nQueries: Int = 10, k: Int = 5, beam: Int = GraphBeam,
+      rounds: Int = LayeredRounds): DataFrame =
+    graphSearchFrom(s, d, nQueries, k, beam, rounds) { (q, c) =>
+      val coarse = c.filter(col("vec_id") % CoarseMod === 0)
+      val ck = bandedKeys(coarse.select("vec_id", "v"), 8, 4)
+        .select(col("vec_id").as("cc"), col("band_idx"), col("band_key"))
+      val qk = bandedKeys(
+        q.select(col("qid").as("vec_id"), col("qv").as("v")), 8, 4)
+        .select(col("vec_id").as("qid"), col("band_idx"), col("band_key"))
+      val cand = ck.join(broadcast(qk), Seq("band_idx", "band_key"))
+        .filter(col("qid") =!= col("cc"))
+        .select("qid", "cc").distinct()
+      val wEnt = Window.partitionBy("qid").orderBy(desc("cs"), asc("cc"))
+      val banded = cand
+        .join(coarse.select(col("vec_id").as("cc"), col("v").as("cv"),
+          col("nrm").as("cn")), "cc")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("cc"),
+          e4(dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cs"))
+        .withColumn("rn", row_number().over(wEnt))
+        .filter(col("rn") <= LayeredEntryK)
+        .select(col("qid"), col("cc").as("cid"))
+      val fallback = q.select(col("qid"))
+        .join(banded.select(col("qid")).distinct(), Seq("qid"), "left_anti")
+        .withColumn("cid", lit(GraphEntry))
+      banded.unionAll(fallback)
+    }
+
   /** The walk's full trace: per-round beam states (index 0 = the scored
     * entries), the per-round candidate frames (what each round scored),
     * the ranking window, and the persisted frames the consumer releases

@@ -175,6 +175,7 @@ object SparkEntry {
     "sim_graph_layered" -> ((s, d) => Similarity.graphLayeredTopK(s, d)),
     "sim_graph_layered_banded" ->
       ((s, d) => Similarity.graphLayeredBandedTopK(s, d)),
+    "eval_graph_entry" -> ((s, d) => Similarity.evalGraphEntry(s, d)),
     "eval_graph_connectivity" -> ((s, d) => Similarity.graphConnectivityEval(s, d)),
     "eval_graph_recall" -> ((s, d) => Similarity.graphRecall(s, d)),
     "eval_graph_beam" -> ((s, d) => Similarity.graphBeamEval(s, d)),
@@ -381,6 +382,34 @@ object SparkEntry {
       "gbcand AS (SELECT DISTINCT q.qid, c.cc FROM gbq q JOIN gbc c ON q.band_idx = c.band_idx AND q.band_key = c.band_key AND q.qid <> c.cc), " +
       s"gbent0 AS (SELECT qid, cc AS cid FROM (SELECT g.qid, g.cc, row_number() OVER (PARTITION BY g.qid ORDER BY CAST(round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm) * 10000) AS BIGINT) DESC, g.cc) AS rn FROM gbcand g JOIN gq q ON g.qid = q.qid JOIN n c ON g.cc = c.vec_id) WHERE rn <= ${graft.operators.Similarity.LayeredEntryK}), " +
       s"gent AS (SELECT qid, cid FROM gbent0 UNION ALL SELECT q.qid, CAST(${graft.operators.Similarity.GraphEntry} AS BIGINT) AS cid FROM gq q WHERE NOT EXISTS (SELECT 1 FROM gbent0 e WHERE e.qid = q.qid))")
+
+  // Entry-strategy decision table: three independent beam chains
+  // (prefixes f_/l_/b_), each at its strategy's production round
+  // budget, aggregated against the shared brute CTEs.
+  private val GraphEntryEvalCtes: String = {
+    val entry = graft.operators.Similarity.GraphEntry
+    val ek = graft.operators.Similarity.LayeredEntryK
+    val coarseMod = graft.operators.Similarity.CoarseMod
+    def fixedGb0(p: String) =
+      s"SELECT q.qid, CAST($entry AS BIGINT) AS cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM ${p}gq q JOIN n x ON x.vec_id = $entry"
+    def gentGb0(p: String) =
+      s"SELECT e.qid, e.cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM ${p}gent e JOIN n x ON e.cid = x.vec_id JOIN ${p}gq q ON e.qid = q.qid"
+    val fChain = graphBeamCtes(fixedGb0("f_"),
+      graft.operators.Similarity.GraphRounds, prefix = "f_")
+    val lChain = graphBeamCtes(gentGb0("l_"),
+      graft.operators.Similarity.LayeredRounds, prefix = "l_",
+      extra =
+        s"l_gent AS (SELECT qid, cid FROM (SELECT q.qid, c.vec_id AS cid, row_number() OVER (PARTITION BY q.qid ORDER BY CAST(round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm) * 10000) AS BIGINT) DESC, c.vec_id) AS rn FROM l_gq q, gcoarse c) WHERE rn <= $ek)")
+    val bChain = graphBeamCtes(gentGb0("b_"),
+      graft.operators.Similarity.LayeredRounds, prefix = "b_",
+      extra =
+        s"b_bq AS (SELECT vec_id AS qid, band_idx, band_key FROM keys WHERE vec_id < 10), " +
+        s"b_bc AS (SELECT vec_id AS cc, band_idx, band_key FROM keys WHERE vec_id % $coarseMod = 0), " +
+        "b_cand AS (SELECT DISTINCT q.qid, c.cc FROM b_bq q JOIN b_bc c ON q.band_idx = c.band_idx AND q.band_key = c.band_key AND q.qid <> c.cc), " +
+        s"b_ent0 AS (SELECT qid, cc AS cid FROM (SELECT g.qid, g.cc, row_number() OVER (PARTITION BY g.qid ORDER BY CAST(round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm) * 10000) AS BIGINT) DESC, g.cc) AS rn FROM b_cand g JOIN b_gq q ON g.qid = q.qid JOIN n c ON g.cc = c.vec_id) WHERE rn <= $ek), " +
+        s"b_gent AS (SELECT qid, cid FROM b_ent0 UNION ALL SELECT q.qid, CAST($entry AS BIGINT) AS cid FROM b_gq q WHERE NOT EXISTS (SELECT 1 FROM b_ent0 e WHERE e.qid = q.qid))")
+    s"$fChain, $lChain, $bChain"
+  }
 
   // The unigram/Viterbi DP as reusable CTEs over `bpe_merges` scores and
   // any `words(word)` universe — shared by tokenize_unigram and the
@@ -1071,6 +1100,15 @@ object SparkEntry {
     "sim_graph_layered" ->
       (s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphLayeredCtes " +
       s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.LayeredRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
+    // Entry-strategy decision table: per strategy at its production
+    // round budget, hits vs the shared brute top-k.
+    "eval_graph_entry" -> {
+      val k = 5
+      def rowSql(st: String, p: String, rounds: Int) =
+        s"SELECT '$st' AS strategy, CAST($rounds AS BIGINT) AS rounds, CAST(sum(hit) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n_brute, CAST(round(sum(hit) * 10000.0 / count(*)) AS BIGINT) AS recall_e4 FROM (SELECT CASE WHEN s.cid IS NULL THEN 0 ELSE 1 END AS hit FROM (SELECT qid, cid FROM brk WHERE rn <= $k) b LEFT JOIN (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ${p}gb$rounds) WHERE rn <= $k) s ON b.qid = s.qid AND b.cid = s.cid)"
+      s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphEntryEvalCtes, $BruteTopkCtes " +
+      s"SELECT * FROM (${rowSql("fixed", "f_", graft.operators.Similarity.GraphRounds)} UNION ALL ${rowSql("layered_banded", "b_", graft.operators.Similarity.LayeredRounds)} UNION ALL ${rowSql("layered_exact", "l_", graft.operators.Similarity.LayeredRounds)}) ORDER BY strategy"
+    },
     // Banded-entry layered search: entry candidates are the query's
     // coarse bucket-mates (keys, pre-eligibility — no cap on a
     // layer-sized side), fixed-entry fallback for full band misses.

@@ -2638,6 +2638,121 @@ object Similarity {
       banded.unionAll(fallback)
     }
 
+  /** ENTRY-STRATEGY DECISION TABLE (`eval_graph_entry`) — the graph
+    * tier's serving-config table, next to the round-budget sweep
+    * ([[graphBeamEval]]) and the other families' knob tables (IVF's
+    * nprobe, LSH's plane geometry): the three entry strategies the
+    * engine ships, each at ITS OWN production round budget, scored
+    * against exact brute top-k —
+    *
+    *   - `fixed` @ [[GraphRounds]]: the constant [[GraphEntry]], zero
+    *     entry cost, the walk pays the distance;
+    *   - `layered_exact` @ [[LayeredRounds]]: best-[[LayeredEntryK]] of
+    *     an exact coarse scan (n/[[CoarseMod]] dots per query);
+    *   - `layered_banded` @ [[LayeredRounds]]: best-[[LayeredEntryK]]
+    *     among the query's coarse bucket-mates (bucket-bounded,
+    *     corpus-size-independent — the 100 TB serving row).
+    *
+    * ONE walk serves all three rows: the beam state is keyed by
+    * (strategy, qid) — the [[evalNavInsert]] trick sideways — run to
+    * the MAX budget, and each strategy's row reads the walk's state at
+    * its own round prefix, so the table costs one keyed walk, not
+    * three. Per-strategy rows report (strategy, rounds, hits, n_brute,
+    * recall_e4). */
+  def evalGraphEntry(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, beam: Int = GraphBeam): DataFrame = {
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = navGraphShared(s, d).select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val coarse = c.filter(col("vec_id") % CoarseMod === 0)
+      .select(col("vec_id").as("cc"), col("v").as("cv"), col("nrm").as("cn"))
+    val wEnt = Window.partitionBy("qid").orderBy(desc("cs"), asc("cc"))
+    // fixed: the constant entry.
+    val fixedEnt = q.select(col("qid"))
+      .withColumn("cid", lit(GraphEntry))
+      .withColumn("st", lit("fixed"))
+    // layered_exact: graphLayeredTopK's entry rule.
+    val exactEnt = q.crossJoin(broadcast(coarse))
+      .select(col("qid"), col("cc"),
+        e4(dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cs"))
+      .withColumn("rn", row_number().over(wEnt))
+      .filter(col("rn") <= LayeredEntryK)
+      .select(col("qid"), col("cc").as("cid"))
+      .withColumn("st", lit("layered_exact"))
+    // layered_banded: graphLayeredBandedTopK's entry rule.
+    val ck = bandedKeys(coarse.select(col("cc").as("vec_id"), col("cv").as("v")),
+        8, 4)
+      .select(col("vec_id").as("cc"), col("band_idx"), col("band_key"))
+    val qk = bandedKeys(q.select(col("qid").as("vec_id"), col("qv").as("v")),
+        8, 4)
+      .select(col("vec_id").as("qid"), col("band_idx"), col("band_key"))
+    val bandedBest = ck.join(broadcast(qk), Seq("band_idx", "band_key"))
+      .filter(col("qid") =!= col("cc"))
+      .select("qid", "cc").distinct()
+      .join(coarse, "cc")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cc"),
+        e4(dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cs"))
+      .withColumn("rn", row_number().over(wEnt))
+      .filter(col("rn") <= LayeredEntryK)
+      .select(col("qid"), col("cc").as("cid"))
+    val bandedEnt = bandedBest
+      .unionAll(q.select(col("qid"))
+        .join(bandedBest.select(col("qid")).distinct(), Seq("qid"),
+          "left_anti")
+        .withColumn("cid", lit(GraphEntry)))
+      .withColumn("st", lit("layered_banded"))
+    // ONE keyed walk to the max budget; each strategy reads its prefix.
+    def score(cand: DataFrame): DataFrame = cand
+      .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("st"), col("qid"), col("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    val w = Window.partitionBy("st", "qid").orderBy(desc("sim_e4"), asc("cid"))
+    val budgets = Map("fixed" -> GraphRounds,
+      "layered_exact" -> LayeredRounds, "layered_banded" -> LayeredRounds)
+    var beamDf = score(fixedEnt.unionAll(exactEnt).unionAll(bandedEnt)
+      .select("st", "qid", "cid")).localCheckpoint(true)
+    val states = scala.collection.mutable.ArrayBuffer(beamDf)
+    for (_ <- 1 to budgets.values.max) {
+      val nbrs = beamDf.select(col("st"), col("qid"), col("cid").as("src"))
+        .join(edges, "src")
+        .select(col("st"), col("qid"), col("dst").as("cid"))
+      val cand = beamDf.select("st", "qid", "cid").unionAll(nbrs).distinct()
+      beamDf = score(cand)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select("st", "qid", "cid", "sim_e4")
+        .localCheckpoint(true)
+      states += beamDf
+    }
+    val brute = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = budgets.toSeq.sortBy(_._1).map { case (st, r) =>
+      val sel = states(r).filter(col("st") === st)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      brute.join(sel, Seq("qid", "cid"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("n_brute"))
+        .select(lit(st).as("strategy"), lit(r.toLong).as("rounds"),
+          col("hits"), col("n_brute"),
+          round(col("hits") * lit(10000.0) / col("n_brute")).cast("long")
+            .as("recall_e4"))
+    }
+    // Release only the rounds NO strategy reads as its prefix — the
+    // budget states stay alive until the consumer's terminal action.
+    val needed = budgets.values.toSet
+    states.zipWithIndex.collect { case (st, i) if !needed.contains(i) => st }
+      .foreach(org.apache.spark.sql.graft.Checkpoints.release)
+    graft.functions.Caching.releaseAfterAction(
+      rows.reduce(_ unionAll _).orderBy("strategy"),
+      (Seq(c, edges, brute) ++ needed.toSeq.sorted.map(states(_))): _*)
+  }
+
   /** The walk's full trace: per-round beam states (index 0 = the scored
     * entries), the per-round candidate frames (what each round scored),
     * the ranking window, and the persisted frames the consumer releases

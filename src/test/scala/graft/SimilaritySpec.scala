@@ -187,6 +187,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"banded-entry layered recall collapsed to $recall")
   }
 
+  test("entry-strategy table: three rows at their production budgets, floors hold") {
+    val rows = Similarity.evalGraphEntry(spark, TestSpark.sf)
+      .select("strategy", "rounds", "hits", "n_brute", "recall_e4")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      Seq("fixed", "layered_banded", "layered_exact"))
+    assert(rows.map(_._2).toSeq === Seq(Similarity.GraphRounds.toLong,
+      Similarity.LayeredRounds.toLong, Similarity.LayeredRounds.toLong))
+    // Each strategy's row must agree with running that strategy's OWN
+    // query — the table is the same walks read at prefixes, not a
+    // separate implementation drifting out of sync.
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Long = {
+      val s0 = df.select("qid", "cid").as[(Long, Long)].collect().toSet
+      math.round(bruteSet.count(s0.contains).toDouble / bruteSet.size * 10000)
+    }
+    assert(rows.find(_._1 == "fixed").get._5 ===
+      recallOf(Similarity.graphTopK(spark, TestSpark.sf)))
+    assert(rows.find(_._1 == "layered_exact").get._5 ===
+      recallOf(Similarity.graphLayeredTopK(spark, TestSpark.sf)))
+    assert(rows.find(_._1 == "layered_banded").get._5 ===
+      recallOf(Similarity.graphLayeredBandedTopK(spark, TestSpark.sf)))
+    assert(rows.forall(_._5 >= 7000L),
+      s"an entry strategy collapsed: ${rows.mkString(", ")}")
+  }
+
   test("nav insert: arrivals attach searchable AND reachable, every delta class capped") {
     val delta = Similarity.navInsert(spark, TestSpark.sf)
       .select("src", "dst", "edge_class")

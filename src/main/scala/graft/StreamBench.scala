@@ -239,10 +239,15 @@ object StreamBench {
       ("ivfpq_ingest_served", "append",
         () => VectorStreams.ivfPqIngestStreamServed(spark, vecDir, sfDir,
           maxFilesPerTrigger = fpt)),
-      // The graph-ANN SERVING twin: rows/sec here is queries-per-second
-      // answered against the RAM-resident navigable-graph replica.
+      // The graph-ANN SERVING twins: rows/sec here is queries-per-second
+      // answered against the RAM-resident navigable-graph replica —
+      // fixed-entry at GraphRounds, and the banded-entry layered config
+      // (the entry-strategy table's production pick) at LayeredRounds.
       ("graph_probe", "append",
         () => VectorStreams.graphProbeStream(spark, vecDir, sfDir,
+          maxFilesPerTrigger = fpt)),
+      ("graph_probe_layered", "append",
+        () => VectorStreams.graphLayeredProbeStream(spark, vecDir, sfDir,
           maxFilesPerTrigger = fpt)))
 
     val results = twins.map { case (name, mode, mk) =>

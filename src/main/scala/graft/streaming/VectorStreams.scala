@@ -363,6 +363,93 @@ object VectorStreams {
       }
       .toDF()
   }
+
+  /** Streaming LAYERED-BANDED GRAPH PROBE — the THIRTY-THIRD twin and
+    * the production serving config the entry-strategy decision table
+    * (`eval_graph_entry`) recommends: arriving queries pick their entry
+    * among their coarse BUCKET-MATES (bucket-bounded per row — no
+    * corpus-proportional scan anywhere in the online path) and walk
+    * [[Similarity.LayeredRounds]] rounds instead of the fixed-entry
+    * probe's [[Similarity.GraphRounds]] — a third fewer hops per query
+    * at equal-or-better recall on the banded graph. The coarse KEY
+    * INDEX rides in the replica next to the edges and vectors (n/32
+    * entries × 8 bands — a rounding error against the vector table);
+    * parity with [[Similarity.graphLayeredBandedTopK]] is BIT-exact
+    * (same planes, strict sign test, HALF_UP e4, (cs desc, cc) ties,
+    * fixed-entry fallback), asserted in VectorStreamsSpec on a replayed
+    * corpus. Shares [[graphProbeStream]]'s replica-size guard
+    * semantics: the same byte estimate runs before anything collects. */
+  def graphLayeredProbeStream(spark: SparkSession, path: String,
+      staticDir: String, k: Int = 5, beam: Int = Similarity.GraphBeam,
+      rounds: Int = Similarity.LayeredRounds,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    val edgesDf = Similarity.navGraphShared(spark, staticDir)
+    val embDf = graft.sources.Tables.embeddings(spark, staticDir)
+    val nEdges = edgesDf.count()
+    val (nVecs, dim) = {
+      val r = embDf.select(count(lit(1)),
+        max(size(col("embedding")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getInt(1).toLong)
+    }
+    val estBytes = nEdges * 8L + nVecs * (dim * 8L + 64L)
+    val maxReplicaBytes = spark.conf
+      .getOption("spark.graft.serving.maxReplicaBytes")
+      .map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory / 4)
+    require(estBytes <= maxReplicaBytes,
+      s"graph-serving replica estimate ${estBytes} B ($nVecs vectors x " +
+        s"dim $dim + $nEdges edges) exceeds " +
+        s"spark.graft.serving.maxReplicaBytes=$maxReplicaBytes B: shard " +
+        "the graph across serving replicas or store SQ8 codes instead " +
+        "of raw doubles (the standard memory/recall trade) before " +
+        "serving this corpus from one RAM replica")
+    val adj: Map[Long, Array[Long]] = edgesDf
+      .select("src", "dst").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2).sorted }
+    val vecs: Map[Long, (Array[Double], Double)] = embDf
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => id -> (v, math.sqrt(GraphProbe.dot(v, v))) }
+      .toMap
+    // Coarse key index: band keys of the n/CoarseMod coarse vectors —
+    // the maintained registry a live deployment keeps beside the graph.
+    val coarseIdx: Map[(Int, Long), Array[Long]] = vecs.keys.toSeq
+      .filter(_ % Similarity.CoarseMod == 0).sorted
+      .flatMap { cc =>
+        val cv = vecs(cc)._1
+        (0 until 8).map { b =>
+          var key = 0L
+          var r = 0
+          while (r < 4) {
+            if (GraphProbe.dot(cv, Similarity.plane(b * 4 + r)) > 0)
+              key |= (1L << r)
+            r += 1
+          }
+          (b, key) -> cc
+        }
+      }
+      .groupBy(_._1).map { case (bk, ccs) => bk -> ccs.map(_._2).toArray }
+    val badj = spark.sparkContext.broadcast(adj)
+    val bvec = spark.sparkContext.broadcast(vecs)
+    val bidx = spark.sparkContext.broadcast(coarseIdx)
+    val entryK = Similarity.LayeredEntryK
+    val fallback = Similarity.GraphEntry
+    embeddingStream(spark, path, maxFilesPerTrigger)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val adjM = badj.value
+        val vecM = bvec.value
+        val idxM = bidx.value
+        it.flatMap { case (qid, qv) =>
+          val entries = GraphProbe.bandedEntries(qid, qv, entryK, idxM,
+            fallback, vecM)
+          GraphProbe.walkFrom(qid, qv, entries, beam, rounds, k, adjM, vecM)
+        }
+      }
+      .toDF()
+  }
 }
 
 /** The per-row beam walk behind [[VectorStreams.graphProbeStream]] —
@@ -385,6 +472,14 @@ private[streaming] object GraphProbe {
 
   def walk(qid: Long, qv: Array[Double], entry: Long, beam: Int,
       rounds: Int, k: Int, adj: Map[Long, Array[Long]],
+      vecs: Map[Long, (Array[Double], Double)]): Iterator[GraphProbeHit] =
+    walkFrom(qid, qv, Array(entry), beam, rounds, k, adj, vecs)
+
+  /** The walk seeded by an ENTRY SET (the layered probes hand it the
+    * best-[[Similarity.LayeredEntryK]] coarse entries) — round 0 is the
+    * scored entries kept to the beam, exactly the batch gb0. */
+  def walkFrom(qid: Long, qv: Array[Double], entries: Array[Long],
+      beam: Int, rounds: Int, k: Int, adj: Map[Long, Array[Long]],
       vecs: Map[Long, (Array[Double], Double)]): Iterator[GraphProbeHit] = {
     val qn = math.sqrt(dot(qv, qv))
     def score(cid: Long): (Long, Long) = {
@@ -393,7 +488,8 @@ private[streaming] object GraphProbe {
     }
     // (sim desc, cid asc) — the batch window's exact order.
     val ord = Ordering.by[(Long, Long), (Long, Long)] { case (s, c) => (-s, c) }
-    var beamSet: Array[(Long, Long)] = Array(score(entry))
+    var beamSet: Array[(Long, Long)] =
+      entries.distinct.map(score).sorted(ord).take(beam)
     for (_ <- 1 to rounds) {
       val cands = (beamSet.map(_._2) ++
         beamSet.flatMap { case (_, c) => adj.getOrElse(c, Array.empty[Long]) })
@@ -402,6 +498,37 @@ private[streaming] object GraphProbe {
     }
     beamSet.take(k).iterator.zipWithIndex.map { case ((s, c), i) =>
       GraphProbeHit(qid, c, s, i + 1L)
+    }
+  }
+
+  /** Banded entry selection, per row: the query's sign-projection band
+    * keys (the same planes as the batch `bandedKeys`) probe the coarse
+    * key index; bucket-mate coarse nodes are exact-scored and the best
+    * `entryK` seed the walk, with the fixed-entry fallback on a full
+    * band miss — [[graft.operators.Similarity.graphLayeredBandedTopK]]'s
+    * rule, replayed with identical arithmetic (sequential dot, strict
+    * `> 0` sign, HALF_UP e4, (cs desc, cc asc) ties). */
+  def bandedEntries(qid: Long, qv: Array[Double], entryK: Int,
+      coarseIdx: Map[(Int, Long), Array[Long]], fallback: Long,
+      vecs: Map[Long, (Array[Double], Double)]): Array[Long] = {
+    val qn = math.sqrt(dot(qv, qv))
+    val cands = (0 until 8).flatMap { b =>
+      var key = 0L
+      var r = 0
+      while (r < 4) {
+        if (dot(qv, graft.operators.Similarity.plane(b * 4 + r)) > 0)
+          key |= (1L << r)
+        r += 1
+      }
+      coarseIdx.getOrElse((b, key), Array.empty[Long])
+    }.distinct.filterNot(_ == qid)
+    if (cands.isEmpty) Array(fallback)
+    else {
+      val ord = Ordering.by[(Long, Long), (Long, Long)] { case (s, c) => (-s, c) }
+      cands.map { cc =>
+        val (cv, cn) = vecs(cc)
+        (simE4(qv, qn, cv, cn), cc)
+      }.sorted(ord).take(entryK).map(_._2).toArray
     }
   }
 }

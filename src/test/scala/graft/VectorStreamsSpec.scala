@@ -210,6 +210,34 @@ class VectorStreamsSpec extends AnyFunSuite {
       "online walk diverged from the batch beam search")
   }
 
+  test("streaming layered-banded probe equals the batch banded-entry search verbatim") {
+    // The 33rd twin — the entry-strategy table's production config
+    // online: per-row banded entry selection + the LayeredRounds walk
+    // must reproduce sim_graph_layered_banded BIT-identically for the
+    // batch query set on a replayed corpus.
+    val dir = Paths.get("target", "test-scratch", "vecstream_graph_lb")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(TestSpark.sf, "embeddings.parquet"),
+      dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToCompletion(
+        spark,
+        VectorStreams.graphLayeredProbeStream(spark, dir.toString,
+          TestSpark.sf),
+        "t_graphlbprobe", mode = "append")
+      .as[(Long, Long, Long, Long)].collect()
+    val n = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").count()
+    assert(streamed.map(_._1).distinct.length.toLong === n)
+    assert(streamed.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._4).sorted.toSeq == (1L to rs.length.toLong) })
+    val batch = Similarity.graphLayeredBandedTopK(spark, TestSpark.sf)
+      .select("qid", "cid", "sim_e4", "rn")
+      .as[(Long, Long, Long, Long)].collect()
+    val streamedQ = streamed.filter(_._1 < 10).sortBy(r => (r._1, r._4))
+    assert(streamedQ.toSeq === batch.sortBy(r => (r._1, r._4)).toSeq,
+      "online banded-entry walk diverged from the batch search")
+  }
+
   test("graph probe refuses a replica past the configured byte bound, loudly") {
     // The serving replica is RAM-resident by design; a corpus past
     // driver memory must fail at stream CONSTRUCTION with the sharding

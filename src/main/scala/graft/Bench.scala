@@ -115,7 +115,7 @@ object Bench {
       // The dev loop gets the compact tail line too; a forked child must
       // NOT print it — the parent parses the child's FIRST {"metric" line
       // and a second one would only add ambiguity.
-      if (forked.isEmpty) println(compactLine(r))
+      if (forked.isEmpty) { println(compactLine(r)); writeSidecar(jsonLine(r)) }
       if (forked.nonEmpty) sys.exit(0) // plain-java child: don't wait on stragglers
     }
   }
@@ -209,13 +209,30 @@ object Bench {
     s"""{"metric":"total","value":${r.totalWarm},"unit":"sec","value_cold":${r.totalCold},"queries":$qs,"queries_cold":$colds,"products":$prods,"failed":$failed,"sf":"$sfDir"$extra}"""
   }
 
+  /** Sidecar copy of the full JSON line, written to a FILE so no stdout
+    * framing can eat it: the round-14 fix (print the compact line last)
+    * still parsed null in round 15 — under sbt the captured tail shows
+    * the line prefixed `[info] ` and a 2000-char tail cap can cut it
+    * mid-line. A file survives any capture. Path:
+    * `$SPARK_GRAFT_BENCH_JSON`, default `bench_summary.json` in the
+    * working directory; failures are non-fatal (the stdout lines remain
+    * the primary channel). */
+  private def writeSidecar(full: String): Unit = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench_summary.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (full + "\n").getBytes("UTF-8")): Unit
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed ($path): ${e.getMessage}")
+    }
+  }
+
   /** Compact summary printed as the FINAL stdout line (after the full
     * [[jsonLine]]): the full line grew past what a tail-only stdout
     * capture keeps (the driver's round-14 artifact recorded `parsed:
     * null` because the line's HEAD — where "metric" and "value" live —
     * was cut), so the headline totals also go out small and last. A
     * reader that keeps whole stdout still prefers the first, full
-    * line. */
+    * line; the same line also lands in the [[writeSidecar]] file. */
   private def compactLine(r: RunResult): String = {
     val nFailed = r.queries.count(!_.ok)
     s"""{"metric":"total","value":${r.totalWarm},"unit":"sec","value_cold":${r.totalCold},"n_queries":${r.queries.length},"n_failed":$nFailed,"n_products":${r.products.size},"sf":"$sfDir"}"""
@@ -285,9 +302,11 @@ object Bench {
       else if (fallbackChunks > 0) "isolated+fallback"
       else "isolated"
     val result = RunResult(merged.toSeq, mergedProducts.toMap)
-    println(jsonLine(result,
-      s""","mode":"$mode","reps":2,"chunk_size":$chunkSize,"fallback_chunks":$fallbackChunks"""))
+    val full = jsonLine(result,
+      s""","mode":"$mode","reps":2,"chunk_size":$chunkSize,"fallback_chunks":$fallbackChunks""")
+    println(full)
     println(compactLine(result))
+    writeSidecar(full)
   }
 
   /** Fork one child JVM running this main over `chunk` (same classpath and

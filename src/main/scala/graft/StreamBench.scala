@@ -95,13 +95,18 @@ object StreamBench {
       * state-store setup (this repo's Bench measures that inflation at
       * 3-6×), and with it in h1 a genuine h2 creep of several percent
       * would read as "flat or improving" — the exact regression the
-      * sustained section exists to catch. */
-    def halves: (Double, Double) = {
+      * sustained section exists to catch. Fewer than 4 steady triggers
+      * cannot support a trend claim (h1 would be empty or a single
+      * sample) — None, and the artifact omits the h1/h2 fields rather
+      * than reporting a misleading "0 ms -> N ms" creep. */
+    def halves: Option[(Double, Double)] = {
       val steady = trigMs.drop(1)
-      val (h1, h2) = steady.splitAt(steady.length / 2)
-      def mean(xs: Seq[Long]) =
-        if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.length
-      (mean(h1), mean(h2))
+      if (steady.length < 4) None
+      else {
+        val (h1, h2) = steady.splitAt(steady.length / 2)
+        def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.length
+        Some((mean(h1), mean(h2)))
+      }
     }
   }
 
@@ -270,10 +275,12 @@ object StreamBench {
           maxFilesPerTrigger = 1))
     ).map { case (name, mk) =>
       val r = measure(spark, name, mk(), "append")
-      val (h1, h2) = r.halves
+      val trend = r.halves match {
+        case Some((h1, h2)) => s"h1 ${fmt(h1, 0)} ms -> h2 ${fmt(h2, 0)} ms"
+        case None => "too few steady triggers for an h1/h2 trend"
+      }
       System.err.println(s"[streambench] sustained $name: ${r.triggers} " +
-        s"triggers, h1 ${fmt(h1, 0)} ms -> h2 ${fmt(h2, 0)} ms, " +
-        s"state max ${r.stateBytesMax} B")
+        s"triggers, $trend, state max ${r.stateBytesMax} B")
       name -> r
     }
 
@@ -290,9 +297,11 @@ object StreamBench {
     val per = results.map { case (n, r) => s""""$n":{${runJson(r)}}""" }
       .mkString(",")
     val sus = sustain.map { case (n, r) =>
-      val (h1, h2) = r.halves
-      s""""$n":{${runJson(r)},"trig_mean_ms_h1":${math.round(h1)},""" +
-        s""""trig_mean_ms_h2":${math.round(h2)},""" +
+      val trend = r.halves.map { case (h1, h2) =>
+        s""""trig_mean_ms_h1":${math.round(h1)},""" +
+          s""""trig_mean_ms_h2":${math.round(h2)},"""
+      }.getOrElse("")
+      s""""$n":{${runJson(r)},$trend""" +
         s""""state_bytes_max":${r.stateBytesMax}}"""
     }.mkString(",")
     println(s"""{"metric":"stream_twins","unit":"rows_per_sec",""" +

@@ -1294,21 +1294,40 @@ object Events {
     * — never a corpus-sized broadcast or a product join. Per-bin work
     * is concurrency², which IS the output being asked for: an hour with
     * C concurrent sessions contributes up to C(C−1)/2 overlapping
-    * pairs. A skew-hostile deployment caps per-bin fan-out the same way
-    * the dedup family df-caps shingles (drop-the-bucket), traded
-    * explicitly — not silently — against pair completeness. */
+    * pairs. A skew-hostile deployment caps per-bin fan-out via
+    * `perBinCap` the same way the dedup family df-caps shingles
+    * (drop-the-bucket), traded explicitly — not silently — against
+    * pair completeness. */
   def intervalAllPairs(s: SparkSession, d: String): DataFrame =
     intervalAllPairsDf(Tables.events(s, d))
 
-  /** Same, over any (user_id, event_id, ts_us) frame (planted tests). */
-  def intervalAllPairsDf(events: DataFrame): DataFrame = {
+  /** Same, over any (user_id, event_id, ts_us) frame (planted tests).
+    *
+    * `perBinCap` (default 0 = off, the declared query's EXACT
+    * semantics): when positive, a bin whose occupancy exceeds the cap
+    * is DROPPED WHOLE from pair generation — the dedup family's
+    * [[graft.operators.Dedup]] df-cap trade (a planted hot hour would
+    * otherwise owe one task C²/2 pairs; see `MaxShingleDf`). The trade
+    * is explicit, not silent: the dropped bins are exactly
+    * `occupancy > cap` rows of the bin-occupancy aggregate, and a pair
+    * that ALSO overlaps in a surviving bin still comes out (the
+    * boundary-straddler dedup works in the cap's favor) — only pairs
+    * whose EVERY shared bin is hot are lost, asserted in the planted
+    * hot-hour spec. */
+  def intervalAllPairsDf(events: DataFrame, perBinCap: Long = 0L): DataFrame = {
     val sess = sessionizeDf(events)
       .select(col("user_id"), col("session_id"), col("start_us"),
         col("end_us"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val binned = sess.withColumn("bin",
+    val binnedAll = sess.withColumn("bin",
       explode(sequence(expr(s"start_us div $HourUs"),
         expr(s"end_us div $HourUs"))))
+    val binned =
+      if (perBinCap <= 0L) binnedAll
+      else binnedAll.join(
+        binnedAll.groupBy("bin").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") <= perBinCap).select("bin"),
+        "bin")
     val a = binned.select(col("bin").as("bin_a"), col("user_id").as("user_a"),
       col("session_id").as("session_a"), col("start_us").as("sa"),
       col("end_us").as("ea"))

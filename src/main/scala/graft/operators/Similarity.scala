@@ -2384,8 +2384,14 @@ object Similarity {
   /** INSERT-QUALITY DECISION TABLE (`eval_nav_insert`) — the number
     * that proves the [[navInsert]] delta WORKS: the standard 10-query
     * beam search run over (a) the BASE graph — the stored navigable
-    * edges with every arrival-touching edge removed, the index state
-    * before the batch — and (b) base ∪ delta, each scored against the
+    * edges with every arrival-touching edge removed, an APPROXIMATION
+    * of the pre-batch index (band eligibility, mirror/down ranks and
+    * the coarse stride were all computed with the arrivals present, so
+    * a bucket capped only because of arrivals contributes no base edges
+    * and mirror slots consumed by removed arrival edges are not
+    * backfilled — an exactly-attributed base would need a second build
+    * over the pre-cut corpus, a cost this monitor deliberately does not
+    * pay) — and (b) base ∪ delta, each scored against the
     * exact brute top-k over the FULL corpus (arrivals included as
     * candidates). On the base graph the arrivals are invisible — a
     * brute hit that IS an arrival cannot be found, capping recall; on

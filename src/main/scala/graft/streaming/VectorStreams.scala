@@ -300,24 +300,30 @@ object VectorStreams {
     * round (Spark's `round` semantics, NOT Math.round, which differs on
     * negative halves) — so a replayed corpus query returns the batch
     * rows verbatim (VectorStreamsSpec asserts it). */
-  def graphProbeStream(spark: SparkSession, path: String, staticDir: String,
-      k: Int = 5, beam: Int = Similarity.GraphBeam,
-      rounds: Int = Similarity.GraphRounds,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
-    import spark.implicits._
-    // REPLICA-SIZE GUARD — the loud-failure standard every other
-    // artifact path here has (manifest validation, under-admit
-    // requires): the replica is RAM-resident BY DESIGN, so a corpus
-    // past driver memory must fail with the deployment answer in the
-    // message, not as an opaque OOM mid-collect. The estimate is the
-    // replica's own arithmetic: one 8-byte long per edge, dim doubles +
-    // map-entry overhead per vector — computed from three cheap
-    // distributed aggregates BEFORE anything is collected. Bound is
-    // `spark.graft.serving.maxReplicaBytes`, defaulting to a quarter of
-    // driver heap (the replica shares the driver with Spark itself).
+  /** REPLICA-SIZE GUARD — the loud-failure standard every other
+    * artifact path here has (manifest validation, under-admit
+    * requires): the serving replica is RAM-resident BY DESIGN, so a
+    * corpus past driver memory must fail with the deployment answer in
+    * the message, not as an opaque OOM mid-collect. The estimate is the
+    * replica's own arithmetic: one 8-byte long per edge, dim doubles +
+    * array/boxing overhead per vector, plus a per-distinct-src term for
+    * the adjacency Map's entry + boxed key + value array header (~48 B
+    * each on a 64-bit JVM) — computed from four cheap distributed
+    * aggregates BEFORE anything is collected. JVM overhead beyond the
+    * modeled terms (map load factor, object padding) is absorbed by the
+    * bound's safety margin: `spark.graft.serving.maxReplicaBytes`
+    * defaults to a QUARTER of driver heap precisely so a few-× estimate
+    * undershoot cannot turn into an OOM. Shared by both graph probes —
+    * one definition, one knob, no silent divergence. */
+  private def replicaGuard(spark: SparkSession,
+      staticDir: String): (DataFrame, DataFrame) = {
     val edgesDf = Similarity.navGraphShared(spark, staticDir)
     val embDf = graft.sources.Tables.embeddings(spark, staticDir)
-    val nEdges = edgesDf.count()
+    val (nEdges, nSrcs) = {
+      val r = edgesDf.select(count(lit(1)),
+        count_distinct(col("src"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val (nVecs, dim) = {
       val r = embDf.select(count(lit(1)),
         max(size(col("embedding")))).head()
@@ -325,24 +331,33 @@ object VectorStreams {
       // bytes and builds the (empty) replica, as it did pre-guard.
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getInt(1).toLong)
     }
-    val estBytes = nEdges * 8L + nVecs * (dim * 8L + 64L)
+    val estBytes = nEdges * 8L + nSrcs * 48L + nVecs * (dim * 8L + 64L)
     val maxReplicaBytes = spark.conf
       .getOption("spark.graft.serving.maxReplicaBytes")
       .map(_.toLong)
       .getOrElse(Runtime.getRuntime.maxMemory / 4)
     require(estBytes <= maxReplicaBytes,
       s"graph-serving replica estimate ${estBytes} B ($nVecs vectors x " +
-        s"dim $dim + $nEdges edges) exceeds " +
+        s"dim $dim + $nEdges edges over $nSrcs sources) exceeds " +
         s"spark.graft.serving.maxReplicaBytes=$maxReplicaBytes B: shard " +
         "the graph across serving replicas or store SQ8 codes instead " +
         "of raw doubles (the standard memory/recall trade) before " +
         "serving this corpus from one RAM replica")
+    (edgesDf, embDf)
+  }
+
+  def graphProbeStream(spark: SparkSession, path: String, staticDir: String,
+      k: Int = 5, beam: Int = Similarity.GraphBeam,
+      rounds: Int = Similarity.GraphRounds,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    val (edgesDf, embDf) = replicaGuard(spark, staticDir)
     val adj: Map[Long, Array[Long]] =
       edgesDf
         .select("src", "dst").as[(Long, Long)].collect()
         .groupBy(_._1).map { case (s, es) => s -> es.map(_._2).sorted }
     val vecs: Map[Long, (Array[Double], Double)] =
-      graft.sources.Tables.embeddings(spark, staticDir)
+      embDf
         .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
         .as[(Long, Array[Double])].collect()
         .map { case (id, v) =>
@@ -384,26 +399,7 @@ object VectorStreams {
       rounds: Int = Similarity.LayeredRounds,
       maxFilesPerTrigger: Int = 0): DataFrame = {
     import spark.implicits._
-    val edgesDf = Similarity.navGraphShared(spark, staticDir)
-    val embDf = graft.sources.Tables.embeddings(spark, staticDir)
-    val nEdges = edgesDf.count()
-    val (nVecs, dim) = {
-      val r = embDf.select(count(lit(1)),
-        max(size(col("embedding")))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getInt(1).toLong)
-    }
-    val estBytes = nEdges * 8L + nVecs * (dim * 8L + 64L)
-    val maxReplicaBytes = spark.conf
-      .getOption("spark.graft.serving.maxReplicaBytes")
-      .map(_.toLong)
-      .getOrElse(Runtime.getRuntime.maxMemory / 4)
-    require(estBytes <= maxReplicaBytes,
-      s"graph-serving replica estimate ${estBytes} B ($nVecs vectors x " +
-        s"dim $dim + $nEdges edges) exceeds " +
-        s"spark.graft.serving.maxReplicaBytes=$maxReplicaBytes B: shard " +
-        "the graph across serving replicas or store SQ8 codes instead " +
-        "of raw doubles (the standard memory/recall trade) before " +
-        "serving this corpus from one RAM replica")
+    val (edgesDf, embDf) = replicaGuard(spark, staticDir)
     val adj: Map[Long, Array[Long]] = edgesDf
       .select("src", "dst").as[(Long, Long)].collect()
       .groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2).sorted }

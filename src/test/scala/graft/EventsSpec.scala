@@ -615,6 +615,42 @@ class EventsSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length, "duplicate pair emitted")
   }
 
+  test("interval all-pairs: per-bin cap drops the planted hot hour's C^2 fan-out, straddlers survive via cold bins") {
+    val hr = 3600000000L
+    // HOT hour 0: users 1..6 each run one session inside it (occupancy
+    // 6 in bin 0 — uncapped, that bin alone owes C(C-1)/2 = 15 pairs).
+    val hot = (1L to 6L).flatMap(u =>
+      Seq((u, 2 * u, 1000L + u), (u, 2 * u + 1, 2000L + u)))
+    // Users 7 and 8 straddle the hour-0/1 boundary and overlap each
+    // other on BOTH sides: their pair shares hot bin 0 AND cold bin 1.
+    val straddle = Seq(
+      (7L, 100L, hr - 200L), (7L, 101L, hr + 200L),
+      (8L, 102L, hr - 100L), (8L, 103L, hr + 100L))
+    val events = (hot ++ straddle).toDF("user_id", "event_id", "ts_us")
+    // Uncapped (the declared query's exact semantics): the hot hour's
+    // 15 pairs, 6x2=12 hot-vs-straddler pairs... compute instead by
+    // predicate: count pairs exactly.
+    val exact = Events.intervalAllPairsDf(events)
+      .select("user_a", "user_b").as[(Long, Long)].collect().toSet
+    // Hot sessions [1000+u, 2000+u] pairwise overlap (15 pairs); they
+    // do NOT overlap the straddlers (which start at hr-200); straddlers
+    // overlap each other.
+    assert(exact.size === 16, s"exact semantics: 15 hot + 1 straddler, got $exact")
+    assert(exact.contains((7L, 8L)))
+    // Capped at 8: bin 0 has occupancy 8 (6 hot + 2 straddlers) > cap?
+    // No — equal to 8 survives; cap at 7 drops bin 0 whole. The
+    // straddler pair must STILL emerge via cold bin 1; every hot-only
+    // pair is lost — the explicit completeness trade.
+    val capped = Events.intervalAllPairsDf(events, perBinCap = 7L)
+      .select("user_a", "user_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((7L, 8L)),
+      s"cap must drop the hot bin whole and keep the cold-bin pair, got $capped")
+    // Cap above occupancy = exact semantics unchanged.
+    val loose = Events.intervalAllPairsDf(events, perBinCap = 100L)
+      .select("user_a", "user_b").as[(Long, Long)].collect().toSet
+    assert(loose === exact, "a non-binding cap must not change the result")
+  }
+
   test("value histogram: bins cover, counts conserve, widths equal and aligned") {
     val rows = Events.valueHistogram(spark, TestSpark.sf)
       .as[(String, Long, Long, Long, Long)].collect()

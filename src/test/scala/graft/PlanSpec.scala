@@ -361,6 +361,13 @@ class PlanSpec extends AnyFunSuite {
       // same BroadcastExchange plan_id more than once.
       val broadcastIds = """BroadcastExchange .*\[plan_id=(\d+)\]""".r
         .findAllMatchIn(plan).map(_.group(1)).toSet
+      // Anti-vacuity cross-check: if a Spark format change drops the
+      // [plan_id=N] suffix the id regex matches nothing and the <= 1
+      // assertion would pass WITH many broadcasts — pin the regex's
+      // coverage against the raw node-name occurrence first.
+      assert(plan.contains("BroadcastExchange") == broadcastIds.nonEmpty,
+        "BroadcastExchange appears in the plan but the plan_id regex " +
+          s"matched nothing — plan format changed, fix the pin:\n${plan.take(3000)}")
       assert(broadcastIds.size <= 1,
         s"navgraph build broadcasts ${broadcastIds.size} distinct frames " +
           s"— only the 1-row entry fallback is constant-bounded:\n${plan.take(3000)}")

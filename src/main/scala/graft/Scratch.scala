@@ -39,6 +39,41 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "layered-sweep") {
+      import org.apache.spark.sql.Row
+      val brute = graft.operators.Similarity.bruteTopK(spark, d)
+        .select("qid", "cid").collect().map { case Row(q: Long, c: Long) => (q, c) }.toSet
+      spark.catalog.clearCache()
+      for (rounds <- 3 to 8) {
+        def recall(df: org.apache.spark.sql.DataFrame): Double = {
+          val g = df.select("qid", "cid").collect()
+            .map { case Row(q: Long, c: Long) => (q, c) }.toSet
+          spark.catalog.clearCache()
+          brute.count(g.contains).toDouble / brute.size
+        }
+        val ex = recall(graft.operators.Similarity
+          .graphLayeredTopK(spark, d, rounds = rounds))
+        val ba = recall(graft.operators.Similarity
+          .graphLayeredBandedTopK(spark, d, rounds = rounds))
+        println(f"[scratch] layered rounds=$rounds exact=$ex%.3f banded=$ba%.3f")
+      }
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "banded-knobs") {
+      import org.apache.spark.sql.Row
+      val brute = graft.operators.Similarity.bruteTopK(spark, d)
+        .select("qid", "cid").collect().map { case Row(q: Long, c: Long) => (q, c) }.toSet
+      spark.catalog.clearCache()
+      for (beam <- Seq(24, 32, 40); rounds <- Seq(5, 6)) {
+        val g = graft.operators.Similarity
+          .graphLayeredBandedTopK(spark, d, beam = beam, rounds = rounds)
+          .select("qid", "cid").collect()
+          .map { case Row(q: Long, c: Long) => (q, c) }.toSet
+        spark.catalog.clearCache()
+        println(f"[scratch] banded beam=$beam rounds=$rounds recall=${brute.count(g.contains).toDouble / brute.size}%.3f")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "pq-eta") {
       import org.apache.spark.sql.Row
       val brute = graft.operators.Similarity.bruteTopK(spark, d)

@@ -171,6 +171,7 @@ object SparkEntry {
     "sim_nav_insert" -> ((s, d) =>
       Similarity.navInsert(s, d).orderBy("src", "dst", "edge_class")),
     "eval_nav_insert" -> ((s, d) => Similarity.evalNavInsert(s, d)),
+    "sim_nav_delete" -> ((s, d) => Similarity.navDeleteTopK(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "sim_graph_layered" -> ((s, d) => Similarity.graphLayeredTopK(s, d)),
     "sim_graph_layered_banded" ->
@@ -1093,6 +1094,14 @@ object SparkEntry {
     "sim_graph_topk" ->
       (s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphBeamCtes " +
       s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.GraphRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
+    // Tombstone-filtered serving: the SAME fixed-entry walk (gb chain
+    // shared with sim_graph_topk), tombstoned ids (vec_id % mod = res)
+    // filtered from the FINAL beam BEFORE the top-k window — deleted
+    // vectors are never returned, survivors re-rank into the freed
+    // slots; traversal is unchanged (the node still routes).
+    "sim_nav_delete" ->
+      (s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphBeamCtes " +
+      s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.GraphRounds} WHERE cid % ${graft.operators.Similarity.NavDeleteMod} <> ${graft.operators.Similarity.NavDeleteRes}) WHERE rn <= 5 ORDER BY qid, rn"),
     // Layered: entry per query = argmax over the coarse layer, then the
     // same beam rounds from there — measured to buy recall at equal
     // rounds (the banded graph lacks the long-range links that would

@@ -2549,12 +2549,109 @@ object Similarity {
       q.select(col("qid")).withColumn("cid", lit(GraphEntry))
     }
 
+  /** Deterministic tombstone set for the index-deletion path: vec_ids
+    * ≡ [[NavDeleteRes]] (mod [[NavDeleteMod]]) play deleted/withdrawn
+    * documents (takedowns, opt-outs — the maintenance event every
+    * 100 TB pipeline handles between rebuilds, the mirror of
+    * [[NavInsertBatch]]'s arrivals). ~n/40 ids, never the fixed entry
+    * (0 mod 40 ≠ 7). */
+  val NavDeleteMod = 40L
+  val NavDeleteRes = 7L
+
+  /** TOMBSTONE-FILTERED GRAPH SERVING (`sim_nav_delete`) — the DELETE
+    * half of the index-maintenance story ([[navInsert]] is the other):
+    * a deleted vector must never be RETURNED, immediately, without
+    * waiting for a rebuild. The standard graph-ANN recipe (hnswlib's
+    * mark-deleted, FAISS's IDSelector): the node STAYS IN THE GRAPH
+    * and the walk still traverses it — removing it from the beam would
+    * disconnect the regions it routes to and silently cost survivor
+    * recall — but the FINAL selection ranks only survivors: the walk's
+    * last beam state is filtered by the tombstone predicate BEFORE the
+    * top-k window, so the freed slots go to the next-best survivors
+    * (neighbors re-rank, pinned in the spec). Same fixed-entry walk as
+    * [[graphTopK]] ([[graphWalk]] — shared loop, not a copy);
+    * tombstoned ids are dropped whether they are true neighbors or
+    * not. Compaction: the tombstone set is a serving-layer overlay —
+    * at the next product rebuild the corpus table no longer carries
+    * the deleted rows, so the rebuilt graph contains no trace of them
+    * (NavDeleteSpec proves it by rebuilding over the survivor corpus).
+    *
+    * Scale shape: the filter is one predicate on a beam-sized frame
+    * (rounds × beam rows per query) — zero additional shuffle; the
+    * streaming probes apply the identical predicate to their RAM
+    * replica's final beam. A production deployment swaps the modular
+    * predicate for an anti-join against a broadcast tombstone id set —
+    * same plan shape, id-set-sized broadcast. */
+  def navDeleteTopK(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, beam: Int = GraphBeam,
+      rounds: Int = GraphRounds): DataFrame = {
+    val walk = graphWalk(s, d, nQueries, beam, rounds) { (q, _) =>
+      q.select(col("qid")).withColumn("cid", lit(GraphEntry))
+    }
+    walk.states.dropRight(1)
+      .foreach(org.apache.spark.sql.graft.Checkpoints.release)
+    graft.functions.Caching.releaseAfterAction(
+      walk.states.last
+        .filter(col("cid") % NavDeleteMod =!= NavDeleteRes)
+        .withColumn("rn", row_number().over(walk.w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("qid", "rn"),
+      walk.caches: _*)
+  }
+
   /** Coarse-layer stride: every CoarseMod-th vector forms the upper
     * layer the layered search picks its entry from (n/CoarseMod coarse
     * scans per query — the 2-layer slice of HNSW's log-layer hierarchy;
     * more layers repeat the same construction on the coarse set). */
   val CoarseMod = 32
   val LayeredRounds = 4
+
+  /** THE LOG-LAYER RULE — the round-15 measured gap closed: a FIXED
+    * two-layer hierarchy plus a FIXED round budget cannot hold recall
+    * as the corpus grows (layered@4 fell 0.92 → 0.70-0.78 from sf0.01
+    * to sf0.1, `bench/scaling_r15.json`). HNSW keeps rounds constant
+    * by growing LAYERS ∝ log n (Malkov & Yashunin 2018 §4.1: level
+    * assignment ~ floor(−ln(unif)·mL), mL = 1/ln M); this engine's
+    * two-layer build keeps the GRAPH fixed and grows the WALK's budget
+    * with the same quantity instead: the number of log-layers the
+    * corpus WOULD need, `ceil(log n / log CoarseMod)` — each "missing"
+    * layer costs the walk a constant number of extra rounds to cross
+    * the coarse layer's grown diameter. Resolved at plan time from the
+    * corpus count (a parquet metadata count — no data scan); every
+    * layered default (batch walks, the decision table, the streaming
+    * probe replica) derives from these two functions, so the serving
+    * configs cannot drift apart. At the contract corpora (n = 500) the
+    * rule reproduces the r15 constants exactly — rounds 4, beam 24 —
+    * so every declared-query oracle is unchanged; at sf0.1 (n = 2000)
+    * it gives rounds 5 / beam 36, measured ≥ 0.90 layered recall where
+    * the fixed budget fell to 0.70-0.80 (`bench/scaling_r16.json`). */
+  def logLayers(n: Long): Int =
+    math.ceil(math.log(math.max(n, CoarseMod).toDouble) /
+      math.log(CoarseMod.toDouble)).toInt
+
+  /** rounds(n): [[logLayers]] + 2 — one round per would-be layer to
+    * cross the coarse diameter, plus the two-round descent margin the
+    * sf0.001/0.01 sweep measured as sufficient (layered@4 ≥ 0.90 at
+    * logLayers = 2). Never below the r15 [[LayeredRounds]] floor. */
+  def layeredRoundsFor(n: Long): Int =
+    math.max(LayeredRounds, logLayers(n) + 2)
+
+  /** beam(n): the efSearch-style budget ALSO grows ~log n — the r15
+    * finding that per-edge signal thins as the banded graph grows
+    * (beam 16 → 24 bought sf0.1 fixed-entry recall back) generalizes:
+    * the banded ENTRY path saturated at 0.82 at sf0.1 under beam 24
+    * regardless of rounds, and beam 32+ lifted it to 0.94 (measured,
+    * r16 sweep). (GraphBeam/2) · logLayers = 24 at the contract
+    * corpora (unchanged oracles), 36 at sf0.1, 48 at the 64 K corpus
+    * the rule anticipates. Per-query walk work stays rounds × beam ×
+    * out-degree ~ O(log² n) — corpus-size-independent per row. */
+  def graphBeamFor(n: Long): Int =
+    math.max(GraphBeam, (GraphBeam / 2) * logLayers(n))
+
+  /** The rule's plan-time input: the corpus row count, from parquet
+    * footers (COUNT pushes to metadata — no column scan). */
+  private def corpusCount(s: SparkSession, d: String): Long =
+    Tables.embeddings(s, d).count()
 
   /** Entry count of the layered search: the beam starts from the best
     * THREE coarse nodes, not one — HNSW's ef > 1 while descending. With
@@ -2582,11 +2679,18 @@ object Similarity {
     * SimilaritySpec and the per-round DuckDB sweep), i.e. the hierarchy
     * now converts entry quality into fewer rounds, exactly the HNSW
     * claim. Coarse scan: n/CoarseMod broadcast dot products per
-    * query. */
+    * query.
+    *
+    * `beam`/`rounds` default 0 = the log-layer rule
+    * ([[layeredRoundsFor]]/[[graphBeamFor]], resolved from the corpus
+    * count at plan time) — the r16 fix for the fixed-budget recall
+    * cliff; explicit values override (sweeps, evals). */
   def graphLayeredTopK(s: SparkSession, d: String, nQueries: Int = 10,
-      k: Int = 5, beam: Int = GraphBeam,
-      rounds: Int = LayeredRounds): DataFrame =
-    graphSearchFrom(s, d, nQueries, k, beam, rounds) { (q, c) =>
+      k: Int = 5, beam: Int = 0, rounds: Int = 0): DataFrame = {
+    val n = if (beam > 0 && rounds > 0) 0L else corpusCount(s, d)
+    graphSearchFrom(s, d, nQueries, k,
+      if (beam > 0) beam else graphBeamFor(n),
+      if (rounds > 0) rounds else layeredRoundsFor(n)) { (q, c) =>
       val coarse = c.filter(col("vec_id") % CoarseMod === 0)
         .select(col("vec_id").as("cc"), col("v").as("cv"), col("nrm").as("cn"))
       val wEnt = Window.partitionBy("qid").orderBy(desc("cs"), asc("cc"))
@@ -2597,6 +2701,7 @@ object Similarity {
         .filter(col("rn") <= LayeredEntryK)
         .select(col("qid"), col("cc").as("cid"))
     }
+  }
 
   /** LAYERED search with a BANDED entry (`sim_graph_layered_banded`) —
     * the 100 TB serving form of [[graphLayeredTopK]]: that operator's
@@ -2614,11 +2719,18 @@ object Similarity {
     * second-best cell (the assignment-agreement trade measured on the
     * build); the walk's rounds absorb it — recall gated in the spec.
     * In production the coarse key registry is a maintained artifact;
-    * here it derives from the corpus scan like every build input. */
+    * here it derives from the corpus scan like every build input.
+    *
+    * `beam`/`rounds` default 0 = the log-layer rule, as in
+    * [[graphLayeredTopK]] — this path is the production serving config,
+    * so it is exactly the one that must survive corpus growth. */
   def graphLayeredBandedTopK(s: SparkSession, d: String,
-      nQueries: Int = 10, k: Int = 5, beam: Int = GraphBeam,
-      rounds: Int = LayeredRounds): DataFrame =
-    graphSearchFrom(s, d, nQueries, k, beam, rounds) { (q, c) =>
+      nQueries: Int = 10, k: Int = 5, beam: Int = 0,
+      rounds: Int = 0): DataFrame = {
+    val n = if (beam > 0 && rounds > 0) 0L else corpusCount(s, d)
+    graphSearchFrom(s, d, nQueries, k,
+      if (beam > 0) beam else graphBeamFor(n),
+      if (rounds > 0) rounds else layeredRoundsFor(n)) { (q, c) =>
       val coarse = c.filter(col("vec_id") % CoarseMod === 0)
       val ck = bandedKeys(coarse.select("vec_id", "v"), 8, 4)
         .select(col("vec_id").as("cc"), col("band_idx"), col("band_key"))
@@ -2643,6 +2755,7 @@ object Similarity {
         .withColumn("cid", lit(GraphEntry))
       banded.unionAll(fallback)
     }
+  }
 
   /** ENTRY-STRATEGY DECISION TABLE (`eval_graph_entry`) — the graph
     * tier's serving-config table, next to the round-budget sweep
@@ -2651,22 +2764,36 @@ object Similarity {
     * engine ships, each at ITS OWN production round budget, scored
     * against exact brute top-k —
     *
-    *   - `fixed` @ [[GraphRounds]]: the constant [[GraphEntry]], zero
-    *     entry cost, the walk pays the distance;
-    *   - `layered_exact` @ [[LayeredRounds]]: best-[[LayeredEntryK]] of
-    *     an exact coarse scan (n/[[CoarseMod]] dots per query);
-    *   - `layered_banded` @ [[LayeredRounds]]: best-[[LayeredEntryK]]
+    *   - `fixed` @ [[GraphRounds]] × [[GraphBeam]]: the constant
+    *     [[GraphEntry]], zero entry cost, the walk pays the distance;
+    *   - `layered_exact` @ the log-layer rule's rounds × beam
+    *     ([[layeredRoundsFor]]/[[graphBeamFor]]): best-[[LayeredEntryK]]
+    *     of an exact coarse scan (n/[[CoarseMod]] dots per query);
+    *   - `layered_banded` @ the same rule: best-[[LayeredEntryK]]
     *     among the query's coarse bucket-mates (bucket-bounded,
     *     corpus-size-independent — the 100 TB serving row).
     *
+    * Each strategy walks at ITS OWN production config — the table
+    * prices exactly what the engine would serve (at the contract
+    * corpora the rule reproduces the fixed constants, so all three
+    * share rounds-4/6 × beam-24 and the oracle is unchanged).
+    *
     * ONE walk serves all three rows: the beam state is keyed by
     * (strategy, qid) — the [[evalNavInsert]] trick sideways — run to
-    * the MAX budget, and each strategy's row reads the walk's state at
-    * its own round prefix, so the table costs one keyed walk, not
-    * three. Per-strategy rows report (strategy, rounds, hits, n_brute,
-    * recall_e4). */
+    * the MAX budget with a PER-STRATEGY beam width (a literal
+    * when/otherwise on the strategy column — resolved at plan time),
+    * and each strategy's row reads the walk's state at its own round
+    * prefix, so the table costs one keyed walk, not three.
+    * Per-strategy rows report (strategy, rounds, hits, n_brute,
+    * recall_e4). `beam` default 0 = per-strategy rule; an explicit
+    * value pins every strategy (sweeps). */
   def evalGraphEntry(s: SparkSession, d: String, nQueries: Int = 10,
-      k: Int = 5, beam: Int = GraphBeam): DataFrame = {
+      k: Int = 5, beam: Int = 0): DataFrame = {
+    val nCorpus = if (beam > 0) 0L else corpusCount(s, d)
+    val fixedBeam = if (beam > 0) beam else GraphBeam
+    val layeredBeam = if (beam > 0) beam else graphBeamFor(nCorpus)
+    val layeredRounds =
+      if (beam > 0) LayeredRounds else layeredRoundsFor(nCorpus)
     val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     val edges = navGraphShared(s, d).select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -2718,7 +2845,11 @@ object Similarity {
         e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
     val w = Window.partitionBy("st", "qid").orderBy(desc("sim_e4"), asc("cid"))
     val budgets = Map("fixed" -> GraphRounds,
-      "layered_exact" -> LayeredRounds, "layered_banded" -> LayeredRounds)
+      "layered_exact" -> layeredRounds, "layered_banded" -> layeredRounds)
+    // Per-strategy beam width, a plan-time literal on the strategy key —
+    // one keyed walk still serves all three rows.
+    val beamOf = when(col("st") === "fixed", lit(fixedBeam))
+      .otherwise(lit(layeredBeam))
     var beamDf = score(fixedEnt.unionAll(exactEnt).unionAll(bandedEnt)
       .select("st", "qid", "cid")).localCheckpoint(true)
     val states = scala.collection.mutable.ArrayBuffer(beamDf)
@@ -2729,7 +2860,7 @@ object Similarity {
       val cand = beamDf.select("st", "qid", "cid").unionAll(nbrs).distinct()
       beamDf = score(cand)
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= beam)
+        .filter(col("rn") <= beamOf)
         .select("st", "qid", "cid", "sim_e4")
         .localCheckpoint(true)
       states += beamDf

@@ -314,9 +314,10 @@ object VectorStreams {
     * bound's safety margin: `spark.graft.serving.maxReplicaBytes`
     * defaults to a QUARTER of driver heap precisely so a few-× estimate
     * undershoot cannot turn into an OOM. Shared by both graph probes —
-    * one definition, one knob, no silent divergence. */
+    * one definition, one knob, no silent divergence. Returns the corpus
+    * count too: the layered probe's log-layer rule resolves from it. */
   private def replicaGuard(spark: SparkSession,
-      staticDir: String): (DataFrame, DataFrame) = {
+      staticDir: String): (DataFrame, DataFrame, Long) = {
     val edgesDf = Similarity.navGraphShared(spark, staticDir)
     val embDf = graft.sources.Tables.embeddings(spark, staticDir)
     val (nEdges, nSrcs) = {
@@ -343,15 +344,16 @@ object VectorStreams {
         "the graph across serving replicas or store SQ8 codes instead " +
         "of raw doubles (the standard memory/recall trade) before " +
         "serving this corpus from one RAM replica")
-    (edgesDf, embDf)
+    (edgesDf, embDf, nVecs)
   }
 
   def graphProbeStream(spark: SparkSession, path: String, staticDir: String,
       k: Int = 5, beam: Int = Similarity.GraphBeam,
       rounds: Int = Similarity.GraphRounds,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
+      maxFilesPerTrigger: Int = 0,
+      tombstones: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
-    val (edgesDf, embDf) = replicaGuard(spark, staticDir)
+    val (edgesDf, embDf, _) = replicaGuard(spark, staticDir)
     val adj: Map[Long, Array[Long]] =
       edgesDf
         .select("src", "dst").as[(Long, Long)].collect()
@@ -373,7 +375,8 @@ object VectorStreams {
         val adjM = badj.value
         val vecM = bvec.value
         it.flatMap { case (qid, qv) =>
-          GraphProbe.walk(qid, qv, entry, beam, rounds, k, adjM, vecM)
+          GraphProbe.walk(qid, qv, entry, beam, rounds, k, adjM, vecM,
+            tombstones.contains)
         }
       }
       .toDF()
@@ -393,13 +396,21 @@ object VectorStreams {
     * (same planes, strict sign test, HALF_UP e4, (cs desc, cc) ties,
     * fixed-entry fallback), asserted in VectorStreamsSpec on a replayed
     * corpus. Shares [[graphProbeStream]]'s replica-size guard
-    * semantics: the same byte estimate runs before anything collects. */
+    * semantics: the same byte estimate runs before anything collects.
+    *
+    * `beam`/`rounds` default 0 = the log-layer rule resolved from the
+    * REPLICA's corpus count at stream-construction time — the online
+    * path serves the same config the batch walk would pick, so the
+    * parity spec holds by shared rule, not by luck. */
   def graphLayeredProbeStream(spark: SparkSession, path: String,
-      staticDir: String, k: Int = 5, beam: Int = Similarity.GraphBeam,
-      rounds: Int = Similarity.LayeredRounds,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
+      staticDir: String, k: Int = 5, beam: Int = 0,
+      rounds: Int = 0,
+      maxFilesPerTrigger: Int = 0,
+      tombstones: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
-    val (edgesDf, embDf) = replicaGuard(spark, staticDir)
+    val (edgesDf, embDf, nVecs) = replicaGuard(spark, staticDir)
+    val beamN = if (beam > 0) beam else Similarity.graphBeamFor(nVecs)
+    val roundsN = if (rounds > 0) rounds else Similarity.layeredRoundsFor(nVecs)
     val adj: Map[Long, Array[Long]] = edgesDf
       .select("src", "dst").as[(Long, Long)].collect()
       .groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2).sorted }
@@ -441,7 +452,8 @@ object VectorStreams {
         it.flatMap { case (qid, qv) =>
           val entries = GraphProbe.bandedEntries(qid, qv, entryK, idxM,
             fallback, vecM)
-          GraphProbe.walkFrom(qid, qv, entries, beam, rounds, k, adjM, vecM)
+          GraphProbe.walkFrom(qid, qv, entries, beamN, roundsN, k, adjM, vecM,
+            tombstones.contains)
         }
       }
       .toDF()
@@ -468,15 +480,22 @@ private[streaming] object GraphProbe {
 
   def walk(qid: Long, qv: Array[Double], entry: Long, beam: Int,
       rounds: Int, k: Int, adj: Map[Long, Array[Long]],
-      vecs: Map[Long, (Array[Double], Double)]): Iterator[GraphProbeHit] =
-    walkFrom(qid, qv, Array(entry), beam, rounds, k, adj, vecs)
+      vecs: Map[Long, (Array[Double], Double)],
+      tombstoned: Long => Boolean = _ => false): Iterator[GraphProbeHit] =
+    walkFrom(qid, qv, Array(entry), beam, rounds, k, adj, vecs, tombstoned)
 
   /** The walk seeded by an ENTRY SET (the layered probes hand it the
     * best-[[Similarity.LayeredEntryK]] coarse entries) — round 0 is the
-    * scored entries kept to the beam, exactly the batch gb0. */
+    * scored entries kept to the beam, exactly the batch gb0.
+    * `tombstoned` is the serve-time DELETE filter
+    * ([[graft.operators.Similarity.navDeleteTopK]]'s rule, replayed):
+    * tombstoned nodes stay traversable (they route) but are filtered
+    * from the FINAL beam before the top-k — identical semantics to the
+    * batch query, so the parity spec holds filtered too. */
   def walkFrom(qid: Long, qv: Array[Double], entries: Array[Long],
       beam: Int, rounds: Int, k: Int, adj: Map[Long, Array[Long]],
-      vecs: Map[Long, (Array[Double], Double)]): Iterator[GraphProbeHit] = {
+      vecs: Map[Long, (Array[Double], Double)],
+      tombstoned: Long => Boolean = _ => false): Iterator[GraphProbeHit] = {
     val qn = math.sqrt(dot(qv, qv))
     def score(cid: Long): (Long, Long) = {
       val (cv, cn) = vecs(cid)
@@ -492,9 +511,10 @@ private[streaming] object GraphProbe {
         .distinct
       beamSet = cands.map(score).sorted(ord).take(beam)
     }
-    beamSet.take(k).iterator.zipWithIndex.map { case ((s, c), i) =>
-      GraphProbeHit(qid, c, s, i + 1L)
-    }
+    beamSet.iterator.filterNot { case (_, c) => tombstoned(c) }
+      .take(k).zipWithIndex.map { case ((s, c), i) =>
+        GraphProbeHit(qid, c, s, i + 1L)
+      }
   }
 
   /** Banded entry selection, per row: the query's sign-projection band

@@ -171,6 +171,7 @@ object SparkEntry {
     "sim_nav_insert" -> ((s, d) =>
       Similarity.navInsert(s, d).orderBy("src", "dst", "edge_class")),
     "eval_nav_insert" -> ((s, d) => Similarity.evalNavInsert(s, d)),
+    "eval_nav_insert_seq" -> ((s, d) => Similarity.evalNavInsertSeq(s, d)),
     "sim_nav_delete" -> ((s, d) => Similarity.navDeleteTopK(s, d)),
     "sim_graph_topk" -> ((s, d) => Similarity.graphTopK(s, d)),
     "sim_graph_layered" -> ((s, d) => Similarity.graphLayeredTopK(s, d)),
@@ -331,6 +332,49 @@ object SparkEntry {
     s"ihwc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ick a JOIN ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id % $coarseMod = 0 AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id), " +
     s"ihw AS (SELECT src, dst FROM (SELECT c.src, c.dst, row_number() OVER (PARTITION BY c.src ORDER BY $sim DESC, c.dst) AS rn FROM ihwc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id) WHERE rn <= ${graft.operators.Similarity.NavHighwayK}), " +
     "iall AS (SELECT src, dst, 'knn' AS edge_class FROM iknne UNION ALL SELECT src, dst, 'mirror' AS edge_class FROM imir UNION ALL SELECT src, dst, 'up' AS edge_class FROM iup UNION ALL SELECT src, dst, 'down' AS edge_class FROM idown UNION ALL SELECT src, dst, 'hw' AS edge_class FROM ihw)"
+  }
+
+  // SEQUENTIAL-insert delta CTEs: batch b's delta is the NavInsertCtes
+  // chain computed over the corpus PREFIX visible at its arrival time —
+  // band-bucket eligibility re-derived per prefix (occupancy counts
+  // only vectors that have arrived), arrivals = [c0+(b-1)*size,
+  // c0+b*size). Ends with t{b}d(src, dst) per batch plus scut(c0).
+  private def navSeqCtes(batches: Int, size: Long): String = {
+    val sim = "CAST(round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm) * 10000) AS BIGINT)"
+    val k = graft.operators.Similarity.KnnK
+    val cap = graft.operators.Similarity.KnnBucketCap
+    val coarseMod = graft.operators.Similarity.CoarseMod
+    val entry = graft.operators.Similarity.GraphEntry
+    val sb = new StringBuilder
+    sb ++= s"scut AS (SELECT max(vec_id) - ${batches * size} + 1 AS c0 FROM n)"
+    for (b <- 1 to batches) {
+      val lo = s"scut.c0 + ${(b - 1) * size}"
+      val hi = s"scut.c0 + ${b * size}"
+      val p = s"t$b"
+      sb ++= s", ${p}e AS (SELECT band_idx, band_key FROM keys k, scut WHERE k.vec_id < $hi GROUP BY band_idx, band_key HAVING count(*) <= $cap)"
+      sb ++= s", ${p}ck AS (SELECT k.vec_id, k.band_idx, k.band_key FROM keys k, ${p}e e, scut WHERE k.band_idx = e.band_idx AND k.band_key = e.band_key AND k.vec_id < $hi)"
+      sb ++= s", ${p}ick AS (SELECT c.vec_id, c.band_idx, c.band_key FROM ${p}ck c, scut WHERE c.vec_id >= $lo)"
+      sb ++= s", ${p}knnc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ${p}ick a JOIN ${p}ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id <> b.vec_id)"
+      sb ++= s", ${p}knn AS (SELECT src, dst, sim_e4, row_number() OVER (PARTITION BY src ORDER BY sim_e4 DESC, dst) AS rn FROM (SELECT c.src, c.dst, $sim AS sim_e4 FROM ${p}knnc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id))"
+      sb ++= s", ${p}knne AS (SELECT src, dst, sim_e4 FROM ${p}knn WHERE rn <= $k)"
+      sb ++= s", ${p}mir AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY sim_e4 DESC, src) AS mrn FROM ${p}knne) WHERE mrn <= ${graft.operators.Similarity.NavMirrorCap})"
+      sb ++= s", ${p}upc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ${p}ick a JOIN ${p}ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id)"
+      sb ++= s", ${p}upb AS (SELECT src, dst, cs FROM (SELECT c.src, c.dst, $sim AS cs, row_number() OVER (PARTITION BY c.src ORDER BY $sim DESC, c.dst) AS rn FROM ${p}upc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id) WHERE rn = 1)"
+      sb ++= s", ${p}up AS (SELECT src, dst, cs FROM ${p}upb UNION ALL SELECT x.vec_id AS src, CAST($entry AS BIGINT) AS dst, $sim AS cs FROM n x JOIN n y ON y.vec_id = $entry, scut WHERE x.vec_id >= $lo AND x.vec_id < $hi AND x.vec_id <> $entry AND NOT EXISTS (SELECT 1 FROM ${p}upb u WHERE u.src = x.vec_id))"
+      sb ++= s", ${p}down AS (SELECT dst AS src, src AS dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY cs DESC, src) AS rn FROM ${p}up) WHERE rn <= ${graft.operators.Similarity.NavDownCap})"
+      sb ++= s", ${p}hwc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM ${p}ick a JOIN ${p}ck b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id % $coarseMod = 0 AND b.vec_id % $coarseMod = 0 AND a.vec_id <> b.vec_id)"
+      sb ++= s", ${p}hw AS (SELECT src, dst FROM (SELECT c.src, c.dst, row_number() OVER (PARTITION BY c.src ORDER BY $sim DESC, c.dst) AS rn FROM ${p}hwc c JOIN n x ON c.src = x.vec_id JOIN n y ON c.dst = y.vec_id) WHERE rn <= ${graft.operators.Similarity.NavHighwayK})"
+      // AS MATERIALIZED is load-bearing (the bpeCtes/eval_nav_insert
+      // rule): each delta feeds every later cumulative state and each
+      // state feeds 6 walk rounds — inlined, DuckDB re-expands the
+      // banded chain per reference and the oracle runs for tens of
+      // minutes instead of seconds.
+      sb ++= s", ${p}d AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM ${p}knne UNION ALL SELECT src, dst FROM ${p}mir UNION ALL SELECT src, dst FROM ${p}up UNION ALL SELECT src, dst FROM ${p}down UNION ALL SELECT src, dst FROM ${p}hw) WHERE src <> dst)"
+    }
+    sb ++= ", sg0 AS MATERIALIZED (SELECT g.src, g.dst FROM ge g, scut WHERE g.src < scut.c0 AND g.dst < scut.c0)"
+    for (b <- 1 to batches)
+      sb ++= s", sg$b AS MATERIALIZED (SELECT src, dst FROM sg${b - 1} UNION SELECT src, dst FROM t${b}d)"
+    sb.toString
   }
 
   // Unrolled graph-ANN beam rounds over the shared kNN-graph + navigable
@@ -1071,6 +1115,29 @@ object SparkEntry {
       def rowSql(label: String, p: String, edge: String) =
         s"SELECT '$label' AS graph_state, CAST(sum(hit) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n_brute, CAST(round(sum(hit) * 10000.0 / count(*)) AS BIGINT) AS recall_e4, (SELECT count(*) FROM $edge) AS n_edges FROM (SELECT CASE WHEN s.cid IS NULL THEN 0 ELSE 1 END AS hit FROM (SELECT qid, cid FROM brk WHERE rn <= $k) b LEFT JOIN (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM ${p}gb$rounds) WHERE rn <= $k) s ON b.qid = s.qid AND b.cid = s.cid)"
       s"""WITH $KnnGraphCtes, $NavGraphCtes, $NavInsertCtes, $BruteTopkCtes, idelta AS (SELECT DISTINCT src, dst FROM iall WHERE src <> dst), ibase AS (SELECT g.src, g.dst FROM ge g, icut WHERE g.src < icut.cut AND g.dst < icut.cut), ipost AS (SELECT src, dst FROM ibase UNION SELECT src, dst FROM idelta), $baseWalk, $postWalk SELECT * FROM (${rowSql("base", "b_", "ibase")} UNION ALL ${rowSql("post_insert", "p_", "ipost")}) ORDER BY graph_state"""
+    },
+    // Multi-batch sequential insert: per cumulative state b in 0..B,
+    // the fixed-entry walk's recall vs full-corpus brute plus max/mean
+    // out-degree — batch b's delta computed over the corpus prefix
+    // visible at its arrival time (eligibility re-derived per prefix).
+    "eval_nav_insert_seq" -> {
+      val entry = graft.operators.Similarity.GraphEntry
+      val k = 5
+      val batches = graft.operators.Similarity.NavSeqBatches
+      val rounds = graft.operators.Similarity.GraphRounds
+      def entrySql(p: String) =
+        s"SELECT q.qid, CAST($entry AS BIGINT) AS cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM ${p}gq q JOIN n x ON x.vec_id = $entry"
+      val walks = (0 to batches).map { b =>
+        graphBeamCtes(entrySql(s"w${b}_"), rounds, prefix = s"w${b}_",
+          edgeCte = s"sg$b")
+      }.mkString(", ")
+      val degs = (0 to batches).map { b =>
+        s"sdeg$b AS (SELECT CAST(max(c) AS BIGINT) AS mx, CAST(count(*) AS BIGINT) AS ns, CAST(sum(c) AS BIGINT) AS te FROM (SELECT src, count(*) AS c FROM sg$b GROUP BY src))"
+      }.mkString(", ")
+      val rows = (0 to batches).map { b =>
+        s"SELECT CAST($b AS BIGINT) AS batch, d.te AS n_edges, CAST(sum(hit) AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n_brute, CAST(round(sum(hit) * 10000.0 / count(*)) AS BIGINT) AS recall_e4, d.mx AS max_out_deg, CAST(round(d.te * 10000.0 / d.ns) AS BIGINT) AS mean_deg_e4 FROM (SELECT CASE WHEN s.cid IS NULL THEN 0 ELSE 1 END AS hit FROM (SELECT qid, cid FROM brk WHERE rn <= $k) b LEFT JOIN (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM w${b}_gb$rounds) WHERE rn <= $k) s ON b.qid = s.qid AND b.cid = s.cid), sdeg$b d GROUP BY d.te, d.mx, d.ns"
+      }.mkString(" UNION ALL ")
+      s"""WITH $KnnGraphCtes, $NavGraphCtes, ${navSeqCtes(batches, graft.operators.Similarity.NavInsertBatch)}, $BruteTopkCtes, $walks, $degs SELECT * FROM ($rows) ORDER BY batch"""
     },
     // Navigability audit: unrolled frontier expansions from the fixed
     // entry over the shared navigable edges; AS MATERIALIZED per hop —

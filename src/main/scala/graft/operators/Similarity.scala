@@ -2470,6 +2470,106 @@ object Similarity {
       c, edges, states.last)
   }
 
+  /** Batch count of the SEQUENTIAL insert eval. */
+  val NavSeqBatches = 3
+
+  /** MULTI-BATCH INSERT EVAL (`eval_nav_insert_seq`) — the compaction-
+    * cadence table the additive-delta contract owes: [[evalNavInsert]]
+    * proves ONE batch attaches well; this runs [[NavSeqBatches]]
+    * SEQUENTIAL batches (each of [[NavInsertBatch]] arrivals, batch b
+    * computed over the corpus PREFIX visible at its arrival time — the
+    * live-deployment replay) and reports, per cumulative graph state
+    * b ∈ 0..B: edge count, the standard fixed-entry walk's recall
+    * against full-corpus brute, and the max/mean out-degree — the
+    * numbers an operator reads to decide how often to compact.
+    *
+    * The additive-delta contract's degree claim is made checkable: an
+    * EXISTING node gains at most [[NavMirrorCap]] mirror + [[NavDownCap]]
+    * down edges per batch (each delta class is window-capped inside the
+    * batch), so max_out_deg(b) ≤ max_out_deg(b−1) + 32 — pinned in
+    * NavInsertSeqSpec, with recall non-degrading as batches land.
+    *
+    * One (graph_state, qid)-keyed walk serves every row (the
+    * [[evalNavInsert]] recipe at B+1 states); each delta is an EAGER
+    * localCheckpoint so the cumulative unions scan materialized edges
+    * instead of re-running the banded delta once per containing state.
+    * Deltas here are computed in-plan over prefixes (they are not the
+    * `navdelta` product's (corpus, batch) key) — an offline eval by
+    * design, like the training-cost twin `sim_ivfpq_trained`. */
+  def evalNavInsertSeq(s: SparkSession, d: String,
+      batches: Int = NavSeqBatches, size: Long = NavInsertBatch,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val cut0 = c.agg(max("vec_id")).head().getLong(0) - batches * size + 1L
+    val stored = navGraphShared(s, d).select("src", "dst")
+    val base = stored.filter(col("src") < cut0 && col("dst") < cut0)
+    val deltas = (1 to batches).map { b =>
+      navInsertDf(emb.filter(col("vec_id") < cut0 + b * size), size)
+        .select("src", "dst").localCheckpoint(true)
+    }
+    val states: Seq[(Long, DataFrame)] = (0L, base) +: (1 to batches).map {
+      b => (b.toLong, (base +: deltas.take(b)).reduce(_ unionAll _).distinct())
+    }
+    val edges = states.map { case (gs, df) => df.withColumn("gs", lit(gs)) }
+      .reduce(_ unionAll _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gsLabels = states.map(_._1).toDF("gs")
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("gs"), col("qid"), col("cid"),
+        e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
+    val w = Window.partitionBy("gs", "qid").orderBy(desc("sim_e4"), asc("cid"))
+    var beam = score(q.select(col("qid")).crossJoin(broadcast(gsLabels))
+        .withColumn("cid", lit(GraphEntry)))
+      .localCheckpoint(true)
+    val walkStates = scala.collection.mutable.ArrayBuffer(beam)
+    for (_ <- 1 to GraphRounds) {
+      val nbrs = beam.select(col("gs"), col("qid"), col("cid").as("src"))
+        .join(edges, Seq("gs", "src"))
+        .select(col("gs"), col("qid"), col("dst").as("cid"))
+      val cand = beam.select("gs", "qid", "cid").unionAll(nbrs).distinct()
+      beam = score(cand)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= GraphBeam)
+        .select("gs", "qid", "cid", "sim_e4")
+        .localCheckpoint(true)
+      walkStates += beam
+    }
+    val sel = beam
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("gs"), col("qid"), col("cid"), lit(1L).as("hit"))
+    val brute = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+    val hits = brute.crossJoin(broadcast(gsLabels))
+      .join(sel, Seq("gs", "qid", "cid"), "left")
+      .groupBy("gs")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("n_brute"))
+    val degs = edges.groupBy("gs", "src").agg(count(lit(1)).as("c"))
+      .groupBy("gs")
+      .agg(count(lit(1)).as("n_src"), max("c").as("max_out_deg"),
+        sum("c").as("n_edges"))
+      .select(col("gs"), col("n_edges"), col("max_out_deg"),
+        round(col("n_edges") * lit(10000.0) / col("n_src")).cast("long")
+          .as("mean_deg_e4"))
+    walkStates.dropRight(1)
+      .foreach(org.apache.spark.sql.graft.Checkpoints.release)
+    graft.functions.Caching.releaseAfterAction(
+      hits.join(degs, "gs")
+        .select(col("gs").as("batch"), col("n_edges"), col("hits"),
+          col("n_brute"),
+          round(col("hits") * lit(10000.0) / col("n_brute")).cast("long")
+            .as("recall_e4"),
+          col("max_out_deg"), col("mean_deg_e4"))
+        .orderBy("batch"),
+      (Seq(c, edges, walkStates.last) ++ deltas): _*)
+  }
+
   /** NAVIGABILITY AUDIT (`eval_graph_connectivity`) — the structural
     * number behind the recall jump: how much of the corpus is reachable
     * from the fixed entry within each hop budget. On the raw banded kNN

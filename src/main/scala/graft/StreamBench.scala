@@ -253,6 +253,15 @@ object StreamBench {
           maxFilesPerTrigger = fpt)),
       ("graph_probe_layered", "append",
         () => VectorStreams.graphLayeredProbeStream(spark, vecDir, sfDir,
+          maxFilesPerTrigger = fpt)),
+      // Index-maintenance twin: each trigger's arrivals attach as one
+      // capped insert-delta batch against the RAM replica. Replaying
+      // the corpus against itself is a RE-ATTACH throughput measurement
+      // (the delta arithmetic is id-agnostic); rows/sec is single-task
+      // by design — the mirror/down windows rank ACROSS a trigger's
+      // arrivals, so a trigger is the batch unit, not a row.
+      ("nav_insert", "append",
+        () => VectorStreams.navInsertStream(spark, vecDir, sfDir,
           maxFilesPerTrigger = fpt)))
 
     val results = twins.map { case (name, mode, mk) =>

@@ -458,6 +458,76 @@ object VectorStreams {
       }
       .toDF()
   }
+
+  /** STREAMING GRAPH-INDEX INSERT — index MAINTENANCE becomes
+    * continuous like every other family: each TRIGGER's arriving
+    * vectors play one [[Similarity.navInsertDf]] batch and emit the
+    * SAME capped delta edge set (knn/mirror/up/down/hw), computed
+    * locally against the RAM replica — base band-key registry with
+    * per-bucket occupancy, base vectors — plus the trigger's own rows.
+    * A batch replayed as ONE trigger reproduces the `navdelta` product
+    * rows exactly (VectorStreamsSpec); across multiple triggers each
+    * trigger is its own batch — the same additive delta-then-compact
+    * contract as [[Similarity.evalNavInsertSeq]]'s sequential replay,
+    * with band eligibility counting base + this trigger's arrivals
+    * (the corpus visible at arrival time).
+    *
+    * Scale shape: per trigger the work is the arrivals' band buckets
+    * only (Σ occ ≤ cap · |trigger| · bands candidate pairs — corpus-
+    * size-independent, the batch delta's own bound); the micro-batch
+    * is coalesced to ONE task because the delta's mirror/down windows
+    * rank ACROSS arrivals (a per-row attach would miss
+    * arrival-to-arrival links; an ingest batch is RAM-trivial). No
+    * streaming state — the base registry rides as a broadcast, exactly
+    * like the IVF-PQ codebook literals. Arrival ids are assumed new
+    * (not present in the base corpus), as for any ingest path. */
+  def navInsertStream(spark: SparkSession, path: String, staticDir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    // Size guard, [[replicaGuard]]'s arithmetic minus the edge terms:
+    // this replica is vectors + band-key registry only (no adjacency —
+    // the insert path never walks), so the estimate is dim doubles +
+    // overhead per vector plus 8 registry entries per vector (~16 B
+    // each boxed). Same knob, same remedy, same heap/4 margin.
+    val embDf = graft.sources.Tables.embeddings(spark, staticDir)
+    val (nVecs, dim) = {
+      val r = embDf.select(count(lit(1)),
+        max(size(col("embedding")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getInt(1).toLong)
+    }
+    val estBytes = nVecs * (dim * 8L + 64L + 8L * 16L)
+    val maxReplicaBytes = spark.conf
+      .getOption("spark.graft.serving.maxReplicaBytes")
+      .map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory / 4)
+    require(estBytes <= maxReplicaBytes,
+      s"insert-replica estimate ${estBytes} B ($nVecs vectors x dim $dim " +
+        s"+ key registry) exceeds " +
+        s"spark.graft.serving.maxReplicaBytes=$maxReplicaBytes B: shard " +
+        "the ingest by key range or store SQ8 codes in the attach " +
+        "replica before running continuous inserts on one node")
+    val vecs: Map[Long, Array[Double]] = embDf
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    // Base band-key registry with occupancy — the maintained artifact a
+    // live deployment keeps beside the graph (here derived once from
+    // the base corpus, like every other replica input).
+    val baseBuckets: Map[(Int, Long), Array[Long]] = vecs.keys.toSeq.sorted
+      .flatMap { id => NavDelta.bandKeys(vecs(id)).map(bk => bk -> id) }
+      .groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).toArray }
+    val bvec = spark.sparkContext.broadcast(vecs)
+    val bbuck = spark.sparkContext.broadcast(baseBuckets)
+    embeddingStream(spark, path, maxFilesPerTrigger)
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val arrivals = it.toArray
+        if (arrivals.isEmpty) Iterator.empty
+        else NavDelta.delta(arrivals, bvec.value, bbuck.value).iterator
+      }
+      .toDF()
+  }
 }
 
 /** The per-row beam walk behind [[VectorStreams.graphProbeStream]] —
@@ -551,3 +621,98 @@ private[streaming] object GraphProbe {
 
 /** Output row of [[VectorStreams.graphProbeStream]]. */
 case class GraphProbeHit(qid: Long, cid: Long, sim_e4: Long, rn: Long)
+
+/** Output row of [[VectorStreams.navInsertStream]] — the batch delta's
+  * (src, dst, edge_class) shape. */
+case class NavDeltaEdge(src: Long, dst: Long, edge_class: String)
+
+/** The per-trigger insert delta behind [[VectorStreams.navInsertStream]]
+  * — a plain-Scala replica of [[graft.operators.Similarity.navInsertDf]]'s
+  * banded delta arithmetic (same planes, strict `> 0` sign, full-corpus
+  * bucket eligibility = base + trigger occupancy, HALF_UP e4 scores,
+  * and the five window-capped edge classes with identical tie orders),
+  * so a batch replayed as one trigger reproduces the `navdelta` product
+  * rows exactly. */
+private[streaming] object NavDelta {
+  import graft.operators.Similarity.{plane, KnnK, KnnBucketCap, CoarseMod,
+    NavMirrorCap, NavDownCap, NavHighwayK, GraphEntry}
+
+  /** The 8 × 4-bit sign-projection band keys — [[Similarity.bandedKeys]]
+    * replayed per row. */
+  def bandKeys(v: Array[Double]): Seq[(Int, Long)] =
+    (0 until 8).map { b =>
+      var key = 0L
+      var r = 0
+      while (r < 4) {
+        if (GraphProbe.dot(v, plane(b * 4 + r)) > 0) key |= (1L << r)
+        r += 1
+      }
+      (b, key)
+    }
+
+  def delta(arrivals: Array[(Long, Array[Double])],
+      base: Map[Long, Array[Double]],
+      baseBuckets: Map[(Int, Long), Array[Long]]): Seq[NavDeltaEdge] = {
+    val arr = arrivals.toMap
+    val nrms = scala.collection.mutable.Map.empty[Long, Double]
+    def vecOf(id: Long): Array[Double] = arr.getOrElse(id, base(id))
+    def nrmOf(id: Long): Double =
+      nrms.getOrElseUpdate(id,
+        math.sqrt(GraphProbe.dot(vecOf(id), vecOf(id))))
+    // HALF_UP e4 — Spark round() semantics, as everywhere in the family.
+    def sim(a: Long, b: Long): Long =
+      java.math.BigDecimal.valueOf(
+          GraphProbe.dot(vecOf(a), vecOf(b)) / (nrmOf(a) * nrmOf(b)) * 10000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val arrKeys: Map[Long, Seq[(Int, Long)]] =
+      arr.map { case (id, v) => id -> bandKeys(v) }
+    val arrBuckets: Map[(Int, Long), Array[Long]] = arrKeys.toSeq
+      .flatMap { case (id, ks) => ks.map(_ -> id) }
+      .groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).toArray }
+    def occ(bk: (Int, Long)): Long =
+      baseBuckets.get(bk).fold(0L)(_.length.toLong) +
+        arrBuckets.get(bk).fold(0L)(_.length.toLong)
+    // Candidates of one arrival: distinct members of its ELIGIBLE band
+    // buckets (base and fellow arrivals alike — the batch ckNew ⋈ ck).
+    def mates(id: Long, coarseOnly: Boolean): Seq[Long] =
+      arrKeys(id).filter(occ(_) <= KnnBucketCap)
+        .flatMap(bk => baseBuckets.getOrElse(bk, Array.empty[Long]) ++
+          arrBuckets.getOrElse(bk, Array.empty[Long]))
+        .distinct
+        .filter(c => c != id && (!coarseOnly || c % CoarseMod == 0))
+    val ids = arr.keys.toSeq.sorted
+    val knn: Seq[(Long, Long, Long)] = ids.flatMap { a =>
+      mates(a, coarseOnly = false).map(dst => (a, dst, sim(a, dst)))
+        .sortBy { case (_, dst, s) => (-s, dst) }
+        .take(KnnK)
+    }
+    val mirror = knn.groupBy(_._2).toSeq.flatMap { case (dst, es) =>
+      es.sortBy { case (src, _, s) => (-s, src) }.take(NavMirrorCap)
+        .map { case (src, _, _) => NavDeltaEdge(dst, src, "mirror") }
+    }
+    val up: Seq[(Long, Long, Long)] = ids.flatMap { a =>
+      val cands = mates(a, coarseOnly = true)
+      if (cands.nonEmpty) {
+        val (cc, cs) = cands.map(cc => (cc, sim(a, cc)))
+          .minBy { case (c, s) => (-s, c) }
+        Some((a, cc, cs))
+      } else if (a != GraphEntry && base.contains(GraphEntry))
+        Some((a, GraphEntry, sim(a, GraphEntry)))
+      else None
+    }
+    val down = up.groupBy(_._2).toSeq.flatMap { case (dst, es) =>
+      es.sortBy { case (src, _, cs) => (-cs, src) }.take(NavDownCap)
+        .map { case (src, _, _) => NavDeltaEdge(dst, src, "down") }
+    }
+    val hw = ids.filter(_ % CoarseMod == 0).flatMap { a =>
+      mates(a, coarseOnly = true).map(dst => (a, dst, sim(a, dst)))
+        .sortBy { case (_, dst, s) => (-s, dst) }
+        .take(NavHighwayK)
+        .map { case (src, dst, _) => NavDeltaEdge(src, dst, "hw") }
+    }
+    (knn.map { case (s, d, _) => NavDeltaEdge(s, d, "knn") } ++ mirror ++
+      up.map { case (s, d, _) => NavDeltaEdge(s, d, "up") } ++ down ++ hw)
+      .filter(e => e.src != e.dst)
+      .distinct
+  }
+}

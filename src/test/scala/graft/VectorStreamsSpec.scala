@@ -339,4 +339,38 @@ class VectorStreamsSpec extends AnyFunSuite {
       .collect().sortBy(_._1)
     assert(viaColumns.toSeq === batch.toSeq)
   }
+
+  test("streaming insert twin: one replayed batch reproduces the batch delta exactly") {
+    // Index maintenance goes continuous: the last NavInsertBatch ids
+    // arrive as ONE trigger against a base replica of the rest; the
+    // emitted delta must equal navInsertDf over the full corpus —
+    // every class, every cap, every tie — because the per-trigger
+    // local algorithm replays the batch arithmetic (band eligibility
+    // counts base + trigger, HALF_UP e4, identical window orders).
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val cut = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .head().getLong(0) - Similarity.NavInsertBatch + 1L
+    val baseDir = Paths.get("target", "test-scratch", "navins_base")
+    Files.createDirectories(baseDir)
+    emb.filter(col("vec_id") < cut).coalesce(1).write.mode("overwrite")
+      .parquet(baseDir.resolve("embeddings.parquet").toString)
+    val arrDir = Paths.get("target", "test-scratch", "navins_arrivals")
+      .toString
+    emb.filter(col("vec_id") >= cut).coalesce(1).write.mode("overwrite")
+      .parquet(arrDir)
+    val streamed = EventStreams.runToCompletion(
+        spark,
+        VectorStreams.navInsertStream(spark, arrDir, baseDir.toString),
+        "t_navinsert", mode = "append")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = Similarity.navInsertDf(emb)
+      .select("src", "dst", "edge_class")
+      .as[(Long, Long, String)].collect().toSet
+    spark.catalog.clearCache()
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      s"online delta diverged from the batch: only-stream=" +
+        s"${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+  }
 }

@@ -2493,9 +2493,11 @@ object Similarity {
     * [[evalNavInsert]] recipe at B+1 states); each delta is an EAGER
     * localCheckpoint so the cumulative unions scan materialized edges
     * instead of re-running the banded delta once per containing state.
-    * Deltas here are computed in-plan over prefixes (they are not the
-    * `navdelta` product's (corpus, batch) key) — an offline eval by
-    * design, like the training-cost twin `sim_ivfpq_trained`. */
+    * The FINAL batch's prefix is the full corpus, which makes its delta
+    * row-identical to the `navdelta` PRODUCT — scanned, not recomputed;
+    * the earlier batches' prefix deltas are not any product's key and
+    * are computed in-plan — an offline eval by design, like the
+    * training-cost twin `sim_ivfpq_trained`. */
   def evalNavInsertSeq(s: SparkSession, d: String,
       batches: Int = NavSeqBatches, size: Long = NavInsertBatch,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -2506,8 +2508,11 @@ object Similarity {
     val stored = navGraphShared(s, d).select("src", "dst")
     val base = stored.filter(col("src") < cut0 && col("dst") < cut0)
     val deltas = (1 to batches).map { b =>
-      navInsertDf(emb.filter(col("vec_id") < cut0 + b * size), size)
-        .select("src", "dst").localCheckpoint(true)
+      // vec_id < cut0 + batches*size is the whole corpus: that delta IS
+      // the navdelta product (same frame, same batch key) — scan it.
+      val df = if (b == batches) navInsert(s, d, size)
+        else navInsertDf(emb.filter(col("vec_id") < cut0 + b * size), size)
+      df.select("src", "dst").localCheckpoint(true)
     }
     val states: Seq[(Long, DataFrame)] = (0L, base) +: (1 to batches).map {
       b => (b.toLong, (base +: deltas.take(b)).reduce(_ unionAll _).distinct())

@@ -59,6 +59,47 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "fixture-debug") {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.functions._
+      val c = graft.sources.Tables.embeddings(spark, d)
+      val n = c.count()
+      val rows = graft.operators.Similarity.bandRowsFor(n)
+      println(s"[scratch] n=$n bandRows=$rows")
+      val keys = graft.operators.Similarity.bandedKeys(
+        c.select(col("vec_id"),
+          graft.functions.Fns.toDoubleArr(col("embedding")).as("v")), 8, rows)
+      val occ = keys.groupBy("band_idx", "band_key").count()
+      occ.select(col("band_idx"), col("count"))
+        .groupBy("band_idx")
+        .agg(count(lit(1)).as("buckets"), max("count").as("max_occ"),
+          expr("percentile_approx(count, 0.5)").as("med_occ"),
+          sum(when(col("count") > graft.operators.Similarity.KnnBucketCap,
+            col("count")).otherwise(0L)).as("dropped_rows"))
+        .orderBy("band_idx").show(8, false)
+      val brute = graft.operators.Similarity.bruteTopK(spark, d)
+        .select("qid", "cid").collect().map { case Row(q: Long, cc: Long) => (q, cc) }
+      val knn = graft.operators.Similarity.knnGraphShared(spark, d)
+        .filter(col("src") < 10).select("src", "dst").collect()
+        .map { case Row(s0: Long, d0: Long) => (s0, d0) }
+      val bruteSet = brute.toSet
+      println(s"[scratch] q-knn edges hitting brute-top5: " +
+        s"${knn.count(bruteSet.contains)} of ${knn.length} (brute rows ${brute.length})")
+      val conn = graft.operators.Similarity.graphConnectivityEval(spark, d)
+        .collect().map { case Row(h: Long, r: Long, f: Long) => s"hop$h=$r($f)" }
+      println(s"[scratch] connectivity: ${conn.mkString(" ")}")
+      // The motivating before/after: kNN edge count under the r15 fixed
+      // 4-bit geometry vs the rule's — at 64K the fixed keys put every
+      // bucket past KnnBucketCap and the graph empties.
+      val emb = c.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val fixedEdges = graft.operators.Similarity
+        .knnGraphDf(emb, rows = 4).count()
+      val ruleEdges = graft.operators.Similarity
+        .knnGraphDf(emb, rows = rows).count()
+      println(s"[scratch] knn edges fixed-4bit=$fixedEdges rule-${rows}bit=$ruleEdges")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "banded-knobs") {
       import org.apache.spark.sql.Row
       val brute = graft.operators.Similarity.bruteTopK(spark, d)

@@ -1600,6 +1600,42 @@ object Similarity {
     * (SimilaritySpec's planted hot-bucket test). */
   val KnnBucketCap = 400L
 
+  /** Target expected bucket occupancy of the banded candidate chain —
+    * the contract ceiling's observed value (sf0.1: 2000 vectors /
+    * 2⁴ keys = 125 per band bucket). The band-geometry rule holds
+    * occupancy AT this level as the corpus grows. */
+  val KnnTargetOcc = 125.0
+
+  /** THE BAND-GEOMETRY RULE — the build-side companion of the
+    * log-layer walk rule: with FIXED rows-per-band the expected bucket
+    * occupancy is n/2^rows, so at 64 K vectors every 4-bit bucket
+    * holds ~4,000 vectors — far past [[KnnBucketCap]], every bucket is
+    * df-cap-DROPPED, and the banded kNN build silently degenerates to
+    * an empty graph. Growing key bits with log n holds occupancy at
+    * [[KnnTargetOcc]] instead: rows(n) = max(4, ceil(log2(n /
+    * KnnTargetOcc))) — 4 at every contract corpus (n ≤ 2000, so the
+    * products, oracles, and specs are byte-identical), 6 at 4 K, 10 at
+    * 64 K (`graft.VectorFixture`), 23 at 10⁹. Candidate volume stays
+    * Σ occ² ≈ bands · 2^rows · occ² = O(n · occ) — linear in n at
+    * fixed target occupancy, the whole point of banding. Resolved at
+    * plan time from the corpus count like [[layeredRoundsFor]]; the
+    * sign planes are procedurally generated ([[plane]]), so wider
+    * bands need no new constants. [[KnnBucketCap]] stays as the SKEW
+    * fence above the target (a celebrity mode still drops its bucket).
+    * The ENTRY-side twin [[entryBandRowsFor]] applies the same rule to
+    * the coarse layer a layered query buckets against. */
+  def bandRowsFor(n: Long): Int =
+    math.max(4, math.ceil(math.log(math.max(n, 1).toDouble / KnnTargetOcc) /
+      math.log(2.0)).toInt)
+
+  /** [[bandRowsFor]] over the COARSE layer (n/[[CoarseMod]] nodes) —
+    * the banded-entry paths' geometry: with fixed 4-bit keys the
+    * per-query entry candidate set is coarse/16 — linear in n; under
+    * the rule it stays [[KnnTargetOcc]]-bounded, keeping the "no
+    * corpus-proportional term in the serving path" claim true at any
+    * n. Equal to 4 at every contract corpus (coarse ≤ 63). */
+  def entryBandRowsFor(nCoarse: Long): Int = bandRowsFor(nCoarse)
+
   /** K-NN GRAPH BUILD — every vector's top-[[KnnK]] neighbors, the
     * all-pairs sibling of [[lshTopK]] and the precursor structure of
     * graph-based ANN serving (HNSW-style), embedding clustering, and
@@ -1617,7 +1653,7 @@ object Similarity {
     * vector join-backs are id-equi-joins, and the per-src top-k window is
     * bounded by candidate fan-out, not corpus size. */
   def knnGraph(s: SparkSession, d: String, k: Int = KnnK,
-      bands: Int = 8, rows: Int = 4,
+      bands: Int = 8, rows: Int = 0,
       bucketCap: Long = KnnBucketCap): DataFrame =
     knnGraphDf(Tables.embeddings(s, d), k, bands, rows, bucketCap)
 
@@ -1636,25 +1672,32 @@ object Similarity {
     * the content-addressed cache, and every search/monitor/sweep query
     * SCANS the stored edges instead of re-banding the corpus. Same rows
     * as [[knnGraph]] by construction, so consumers' oracles are
-    * unchanged. */
+    * unchanged. `rows` = 0 (the default) resolves the band-geometry
+    * rule from the corpus count; the RESOLVED value is in the product
+    * key (4 at every contract corpus — keys unchanged). */
   def knnGraphShared(s: SparkSession, d: String, k: Int = KnnK,
-      bands: Int = 8, rows: Int = 4,
-      bucketCap: Long = KnnBucketCap): DataFrame =
+      bands: Int = 8, rows: Int = 0,
+      bucketCap: Long = KnnBucketCap): DataFrame = {
+    val r = if (rows > 0) rows
+      else bandRowsFor(Tables.embeddings(s, d).count())
     graft.sources.ArtifactCache.getOrBuild(s, "knngraph",
       s"$d/embeddings.parquet",
-      Seq(k, bands, rows, bucketCap, KnnGraphVersion))(
-      knnGraphDf(Tables.embeddings(s, d), k, bands, rows, bucketCap))
+      Seq(k, bands, r, bucketCap, KnnGraphVersion))(
+      knnGraphDf(Tables.embeddings(s, d), k, bands, r, bucketCap))
+  }
 
   /** Same, over any (vec_id, embedding: array<float|double>) DataFrame
-    * (planted tests). */
+    * (planted tests). `rows` = 0 resolves [[bandRowsFor]] on the
+    * frame's count. */
   def knnGraphDf(embeddings: DataFrame, k: Int = KnnK,
-      bands: Int = 8, rows: Int = 4,
+      bands: Int = 8, rows: Int = 0,
       bucketCap: Long = KnnBucketCap): DataFrame = {
     val c = embeddings
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val keys = bandedKeys(c.select("vec_id", "v"), bands, rows)
+    val rowsN = if (rows > 0) rows else bandRowsFor(c.count())
+    val keys = bandedKeys(c.select("vec_id", "v"), bands, rowsN)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // The bucket registry is bands × 2^rows rows — small enough that
     // Catalyst auto-broadcasts the eligibility side at these knobs, and a
@@ -2147,12 +2190,15 @@ object Similarity {
       .filter(col("mrn") <= NavMirrorCap)
       .select(col("dst").as("src"), col("src").as("dst"))
     // Banded candidate chain for the up/highway stages — the identical
-    // keys + celebrity-cap rule as [[knnGraphDf]] (8 bands × 4 rows,
+    // keys + celebrity-cap rule as [[knnGraphDf]] (8 bands × rule rows,
     // [[KnnBucketCap]] over FULL-corpus occupancy), re-derived here
     // because the knngraph product stores edges, not keys. Candidate
     // volume: Σ_buckets occ_all · occ_coarse ≤ cap · |coarse| per band —
     // edge-/band-bounded, no corpus-proportional broadcast anywhere.
-    val keys = bandedKeys(c.select("vec_id", "v"), 8, 4)
+    // Geometry resolves the SAME bandRowsFor(n) as the knngraph build
+    // this product consumes (the rule input — the corpus count — is
+    // pinned by the source-file identity already in the product key).
+    val keys = bandedKeys(c.select("vec_id", "v"), 8, bandRowsFor(c.count()))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val eligible = keys.groupBy("band_idx", "band_key")
       .agg(count(lit(1)).as("occ"))
@@ -2293,7 +2339,10 @@ object Similarity {
       .withColumn("nrm", l2Norm(col("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cut = c.agg(max("vec_id")).head().getLong(0) - batch + 1L
-    val keys = bandedKeys(c.select("vec_id", "v"), 8, 4)
+    // Same band-geometry rule as the build: the visible corpus (this
+    // frame) sets the rows-per-band, so an insert's candidate chain
+    // matches the graph it attaches to at any n.
+    val keys = bandedKeys(c.select("vec_id", "v"), 8, bandRowsFor(c.count()))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val eligible = keys.groupBy("band_idx", "band_key")
       .agg(count(lit(1)).as("occ"))
@@ -2837,10 +2886,14 @@ object Similarity {
       if (beam > 0) beam else graphBeamFor(n),
       if (rounds > 0) rounds else layeredRoundsFor(n)) { (q, c) =>
       val coarse = c.filter(col("vec_id") % CoarseMod === 0)
-      val ck = bandedKeys(coarse.select("vec_id", "v"), 8, 4)
+      // Entry geometry: the band rule over the COARSE layer, so the
+      // per-query entry candidate set stays occupancy-bounded at any n
+      // (4 at every contract corpus — oracles unchanged).
+      val eRows = entryBandRowsFor(coarse.count())
+      val ck = bandedKeys(coarse.select("vec_id", "v"), 8, eRows)
         .select(col("vec_id").as("cc"), col("band_idx"), col("band_key"))
       val qk = bandedKeys(
-        q.select(col("qid").as("vec_id"), col("qv").as("v")), 8, 4)
+        q.select(col("qid").as("vec_id"), col("qv").as("v")), 8, eRows)
         .select(col("vec_id").as("qid"), col("band_idx"), col("band_key"))
       val cand = ck.join(broadcast(qk), Seq("band_idx", "band_key"))
         .filter(col("qid") =!= col("cc"))
@@ -2919,12 +2972,14 @@ object Similarity {
       .filter(col("rn") <= LayeredEntryK)
       .select(col("qid"), col("cc").as("cid"))
       .withColumn("st", lit("layered_exact"))
-    // layered_banded: graphLayeredBandedTopK's entry rule.
+    // layered_banded: graphLayeredBandedTopK's entry rule (same coarse
+    // band geometry).
+    val eRows = entryBandRowsFor(coarse.count())
     val ck = bandedKeys(coarse.select(col("cc").as("vec_id"), col("cv").as("v")),
-        8, 4)
+        8, eRows)
       .select(col("vec_id").as("cc"), col("band_idx"), col("band_key"))
     val qk = bandedKeys(q.select(col("qid").as("vec_id"), col("qv").as("v")),
-        8, 4)
+        8, eRows)
       .select(col("vec_id").as("qid"), col("band_idx"), col("band_key"))
     val bandedBest = ck.join(broadcast(qk), Seq("band_idx", "band_key"))
       .filter(col("qid") =!= col("cc"))

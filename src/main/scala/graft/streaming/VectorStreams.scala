@@ -421,15 +421,19 @@ object VectorStreams {
       .toMap
     // Coarse key index: band keys of the n/CoarseMod coarse vectors —
     // the maintained registry a live deployment keeps beside the graph.
-    val coarseIdx: Map[(Int, Long), Array[Long]] = vecs.keys.toSeq
+    // Geometry = the entry band rule over the coarse layer, exactly the
+    // batch walk's resolution (4 at every contract corpus).
+    val coarseIds = vecs.keys.toSeq
       .filter(_ % Similarity.CoarseMod == 0).sorted
+    val eRows = Similarity.entryBandRowsFor(coarseIds.length.toLong)
+    val coarseIdx: Map[(Int, Long), Array[Long]] = coarseIds
       .flatMap { cc =>
         val cv = vecs(cc)._1
         (0 until 8).map { b =>
           var key = 0L
           var r = 0
-          while (r < 4) {
-            if (GraphProbe.dot(cv, Similarity.plane(b * 4 + r)) > 0)
+          while (r < eRows) {
+            if (GraphProbe.dot(cv, Similarity.plane(b * eRows + r)) > 0)
               key |= (1L << r)
             r += 1
           }
@@ -451,7 +455,7 @@ object VectorStreams {
         val idxM = bidx.value
         it.flatMap { case (qid, qv) =>
           val entries = GraphProbe.bandedEntries(qid, qv, entryK, idxM,
-            fallback, vecM)
+            fallback, vecM, eRows)
           GraphProbe.walkFrom(qid, qv, entries, beamN, roundsN, k, adjM, vecM,
             tombstones.contains)
         }
@@ -511,9 +515,16 @@ object VectorStreams {
       .as[(Long, Array[Double])].collect().toMap
     // Base band-key registry with occupancy — the maintained artifact a
     // live deployment keeps beside the graph (here derived once from
-    // the base corpus, like every other replica input).
+    // the base corpus, like every other replica input). Geometry = the
+    // band rule at the BASE count: the registry is versioned with the
+    // corpus it indexes (a growth step that crosses a rule boundary is
+    // a registry rebuild — the standard registry-maintenance cadence),
+    // and a trigger's few arrivals never move the rule's log2 input
+    // materially, so online and batch resolve the same rows in
+    // practice (equal at the parity corpus, asserted in the spec).
+    val rowsN = Similarity.bandRowsFor(nVecs)
     val baseBuckets: Map[(Int, Long), Array[Long]] = vecs.keys.toSeq.sorted
-      .flatMap { id => NavDelta.bandKeys(vecs(id)).map(bk => bk -> id) }
+      .flatMap { id => NavDelta.bandKeys(vecs(id), rowsN).map(bk => bk -> id) }
       .groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).toArray }
     val bvec = spark.sparkContext.broadcast(vecs)
     val bbuck = spark.sparkContext.broadcast(baseBuckets)
@@ -524,7 +535,7 @@ object VectorStreams {
       .mapPartitions { it =>
         val arrivals = it.toArray
         if (arrivals.isEmpty) Iterator.empty
-        else NavDelta.delta(arrivals, bvec.value, bbuck.value).iterator
+        else NavDelta.delta(arrivals, bvec.value, bbuck.value, rowsN).iterator
       }
       .toDF()
   }
@@ -596,13 +607,14 @@ private[streaming] object GraphProbe {
     * `> 0` sign, HALF_UP e4, (cs desc, cc asc) ties). */
   def bandedEntries(qid: Long, qv: Array[Double], entryK: Int,
       coarseIdx: Map[(Int, Long), Array[Long]], fallback: Long,
-      vecs: Map[Long, (Array[Double], Double)]): Array[Long] = {
+      vecs: Map[Long, (Array[Double], Double)],
+      rows: Int = 4): Array[Long] = {
     val qn = math.sqrt(dot(qv, qv))
     val cands = (0 until 8).flatMap { b =>
       var key = 0L
       var r = 0
-      while (r < 4) {
-        if (dot(qv, graft.operators.Similarity.plane(b * 4 + r)) > 0)
+      while (r < rows) {
+        if (dot(qv, graft.operators.Similarity.plane(b * rows + r)) > 0)
           key |= (1L << r)
         r += 1
       }
@@ -637,14 +649,15 @@ private[streaming] object NavDelta {
   import graft.operators.Similarity.{plane, KnnK, KnnBucketCap, CoarseMod,
     NavMirrorCap, NavDownCap, NavHighwayK, GraphEntry}
 
-  /** The 8 × 4-bit sign-projection band keys — [[Similarity.bandedKeys]]
-    * replayed per row. */
-  def bandKeys(v: Array[Double]): Seq[(Int, Long)] =
+  /** The 8 × rows-bit sign-projection band keys —
+    * [[Similarity.bandedKeys]] replayed per row (rows from the
+    * band-geometry rule at the caller). */
+  def bandKeys(v: Array[Double], rows: Int = 4): Seq[(Int, Long)] =
     (0 until 8).map { b =>
       var key = 0L
       var r = 0
-      while (r < 4) {
-        if (GraphProbe.dot(v, plane(b * 4 + r)) > 0) key |= (1L << r)
+      while (r < rows) {
+        if (GraphProbe.dot(v, plane(b * rows + r)) > 0) key |= (1L << r)
         r += 1
       }
       (b, key)
@@ -652,7 +665,8 @@ private[streaming] object NavDelta {
 
   def delta(arrivals: Array[(Long, Array[Double])],
       base: Map[Long, Array[Double]],
-      baseBuckets: Map[(Int, Long), Array[Long]]): Seq[NavDeltaEdge] = {
+      baseBuckets: Map[(Int, Long), Array[Long]],
+      rows: Int = 4): Seq[NavDeltaEdge] = {
     val arr = arrivals.toMap
     val nrms = scala.collection.mutable.Map.empty[Long, Double]
     def vecOf(id: Long): Array[Double] = arr.getOrElse(id, base(id))
@@ -665,7 +679,7 @@ private[streaming] object NavDelta {
           GraphProbe.dot(vecOf(a), vecOf(b)) / (nrmOf(a) * nrmOf(b)) * 10000.0)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
     val arrKeys: Map[Long, Seq[(Int, Long)]] =
-      arr.map { case (id, v) => id -> bandKeys(v) }
+      arr.map { case (id, v) => id -> bandKeys(v, rows) }
     val arrBuckets: Map[(Int, Long), Array[Long]] = arrKeys.toSeq
       .flatMap { case (id, ks) => ks.map(_ -> id) }
       .groupBy(_._1).map { case (bk, xs) => bk -> xs.map(_._2).toArray }

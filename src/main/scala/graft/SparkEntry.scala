@@ -181,6 +181,7 @@ object SparkEntry {
     "eval_graph_connectivity" -> ((s, d) => Similarity.graphConnectivityEval(s, d)),
     "eval_graph_recall" -> ((s, d) => Similarity.graphRecall(s, d)),
     "eval_graph_beam" -> ((s, d) => Similarity.graphBeamEval(s, d)),
+    "eval_scale_rules" -> ((s, d) => Similarity.scaleRulesEval(s, d)),
     "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "search_mmr" -> ((s, d) => Similarity.mmrTopK(s, d)),
     "eval_mmr_diversity" -> ((s, d) => Similarity.mmrDiversityEval(s, d)),
@@ -1207,6 +1208,25 @@ object SparkEntry {
       budgets.map(r => s"SELECT * FROM grow$r").mkString(" UNION ALL ") +
       " ORDER BY rounds"
     },
+    // Scale-rule table: the engine's plan-time knob resolutions, each
+    // reproduced in integer arithmetic (bit shifts — the rules are
+    // integer-exact in the engine too, so no libm ceil can diverge at
+    // the power-of-two boundaries the contract corpora sit on).
+    // band_rows: smallest r >= 4 with 125*2^r >= n; log_layers:
+    // smallest L >= 1 with 32^L >= max(n, 32); rounds/beam derive.
+    "eval_scale_rules" ->
+      ("WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings), " +
+      "nc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings WHERE vec_id % 32 = 0), " +
+      "ll AS (SELECT CAST(min(l) AS BIGINT) AS l FROM range(1, 13) t(l), n WHERE (CAST(1 AS BIGINT) << CAST(5*l AS INTEGER)) >= greatest(n.c, 32)), " +
+      "br AS (SELECT CAST(min(r) AS BIGINT) AS r FROM range(4, 57) t(r), n WHERE (CAST(125 AS BIGINT) << CAST(r AS INTEGER)) >= n.c), " +
+      "er AS (SELECT CAST(min(r) AS BIGINT) AS r FROM range(4, 57) t(r), nc WHERE (CAST(125 AS BIGINT) << CAST(r AS INTEGER)) >= nc.c) " +
+      "SELECT * FROM (" +
+      "SELECT 'band_rows' AS rule, n.c AS input_n, br.r AS resolved FROM n, br " +
+      "UNION ALL SELECT 'entry_band_rows', nc.c, er.r FROM nc, er " +
+      "UNION ALL SELECT 'graph_beam', n.c, greatest(24, 12 * ll.l) FROM n, ll " +
+      "UNION ALL SELECT 'layered_rounds', n.c, greatest(4, ll.l + 2) FROM n, ll " +
+      "UNION ALL SELECT 'log_layers', n.c, ll.l FROM n, ll" +
+      ") ORDER BY rule"),
     // The graph index's recall monitor: the beam search's top-5 LEFT
     // JOINed against brute top-5 per query — the same evaluation core as
     // the other index families' monitors.

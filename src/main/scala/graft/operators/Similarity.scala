@@ -1624,9 +1624,19 @@ object Similarity {
     * fence above the target (a celebrity mode still drops its bucket).
     * The ENTRY-side twin [[entryBandRowsFor]] applies the same rule to
     * the coarse layer a layered query buckets against. */
-  def bandRowsFor(n: Long): Int =
-    math.max(4, math.ceil(math.log(math.max(n, 1).toDouble / KnnTargetOcc) /
-      math.log(2.0)).toInt)
+  def bandRowsFor(n: Long): Int = {
+    // Integer form of max(4, ceil(log2(n / KnnTargetOcc))): the
+    // smallest r ≥ 4 with 2^r · 125 ≥ n. Both contract corpora sit
+    // EXACTLY on power boundaries (500/125 = 4, 2000/125 = 16), where
+    // the float form is one libm ulp away from resolving a different
+    // key width — and with it different products and oracles. Shifted
+    // 125L is exact to r = 56 (125·2^56 < 2^63), far past any Long
+    // corpus count's need (r = 53 covers 2^63 rows).
+    var r = 4
+    var cap = 125L << 4
+    while (cap < n && r < 56) { r += 1; cap <<= 1 }
+    r
+  }
 
   /** [[bandRowsFor]] over the COARSE layer (n/[[CoarseMod]] nodes) —
     * the banded-entry paths' geometry: with fixed 4-bit keys the
@@ -2779,9 +2789,20 @@ object Similarity {
     * so every declared-query oracle is unchanged; at sf0.1 (n = 2000)
     * it gives rounds 5 / beam 36, measured ≥ 0.90 layered recall where
     * the fixed budget fell to 0.70-0.80 (`bench/scaling_r16.json`). */
-  def logLayers(n: Long): Int =
-    math.ceil(math.log(math.max(n, CoarseMod).toDouble) /
-      math.log(CoarseMod.toDouble)).toInt
+  def logLayers(n: Long): Int = {
+    // Integer form of ceil(log n / log CoarseMod): the smallest L ≥ 1
+    // with CoarseMod^L ≥ n. Plan-time knobs must not depend on libm
+    // ulps — the float form sits on exact-power boundaries at plausible
+    // corpus sizes (n = 32^L), where a 1-ulp difference between
+    // platforms (or vs the DuckDB oracle's ln) would flip the ceil and
+    // change every layered default. Shift arithmetic is exact and
+    // engine-independent (CoarseMod = 32 = 2^5).
+    val target = math.max(n, CoarseMod)
+    var l = 1
+    var p = CoarseMod.toLong
+    while (p < target && l < 12) { p <<= 5; l += 1 }
+    l
+  }
 
   /** rounds(n): [[logLayers]] + 2 — one round per would-be layer to
     * cross the coarse diameter, plus the two-round descent margin the
@@ -2806,6 +2827,34 @@ object Similarity {
     * footers (COUNT pushes to metadata — no column scan). */
   private def corpusCount(s: SparkSession, d: String): Long =
     Tables.embeddings(s, d).count()
+
+  /** SCALE-RULE TABLE (`eval_scale_rules`) — the plan-time knob
+    * resolutions surfaced as a query: one row per rule with the input
+    * count it read and the value it resolved. The ops companion of the
+    * graph tier's decision tables: every other eval prices a knob's
+    * OPTIONS; this one states what the engine will actually USE at the
+    * current corpus, so a deployment can monitor its serving config the
+    * same way it monitors recall (a corpus-growth step that moves a row
+    * here is exactly the registry-rebuild / product-rebuild trigger the
+    * maintenance cadence watches for). Cost: two metadata COUNTs plus a
+    * 5-row literal frame — no scan, no shuffle, at any corpus size. The
+    * rules are integer arithmetic end to end, so the DuckDB oracle can
+    * reproduce them exactly (shift-based, no libm ceil at the
+    * power-of-two boundaries both contract corpora sit on). */
+  def scaleRulesEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = corpusCount(s, d)
+    val nCoarse = Tables.embeddings(s, d)
+      .filter(col("vec_id") % CoarseMod === 0).count()
+    Seq(
+      ("band_rows", n, bandRowsFor(n).toLong),
+      ("entry_band_rows", nCoarse, entryBandRowsFor(nCoarse).toLong),
+      ("graph_beam", n, graphBeamFor(n).toLong),
+      ("layered_rounds", n, layeredRoundsFor(n).toLong),
+      ("log_layers", n, logLayers(n).toLong)
+    ).toDF("rule", "input_n", "resolved")
+      .orderBy("rule")
+  }
 
   /** Entry count of the layered search: the beam starts from the best
     * THREE coarse nodes, not one — HNSW's ef > 1 while descending. With

@@ -67,6 +67,24 @@ class ScalingRuleSpec extends AnyFunSuite {
     assert(Similarity.entryBandRowsFor(65536L / 32) === Similarity.bandRowsFor(2048L))
   }
 
+  test("eval_scale_rules states exactly the resolutions the engine will use") {
+    import spark.implicits._
+    val t = Similarity.scaleRulesEval(spark, TestSpark.sf)
+      .as[(String, Long, Long)].collect()
+    assert(t.map(_._1).toSeq === Seq("band_rows", "entry_band_rows",
+      "graph_beam", "layered_rounds", "log_layers"), "row set/order")
+    val m = t.map(r => r._1 -> r).toMap
+    val n = m("band_rows")._2
+    val nc = m("entry_band_rows")._2
+    assert(n > 0 && nc === (0L until n).count(_ % Similarity.CoarseMod == 0),
+      "input counts: corpus and its coarse stride")
+    assert(m("band_rows")._3 === Similarity.bandRowsFor(n))
+    assert(m("entry_band_rows")._3 === Similarity.entryBandRowsFor(nc))
+    assert(m("graph_beam")._3 === Similarity.graphBeamFor(n))
+    assert(m("layered_rounds")._3 === Similarity.layeredRoundsFor(n))
+    assert(m("log_layers")._3 === Similarity.logLayers(n))
+  }
+
   test("contract identity: the rule-resolved kNN build equals the explicit r15 4-bit build") {
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

@@ -46,6 +46,9 @@ object Audit {
           graft.operators.Similarity.navGraphBuild(s, dir)),
         "build_knngraph" -> ((s, dir) =>
           graft.operators.Similarity.knnGraphDf(
+            graft.sources.Tables.embeddings(s, dir))),
+        "build_navdelta" -> ((s, dir) =>
+          graft.operators.Similarity.navInsertDf(
             graft.sources.Tables.embeddings(s, dir))))
     def queryOf(name: String) =
       builders.getOrElse(name, SparkEntry.queries(name))

@@ -100,6 +100,18 @@ object Scratch {
       println(s"[scratch] knn edges fixed-4bit=$fixedEdges rule-${rows}bit=$ruleEdges")
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "hier-check") {
+      import org.apache.spark.sql.Row
+      val brute = graft.operators.Similarity.bruteTopK(spark, d)
+        .select("qid", "cid").collect().map { case Row(q: Long, c: Long) => (q, c) }.toSet
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val h = graft.operators.Similarity.graphHierTopK(spark, d)
+        .select("qid", "cid").collect().map { case Row(q: Long, c: Long) => (q, c) }.toSet
+      println(f"[scratch] hier recall@5=${brute.count(h.contains).toDouble / brute.size}%.3f " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "banded-knobs") {
       import org.apache.spark.sql.Row
       val brute = graft.operators.Similarity.bruteTopK(spark, d)

@@ -177,6 +177,7 @@ object SparkEntry {
     "sim_graph_layered" -> ((s, d) => Similarity.graphLayeredTopK(s, d)),
     "sim_graph_layered_banded" ->
       ((s, d) => Similarity.graphLayeredBandedTopK(s, d)),
+    "sim_graph_hier" -> ((s, d) => Similarity.graphHierTopK(s, d)),
     "eval_graph_entry" -> ((s, d) => Similarity.evalGraphEntry(s, d)),
     "eval_graph_connectivity" -> ((s, d) => Similarity.graphConnectivityEval(s, d)),
     "eval_graph_recall" -> ((s, d) => Similarity.graphRecall(s, d)),
@@ -428,6 +429,35 @@ object SparkEntry {
       "gbcand AS (SELECT DISTINCT q.qid, c.cc FROM gbq q JOIN gbc c ON q.band_idx = c.band_idx AND q.band_key = c.band_key AND q.qid <> c.cc), " +
       s"gbent0 AS (SELECT qid, cc AS cid FROM (SELECT g.qid, g.cc, row_number() OVER (PARTITION BY g.qid ORDER BY CAST(round(list_inner_product(q.qv, c.v) / (q.qn * c.nrm) * 10000) AS BIGINT) DESC, g.cc) AS rn FROM gbcand g JOIN gq q ON g.qid = q.qid JOIN n c ON g.cc = c.vec_id) WHERE rn <= ${graft.operators.Similarity.LayeredEntryK}), " +
       s"gent AS (SELECT qid, cid FROM gbent0 UNION ALL SELECT q.qid, CAST(${graft.operators.Similarity.GraphEntry} AS BIGINT) AS cid FROM gq q WHERE NOT EXISTS (SELECT 1 FROM gbent0 e WHERE e.qid = q.qid))")
+
+  // Three-layer hierarchical walk: L2 (vec_id % 1024 = 0) exact best-1
+  // entry, a 2-round beam-6 descent over the COARSE-RESTRICTED nav
+  // subgraph (hce — highway + coarse-coarse locals of the same ge the
+  // L0 walk uses; no separate product), handoff of the best
+  // LayeredEntryK coarse nodes, then the standard beam rounds. The
+  // coarse-round count 3 is hierCoarseRoundsFor at the oracle corpus
+  // (nCoarse = 16), as LayeredRounds is layeredRoundsFor(500).
+  private val GraphHierCtes: String = {
+    val sim = (x: String, q: String) =>
+      s"CAST(round(list_inner_product($x.v, $q.qv) / ($x.nrm * $q.qn) * 10000) AS BIGINT)"
+    val l2Mod = graft.operators.Similarity.L2Mod
+    val coarseMod = graft.operators.Similarity.CoarseMod
+    val cBeam = graft.operators.Similarity.HierCoarseBeam
+    val coarseRounds = 3
+    val sb = new StringBuilder
+    sb ++= s"h2 AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % $l2Mod = 0), "
+    sb ++= s"hce AS (SELECT src, dst FROM ge WHERE src % $coarseMod = 0 AND dst % $coarseMod = 0), "
+    sb ++= s"hcb0 AS (SELECT qid, cid, cs FROM (SELECT q.qid, c2.vec_id AS cid, ${sim("c2", "q")} AS cs, row_number() OVER (PARTITION BY q.qid ORDER BY ${sim("c2", "q")} DESC, c2.vec_id) AS rn FROM h_gq q, h2 c2) WHERE rn = 1), "
+    for (i <- 1 to coarseRounds) {
+      sb ++= s"hcx$i AS (SELECT DISTINCT qid, cid FROM (SELECT b.qid, e.dst AS cid FROM hcb${i - 1} b JOIN hce e ON b.cid = e.src UNION ALL SELECT qid, cid FROM hcb${i - 1})), "
+      sb ++= s"hcb$i AS (SELECT qid, cid, cs FROM (SELECT x.qid, x.cid, ${sim("cv", "q")} AS cs, row_number() OVER (PARTITION BY x.qid ORDER BY ${sim("cv", "q")} DESC, x.cid) AS rn FROM hcx$i x JOIN n cv ON x.cid = cv.vec_id JOIN h_gq q ON x.qid = q.qid) WHERE rn <= $cBeam), "
+    }
+    sb ++= s"h_gent AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rn FROM hcb$coarseRounds) WHERE rn <= ${graft.operators.Similarity.LayeredEntryK})"
+    graphBeamCtes(
+      "SELECT e.qid, e.cid, CAST(round(list_inner_product(x.v, q.qv) / (x.nrm * q.qn) * 10000) AS BIGINT) AS sim_e4 FROM h_gent e JOIN n x ON e.cid = x.vec_id JOIN h_gq q ON e.qid = q.qid",
+      graft.operators.Similarity.LayeredRounds, prefix = "h_",
+      extra = sb.toString)
+  }
 
   // Entry-strategy decision table: three independent beam chains
   // (prefixes f_/l_/b_), each at its strategy's production round
@@ -1177,6 +1207,11 @@ object SparkEntry {
     "sim_graph_layered" ->
       (s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphLayeredCtes " +
       s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM gb${graft.operators.Similarity.LayeredRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
+    // Three-layer hierarchical walk: L2 exact entry, coarse-subgraph
+    // descent, standard L0 rounds (GraphHierCtes).
+    "sim_graph_hier" ->
+      (s"WITH $KnnGraphCtes, $NavGraphCtes, $GraphHierCtes " +
+      s"SELECT qid, cid, sim_e4, CAST(rn AS BIGINT) AS rn FROM (SELECT qid, cid, sim_e4, row_number() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, cid) AS rn FROM h_gb${graft.operators.Similarity.LayeredRounds}) WHERE rn <= 5 ORDER BY qid, rn"),
     // Entry-strategy decision table: per strategy at its production
     // round budget, hits vs the shared brute top-k.
     "eval_graph_entry" -> {

@@ -2964,6 +2964,113 @@ object Similarity {
     }
   }
 
+  /** Third-layer stride: every [[CoarseMod]]²-th vector forms L2 — the
+    * next level of the log-layer pyramid (always non-empty: vec_id 0 —
+    * the fixed [[GraphEntry]] — is on every layer, HNSW's top-level
+    * entry invariant). 1 node at the contract corpora, 2 at sf0.1, 64
+    * at the 64 K fixture — the corpus where L2 first becomes
+    * measurable (the r14 #8 honest skip, now closable). */
+  val L2Mod: Long = CoarseMod.toLong * CoarseMod
+
+  /** Beam width of the coarse-layer descent — HNSW's ef-while-
+    * descending, wider than the [[LayeredEntryK]] handoff so a
+    * second-best region stays in play through the mini-walk. */
+  val HierCoarseBeam = 6
+
+  /** Rounds of the coarse-layer descent: the log-layer rule one level
+    * up (the coarse layer is a corpus of nCoarse nodes whose "coarse
+    * layer" is L2), floored at the 2 the contract corpora need.
+    * 2 at nCoarse ≤ 32², 3 at the 64 K fixture (nCoarse = 2048). */
+  def hierCoarseRoundsFor(nCoarse: Long): Int =
+    math.max(3, logLayers(nCoarse))
+
+  /** THREE-LAYER HIERARCHICAL SEARCH (`sim_graph_hier`) — the REAL
+    * log-layer descent (Malkov & Yashunin 2018 §4: enter at the top
+    * layer, greedy-walk each layer, descend), completing what
+    * [[graphLayeredTopK]] flattens: that walk exact-scans the ENTIRE
+    * coarse layer per query (n/[[CoarseMod]] dots — the documented
+    * corpus-proportional 2-layer trade), while here the exact scan
+    * moves up to L2 (n/[[L2Mod]] dots — 32× smaller, and each further
+    * layer of the pyramid pushes it down another 32×) and the coarse
+    * layer is WALKED, not scanned: a [[hierCoarseRoundsFor]]-round,
+    * [[HierCoarseBeam]]-wide beam walk over the NAV GRAPH RESTRICTED
+    * TO COARSE NODES — the highway edges the v4 build already plants
+    * (plus any coarse-coarse local links), so the third layer needs NO
+    * new product: L2 is a serving-time view, exactly as HNSW's upper
+    * layers are sparser views of the same neighborhood structure. The
+    * descent hands its best [[LayeredEntryK]] coarse nodes to the
+    * standard L0 walk at the log-layer rule's budget.
+    *
+    * Per-query cost: n/1024 exact dots + rounds_c × [[HierCoarseBeam]]
+    * × highway-degree (constant-bounded) + the L0 walk — the
+    * exact-entry path's linear term reduced 32×. At the contract
+    * corpora L2 = {0}, so the descent degenerates to a coarse walk
+    * from the fixed entry — deterministic, oracle-expressible, and a
+    * planted degenerate case in the spec.
+    *
+    * THE MEASURED SCALE FINDING (64 K fixture, r16): recall holds
+    * 0.92/0.90/0.92 at the contract corpora but falls to 0.40 at 64 K
+    * — and the failure is STRUCTURAL, not a knob: the id-stride L2 (64
+    * nodes) cannot cover the corpus's 256 near-orthogonal clusters,
+    * and greedy cosine descent has NO cross-cluster gradient (every
+    * wrong-cluster candidate scores ~0, so more rounds/beam/entries
+    * cannot steer — the r13 "short-range links" finding one level up,
+    * now with the reason). The banded entry
+    * ([[graphLayeredBandedTopK]], 0.86 at 64 K) does not navigate INTO
+    * the right region, it HASHES into it — content-addressed entry is
+    * the scale path on clustered embedding corpora, and this query
+    * stays declared as the measured baseline that proves it
+    * (`bench/scaling_r16.json` fixture_64k). */
+  def graphHierTopK(s: SparkSession, d: String, nQueries: Int = 10,
+      k: Int = 5, beam: Int = 0, rounds: Int = 0): DataFrame = {
+    val n = if (beam > 0 && rounds > 0) 0L else corpusCount(s, d)
+    graphSearchFrom(s, d, nQueries, k,
+      if (beam > 0) beam else graphBeamFor(n),
+      if (rounds > 0) rounds else layeredRoundsFor(n)) { (q, c) =>
+      val coarse = c.filter(col("vec_id") % CoarseMod === 0)
+      val rc = hierCoarseRoundsFor(coarse.count())
+      // L2 entry: exact argmax over the n/L2Mod top-layer nodes — the
+      // QUERY side is broadcast and the layer side scans distributed
+      // (the reverse of the 2-layer exact entry's orientation: the
+      // scanned side grows with n/1024, the broadcast side never does).
+      val l2 = c.filter(col("vec_id") % L2Mod === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val wC = Window.partitionBy("qid").orderBy(desc("cs"), asc("cid"))
+      def scoreCoarse(cand: DataFrame): DataFrame = cand
+        .join(coarse.select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn")), "cid")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("cid"),
+          e4(dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cs"))
+      var cb = l2.crossJoin(broadcast(q))
+        .select(col("qid"), col("cid"),
+          e4(dotD(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cs"))
+        .withColumn("rn", row_number().over(wC))
+        .filter(col("rn") === 1)
+        .select("qid", "cid", "cs")
+      // Coarse-layer descent: beam walk over the coarse-restricted nav
+      // subgraph (highway + coarse-coarse locals). rc ≤ 3 at any
+      // conceivable corpus, so the unrolled plan stays shallow — no
+      // checkpoints needed, unlike the L0 loop.
+      val ce = navGraphShared(s, d).select(col("src"), col("dst"))
+        .filter(col("src") % CoarseMod === 0 && col("dst") % CoarseMod === 0)
+      for (_ <- 1 to rc) {
+        val nbrs = cb.select(col("qid"), col("cid").as("src"))
+          .join(ce, "src")
+          .select(col("qid"), col("dst").as("cid"))
+        val cand = cb.select("qid", "cid").unionAll(nbrs).distinct()
+        cb = scoreCoarse(cand)
+          .withColumn("rn", row_number().over(wC))
+          .filter(col("rn") <= HierCoarseBeam)
+          .select("qid", "cid", "cs")
+      }
+      cb.withColumn("rn", row_number().over(wC))
+        .filter(col("rn") <= LayeredEntryK)
+        .select("qid", "cid")
+    }
+  }
+
   /** ENTRY-STRATEGY DECISION TABLE (`eval_graph_entry`) — the graph
     * tier's serving-config table, next to the round-budget sweep
     * ([[graphBeamEval]]) and the other families' knob tables (IVF's

@@ -18,6 +18,24 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "explain-to") {
+      // Dump explain("formatted") for many queries into a directory —
+      // the optimization rounds' before/after plan evidence
+      // (plans/rNN/<query>_{before,after}.txt).
+      val outDir = args(2)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      for (name <- args.drop(3)) {
+        val df = SparkEntry.queries(name)(spark, d)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outDir, s"$name.txt"),
+          plan.getBytes("UTF-8"))
+        spark.catalog.clearCache()
+        println(s"[scratch] wrote $outDir/$name.txt")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "explain") {
       args.drop(2).headOption.flatMap(SparkEntry.queries.get) match {
         case Some(q) => q(spark, d).explain("formatted")

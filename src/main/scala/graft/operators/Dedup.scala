@@ -919,8 +919,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     * round so plans stay O(1) instead of O(rounds); on a real cluster swap
     * it for `checkpoint` with a reliable dir to keep fault tolerance. */
   def components(pairs: DataFrame): DataFrame = {
+    // Persist the edge list PRE-PARTITIONED on the propagation join key:
+    // every round's edges⋈labels equi-join then reuses the cached
+    // partitioning and shuffles only the node-sized label table — the
+    // edge list (the side that scales with corpus size) crosses the
+    // network once at cache fill instead of once per round (guide §2.4).
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Round 0 fused into initialization: label = min(self, neighbors) —
     // one aggregate instead of a distinct + a full propagation round.

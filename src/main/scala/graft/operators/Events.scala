@@ -651,15 +651,19 @@ object Events {
         expr(s"((t - mint) div qt) * $maxCode div " +
           "greatest(1L, (maxt - mint) div qt)").as("ta"),
         expr(s"(t - mint) div ((maxt - mint) div $nb + 1)").as("lb"))
-    val z = nrm.select(col("u"), col("t"),
-      expr(s"shiftright(aggregate(sequence(0, ${ZorderBits - 1}), 0L, " +
-        "(acc, i) -> acc + shiftleft(shiftright(ua, i) & 1, 2*i) " +
-        "+ shiftleft(shiftright(ta, i) & 1, 2*i + 1)), " +
+    // Unrolled Morton sum (codegen) instead of the interpreted HOF fold;
+    // nrm persists so the scan + normalization runs once for the two
+    // layout branches instead of once per branch (guide §1.2 step 2, §5).
+    val nrmP = nrm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val z = nrmP.select(col("u"), col("t"),
+      expr(s"shiftright(${mortonFlatExpr(Seq("ua", "ta"), ZorderBits)}, " +
         s"$shift)").as("bucket"))
-    layoutAudit(z, "zorder")
-      .unionByName(layoutAudit(nrm.select(col("u"), col("t"),
-        col("lb").as("bucket")), "linear"))
-      .orderBy("layout", "bucket")
+    graft.functions.Caching.releaseAfterAction(
+      layoutAudit(z, "zorder")
+        .unionByName(layoutAudit(nrmP.select(col("u"), col("t"),
+          col("lb").as("bucket")), "linear"))
+        .orderBy("layout", "bucket"),
+      nrmP)
   }
 
   /** Per-bucket footer-stat rollup shared by the layout audits: for a
@@ -691,24 +695,44 @@ object Events {
     * bucket range in one move (`extraShift = 0` yields the raw 30-bit
     * key — the clustered writer's form). Shared by the audit and
     * [[hilbertClustered]]. */
-  private def hilbertKeyExpr(extraShift: Int): String = {
-    val maxCode = (1 << HilbertBits) - 1
-    s"shiftright(aggregate(sequence(${HilbertBits - 1}, 0, -1), " +
-      "ua | shiftleft(ta, 16), (acc, i) -> " +
-      s"(CASE WHEN (shiftright(shiftright(acc, 16) & $maxCode, i) & 1) = 1 " +
-      s"THEN acc & $maxCode " +
-      s"WHEN (shiftright(acc & $maxCode, i) & 1) = 1 " +
-      s"THEN $maxCode - (shiftright(acc, 16) & $maxCode) " +
-      s"ELSE shiftright(acc, 16) & $maxCode END) | " +
-      s"shiftleft(CASE WHEN (shiftright(shiftright(acc, 16) & $maxCode, i) & 1) = 1 " +
-      s"THEN shiftright(acc, 16) & $maxCode " +
-      s"WHEN (shiftright(acc & $maxCode, i) & 1) = 1 " +
-      s"THEN $maxCode - (acc & $maxCode) " +
-      s"ELSE acc & $maxCode END, 16) | " +
-      "shiftleft(shiftright(acc, 32) + " +
-      s"shiftleft((3 * (shiftright(acc & $maxCode, i) & 1)) ^ " +
-      s"(shiftright(shiftright(acc, 16) & $maxCode, i) & 1), 2 * i), 32)" +
-      s"), ${32 + extraShift})"
+  /** One xy2d quadrant step of the Hilbert fold at LITERAL bit index
+    * `i`, over a packed working column `hacc` — the loop body of
+    * the classic fold with `acc` a real column instead of a lambda
+    * variable. */
+  private def hilbertStepExpr(i: Int): String = {
+    val m = (1 << HilbertBits) - 1
+    s"(CASE WHEN (shiftright(shiftright(hacc, 16) & $m, $i) & 1) = 1 " +
+      s"THEN hacc & $m " +
+      s"WHEN (shiftright(hacc & $m, $i) & 1) = 1 " +
+      s"THEN $m - (shiftright(hacc, 16) & $m) " +
+      s"ELSE shiftright(hacc, 16) & $m END) | " +
+      s"shiftleft(CASE WHEN (shiftright(shiftright(hacc, 16) & $m, $i) & 1) = 1 " +
+      s"THEN shiftright(hacc, 16) & $m " +
+      s"WHEN (shiftright(hacc & $m, $i) & 1) = 1 " +
+      s"THEN $m - (hacc & $m) " +
+      s"ELSE hacc & $m END, 16) | " +
+      s"shiftleft(shiftright(hacc, 32) + " +
+      s"shiftleft((3 * (shiftright(hacc & $m, $i) & 1)) ^ " +
+      s"(shiftright(shiftright(hacc, 16) & $m, $i) & 1), 2 * $i), 32)"
+  }
+
+  /** The Hilbert key as CHAINED PROJECTIONS — identical arithmetic to
+    * the classic xy2d fold, unrolled so it runs in whole-stage
+    * codegen: the `aggregate` HOF is CodegenFallback (an interpreted
+    * lambda loop plus a materialized 15-element array per row), while
+    * 15 chained column steps stay one codegen stage with the packed
+    * state a local BIGINT per step (the optimizer does not inline a
+    * multiply-referenced non-trivial alias, so the tree stays linear).
+    * Needs `ua`/`ta` code columns; adds `out` and drops the working
+    * column. */
+  private def withHilbertKey(df: DataFrame, out: String,
+      extraShift: Int): DataFrame = {
+    val start = df.withColumn("hacc", expr("ua | shiftleft(ta, 16)"))
+    val folded = (HilbertBits - 1 to 0 by -1).foldLeft(start) { (acc, i) =>
+      acc.withColumn("hacc", expr(hilbertStepExpr(i)))
+    }
+    folded.withColumn(out, expr(s"shiftright(hacc, ${32 + extraShift})"))
+      .drop("hacc")
   }
 
   /** HILBERT LAYOUT AUDIT — [[zorderLayout]]'s comparison extended
@@ -755,19 +779,26 @@ object Events {
           "greatest(1L, (maxt - mint) div qt)").as("ta"),
         expr(s"(t - mint) div ((maxt - mint) div $nb + 1)").as("lb"))
     // the xy2d step over the packed state; rx/ry read bit i of the
-    // packed x/y, the CASE pair is rot()'s reflect-and-swap
-    val h = nrm.select(col("u"), col("t"),
-      expr(hilbertKeyExpr(shift)).as("bucket"))
-    val z = nrm.select(col("u"), col("t"),
-      expr(s"shiftright(aggregate(sequence(0, ${HilbertBits - 1}), 0L, " +
-        "(acc, i) -> acc + shiftleft(shiftright(ua, i) & 1, 2*i) " +
-        "+ shiftleft(shiftright(ta, i) & 1, 2*i + 1)), " +
+    // packed x/y, the CASE pair is rot()'s reflect-and-swap. The fold is
+    // UNROLLED into chained projections ([[withHilbertKey]]) and the
+    // Morton sum into flat literal-index terms — both run in whole-stage
+    // codegen where the aggregate() HOF is interpreted per row; nrm
+    // persists so the scan + normalization runs once for the three
+    // layout branches (guide §1.2 step 2, §5).
+    val nrmP = nrm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val h = withHilbertKey(nrmP.select(col("u"), col("t"), col("ua"),
+        col("ta")), "bucket", shift)
+      .select("u", "t", "bucket")
+    val z = nrmP.select(col("u"), col("t"),
+      expr(s"shiftright(${mortonFlatExpr(Seq("ua", "ta"), HilbertBits)}, " +
         s"$shift)").as("bucket"))
-    layoutAudit(h, "hilbert")
-      .unionByName(layoutAudit(nrm.select(col("u"), col("t"),
-        col("lb").as("bucket")), "linear"))
-      .unionByName(layoutAudit(z, "zorder"))
-      .orderBy("layout", "bucket")
+    graft.functions.Caching.releaseAfterAction(
+      layoutAudit(h, "hilbert")
+        .unionByName(layoutAudit(nrmP.select(col("u"), col("t"),
+          col("lb").as("bucket")), "linear"))
+        .unionByName(layoutAudit(z, "zorder"))
+        .orderBy("layout", "bucket"),
+      nrmP)
   }
 
   /** How many probe users the skip eval prices a point query for. */
@@ -827,7 +858,10 @@ object Events {
   def layoutTradeoffEvalDf(events: DataFrame,
       bucketsLog2: Int = ZorderBucketsLog2,
       nProbes: Int = ZorderSkipProbes): DataFrame = {
+    // The ≤192-row audit feeds BOTH probe rollups — persist it so the
+    // three-layout corpus pass runs once, not twice (guide §5).
     val audit = hilbertLayoutDf(events, bucketsLog2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val userProbes = events.select(col("user_id").as("pv"))
       .distinct().orderBy("pv").limit(nProbes)
     val timeProbes = events
@@ -851,11 +885,13 @@ object Events {
         .select(col("layout"), lit(kind).as("probe"), col("n_buckets"),
           col("n_probes"), col("scanned"),
           expr("scanned * 10000 div (n_buckets * n_probes)").as("scan_e4"))
-    rollup(userProbes, "user_point",
-        col("pv").between(col("min_u"), col("max_u")), "pv")
-      .unionByName(rollup(timeProbes, "time_range",
-        col("min_t") <= col("pe") && col("max_t") >= col("ps"), "ps"))
-      .orderBy("layout", "probe")
+    graft.functions.Caching.releaseAfterAction(
+      rollup(userProbes, "user_point",
+          col("pv").between(col("min_u"), col("max_u")), "pv")
+        .unionByName(rollup(timeProbes, "time_range",
+          col("min_t") <= col("pe") && col("max_t") >= col("ps"), "ps"))
+        .orderBy("layout", "probe"),
+      audit)
   }
 
   /** The WRITE side of [[zorderLayout]]: the events frame physically
@@ -882,9 +918,7 @@ object Events {
         expr(s"((ts_us - mint) div qt) * $maxCode div " +
           "greatest(1L, (maxt - mint) div qt)"))
       .withColumn("zkey",
-        expr(s"aggregate(sequence(0, ${ZorderBits - 1}), 0L, " +
-          "(acc, i) -> acc + shiftleft(shiftright(ua, i) & 1, 2*i) " +
-          "+ shiftleft(shiftright(ta, i) & 1, 2*i + 1))"))
+        expr(mortonFlatExpr(Seq("ua", "ta"), ZorderBits)))
       .drop("minu", "maxu", "mint", "maxt", "qu", "qt", "ua", "ta")
       .repartitionByRange(nFiles, col("zkey"))
       .sortWithinPartitions("zkey")
@@ -912,7 +946,7 @@ object Events {
       .withColumn("ta",
         expr(s"((ts_us - mint) div qt) * $maxCode div " +
           "greatest(1L, (maxt - mint) div qt)"))
-      .withColumn("hkey", expr(hilbertKeyExpr(0)))
+      .transform(withHilbertKey(_, "hkey", 0))
       .drop("minu", "maxu", "mint", "maxt", "qu", "qt", "ua", "ta")
       .repartitionByRange(nFiles, col("hkey"))
       .sortWithinPartitions("hkey")
@@ -923,14 +957,26 @@ object Events {
   //      table has a third pruning-worthy dimension sitting right there) ----
 
   /** Morton-key SQL over pre-normalized code columns `c_<alias>` (each
-    * in [0, 2^bits)): bit i of dimension k lands at key bit n·i + k —
-    * the same codegen'd `aggregate` fold as the 2-D audits, shared by
-    * the N-D audit and the N-D clustered writer. */
-  private def mortonKeyExpr(aliases: Seq[String], bits: Int): String = {
-    val n = aliases.size
-    val bitSum = aliases.zipWithIndex.map { case (a, k) =>
-      s"shiftleft(shiftright(c_$a, i) & 1, $n*i + $k)" }.mkString(" + ")
-    s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc + $bitSum)"
+    * in [0, 2^bits)): bit i of dimension k lands at key bit n·i + k.
+    * Emitted as a FLAT sum with literal bit indices, not an
+    * `aggregate(sequence(...))` fold: higher-order functions are
+    * CodegenFallback — every row pays an interpreted lambda loop plus a
+    * materialized 0..bits-1 array — while the unrolled sum of n·bits
+    * shift/mask terms runs inside whole-stage codegen (identical
+    * integers, the bits are independent). Shared by the N-D audit and
+    * the N-D clustered writer; [[mortonFlatExpr]] is the same unroll for
+    * the 2-D audits' ua/ta columns. */
+  private def mortonKeyExpr(aliases: Seq[String], bits: Int): String =
+    mortonFlatExpr(aliases.map(a => s"c_$a"), bits)
+
+  /** The flat Morton sum over arbitrary code columns (see
+    * [[mortonKeyExpr]]): Σ_{i,k} ((col_k >> i) & 1) << (n·i + k). */
+  private def mortonFlatExpr(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, k) =>
+        s"shiftleft(shiftright($c, $i) & 1, ${n * i + k})" }
+    }.mkString(" + ")
   }
 
   /** The divide-first integer normalization of [[zorderLayoutDf]] for

@@ -101,8 +101,13 @@ object Graph {
   private[graft] def pagerankConvergedRaw(edges: DataFrame, epsE12: Long,
       maxRounds: Int, materialize: Boolean = false): (DataFrame, Int) = {
     val outW = edges.groupBy("src").agg(sum("cnt").as("wout"))
+    // Persist PRE-PARTITIONED on src: every round's contribution join is
+    // keyed on src, so the edge list (the corpus-sized side) shuffles once
+    // at cache fill, and each round moves only the node-sized rank table
+    // (guide §2.4).
     val e = edges.join(outW, "src")
       .select(col("src"), col("dst"), col("cnt"), col("wout"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -330,8 +335,12 @@ object Graph {
   /** Same, over any canonical undirected edge list (a, b), a < b
     * (planted tests). */
   def kcoreDf(edges: DataFrame, k: Long = KCoreK): DataFrame = {
+    // Pre-partitioned on u, the key of every peeling round's first join:
+    // the undirected edge list shuffles once at cache fill, not per round
+    // (guide §2.4; the second join's v-side shuffle is the message pass).
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d0 = und.groupBy("u").agg(count(lit(1)).as("degree"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -414,8 +423,12 @@ object Graph {
     * the other iterative engines. Per-round shuffle is edge-sized — the
     * standard LPA bound. */
   def lpaDf(edges: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    // Pre-partitioned on v, the key of every propagation round's join:
+    // the edge list shuffles once at cache fill, each round moves only
+    // the node-sized label table (guide §2.4).
     val und = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = und.select("u").distinct()
       .select(col("u"), col("u").as("lbl")).localCheckpoint(true)
@@ -536,8 +549,13 @@ object Graph {
     * graphs). Returns (node_id, rank_e12) after [[PrIters]] rounds. */
   def pagerankDf(edges: DataFrame): DataFrame = {
     val outW = edges.groupBy("src").agg(sum("cnt").as("wout"))
+    // Persist PRE-PARTITIONED on src: every round's contribution join is
+    // keyed on src, so the edge list (the corpus-sized side) shuffles once
+    // at cache fill, and each round moves only the node-sized rank table
+    // (guide §2.4).
     val e = edges.join(outW, "src")
       .select(col("src"), col("dst"), col("cnt"), col("wout"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node_id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

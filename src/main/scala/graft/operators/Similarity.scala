@@ -1546,7 +1546,7 @@ object Similarity {
     val lsh = lshTopK(s, d, nQueries, k)
       .select(col("qid").as("lq"), col("cid").as("lc"))
     brute
-      .join(lsh, col("qid") === col("lq") && col("cid") === col("lc"), "left")
+      .join(broadcast(lsh), col("qid") === col("lq") && col("cid") === col("lc"), "left")
       .groupBy("qid")
       .agg(sum(when(col("lc").isNotNull, 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("n_brute"))
@@ -1572,7 +1572,7 @@ object Similarity {
     val served = ivfPqServedTopK(s, d, nQueries, k, indexDir = indexDir)
       .select(col("qid").as("sq"), col("cid").as("sc"))
     brute
-      .join(served, col("qid") === col("sq") && col("cid") === col("sc"), "left")
+      .join(broadcast(served), col("qid") === col("sq") && col("cid") === col("sc"), "left")
       .groupBy("qid")
       .agg(sum(when(col("sc").isNotNull, 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("n_brute"))
@@ -1996,10 +1996,17 @@ object Similarity {
     // Pairwise candidate similarities (depth² per query, both directions —
     // the greedy penalty lookup). Selected ⊆ candidates, so every
     // remaining candidate meets every selected one here.
-    val pairs = cands.select(col("qid"), col("cid").as("pd"))
+    // The pair frame is presentation-sized (nQueries × depth² rows) at
+    // any corpus size; each vector join-back broadcasts IT and streams
+    // the corpus, so the corpus never shuffles on a pair key (guide
+    // §3.1). Both join-backs carry their own hint — a hint on the
+    // innermost frame would not survive through the first join's output.
+    val pairKeys = cands.select(col("qid"), col("cid").as("pd"))
       .join(cands.select(col("qid"), col("cid").as("ps")), Seq("qid"))
       .filter(col("pd") =!= col("ps"))
+    val pairsD = broadcast(pairKeys)
       .join(c.select(col("vec_id").as("pd"), col("v").as("dv"), col("nrm").as("dn")), "pd")
+    val pairs = broadcast(pairsD)
       .join(c.select(col("vec_id").as("ps"), col("v").as("sv"), col("nrm").as("sn")), "ps")
       .select(col("qid"), col("pd"), col("ps"),
         e4(dotD(col("dv"), col("sv")) / (col("dn") * col("sn"))).as("ds_e4"))
@@ -2019,14 +2026,19 @@ object Similarity {
       .localCheckpoint(true)
     val rounds = scala.collection.mutable.ArrayBuffer(selected)
     for (i <- 2 to k) {
+      // The selected set is ≤ nQueries × k rows at any corpus size, and
+      // its checkpoint carries no size estimate — broadcast it into both
+      // per-round joins explicitly (guide §3.1).
       val remaining = cands
-        .join(selected.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+        .join(broadcast(selected.select("qid", "cid")), Seq("qid", "cid"),
+          "left_anti")
       val pen = pairs
-        .join(selected.select(col("qid"), col("cid").as("ps")), Seq("qid", "ps"))
+        .join(broadcast(selected.select(col("qid"), col("cid").as("ps"))),
+          Seq("qid", "ps"))
         .groupBy(col("qid"), col("pd").as("cid"))
         .agg(max("ds_e4").as("pen"))
       val wi = Window.partitionBy("qid").orderBy(desc("mmr2x_e4"), asc("cid"))
-      val pick = remaining.join(pen, Seq("qid", "cid"))
+      val pick = remaining.join(broadcast(pen), Seq("qid", "cid"))
         .select(col("qid"), col("cid"), col("sim_e4"),
           (col("sim_e4") - col("pen")).as("mmr2x_e4"))
         .withColumn("r", row_number().over(wi))
@@ -2071,9 +2083,9 @@ object Similarity {
       list.groupBy("qid")
         .agg(round(sum("sim_e4") * lit(1.0) / count(lit(1))).cast("long").as(out))
     def ilsE4(list: DataFrame, out: String): DataFrame =
-      list.select(col("qid"), col("cid").as("pd"))
-        .join(list.select(col("qid"), col("cid").as("ps")), Seq("qid"))
-        .filter(col("pd") =!= col("ps"))
+      broadcast(list.select(col("qid"), col("cid").as("pd"))
+          .join(list.select(col("qid"), col("cid").as("ps")), Seq("qid"))
+          .filter(col("pd") =!= col("ps")))
         .join(pairs, Seq("qid", "pd", "ps"))
         .groupBy("qid")
         .agg(round(sum("ds_e4") * lit(1.0) / count(lit(1))).cast("long").as(out))
@@ -2101,7 +2113,7 @@ object Similarity {
     val sq = sqTopK(s, d, nQueries, k)
       .select(col("qid").as("sq"), col("cid").as("sc"))
     brute
-      .join(sq, col("qid") === col("sq") && col("cid") === col("sc"), "left")
+      .join(broadcast(sq), col("qid") === col("sq") && col("cid") === col("sc"), "left")
       .groupBy("qid")
       .agg(sum(when(col("sc").isNotNull, 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("n_brute"))
@@ -2354,6 +2366,26 @@ object Similarity {
     // matches the graph it attaches to at any n.
     val keys = bandedKeys(c.select("vec_id", "v"), 8, bandRowsFor(c.count()))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val (delta, caches) = navInsertDeltaOver(c, keys, cut, Long.MaxValue)
+    graft.functions.Caching.releaseAfterAction(delta,
+      (Seq(c, keys) ++ caches): _*)
+  }
+
+  /** The insert-delta edge rules over a PRE-BUILT visible-corpus frame
+    * `c` and its banded `keys` (both restricted to the visible prefix —
+    * `keys` by the caller, `c` via `pEnd` where arrivals are selected).
+    * Shared by [[navInsertDf]] (which builds both for one standalone
+    * batch) and [[evalNavInsertSeq]] (which shares ONE corpus persist
+    * and ONE keys frame across its sequential prefixes instead of
+    * re-scanning and re-projecting per batch — r16 guide §1.2 step 1 /
+    * §5: the 16-plane projection pass and the corpus normalization ran
+    * once per delta, now once per eval). `cut` is the first arrival id;
+    * `pEnd` the exclusive end of the visible prefix (Long.MaxValue =
+    * the whole frame). Returns the delta frame plus the intermediates
+    * it persisted — the CALLER releases them after its terminal
+    * action. */
+  private def navInsertDeltaOver(c: DataFrame, keys: DataFrame,
+      cut: Long, pEnd: Long): (DataFrame, Seq[DataFrame]) = {
     val eligible = keys.groupBy("band_idx", "band_key")
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= KnnBucketCap)
@@ -2400,9 +2432,10 @@ object Similarity {
         .as("m"))
       .select(col("src"), col("m.dst").as("dst"),
         negate(col("m.ns")).as("cs"))
-    val entryVec = c.filter(col("vec_id") === GraphEntry)
+    val entryVec = c.filter(col("vec_id") === GraphEntry &&
+        col("vec_id") < pEnd)
       .select(col("v").as("ev"), col("nrm").as("en"))
-    val upMiss = c.filter(col("vec_id") >= cut)
+    val upMiss = c.filter(col("vec_id") >= cut && col("vec_id") < pEnd)
       .join(upBest.select(col("src").as("vec_id")), Seq("vec_id"),
         "left_anti")
       .filter(col("vec_id") =!= GraphEntry)
@@ -2428,8 +2461,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wSrc))
       .filter(col("rn") <= NavHighwayK)
       .select(col("src"), col("dst"), lit("hw").as("edge_class"))
-    graft.functions.Caching.releaseAfterAction(
-      knnNew.select(col("src"), col("dst"), lit("knn").as("edge_class"))
+    (knnNew.select(col("src"), col("dst"), lit("knn").as("edge_class"))
         .unionAll(mirror)
         .unionAll(up.select(col("src"), col("dst"),
           lit("up").as("edge_class")))
@@ -2437,7 +2469,7 @@ object Similarity {
         .filter(col("src") =!= col("dst"))
         .distinct()
         .orderBy("src", "dst", "edge_class"),
-      c, keys, knnNew, up)
+      Seq(knnNew, up))
   }
 
   /** INSERT-QUALITY DECISION TABLE (`eval_nav_insert`) — the number
@@ -2485,6 +2517,12 @@ object Similarity {
     val gsLabels = Seq("base", "post_insert").toDF("gs")
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    // NO beam-side broadcast hints here, unlike [[graphWalk]]: measured
+    // A/B (r16, bench protocol, 2×2 interleave) put the hinted form at
+    // 5.0-5.9 s vs 3.5-3.7 s unhinted — the gs-keyed walk runs TWO graph
+    // states through every round, and forcing a driver-collected
+    // broadcast build per round serializes work AQE otherwise overlaps.
+    // The per-round join keys stay bounded either way (beam × |gs|).
     def score(cand: DataFrame): DataFrame = cand
       .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
       .join(broadcast(q), "qid")
@@ -2561,27 +2599,71 @@ object Similarity {
       batches: Int = NavSeqBatches, size: Long = NavInsertBatch,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
     val c = corpus(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     val cut0 = c.agg(max("vec_id")).head().getLong(0) - batches * size + 1L
     val stored = navGraphShared(s, d).select("src", "dst")
     val base = stored.filter(col("src") < cut0 && col("dst") < cut0)
-    val deltas = (1 to batches).map { b =>
-      // vec_id < cut0 + batches*size is the whole corpus: that delta IS
-      // the navdelta product (same frame, same batch key) — scan it.
-      val df = if (b == batches) navInsert(s, d, size)
-        else navInsertDf(emb.filter(col("vec_id") < cut0 + b * size), size)
-      df.select("src", "dst").localCheckpoint(true)
+    // The in-plan prefix deltas (b < batches; the final batch IS the
+    // navdelta product — scanned, not recomputed) share ONE corpus
+    // persist and ONE banded-keys frame per distinct band geometry,
+    // instead of each re-scanning, re-normalizing and re-projecting its
+    // prefix through [[navInsertDf]] (r16: three corpus scans + two
+    // 16-plane projection passes + four driver actions → one of each;
+    // guide §1.2 step 1, §5). Every per-prefix quantity keeps
+    // navInsertDf's exact semantics: prefix count and max come from one
+    // conditional aggregate over the shared frame, the band-geometry
+    // rule is applied to each prefix's own count, and the keys frame is
+    // prefix-filtered (band keys are per-vector, so filtering the full
+    // frame equals computing keys over the prefix).
+    val prefixEnds = (1 until batches).map(b => cut0 + b * size)
+    val pre = if (prefixEnds.isEmpty) null
+      else {
+        val exprs = prefixEnds.zipWithIndex.flatMap { case (p, i) =>
+          Seq(count(when(col("vec_id") < p, 1L)).as(s"cnt$i"),
+            max(when(col("vec_id") < p, col("vec_id"))).as(s"mx$i"))
+        }
+        c.agg(exprs.head, exprs.tail: _*).head()
+      }
+    val geos = prefixEnds.indices.map(i => bandRowsFor(pre.getLong(2 * i)))
+    val keysByR = geos.distinct.map { r =>
+      r -> bandedKeys(c.select("vec_id", "v"), 8, r)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }.toMap
+    // Each in-plan delta is MATERIALIZED eagerly (and its internal
+    // persists released at once): one delta = one internally-parallel
+    // job reusing the shared keys frame, instead of all delta subtrees
+    // nested inside the walk's first-round plan (measured 5 s slower as
+    // one mega-plan).
+    val deltas: Seq[DataFrame] = (1 to batches).map { b =>
+      if (b == batches) navInsert(s, d, size).select("src", "dst")
+      else {
+        val p = prefixEnds(b - 1)
+        val cutB = pre.getLong(2 * (b - 1) + 1) - size + 1L
+        val (df, caches) = navInsertDeltaOver(c,
+          keysByR(geos(b - 1)).filter(col("vec_id") < p), cutB, p)
+        graft.functions.Caching.materialize(
+          df.select("src", "dst"), caches: _*)
+      }
     }
-    val states: Seq[(Long, DataFrame)] = (0L, base) +: (1 to batches).map {
-      b => (b.toLong, (base +: deltas.take(b)).reduce(_ unionAll _).distinct())
-    }
-    val edges = states.map { case (gs, df) => df.withColumn("gs", lit(gs)) }
+    // The keys frames serve only the delta builds above — release now.
+    keysByR.values.foreach(_.unpersist(false))
+    // ONE distinct over (edge → first batch containing it) replaces the
+    // per-state cumulative union + distinct (state b's edge set is
+    // exactly {fb <= b}), so the base graph is scanned once, not once
+    // per state, and the walk probes a frame 1/(B+1) the size
+    // (guide §2.3, §2.4).
+    val edges = (base.withColumn("fb", lit(0L)) +:
+        deltas.zipWithIndex.map { case (df, i) =>
+          df.withColumn("fb", lit((i + 1).toLong)) })
       .reduce(_ unionAll _)
+      .groupBy("src", "dst").agg(min("fb").as("fb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val gsLabels = states.map(_._1).toDF("gs")
+    val gsLabels = (0L to batches.toLong).toDF("gs")
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    // NO beam-side broadcast hints in the multi-state walk — same
+    // measured A/B as [[evalNavInsert]]: per-round broadcast builds over
+    // |gs| graph states serialize work AQE otherwise overlaps.
     def score(cand: DataFrame): DataFrame = cand
       .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
       .join(broadcast(q), "qid")
@@ -2594,7 +2676,8 @@ object Similarity {
     val walkStates = scala.collection.mutable.ArrayBuffer(beam)
     for (_ <- 1 to GraphRounds) {
       val nbrs = beam.select(col("gs"), col("qid"), col("cid").as("src"))
-        .join(edges, Seq("gs", "src"))
+        .join(edges, Seq("src"))
+        .filter(col("fb") <= col("gs"))
         .select(col("gs"), col("qid"), col("dst").as("cid"))
       val cand = beam.select("gs", "qid", "cid").unionAll(nbrs).distinct()
       beam = score(cand)
@@ -2614,7 +2697,12 @@ object Similarity {
       .groupBy("gs")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
         count(lit(1)).as("n_brute"))
-    val degs = edges.groupBy("gs", "src").agg(count(lit(1)).as("c"))
+    // Per-state degree stats from the tagged frame: state gs's edge set
+    // is {fb <= gs}, so one small cross join against the B+1 labels
+    // reproduces the old per-state-copy aggregate exactly.
+    val degs = edges.crossJoin(broadcast(gsLabels))
+      .filter(col("fb") <= col("gs"))
+      .groupBy("gs", "src").agg(count(lit(1)).as("c"))
       .groupBy("gs")
       .agg(count(lit(1)).as("n_src"), max("c").as("max_out_deg"),
         sum("c").as("n_edges"))
@@ -2631,7 +2719,7 @@ object Similarity {
             .as("recall_e4"),
           col("max_out_deg"), col("mean_deg_e4"))
         .orderBy("batch"),
-      (Seq(c, edges, walkStates.last) ++ deltas): _*)
+      (Seq(c, edges, walkStates.last) ++ deltas.dropRight(1)): _*)
   }
 
   /** NAVIGABILITY AUDIT (`eval_graph_connectivity`) — the structural
@@ -2649,7 +2737,13 @@ object Similarity {
   def graphConnectivityEval(s: SparkSession, d: String,
       maxHops: Int = GraphRounds): DataFrame = {
     import s.implicits._
+    // The frontier grows to corpus size, so it cannot broadcast like a
+    // beam; instead the edge list persists PRE-PARTITIONED on the join
+    // key, so each hop's equi-join reuses the cached partitioning and
+    // shuffles only the (node-sized) reachable set, never the edges
+    // (guide §2.4: two operations keyed the same way share one exchange).
     val edges = navGraphShared(s, d).select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val total = corpus(s, d).agg(count(lit(1)).as("n_nodes"))
     var reach = Seq(GraphEntry).toDF("node").localCheckpoint(true)
@@ -3037,7 +3131,10 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("v").as("cv"),
           col("nrm").as("cn"))
       val wC = Window.partitionBy("qid").orderBy(desc("cs"), asc("cid"))
-      def scoreCoarse(cand: DataFrame): DataFrame = cand
+      // Bounded-side broadcasts: the descent beam is nQueries ×
+      // HierCoarseBeam rows; the coarse layer grows with n/CoarseMod
+      // and must not shuffle per round (guide §3.1, §2.4).
+      def scoreCoarse(cand: DataFrame): DataFrame = broadcast(cand)
         .join(coarse.select(col("vec_id").as("cid"), col("v").as("cv"),
           col("nrm").as("cn")), "cid")
         .join(broadcast(q), "qid")
@@ -3056,7 +3153,7 @@ object Similarity {
       val ce = navGraphShared(s, d).select(col("src"), col("dst"))
         .filter(col("src") % CoarseMod === 0 && col("dst") % CoarseMod === 0)
       for (_ <- 1 to rc) {
-        val nbrs = cb.select(col("qid"), col("cid").as("src"))
+        val nbrs = broadcast(cb.select(col("qid"), col("cid").as("src")))
           .join(ce, "src")
           .select(col("qid"), col("dst").as("cid"))
         val cand = cb.select("qid", "cid").unionAll(nbrs).distinct()
@@ -3154,7 +3251,8 @@ object Similarity {
         .withColumn("cid", lit(GraphEntry)))
       .withColumn("st", lit("layered_banded"))
     // ONE keyed walk to the max budget; each strategy reads its prefix.
-    def score(cand: DataFrame): DataFrame = cand
+    // Bounded-side broadcasts, as in [[graphWalk]] (guide §3.1, §2.4).
+    def score(cand: DataFrame): DataFrame = broadcast(cand)
       .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
       .join(broadcast(q), "qid")
       .select(col("st"), col("qid"), col("cid"),
@@ -3170,7 +3268,7 @@ object Similarity {
       .select("st", "qid", "cid")).localCheckpoint(true)
     val states = scala.collection.mutable.ArrayBuffer(beamDf)
     for (_ <- 1 to budgets.values.max) {
-      val nbrs = beamDf.select(col("st"), col("qid"), col("cid").as("src"))
+      val nbrs = broadcast(beamDf.select(col("st"), col("qid"), col("cid").as("src")))
         .join(edges, "src")
         .select(col("st"), col("qid"), col("dst").as("cid"))
       val cand = beamDf.select("st", "qid", "cid").unionAll(nbrs).distinct()
@@ -3188,7 +3286,7 @@ object Similarity {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select(col("qid"), col("cid"), lit(1L).as("hit"))
-      brute.join(sel, Seq("qid", "cid"), "left")
+      brute.join(broadcast(sel), Seq("qid", "cid"), "left")
         .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
           count(lit(1)).as("n_brute"))
         .select(lit(st).as("strategy"), lit(r.toLong).as("rounds"),
@@ -3234,7 +3332,13 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    def scoreOf(cands: DataFrame): DataFrame = cands
+    // The beam/candidate side of every per-round join is BOUNDED
+    // (nQueries × beam × out-degree rows — corpus-size-independent),
+    // while edges and the corpus scale with n. The explicit broadcast
+    // pins the build side: the checkpointed beam's LogicalRDD carries no
+    // usable size estimate, so without the hint the planner shuffles the
+    // corpus-sized side every round (guide §3.1, §2.4).
+    def scoreOf(cands: DataFrame): DataFrame = broadcast(cands)
       .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
       .join(broadcast(q), "qid")
       .select(col("qid"), col("cid"),
@@ -3245,7 +3349,7 @@ object Similarity {
     val states = scala.collection.mutable.ArrayBuffer(beamDf)
     val cands = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to rounds) {
-      val nbrs = beamDf.select(col("qid"), col("cid").as("src"))
+      val nbrs = broadcast(beamDf.select(col("qid"), col("cid").as("src")))
         .join(edges, "src")
         .select(col("qid"), col("dst").as("cid"))
       val cand = beamDf.select("qid", "cid").unionAll(nbrs).distinct()
@@ -3305,7 +3409,7 @@ object Similarity {
         .withColumn("rn", row_number().over(walk.w))
         .filter(col("rn") <= k)
         .select(col("qid"), col("cid"), lit(1L).as("hit"))
-      val hits = brute.join(sel, Seq("qid", "cid"), "left")
+      val hits = brute.join(broadcast(sel), Seq("qid", "cid"), "left")
         .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
           count(lit(1)).as("n_brute"))
       val scanned = walk.cands.take(r).reduce(_ unionAll _)
@@ -3334,7 +3438,7 @@ object Similarity {
     val g = graphTopK(s, d, nQueries, k)
       .select(col("qid").as("gq"), col("cid").as("gc"))
     brute
-      .join(g, col("qid") === col("gq") && col("cid") === col("gc"), "left")
+      .join(broadcast(g), col("qid") === col("gq") && col("cid") === col("gc"), "left")
       .groupBy("qid")
       .agg(sum(when(col("gc").isNotNull, 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("n_brute"))
@@ -3388,7 +3492,10 @@ object Similarity {
     // (one row per (qid, cid): a vector is assigned to exactly one cell).
     val cand = assignCells(c, cents).join(broadcast(probeRanks), "cell_id")
       .select(col("qid"), col("vec_id").as("cid"), col("pr"))
-    val scored = cand
+    // cand is occupancy × nprobe × nQueries rows at any corpus size —
+    // broadcast it so the vector join-back streams the corpus instead of
+    // shuffling it on cid (guide §3.1).
+    val scored = broadcast(cand)
       .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
       .join(broadcast(q), "qid")
       .select(col("qid"), col("cid"), col("pr"),
@@ -3406,7 +3513,7 @@ object Similarity {
       .select(col("nprobe"), col("qid"), col("cid"), lit(1L).as("hit"))
     val bruteNp = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
       .withColumn("nprobe", explode(typedlit(sweep)))
-    val hits = bruteNp.join(sel, Seq("nprobe", "qid", "cid"), "left")
+    val hits = bruteNp.join(broadcast(sel), Seq("nprobe", "qid", "cid"), "left")
       .groupBy("nprobe")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
         count(lit(1)).as("n_brute"))
@@ -3453,23 +3560,28 @@ object Similarity {
     val qk = keysAll.filter(col("vec_id") < nQueries)
       .select(col("bands"), col("bits_per_band"),
         col("vec_id").as("qid"), col("band_idx"), col("band_key"))
+    // The query-side key set is |sweep| × bands × nQueries rows at any
+    // corpus size — broadcast it so the corpus-sized key frame never
+    // shuffles on the band key (guide §3.1).
     val cand = keysAll
-      .join(qk, Seq("bands", "bits_per_band", "band_idx", "band_key"))
+      .join(broadcast(qk), Seq("bands", "bits_per_band", "band_idx", "band_key"))
       .select(col("bands"), col("bits_per_band"), col("qid"),
         col("vec_id").as("cid"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Exact-score each DISTINCT pair once, whatever geometries found it.
+    // The candidate-pair side is occupancy-bounded — broadcast it and
+    // stream the corpus for the vector join-back.
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val scores = cand.select("qid", "cid").distinct()
+    val scores = broadcast(cand.select("qid", "cid").distinct())
       .join(c.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
       .join(broadcast(q), "qid")
       .select(col("qid"), col("cid"),
         e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
     val wSel = Window.partitionBy("bands", "bits_per_band", "qid")
       .orderBy(desc("sim_e4"), asc("cid"))
-    val sel = cand.join(scores, Seq("qid", "cid"))
+    val sel = cand.join(broadcast(scores), Seq("qid", "cid"))
       .withColumn("rn", row_number().over(wSel))
       .filter(col("rn") <= k)
       .select(col("bands"), col("bits_per_band"), col("qid"), col("cid"),
@@ -3481,7 +3593,7 @@ object Similarity {
     val bruteCfg = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
       .crossJoin(broadcast(cfg))
     val hits = bruteCfg
-      .join(sel, Seq("bands", "bits_per_band", "qid", "cid"), "left")
+      .join(broadcast(sel), Seq("bands", "bits_per_band", "qid", "cid"), "left")
       .groupBy("bands", "bits_per_band")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
         count(lit(1)).as("n_brute"))

@@ -524,12 +524,16 @@ object Graph {
       .groupBy("v").agg(count(lit(1)).as("dg"))
     // Orientation: u→w from the lower (degree, key) endpoint. a < b always,
     // so the tie (da = db) keeps u = a — one rule on both engines.
+    // Persisted: the wedge self-join below reads it twice and the plan
+    // gets no ReusedExchange (both sides broadcast) — unpersisted, the
+    // degree joins ran twice (r16 plan audit, guide §5).
     val oriented = e
       .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
       .select(
         when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
         when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Wedges at u over out-neighbors (v < x by key → the closing edge is
     // exactly the canonical (v, x) row); one hash join closes them.
     val tri = oriented.as("e1")
@@ -541,7 +545,7 @@ object Graph {
     graft.functions.Caching.releaseAfterAction(
       tri.select(explode(array(col("u"), col("v"), col("x"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_tri")),
-      e)
+      e, oriented)
   }
 
   /** PageRank core over any weighted directed edge list (src, dst, cnt);

@@ -1023,14 +1023,23 @@ object TextAnalytics {
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val target = qualityDf(docs).filter(col("ok") === 1L).select("doc_id")
-    val cs = tf.groupBy("word").agg(sum("tf").as("c_s"))
-    val ct = tf.join(target, "doc_id").groupBy("word").agg(sum("tf").as("c_t"))
-    val totRow = cs.agg(sum("c_s").as("ns"), count(lit(1)).as("v")).head()
+    // Source and target counts from ONE word-keyed aggregate (left-mark
+    // target membership, conditional sum) instead of two shuffles + a
+    // word join; ns/v/nt from ONE scalar action instead of two. c_t is
+    // NULL exactly where the old inner-join ct frame had no row, so the
+    // coalesce below is unchanged (r16, guide §2.4/§1.2).
+    val counts = tf
+      .join(target.withColumn("is_t", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("word").agg(sum("tf").as("c_s"),
+        sum(when(col("is_t") === 1L, col("tf"))).as("c_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totRow = counts
+      .agg(sum("c_s").as("ns"), count(lit(1)).as("v"), sum("c_t").as("nt"))
+      .head()
     val (ns, v) =
       (if (totRow.isNullAt(0)) 0L else totRow.getLong(0), totRow.getLong(1))
-    val ntRow = ct.agg(sum("c_t")).head()
-    val nt = if (ntRow.isNullAt(0)) 0L else ntRow.getLong(0)
-    val model = cs.join(ct, Seq("word"), "left")
+    val nt = if (totRow.isNullAt(2)) 0L else totRow.getLong(2)
+    val model = counts
       .select(col("word"),
         round(((coalesce(col("c_t"), lit(0L)) + lit(1L)) * lit(ns + v))
           .cast("double")
@@ -1049,7 +1058,7 @@ object TextAnalytics {
             .otherwise(round(col("dsir_sum_e4") / col("n_terms")).cast("long"))
             .as("dsir_mean_e4"))
         .orderBy("doc_id"),
-      tf)
+      tf, counts)
   }
 
   /** The Gopher rule-suite thresholds (Rae et al. 2021, arXiv:2112.11446
@@ -1266,7 +1275,11 @@ object TextAnalytics {
 
   /** Same, over any (doc_id, text) DataFrame (planted tests). */
   def qualityTrainedDf(docs: DataFrame): DataFrame = {
+    // Persisted: referenced by the tf labeling join AND the final
+    // projection — unpersisted, the whole Gopher-rule corpus pass ran
+    // twice (r16, guide §5).
     val labels = qualityDf(docs).select(col("doc_id"), col("ok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = docTokensText(docs)
       .select(col("doc_id"), explode(col("toks")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -1304,7 +1317,7 @@ object TextAnalytics {
             .as("mean_e4"))
         .withColumn("pred_ok", (col("mean_e4") > 10000L).cast("long"))
         .orderBy("doc_id"),
-      tf)
+      tf, labels)
   }
 
   /** Token counting: whitespace split vs reference-regex tokens vs a BPE-ish

@@ -3134,7 +3134,7 @@ object Similarity {
       // Bounded-side broadcasts: the descent beam is nQueries ×
       // HierCoarseBeam rows; the coarse layer grows with n/CoarseMod
       // and must not shuffle per round (guide §3.1, §2.4).
-      def scoreCoarse(cand: DataFrame): DataFrame = broadcast(cand)
+      def scoreCoarse(cand: DataFrame): DataFrame = cand
         .join(coarse.select(col("vec_id").as("cid"), col("v").as("cv"),
           col("nrm").as("cn")), "cid")
         .join(broadcast(q), "qid")
@@ -3152,8 +3152,14 @@ object Similarity {
       // checkpoints needed, unlike the L0 loop.
       val ce = navGraphShared(s, d).select(col("src"), col("dst"))
         .filter(col("src") % CoarseMod === 0 && col("dst") % CoarseMod === 0)
+      // NO broadcast hints in this loop: it is UNROLLED (no per-round
+      // checkpoints), so the beam subtree doubles per round — a forced
+      // broadcast exchange materializes each copy as its own sequential
+      // driver-side build job (measured +2.0 s on the full-bench chunk,
+      // 4.1 -> 6.2 s). The hinted form is right only where rounds are
+      // checkpoint-truncated, as in [[graphWalk]].
       for (_ <- 1 to rc) {
-        val nbrs = broadcast(cb.select(col("qid"), col("cid").as("src")))
+        val nbrs = cb.select(col("qid"), col("cid").as("src"))
           .join(ce, "src")
           .select(col("qid"), col("dst").as("cid"))
         val cand = cb.select("qid", "cid").unionAll(nbrs).distinct()

@@ -858,10 +858,14 @@ object Events {
   def layoutTradeoffEvalDf(events: DataFrame,
       bucketsLog2: Int = ZorderBucketsLog2,
       nProbes: Int = ZorderSkipProbes): DataFrame = {
-    // The ≤192-row audit feeds BOTH probe rollups — persist it so the
-    // three-layout corpus pass runs once, not twice (guide §5).
+    // NOT persisted: the audit feeds both probe rollups, but its heavy
+    // half (the scan + normalization) is already cached INSIDE
+    // hilbertLayoutDf (nrmP), so the re-evaluation the second rollup
+    // pays is only the per-layout rollup aggregates — and stacking a
+    // second persist on top measured SLOWER (2.5 → 3.2 s full-bench
+    // chunk), the cache fill serializing what the two rollups otherwise
+    // overlap.
     val audit = hilbertLayoutDf(events, bucketsLog2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val userProbes = events.select(col("user_id").as("pv"))
       .distinct().orderBy("pv").limit(nProbes)
     val timeProbes = events
@@ -885,13 +889,11 @@ object Events {
         .select(col("layout"), lit(kind).as("probe"), col("n_buckets"),
           col("n_probes"), col("scanned"),
           expr("scanned * 10000 div (n_buckets * n_probes)").as("scan_e4"))
-    graft.functions.Caching.releaseAfterAction(
-      rollup(userProbes, "user_point",
-          col("pv").between(col("min_u"), col("max_u")), "pv")
-        .unionByName(rollup(timeProbes, "time_range",
-          col("min_t") <= col("pe") && col("max_t") >= col("ps"), "ps"))
-        .orderBy("layout", "probe"),
-      audit)
+    rollup(userProbes, "user_point",
+        col("pv").between(col("min_u"), col("max_u")), "pv")
+      .unionByName(rollup(timeProbes, "time_range",
+        col("min_t") <= col("pe") && col("max_t") >= col("ps"), "ps"))
+      .orderBy("layout", "probe")
   }
 
   /** The WRITE side of [[zorderLayout]]: the events frame physically

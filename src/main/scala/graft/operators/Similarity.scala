@@ -1546,7 +1546,7 @@ object Similarity {
     val lsh = lshTopK(s, d, nQueries, k)
       .select(col("qid").as("lq"), col("cid").as("lc"))
     brute
-      .join(broadcast(lsh), col("qid") === col("lq") && col("cid") === col("lc"), "left")
+      .join(lsh, col("qid") === col("lq") && col("cid") === col("lc"), "left")
       .groupBy("qid")
       .agg(sum(when(col("lc").isNotNull, 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("n_brute"))
@@ -1572,7 +1572,7 @@ object Similarity {
     val served = ivfPqServedTopK(s, d, nQueries, k, indexDir = indexDir)
       .select(col("qid").as("sq"), col("cid").as("sc"))
     brute
-      .join(broadcast(served), col("qid") === col("sq") && col("cid") === col("sc"), "left")
+      .join(served, col("qid") === col("sq") && col("cid") === col("sc"), "left")
       .groupBy("qid")
       .agg(sum(when(col("sc").isNotNull, 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("n_brute"))
@@ -2083,9 +2083,9 @@ object Similarity {
       list.groupBy("qid")
         .agg(round(sum("sim_e4") * lit(1.0) / count(lit(1))).cast("long").as(out))
     def ilsE4(list: DataFrame, out: String): DataFrame =
-      broadcast(list.select(col("qid"), col("cid").as("pd"))
-          .join(list.select(col("qid"), col("cid").as("ps")), Seq("qid"))
-          .filter(col("pd") =!= col("ps")))
+      list.select(col("qid"), col("cid").as("pd"))
+        .join(list.select(col("qid"), col("cid").as("ps")), Seq("qid"))
+        .filter(col("pd") =!= col("ps"))
         .join(pairs, Seq("qid", "pd", "ps"))
         .groupBy("qid")
         .agg(round(sum("ds_e4") * lit(1.0) / count(lit(1))).cast("long").as(out))
@@ -2113,7 +2113,7 @@ object Similarity {
     val sq = sqTopK(s, d, nQueries, k)
       .select(col("qid").as("sq"), col("cid").as("sc"))
     brute
-      .join(broadcast(sq), col("qid") === col("sq") && col("cid") === col("sc"), "left")
+      .join(sq, col("qid") === col("sq") && col("cid") === col("sc"), "left")
       .groupBy("qid")
       .agg(sum(when(col("sc").isNotNull, 1L).otherwise(0L)).as("hits"),
         count(lit(1)).as("n_brute"))
@@ -3587,7 +3587,12 @@ object Similarity {
         e4(dotD(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("sim_e4"))
     val wSel = Window.partitionBy("bands", "bits_per_band", "qid")
       .orderBy(desc("sim_e4"), asc("cid"))
-    val sel = cand.join(broadcast(scores), Seq("qid", "cid"))
+    // scores and sel are COMPUTED join/window subtrees — no broadcast
+    // hints on those (the round's rule: a hint on a computed subtree
+    // forces a sequential driver-side build of the whole subtree;
+    // measured +0.5-0.9 s here across two full-bench runs). Only the
+    // simple bounded frames (qk, the distinct pair keys, q) stay hinted.
+    val sel = cand.join(scores, Seq("qid", "cid"))
       .withColumn("rn", row_number().over(wSel))
       .filter(col("rn") <= k)
       .select(col("bands"), col("bits_per_band"), col("qid"), col("cid"),
@@ -3599,7 +3604,7 @@ object Similarity {
     val bruteCfg = bruteTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
       .crossJoin(broadcast(cfg))
     val hits = bruteCfg
-      .join(broadcast(sel), Seq("bands", "bits_per_band", "qid", "cid"), "left")
+      .join(sel, Seq("bands", "bits_per_band", "qid", "cid"), "left")
       .groupBy("bands", "bits_per_band")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
         count(lit(1)).as("n_brute"))
